@@ -1,0 +1,20 @@
+package graft.functions
+
+/** DuckDB SQL fragments mirroring the exact-aggregate helpers in
+  * [[graft.functions]]. Keeping both sides generated from one place avoids
+  * expression-tree drift that would break bit-exact hash comparison.
+  */
+object OracleSql {
+  def epochUs(c: String): String = s"epoch_us($c)"
+
+  def exactSum(c: String): String =
+    s"CAST(sum(CAST($c AS DECIMAL(38,10))) AS DOUBLE)"
+
+  def exactAvg(c: String): String =
+    s"${exactSum(c)} / CAST(count($c) AS DOUBLE)"
+
+  def exactVarSamp(c: String): String =
+    s"(CAST(sum(CAST($c*$c AS DECIMAL(38,10))) AS DOUBLE) - ${exactSum(c)} * ${exactSum(c)} / CAST(count($c) AS DOUBLE)) / (CAST(count($c) AS DOUBLE) - 1.0)"
+
+  def exactStdSamp(c: String): String = s"sqrt(${exactVarSamp(c)})"
+}

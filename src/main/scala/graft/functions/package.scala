@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Column helpers shared across operators.
+  *
+  * Oracle-exactness discipline: the driver hash-compares our parquet output
+  * against DuckDB with no documented rounding, so every float AGGREGATE must
+  * be order-independent and bit-identical in both engines. Double summation
+  * is neither (shuffle order varies) — so sums/means/variances go through
+  * DECIMAL(38,10) (exact, commutative) and are cast back to double at the
+  * very end with the same expression tree the oracle SQL uses.
+  */
+package object functions {
+
+  /** Epoch microseconds of a TIMESTAMP_NTZ column (session TZ must be UTC).
+    * Oracle mirror: `epoch_us(ts)`.
+    */
+  def epochUs(c: Column): Column = unix_micros(c.cast(TimestampType))
+
+  private val Dec = "decimal(38,10)"
+
+  /** Order-independent exact sum of a double column, returned as double.
+    * Oracle mirror: `CAST(sum(CAST(x AS DECIMAL(38,10))) AS DOUBLE)`.
+    */
+  def exactSum(c: Column): Column = sum(c.cast(Dec)).cast("double")
+
+  /** Exact mean: decimal sum cast to double, divided by count — the division
+    * is a single deterministic double op.
+    * Oracle mirror: `CAST(sum(CAST(x AS DECIMAL(38,10))) AS DOUBLE) / count(x)`.
+    */
+  def exactAvg(c: Column): Column =
+    exactSum(c) / count(c).cast("double")
+
+  /** Exact sample variance via decimal sum / sum-of-squares:
+    * (sumsq - sum^2/n) / (n-1), all final arithmetic in double.
+    * Oracle mirror — keep the tree shape identical:
+    * `(CAST(sum(CAST(x*x AS DECIMAL(38,10))) AS DOUBLE)
+    *   - CAST(sum(CAST(x AS DECIMAL(38,10))) AS DOUBLE)
+    *     * CAST(sum(CAST(x AS DECIMAL(38,10))) AS DOUBLE) / count(x))
+    *  / (count(x) - 1)`.
+    */
+  def exactVarSamp(c: Column): Column = {
+    val s = exactSum(c)
+    val sq = sum((c * c).cast(Dec)).cast("double")
+    val n = count(c).cast("double")
+    (sq - s * s / n) / (n - lit(1.0))
+  }
+
+  /** Exact sample stddev; oracle mirror `sqrt(<exactVarSamp sql>)`. */
+  def exactStdSamp(c: Column): Column = sqrt(exactVarSamp(c))
+}
