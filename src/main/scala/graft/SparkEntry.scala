@@ -23,7 +23,10 @@ object SparkEntry {
     queries("a5_grouped_stats")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = base ++
+    graft.operators.CleaningQueries.queries
+
+  private def base: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> ((s, dir) =>
       Tables.lineitem(s, dir)
         .groupBy("l_returnflag")
@@ -44,7 +47,10 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = baseOracle ++
+    graft.operators.CleaningQueries.oracle
+
+  private def baseOracle: Map[String, String] = Map(
     "q1_agg" ->
       s"""SELECT l_returnflag, ${O.exactSum("l_quantity")} AS sum_qty, count(*) AS n
          |FROM lineitem GROUP BY l_returnflag""".stripMargin,

@@ -1,0 +1,264 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions._
+
+/** Row-level cleaning / validation operators (SURVEY.md §2.2-§2.3), the Spark
+  * re-expression of the reference's `data_cleaner.py` / `data_validator.py` /
+  * `data_processor.py` eager pandas chain.
+  *
+  * Everything here is a pure `DataFrame => DataFrame` transform built from
+  * codegen'd Column expressions — Catalyst fuses the whole chain into one
+  * scan+project+filter stage, vs the reference's 12 materialized frames.
+  *
+  * Scale notes (100 TB): all per-row ops are embarrassingly parallel. The
+  * ordered ops (dedup-keep-first, ffill/bfill, gap detection) shuffle once on
+  * `partitionBy(symbol)`; skewed hot symbols are handled by AQE. The global
+  * aggregates (IQR/z-score bounds) reduce to a handful of doubles broadcast
+  * back — no second full shuffle.
+  */
+object Cleaning {
+
+  /** F1 — lowercase all column names (reference data_cleaner.py:92). */
+  def lowercaseColumns(df: DataFrame): DataFrame =
+    df.toDF(df.columns.map(_.toLowerCase): _*)
+
+  /** F2 — project to the canonical OHLCV columns, dropping provider extras
+    * (reference binance_provider.py:121).
+    */
+  def projectCanonical(df: DataFrame, cols: Seq[String] =
+      Seq("timestamp", "open", "high", "low", "close", "volume")): DataFrame =
+    df.select(cols.map(col): _*)
+
+  /** F3 — permissive type coercion: junk strings become NULL, never errors
+    * (reference data_cleaner.py:114-119 `pd.to_numeric(errors="coerce")`).
+    * Uses try_cast so it stays null-on-junk under ANSI mode.
+    */
+  def coerceNumeric(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.foldLeft(df)((d, c) => d.withColumn(c, expr(s"try_cast(`$c` AS DOUBLE)")))
+
+  /** F3/F10 — parse string/epoch timestamps; unparseable rows become NULL
+    * (drop with [[dropInvalidTimestamps]]).
+    */
+  def parseTimestamp(df: DataFrame, c: String = "timestamp"): DataFrame =
+    df.withColumn(c, expr(s"try_cast(`$c` AS TIMESTAMP_NTZ)"))
+
+  /** F10 — drop rows whose timestamp failed to parse
+    * (reference data_cleaner.py:663-688).
+    */
+  def dropInvalidTimestamps(df: DataFrame, c: String = "timestamp"): DataFrame =
+    df.filter(col(c).isNotNull)
+
+  /** F4 — deduplicate by key, keeping the FIRST row in `order` — the
+    * reference's `drop_duplicates(subset=…)` keeps first in frame order
+    * (data_cleaner.py:106), which Spark's `dropDuplicates` does not
+    * guarantee; a row_number window makes it deterministic.
+    */
+  def dedupKeepFirst(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** F5 — drop rows where any price/volume column is negative
+    * (reference data_cleaner.py:207-216).
+    */
+  def filterNonNegative(df: DataFrame, cols: Seq[String] =
+      Seq("open", "high", "low", "close", "volume")): DataFrame =
+    df.filter(cols.map(c => col(c).isNull || col(c) >= 0).reduce(_ && _))
+
+  /** F5 variant — null-out negatives instead of dropping
+    * (reference data_validator.py:73-79).
+    */
+  def nullifyNegative(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.foldLeft(df)((d, c) =>
+      d.withColumn(c, when(col(c) < 0, lit(null).cast(DoubleType)).otherwise(col(c))))
+
+  /** F6 — OHLC relationship violation predicate (reference
+    * data_cleaner.py:238-269, tolerance-free data_validator.py:82-88).
+    * Null-safe: rows with missing prices are not flagged.
+    */
+  def ohlcInvalid(tolerance: Double = 0.0): Column = {
+    val t = lit(1.0 + tolerance)
+    coalesce(
+      col("high") * t < col("low") ||
+        col("high") * t < col("open") ||
+        col("high") * t < col("close") ||
+        col("low") > col("open") * t ||
+        col("low") > col("close") * t,
+      lit(false))
+  }
+
+  /** F7 — repair violating bars: high := max(open,close,high),
+    * low := min(open,close,low) (reference data_cleaner.py:251-268).
+    */
+  def repairOhlc(df: DataFrame): DataFrame =
+    // Stash the violation flag first: both repairs must see the ORIGINAL
+    // high/low, and the flag itself must not flip after high is rewritten.
+    df.withColumn("__viol", ohlcInvalid())
+      .withColumn("high",
+        when(col("__viol"), greatest(col("open"), coalesce(col("close"), col("open")), col("high")))
+          .otherwise(col("high")))
+      .withColumn("low",
+        when(col("__viol"), least(col("open"), coalesce(col("close"), col("open")), col("low")))
+          .otherwise(col("low")))
+      .drop("__viol")
+
+  /** F7 strict mode — drop violating rows instead of repairing. */
+  def dropInvalidOhlc(df: DataFrame, tolerance: Double = 0.0): DataFrame =
+    df.filter(!ohlcInvalid(tolerance))
+
+  /** F8 — forward-fill nulls per series in `order` (reference
+    * data_cleaner.py:191-205 `ffill`). One window, no extra shuffle when
+    * composed with other per-symbol ops.
+    */
+  def ffill(df: DataFrame, cols: Seq[String], partitionCols: Seq[String],
+      order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cols.foldLeft(df)((d, c) => d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+  }
+
+  /** F8 — backward-fill (reference `bfill` after ffill). */
+  def bfill(df: DataFrame, cols: Seq[String], partitionCols: Seq[String],
+      order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(order: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    cols.foldLeft(df)((d, c) => d.withColumn(c, first(col(c), ignoreNulls = true).over(w)))
+  }
+
+  /** F9 — inclusive time-range filter (reference bybit_downloader.py:143). */
+  def timeRange(df: DataFrame, c: String, from: String, to: String): DataFrame =
+    df.filter(col(c).between(lit(from).cast("timestamp_ntz"), lit(to).cast("timestamp_ntz")))
+
+  /** Derived time features (reference data_cleaner.py:287-292). day_of_week
+    * uses the pandas convention 0=Monday — Spark's dayofweek is 1=Sunday, so
+    * shift: (dayofweek + 5) % 7.
+    */
+  def addTimeFeatures(df: DataFrame, ts: String = "ts"): DataFrame =
+    df.withColumn("hour", hour(col(ts)))
+      .withColumn("day_of_week", (dayofweek(col(ts)) + 5) % 7)
+      .withColumn("month", month(col(ts)))
+      .withColumn("year", year(col(ts)))
+
+  // --------------------------------------------------------------------
+  // §2.3 outlier / anomaly operators
+  // --------------------------------------------------------------------
+
+  /** O1 — IQR clip: clamp each column into [Q1-k·IQR, Q3+k·IQR] (reference
+    * data_cleaner.py:218-236, k=1.5). `exact=true` uses exact `percentile`
+    * (pandas/DuckDB-compatible linear interpolation) — required for oracle
+    * parity; at 100 TB prefer `exact=false` (approx_percentile, one pass,
+    * no global sort).
+    *
+    * The bounds aggregate reduces to 2 doubles per column and is broadcast —
+    * the data is scanned twice but never reshuffled.
+    */
+  def iqrClip(df: DataFrame, cols: Seq[String], k: Double = 1.5,
+      exact: Boolean = true): DataFrame = {
+    val pct: (Column, Double) => Column =
+      if (exact) (c, p) => percentile(c, lit(p))
+      else (c, p) => approx_percentile(c, lit(p), lit(10000))
+    val aggs = cols.flatMap(c =>
+      Seq(pct(col(c), 0.25).as(s"__q1_$c"), pct(col(c), 0.75).as(s"__q3_$c")))
+    val bounds = df.agg(aggs.head, aggs.tail: _*)
+    val clipped = cols.foldLeft(df.crossJoin(broadcast(bounds))) { (d, c) =>
+      val iqr = col(s"__q3_$c") - col(s"__q1_$c")
+      val lo = col(s"__q1_$c") - lit(k) * iqr
+      val hi = col(s"__q3_$c") + lit(k) * iqr
+      d.withColumn(c, when(col(c) < lo, lo).when(col(c) > hi, hi).otherwise(col(c)))
+    }
+    clipped.drop(cols.flatMap(c => Seq(s"__q1_$c", s"__q3_$c")): _*)
+  }
+
+  /** O2 — IQR outlier flag (detect-only, k=3; reference
+    * data_validator.py:97-107). Adds `<col>_outlier` boolean columns.
+    */
+  def iqrFlag(df: DataFrame, cols: Seq[String], k: Double = 3.0): DataFrame = {
+    val aggs = cols.flatMap(c =>
+      Seq(percentile(col(c), lit(0.25)).as(s"__q1_$c"),
+        percentile(col(c), lit(0.75)).as(s"__q3_$c")))
+    val bounds = df.agg(aggs.head, aggs.tail: _*)
+    val flagged = cols.foldLeft(df.crossJoin(broadcast(bounds))) { (d, c) =>
+      val iqr = col(s"__q3_$c") - col(s"__q1_$c")
+      d.withColumn(s"${c}_outlier",
+        col(c) < col(s"__q1_$c") - lit(k) * iqr || col(c) > col(s"__q3_$c") + lit(k) * iqr)
+    }
+    flagged.drop(cols.flatMap(c => Seq(s"__q1_$c", s"__q3_$c")): _*)
+  }
+
+  /** O3 — z-score outlier replacement (reference data_processor.py:86-123):
+    * |x-mean|/std > t → price cols get NULL (caller ffills), volume gets the
+    * global median. Exact decimal moments keep it oracle-deterministic.
+    */
+  def zscoreOutlierBounds(df: DataFrame, cols: Seq[String], t: Double = 3.0): DataFrame = {
+    val aggs = cols.flatMap(c =>
+      Seq(exactAvg(col(c)).as(s"__mu_$c"), exactStdSamp(col(c)).as(s"__sd_$c")))
+    df.crossJoin(broadcast(df.agg(aggs.head, aggs.tail: _*)))
+  }
+
+  def zscoreNullify(df: DataFrame, cols: Seq[String], t: Double = 3.0): DataFrame = {
+    val withBounds = zscoreOutlierBounds(df, cols, t)
+    cols.foldLeft(withBounds)((d, c) =>
+        d.withColumn(c,
+          when(abs(col(c) - col(s"__mu_$c")) / col(s"__sd_$c") > t,
+            lit(null).cast(DoubleType)).otherwise(col(c))))
+      .drop(cols.flatMap(c => Seq(s"__mu_$c", s"__sd_$c")): _*)
+  }
+
+  /** O4 — extreme price-change detection: |close/close_prev - 1| > t
+    * (reference data_cleaner.py:359-380, t=0.2).
+    */
+  def extremeChange(df: DataFrame, c: String, partitionCols: Seq[String],
+      order: Seq[Column], t: Double = 0.2): DataFrame = {
+    val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(order: _*)
+    df.withColumn("__prev", lag(col(c), 1).over(w))
+      .withColumn("extreme_change",
+        coalesce(abs(col(c) / col("__prev") - 1) > t, lit(false)))
+      .drop("__prev")
+  }
+
+  /** O6 — time-gap detection: interval > 6 × median interval per series
+    * (reference data_cleaner.py:271-285). Intervals in whole microseconds so
+    * the median interpolation is exact.
+    */
+  def timeGaps(df: DataFrame, ts: String, partitionCols: Seq[String],
+      order: Seq[Column], factor: Double = 6.0): DataFrame = {
+    val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(order: _*)
+    val withIv = df.withColumn("__iv",
+      epochUs(col(ts)) - lag(epochUs(col(ts)), 1).over(w))
+    val med = withIv.groupBy(partitionCols.map(col): _*)
+      .agg(percentile(col("__iv"), lit(0.5)).as("__med_iv"))
+    withIv.join(broadcast(med), partitionCols)
+      .withColumn("is_gap", coalesce(col("__iv") > lit(factor) * col("__med_iv"), lit(false)))
+      .drop("__med_iv")
+      .withColumnRenamed("__iv", "interval_us")
+  }
+
+  /** O7 — quality score: 0.3·completeness + 0.3·OHLC-validity +
+    * 0.2·temporal-continuity + 0.2·volume-positivity (reference
+    * data_validator.py:135-186). One wide aggregate, one pass.
+    */
+  def qualityScore(df: DataFrame, partitionCols: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(order: _*)
+    val priceCols = Seq("open", "high", "low", "close", "volume")
+    val rowComplete = priceCols.map(c => col(c).isNotNull).reduce(_ && _)
+    val monotone = coalesce(
+      epochUs(col("ts")) >= lag(epochUs(col("ts")), 1).over(w), lit(true))
+    df.withColumn("__complete", rowComplete)
+      .withColumn("__monotone", monotone)
+      .groupBy(partitionCols.map(col): _*)
+      .agg(
+        (lit(0.3) * sum(when(col("__complete"), 1L).otherwise(0L)).cast("double") / count(lit(1)).cast("double")
+          + lit(0.3) * sum(when(!ohlcInvalid(), 1L).otherwise(0L)).cast("double") / count(lit(1)).cast("double")
+          + lit(0.2) * sum(when(col("__monotone"), 1L).otherwise(0L)).cast("double") / count(lit(1)).cast("double")
+          + lit(0.2) * sum(when(col("volume") > 0, 1L).otherwise(0L)).cast("double") / count(lit(1)).cast("double")
+        ).as("quality_score"),
+        count(lit(1)).as("total_records"))
+  }
+}
