@@ -24,7 +24,8 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = base ++
-    graft.operators.CleaningQueries.queries
+    graft.operators.CleaningQueries.queries ++
+    graft.operators.IndicatorQueries.queries
 
   private def base: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> ((s, dir) =>
@@ -48,7 +49,8 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] = baseOracle ++
-    graft.operators.CleaningQueries.oracle
+    graft.operators.CleaningQueries.oracle ++
+    graft.operators.IndicatorQueries.oracle
 
   private def baseOracle: Map[String, String] = Map(
     "q1_agg" ->

@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Ema
+
+/** Technical-indicator window operators (SURVEY.md §2.5, W1-W9) — the Spark
+  * re-expression of the reference's `technical_indicators.py`.
+  *
+  * All indicators are per-series ordered computations over
+  * [[Indicators.Series]] (partition = symbol..., order = ts...). The
+  * reference runs on one symbol's pandas frame at a time; here every
+  * indicator is multi-series by construction and the whole 13-column fan-out
+  * ([[withIndicators]]) shares ONE window spec → one shuffle + one sort
+  * regardless of how many indicator columns are appended. At 100 TB that
+  * means the cost is a single `symbol`-hash exchange (AQE handles hot-symbol
+  * skew), not 13 passes.
+  *
+  * Exactness discipline: rolling means/variances go through DECIMAL(38,10)
+  * sums (order-independent, bit-identical to the DuckDB oracle — see
+  * [[graft.functions]]); the EMA recurrence is a native Catalyst
+  * [[graft.functions.Ema]] window function evaluated in a fixed order, so
+  * IEEE double arithmetic matches the oracle's `list_reduce` fold exactly.
+  *
+  * Null-gating matches pandas `rolling(n)` min_periods: an indicator is NULL
+  * until its frame holds n non-null inputs (reference
+  * technical_indicators.py:12-15 NaN warm-up).
+  */
+object Indicators {
+
+  /** One logical time-series axis: partition keys + intra-series order. */
+  case class Series(partition: Seq[Column], order: Seq[Column]) {
+    lazy val w: WindowSpec = Window.partitionBy(partition: _*).orderBy(order: _*)
+    def frame(n: Int): WindowSpec = w.rowsBetween(-(n - 1), 0)
+  }
+
+  private val Dec = "decimal(38,10)"
+
+  /** W1 — simple moving average over the trailing n rows. NULL until the
+    * frame holds n non-null values (pandas min_periods semantics,
+    * reference technical_indicators.py:12-15).
+    */
+  def sma(c: Column, n: Int, s: Series): Column = {
+    val f = s.frame(n)
+    when(count(c).over(f) === n,
+      sum(c.cast(Dec)).over(f).cast("double") / lit(n.toDouble))
+  }
+
+  /** W5 helper — rolling SAMPLE std-dev (pandas `rolling(n).std()`, ddof=1)
+    * via exact decimal sum/sum-of-squares; final arithmetic in double with
+    * the same expression tree as the oracle SQL.
+    */
+  def rollingStdSamp(c: Column, n: Int, s: Series): Column = {
+    val f = s.frame(n)
+    val sm = sum(c.cast(Dec)).over(f).cast("double")
+    val sq = sum((c * c).cast(Dec)).over(f).cast("double")
+    val nd = lit(n.toDouble)
+    when(count(c).over(f) === n,
+      sqrt((sq - sm * sm / nd) / (nd - lit(1.0))))
+  }
+
+  /** W2 — exponential moving average, `ewm(span=n, adjust=False)` semantics
+    * (reference technical_indicators.py:17-20): y_0 = x_0,
+    * y_t = α·x_t + (1−α)·y_{t−1}, α = 2/(n+1); NULL inputs carry state.
+    */
+  def ema(c: Column, span: Int, s: Series): Column =
+    Ema.ema(c, span, s.partition, s.order)
+
+  /** W7 — percent change vs previous row (reference data_cleaner.py:368). */
+  def pctChange(c: Column, s: Series): Column =
+    c / lag(c, 1).over(s.w) - lit(1.0)
+
+  /** W8 — value diff vs previous row. */
+  def diff(c: Column, s: Series): Column = c - lag(c, 1).over(s.w)
+
+  /** W3 — RSI(n), Cutler's variant: simple moving averages of gains/losses
+    * (reference technical_indicators.py:22-29 uses `rolling(window).mean()`,
+    * NOT Wilder smoothing). Edge cases mirror pandas arithmetic:
+    * loss=0 ∧ gain>0 → 100 (rs=∞); loss=0 ∧ gain=0 → NULL (0/0).
+    */
+  def rsi(c: Column, n: Int, s: Series): Column = {
+    val delta = diff(c, s)
+    val gain = when(delta.isNull, lit(null).cast("double"))
+      .when(delta > 0, delta).otherwise(lit(0.0))
+    val loss = when(delta.isNull, lit(null).cast("double"))
+      .when(delta < 0, -delta).otherwise(lit(0.0))
+    val f = s.frame(n)
+    val nd = lit(n.toDouble)
+    val avgGain = when(count(gain).over(f) === n,
+      sum(gain.cast(Dec)).over(f).cast("double") / nd)
+    val avgLoss = when(count(loss).over(f) === n,
+      sum(loss.cast(Dec)).over(f).cast("double") / nd)
+    when(avgGain.isNull || avgLoss.isNull, lit(null).cast("double"))
+      .when(avgLoss === 0 && avgGain > 0, lit(100.0))
+      .when(avgLoss === 0 && avgGain === 0, lit(null).cast("double"))
+      .otherwise(lit(100.0) - lit(100.0) / (lit(1.0) + avgGain / avgLoss))
+  }
+
+  /** W6 helper — true range: max(h−l, |h−close₋₁|, |l−close₋₁|); first row
+    * of a series falls back to h−l (pandas skipna max over the NaN shifts,
+    * reference technical_indicators.py:61-68).
+    */
+  def trueRange(high: Column, low: Column, close: Column, s: Series): Column = {
+    val pc = lag(close, 1).over(s.w)
+    when(pc.isNull, high - low)
+      .otherwise(greatest(high - low, abs(high - pc), abs(low - pc)))
+  }
+
+  /** W6 — ATR(n) = SMA_n(TR) (reference technical_indicators.py:61-71). */
+  def atr(high: Column, low: Column, close: Column, n: Int, s: Series): Column = {
+    val tr = trueRange(high, low, close, s)
+    val f = s.frame(n)
+    when(count(tr).over(f) === n,
+      sum(tr.cast(Dec)).over(f).cast("double") / lit(n.toDouble))
+  }
+
+  /** W9 — the reference's `calculate_all` fan-out
+    * (technical_indicators.py:83-122): 13 indicator columns in one pass.
+    * All exprs share one window spec, so the physical plan is a single
+    * Exchange + Sort feeding the Window operators (the MACD-signal EMA needs
+    * a second Window op over the already-sorted output — no extra shuffle).
+    */
+  def withIndicators(df: DataFrame, partition: Seq[Column], order: Seq[Column]): DataFrame = {
+    val s = Series(partition, order)
+    val c = col("close")
+    val stage1 = df
+      .withColumn("sma_20", sma(c, 20, s))
+      .withColumn("sma_50", sma(c, 50, s))
+      .withColumn("sma_200", sma(c, 200, s))
+      .withColumn("ema_12", ema(c, 12, s))
+      .withColumn("ema_26", ema(c, 26, s))
+      .withColumn("rsi_14", rsi(c, 14, s))
+      .withColumn("bb_middle", sma(c, 20, s))
+      .withColumn("bb_std", rollingStdSamp(c, 20, s))
+      .withColumn("atr_14", atr(col("high"), col("low"), c, 14, s))
+      .withColumn("macd", col("ema_12") - col("ema_26"))
+    stage1
+      .withColumn("macd_signal", ema(col("macd"), 9, s))
+      .withColumn("macd_hist", col("macd") - col("macd_signal"))
+      .withColumn("bb_upper", col("bb_middle") + lit(2.0) * col("bb_std"))
+      .withColumn("bb_lower", col("bb_middle") - lit(2.0) * col("bb_std"))
+      .drop("bb_std")
+  }
+}
