@@ -25,7 +25,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = base ++
     graft.operators.CleaningQueries.queries ++
-    graft.operators.IndicatorQueries.queries
+    graft.operators.IndicatorQueries.queries ++
+    graft.operators.StatsQueries.queries
 
   private def base: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> ((s, dir) =>
@@ -50,7 +51,8 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] = baseOracle ++
     graft.operators.CleaningQueries.oracle ++
-    graft.operators.IndicatorQueries.oracle
+    graft.operators.IndicatorQueries.oracle ++
+    graft.operators.StatsQueries.oracle
 
   private def baseOracle: Map[String, String] = Map(
     "q1_agg" ->

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+
+/** OHLCV time-bucket resampling (SURVEY.md §2.4 A1/A2) — the Spark
+  * re-expression of the reference's `timeframe_aggregator.py:46-115` and the
+  * TimescaleDB continuous aggregate (`timescaledb_schema.sql:49-66`).
+  *
+  * Semantics per (symbol, bucket): open = value at earliest ts, high = max,
+  * low = min, close = value at latest ts, volume = sum. `min_by`/`max_by` on
+  * ts — NEVER `first`/`last`, whose groupBy order is undefined in Spark
+  * (SURVEY §7.2). Input must be deduplicated on (symbol, ts) so the argmin
+  * is unique (the reference pipeline dedups before resampling,
+  * crypto_pipeline.py:160-216).
+  *
+  * Scale: `window()` tumbling buckets compile to pure projection arithmetic
+  * (Catalyst TimeWindowing) — the only shuffle is the partial→final
+  * hash aggregation on (symbol, bucket), which AQE coalesces. No sort, no
+  * window-function pass. At 100 TB this is the textbook map-side-combine
+  * aggregation; a year of 1-minute bars per symbol is ~526k buckets — tiny.
+  * Calendar gap-fill generates each symbol's bucket range with `sequence()`
+  * (linear in range length, per-symbol parallel) and forward-fills with one
+  * ordered window per symbol.
+  */
+object Resample {
+
+  /** Reference timeframe strings → Spark interval strings
+    * (timeframe_aggregator.py:11-27). "1M" (calendar month) is handled by
+    * [[ohlcvMonthly]] since tumbling windows have no month interval.
+    */
+  val frames: Map[String, String] = Map(
+    "1m" -> "1 minute", "3m" -> "3 minutes", "5m" -> "5 minutes",
+    "15m" -> "15 minutes", "30m" -> "30 minutes", "1h" -> "1 hour",
+    "2h" -> "2 hours", "4h" -> "4 hours", "6h" -> "6 hours",
+    "12h" -> "12 hours", "1d" -> "1 day", "3d" -> "3 days", "1w" -> "7 days")
+
+  private def ohlcvAggs(ts: Column): Seq[Column] = Seq(
+    min_by(col("open"), ts).as("open"),
+    max(col("high")).as("high"),
+    min(col("low")).as("low"),
+    max_by(col("close"), ts).as("close"),
+    exactSum(col("volume")).as("volume"),
+    count(lit(1)).as("n_bars"))
+
+  /** A1 — roll 1-minute bars up to `interval` tumbling buckets (epoch-aligned,
+    * left-closed/left-labeled — matches pandas `resample` for these
+    * frequencies and TimescaleDB `time_bucket`).
+    */
+  def ohlcv(df: DataFrame, interval: String, ts: Column = col("ts")): DataFrame = {
+    val aggs = ohlcvAggs(ts)
+    df.groupBy(col("symbol"), window(ts, interval))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("symbol") +: col("window.start").as("bucket_ts") +:
+        Seq("open", "high", "low", "close", "volume", "n_bars").map(col): _*)
+  }
+
+  /** A1, "1M" frame — calendar-month buckets via `date_trunc` (tumbling
+    * windows have no month interval; SURVEY §7.3 item 1).
+    */
+  def ohlcvMonthly(df: DataFrame, ts: Column = col("ts")): DataFrame = {
+    val aggs = ohlcvAggs(ts)
+    df.groupBy(col("symbol"), date_trunc("month", ts).as("bucket_ts"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** A1 gap-fill — materialize empty buckets on each symbol's
+    * [min, max] bucket calendar and forward-fill OHLC; empty buckets get
+    * volume = 0 and n_bars = 0 (pandas: sum over empty bucket is 0, ohlc is
+    * NaN then `ffill`, timeframe_aggregator.py:77).
+    *
+    * `interval` must be the same tumbling interval used to build `agg`,
+    * in Spark INTERVAL syntax (e.g. "1 hour").
+    */
+  def fillGaps(agg: DataFrame, interval: String): DataFrame = {
+    val cal = agg.groupBy("symbol")
+      .agg(min("bucket_ts").as("__lo"), max("bucket_ts").as("__hi"))
+      .select(col("symbol"),
+        explode(expr(s"sequence(__lo, __hi, INTERVAL $interval)")).as("bucket_ts"))
+    val w = Window.partitionBy("symbol").orderBy("bucket_ts")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val joined = cal.join(agg, Seq("symbol", "bucket_ts"), "left")
+    Seq("open", "high", "low", "close")
+      .foldLeft(joined)((d, c) => d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+      .withColumn("volume", coalesce(col("volume"), lit(0.0)))
+      .withColumn("n_bars", coalesce(col("n_bars"), lit(0L)))
+  }
+
+  /** A1 multi-frame fan-out (timeframe_aggregator.py:97-115): one resampled
+    * DataFrame per requested frame, all lazily sharing the cleaned input.
+    */
+  def multiFrame(df: DataFrame, requested: Seq[String]): Map[String, DataFrame] =
+    requested.map {
+      case "1M" => "1M" -> ohlcvMonthly(df)
+      case f => f -> ohlcv(df, frames(f))
+    }.toMap
+}
