@@ -26,7 +26,9 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = base ++
     graft.operators.CleaningQueries.queries ++
     graft.operators.IndicatorQueries.queries ++
-    graft.operators.StatsQueries.queries
+    graft.operators.StatsQueries.queries ++
+    graft.operators.RelQueries.queries ++
+    graft.operators.PrepQueries.queries
 
   private def base: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> ((s, dir) =>
@@ -52,7 +54,9 @@ object SparkEntry {
   def oracleSql: Map[String, String] = baseOracle ++
     graft.operators.CleaningQueries.oracle ++
     graft.operators.IndicatorQueries.oracle ++
-    graft.operators.StatsQueries.oracle
+    graft.operators.StatsQueries.oracle ++
+    graft.operators.RelQueries.oracle ++
+    graft.operators.PrepQueries.oracle
 
   private def baseOracle: Map[String, String] = Map(
     "q1_agg" ->

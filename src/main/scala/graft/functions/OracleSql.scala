@@ -17,4 +17,7 @@ object OracleSql {
     s"(CAST(sum(CAST($c*$c AS DECIMAL(38,10))) AS DOUBLE) - ${exactSum(c)} * ${exactSum(c)} / CAST(count($c) AS DOUBLE)) / (CAST(count($c) AS DOUBLE) - 1.0)"
 
   def exactStdSamp(c: String): String = s"sqrt(${exactVarSamp(c)})"
+
+  def exactSumOneMinus(price: String, frac: String): String =
+    s"CAST(sum(CAST($price AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST($frac AS DECIMAL(18,4)))) AS DOUBLE)"
 }

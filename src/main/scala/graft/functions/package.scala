@@ -51,4 +51,16 @@ package object functions {
 
   /** Exact sample stddev; oracle mirror `sqrt(<exactVarSamp sql>)`. */
   def exactStdSamp(c: Column): Column = sqrt(exactVarSamp(c))
+
+  /** Exact sum of `price * (1 - frac)` for price-like data (≤4 true decimal
+    * digits). Casting the double PRODUCT to decimal is not portable (Spark
+    * rounds the shortest decimal repr, DuckDB the binary value) — so cast
+    * each low-digit FACTOR to decimal (exact in both engines), multiply in
+    * decimal (exact), sum, and cast once at the end.
+    * Oracle mirror: [[OracleSql.exactSumOneMinus]].
+    */
+  def exactSumOneMinus(price: Column, frac: Column): Column = {
+    val d = "decimal(18,4)"
+    sum(price.cast(d) * (lit(1).cast(d) - frac.cast(d))).cast("double")
+  }
 }

@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{OracleSql => O}
+import QueryFixtures.{dbars, dbarsSql}
+
+/** Declared-query catalog for SURVEY §2.7: normalization (N1-N3) and
+  * train/test splits (P1-P5). Expression trees mirror the DuckDB oracles
+  * (exact decimal moments; splits are integer/row_number arithmetic).
+  */
+object PrepQueries {
+
+  private val normCols = Seq("open", "volume")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "n1_zscore" -> ((s, dir) =>
+      Normalize.finish(
+        Normalize.zscoreTransform(Normalize.zscoreFit(dbars(s, dir), normCols), normCols))
+        .select(col("event_id"), col("open").as("z_open"), col("volume").as("z_volume"))),
+    "n2_minmax" -> ((s, dir) =>
+      Normalize.finish(
+        Normalize.minmaxTransform(Normalize.minmaxFit(dbars(s, dir), normCols), normCols))
+        .select(col("event_id"), col("open").as("mm_open"), col("volume").as("mm_volume"))),
+    "n3_log" -> ((s, dir) =>
+      Normalize.logTransform(
+        Cleaning.filterNonNegative(dbars(s, dir), Seq("volume")), Seq("volume"))
+        .select(col("event_id"), col("volume").as("log_volume"))),
+    "p1_chrono_split" -> ((s, dir) =>
+      Split.chronological(dbars(s, dir), Seq(col("ts"), col("event_id")),
+          Seq(0.8), Seq("train", "test"))
+        .groupBy("symbol", "split").agg(count(lit(1)).as("n"))),
+    "p3_three_way_split" -> ((s, dir) =>
+      Split.chronological(dbars(s, dir), Seq(col("ts"), col("event_id")),
+          Seq(0.7, 0.85), Seq("train", "val", "test"))
+        .select(col("event_id"), col("split"))),
+    "p4_split_by_date" -> ((s, dir) =>
+      Split.splitByDate(dbars(s, dir), col("ts"),
+          Seq("2024-01-10 00:00:00", "2024-01-20 00:00:00"),
+          Seq("train", "val", "test"))
+        .select(col("event_id"), col("split"))),
+    "p2_hash_split" -> ((s, dir) =>
+      Split.hashSplit(dbars(s, dir), col("event_id"), 0.8)
+        .groupBy("split").agg(count(lit(1)).as("n"))),
+    "p5_sliding_windows" -> ((s, dir) =>
+      Split.slidingWindows(
+        dbars(s, dir).filter(col("symbol") === "click"),
+        Seq(col("symbol")), Seq(col("ts"), col("event_id")),
+        col("close"), window = 8, target = 2, stride = 4)
+        .select(col("event_id"), col("window_start_rn"), col("x"), col("y")))
+  )
+
+  private val statsCte =
+    s""", st AS (
+       |  SELECT ${O.exactAvg("open")} AS mu_open, ${O.exactStdSamp("open")} AS sd_open,
+       |         ${O.exactAvg("volume")} AS mu_volume, ${O.exactStdSamp("volume")} AS sd_volume,
+       |         min(open) AS mn_open, max(open) AS mx_open,
+       |         min(volume) AS mn_volume, max(volume) AS mx_volume
+       |  FROM dbars
+       |)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "n1_zscore" -> (dbarsSql + statsCte +
+      """
+        |SELECT event_id, (open - mu_open) / sd_open AS z_open,
+        |       (volume - mu_volume) / sd_volume AS z_volume
+        |FROM dbars CROSS JOIN st""".stripMargin),
+    "n2_minmax" -> (dbarsSql + statsCte +
+      """
+        |SELECT event_id, (open - mn_open) / (mx_open - mn_open) AS mm_open,
+        |       (volume - mn_volume) / (mx_volume - mn_volume) AS mm_volume
+        |FROM dbars CROSS JOIN st""".stripMargin),
+    "n3_log" -> (dbarsSql +
+      """
+        |SELECT event_id, ln(CAST(1 AS DOUBLE) + volume) AS log_volume
+        |FROM dbars
+        |WHERE volume IS NULL OR volume >= 0""".stripMargin),
+    "p1_chrono_split" -> (dbarsSql +
+      """, lab AS (
+        |  SELECT symbol,
+        |         CASE WHEN row_number() OVER (ORDER BY ts, event_id)
+        |                   <= floor(count(*) OVER () * CAST('0.8' AS DOUBLE)) THEN 'train' ELSE 'test' END AS split
+        |  FROM dbars
+        |)
+        |SELECT symbol, split, count(*) AS n FROM lab GROUP BY symbol, split""".stripMargin),
+    "p3_three_way_split" -> (dbarsSql +
+      """
+        |SELECT event_id,
+        |       CASE WHEN rn <= floor(n * CAST('0.7' AS DOUBLE)) THEN 'train'
+        |            WHEN rn <= floor(n * CAST('0.85' AS DOUBLE)) THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM (SELECT event_id, row_number() OVER (ORDER BY ts, event_id) AS rn,
+        |             count(*) OVER () AS n
+        |      FROM dbars)""".stripMargin),
+    "p4_split_by_date" -> (dbarsSql +
+      """
+        |SELECT event_id,
+        |       CASE WHEN ts <= TIMESTAMP '2024-01-10 00:00:00' THEN 'train'
+        |            WHEN ts <= TIMESTAMP '2024-01-20 00:00:00' THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM dbars""".stripMargin),
+    "p2_hash_split" -> (dbarsSql +
+      """
+        |SELECT CASE WHEN (event_id * 2654435761) % 4294967296 < 3435973836 THEN 'train'
+        |            ELSE 'test' END AS split,
+        |       count(*) AS n
+        |FROM dbars GROUP BY 1""".stripMargin),
+    "p5_sliding_windows" -> (dbarsSql +
+      """, s AS (
+        |  SELECT event_id,
+        |         row_number() OVER w AS rn,
+        |         list(close) OVER (w ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING) AS vals
+        |  FROM dbars WHERE symbol = 'click'
+        |  WINDOW w AS (PARTITION BY symbol ORDER BY ts, event_id)
+        |)
+        |SELECT event_id, rn AS window_start_rn, vals[1:8] AS x, vals[9:10] AS y
+        |FROM s WHERE len(vals) = 10 AND (rn - 1) % 4 = 0""".stripMargin)
+  )
+}

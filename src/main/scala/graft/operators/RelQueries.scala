@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{epochUs, exactSum, exactSumOneMinus, OracleSql => O}
+import graft.sources.Tables
+import QueryFixtures.{dbars, dbarsSql}
+
+/** Declared-query catalog for SURVEY §2.6: sorts/limits/top-k, unions, mode,
+  * the relational join surface (broadcast dim join, fact-fact join,
+  * semi/anti), set ops, and the as-of join.
+  *
+  * Scale notes are attached to each operator: the dim join broadcasts
+  * (customer ≪ orders), the fact-fact join is a shuffle join on the shared
+  * key (AQE picks SMJ and handles skew), semi/anti avoid payload
+  * materialization, top-k plans TakeOrderedAndProject (no global sort), and
+  * the as-of join is the union-ffill pattern from [[AsOfJoin]].
+  */
+object RelQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // T2 — ORDER BY ts DESC LIMIT n → TakeOrderedAndProject, no full sort.
+    "t2_latest_n" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .orderBy(col("ts").desc, col("event_id").desc).limit(100)
+        .select(col("event_id"), epochUs(col("ts")).as("ts_us"),
+          col("event_type"), col("value"))),
+    // T4 — union of monthly-archive-style shards (unionByName).
+    "t4_union" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      e.filter(col("value") < 0.3).withColumn("shard", lit("lo"))
+        .unionByName(e.filter(col("value") > 0.7).withColumn("shard", lit("hi")))
+        .select(col("event_id"), col("shard"), col("value"))
+    }),
+    // T5 — mode (most common interval) per symbol, deterministic tie-break.
+    "t5_mode_interval" -> ((s, dir) => {
+      val w = Window.partitionBy(col("symbol")).orderBy(col("ts"), col("event_id"))
+      val iv = Tables.bars(s, dir)
+        .withColumn("interval_us", epochUs(col("ts")) - lag(epochUs(col("ts")), 1).over(w))
+        .filter(col("interval_us").isNotNull)
+        .groupBy("symbol", "interval_us").agg(count(lit(1)).as("n"))
+      val rk = Window.partitionBy(col("symbol"))
+        .orderBy(col("n").desc, col("interval_us"))
+      iv.withColumn("__rn", row_number().over(rk)).filter(col("__rn") === 1)
+        .select("symbol", "interval_us", "n")
+    }),
+    // J1 — fact ⋈ broadcast(dim): Catalyst would broadcast anyway at this
+    // size, the hint makes the 100 TB intent explicit.
+    "j1_orders_by_nation" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .join(broadcast(Tables.customer(s, dir)),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_orders"),
+          exactSum(col("o_totalprice")).as("sum_totalprice"))),
+    // J2 — fact ⋈ fact on the shared key; shuffle join, AQE-managed.
+    "j2_revenue_by_status" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(exactSumOneMinus(col("l_extendedprice"), col("l_discount"))
+          .as("revenue"),
+          count(lit(1)).as("n_items"))),
+    // J3 — left-semi: customers having orders (no payload from right side).
+    "j3_customers_with_orders" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy("c_nationkey").agg(count(lit(1)).as("n_customers"))),
+    // J4 — left-anti: customers without orders.
+    "j4_customers_without_orders" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey").agg(count(lit(1)).as("n_customers"))),
+    // J5 — as-of join: every 3rd event probes the latest deduped bar at or
+    // before its timestamp for the same symbol.
+    "j5_asof_quotes" -> ((s, dir) => {
+      val probes = Tables.events(s, dir)
+        .filter(col("event_id") % 3 === 0)
+        .select(col("event_id"), col("event_type").as("symbol"), col("ts"))
+      val quotes = dbars(s, dir).select(col("symbol"), col("ts"), col("close"))
+      AsOfJoin.asof(probes, quotes, Seq("symbol"), "ts", Seq("close"))
+        .select(col("event_id"), col("symbol"), epochUs(col("ts")).as("ts_us"),
+          col("right_close"))
+    }),
+    // S1 — INTERSECT: supplier keys seen in lineitem ∩ low-nation suppliers.
+    "s1_intersect" -> ((s, dir) =>
+      Tables.lineitem(s, dir).select(col("l_suppkey").as("suppkey"))
+        .intersect(Tables.supplier(s, dir).filter(col("s_nationkey") < 13)
+          .select(col("s_suppkey").as("suppkey")))),
+    // S2 — EXCEPT: suppliers with no lineitems.
+    "s2_except" -> ((s, dir) =>
+      Tables.supplier(s, dir).select(col("s_suppkey").as("suppkey"))
+        .except(Tables.lineitem(s, dir).select(col("l_suppkey").as("suppkey"))))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "t2_latest_n" ->
+      s"""SELECT event_id, ${O.epochUs("CAST(ts AS TIMESTAMP)")} AS ts_us, event_type, value
+         |FROM events ORDER BY ts DESC, event_id DESC LIMIT 100""".stripMargin,
+    "t4_union" ->
+      """SELECT event_id, 'lo' AS shard, value FROM events WHERE value < 0.3
+        |UNION ALL
+        |SELECT event_id, 'hi' AS shard, value FROM events WHERE value > 0.7""".stripMargin,
+    "t5_mode_interval" -> (Tables.barsSql +
+      s""", iv AS (
+         |  SELECT symbol,
+         |         epoch_us(ts) - lag(epoch_us(ts), 1) OVER (PARTITION BY symbol ORDER BY ts, event_id) AS interval_us
+         |  FROM bars
+         |), cnt AS (
+         |  SELECT symbol, interval_us, count(*) AS n FROM iv
+         |  WHERE interval_us IS NOT NULL GROUP BY symbol, interval_us
+         |)
+         |SELECT symbol, interval_us, n
+         |FROM (SELECT *, row_number() OVER (PARTITION BY symbol ORDER BY n DESC, interval_us) AS rn FROM cnt)
+         |WHERE rn = 1""".stripMargin),
+    "j1_orders_by_nation" ->
+      s"""SELECT c_nationkey, count(*) AS n_orders,
+         |       ${O.exactSum("o_totalprice")} AS sum_totalprice
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_nationkey""".stripMargin,
+    "j2_revenue_by_status" ->
+      s"""SELECT o_orderstatus,
+         |       ${O.exactSumOneMinus("l_extendedprice", "l_discount")} AS revenue,
+         |       count(*) AS n_items
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderstatus""".stripMargin,
+    "j3_customers_with_orders" ->
+      """SELECT c_nationkey, count(*) AS n_customers
+        |FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_nationkey""".stripMargin,
+    "j4_customers_without_orders" ->
+      """SELECT c_nationkey, count(*) AS n_customers
+        |FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_nationkey""".stripMargin,
+    "j5_asof_quotes" -> (dbarsSql +
+      s""", probes AS (
+         |  SELECT event_id, event_type AS symbol, CAST(ts AS TIMESTAMP) AS ts
+         |  FROM events WHERE event_id % 3 = 0
+         |)
+         |SELECT p.event_id, p.symbol, epoch_us(p.ts) AS ts_us, q.close AS right_close
+         |FROM probes p ASOF LEFT JOIN dbars q
+         |  ON p.symbol = q.symbol AND p.ts >= q.ts""".stripMargin),
+    "s1_intersect" ->
+      """SELECT l_suppkey AS suppkey FROM lineitem
+        |INTERSECT
+        |SELECT s_suppkey AS suppkey FROM supplier WHERE s_nationkey < 13""".stripMargin,
+    "s2_except" ->
+      """SELECT s_suppkey AS suppkey FROM supplier
+        |EXCEPT
+        |SELECT l_suppkey AS suppkey FROM lineitem""".stripMargin
+  )
+}

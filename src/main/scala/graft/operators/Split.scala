@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Train/val/test splits + sliding-window tensorization (SURVEY §2.7
+  * P1-P5) — the reference's `data_splitter.py`.
+  *
+  * Scale notes: the chronological splits label rows with ONE pass — a global
+  * `row_number` over the time order vs the total count (both from the same
+  * window sort). A single-`orderBy` window is a one-partition sort in Spark;
+  * fine to the ~100M-row scale the reference targets, but at 100 TB use
+  * [[splitByDate]] (pure filters, embarrassingly parallel — compute the
+  * cutoff timestamps once via quantile first) which is why it's first-class
+  * here. The hash split replaces sklearn's seeded shuffle with a splittable
+  * multiplicative hash: same statistical properties, deterministic at any
+  * parallelism, no shuffle at all.
+  */
+object Split {
+
+  /** P1/P3 — chronological split: rows in `order` get labels by fractional
+    * position: cuts=(0.8) → train/test at ⌊n·0.8⌋ (data_splitter.py:32-64);
+    * cuts=(0.7,0.85) → train/val/test (data_splitter.py:158-189).
+    */
+  def chronological(df: DataFrame, order: Seq[Column], cuts: Seq[Double],
+      labels: Seq[String]): DataFrame = {
+    require(labels.size == cuts.size + 1)
+    val w = Window.orderBy(order: _*)
+    val n = count(lit(1)).over(Window.partitionBy())
+    val rn = row_number().over(w)
+    // fold right-to-left so the earliest matching cut wins in the when-chain
+    val expr0 = cuts.zip(labels.init).reverse.foldLeft(lit(labels.last): Column) {
+      case (rest, (cut, lbl)) => when(rn <= floor(n * lit(cut)), lit(lbl)).otherwise(rest)
+    }
+    df.withColumn("split", expr0)
+  }
+
+  /** P4 — split by explicit date boundaries: label = train if ts <= c1,
+    * val if ts <= c2, else test (data_splitter.py:82-110,191-228). Pure
+    * filter predicates — the 100 TB-safe split.
+    */
+  def splitByDate(df: DataFrame, ts: Column, cuts: Seq[String],
+      labels: Seq[String]): DataFrame = {
+    require(labels.size == cuts.size + 1)
+    val expr0 = cuts.zip(labels.init).reverse.foldLeft(lit(labels.last): Column) {
+      case (rest, (cut, lbl)) =>
+        when(ts <= lit(cut).cast("timestamp_ntz"), lit(lbl)).otherwise(rest)
+    }
+    df.withColumn("split", expr0)
+  }
+
+  /** P2 analog — deterministic hash split. sklearn's seeded shuffle is
+    * order-dependent and not reproducible under distributed execution; a
+    * splittable multiplicative hash on a stable key gives the same
+    * statistical behavior with exact reproducibility at any parallelism
+    * (Knuth multiplicative hashing; 2654435761 = ⌊2³²/φ⌋).
+    */
+  def hashSplit(df: DataFrame, key: Column, trainFrac: Double): DataFrame = {
+    val h = pmod(key.cast("long") * lit(2654435761L), lit(4294967296L))
+    df.withColumn("split",
+      when(h < lit((trainFrac * 4294967296.0).toLong), lit("train"))
+        .otherwise(lit("test")))
+  }
+
+  /** P5 — sliding windows: per series, length-`w` input window + length-`t`
+    * target window, stride `s` (data_splitter.py:230-263). Emits
+    * `x: array[double]` (w values) and `y: array[double]` (t values); rows
+    * without a full w+t lookahead are dropped, stride applies to the window
+    * start index.
+    */
+  def slidingWindows(df: DataFrame, partition: Seq[Column], order: Seq[Column],
+      valueCol: Column, window: Int, target: Int, stride: Int): DataFrame = {
+    val w = Window.partitionBy(partition: _*).orderBy(order: _*)
+    val frame = w.rowsBetween(0, window + target - 1)
+    val rn = row_number().over(w)
+    df.withColumn("__vals", collect_list(valueCol).over(frame))
+      .withColumn("__rn", rn)
+      .filter(size(col("__vals")) === window + target)
+      .filter((col("__rn") - 1) % stride === 0)
+      .withColumn("x", slice(col("__vals"), 1, window))
+      .withColumn("y", slice(col("__vals"), window + 1, target))
+      .drop("__vals")
+      .withColumnRenamed("__rn", "window_start_rn")
+  }
+}

@@ -1,0 +1,110 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsOfJoin, Normalize, Split}
+
+/** Reference invariants from tests/units/test_processing.py:60-73 and
+  * test_data_splitter.py (SURVEY §5): normalize round-trips, zero-mean /
+  * [0,1] bounds, split conservation + temporal ordering; plus as-of join
+  * semantics vs a hand-computed expectation.
+  */
+class PrepSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val df = (1 to 500)
+    .map(i => (i.toLong, 50.0 + (i % 23) * 1.7, 10.0 + (i % 11)))
+    .toDF("id", "open", "volume")
+
+  test("z-score normalize has ~zero mean, unit variance, and round-trips") {
+    val cols = Seq("open", "volume")
+    val fitted = Normalize.zscoreFit(df, cols)
+    val z = Normalize.zscoreTransform(fitted, cols)
+    val stats = z.agg(avg("open"), stddev_samp("open")).as[(Double, Double)].head()
+    assert(math.abs(stats._1) < 1e-10 && math.abs(stats._2 - 1.0) < 1e-10)
+    val rt = Normalize.finish(Normalize.zscoreInverse(z, cols))
+    val maxErr = rt.join(df.withColumnRenamed("open", "o0"), "id")
+      .agg(max(abs($"open" - $"o0"))).as[Double].head()
+    assert(maxErr < 1e-10)
+  }
+
+  test("min-max normalize lands in [0,1] and round-trips") {
+    val cols = Seq("open")
+    val mm = Normalize.minmaxTransform(Normalize.minmaxFit(df, cols), cols)
+    val (mn, mx) = mm.agg(min("open"), max("open")).as[(Double, Double)].head()
+    assert(mn == 0.0 && mx == 1.0)
+    val rt = Normalize.finish(Normalize.minmaxInverse(mm, cols))
+    val maxErr = rt.join(df.withColumnRenamed("open", "o0"), "id")
+      .agg(max(abs($"open" - $"o0"))).as[Double].head()
+    assert(maxErr < 1e-10)
+  }
+
+  test("log normalize round-trips via expm1") {
+    val lg = Normalize.logTransform(df, Seq("volume"))
+    val rt = Normalize.logInverse(lg, Seq("volume"))
+    val maxErr = rt.join(df.withColumnRenamed("volume", "v0"), "id")
+      .agg(max(abs($"volume" - $"v0"))).as[Double].head()
+    assert(maxErr < 1e-10)
+  }
+
+  test("chronological split conserves rows and respects temporal order") {
+    val ts = df.withColumn("ts",
+      timestamp_seconds(lit(1704067200L) + $"id" * 60))
+    val s = Split.chronological(ts, Seq($"ts"), Seq(0.8), Seq("train", "test"))
+    val counts = s.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts("train") + counts("test") == 500)
+    assert(counts("train") == 400) // floor(500*0.8)
+    val maxTrain = s.filter($"split" === "train").agg(max("ts")).head().getTimestamp(0)
+    val minTest = s.filter($"split" === "test").agg(min("ts")).head().getTimestamp(0)
+    assert(maxTrain.before(minTest))
+  }
+
+  test("sliding windows have exact shapes and stride") {
+    val ts = df.withColumn("symbol", lit("A"))
+    val wdf = Split.slidingWindows(ts, Seq($"symbol"), Seq($"id"),
+      $"open", window = 8, target = 2, stride = 4)
+    val rows = wdf.select($"x", $"y").as[(Seq[Double], Seq[Double])].collect()
+    // starts at rn=1,5,9,... while rn+9 <= 500 → (500-10)/4+1 = 123 windows
+    assert(rows.length == 123)
+    assert(rows.forall { case (x, y) => x.size == 8 && y.size == 2 })
+    // x of window k starts at row 4k+1
+    val first = wdf.orderBy("window_start_rn").select($"x").as[Seq[Double]].head()
+    assert(first == (1 to 8).map(i => 50.0 + (i % 23) * 1.7))
+  }
+
+  test("as-of join picks the latest right row at-or-before each left ts") {
+    def t(s: String) = Timestamp.valueOf(s)
+    val probes = Seq(
+      ("A", t("2024-01-01 00:05:00"), 1L),
+      ("A", t("2024-01-01 00:10:00"), 2L),
+      ("A", t("2024-01-01 00:00:30"), 3L),
+      ("B", t("2024-01-01 00:01:00"), 4L)
+    ).toDF("symbol", "ts", "probe_id")
+    val quotes = Seq(
+      ("A", t("2024-01-01 00:00:00"), 100.0),
+      ("A", t("2024-01-01 00:05:00"), 105.0), // equal ts → must match
+      ("A", t("2024-01-01 00:09:00"), 109.0)
+    ).toDF("symbol", "ts", "close")
+    val out = AsOfJoin.asof(probes, quotes, Seq("symbol"), "ts", Seq("close"))
+      .select($"probe_id", $"right_close").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out(1L) == Some(105.0))
+    assert(out(2L) == Some(109.0))
+    assert(out(3L) == Some(100.0))
+    assert(out(4L) == None) // no B quotes
+  }
+
+  test("as-of join tolerance nulls out stale matches") {
+    def t(s: String) = Timestamp.valueOf(s)
+    val probes = Seq(("A", t("2024-01-01 01:00:00"), 1L)).toDF("symbol", "ts", "probe_id")
+    val quotes = Seq(("A", t("2024-01-01 00:00:00"), 100.0)).toDF("symbol", "ts", "close")
+    val within = AsOfJoin.asof(probes, quotes, Seq("symbol"), "ts", Seq("close"),
+      toleranceUs = Some(2L * 3600 * 1000000))
+    val beyond = AsOfJoin.asof(probes, quotes, Seq("symbol"), "ts", Seq("close"),
+      toleranceUs = Some(1800L * 1000000))
+    assert(!within.select("right_close").head().isNullAt(0))
+    assert(beyond.select("right_close").head().isNullAt(0))
+  }
+}

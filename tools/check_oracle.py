@@ -27,7 +27,15 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         if str(df[c].dtype).startswith("datetime64"):
             df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
     if len(df) > 0:
-        df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+        # arrays/ndarrays are unhashable — sort by a stringified key instead
+        key_cols = []
+        for c in df.columns:
+            if df[c].map(lambda v: isinstance(v, (list, tuple)) or hasattr(v, "tolist")).any():
+                key_cols.append(df[c].map(lambda v: repr(list(v)) if v is not None and not (isinstance(v, float)) else repr(v)))
+            else:
+                key_cols.append(df[c])
+        tmp = pd.DataFrame({f"k{i}": k for i, k in enumerate(key_cols)})
+        df = df.iloc[tmp.sort_values(by=list(tmp.columns), kind="mergesort").index].reset_index(drop=True)
     return df
 
 
@@ -51,7 +59,8 @@ def values_equal(a, b, exact):
         if fa == fb:
             return True
         return abs(fa - fb) <= 1e-9 * max(1.0, abs(fa), abs(fb))
-    if isinstance(a, (list, tuple)) or isinstance(b, (list, tuple)):
+    if (isinstance(a, (list, tuple)) or isinstance(b, (list, tuple))
+            or hasattr(a, "tolist") or hasattr(b, "tolist")):
         a = list(a) if a is not None else None
         b = list(b) if b is not None else None
         if a is None or b is None or len(a) != len(b):
