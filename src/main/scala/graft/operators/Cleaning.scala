@@ -124,12 +124,20 @@ object Cleaning {
     cols.foldLeft(df)((d, c) => d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
   }
 
-  /** F8 — backward-fill (reference `bfill` after ffill). */
+  /** F8 — backward-fill (reference `bfill` after ffill).
+    *
+    * NOT `first(...) over [currentRow, unboundedFollowing]`: Spark evaluates
+    * unbounded-FOLLOWING frames by re-aggregating the remaining rows for
+    * every row — O(n²) per partition (35 s on 1 M rows). A running
+    * `last(ignoreNulls)` over the REVERSED sort order is the same function
+    * evaluated incrementally, O(n).
+    */
   def bfill(df: DataFrame, cols: Seq[String], partitionCols: Seq[String],
       order: Seq[Column]): DataFrame = {
-    val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(order: _*)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    cols.foldLeft(df)((d, c) => d.withColumn(c, first(col(c), ignoreNulls = true).over(w)))
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(order.map(_.desc): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cols.foldLeft(df)((d, c) => d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
   }
 
   /** F9 — inclusive time-range filter (reference bybit_downloader.py:143). */
