@@ -28,7 +28,9 @@ object SparkEntry {
     graft.operators.IndicatorQueries.queries ++
     graft.operators.StatsQueries.queries ++
     graft.operators.RelQueries.queries ++
-    graft.operators.PrepQueries.queries
+    graft.operators.PrepQueries.queries ++
+    graft.operators.TextQueries.queries ++
+    graft.operators.DedupQueries.queries
 
   private def base: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> ((s, dir) =>
@@ -56,7 +58,9 @@ object SparkEntry {
     graft.operators.IndicatorQueries.oracle ++
     graft.operators.StatsQueries.oracle ++
     graft.operators.RelQueries.oracle ++
-    graft.operators.PrepQueries.oracle
+    graft.operators.PrepQueries.oracle ++
+    graft.operators.TextQueries.oracle ++
+    graft.operators.DedupQueries.oracle
 
   private def baseOracle: Map[String, String] = Map(
     "q1_agg" ->

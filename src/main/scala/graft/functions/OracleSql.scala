@@ -20,4 +20,17 @@ object OracleSql {
 
   def exactSumOneMinus(price: String, frac: String): String =
     s"CAST(sum(CAST($price AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST($frac AS DECIMAL(18,4)))) AS DOUBLE)"
+
+  // ------------------------------------------------------------------
+  // TextHash mirrors (see graft.functions.TextHash)
+
+  /** 60-bit md5-prefix hash — mirrors [[graft.functions.TextHash.tokenHash]]. */
+  def tokenHash(c: String): String =
+    s"CAST(concat('0x', substr(md5($c), 1, 15)) AS BIGINT)"
+
+  /** Whitespace tokens, empties dropped — mirrors TextHash.tokens. */
+  def tokens(c: String): String =
+    s"list_filter(string_split($c, ' '), t -> t <> '')"
+
+  def tokenSet(c: String): String = s"list_distinct(${tokens(c)})"
 }

@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{OracleSql => O}
+import graft.sources.Tables
+
+/** Declared-query catalog for the dedup operators ([[Dedup]]) on the
+  * `documents` table: exact hash dedup, MinHash signatures + LSH pairs,
+  * SimHash + Hamming histogram, token-set Jaccard.
+  *
+  * The signature queries (d2, d3) are the strong oracle checks — every
+  * md5-derived hash in the pipeline must agree bit-for-bit across engines.
+  * The pair queries then exercise the join/banding machinery. This corpus
+  * has no true near-duplicates at 3-gram granularity (d2b is legitimately
+  * sparse); the planted-duplicate unit tests in DedupSpec prove detection.
+  */
+object DedupQueries {
+
+  private val nHashes = 16
+  private val bands = 4
+  private val rows = 4
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_exact_dedup" -> ((s, dir) =>
+      Dedup.exactDedupGroups(Tables.documents(s, dir), col("text"), col("doc_id"))),
+    "d2_minhash_sig" -> ((s, dir) =>
+      Dedup.minhashSignature(Tables.documents(s, dir), col("text"), col("doc_id"),
+        nHashes, shingleN = 3)),
+    "d2b_lsh_pairs" -> ((s, dir) =>
+      Dedup.lshCandidatePairs(
+        Dedup.minhashSignature(Tables.documents(s, dir), col("text"), col("doc_id"),
+          nHashes, shingleN = 3),
+        bands, rows)
+        .withColumn("n_equal", col("n_equal").cast("long"))),
+    "d3_simhash" -> ((s, dir) =>
+      Dedup.simhash32(Tables.documents(s, dir), col("text"), col("doc_id"))),
+    "d3b_hamming_hist" -> ((s, dir) =>
+      Dedup.simhashHammingHist(
+        Dedup.simhash32(Tables.documents(s, dir), col("text"), col("doc_id")), 8)
+        .withColumn("hamming", col("hamming").cast("long"))),
+    "d4_token_jaccard" -> ((s, dir) =>
+      Dedup.tokenJaccardPairs(Tables.documents(s, dir), col("text"), col("doc_id"),
+        col("source"), 0.8))
+  )
+
+  // ------------------------------------------------------------------
+  // DuckDB mirrors
+
+  /** Word 3-gram shingle set of the token list `tk` (empty when <3 tokens,
+    * matching TextHash.wordNgrams' guard).
+    */
+  private val shingleSetSql =
+    """list_distinct(CASE WHEN len(tk) >= 3
+      |  THEN list_transform(generate_series(1, len(tk) - 2),
+      |         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+      |  ELSE [] END)""".stripMargin
+
+  private def minhashExprSql(a: Long, b: Long): String =
+    s"list_min(list_transform(sh, t -> ($a * (${O.tokenHash("t")} % ${Dedup.P}) + $b) % ${Dedup.P}))"
+
+  private val sigSql = {
+    val named = Dedup.hashParams(nHashes).zipWithIndex.map { case ((a, b), i) =>
+      f"${minhashExprSql(a, b)} AS mh$i%02d"
+    }
+    s"""WITH toks AS (SELECT doc_id, ${O.tokens("text")} AS tk FROM documents),
+       |shing AS (SELECT doc_id, $shingleSetSql AS sh FROM toks),
+       |sig AS (SELECT doc_id, ${named.mkString(",\n  ")} FROM shing)""".stripMargin
+  }
+
+  private val simhashSql =
+    s"""WITH toks AS (SELECT doc_id, unnest(${O.tokens("text")}) AS t FROM documents),
+       |th AS (SELECT doc_id, ${O.tokenHash("t")} % ${Dedup.P} AS h FROM toks),
+       |bits AS (SELECT doc_id, h, unnest(generate_series(0, 31)) AS b FROM th),
+       |votes AS (
+       |  SELECT doc_id, b,
+       |         sum(CASE WHEN (h >> b) & 1 = 1 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END) AS s
+       |  FROM bits GROUP BY doc_id, b
+       |),
+       |sh AS (
+       |  SELECT doc_id,
+       |         sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS simhash
+       |  FROM votes GROUP BY doc_id
+       |)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "d1_exact_dedup" ->
+      """SELECT sha256(text) AS content_hash, count(*) AS n_docs, min(doc_id) AS keep_id
+        |FROM documents GROUP BY 1""".stripMargin,
+    "d2_minhash_sig" -> (sigSql + "\nSELECT * FROM sig"),
+    "d2b_lsh_pairs" -> (sigSql + ",\n" + {
+      val bandSelects = (0 until bands).map { b =>
+        val ks = (0 until rows).map(r => f"mh${b * rows + r}%02d").mkString(", ")
+        s"SELECT doc_id, $b AS band, md5(concat_ws(',', $ks)) AS bkey FROM sig"
+      }.mkString("\nUNION ALL\n")
+      val eq = (0 until nHashes)
+        .map(i => f"CASE WHEN s1.mh$i%02d = s2.mh$i%02d THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""bandt AS (
+         |$bandSelects
+         |),
+         |pairs AS (
+         |  SELECT DISTINCT x.doc_id AS doc_id1, y.doc_id AS doc_id2
+         |  FROM bandt x JOIN bandt y
+         |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+         |)
+         |SELECT doc_id1, doc_id2, CAST($eq AS BIGINT) AS n_equal
+         |FROM pairs
+         |JOIN sig s1 ON doc_id1 = s1.doc_id
+         |JOIN sig s2 ON doc_id2 = s2.doc_id""".stripMargin
+    }),
+    "d3_simhash" -> (simhashSql + "\nSELECT doc_id, simhash FROM sh"),
+    "d3b_hamming_hist" -> (simhashSql + s""",
+       |bytes AS (
+       |  SELECT doc_id, simhash, k, (simhash >> (8 * k)) & 255 AS byte
+       |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) kk
+       |),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_id1, y.doc_id AS doc_id2,
+       |         x.simhash AS s1, y.simhash AS s2
+       |  FROM bytes x JOIN bytes y
+       |    ON x.k = y.k AND x.byte = y.byte AND x.doc_id < y.doc_id
+       |)
+       |SELECT CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming, count(*) AS n_pairs
+       |FROM cand
+       |WHERE bit_count(xor(s1, s2)) <= 8
+       |GROUP BY 1""".stripMargin),
+    "d4_token_jaccard" ->
+      s"""WITH toks AS (
+         |  SELECT source AS blk, doc_id, unnest(${O.tokenSet("text")}) AS t
+         |  FROM documents
+         |),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+         |inter AS (
+         |  SELECT x.doc_id AS doc_id1, y.doc_id AS doc_id2, count(*) AS n_inter
+         |  FROM toks x JOIN toks y
+         |    ON x.blk = y.blk AND x.t = y.t AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT doc_id1, doc_id2, n_inter,
+         |       za.sz + zb.sz - n_inter AS n_union,
+         |       CAST(n_inter AS DOUBLE) / CAST(za.sz + zb.sz - n_inter AS DOUBLE) AS jaccard
+         |FROM inter
+         |JOIN sizes za ON doc_id1 = za.doc_id
+         |JOIN sizes zb ON doc_id2 = zb.doc_id
+         |WHERE CAST(n_inter AS DOUBLE) / CAST(za.sz + zb.sz - n_inter AS DOUBLE) >= CAST('0.8' AS DOUBLE)""".stripMargin
+  )
+}

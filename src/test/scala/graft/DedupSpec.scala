@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, TextOps}
+
+/** Planted-duplicate tests: the testdata corpus has no true near-dups at
+  * 3-gram granularity, so detection power is proven here on fixtures.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog and runs far away into the hills tonight"
+  // near-dup: one word changed; distinct: unrelated text
+  private lazy val docs = Seq(
+    (1L, base),
+    (2L, base.replace("lazy", "sleepy")),
+    (3L, "completely different content about spark query engines and columnar execution plans"),
+    (4L, base) // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups exact duplicates only") {
+    val g = Dedup.exactDedupGroups(docs, col("text"), col("doc_id")).collect()
+    assert(g.length == 3)
+    val dupGroup = g.find(_.getLong(1) == 2).get
+    assert(dupGroup.getLong(2) == 1L) // keeper = min id
+  }
+
+  test("minhash LSH finds the near-dup pair, not the unrelated doc") {
+    val sig = Dedup.minhashSignature(docs, col("text"), col("doc_id"), 16, 3)
+    val pairs = Dedup.lshCandidatePairs(sig, 4, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    // exact pair (1,4) shares all 16; near pair (1,2)/(2,4) shares most
+    assert(pairs.exists(p => p._1 == 1 && p._2 == 4 && p._3 == 16))
+    assert(pairs.exists(p => p._1 == 1 && p._2 == 2 && p._3 >= 8))
+    assert(!pairs.exists(p => p._2 == 3 || p._1 == 3))
+  }
+
+  test("simhash of near-dups is closer than unrelated docs") {
+    val sh = Dedup.simhash32(docs, col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(sh(1) == sh(4))
+    assert(ham(sh(1), sh(2)) < ham(sh(1), sh(3)))
+    assert(ham(sh(1), sh(2)) <= 8)
+  }
+
+  test("token jaccard ranks near-dup above unrelated") {
+    val j = Dedup.tokenJaccardPairs(docs.withColumn("src", lit("s")),
+        col("text"), col("doc_id"), col("src"), 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4)).toMap
+    assert(j((1L, 4L)) == 1.0)
+    assert(j((1L, 2L)) > 0.8)
+    assert(j.getOrElse((1L, 3L), 0.0) < 0.2)
+  }
+
+  test("fingerprint is order-sensitive and whitespace-insensitive") {
+    val d = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha  beta   gamma"), // extra spaces — same token stream
+      (3L, "gamma beta alpha") // reordered
+    ).toDF("doc_id", "text")
+    val fp = d.select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1) == fp(2))
+    assert(fp(1) != fp(3))
+  }
+
+  test("quality score and lang id behave on natural vs degenerate text") {
+    val d = Seq(
+      (1L, "the cat sat on the mat and the dog ran to the park in a hurry today"),
+      (2L, "zzz zzz zzz zzz zzz"), // repetitive, no stopwords
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val r = d.select(col("doc_id"),
+        TextOps.qualityScore(col("text")).as("q"),
+        TextOps.langId(col("text")).as("lang"))
+      .collect().map(x => x.getLong(0) -> (x.getDouble(1), x.getString(2))).toMap
+    assert(r(1)._1 > r(2)._1)
+    assert(r(1)._2 == "en" && r(2)._2 == "unk")
+    assert(r(3)._1 == 0.0)
+  }
+}
