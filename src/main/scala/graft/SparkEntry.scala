@@ -30,7 +30,8 @@ object SparkEntry {
     graft.operators.RelQueries.queries ++
     graft.operators.PrepQueries.queries ++
     graft.operators.TextQueries.queries ++
-    graft.operators.DedupQueries.queries
+    graft.operators.DedupQueries.queries ++
+    graft.operators.VectorQueries.queries
 
   private def base: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> ((s, dir) =>
@@ -60,7 +61,8 @@ object SparkEntry {
     graft.operators.RelQueries.oracle ++
     graft.operators.PrepQueries.oracle ++
     graft.operators.TextQueries.oracle ++
-    graft.operators.DedupQueries.oracle
+    graft.operators.DedupQueries.oracle ++
+    graft.operators.VectorQueries.oracle
 
   private def baseOracle: Map[String, String] = Map(
     "q1_agg" ->

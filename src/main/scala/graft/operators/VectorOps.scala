@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Vector similarity operators over embedding columns (`array<float>`):
+  * cosine similarity, brute-force top-k, random-hyperplane LSH bucketing,
+  * blocked near-duplicate pairs.
+  *
+  * Numeric discipline: every reduction is a LEFT-TO-RIGHT fold over the
+  * array index order (`aggregate` in Spark, `list_reduce` in DuckDB), with
+  * floats widened to double element-wise — both engines then produce
+  * bit-identical doubles, so cosine values hash-compare exactly.
+  *
+  * Scale design (100 TB): brute-force top-k broadcasts the (small) query
+  * set and makes ONE pass over the corpus — no corpus self-join. The LSH
+  * variant buckets both sides by hyperplane sign bits and equi-joins on the
+  * bucket id, turning all-pairs into per-bucket work; the blocked pair scan
+  * bounds the quadratic term by the blocking key. All expressions are
+  * codegen'd (no UDFs).
+  */
+object VectorOps {
+
+  /** Bit-exact dot product: fold of elementwise products in index order. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a.cast("array<double>"), b.cast("array<double>"), _ * _),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Squared L2 norm, same fold discipline. */
+  def norm2(a: Column): Column =
+    aggregate(a.cast("array<double>"), lit(0.0), (acc, v) => acc + v * v)
+
+  /** Cosine similarity — dot / (sqrt(n2a) * sqrt(n2b)). */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
+
+  /** Deterministic integer hyperplane coefficient for (plane p, dim d):
+    * ((1103515245·(p·dim + d) + 12345) mod 2001) − 1000 ∈ [−1000, 1000].
+    * Pure integer arithmetic → identical in any engine; inlined as literals
+    * into the oracle SQL from the same formula.
+    */
+  def planeCoef(p: Int, dims: Int)(d: Column): Column =
+    (lit(1103515245L) * (lit(p.toLong * dims) + d) + lit(12345L)) % lit(2001L) - lit(1000L)
+
+  /** Signed projection of `v` onto hyperplane `p` (fold over dims). */
+  def planeDot(v: Column, p: Int, dims: Int): Column =
+    aggregate(sequence(lit(1), lit(dims)), lit(0.0), (acc, i) =>
+      acc + element_at(v.cast("array<double>"), i) *
+        planeCoef(p, dims)(i - lit(1)).cast("double"))
+
+  /** LSH bucket id from `planes` hyperplane sign bits. */
+  def lshBucket(v: Column, planes: Int, dims: Int): Column =
+    (0 until planes)
+      .map(p => when(planeDot(v, p, dims) > 0, lit(1L << p)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  /** Brute-force cosine top-k: broadcast the query set, one corpus pass,
+    * per-query ranking (ties broken by neighbor id).
+    */
+  def bruteTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(
+      queries.select(col("vec_id").as("query_id"), col("embedding").as("qv")))
+    val joined = corpus.crossJoin(q)
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qv"), col("embedding")).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cosine"))
+  }
+
+  /** LSH-bucketed top-k: both sides keyed by bucket, equi-join, rank within
+    * the probe's bucket only. Recall < 1 by construction; the scale path.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      planes: Int, dims: Int): DataFrame = {
+    val qb = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+      lshBucket(col("embedding"), planes, dims).as("bucket"))
+    val cb = corpus.select(col("vec_id").as("neighbor_id"), col("embedding"),
+      lshBucket(col("embedding"), planes, dims).as("bucket"))
+    val joined = qb.join(cb, Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("embedding")).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cosine"))
+  }
+
+  /** Blocked most-similar pairs: all pairs within a block (IVF-style coarse
+    * partition), global top-n by cosine (deterministic tiebreak on ids).
+    */
+  def blockedTopPairs(df: DataFrame, block: Column, topN: Int): DataFrame = {
+    val e = df.select(block.as("blk"), col("vec_id"), col("embedding"))
+    e.as("x").join(e.as("y"),
+        col("x.blk") === col("y.blk") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_id1"), col("y.vec_id").as("vec_id2"),
+        cosine(col("x.embedding"), col("y.embedding")).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id1"), col("vec_id2"))
+      .limit(topN)
+  }
+}

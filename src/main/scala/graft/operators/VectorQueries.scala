@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Declared-query catalog for the vector-similarity operators ([[VectorOps]])
+  * on the `embeddings` table (64-dim float vectors).
+  */
+object VectorQueries {
+
+  private val dims = 64
+  private val planes = 4
+  private val k = 10
+
+  private def queriesDf(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).filter(col("vec_id") < 8)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v1_cosine_topk" -> ((s, dir) =>
+      VectorOps.bruteTopK(queriesDf(s, dir), Tables.embeddings(s, dir), k)),
+    "v2_lsh_topk" -> ((s, dir) =>
+      VectorOps.lshTopK(queriesDf(s, dir), Tables.embeddings(s, dir), k, planes, dims)),
+    "d5_embedding_top_pairs" -> ((s, dir) =>
+      VectorOps.blockedTopPairs(Tables.embeddings(s, dir), col("label"), 50))
+  )
+
+  // ------------------------------------------------------------------
+  // DuckDB mirrors — same left-to-right fold discipline as VectorOps.
+
+  /** Bit-exact dot of two DOUBLE[] lists (fold in index order). */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i])), (acc, v) -> acc + v)"
+
+  private def norm2Sql(a: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), $a), (acc, x) -> acc + x * x)"
+
+  private def cosineSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / (sqrt(${norm2Sql(a)}) * sqrt(${norm2Sql(b)}))"
+
+  private val embSql =
+    "WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+
+  /** Plane-projection fold mirroring VectorOps.planeDot. */
+  private def planeDotSql(v: String, p: Int): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(generate_series(1, $dims), i -> $v[i] * CAST((1103515245 * (${p.toLong * dims} + (i - 1)) + 12345) % 2001 - 1000 AS DOUBLE))), (acc, x) -> acc + x)"
+
+  private def bucketSql(v: String): String =
+    (0 until planes)
+      .map(p => s"(CASE WHEN ${planeDotSql(v, p)} > 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+
+  val oracle: Map[String, String] = Map(
+    "v1_cosine_topk" -> (embSql +
+      s"""
+         |SELECT query_id, rank, neighbor_id, cosine FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         ${cosineSql("q.v", "c.v")} AS cosine,
+         |         row_number() OVER (PARTITION BY q.vec_id
+         |           ORDER BY ${cosineSql("q.v", "c.v")} DESC, c.vec_id) AS rank
+         |  FROM e q JOIN e c ON c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 8
+         |) WHERE rank <= $k""".stripMargin),
+    "v2_lsh_topk" -> (embSql +
+      s""", b AS (SELECT vec_id, v, ${bucketSql("v")} AS bucket FROM e)
+         |SELECT query_id, rank, neighbor_id, cosine FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         ${cosineSql("q.v", "c.v")} AS cosine,
+         |         row_number() OVER (PARTITION BY q.vec_id
+         |           ORDER BY ${cosineSql("q.v", "c.v")} DESC, c.vec_id) AS rank
+         |  FROM b q JOIN b c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 8
+         |) WHERE rank <= $k""".stripMargin),
+    "d5_embedding_top_pairs" -> (embSql +
+      s"""
+         |SELECT x.vec_id AS vec_id1, y.vec_id AS vec_id2,
+         |       ${cosineSql("x.v", "y.v")} AS cosine
+         |FROM e x JOIN e y ON x.label = y.label AND x.vec_id < y.vec_id
+         |ORDER BY cosine DESC, vec_id1, vec_id2
+         |LIMIT 50""".stripMargin)
+  )
+}

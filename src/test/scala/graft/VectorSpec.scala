@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.VectorOps
+
+class VectorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vec(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+
+  test("cosine: identical=1, orthogonal=0, opposite=-1") {
+    val df = Seq(
+      (vec(1, 0, 0, 0), vec(1, 0, 0, 0)),
+      (vec(1, 0, 0, 0), vec(0, 1, 0, 0)),
+      (vec(1, 0, 0, 0), vec(-1, 0, 0, 0))
+    ).toDF("a", "b")
+    val cs = df.select(VectorOps.cosine(col("a"), col("b"))).collect().map(_.getDouble(0))
+    assert(cs(0) === 1.0)
+    assert(cs(1) === 0.0)
+    assert(cs(2) === -1.0)
+  }
+
+  test("brute-force top-k finds a planted near-duplicate at rank 1") {
+    val base = (0 until 64).map(i => math.sin(i + 1)).toArray
+    val near = base.zipWithIndex.map { case (x, i) => if (i == 0) x * 1.01 else x }
+    val corpus = (Seq(
+      (100L, base.map(_.toFloat)),
+      (101L, near.map(_.toFloat))
+    ) ++ (0 until 20).map(j =>
+      (j.toLong, (0 until 64).map(i => math.cos(i * (j + 2)).toFloat).toArray)
+    )).toDF("vec_id", "embedding")
+    val q = corpus.filter(col("vec_id") === 100L)
+    val top = VectorOps.bruteTopK(q, corpus, 3).collect()
+    assert(top.head.getLong(2) == 101L) // rank-1 neighbor is the planted near-dup
+    assert(top.head.getDouble(3) > 0.99)
+    // ranks are 1..3 with non-increasing cosine
+    val cos = top.map(_.getDouble(3))
+    assert(cos.sliding(2).forall(p => p(0) >= p(1)))
+  }
+
+  test("lsh top-k only pairs vectors in the same bucket and keeps near-dups") {
+    val base = (0 until 64).map(i => math.sin(i + 1)).toArray
+    val near = base.map(_ * 2.0) // same direction, same bucket by construction
+    val corpus = (Seq(
+      (100L, base.map(_.toFloat)),
+      (101L, near.map(_.toFloat))
+    ) ++ (0 until 30).map(j =>
+      (j.toLong, (0 until 64).map(i => math.cos(i * (j + 2)).toFloat).toArray)
+    )).toDF("vec_id", "embedding")
+    val q = corpus.filter(col("vec_id") === 100L)
+    val res = VectorOps.lshTopK(q, corpus, 5, planes = 4, dims = 64).collect()
+    // scaled copy has identical hyperplane signs -> guaranteed same bucket
+    assert(res.exists(r => r.getLong(2) == 101L && r.getLong(1) == 1L))
+    val buckets = corpus
+      .select(col("vec_id"), VectorOps.lshBucket(col("embedding"), 4, 64).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    res.foreach(r => assert(buckets(r.getLong(2)) == buckets(100L)))
+  }
+}
