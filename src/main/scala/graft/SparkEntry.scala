@@ -31,7 +31,8 @@ object SparkEntry {
     graft.operators.PrepQueries.queries ++
     graft.operators.TextQueries.queries ++
     graft.operators.DedupQueries.queries ++
-    graft.operators.VectorQueries.queries
+    graft.operators.VectorQueries.queries ++
+    graft.operators.MultimodalQueries.queries
 
   private def base: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> ((s, dir) =>
@@ -62,7 +63,8 @@ object SparkEntry {
     graft.operators.PrepQueries.oracle ++
     graft.operators.TextQueries.oracle ++
     graft.operators.DedupQueries.oracle ++
-    graft.operators.VectorQueries.oracle
+    graft.operators.VectorQueries.oracle ++
+    graft.operators.MultimodalQueries.oracle
 
   private def baseOracle: Map[String, String] = Map(
     "q1_agg" ->

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "hello world", "en", "s", 11L),
+    (2L, "abc", "en", "s", 3L),
+    (3L, "", "en", "s", 0L)
+  ).toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("media table has binary payload + typed metadata") {
+    val m = Multimodal.toMediaTable(docs)
+    val r = m.filter(col("media_id") === 1L).collect().head
+    assert(r.getAs[Array[Byte]]("bytes").toSeq == "hello world".getBytes("UTF-8").toSeq)
+    val meta = r.getStruct(r.fieldIndex("meta"))
+    assert(meta.getString(0) == "text/plain")
+    assert(meta.getInt(1) == 12 && meta.getInt(2) == 12) // 11 % 640 + 1
+  }
+
+  test("frame sampling takes every Nth byte; short payloads yield empty") {
+    val m = Multimodal.toMediaTable(docs)
+    val f = m.select(col("media_id"), Multimodal.sampleFrames(col("bytes"), 4).as("fr"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // "hello world": bytes h,e,l,l,o,' ',w,o,r,l,d -> positions 1,5 -> 'h','o'
+    assert(f(1L) == Seq('h'.toLong, 'o'.toLong))
+    assert(f(2L) == Seq.empty) // 3 bytes < stride 4
+    assert(f(3L) == Seq.empty)
+  }
+
+  test("decode stub: batched features match direct computation") {
+    val m = Multimodal.toMediaTable(docs)
+    val feats = Multimodal.decodeFeatures(m, batchSize = 2).collect()
+      .map(f => f.media_id -> f).toMap
+    val bytes = "hello world".getBytes("UTF-8")
+    assert(feats(1L).n_bytes == 11L)
+    assert(feats(1L).mean_byte == bytes.map(_ & 0xff).sum.toDouble / 11)
+    assert(feats(1L).byte_hist.sum == 11L)
+    assert(feats(3L).n_bytes == 0L && feats(3L).mean_byte == 0.0)
+  }
+
+  test("resize clamps metadata dims and preserves mime") {
+    val m = Multimodal.resizeMeta(Multimodal.toMediaTable(docs), 8, 8)
+    val meta = m.filter(col("media_id") === 1L)
+      .select(col("meta.mime"), col("meta.width"), col("meta.height"))
+      .collect().head
+    assert(meta.getString(0) == "text/plain" && meta.getInt(1) == 8 && meta.getInt(2) == 8)
+  }
+}

@@ -59,8 +59,10 @@ def values_equal(a, b, exact):
         if fa == fb:
             return True
         return abs(fa - fb) <= 1e-9 * max(1.0, abs(fa), abs(fb))
-    if (isinstance(a, (list, tuple)) or isinstance(b, (list, tuple))
-            or hasattr(a, "tolist") or hasattr(b, "tolist")):
+    def is_arr(v):
+        return (isinstance(v, (list, tuple))
+                or (hasattr(v, "tolist") and hasattr(v, "__len__")))
+    if is_arr(a) or is_arr(b):
         a = list(a) if a is not None else None
         b = list(b) if b is not None else None
         if a is None or b is None or len(a) != len(b):
