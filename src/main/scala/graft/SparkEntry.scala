@@ -35,6 +35,10 @@ object SparkEntry {
     graft.operators.MultimodalQueries.queries
 
   private def base: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g1_synthetic_bars" -> ((s, _) =>
+      graft.sources.Generator.ohlcv(s, Seq("alpha", "beta"), 200)
+        .select(col("symbol"), epochUs(col("ts")).as("ts_us"),
+          col("open"), col("high"), col("low"), col("close"), col("volume"))),
     "q1_agg" -> ((s, dir) =>
       Tables.lineitem(s, dir)
         .groupBy("l_returnflag")
@@ -67,6 +71,10 @@ object SparkEntry {
     graft.operators.MultimodalQueries.oracle
 
   private def baseOracle: Map[String, String] = Map(
+    "g1_synthetic_bars" -> (graft.sources.Generator.ohlcvSql(Seq("alpha", "beta"), 200) +
+      s"""
+         |SELECT symbol, ${O.epochUs("ts")} AS ts_us, open, high, low, close, volume
+         |FROM gen""".stripMargin),
     "q1_agg" ->
       s"""SELECT l_returnflag, ${O.exactSum("l_quantity")} AS sum_qty, count(*) AS n
          |FROM lineitem GROUP BY l_returnflag""".stripMargin,

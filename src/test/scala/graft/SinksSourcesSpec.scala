@@ -1,0 +1,126 @@
+package graft
+
+import java.lang.reflect.{InvocationHandler, Method, Proxy}
+import java.sql.{Connection, PreparedStatement}
+import java.util.concurrent.ConcurrentLinkedQueue
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.functions._
+
+import graft.sinks.{JdbcUpsertSink, Lake}
+import graft.sources.{Csv, Generator}
+
+/** In-process fake JDBC endpoint capturing bound batches — proves the
+  * upsert sink's batching and binding without a database.
+  */
+object FakeDb {
+  val bound = new ConcurrentLinkedQueue[Vector[Any]]()
+  val executeBatchCalls = new AtomicInteger(0)
+
+  def reset(): Unit = { bound.clear(); executeBatchCalls.set(0) }
+
+  private def psProxy(): PreparedStatement = {
+    val params = scala.collection.mutable.Map[Int, Any]()
+    Proxy.newProxyInstance(getClass.getClassLoader,
+      Array(classOf[PreparedStatement]),
+      new InvocationHandler {
+        def invoke(proxy: AnyRef, m: Method, args: Array[AnyRef]): AnyRef =
+          m.getName match {
+            case "setObject" =>
+              params(args(0).asInstanceOf[Integer].intValue()) = args(1); null
+            case "addBatch" =>
+              FakeDb.bound.add((1 to params.size).map(params(_)).toVector); null
+            case "executeBatch" =>
+              FakeDb.executeBatchCalls.incrementAndGet(); Array.empty[Int]
+            case "close" => null
+            case _ => null
+          }
+      }).asInstanceOf[PreparedStatement]
+  }
+
+  def connect(): Connection =
+    Proxy.newProxyInstance(getClass.getClassLoader, Array(classOf[Connection]),
+      new InvocationHandler {
+        def invoke(proxy: AnyRef, m: Method, args: Array[AnyRef]): AnyRef =
+          m.getName match {
+            case "prepareStatement" => psProxy()
+            case "isClosed" => java.lang.Boolean.FALSE
+            case _ => null
+          }
+      }).asInstanceOf[Connection]
+}
+
+class SinksSourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("upsert SQL: DO UPDATE sets non-key columns, DO NOTHING doesn't") {
+    val cols = Seq("timestamp", "symbol", "open", "close")
+    assert(JdbcUpsertSink.upsertSql("ohlcv", cols, Seq("timestamp", "symbol"),
+      JdbcUpsertSink.DoUpdate) ==
+      "INSERT INTO ohlcv (timestamp, symbol, open, close) VALUES (?, ?, ?, ?) " +
+        "ON CONFLICT (timestamp, symbol) DO UPDATE SET open = EXCLUDED.open, close = EXCLUDED.close")
+    assert(JdbcUpsertSink.upsertSql("ohlcv", cols, Seq("timestamp", "symbol"),
+      JdbcUpsertSink.DoNothing).endsWith("ON CONFLICT (timestamp, symbol) DO NOTHING"))
+  }
+
+  test("upsert sink binds every row and batches executes") {
+    FakeDb.reset()
+    val df = (1 to 25).map(i => (i.toLong, s"s$i", i * 1.5)).toDF("id", "sym", "v")
+      .coalesce(1)
+    JdbcUpsertSink.write(df, "t", Seq("id"), JdbcUpsertSink.DoUpdate,
+      () => FakeDb.connect(), batchSize = 10)
+    assert(FakeDb.bound.size() == 25)
+    assert(FakeDb.executeBatchCalls.get() == 3) // 10 + 10 + 5
+    val first = FakeDb.bound.peek()
+    assert(first.length == 3)
+  }
+
+  test("archive lake round-trips and prunes partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lake").toString
+    val bars = Generator.ohlcv(spark, Seq("aaa", "bbb"), 2000,
+      startTs = "2023-12-25 00:00:00", intervalSec = 3600)
+    Lake.writeArchive(bars, dir)
+    val back = Lake.readArchive(spark, dir)
+    assert(back.count() == 4000)
+    // partition pruning: the filter must land in PartitionFilters (pruned
+    // at planning, not as a data filter; inputFiles ignores pruning so
+    // inspect the scan node directly)
+    val pruned = back.filter(col("year") === 2024 && col("month") === 1)
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.partitionFilters.map(_.toString).mkString(",").contains("year"))
+    assert(scan.relation.location.listFiles(scan.partitionFilters, Nil)
+      .flatMap(_.files).forall(_.getPath.toString.contains("year=2024/month=1")))
+    // round-trip values (modulo partition cols)
+    val a = bars.select("symbol", "ts", "close").orderBy("symbol", "ts").collect()
+    val b = back.select("symbol", "ts", "close").orderBy("symbol", "ts").collect()
+    assert(a.sameElements(b))
+  }
+
+  test("csv export round-trips through the typed reader") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-csv").toString + "/out"
+    val bars = Generator.ohlcv(spark, Seq("ccc"), 100)
+      .select("symbol", "ts", "open", "high", "low", "close", "volume")
+    Lake.writeCsv(bars, dir)
+    val back = Csv.readTyped(spark, dir)
+    assert(back.count() == 100)
+    val a = bars.orderBy("ts").collect()
+    val b = back.orderBy("ts").collect()
+    (a zip b).foreach { case (x, y) =>
+      assert(x.getString(0) == y.getString(0))
+      assert(math.abs(x.getDouble(5) - y.getDouble(5)) < 1e-9)
+    }
+  }
+
+  test("generator is deterministic and OHLC-consistent at any parallelism") {
+    val g1 = Generator.ohlcv(spark, Seq("xyz"), 300).orderBy("ts").collect()
+    val g2 = Generator.ohlcv(spark, Seq("xyz"), 300).orderBy("ts").collect()
+    assert(g1.sameElements(g2))
+    g1.foreach { r =>
+      val (o, h, l, c) = (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(h >= math.max(o, c) && l <= math.min(o, c))
+      assert(r.getDouble(6) >= 1.0)
+    }
+  }
+}
