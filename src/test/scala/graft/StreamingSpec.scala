@@ -1,0 +1,70 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.StreamRollup
+
+case class InBar(symbol: String, ts: Timestamp, open: Double, high: Double,
+    low: Double, close: Double, volume: Double)
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  private def bar(sym: String, ts: String, px: Double, vol: Double = 1.0) =
+    InBar(sym, t(ts), px, px + 1, px - 1, px + 0.5, vol)
+
+  test("tumbling rollup finalizes buckets after watermark, dedups replays, drops late data") {
+    val input = MemoryStream[InBar](spark)
+    val rolled = StreamRollup.ohlcvTumbling(input.toDF(), "1 hour", "1 hour")
+    val q = rolled.writeStream
+      .format("memory").queryName("rollup_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // hour-10 bucket: two bars + one exact replay (must not double count)
+      input.addData(
+        bar("aaa", "2024-01-01 10:00:00", 100.0, 5.0),
+        bar("aaa", "2024-01-01 10:30:00", 102.0, 7.0),
+        bar("aaa", "2024-01-01 10:30:00", 102.0, 7.0))
+      q.processAllAvailable()
+      // nothing finalized yet — watermark still at epoch
+      assert(spark.table("rollup_out").count() == 0)
+
+      // advance event time past 12:00 -> watermark 11:00+ finalizes hour 10
+      input.addData(bar("aaa", "2024-01-01 12:30:00", 110.0))
+      q.processAllAvailable()
+      input.addData(bar("aaa", "2024-01-01 13:45:00", 111.0))
+      q.processAllAvailable()
+      val hour10 = spark.table("rollup_out")
+        .filter($"bucket_ts" === t("2024-01-01 10:00:00")).collect()
+      assert(hour10.length == 1)
+      val r = hour10.head
+      assert(r.getAs[Double]("open") == 100.0) // earliest-ts open
+      assert(r.getAs[Double]("close") == 102.5) // latest-ts close
+      assert(r.getAs[Double]("volume") == 12.0) // replay NOT double-counted
+      assert(r.getAs[Long]("n_bars") == 2L)
+
+      // a bar far behind the watermark is dropped, bucket not re-emitted
+      input.addData(bar("aaa", "2024-01-01 10:45:00", 999.0))
+      q.processAllAvailable()
+      assert(spark.table("rollup_out")
+        .filter($"bucket_ts" === t("2024-01-01 10:00:00")).count() == 1)
+    } finally q.stop()
+  }
+
+  test("batch and streaming share the same rollup code path") {
+    val batch = Seq(
+      bar("bbb", "2024-01-01 10:00:00", 100.0, 5.0),
+      bar("bbb", "2024-01-01 10:30:00", 102.0, 7.0)
+    ).toDF()
+    val out = StreamRollup.ohlcvTumbling(batch, "1 hour", "1 hour",
+      dedupReplay = false).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Double]("volume") == 12.0)
+  }
+}
