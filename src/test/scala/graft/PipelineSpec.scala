@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Pipeline
+import graft.sources.{Generator, Tables}
+
+class PipelineSpec extends SparkSpec {
+
+  test("end-to-end: clean -> resample -> indicators -> split with one-pass report") {
+    val bars = Generator.ohlcv(spark, Seq("btc", "eth"), 500, intervalSec = 60)
+    val res = Pipeline.run(spark, bars, Pipeline.Config(
+      resampleTo = Some("15 minutes"),
+      indicators = true,
+      split = Pipeline.SplitConfig(Seq(0.7, 0.85), Seq("train", "val", "test"))))
+    assert(res.report("rows_in") == 1000L)
+    assert(res.report("ohlc_violations") == 0L)
+    val total = res.splitSizes.values.sum
+    assert(total == res.data.count())
+    assert(res.splitSizes.keySet == Set("train", "val", "test"))
+    // resampled to 15m: 500 minutes -> ceil(500/15)=34 buckets per symbol
+    assert(total == 68)
+    assert(res.data.columns.contains("sma20") || res.data.columns.exists(_.startsWith("sma")))
+  }
+
+  test("dirty bars: report counts violations; cleaning repairs them") {
+    val bars = Tables.bars(spark, sfDir)
+    val res = Pipeline.run(spark, bars, Pipeline.Config())
+    assert(res.report("rows_in").asInstanceOf[Long] > 0)
+    assert(res.report("null_close").asInstanceOf[Long] > 0)
+    assert(res.report("ohlc_violations").asInstanceOf[Long] > 0)
+    // after repair no OHLC violations remain
+    val bad = res.data.filter(graft.operators.Cleaning.ohlcInvalid()).count()
+    assert(bad == 0)
+    // splits are chronological: max train ts <= min test ts
+    val cuts = res.data.groupBy("split")
+      .agg(min("ts").as("mn"), max("ts").as("mx"))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[java.time.LocalDateTime](1), r.getAs[java.time.LocalDateTime](2))).toMap
+    assert(!cuts("train")._2.isAfter(cuts("test")._1))
+  }
+
+  test("pipeline writes the partitioned lake when configured") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pipe").toString + "/lake"
+    val bars = Generator.ohlcv(spark, Seq("sol"), 200)
+    Pipeline.run(spark, bars, Pipeline.Config(outputPath = Some(dir)))
+    val back = graft.sinks.Lake.readArchive(spark, dir)
+    assert(back.count() == 200)
+    assert(back.columns.contains("split") && back.columns.contains("year"))
+  }
+}
