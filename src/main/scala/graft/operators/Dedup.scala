@@ -43,24 +43,35 @@ object Dedup {
     df.groupBy(sha2(text, 256).as("content_hash"))
       .agg(count(lit(1)).as("n_docs"), min(id).as("keep_id"))
 
-  /** MinHash_i over a shingle-set column:
-    * min over shingles of (a_i·(h mod P) + b_i) mod P. Null for empty docs.
+  /** MinHash_i over a column of pre-reduced shingle hashes (h mod P):
+    * min over shingles of (a_i·h + b_i) mod P. Null for empty docs.
     */
-  def minhashCol(shingleSet: Column, a: Long, b: Long): Column =
-    array_min(transform(shingleSet, t =>
-      (lit(a) * (TextHash.tokenHash(t) % lit(P)) + lit(b)) % lit(P)))
+  def minhashCol(shingleHashes: Column, a: Long, b: Long): Column =
+    array_min(transform(shingleHashes, h => (lit(a) * h + lit(b)) % lit(P)))
 
   /** D2 — MinHash signature over word `shingleN`-grams: id + n flat columns
     * mh00..mhNN (flat columns hash-compare and band more cheaply than
-    * arrays). Pure per-row expression — no explode, no shuffle.
+    * arrays). Pure per-row expressions — no explode, no shuffle.
+    *
+    * The token array and shingle set are materialized in their own
+    * projections FIRST: inlining them into all n minhash lambdas makes
+    * every `element_at` re-split the text (Catalyst does not CSE across
+    * lambda boundaries — observed 80× slowdown). CollapseProject keeps
+    * expensive multi-referenced aliases separate, so this stays two
+    * pipelined map stages.
     */
   def minhashSignature(df: DataFrame, text: Column, id: Column,
       n: Int = 16, shingleN: Int = 3): DataFrame = {
-    val set = array_distinct(TextHash.wordNgrams(TextHash.tokens(text), shingleN))
+    val toks = df.select(id.as("doc_id"), TextHash.tokens(text).as("__tk"))
+    val shingled = toks.select(col("doc_id"),
+      array_distinct(TextHash.wordNgrams(col("__tk"), shingleN)).as("__sh"))
+    // md5 each shingle ONCE; the n affine maps then run over the longs
+    val hashed = shingled.select(col("doc_id"),
+      transform(col("__sh"), t => TextHash.tokenHash(t) % lit(P)).as("__hs"))
     val cols = hashParams(n).zipWithIndex.map { case ((a, b), i) =>
-      minhashCol(set, a, b).as(f"mh$i%02d")
+      minhashCol(col("__hs"), a, b).as(f"mh$i%02d")
     }
-    df.select((id.as("doc_id") +: cols): _*)
+    hashed.select((col("doc_id") +: cols): _*)
   }
 
   /** D2b — LSH candidate pairs: band the signature (bands × rowsPerBand
