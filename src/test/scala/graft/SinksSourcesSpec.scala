@@ -113,6 +113,16 @@ class SinksSourcesSpec extends SparkSpec {
     }
   }
 
+  test("json export round-trips (records orientation)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-json").toString + "/out"
+    val bars = Generator.ohlcv(spark, Seq("ddd"), 50)
+      .select("symbol", "ts", "close", "volume")
+    Lake.writeJson(bars, dir)
+    val back = spark.read.json(dir)
+    assert(back.count() == 50)
+    assert(back.columns.toSet == Set("symbol", "ts", "close", "volume"))
+  }
+
   test("generator is deterministic and OHLC-consistent at any parallelism") {
     val g1 = Generator.ohlcv(spark, Seq("xyz"), 300).orderBy("ts").collect()
     val g2 = Generator.ohlcv(spark, Seq("xyz"), 300).orderBy("ts").collect()
