@@ -1,0 +1,54 @@
+package graft.plans
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.DoubleType
+
+import graft.functions.{Ema, JavaLog}
+
+/** SQL surface for graft's custom Catalyst expressions: registers
+  *   - `ema(x, alpha)` — the recursive EMA window function
+  *     (`SELECT ema(close, 0.15) OVER (PARTITION BY symbol ORDER BY ts) …`)
+  *   - `jlog(x)` — libm-rounding natural log
+  * so SQL-first users get the same operators as the DataFrame API.
+  *
+  * Two registration paths: `GraftExtensions` for
+  * `spark.sql.extensions=graft.plans.GraftExtensions` at session build
+  * (the SparkSessionExtensions route), and [[GraftFunctions.register]] for
+  * an already-running session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.builders.foreach { case (name, info, builder) =>
+      e.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftFunctions {
+
+  private def emaBuilder(args: Seq[Expression]): Expression = {
+    require(args.size == 2, "ema(x, alpha) takes exactly 2 arguments")
+    Ema(Cast(args.head, DoubleType), Cast(args(1), DoubleType))
+  }
+
+  private def jlogBuilder(args: Seq[Expression]): Expression = {
+    require(args.size == 1, "jlog(x) takes exactly 1 argument")
+    JavaLog(Cast(args.head, DoubleType))
+  }
+
+  val builders: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("ema",
+      new ExpressionInfo(classOf[Ema].getName, "ema"),
+      emaBuilder _),
+    ("jlog",
+      new ExpressionInfo(classOf[JavaLog].getName, "jlog"),
+      jlogBuilder _))
+
+  /** Register on a live session (tests, REPLs). */
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}
