@@ -57,6 +57,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful streaming EMA carries state across micro-batches") {
+    import graft.streaming.StatefulIndicators
+    import graft.streaming.StatefulIndicators.Tick
+    val input = MemoryStream[Tick](spark)
+    val q = StatefulIndicators.streamingEma(input.toDS(), alpha = 0.5)
+      .writeStream.format("memory").queryName("ema_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Tick("s", t("2024-01-01 10:00:00"), 10.0),
+        Tick("s", t("2024-01-01 10:01:00"), 20.0))
+      q.processAllAvailable()
+      // second micro-batch must continue from ema=15, not reseed
+      input.addData(Tick("s", t("2024-01-01 10:02:00"), 30.0))
+      q.processAllAvailable()
+      // stale straggler (<= last state ts) is dropped
+      input.addData(Tick("s", t("2024-01-01 10:01:30"), 999.0))
+      q.processAllAvailable()
+      val emas = spark.table("ema_out").orderBy("ts").collect()
+        .map(r => r.getAs[Double]("ema")).toSeq
+      assert(emas == Seq(10.0, 15.0, 22.5))
+    } finally q.stop()
+  }
+
   test("batch and streaming share the same rollup code path") {
     val batch = Seq(
       bar("bbb", "2024-01-01 10:00:00", 100.0, 5.0),
