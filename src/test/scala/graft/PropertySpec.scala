@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.operators.{Normalize, Resample, Split}
+
+/** Property-style invariants from SURVEY §5's test plan, on ScalaCheck-
+  * generated frames with FIXED seeds (the reference's unseeded fixtures are
+  * a defect we don't copy): normalize∘denormalize ≈ id, resample OHLC
+  * invariants, monotone row counts across frames, split conservation.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val barGen: Gen[(String, Long, Double, Double, Double, Double, Double)] =
+    for {
+      sym <- Gen.oneOf("AAA", "BBB", "CCC")
+      i <- Gen.choose(0L, 50000L)
+      o <- Gen.choose(1.0, 1000.0)
+      c <- Gen.choose(1.0, 1000.0)
+      hiPad <- Gen.choose(0.0, 10.0)
+      loPad <- Gen.choose(0.0, 10.0)
+      v <- Gen.choose(0.0, 1e6)
+    } yield (sym, i * 60, o, math.max(o, c) + hiPad, math.min(o, c) - loPad, c, v)
+
+  private def frames(n: Int, seed: Long) = {
+    val params = org.scalacheck.Gen.Parameters.default
+    (0 until n).flatMap(k => barGen.apply(params, Seed(seed + k))).distinct
+  }
+
+  private lazy val bars = {
+    val rows = frames(400, 7L)
+    rows.map { case (s, secs, o, h, l, c, v) =>
+      (s, java.time.LocalDateTime.ofEpochSecond(1700000000L + secs, 0,
+        java.time.ZoneOffset.UTC), o, h, l, c, v)
+    }.toDF("symbol", "ts", "open", "high", "low", "close", "volume")
+      .dropDuplicates("symbol", "ts")
+  }
+
+  test("property: zscore and minmax round-trip to identity (1e-9)") {
+    for (method <- Seq("zscore", "minmax")) {
+      val cols = Seq("open", "volume")
+      val fitted = method match {
+        case "zscore" => Normalize.zscoreFit(bars, cols)
+        case "minmax" => Normalize.minmaxFit(bars, cols)
+      }
+      val fwd = method match {
+        case "zscore" => Normalize.zscoreTransform(fitted, cols)
+        case "minmax" => Normalize.minmaxTransform(fitted, cols)
+      }
+      val back = Normalize.finish(method match {
+        case "zscore" => Normalize.zscoreInverse(fwd, cols)
+        case "minmax" => Normalize.minmaxInverse(fwd, cols)
+      })
+      val diff = back.join(bars.select(col("symbol"), col("ts"),
+          col("open").as("o0"), col("volume").as("v0")), Seq("symbol", "ts"))
+        .select(max(abs(col("open") - col("o0")) / abs(col("o0"))).as("d1"),
+          max(abs(col("volume") - col("v0")) / greatest(abs(col("v0")), lit(1.0))).as("d2"))
+        .collect().head
+      assert(diff.getDouble(0) < 1e-9 && diff.getDouble(1) < 1e-9, s"method=$method")
+    }
+  }
+
+  test("property: log round-trips to identity (1e-9)") {
+    val fwd = Normalize.logTransform(bars, Seq("volume"))
+    val back = Normalize.logInverse(fwd, Seq("volume"))
+    val diff = back.join(bars.select(col("symbol"), col("ts"), col("volume").as("v0")),
+        Seq("symbol", "ts"))
+      .select(max(abs(col("volume") - col("v0")) / greatest(abs(col("v0")), lit(1.0))))
+      .collect().head.getDouble(0)
+    assert(diff < 1e-9)
+  }
+
+  test("property: resampled buckets keep OHLC invariants and conserve volume") {
+    for (freq <- Seq("15 minutes", "1 hour", "1 day")) {
+      val agg = Resample.ohlcv(bars, freq)
+      val bad = agg.filter(
+        col("high") < col("open") || col("high") < col("close") ||
+          col("low") > col("open") || col("low") > col("close") ||
+          col("high") < col("low")).count()
+      assert(bad == 0, s"freq=$freq")
+      val vIn = bars.agg(sum("volume")).collect().head.getDouble(0)
+      val vOut = agg.agg(sum("volume")).collect().head.getDouble(0)
+      assert(math.abs(vIn - vOut) / vIn < 1e-9, s"freq=$freq")
+      val nIn = bars.agg(sum(lit(1))).collect().head.getLong(0)
+      assert(agg.count() <= nIn)
+    }
+    // monotone row counts across coarser frames (reference test_processing:165)
+    val counts = Seq("15 minutes", "1 hour", "1 day")
+      .map(f => Resample.ohlcv(bars, f).count())
+    assert(counts.sliding(2).forall(p => p(0) >= p(1)))
+  }
+
+  test("property: chronological splits conserve rows and order, any cuts") {
+    for (cuts <- Seq(Seq(0.5), Seq(0.8), Seq(0.6, 0.8), Seq(0.33, 0.66))) {
+      val labels = (1 to cuts.size + 1).map(i => s"s$i")
+      val out = Split.chronological(bars, Seq(col("ts"), col("symbol")), cuts, labels)
+      val sizes = out.groupBy("split").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(sizes.values.sum == bars.count(), s"cuts=$cuts")
+      // every earlier split's max ts <= next split's min ts
+      val ranges = out.groupBy("split").agg(min("ts").as("mn"), max("ts").as("mx"))
+        .collect().map(r => r.getString(0) ->
+          (r.getAs[java.time.LocalDateTime](1), r.getAs[java.time.LocalDateTime](2))).toMap
+      labels.sliding(2).foreach { case Seq(a, b) =>
+        if (ranges.contains(a) && ranges.contains(b))
+          assert(!ranges(a)._2.isAfter(ranges(b)._1), s"cuts=$cuts $a->$b")
+      }
+    }
+  }
+}
