@@ -38,6 +38,19 @@ object Lake {
   def readArchive(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Bucketed table for co-located joins: both sides of a recurring
+    * fact-fact join written with the same bucket spec join WITHOUT any
+    * Exchange (the 100 TB answer to "this join shuffles every query") —
+    * the Spark analog of co-partitioned hypertables. Asserted shuffle-free
+    * in SinksSourcesSpec.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+      buckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(table)
+
   /** K2 — CSV export (header, reference crypto_pipeline.py:326-327). */
   def writeCsv(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
     df.write.mode(mode).option("header", "true").csv(path)

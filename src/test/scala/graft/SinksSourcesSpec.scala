@@ -113,6 +113,23 @@ class SinksSourcesSpec extends SparkSpec {
     }
   }
 
+  test("bucketed tables join without any Exchange (co-located join)") {
+    val bars = Generator.ohlcv(spark, Seq("aaa", "bbb", "ccc"), 1000)
+      .withColumn("key", col("symbol"))
+    Lake.writeBucketed(bars.select("key", "ts", "close"), "bkt_left", Seq("key"), 4)
+    Lake.writeBucketed(bars.select("key", "ts", "volume"), "bkt_right", Seq("key"), 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("bkt_left")
+        .join(spark.table("bkt_right"), Seq("key"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"))
+      assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("json export round-trips (records orientation)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-json").toString + "/out"
     val bars = Generator.ohlcv(spark, Seq("ddd"), 50)
