@@ -93,6 +93,20 @@ class PropertySpec extends SparkSpec {
     assert(counts.sliding(2).forall(p => p(0) >= p(1)))
   }
 
+  test("property: quantile-cutoff split approximates fractions, preserves order") {
+    val out = Split.chronologicalAtScale(bars, col("ts"), Seq(0.8), Seq("train", "test"))
+    val sizes = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = bars.count()
+    assert(sizes.values.sum == n)
+    val frac = sizes("train").toDouble / n
+    assert(frac > 0.7 && frac < 0.9, s"train frac $frac")
+    val ranges = out.groupBy("split").agg(min("ts").as("mn"), max("ts").as("mx"))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[java.time.LocalDateTime](1), r.getAs[java.time.LocalDateTime](2))).toMap
+    assert(!ranges("train")._2.isAfter(ranges("test")._1))
+  }
+
   test("property: chronological splits conserve rows and order, any cuts") {
     for (cuts <- Seq(Seq(0.5), Seq(0.8), Seq(0.6, 0.8), Seq(0.33, 0.66))) {
       val labels = (1 to cuts.size + 1).map(i => s"s$i")
