@@ -103,6 +103,19 @@ object Dedup {
       .select(col("doc_id1"), col("doc_id2"), eq.as("n_equal"))
   }
 
+  /** Resolve candidate pairs into a drop list: keep the lowest doc_id of
+    * every near-dup pair, drop the other. Greedy per-pair (not connected
+    * components — a drops-b, b-drops-c chain over-drops c; acceptable and
+    * standard for near-dup pruning since over-dropping trades recall for
+    * zero dup leakage). One distinct — no iteration, any scale.
+    */
+  def dropListFromPairs(pairs: DataFrame): DataFrame =
+    pairs.select(col("doc_id2").as("drop_id")).distinct()
+
+  /** Apply a drop list (anti-join — no payload from the drop side). */
+  def pruneDuplicates(df: DataFrame, id: Column, dropList: DataFrame): DataFrame =
+    df.join(dropList, id === col("drop_id"), "left_anti")
+
   /** D3 — 32-bit SimHash per document: each token occurrence votes ±1 on
     * every bit of its hash; bit b of the result is set when the vote sum is
     * positive. Explode(tokens) × 32 bits → two groupBys on doc_id — linear

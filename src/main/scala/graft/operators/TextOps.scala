@@ -68,6 +68,14 @@ object TextOps {
       .otherwise(lit(0.0))
   }
 
+  /** Text normalization for dedup robustness: lowercase, strip
+    * non-alphanumerics to spaces, collapse whitespace — so formatting
+    * variants of the same content fingerprint identically. Pure codegen
+    * expression chain.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
   /** Order-sensitive rolling-hash fingerprint of the token stream:
     * h := (h*31 + tokenHash(t) mod P) mod P over tokens left-to-right,
     * P = 2^31−1. Detects exact token-sequence duplicates regardless of

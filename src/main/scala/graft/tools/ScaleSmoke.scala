@@ -76,6 +76,45 @@ object ScaleSmoke {
         Seq("2026-01-01 00:00:00"), Seq("train", "test"))
         .groupBy("split").count().count()
     }
+    bars.unpersist()
+
+    // ---- text side: 1 M synthetic word-salad docs, ~60 tokens each
+    val nDocs = 1000000L
+    val vocab = array((0 until 64).map(i => lit(s"w$i")): _*)
+    val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+      concat_ws(" ", transform(sequence(lit(1), lit(60)), j =>
+        element_at(vocab,
+          (pmod(xxhash64(col("id") * lit(61L) + j), lit(64L)) + lit(1)).cast("int"))))
+        .as("text")).cache()
+    val nd = docs.count()
+    def timeD(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] $label%-22s rows=$rows%-10d ${sec}%6.1f s  ${nd / sec / 1e6}%5.1f M docs/s")
+    }
+    println(s"[scale] text corpus: $nd docs x ~60 tokens")
+    timeD("exact-dedup") {
+      Dedup.exactDedupGroups(docs, col("text"), col("doc_id")).count()
+    }
+    timeD("minhash-16sig") {
+      Dedup.minhashSignature(docs, col("text"), col("doc_id"), 16, 3)
+        .agg(sum(col("mh00") + col("mh15"))).count(); nd
+    }
+    timeD("simhash32") {
+      Dedup.simhash32(docs, col("text"), col("doc_id")).count()
+    }
+    timeD("langid+quality+tokens") {
+      docs.select(
+        TextOps.langId(col("text")).as("l"),
+        TextOps.qualityScore(col("text")).as("q"),
+        TextOps.tokenCount(col("text")).as("n"))
+        .groupBy("l").agg(sum("q"), sum("n")).count(); nd
+    }
+    timeD("fingerprint") {
+      docs.select(TextOps.fingerprint(col("text")).as("f"))
+        .agg(sum("f")).count(); nd
+    }
     spark.stop()
   }
 }

@@ -55,6 +55,28 @@ class DedupSpec extends SparkSpec {
     assert(j.getOrElse((1L, 3L), 0.0) < 0.2)
   }
 
+  test("drop list keeps the lowest id of each dup group; prune anti-joins it") {
+    val sig = Dedup.minhashSignature(docs, col("text"), col("doc_id"), 16, 3)
+    val pairs = Dedup.lshCandidatePairs(sig, 4, 4)
+      .filter(col("n_equal") >= 12)
+    val drops = Dedup.dropListFromPairs(pairs)
+    val kept = Dedup.pruneDuplicates(docs, col("doc_id"), drops)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(1L) && kept.contains(3L))
+    assert(!kept.contains(4L)) // exact dup of 1 dropped
+  }
+
+  test("normalizeText makes formatting variants fingerprint-identical") {
+    val d = Seq(
+      (1L, "Alpha,  beta—GAMMA!"),
+      (2L, "alpha beta gamma")
+    ).toDF("doc_id", "text")
+    val fp = d.select(col("doc_id"),
+        TextOps.fingerprint(TextOps.normalizeText(col("text"))).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L))
+  }
+
   test("fingerprint is order-sensitive and whitespace-insensitive") {
     val d = Seq(
       (1L, "alpha beta gamma"),
