@@ -42,7 +42,13 @@ object DedupQueries {
         .withColumn("hamming", col("hamming").cast("long"))),
     "d4_token_jaccard" -> ((s, dir) =>
       Dedup.tokenJaccardPairs(Tables.documents(s, dir), col("text"), col("doc_id"),
-        col("source"), 0.8))
+        col("source"), 0.8)),
+    "d6_drop_list" -> ((s, dir) =>
+      Dedup.dropListFromPairs(
+        Dedup.lshCandidatePairs(
+          Dedup.minhashSignature(Tables.documents(s, dir), col("text"), col("doc_id"),
+            nHashes, shingleN = 3),
+          bands, rows).filter(col("n_equal") >= 8)))
   )
 
   // ------------------------------------------------------------------
@@ -126,6 +132,28 @@ object DedupQueries {
        |FROM cand
        |WHERE bit_count(xor(s1, s2)) <= 8
        |GROUP BY 1""".stripMargin),
+    "d6_drop_list" -> (sigSql + ",\n" + {
+      val bandSelects = (0 until bands).map { b =>
+        val ks = (0 until rows).map(r => f"mh${b * rows + r}%02d").mkString(", ")
+        s"SELECT doc_id, $b AS band, md5(concat_ws(',', $ks)) AS bkey FROM sig"
+      }.mkString("\nUNION ALL\n")
+      val eq = (0 until nHashes)
+        .map(i => f"CASE WHEN s1.mh$i%02d = s2.mh$i%02d THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""bandt AS (
+         |$bandSelects
+         |),
+         |pairs AS (
+         |  SELECT DISTINCT x.doc_id AS doc_id1, y.doc_id AS doc_id2
+         |  FROM bandt x JOIN bandt y
+         |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+         |)
+         |SELECT DISTINCT doc_id2 AS drop_id
+         |FROM pairs
+         |JOIN sig s1 ON doc_id1 = s1.doc_id
+         |JOIN sig s2 ON doc_id2 = s2.doc_id
+         |WHERE $eq >= 8""".stripMargin
+    }),
     "d4_token_jaccard" ->
       s"""WITH toks AS (
          |  SELECT source AS blk, doc_id, unnest(${O.tokenSet("text")}) AS t

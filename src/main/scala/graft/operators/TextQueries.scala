@@ -41,7 +41,12 @@ object TextQueries {
     "x4_fingerprint" -> ((s, dir) =>
       Tables.documents(s, dir).select(
         col("doc_id"),
-        TextOps.fingerprint(col("text")).as("fp")))
+        TextOps.fingerprint(col("text")).as("fp"))),
+    "x5_normalized_fp" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextOps.normalizeText(col("text")).as("norm_text"),
+        TextOps.fingerprint(TextOps.normalizeText(col("text"))).as("fp")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -75,6 +80,20 @@ object TextQueries {
          |         list_prepend(CAST(0 AS BIGINT),
          |           list_transform(tk, t -> ${O.tokenHash("t")} % 2147483647)),
          |         (a, b) -> (a * 31 + b) % 2147483647) AS fp
-         |FROM toks""".stripMargin)
+         |FROM toks""".stripMargin),
+    "x5_normalized_fp" ->
+      s"""WITH norm AS (
+         |  SELECT doc_id,
+         |         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text
+         |  FROM documents
+         |), ntoks AS (
+         |  SELECT doc_id, norm_text, ${O.tokens("norm_text")} AS tk FROM norm
+         |)
+         |SELECT doc_id, norm_text,
+         |       list_reduce(
+         |         list_prepend(CAST(0 AS BIGINT),
+         |           list_transform(tk, t -> ${O.tokenHash("t")} % 2147483647)),
+         |         (a, b) -> (a * 31 + b) % 2147483647) AS fp
+         |FROM ntoks""".stripMargin
   )
 }
