@@ -68,6 +68,33 @@ object Indicators {
   def ema(c: Column, span: Int, s: Series): Column =
     Ema.ema(c, span, s.partition, s.order)
 
+  /** W2 fallback — EMA via typed `groupByKey(symbol).flatMapGroups` over a
+    * time-sorted iterator (SURVEY §2.10's alternative to the Catalyst
+    * window function; kept as the reference implementation for equivalence
+    * testing and as the template for recurrences too irregular for a
+    * window expression). Each group sorts in executor memory — for hot
+    * symbols beyond memory, pre-bucket to (symbol, month) with carryover
+    * state as §7.3.3 describes.
+    */
+  def emaViaGroups(df: org.apache.spark.sql.DataFrame, span: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    val alpha = 2.0 / (span + 1.0)
+    val in = df.select(col("symbol"), graft.functions.epochUs(col("ts")).as("ts_us"),
+      col("close"))
+    implicit val outEnc =
+      Encoders.tuple(Encoders.STRING, Encoders.scalaLong, Encoders.scalaDouble)
+    in.as(Encoders.tuple(Encoders.STRING, Encoders.scalaLong, Encoders.scalaDouble))
+      .groupByKey(_._1)(Encoders.STRING)
+      .flatMapGroups { (sym: String, rows: Iterator[(String, Long, Double)]) =>
+        var state = Double.NaN
+        rows.toSeq.sortBy(_._2).iterator.map { case (_, tsUs, x) =>
+          state = if (state.isNaN) x else alpha * x + (1 - alpha) * state
+          (sym, tsUs, state)
+        }
+      }
+      .toDF("symbol", "ts_us", "ema")
+  }
+
   /** W7 — percent change vs previous row (reference data_cleaner.py:368). */
   def pctChange(c: Column, s: Series): Column =
     c / lag(c, 1).over(s.w) - lit(1.0)

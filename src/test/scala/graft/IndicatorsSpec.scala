@@ -11,6 +11,20 @@ import graft.functions.Ema
   * in-memory reference fold.
   */
 class IndicatorsSpec extends SparkSpec {
+
+  test("native EMA window function equals the flatMapGroups fallback") {
+    import org.apache.spark.sql.functions._
+    val bars = graft.sources.Generator.ohlcv(spark, Seq("aa", "bb"), 500)
+    val native = bars.select(col("symbol"),
+        graft.functions.epochUs(col("ts")).as("ts_us"),
+        graft.functions.Ema.ema(col("close"), 12,
+          Seq(col("symbol")), Seq(col("ts"))).as("ema"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val grouped = graft.operators.Indicators.emaViaGroups(bars, 12)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(native.keySet == grouped.keySet)
+    native.foreach { case (k, v) => assert(v == grouped(k), s"at $k") }
+  }
   import spark.implicits._
 
   private lazy val series: Seq[Double] =

@@ -96,6 +96,38 @@ class PrepSpec extends SparkSpec {
     assert(out(4L) == None) // no B quotes
   }
 
+  test("forward and nearest as-of directions match pandas merge_asof semantics") {
+    def t(s: String) = Timestamp.valueOf(s)
+    val probes = Seq(
+      ("A", t("2024-01-01 00:04:00"), 1L), // back 0:00(240s) fwd 0:05(60s) → fwd
+      ("A", t("2024-01-01 00:01:00"), 2L), // back 0:00(60s) fwd 0:05(240s) → back
+      ("A", t("2024-01-01 00:12:00"), 3L), // no forward quote → back 0:09
+      ("B", t("2024-01-01 00:01:00"), 4L)  // no B quotes at all
+    ).toDF("symbol", "ts", "probe_id")
+    val quotes = Seq(
+      ("A", t("2024-01-01 00:00:00"), 100.0),
+      ("A", t("2024-01-01 00:05:00"), 105.0),
+      ("A", t("2024-01-01 00:09:00"), 109.0)
+    ).toDF("symbol", "ts", "close")
+    def res(df: org.apache.spark.sql.DataFrame) = df
+      .select($"probe_id", $"right_close").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    val fwd = res(AsOfJoin.asofForward(probes, quotes, Seq("symbol"), "ts", Seq("close")))
+    assert(fwd(1L) == Some(105.0))
+    assert(fwd(2L) == Some(105.0))
+    assert(fwd(3L) == None) // nothing at-or-after 00:12
+    assert(fwd(4L) == None)
+    val near = res(AsOfJoin.asofNearest(probes, quotes, Seq("symbol"), "ts", Seq("close")))
+    assert(near(1L) == Some(105.0)) // forward is closer
+    assert(near(2L) == Some(100.0)) // backward is closer
+    assert(near(3L) == Some(109.0)) // only backward exists
+    assert(near(4L) == None)
+    // equidistant → ties to backward
+    val mid = Seq(("A", t("2024-01-01 00:02:30"), 9L)).toDF("symbol", "ts", "probe_id")
+    val nm = res(AsOfJoin.asofNearest(mid, quotes, Seq("symbol"), "ts", Seq("close")))
+    assert(nm(9L) == Some(100.0))
+  }
+
   test("as-of join tolerance nulls out stale matches") {
     def t(s: String) = Timestamp.valueOf(s)
     val probes = Seq(("A", t("2024-01-01 01:00:00"), 1L)).toDF("symbol", "ts", "probe_id")
