@@ -18,6 +18,9 @@ object OracleSql {
 
   def exactStdSamp(c: String): String = s"sqrt(${exactVarSamp(c)})"
 
+  def exactSumPrice(c: String): String =
+    s"CAST(sum(CAST($c AS DECIMAL(18,4))) AS DOUBLE)"
+
   def exactSumOneMinus(price: String, frac: String): String =
     s"CAST(sum(CAST($price AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST($frac AS DECIMAL(18,4)))) AS DOUBLE)"
 

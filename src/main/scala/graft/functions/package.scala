@@ -52,6 +52,16 @@ package object functions {
   /** Exact sample stddev; oracle mirror `sqrt(<exactVarSamp sql>)`. */
   def exactStdSamp(c: Column): Column = sqrt(exactVarSamp(c))
 
+  /** Exact sum for PRICE-LIKE doubles (true values have ≤4 decimal digits,
+    * stored with ±few-ulp float noise). At DECIMAL(38,10) that noise can
+    * round to DIFFERENT 1e-10 lattice points across engines (Spark rounds
+    * the shortest decimal repr, DuckDB the binary value); at scale 4 the
+    * noise is ~1e-7 lattice units from any tie, so both engines agree.
+    * Oracle mirror: [[OracleSql.exactSumPrice]].
+    */
+  def exactSumPrice(c: Column): Column =
+    sum(c.cast("decimal(18,4)")).cast("double")
+
   /** Exact sum of `price * (1 - frac)` for price-like data (≤4 true decimal
     * digits). Casting the double PRODUCT to decimal is not portable (Spark
     * rounds the shortest decimal repr, DuckDB the binary value) — so cast

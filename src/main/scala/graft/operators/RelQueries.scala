@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{epochUs, exactSum, exactSumOneMinus, OracleSql => O}
+import graft.functions.{epochUs, exactSum, exactSumOneMinus, exactSumPrice, OracleSql => O}
 import graft.sources.Tables
 import QueryFixtures.{dbars, dbarsSql}
 
@@ -54,7 +54,7 @@ object RelQueries {
           col("o_custkey") === col("c_custkey"))
         .groupBy("c_nationkey")
         .agg(count(lit(1)).as("n_orders"),
-          exactSum(col("o_totalprice")).as("sum_totalprice"))),
+          exactSumPrice(col("o_totalprice")).as("sum_totalprice"))),
     // J2 — fact ⋈ fact on the shared key; shuffle join, AQE-managed.
     "j2_revenue_by_status" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -84,6 +84,35 @@ object RelQueries {
         .select(col("event_id"), col("symbol"), epochUs(col("ts")).as("ts_us"),
           col("right_close"))
     }),
+    // RJ1 — bucketed range join: events → tumbling 2h-of-6h "sessions".
+    // The interval side explodes onto overlapped chunks; the join is an
+    // equi-join on chunk + residual filter (no BroadcastNestedLoop).
+    "rj1_range_join" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val t0 = e.agg(min(epochUs(col("ts"))).as("__t0"))
+      val sessions = s.range(2000).toDF("k")
+        .crossJoin(broadcast(t0))
+        .select(col("k"),
+          timestamp_micros(col("__t0") + col("k") * lit(21600000000L))
+            .cast("timestamp_ntz").as("s_start"),
+          timestamp_micros(col("__t0") + col("k") * lit(21600000000L) + lit(7199999999L))
+            .cast("timestamp_ntz").as("s_end"))
+      RangeJoin.pointInInterval(e, sessions, Seq.empty, "ts", "s_start", "s_end",
+          bucketUs = 7200000000L)
+        .groupBy("k")
+        .agg(count(lit(1)).as("n_events"), exactSum(col("value")).as("sum_value"))
+        .withColumnRenamed("k", "session_id")
+    }),
+    // R1/R2 — rollup & cube subtotal surfaces (free Catalyst capabilities,
+    // declared + oracle-checked per SURVEY §2.4's note).
+    "r1_rollup" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(exactSum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))),
+    "r2_cube" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(exactSumPrice(col("o_totalprice")).as("sum_price"), count(lit(1)).as("n"))),
     // S1 — INTERSECT: supplier keys seen in lineitem ∩ low-nation suppliers.
     "s1_intersect" -> ((s, dir) =>
       Tables.lineitem(s, dir).select(col("l_suppkey").as("suppkey"))
@@ -117,7 +146,7 @@ object RelQueries {
          |WHERE rn = 1""".stripMargin),
     "j1_orders_by_nation" ->
       s"""SELECT c_nationkey, count(*) AS n_orders,
-         |       ${O.exactSum("o_totalprice")} AS sum_totalprice
+         |       ${O.exactSumPrice("o_totalprice")} AS sum_totalprice
          |FROM orders JOIN customer ON o_custkey = c_custkey
          |GROUP BY c_nationkey""".stripMargin,
     "j2_revenue_by_status" ->
@@ -142,6 +171,26 @@ object RelQueries {
          |SELECT p.event_id, p.symbol, epoch_us(p.ts) AS ts_us, q.close AS right_close
          |FROM probes p ASOF LEFT JOIN dbars q
          |  ON p.symbol = q.symbol AND p.ts >= q.ts""".stripMargin),
+    "rj1_range_join" ->
+      s"""WITH t0 AS (SELECT min(${O.epochUs("CAST(ts AS TIMESTAMP)")}) AS t0 FROM events),
+         |sessions AS (
+         |  SELECT k, make_timestamp(t0 + k * 21600000000) AS s_start,
+         |         make_timestamp(t0 + k * 21600000000 + 7199999999) AS s_end
+         |  FROM t0 CROSS JOIN (SELECT unnest(generate_series(0, 1999)) AS k) kk
+         |)
+         |SELECT k AS session_id, count(*) AS n_events,
+         |       ${O.exactSum("value")} AS sum_value
+         |FROM events e JOIN sessions s
+         |  ON CAST(e.ts AS TIMESTAMP) >= s.s_start AND CAST(e.ts AS TIMESTAMP) <= s.s_end
+         |GROUP BY k""".stripMargin,
+    "r1_rollup" ->
+      s"""SELECT l_returnflag, l_linestatus, ${O.exactSum("l_quantity")} AS sum_qty,
+         |       count(*) AS n
+         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "r2_cube" ->
+      s"""SELECT o_orderstatus, o_orderpriority, ${O.exactSumPrice("o_totalprice")} AS sum_price,
+         |       count(*) AS n
+         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
     "s1_intersect" ->
       """SELECT l_suppkey AS suppkey FROM lineitem
         |INTERSECT
