@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.Row
+
+import graft.operators._
+
+/** Degenerate-input hardening: empty frames, single rows, all-null columns,
+  * and sub-window-size documents must flow through every operator without
+  * crashing (Spark's `sequence(a, b)` counts DOWN when b < a — this class
+  * of bug bites silently at scale when one partition is empty or short).
+  */
+class EdgeCaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val barSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("symbol", StringType),
+    StructField("ts", TimestampNTZType), StructField("open", DoubleType),
+    StructField("high", DoubleType), StructField("low", DoubleType),
+    StructField("close", DoubleType), StructField("volume", DoubleType)))
+
+  private lazy val emptyBars =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], barSchema)
+
+  private lazy val oneBar = spark.createDataFrame(
+    java.util.List.of(Row(1L, "s", java.time.LocalDateTime.of(2024, 1, 1, 0, 0),
+      1.0, 2.0, 0.5, 1.5, 10.0)), barSchema)
+
+  private val order = Seq(col("ts"), col("event_id"))
+
+  test("cleaning chain on empty and single-row frames") {
+    for (df <- Seq(emptyBars, oneBar)) {
+      val out = Cleaning.addTimeFeatures(Cleaning.repairOhlc(
+        Cleaning.filterNonNegative(Cleaning.bfill(Cleaning.ffill(
+          Cleaning.dedupKeepFirst(df, Seq("symbol", "ts"), order),
+          Seq("close"), Seq("symbol"), order), Seq("close"), Seq("symbol"), order))))
+      assert(out.count() == df.count())
+    }
+  }
+
+  test("resample, fillGaps, indicators on empty and single-row frames") {
+    for (df <- Seq(emptyBars, oneBar)) {
+      assert(Resample.fillGaps(Resample.ohlcv(df, "1 hour"), "1 hour").count() == df.count())
+      assert(Indicators.withIndicators(df, Seq(col("symbol")), Seq(col("ts")))
+        .count() == df.count())
+    }
+  }
+
+  test("normalization and splits on empty frames") {
+    val cols = Seq("open", "volume")
+    assert(Normalize.finish(Normalize.zscoreTransform(
+      Normalize.zscoreFit(emptyBars, cols), cols)).count() == 0)
+    assert(Split.chronological(emptyBars, order, Seq(0.8), Seq("a", "b")).count() == 0)
+    assert(Split.slidingWindows(emptyBars, Seq(col("symbol")), order,
+      col("close"), 8, 2, 4).count() == 0)
+    assert(Split.slidingWindows(oneBar, Seq(col("symbol")), order,
+      col("close"), 8, 2, 4).count() == 0) // shorter than window+target
+  }
+
+  test("dedup and text ops on empty, whitespace, and sub-shingle docs") {
+    val docs = Seq(
+      (1L, ""), (2L, "   "), (3L, "one"), (4L, "two words")
+    ).toDF("doc_id", "text")
+    // < 3 tokens → empty shingle set → null minhash columns, no crash
+    val sig = Dedup.minhashSignature(docs, col("text"), col("doc_id"), 16, 3)
+    assert(sig.count() == 4)
+    assert(sig.filter(col("mh00").isNull).count() == 4)
+    assert(Dedup.lshCandidatePairs(sig, 4, 4).count() >= 0)
+    assert(Dedup.simhash32(docs, col("text"), col("doc_id")).count() == 2) // only docs with tokens
+    val t = docs.select(
+      TextOps.tokenCount(col("text")).as("n"),
+      TextOps.qualityScore(col("text")).as("q"),
+      TextOps.langId(col("text")).as("l"),
+      TextOps.fingerprint(col("text")).as("f")).collect()
+    assert(t.length == 4)
+    val empty = docs.filter(col("doc_id") === 1L).select(
+      TextOps.qualityScore(col("text"))).head.getDouble(0)
+    assert(empty == 0.0)
+  }
+
+  test("vector ops on empty corpus and as-of with empty right side") {
+    val emptyVecs = spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+    val q = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    assert(VectorOps.bruteTopK(q, emptyVecs, 5).count() == 0)
+    val probes = Seq(("s", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L))
+      .toDF("symbol", "ts", "id")
+    val emptyQuotes = spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+      StructType(Seq(StructField("symbol", StringType),
+        StructField("ts", TimestampType), StructField("close", DoubleType))))
+    val out = AsOfJoin.asof(probes, emptyQuotes, Seq("symbol"), "ts", Seq("close"))
+    assert(out.count() == 1 && out.select("right_close").head.isNullAt(0))
+  }
+}
