@@ -91,6 +91,36 @@ object VectorOps {
         col("neighbor_id"), col("cosine"))
   }
 
+  /** Multi-probe LSH top-k: the probe side also visits every bucket at
+    * Hamming distance 1 from its own (flip each plane bit) — recall
+    * recovers the near-misses that straddle one hyperplane at the cost of
+    * (planes+1)× probe rows; the corpus side stays single-bucket so the
+    * index build is unchanged. The standard recall/latency dial for
+    * sign-random-projection LSH.
+    */
+  def lshTopKMultiProbe(queries: DataFrame, corpus: DataFrame, k: Int,
+      planes: Int, dims: Int): DataFrame = {
+    val qb0 = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+      lshBucket(col("embedding"), planes, dims).as("bucket0"))
+    val probes = qb0.select(col("query_id"), col("qv"), col("bucket0"),
+      explode(array((lit(0L) +: (0 until planes).map(p => lit(1L << p))): _*))
+        .as("flip"))
+      .select(col("query_id"), col("qv"),
+        col("bucket0").bitwiseXOR(col("flip")).as("bucket"))
+    val cb = corpus.select(col("vec_id").as("neighbor_id"), col("embedding"),
+      lshBucket(col("embedding"), planes, dims).as("bucket"))
+    val joined = probes.join(cb, Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("embedding")).as("cosine"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cosine"))
+  }
+
   /** Blocked most-similar pairs: all pairs within a block (IVF-style coarse
     * partition), global top-n by cosine (deterministic tiebreak on ids).
     */

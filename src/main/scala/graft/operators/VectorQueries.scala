@@ -22,6 +22,9 @@ object VectorQueries {
       VectorOps.bruteTopK(queriesDf(s, dir), Tables.embeddings(s, dir), k)),
     "v2_lsh_topk" -> ((s, dir) =>
       VectorOps.lshTopK(queriesDf(s, dir), Tables.embeddings(s, dir), k, planes, dims)),
+    "v3_lsh_multiprobe" -> ((s, dir) =>
+      VectorOps.lshTopKMultiProbe(queriesDf(s, dir), Tables.embeddings(s, dir),
+        k, planes, dims)),
     "d5_embedding_top_pairs" -> ((s, dir) =>
       VectorOps.blockedTopPairs(Tables.embeddings(s, dir), col("label"), 50))
   )
@@ -71,6 +74,24 @@ object VectorQueries {
          |           ORDER BY ${cosineSql("q.v", "c.v")} DESC, c.vec_id) AS rank
          |  FROM b q JOIN b c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
          |  WHERE q.vec_id < 8
+         |) WHERE rank <= $k""".stripMargin),
+    "v3_lsh_multiprobe" -> (embSql +
+      s""", b AS (SELECT vec_id, v, ${bucketSql("v")} AS bucket FROM e),
+         |probes AS (
+         |  SELECT vec_id, v, xor(bucket, f) AS bucket
+         |  FROM b CROSS JOIN (SELECT unnest([${(0L +: (0 until planes).map(p => 1L << p)).mkString(", ")}]) AS f) ff
+         |  WHERE vec_id < 8
+         |),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         ${cosineSql("q.v", "c.v")} AS cosine
+         |  FROM probes q JOIN b c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+         |)
+         |SELECT query_id, rank, neighbor_id, cosine FROM (
+         |  SELECT query_id, neighbor_id, cosine,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM cand
          |) WHERE rank <= $k""".stripMargin),
     "d5_embedding_top_pairs" -> (embSql +
       s"""

@@ -39,6 +39,30 @@ class VectorSpec extends SparkSpec {
     assert(cos.sliding(2).forall(p => p(0) >= p(1)))
   }
 
+  test("multi-probe lsh recall >= single-probe; results within hamming 1") {
+    val corpus = (0 until 60).map(j =>
+      (j.toLong, (0 until 64).map(i => math.cos(i * (j + 2) * 0.7).toFloat).toArray)
+    ).toDF("vec_id", "embedding")
+    val q = corpus.filter(col("vec_id") < 5)
+    val single = VectorOps.lshTopK(q, corpus, 5, 4, 64).collect()
+      .filter(_.getLong(1) == 1L).map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val multi = VectorOps.lshTopKMultiProbe(q, corpus, 5, 4, 64).collect()
+      .filter(_.getLong(1) == 1L).map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // more candidates can only improve (or keep) each query's best cosine
+    single.foreach { case (qid, best) =>
+      assert(multi.getOrElse(qid, Double.MinValue) >= best, s"query $qid")
+    }
+    assert(multi.size >= single.size)
+    // every returned neighbor is within hamming 1 of the probe's bucket
+    val buckets = corpus.select(col("vec_id"),
+        VectorOps.lshBucket(col("embedding"), 4, 64).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    VectorOps.lshTopKMultiProbe(q, corpus, 5, 4, 64).collect().foreach { r =>
+      val d = java.lang.Long.bitCount(buckets(r.getLong(0)) ^ buckets(r.getLong(2)))
+      assert(d <= 1, s"hamming $d between query ${r.getLong(0)} and ${r.getLong(2)}")
+    }
+  }
+
   test("lsh top-k only pairs vectors in the same bucket and keeps near-dups") {
     val base = (0 until 64).map(i => math.sin(i + 1)).toArray
     val near = base.map(_ * 2.0) // same direction, same bucket by construction
