@@ -51,4 +51,18 @@ object StreamRollup {
         col("open"), col("high"), col("low"), col("close"),
         col("volume"), col("n_bars"))
   }
+
+  /** Land the rollup in a parquet lake: append mode + checkpoint gives
+    * exactly-once bucket files (each finalized bucket written once, replay
+    * resumes from the checkpoint offsets — the durable analog of the
+    * reference's continuous-aggregate materialization).
+    */
+  def sinkToLake(rolled: DataFrame, path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rolled.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
 }

@@ -81,6 +81,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming rollup lands finalized buckets in a parquet lake") {
+    val base = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val input = MemoryStream[InBar](spark)
+    val q = graft.streaming.StreamRollup.sinkToLake(
+      StreamRollup.ohlcvTumbling(input.toDF(), "1 hour", "1 hour"),
+      s"$base/lake", s"$base/ckpt")
+    try {
+      input.addData(
+        bar("ccc", "2024-01-01 10:00:00", 100.0, 5.0),
+        bar("ccc", "2024-01-01 10:30:00", 102.0, 7.0))
+      q.processAllAvailable()
+      input.addData(bar("ccc", "2024-01-01 12:30:00", 110.0))
+      q.processAllAvailable()
+      input.addData(bar("ccc", "2024-01-01 13:30:00", 111.0))
+      q.processAllAvailable()
+      val lake = spark.read.parquet(s"$base/lake")
+      val hour10 = lake.filter($"bucket_ts" === t("2024-01-01 10:00:00")).collect()
+      assert(hour10.length == 1)
+      assert(hour10.head.getAs[Double]("volume") == 12.0)
+    } finally q.stop()
+  }
+
   test("batch and streaming share the same rollup code path") {
     val batch = Seq(
       bar("bbb", "2024-01-01 10:00:00", 100.0, 5.0),
