@@ -68,4 +68,12 @@ object Ema {
     ColumnBridge.windowColumn(
       Ema(Cast(ColumnBridge.expression(c), DoubleType), Literal(alpha)),
       partition, order)
+
+  /** Wilder smoothing (RMA): alpha = 1/n, first-value seed — the smoother
+    * classic RSI/ATR use (vs the reference's simple-MA Cutler RSI).
+    */
+  def rma(c: Column, n: Int, partition: Seq[Column], order: Seq[Column]): Column = {
+    require(n >= 1, s"rma n must be >= 1, got $n")
+    emaAlpha(c, 1.0 / n, partition, order)
+  }
 }

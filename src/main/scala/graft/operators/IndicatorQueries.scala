@@ -106,6 +106,19 @@ object IndicatorQueries {
     """CASE WHEN __pc IS NULL THEN high - low
       |     ELSE greatest(high - low, abs(high - __pc), abs(low - __pc)) END""".stripMargin
 
+  /** Wilder RMA fold (alpha = 1/n), same shape as [[emaSql]]. */
+  private def rmaSql(listCol: String, n: Int): String = {
+    val a = dbl(1.0 / n)
+    s"CASE WHEN len($listCol) = 0 THEN NULL ELSE list_reduce($listCol, (acc, v) -> $a*v + (${dbl(1.0)} - $a)*acc) END"
+  }
+
+  private val rsiWilderFinalSql =
+    s"""CASE WHEN __ag IS NULL OR __al IS NULL THEN NULL
+       |     WHEN __al = 0 AND __ag > 0 THEN ${dbl(100.0)}
+       |     WHEN __al = 0 AND __ag = 0 THEN NULL
+       |     ELSE ${dbl(100.0)} - ${dbl(100.0)} / (${dbl(1.0)} + __ag / __al)
+       |END""".stripMargin
+
   // ------------------------------------------------------------- the catalog
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -145,6 +158,13 @@ object IndicatorQueries {
     "w8_diff" -> ((s, dir) =>
       cbars(s, dir).select(col("event_id"), col("symbol"),
         Indicators.diff(col("close"), S).as("close_diff"))),
+    "w10_rsi_wilder" -> ((s, dir) =>
+      cbars(s, dir).select(col("event_id"), col("symbol"),
+        Indicators.rsiWilder(col("close"), 14, S).as("rsi_w"))),
+    "w11_atr_wilder" -> ((s, dir) =>
+      cbars(s, dir).select(col("event_id"), col("symbol"),
+        Indicators.atrWilder(col("high"), col("low"), col("close"), 14, S)
+          .as("atr_w"))),
     "w9_indicators_all" -> ((s, dir) =>
       Indicators.withIndicators(cbars(s, dir), Seq(col("symbol")), order)
         .select(col("event_id"), col("symbol"), col("close"),
@@ -192,6 +212,19 @@ object IndicatorQueries {
          |d2 AS (SELECT *, $trSql AS __tr FROM d1)
          |SELECT event_id, symbol, ${smaSql("__tr", 14)} AS atr_14
          |FROM d2""".stripMargin),
+    "w10_rsi_wilder" -> (cbarsSql +
+      s""", d1 AS (SELECT *, close - lag(close, 1) OVER ($W) AS __delta FROM cbars),
+         |d2 AS (SELECT *, $gainSql AS __gain, $lossSql AS __loss FROM d1),
+         |d3 AS (SELECT *, ${prefixList("__gain")} AS __lg, ${prefixList("__loss")} AS __ll FROM d2),
+         |d4 AS (SELECT *, ${rmaSql("__lg", 14)} AS __ag, ${rmaSql("__ll", 14)} AS __al FROM d3)
+         |SELECT event_id, symbol, $rsiWilderFinalSql AS rsi_w
+         |FROM d4""".stripMargin),
+    "w11_atr_wilder" -> (cbarsSql +
+      s""", d1 AS (SELECT *, lag(close, 1) OVER ($W) AS __pc FROM cbars),
+         |d2 AS (SELECT *, $trSql AS __tr FROM d1),
+         |d3 AS (SELECT *, ${prefixList("__tr")} AS __lt FROM d2)
+         |SELECT event_id, symbol, ${rmaSql("__lt", 14)} AS atr_w
+         |FROM d3""".stripMargin),
     "w7_pct_change" -> (cbarsSql +
       s"""
          |SELECT event_id, symbol,

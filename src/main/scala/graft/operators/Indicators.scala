@@ -143,6 +143,28 @@ object Indicators {
       sum(tr.cast(Dec)).over(f).cast("double") / lit(n.toDouble))
   }
 
+  /** Beyond-reference — classic Wilder RSI: RMA (alpha=1/n) smoothing of
+    * gains/losses instead of the reference's simple-MA Cutler variant.
+    * NULL until a delta exists; loss-free stretches → 100 (rs=∞ in double).
+    */
+  def rsiWilder(c: Column, n: Int, s: Series): Column = {
+    val delta = diff(c, s)
+    val gain = when(delta.isNull, lit(null).cast("double"))
+      .when(delta > 0, delta).otherwise(lit(0.0))
+    val loss = when(delta.isNull, lit(null).cast("double"))
+      .when(delta < 0, -delta).otherwise(lit(0.0))
+    val ag = Ema.rma(gain, n, s.partition, s.order)
+    val al = Ema.rma(loss, n, s.partition, s.order)
+    when(ag.isNull || al.isNull, lit(null).cast("double"))
+      .when(al === 0 && ag > 0, lit(100.0))
+      .when(al === 0 && ag === 0, lit(null).cast("double"))
+      .otherwise(lit(100.0) - lit(100.0) / (lit(1.0) + ag / al))
+  }
+
+  /** Beyond-reference — classic Wilder ATR: RMA(TR) instead of SMA(TR). */
+  def atrWilder(high: Column, low: Column, close: Column, n: Int, s: Series): Column =
+    Ema.rma(trueRange(high, low, close, s), n, s.partition, s.order)
+
   /** W9 — the reference's `calculate_all` fan-out
     * (technical_indicators.py:83-122): 13 indicator columns in one pass.
     * All exprs share one window spec, so the physical plan is a single
