@@ -29,6 +29,13 @@ class FinDataSpec extends SparkSpec {
     val multi = FinData.aggregateMultiple(bars, Seq("5m", "1h", "1M"))
     assert(multi("5m").count() >= multi("1h").count())
     assert(multi.keySet == Set("5m", "1h", "1M"))
+    // gap-fill path: filled calendar has at least the unfilled buckets
+    val sparse = bars.filter(col("ts") < "2024-01-01 01:00:00" ||
+      col("ts") >= "2024-01-01 03:00:00")
+    val filled = FinData.aggregateOhlcv(sparse, "1h", fill = true)
+    val unfilled = FinData.aggregateOhlcv(sparse, "1h")
+    assert(filled.count() > unfilled.count()) // hour-1/2 gap materialized
+    assert(filled.filter(col("n_bars") === 0 && col("close").isNull).count() == 0)
   }
 
   test("indicators, splits, and query paths run") {

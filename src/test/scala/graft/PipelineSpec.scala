@@ -40,6 +40,19 @@ class PipelineSpec extends SparkSpec {
     assert(!cuts("train")._2.isAfter(cuts("test")._1))
   }
 
+  test("pipeline normalize stage runs post-resample with clean stats") {
+    val bars = Generator.ohlcv(spark, Seq("xrp"), 400)
+    val res = Pipeline.run(spark, bars, Pipeline.Config(
+      resampleTo = Some("1 hour"),
+      normalize = Some("zscore"),
+      normalizeCols = Seq("close", "volume")))
+    val stats = res.data.agg(
+      org.apache.spark.sql.functions.avg("close"),
+      org.apache.spark.sql.functions.stddev_samp("close")).collect().head
+    assert(math.abs(stats.getDouble(0)) < 1e-9)
+    assert(math.abs(stats.getDouble(1) - 1.0) < 1e-9)
+  }
+
   test("pipeline writes the partitioned lake when configured") {
     val dir = java.nio.file.Files.createTempDirectory("graft-pipe").toString + "/lake"
     val bars = Generator.ohlcv(spark, Seq("sol"), 200)
