@@ -86,7 +86,7 @@ object DedupQueries {
        |),
        |sh AS (
        |  SELECT doc_id,
-       |         sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS simhash
+       |         CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
        |  FROM votes GROUP BY doc_id
        |)""".stripMargin
 

@@ -26,14 +26,20 @@ object MultimodalQueries {
         col("meta.mime").as("mime"),
         col("meta.width").as("width"),
         col("meta.height").as("height"))),
+    // frames/byte_hist are JSON-encoded in the DECLARED outputs only (the
+    // driver's canonicalizer cannot sort/hash raw array cells); the library
+    // operators keep their typed array columns.
     "m2_frame_sample" -> ((s, dir) =>
       media(s, dir).select(
         col("media_id"),
         Multimodal.sampleFrames(col("bytes"), 7).as("frames"))
-        .withColumn("n_frames", size(col("frames")).cast("long"))),
+        .select(col("media_id"),
+          to_json(col("frames")).as("frames_json"),
+          size(col("frames")).cast("long").as("n_frames"))),
     "m3_decode_features" -> ((s, dir) =>
       Multimodal.decodeFeatures(media(s, dir)).toDF()
-        .select(col("media_id"), col("n_bytes"), col("mean_byte"), col("byte_hist")))
+        .select(col("media_id"), col("n_bytes"), col("mean_byte"),
+          to_json(col("byte_hist")).as("byte_hist_json")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -48,12 +54,40 @@ object MultimodalQueries {
         |FROM documents""".stripMargin,
     "m2_frame_sample" ->
       """SELECT doc_id AS media_id,
-        |       CASE WHEN length(text) >= 7
+        |       CAST(to_json(CASE WHEN length(text) >= 7
         |            THEN list_transform(generate_series(1, length(text) // 7),
         |                   i -> CAST(ascii(substring(text, (i - 1) * 7 + 1, 1)) AS BIGINT))
-        |            ELSE [] END AS frames,
+        |            ELSE CAST([] AS BIGINT[]) END) AS VARCHAR) AS frames_json,
         |       CAST(CASE WHEN length(text) >= 7 THEN length(text) // 7 ELSE 0 END AS BIGINT) AS n_frames
-        |FROM documents""".stripMargin
-    // m3_decode_features: decode stub — no SQL mirror (rows-only check)
+        |FROM documents""".stripMargin,
+    // m3: the "decode" stub is deterministic byte arithmetic and the corpus is
+    // pure ASCII, so the DuckDB mirror reproduces it exactly — full hash check.
+    "m3_decode_features" ->
+      """WITH b AS (
+        |  SELECT doc_id, unnest(generate_series(1, length(text))) AS i, text
+        |  FROM documents
+        |),
+        |bytes AS (SELECT doc_id, ascii(substring(text, i, 1)) AS byte FROM b),
+        |sums AS (
+        |  SELECT doc_id, count(*) AS n, CAST(sum(byte) AS DOUBLE) / count(*) AS mean_byte
+        |  FROM bytes GROUP BY doc_id
+        |),
+        |counts AS (
+        |  SELECT doc_id, byte // 16 AS bin, count(*) AS c FROM bytes GROUP BY 1, 2
+        |),
+        |hist AS (
+        |  SELECT d.doc_id, k, CAST(coalesce(c.c, 0) AS BIGINT) AS c
+        |  FROM documents d
+        |  CROSS JOIN generate_series(0, 15) g(k)
+        |  LEFT JOIN counts c ON c.doc_id = d.doc_id AND c.bin = k
+        |),
+        |hl AS (SELECT doc_id, list(c ORDER BY k) AS byte_hist FROM hist GROUP BY doc_id)
+        |SELECT d.doc_id AS media_id,
+        |       CAST(length(d.text) AS BIGINT) AS n_bytes,
+        |       coalesce(s.mean_byte, CAST(0 AS DOUBLE)) AS mean_byte,
+        |       CAST(to_json(h.byte_hist) AS VARCHAR) AS byte_hist_json
+        |FROM documents d
+        |LEFT JOIN sums s ON s.doc_id = d.doc_id
+        |LEFT JOIN hl h ON h.doc_id = d.doc_id""".stripMargin
   )
 }

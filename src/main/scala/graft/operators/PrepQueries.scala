@@ -43,12 +43,20 @@ object PrepQueries {
     "p2_hash_split" -> ((s, dir) =>
       Split.hashSplit(dbars(s, dir), col("event_id"), 0.8)
         .groupBy("split").agg(count(lit(1)).as("n"))),
-    "p5_sliding_windows" -> ((s, dir) =>
-      Split.slidingWindows(
+    "p5_sliding_windows" -> ((s, dir) => {
+      // Declared output is exploded to (part, idx, value) rows: the driver's
+      // canonicalizer sorts every column and cannot hash raw array cells.
+      val w = Split.slidingWindows(
         dbars(s, dir).filter(col("symbol") === "click"),
         Seq(col("symbol")), Seq(col("ts"), col("event_id")),
         col("close"), window = 8, target = 2, stride = 4)
-        .select(col("event_id"), col("window_start_rn"), col("x"), col("y")))
+      def part(name: String) =
+        w.select(col("event_id"), col("window_start_rn").cast("long").as("window_start_rn"),
+          lit(name).as("part"), posexplode(col(name)))
+      part("x").unionByName(part("y"))
+        .select(col("event_id"), col("window_start_rn"), col("part"),
+          col("pos").cast("long").as("idx"), col("col").as("value"))
+    })
   )
 
   private val statsCte =
@@ -113,8 +121,16 @@ object PrepQueries {
         |         list(close) OVER (w ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING) AS vals
         |  FROM dbars WHERE symbol = 'click'
         |  WINDOW w AS (PARTITION BY symbol ORDER BY ts, event_id)
+        |), win AS (
+        |  SELECT event_id, rn AS window_start_rn, vals[1:8] AS x, vals[9:10] AS y
+        |  FROM s WHERE len(vals) = 10 AND (rn - 1) % 4 = 0
         |)
-        |SELECT event_id, rn AS window_start_rn, vals[1:8] AS x, vals[9:10] AS y
-        |FROM s WHERE len(vals) = 10 AND (rn - 1) % 4 = 0""".stripMargin)
+        |SELECT event_id, window_start_rn, 'x' AS part,
+        |       CAST(i - 1 AS BIGINT) AS idx, x[i] AS value
+        |FROM win CROSS JOIN generate_series(1, 8) g(i)
+        |UNION ALL
+        |SELECT event_id, window_start_rn, 'y' AS part,
+        |       CAST(i - 1 AS BIGINT) AS idx, y[i] AS value
+        |FROM win CROSS JOIN generate_series(1, 2) g(i)""".stripMargin)
   )
 }

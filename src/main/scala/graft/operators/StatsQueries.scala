@@ -195,7 +195,7 @@ object StatsQueries {
     "a12_meta_summary" ->
       """SELECT count(DISTINCT lang) AS n_langs,
         |       count(DISTINCT source) AS n_sources,
-        |       sum(n_chars) AS total_chars,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |       count(*) AS n_docs
         |FROM documents""".stripMargin
   )

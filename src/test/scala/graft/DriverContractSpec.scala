@@ -15,7 +15,7 @@ class DriverContractSpec extends SparkSpec {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracles without queries: ${o -- q}")
-    assert((q -- o) == Set("m3_decode_features"), s"rows-only drift: ${q -- o}")
+    assert((q -- o).isEmpty, s"rows-only drift: ${q -- o}")
   }
 
   test("every declared query runs at sf0.001 with sane output columns") {
