@@ -1,5 +1,19 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Benchmark surface for the driver: times every declared query at the
+  * SF dir in SPARK_GRAFT_SF_DIR and reports ONE JSON line.
+  *
+  * Measurement discipline:
+  *   - `noop` sink, not `count()` — count() lets Catalyst prune computed
+  *     columns (a windowed-indicator query would time almost nothing);
+  *     the noop write evaluates every output column distributedly.
+  *   - warm JVM (one throwaway aggregate before the loop).
+  *   - the JSON is written to BENCH.json (sole content) AND printed as the
+  *     last stdout line after spark.stop(), so no Spark shutdown logging
+  *     or build-tool noise can trail it.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -9,18 +23,26 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
     // JVM/codegen warmup so the first measured query isn't charged for it
     spark.range(1000000).selectExpr("sum(id)").collect()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName} ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    Files.writeString(Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")), json + "\n")
     spark.stop()
+    println(json)
+    System.out.flush()
   }
 }

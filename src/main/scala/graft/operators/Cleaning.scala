@@ -225,9 +225,11 @@ object Cleaning {
   def extremeChange(df: DataFrame, c: String, partitionCols: Seq[String],
       order: Seq[Column], t: Double = 0.2): DataFrame = {
     val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(order: _*)
+    // try_divide: zero prev price → NULL ratio → flagged false by coalesce
+    // (matches DuckDB float division; plain `/` throws under ANSI mode)
     df.withColumn("__prev", lag(col(c), 1).over(w))
       .withColumn("extreme_change",
-        coalesce(abs(col(c) / col("__prev") - 1) > t, lit(false)))
+        coalesce(abs(try_divide(col(c), col("__prev")) - 1) > t, lit(false)))
       .drop("__prev")
   }
 

@@ -95,9 +95,13 @@ object Indicators {
       .toDF("symbol", "ts_us", "ema")
   }
 
-  /** W7 — percent change vs previous row (reference data_cleaner.py:368). */
+  /** W7 — percent change vs previous row (reference data_cleaner.py:368).
+    * try_divide: a zero previous value yields NULL (matches DuckDB float
+    * division; under ANSI mode a plain `/` would throw DIVIDE_BY_ZERO on
+    * the dirty-bar zero prices).
+    */
   def pctChange(c: Column, s: Series): Column =
-    c / lag(c, 1).over(s.w) - lit(1.0)
+    try_divide(c, lag(c, 1).over(s.w)) - lit(1.0)
 
   /** W8 — value diff vs previous row. */
   def diff(c: Column, s: Series): Column = c - lag(c, 1).over(s.w)

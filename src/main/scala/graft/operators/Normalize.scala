@@ -24,9 +24,12 @@ object Normalize {
     df.crossJoin(broadcast(df.agg(aggs.head, aggs.tail: _*)))
   }
 
+  // try_divide in the transforms: a constant column (σ=0 or max=min) yields
+  // NULL instead of an ANSI DIVIDE_BY_ZERO job failure — matching DuckDB
+  // float-division semantics; identical doubles whenever the divisor is ≠0.
   def zscoreTransform(fitted: DataFrame, cols: Seq[String]): DataFrame =
     cols.foldLeft(fitted)((d, c) =>
-      d.withColumn(c, (col(c) - col(s"__mu_$c")) / col(s"__sd_$c")))
+      d.withColumn(c, try_divide(col(c) - col(s"__mu_$c"), col(s"__sd_$c"))))
 
   def zscoreInverse(fitted: DataFrame, cols: Seq[String]): DataFrame =
     cols.foldLeft(fitted)((d, c) =>
@@ -41,7 +44,7 @@ object Normalize {
 
   def minmaxTransform(fitted: DataFrame, cols: Seq[String]): DataFrame =
     cols.foldLeft(fitted)((d, c) =>
-      d.withColumn(c, (col(c) - col(s"__mn_$c")) / (col(s"__mx_$c") - col(s"__mn_$c"))))
+      d.withColumn(c, try_divide(col(c) - col(s"__mn_$c"), col(s"__mx_$c") - col(s"__mn_$c"))))
 
   def minmaxInverse(fitted: DataFrame, cols: Seq[String]): DataFrame =
     cols.foldLeft(fitted)((d, c) =>

@@ -88,7 +88,7 @@ object StatsQueries {
       b.crossJoin(broadcast(bounds))
         .withColumn("__w", (col("__mx") - col("__mn")) / lit(100.0))
         .withColumn("bucket",
-          least(floor((col("close") - col("__mn")) / col("__w")), lit(99.0)).cast("long"))
+          least(floor(try_divide(col("close") - col("__mn"), col("__w"))), lit(99.0)).cast("long"))
         .groupBy("bucket", "__mn", "__w")
         .agg(exactSum(col("volume")).as("bucket_volume"), count(lit(1)).as("n_bars"))
         .select(col("bucket"),

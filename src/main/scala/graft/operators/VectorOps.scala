@@ -30,9 +30,12 @@ object VectorOps {
   def norm2(a: Column): Column =
     aggregate(a.cast("array<double>"), lit(0.0), (acc, v) => acc + v * v)
 
-  /** Cosine similarity — dot / (sqrt(n2a) * sqrt(n2b)). */
+  /** Cosine similarity — dot / (sqrt(n2a) * sqrt(n2b)). try_divide: an
+    * all-zero vector yields NULL, not an ANSI DIVIDE_BY_ZERO job failure
+    * (DuckDB float division also yields NULL there).
+    */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
+    try_divide(dot(a, b), sqrt(norm2(a)) * sqrt(norm2(b)))
 
   /** Deterministic integer hyperplane coefficient for (plane p, dim d):
     * ((1103515245·(p·dim + d) + 12345) mod 2001) − 1000 ∈ [−1000, 1000].
