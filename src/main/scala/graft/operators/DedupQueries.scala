@@ -8,7 +8,7 @@ import graft.sources.Tables
 
 /** Declared-query catalog for the dedup operators ([[Dedup]]) on the
   * `documents` table: exact hash dedup, MinHash signatures + LSH pairs,
-  * SimHash + Hamming histogram, token-set Jaccard.
+  * SimHash + Hamming histogram, token-set Jaccard on LSH candidates.
   *
   * The signature queries (d2, d3) are the strong oracle checks — every
   * md5-derived hash in the pipeline must agree bit-for-bit across engines.
@@ -35,14 +35,19 @@ object DedupQueries {
         bands, rows)
         .withColumn("n_equal", col("n_equal").cast("long"))),
     "d3_simhash" -> ((s, dir) =>
-      Dedup.simhash32(Tables.documents(s, dir), col("text"), col("doc_id"))),
+      Dedup.simhash(Tables.documents(s, dir), col("text"), col("doc_id"))),
     "d3b_hamming_hist" -> ((s, dir) =>
       Dedup.simhashHammingHist(
-        Dedup.simhash32(Tables.documents(s, dir), col("text"), col("doc_id")), 8)
+        Dedup.simhash(Tables.documents(s, dir), col("text"), col("doc_id")),
+        maxDist = 8)
         .withColumn("hamming", col("hamming").cast("long"))),
+    // D4 at scale: collapse to token-set classes, LSH + exact Jaccard at
+    // class level, expand to doc pairs — no block-quadratic term (the old
+    // `source`-blocked variant remains in the library as the
+    // exact-within-block API; jaccardOnCandidates as the general form).
     "d4_token_jaccard" -> ((s, dir) =>
-      Dedup.tokenJaccardPairs(Tables.documents(s, dir), col("text"), col("doc_id"),
-        col("source"), 0.8)),
+      Dedup.jaccardPairsAtScale(Tables.documents(s, dir),
+        col("text"), col("doc_id"), 0.8, nHashes, bands, rows)),
     "d6_drop_list" -> ((s, dir) =>
       Dedup.dropListFromPairs(
         Dedup.lshCandidatePairs(
@@ -66,28 +71,52 @@ object DedupQueries {
   private def minhashExprSql(a: Long, b: Long): String =
     s"list_min(list_transform(sh, t -> ($a * (${O.tokenHash("t")} % ${Dedup.P}) + $b) % ${Dedup.P}))"
 
-  private val sigSql = {
+  /** toks/shing/sig CTE prefix; `shingleN` picks 3-gram shingles (d2) or
+    * the token set itself (1-grams — the d4 candidate generator).
+    */
+  private def sigSqlFor(shingleN: Int): String = {
+    val sh = if (shingleN == 1) "list_distinct(tk)" else shingleSetSql
     val named = Dedup.hashParams(nHashes).zipWithIndex.map { case ((a, b), i) =>
       f"${minhashExprSql(a, b)} AS mh$i%02d"
     }
     s"""WITH toks AS (SELECT doc_id, ${O.tokens("text")} AS tk FROM documents),
-       |shing AS (SELECT doc_id, $shingleSetSql AS sh FROM toks),
+       |shing AS (SELECT doc_id, $sh AS sh FROM toks),
        |sig AS (SELECT doc_id, ${named.mkString(",\n  ")} FROM shing)""".stripMargin
   }
 
+  private val sigSql = sigSqlFor(3)
+
+  /** bandt/pairs CTE fragment over `sig`: documents agreeing on a full band. */
+  private val bandPairsSql = {
+    val bandSelects = (0 until bands).map { b =>
+      val ks = (0 until rows).map(r => f"mh${b * rows + r}%02d").mkString(", ")
+      s"SELECT doc_id, $b AS band, md5(concat_ws(',', $ks)) AS bkey FROM sig"
+    }.mkString("\nUNION ALL\n")
+    s"""bandt AS (
+       |$bandSelects
+       |),
+       |pairs AS (
+       |  SELECT DISTINCT x.doc_id AS doc_id1, y.doc_id AS doc_id2
+       |  FROM bandt x JOIN bandt y
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+       |)""".stripMargin
+  }
+
+  /** MAP-ONLY SimHash mirror: per-doc fold over the token-hash list —
+    * bit b set ⟺ 2·|{h : bit b of h}| > |tokens| (ties clear the bit,
+    * matching the Spark vote-sum > 0 rule).
+    */
   private val simhashSql =
-    s"""WITH toks AS (SELECT doc_id, unnest(${O.tokens("text")}) AS t FROM documents),
-       |th AS (SELECT doc_id, ${O.tokenHash("t")} % ${Dedup.P} AS h FROM toks),
-       |bits AS (SELECT doc_id, h, unnest(generate_series(0, 31)) AS b FROM th),
-       |votes AS (
-       |  SELECT doc_id, b,
-       |         sum(CASE WHEN (h >> b) & 1 = 1 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END) AS s
-       |  FROM bits GROUP BY doc_id, b
+    s"""WITH hashed AS (
+       |  SELECT doc_id, list_transform(${O.tokens("text")}, t -> ${O.tokenHash("t")}) AS hs
+       |  FROM documents
        |),
        |sh AS (
        |  SELECT doc_id,
-       |         CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
-       |  FROM votes GROUP BY doc_id
+       |         CAST(coalesce(list_sum(list_transform(generate_series(0, 59), b ->
+       |           CASE WHEN 2 * len(list_filter(hs, h -> (h >> b) & 1 = 1)) > len(hs)
+       |                THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)), 0) AS BIGINT) AS simhash
+       |  FROM hashed
        |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
@@ -95,83 +124,57 @@ object DedupQueries {
       """SELECT sha256(text) AS content_hash, count(*) AS n_docs, min(doc_id) AS keep_id
         |FROM documents GROUP BY 1""".stripMargin,
     "d2_minhash_sig" -> (sigSql + "\nSELECT * FROM sig"),
-    "d2b_lsh_pairs" -> (sigSql + ",\n" + {
-      val bandSelects = (0 until bands).map { b =>
-        val ks = (0 until rows).map(r => f"mh${b * rows + r}%02d").mkString(", ")
-        s"SELECT doc_id, $b AS band, md5(concat_ws(',', $ks)) AS bkey FROM sig"
-      }.mkString("\nUNION ALL\n")
+    "d2b_lsh_pairs" -> (sigSql + ",\n" + bandPairsSql + ",\n" + {
       val eq = (0 until nHashes)
         .map(i => f"CASE WHEN s1.mh$i%02d = s2.mh$i%02d THEN 1 ELSE 0 END")
         .mkString(" + ")
-      s"""bandt AS (
-         |$bandSelects
-         |),
-         |pairs AS (
-         |  SELECT DISTINCT x.doc_id AS doc_id1, y.doc_id AS doc_id2
-         |  FROM bandt x JOIN bandt y
-         |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+      s"""j AS (
+         |  SELECT doc_id1, doc_id2, CAST($eq AS BIGINT) AS n_equal
+         |  FROM pairs
+         |  JOIN sig s1 ON doc_id1 = s1.doc_id
+         |  JOIN sig s2 ON doc_id2 = s2.doc_id
          |)
-         |SELECT doc_id1, doc_id2, CAST($eq AS BIGINT) AS n_equal
-         |FROM pairs
-         |JOIN sig s1 ON doc_id1 = s1.doc_id
-         |JOIN sig s2 ON doc_id2 = s2.doc_id""".stripMargin
+         |SELECT doc_id1, doc_id2, n_equal FROM j""".stripMargin
     }),
     "d3_simhash" -> (simhashSql + "\nSELECT doc_id, simhash FROM sh"),
     "d3b_hamming_hist" -> (simhashSql + s""",
-       |bytes AS (
-       |  SELECT doc_id, simhash, k, (simhash >> (8 * k)) & 255 AS byte
+       |slices AS (
+       |  SELECT doc_id, simhash, k, (simhash >> (15 * k)) & 32767 AS slice
        |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) kk
        |),
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS doc_id1, y.doc_id AS doc_id2,
        |         x.simhash AS s1, y.simhash AS s2
-       |  FROM bytes x JOIN bytes y
-       |    ON x.k = y.k AND x.byte = y.byte AND x.doc_id < y.doc_id
+       |  FROM slices x JOIN slices y
+       |    ON x.k = y.k AND x.slice = y.slice AND x.doc_id < y.doc_id
        |)
        |SELECT CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming, count(*) AS n_pairs
        |FROM cand
        |WHERE bit_count(xor(s1, s2)) <= 8
        |GROUP BY 1""".stripMargin),
-    "d6_drop_list" -> (sigSql + ",\n" + {
-      val bandSelects = (0 until bands).map { b =>
-        val ks = (0 until rows).map(r => f"mh${b * rows + r}%02d").mkString(", ")
-        s"SELECT doc_id, $b AS band, md5(concat_ws(',', $ks)) AS bkey FROM sig"
-      }.mkString("\nUNION ALL\n")
+    "d6_drop_list" -> (sigSql + ",\n" + bandPairsSql + "\n" + {
       val eq = (0 until nHashes)
         .map(i => f"CASE WHEN s1.mh$i%02d = s2.mh$i%02d THEN 1 ELSE 0 END")
         .mkString(" + ")
-      s"""bandt AS (
-         |$bandSelects
-         |),
-         |pairs AS (
-         |  SELECT DISTINCT x.doc_id AS doc_id1, y.doc_id AS doc_id2
-         |  FROM bandt x JOIN bandt y
-         |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
-         |)
-         |SELECT DISTINCT doc_id2 AS drop_id
+      s"""SELECT DISTINCT doc_id2 AS drop_id
          |FROM pairs
          |JOIN sig s1 ON doc_id1 = s1.doc_id
          |JOIN sig s2 ON doc_id2 = s2.doc_id
          |WHERE $eq >= 8""".stripMargin
     }),
-    "d4_token_jaccard" ->
-      s"""WITH toks AS (
-         |  SELECT source AS blk, doc_id, unnest(${O.tokenSet("text")}) AS t
-         |  FROM documents
-         |),
-         |sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
-         |inter AS (
-         |  SELECT x.doc_id AS doc_id1, y.doc_id AS doc_id2, count(*) AS n_inter
-         |  FROM toks x JOIN toks y
-         |    ON x.blk = y.blk AND x.t = y.t AND x.doc_id < y.doc_id
-         |  GROUP BY 1, 2
-         |)
-         |SELECT doc_id1, doc_id2, n_inter,
-         |       za.sz + zb.sz - n_inter AS n_union,
-         |       CAST(n_inter AS DOUBLE) / CAST(za.sz + zb.sz - n_inter AS DOUBLE) AS jaccard
-         |FROM inter
-         |JOIN sizes za ON doc_id1 = za.doc_id
-         |JOIN sizes zb ON doc_id2 = zb.doc_id
-         |WHERE CAST(n_inter AS DOUBLE) / CAST(za.sz + zb.sz - n_inter AS DOUBLE) >= CAST('0.8' AS DOUBLE)""".stripMargin
+    "d4_token_jaccard" -> (sigSqlFor(1) + ",\n" + bandPairsSql + ",\n" +
+      """tsets AS (SELECT doc_id, list_distinct(tk) AS ts2 FROM toks),
+        |j AS (
+        |  SELECT doc_id1, doc_id2,
+        |         CAST(len(list_intersect(a.ts2, b.ts2)) AS BIGINT) AS n_inter,
+        |         CAST(len(a.ts2) + len(b.ts2) AS BIGINT) AS sz
+        |  FROM pairs
+        |  JOIN tsets a ON doc_id1 = a.doc_id
+        |  JOIN tsets b ON doc_id2 = b.doc_id
+        |)
+        |SELECT doc_id1, doc_id2, n_inter, sz - n_inter AS n_union,
+        |       CAST(n_inter AS DOUBLE) / CAST(sz - n_inter AS DOUBLE) AS jaccard
+        |FROM j
+        |WHERE CAST(n_inter AS DOUBLE) / CAST(sz - n_inter AS DOUBLE) >= CAST('0.8' AS DOUBLE)""".stripMargin)
   )
 }

@@ -101,8 +101,9 @@ object ScaleSmoke {
       Dedup.minhashSignature(docs, col("text"), col("doc_id"), 16, 3)
         .agg(sum(col("mh00") + col("mh15"))).count(); nd
     }
-    timeD("simhash32") {
-      Dedup.simhash32(docs, col("text"), col("doc_id")).count()
+    timeD("simhash60-maponly") {
+      Dedup.simhash(docs, col("text"), col("doc_id"))
+        .agg(sum("simhash")).count(); nd
     }
     timeD("langid+quality+tokens") {
       docs.select(

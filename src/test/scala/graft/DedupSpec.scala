@@ -38,12 +38,36 @@ class DedupSpec extends SparkSpec {
   }
 
   test("simhash of near-dups is closer than unrelated docs") {
-    val sh = Dedup.simhash32(docs, col("text"), col("doc_id"))
+    val sh = Dedup.simhash(docs, col("text"), col("doc_id"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(sh(1) == sh(4))
     assert(ham(sh(1), sh(2)) < ham(sh(1), sh(3)))
-    assert(ham(sh(1), sh(2)) <= 8)
+    assert(ham(sh(1), sh(2)) <= 20) // one word of 17 changed, 60-bit hash
+  }
+
+  test("jaccard on LSH candidates finds the same near-dups without blocking") {
+    val sig = Dedup.minhashSignature(docs, col("text"), col("doc_id"), 16, 1)
+    val cands = Dedup.lshCandidatePairs(sig, 4, 4)
+    val j = Dedup.jaccardOnCandidates(docs, col("text"), col("doc_id"), cands, 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4)).toMap
+    assert(j((1L, 4L)) == 1.0)
+    assert(j((1L, 2L)) > 0.8)
+    assert(!j.contains((1L, 3L))) // unrelated doc never becomes a candidate
+  }
+
+  test("class-collapsed jaccardPairsAtScale matches the doc-level path") {
+    // add a second exact dup so an intra-class expansion (>2 members) runs
+    val d = docs.unionByName(Seq((5L, base)).toDF("doc_id", "text"))
+    val sig = Dedup.minhashSignature(d, col("text"), col("doc_id"), 16, 1)
+    val docLevel = Dedup.jaccardOnCandidates(d, col("text"), col("doc_id"),
+        Dedup.lshCandidatePairs(sig, 4, 4), 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+    val atScale = Dedup.jaccardPairsAtScale(d, col("text"), col("doc_id"), 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+    assert(atScale == docLevel)
+    assert(atScale.contains((1L, 4L, 15L, 15L, 1.0))) // intra-class pair
+    assert(atScale.contains((4L, 5L, 15L, 15L, 1.0)))
   }
 
   test("token jaccard ranks near-dup above unrelated") {

@@ -67,7 +67,9 @@ class EdgeCaseSpec extends SparkSpec {
     assert(sig.count() == 4)
     assert(sig.filter(col("mh00").isNull).count() == 4)
     assert(Dedup.lshCandidatePairs(sig, 4, 4).count() >= 0)
-    assert(Dedup.simhash32(docs, col("text"), col("doc_id")).count() == 2) // only docs with tokens
+    val sh = Dedup.simhash(docs, col("text"), col("doc_id"))
+    assert(sh.count() == 4) // map-only: token-less docs stay, simhash 0
+    assert(sh.filter(col("doc_id") <= 2).filter(col("simhash") === 0).count() == 2)
     val t = docs.select(
       TextOps.tokenCount(col("text")).as("n"),
       TextOps.qualityScore(col("text")).as("q"),
