@@ -39,9 +39,18 @@ object FinData {
 
   private val order = Seq(col("ts"), col("symbol"))
 
-  /** The 12-step cleaning chain as one fused transform. */
+  /** The 12-step cleaning chain as one fused transform.
+    *
+    * Dedup tiebreak: (ts, symbol) are constant within a (symbol, ts)
+    * partition, so the kept row needs a stable tiebreak when duplicate keys
+    * carry different payloads — event_id when present (as Pipeline.run),
+    * else every remaining column in name order.
+    */
   def validateAndClean(bars: DataFrame): DataFrame = {
-    val deduped = Cleaning.dedupKeepFirst(bars, Seq("symbol", "ts"), order)
+    val tiebreak =
+      if (bars.columns.contains("event_id")) Seq(col("event_id"))
+      else bars.columns.filterNot(Set("symbol", "ts")).sorted.map(col).toSeq
+    val deduped = Cleaning.dedupKeepFirst(bars, Seq("symbol", "ts"), tiebreak)
     val filled = Cleaning.bfill(
       Cleaning.ffill(deduped, Seq("close"), Seq("symbol"), order),
       Seq("close"), Seq("symbol"), order)
@@ -66,13 +75,16 @@ object FinData {
     case m => throw new IllegalArgumentException(s"unknown method: $m")
   }
 
-  /** timeframe is a reference string: 1m 3m 5m 15m 30m 1h 2h 4h 6h 12h 1d 3d 1w 1M. */
-  def aggregateOhlcv(bars: DataFrame, timeframe: String, fill: Boolean = false): DataFrame = {
-    val agg =
-      if (timeframe == "1M") Resample.ohlcvMonthly(bars)
-      else Resample.ohlcv(bars, Resample.frames(timeframe))
-    if (fill && timeframe != "1M") Resample.fillGaps(agg, Resample.frames(timeframe))
-    else agg
+  /** timeframe is a reference string: 1m 3m 5m 15m 30m 1h 2h 4h 6h 8h 12h
+    * 1d 3d 1w 1M (timeframe_aggregator.py:11-27). `fill` defaults true
+    * because the reference's aggregate_ohlcv unconditionally ffills the
+    * resampled frame (timeframe_aggregator.py:77).
+    */
+  def aggregateOhlcv(bars: DataFrame, timeframe: String, fill: Boolean = true): DataFrame = {
+    require(Resample.fillStep.contains(timeframe),
+      s"Invalid timeframe '$timeframe'. Valid: ${Resample.fillStep.keys.toSeq.sorted.mkString(", ")}")
+    val agg = Resample.resample(bars, timeframe)
+    if (fill) Resample.fillGaps(agg, Resample.fillStep(timeframe)) else agg
   }
 
   def aggregateMultiple(bars: DataFrame, timeframes: Seq[String]): Map[String, DataFrame] =

@@ -9,7 +9,19 @@ import org.apache.spark.sql.types._
   * Semantics match the reference's `ewm(span=n, adjust=False).mean()`
   * (reference technical_indicators.py:17-20):
   *   y_0 = x_0;  y_t = alpha * x_t + (1 - alpha) * y_{t-1},  alpha = 2/(n+1).
-  * NULL inputs carry the previous state forward (pandas ewm ignores NaN).
+  *
+  * NULL handling follows pandas' `ignore_na` exactly:
+  *   - ignoreNa = false (pandas/reference DEFAULT): a null consumes a
+  *     position — the old state's relative weight keeps decaying through
+  *     the gap, so the next valid value is
+  *     y = ((1-a)^k·y + a·x) / ((1-a)^k + a) after k positions since the
+  *     last valid one (pandas ewm old_wt recurrence).
+  *   - ignoreNa = true: nulls are skipped entirely; state carries
+  *     unchanged (relative weights based on valid positions only).
+  *   On a gap-free series the two are identical, and the gap-free path
+  *   uses the plain recurrence verbatim (guarded by old_wt == 1), keeping
+  *   results bit-identical to the un-gapped formula — no (1-a)+a ≈ 1
+  *   round-off enters unless a gap actually occurred.
   *
   * This recurrence has per-row output over ordered rows, which no built-in
   * frame aggregate expresses (SURVEY.md §2.10). As an
@@ -18,7 +30,7 @@ import org.apache.spark.sql.types._
   * it composes with any `Window.partitionBy(...).orderBy(...)` so multi-
   * series EMA is a single shuffle at any scale.
   */
-case class Ema(input: Expression, alpha: Expression)
+case class Ema(input: Expression, alpha: Expression, ignoreNa: Boolean = false)
     extends AggregateWindowFunction {
 
   override def children: Seq[Expression] = Seq(input, alpha)
@@ -28,17 +40,34 @@ case class Ema(input: Expression, alpha: Expression)
 
   private lazy val state =
     AttributeReference("ema_state", DoubleType, nullable = true)()
+  private lazy val oldWt =
+    AttributeReference("ema_old_wt", DoubleType, nullable = false)()
 
-  override def aggBufferAttributes: Seq[AttributeReference] = Seq(state)
+  override def aggBufferAttributes: Seq[AttributeReference] = Seq(state, oldWt)
 
   override val initialValues: Seq[Expression] =
-    Seq(Literal.create(null, DoubleType))
+    Seq(Literal.create(null, DoubleType), Literal(1.0))
 
-  override val updateExpressions: Seq[Expression] = Seq(
-    If(IsNull(input), state,
+  private val oneMinusAlpha = Subtract(Literal(1.0), alpha)
+
+  override val updateExpressions: Seq[Expression] = {
+    val plain = Add(Multiply(alpha, input),
+      Multiply(oneMinusAlpha, state))
+    val decayed = Multiply(oldWt, oneMinusAlpha)
+    val weighted = Divide(
+      Add(Multiply(decayed, state), Multiply(alpha, input)),
+      Add(decayed, alpha))
+    val nextState = If(IsNull(input), state,
       If(IsNull(state), input,
-        Add(Multiply(alpha, input), Multiply(Subtract(Literal(1.0), alpha), state))))
-  )
+        if (ignoreNa) plain
+        else If(EqualTo(oldWt, Literal(1.0)), plain, weighted)))
+    val nextOldWt =
+      if (ignoreNa) Literal(1.0)
+      else If(IsNull(input),
+        If(IsNull(state), oldWt, Multiply(oldWt, oneMinusAlpha)),
+        Literal(1.0))
+    Seq(nextState, nextOldWt)
+  }
 
   override val evaluateExpression: Expression = state
 
@@ -58,15 +87,18 @@ object Ema {
     * Partition/order are passed explicitly because `Column.over` cannot
     * attach a custom window function in Spark 4 (see
     * [[org.apache.spark.sql.graftbridge.ColumnBridge.windowColumn]]).
+    * `ignoreNa` as in pandas ewm (default false = reference semantics).
     */
-  def ema(c: Column, span: Int, partition: Seq[Column], order: Seq[Column]): Column = {
+  def ema(c: Column, span: Int, partition: Seq[Column], order: Seq[Column],
+      ignoreNa: Boolean = false): Column = {
     require(span >= 1, s"ema span must be >= 1, got $span")
-    emaAlpha(c, 2.0 / (span + 1.0), partition, order)
+    emaAlpha(c, 2.0 / (span + 1.0), partition, order, ignoreNa)
   }
 
-  def emaAlpha(c: Column, alpha: Double, partition: Seq[Column], order: Seq[Column]): Column =
+  def emaAlpha(c: Column, alpha: Double, partition: Seq[Column], order: Seq[Column],
+      ignoreNa: Boolean = false): Column =
     ColumnBridge.windowColumn(
-      Ema(Cast(ColumnBridge.expression(c), DoubleType), Literal(alpha)),
+      Ema(Cast(ColumnBridge.expression(c), DoubleType), Literal(alpha), ignoreNa),
       partition, order)
 
   /** Wilder smoothing (RMA): alpha = 1/n, first-value seed — the smoother

@@ -63,7 +63,9 @@ object Indicators {
 
   /** W2 — exponential moving average, `ewm(span=n, adjust=False)` semantics
     * (reference technical_indicators.py:17-20): y_0 = x_0,
-    * y_t = α·x_t + (1−α)·y_{t−1}, α = 2/(n+1); NULL inputs carry state.
+    * y_t = α·x_t + (1−α)·y_{t−1}, α = 2/(n+1). NULL inputs decay the old
+    * state's weight by position (pandas default `ignore_na=False`) — see
+    * [[graft.functions.Ema]].
     */
   def ema(c: Column, span: Int, s: Series): Column =
     Ema.ema(c, span, s.partition, s.order)

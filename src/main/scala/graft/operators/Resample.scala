@@ -30,13 +30,33 @@ object Resample {
 
   /** Reference timeframe strings → Spark interval strings
     * (timeframe_aggregator.py:11-27). "1M" (calendar month) is handled by
-    * [[ohlcvMonthly]] since tumbling windows have no month interval.
+    * [[ohlcvMonthly]] since tumbling windows have no month interval; "3d"
+    * by [[ohlcvAnchored]] (pandas '3D' anchors to the series' start day,
+    * not the epoch); "1w" by [[ohlcvWeekly]] (pandas 'W-SUN' bins ISO
+    * weeks). [[resample]] dispatches; `frames` maps the epoch-aligned rest.
     */
   val frames: Map[String, String] = Map(
     "1m" -> "1 minute", "3m" -> "3 minutes", "5m" -> "5 minutes",
     "15m" -> "15 minutes", "30m" -> "30 minutes", "1h" -> "1 hour",
     "2h" -> "2 hours", "4h" -> "4 hours", "6h" -> "6 hours",
-    "12h" -> "12 hours", "1d" -> "1 day", "3d" -> "3 days", "1w" -> "7 days")
+    "8h" -> "8 hours", "12h" -> "12 hours", "1d" -> "1 day",
+    "3d" -> "3 days", "1w" -> "7 days")
+
+  /** Interval to step fillGaps by, for every reference frame. */
+  val fillStep: Map[String, String] = frames + ("1M" -> "1 month")
+
+  /** All 15 reference frames, dispatched to the right bucketing rule:
+    * epoch-aligned tumbling for intraday/daily frames (== pandas
+    * origin='start_day' there, since those intervals divide a day),
+    * series-anchored for "3d", ISO-week for "1w", calendar month for "1M".
+    */
+  def resample(df: DataFrame, timeframe: String, ts: Column = col("ts")): DataFrame =
+    timeframe match {
+      case "1M" => ohlcvMonthly(df, ts)
+      case "3d" => ohlcvAnchored(df, frames("3d"), ts)
+      case "1w" => ohlcvWeekly(df, ts)
+      case f => ohlcv(df, frames(f), ts)
+    }
 
   private def ohlcvAggs(ts: Column): Seq[Column] = Seq(
     min_by(col("open"), ts).as("open"),
@@ -67,6 +87,41 @@ object Resample {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** A1, "3d"-style frames — buckets anchored to each symbol's first day
+    * (pandas `resample('3D')` default `origin='start_day'`): bucket k of a
+    * symbol spans [origin + k·iv, origin + (k+1)·iv) where origin is
+    * midnight of the symbol's earliest timestamp. The per-symbol origin is
+    * a partition-window min (one shuffle shared with the aggregation);
+    * bucketing itself is pure arithmetic — no epoch-aligned `window()`,
+    * whose 3-day buckets would land on a different (epoch-dependent) phase.
+    */
+  def ohlcvAnchored(df: DataFrame, interval: String, ts: Column = col("ts")): DataFrame = {
+    val ivMicros = interval match {
+      case s"$n day$_" => n.trim.toLong * 86400000000L
+      case s"$n hour$_" => n.trim.toLong * 3600000000L
+      case other => throw new IllegalArgumentException(s"unsupported anchor interval: $other")
+    }
+    val origin = unix_micros(date_trunc("day",
+      min(ts).over(Window.partitionBy(col("symbol")))))
+    val bucket = timestamp_micros(
+      origin + floor((unix_micros(ts) - origin) / ivMicros).cast("long") * ivMicros)
+    val aggs = ohlcvAggs(ts)
+    df.withColumn("__bucket", bucket)
+      .groupBy(col("symbol"), col("__bucket").as("bucket_ts"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** A1, "1w" frame — pandas `resample('1W')` is 'W-SUN': values bin by ISO
+    * week (Monday 00:00 edges) and the bucket is labeled with its Sunday.
+    * `date_trunc("week", ts)` is the ISO Monday; label = Monday + 6 days.
+    */
+  def ohlcvWeekly(df: DataFrame, ts: Column = col("ts")): DataFrame = {
+    val aggs = ohlcvAggs(ts)
+    df.groupBy(col("symbol"),
+        (date_trunc("week", ts) + expr("INTERVAL 6 DAYS")).as("bucket_ts"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** A1 gap-fill — materialize empty buckets on each symbol's
     * [min, max] bucket calendar and forward-fill OHLC; empty buckets get
     * volume = 0 and n_bars = 0 (pandas: sum over empty bucket is 0, ohlc is
@@ -93,8 +148,5 @@ object Resample {
     * DataFrame per requested frame, all lazily sharing the cleaned input.
     */
   def multiFrame(df: DataFrame, requested: Seq[String]): Map[String, DataFrame] =
-    requested.map {
-      case "1M" => "1M" -> ohlcvMonthly(df)
-      case f => f -> ohlcv(df, frames(f))
-    }.toMap
+    requested.map(f => f -> resample(df, f)).toMap
 }

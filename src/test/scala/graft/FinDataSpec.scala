@@ -33,7 +33,7 @@ class FinDataSpec extends SparkSpec {
     val sparse = bars.filter(col("ts") < "2024-01-01 01:00:00" ||
       col("ts") >= "2024-01-01 03:00:00")
     val filled = FinData.aggregateOhlcv(sparse, "1h", fill = true)
-    val unfilled = FinData.aggregateOhlcv(sparse, "1h")
+    val unfilled = FinData.aggregateOhlcv(sparse, "1h", fill = false)
     assert(filled.count() > unfilled.count()) // hour-1/2 gap materialized
     assert(filled.filter(col("n_bars") === 0 && col("close").isNull).count() == 0)
   }

@@ -48,13 +48,26 @@ class IndicatorsSpec extends SparkSpec {
     got.zip(want).foreach { case (g, e) => assert(g == e, s"ema mismatch: $g vs $e") }
   }
 
-  test("EMA carries state through nulls and seeds on first non-null") {
+  test("EMA null gaps decay weights by position (pandas ignore_na=False)") {
     val withNulls = Seq((0L, None), (1L, Some(10.0)), (2L, None), (3L, Some(20.0)))
       .toDF("i", "x")
     val got = withNulls
       .select(Ema.ema($"x", 3, Nil, Seq($"i"))).collect()
       .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
-    // alpha = 0.5: seed 10, null keeps 10, then 0.5*20 + 0.5*10 = 15
+    // alpha = 0.5: seed 10; null outputs 10 but decays its weight to
+    // (1-a)=0.5; next valid: ((0.5*0.5)*10 + 0.5*20)/(0.25+0.5) = 16.666…
+    // — pandas ewm(span=3, adjust=False).mean() on [NaN, 10, NaN, 20]
+    assert(got.toSeq == Seq(None, Some(10.0), Some(10.0),
+      Some((0.25 * 10.0 + 0.5 * 20.0) / 0.75)))
+  }
+
+  test("EMA ignoreNa=true carries state unchanged through nulls") {
+    val withNulls = Seq((0L, None), (1L, Some(10.0)), (2L, None), (3L, Some(20.0)))
+      .toDF("i", "x")
+    val got = withNulls
+      .select(Ema.ema($"x", 3, Nil, Seq($"i"), ignoreNa = true)).collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    // alpha = 0.5: seed 10, null keeps 10 at full weight, then 15
     assert(got.toSeq == Seq(None, Some(10.0), Some(10.0), Some(15.0)))
   }
 

@@ -73,6 +73,40 @@ class ResampleSpec extends SparkSpec {
     assert(filled.filter($"symbol" === "B" && $"n_bars" === 0L).count() == 0)
   }
 
+  test("3d buckets anchor to each symbol's start day, not the epoch") {
+    // symbol C starts 2024-03-02 (not a multiple of 3 days since epoch:
+    // epoch-aligned 3-day windows would bucket at 2024-02-29/03-03)
+    val c = bars.filter($"symbol" === "B")
+      .withColumn("ts", $"ts" + expr("INTERVAL 1 DAY"))
+      .withColumn("symbol", lit("C"))
+    val out = Resample.ohlcvAnchored(bars.unionByName(c), "3 days").collect()
+    val byS = out.groupBy(_.getAs[String]("symbol"))
+    assert(byS("A").map(_.getAs[Timestamp]("bucket_ts")).toSet ==
+      Set(Timestamp.valueOf("2024-03-01 00:00:00")))
+    assert(byS("C").map(_.getAs[Timestamp]("bucket_ts")).toSet ==
+      Set(Timestamp.valueOf("2024-03-02 00:00:00"))) // own origin, same data
+  }
+
+  test("1w buckets bin ISO weeks and label their Sunday (pandas W-SUN)") {
+    // 2024-03-01 is a Friday; its ISO week is Mon 02-26 .. Sun 03-03
+    val w = Resample.ohlcvWeekly(bars).collect()
+    assert(w.map(_.getAs[Timestamp]("bucket_ts")).toSet ==
+      Set(Timestamp.valueOf("2024-03-03 00:00:00")))
+    // volume conserved into the single weekly bucket
+    val tot = bars.filter($"symbol" === "A").agg(sum("volume")).head.getDouble(0)
+    val wA = w.find(_.getAs[String]("symbol") == "A").get
+    assert(math.abs(wA.getAs[Double]("volume") - tot) < 1e-6)
+  }
+
+  test("8h frame resamples via the dispatcher (reference VALID_TIMEFRAMES)") {
+    val r = Resample.resample(bars, "8h").collect()
+    // 10 hours of data per symbol → 2 buckets each (00:00, 08:00)
+    assert(r.length == 4)
+    assert(r.map(_.getAs[Timestamp]("bucket_ts")).toSet ==
+      Set(Timestamp.valueOf("2024-03-01 00:00:00"),
+        Timestamp.valueOf("2024-03-01 08:00:00")))
+  }
+
   test("multiFrame fan-out includes the calendar-month frame") {
     val m = Resample.multiFrame(bars, Seq("5m", "1h", "1M"))
     assert(m.keySet == Set("5m", "1h", "1M"))
