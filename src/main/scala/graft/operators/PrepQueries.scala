@@ -31,6 +31,12 @@ object PrepQueries {
       Split.chronological(dbars(s, dir), Seq(col("ts"), col("event_id")),
           Seq(0.8), Seq("train", "test"))
         .groupBy("symbol", "split").agg(count(lit(1)).as("n"))),
+    // P1's 100 TB-safe variant, oracle-gated: rank-based cut timestamps +
+    // pure filter labels — no global row_number sort over the data.
+    "p1b_chrono_split_scale" -> ((s, dir) =>
+      Split.chronologicalAtScale(dbars(s, dir), col("ts"),
+          Seq(0.8), Seq("train", "test"), exact = true)
+        .groupBy("symbol", "split").agg(count(lit(1)).as("n"))),
     "p3_three_way_split" -> ((s, dir) =>
       Split.chronological(dbars(s, dir), Seq(col("ts"), col("event_id")),
           Seq(0.7, 0.85), Seq("train", "val", "test"))
@@ -90,6 +96,21 @@ object PrepQueries {
         |         CASE WHEN row_number() OVER (ORDER BY ts, event_id)
         |                   <= floor(count(*) OVER () * CAST('0.8' AS DOUBLE)) THEN 'train' ELSE 'test' END AS split
         |  FROM dbars
+        |)
+        |SELECT symbol, split, count(*) AS n FROM lab GROUP BY symbol, split""".stripMargin),
+    "p1b_chrono_split_scale" -> (dbarsSql +
+      """, tot AS (
+        |  SELECT CAST(floor(count(*) * CAST('0.8' AS DOUBLE)) AS BIGINT) AS k FROM dbars
+        |), pt AS (
+        |  SELECT epoch_us(ts) AS tus, count(*) AS c FROM dbars GROUP BY 1
+        |), cc AS (
+        |  SELECT tus, sum(c) OVER (ORDER BY tus) AS cum FROM pt
+        |), q AS (
+        |  SELECT min(CASE WHEN cum >= k THEN tus END) AS cut FROM cc CROSS JOIN tot
+        |), lab AS (
+        |  SELECT symbol,
+        |         CASE WHEN epoch_us(ts) <= cut THEN 'train' ELSE 'test' END AS split
+        |  FROM dbars CROSS JOIN q
         |)
         |SELECT symbol, split, count(*) AS n FROM lab GROUP BY symbol, split""".stripMargin),
     "p3_three_way_split" -> (dbarsSql +

@@ -51,30 +51,52 @@ object Split {
   }
 
   /** P1 at scale — the global row_number sort above is a single-partition
-    * window; this variant derives the cut TIMESTAMPS from quantiles of the
-    * time column (one parallel aggregate) and labels with pure filters —
-    * embarrassingly parallel, trades exact row counts for
-    * approximately-fractional ones (ties land on one side). Approximate
-    * quantiles by default: EXACT percentile buffers every value and is
-    * itself a bottleneck (measured 42 s exact vs 2 s approx vs 11 s for
-    * the row_number variant on 10 M rows, tools/ScaleSmoke) — exact=true
-    * only when the caller needs reproducible cutoffs AND the frame is small.
+    * window over EVERY row; this variant derives cut TIMESTAMPS and labels
+    * with pure filters — embarrassingly parallel over the data.
+    *
+    *   - exact = false (default): approximate quantiles of the time column
+    *     (one parallel aggregate; EXACT interpolating percentile buffers
+    *     every value and is itself a bottleneck — measured 42 s exact vs
+    *     2 s approx vs 11 s for the row_number variant on 10 M rows,
+    *     tools/ScaleSmoke). Fractions are approximate.
+    *   - exact = true: rank-based cutoffs — cut_i is the ⌊cut·n⌋-th
+    *     smallest timestamp, from cumulative counts over DISTINCT
+    *     timestamps (a year of 1-minute bars is ~526 k distinct values, so
+    *     the one ordered window here is over a tiny frame regardless of row
+    *     count). On tie-free timestamps this reproduces [[chronological]]'s
+    *     row counts exactly; ties all land on the train side of the cut.
+    *     Integer-rank arithmetic only — no float interpolation, so the
+    *     cutoff is reproducible bit-for-bit across engines.
     */
   def chronologicalAtScale(df: DataFrame, ts: Column, cuts: Seq[Double],
       labels: Seq[String], exact: Boolean = false): DataFrame = {
     require(labels.size == cuts.size + 1)
-    val pct: Double => Column =
-      if (exact) p => percentile(unix_micros(ts.cast("timestamp")), lit(p))
-      else p => approx_percentile(unix_micros(ts.cast("timestamp")), lit(p), lit(1000))
-    val qs = df.agg(pct(cuts.head).as("q0"),
-      cuts.tail.zipWithIndex.map { case (c, i) => pct(c).as(s"q${i + 1}") }: _*)
-    val bounds = qs.collect().head
-    // exact percentile yields DOUBLE, approx_percentile over longs yields LONG
-    val cutUs = cuts.indices.map(i =>
-      bounds.get(i).asInstanceOf[Number].longValue())
+    val tsUs = unix_micros(ts.cast("timestamp"))
+    val cutUs: Seq[Long] =
+      if (exact) {
+        val n = df.count()
+        val ks = cuts.map(c => math.floor(c * n).toLong)
+        val cum = df.groupBy(tsUs.as("__ts_us")).agg(count(lit(1)).as("__c"))
+          .withColumn("__cum",
+            sum(col("__c")).over(Window.orderBy(col("__ts_us"))))
+        val aggs = ks.zipWithIndex.map { case (k, i) =>
+          min(when(col("__cum") >= k, col("__ts_us"))).as(s"q$i")
+        }
+        val bounds = cum.agg(aggs.head, aggs.tail: _*).collect().head
+        // k <= 0 (or empty frame) ⇒ an empty first label, not "first ts"
+        ks.indices.map(i =>
+          if (ks(i) <= 0 || bounds.isNullAt(i)) Long.MinValue
+          else bounds.getLong(i))
+      } else {
+        val aggs = cuts.zipWithIndex.map { case (c, i) =>
+          approx_percentile(tsUs, lit(c), lit(1000)).as(s"q$i")
+        }
+        val bounds = df.agg(aggs.head, aggs.tail: _*).collect().head
+        cuts.indices.map(i => bounds.getLong(i))
+      }
     val expr0 = cutUs.zip(labels.init).reverse.foldLeft(lit(labels.last): Column) {
       case (rest, (cut, lbl)) =>
-        when(unix_micros(ts.cast("timestamp")) <= lit(cut), lit(lbl)).otherwise(rest)
+        when(tsUs <= lit(cut), lit(lbl)).otherwise(rest)
     }
     df.withColumn("split", expr0)
   }

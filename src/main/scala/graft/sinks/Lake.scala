@@ -51,6 +51,45 @@ object Lake {
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(table)
 
+  /** Retention/TTL janitor — drop year/month partitions older than
+    * `keepMonths` (counted back from `asOf`, exclusive), the lake analog of
+    * the reference's retention policies (timescaledb_schema.sql:40: drop
+    * raw >1 y; :70: drop 1 h aggregate >5 y; cleanup loop
+    * data_storage_manager.py:418-465).
+    *
+    * Pure directory-level delete: no data file is read or rewritten, so
+    * the cost is O(partitions dropped), not O(lake size) — at 100 TB the
+    * janitor touches metadata only. Returns the dropped partition dirs
+    * (relative, e.g. "year=2023/month=4").
+    */
+  def expirePartitions(spark: SparkSession, path: String, keepMonths: Int,
+      asOf: java.time.YearMonth = java.time.YearMonth.now(java.time.ZoneOffset.UTC)): Seq[String] = {
+    require(keepMonths >= 1, s"keepMonths must be >= 1, got $keepMonths")
+    val horizon = asOf.minusMonths(keepMonths.toLong - 1) // keep [horizon, asOf]
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(root)) return Nil
+    val dropped = for {
+      y <- fs.listStatus(root).toSeq
+      if y.isDirectory && y.getPath.getName.startsWith("year=")
+      yr = y.getPath.getName.stripPrefix("year=").toInt
+      m <- fs.listStatus(y.getPath).toSeq
+      if m.isDirectory && m.getPath.getName.startsWith("month=")
+      mo = m.getPath.getName.stripPrefix("month=").toInt
+      if java.time.YearMonth.of(yr, mo).isBefore(horizon)
+    } yield {
+      fs.delete(m.getPath, true)
+      s"year=$yr/month=$mo"
+    }
+    // prune now-empty year dirs so partition discovery stays clean
+    fs.listStatus(root).foreach { y =>
+      if (y.isDirectory && y.getPath.getName.startsWith("year=") &&
+        fs.listStatus(y.getPath).isEmpty) fs.delete(y.getPath, true)
+    }
+    dropped.sorted
+  }
+
   /** K2 — CSV export (header, reference crypto_pipeline.py:326-327). */
   def writeCsv(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
     df.write.mode(mode).option("header", "true").csv(path)

@@ -107,6 +107,20 @@ class PropertySpec extends SparkSpec {
     assert(!ranges("train")._2.isAfter(ranges("test")._1))
   }
 
+  test("property: exact rank-cutoff split matches the row_number split counts") {
+    // tie-free timestamps: rank-based cuts must reproduce chronological()
+    val tieFree = bars.dropDuplicates("ts")
+    val exact = Split.chronologicalAtScale(tieFree, col("ts"),
+        Seq(0.7, 0.85), Seq("train", "val", "test"), exact = true)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rowNum = Split.chronological(tieFree, Seq(col("ts")),
+        Seq(0.7, 0.85), Seq("train", "val", "test"))
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact == rowNum)
+  }
+
   test("property: chronological splits conserve rows and order, any cuts") {
     for (cuts <- Seq(Seq(0.5), Seq(0.8), Seq(0.6, 0.8), Seq(0.33, 0.66))) {
       val labels = (1 to cuts.size + 1).map(i => s"s$i")

@@ -98,6 +98,33 @@ class SinksSourcesSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("retention janitor drops only partitions past the horizon, no rewrite") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ttl").toString
+    // 2023-12 .. 2024-03 hourly bars -> 4 month partitions
+    val bars = Generator.ohlcv(spark, Seq("aaa"), 2500,
+      startTs = "2023-12-01 00:00:00", intervalSec = 3600)
+    Lake.writeArchive(bars, dir)
+    val before = Lake.readArchive(spark, dir)
+      .select("year", "month").distinct().count()
+    assert(before == 4)
+    // remember a surviving file's modification time: expiry must not rewrite
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val keptPart = new org.apache.hadoop.fs.Path(s"$dir/year=2024/month=3")
+    val mtimes = fs.listStatus(keptPart).map(f => f.getPath -> f.getModificationTime).toMap
+    val dropped = Lake.expirePartitions(spark, dir, keepMonths = 2,
+      asOf = java.time.YearMonth.of(2024, 3))
+    assert(dropped == Seq("year=2023/month=12", "year=2024/month=1"))
+    val back = Lake.readArchive(spark, dir)
+    assert(back.select("year", "month").distinct().count() == 2)
+    assert(back.filter(col("year") === 2023).count() == 0)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/year=2023"))) // empty year pruned
+    fs.listStatus(keptPart).foreach(f =>
+      assert(f.getModificationTime == mtimes(f.getPath))) // untouched, not rewritten
+    // idempotent: second run drops nothing
+    assert(Lake.expirePartitions(spark, dir, 2, java.time.YearMonth.of(2024, 3)).isEmpty)
+  }
+
   test("csv export round-trips through the typed reader") {
     val dir = java.nio.file.Files.createTempDirectory("graft-csv").toString + "/out"
     val bars = Generator.ohlcv(spark, Seq("ccc"), 100)
