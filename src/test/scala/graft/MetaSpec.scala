@@ -36,4 +36,30 @@ class MetaSpec extends SparkSpec {
     assert(r.getLong(0) == 2) // symbols
     assert(r.getLong(4) == 3) // datasets
   }
+
+  test("file catalog round-trips save -> index -> load, and rebuilds a lost index") {
+    import graft.meta.FileCatalog
+    val dir = java.nio.file.Files.createTempDirectory("graft-meta").toString
+    val k1 = FileCatalog.save(spark, dir, dm(1, "raw"))
+    val k2 = FileCatalog.save(spark, dir, dm(2, "eth", "ETHUSDT"))
+    assert(k1 == "BTCUSDT_1m" && k2 == "ETHUSDT_1m")
+    // index has both; search narrows by symbol without reading documents
+    val idx = FileCatalog.index(spark, dir)
+    assert(idx.keySet == Set(k1, k2))
+    assert(idx(k1).rows == 1001L)
+    assert(FileCatalog.search(spark, dir, symbol = Some("ETHUSDT")).map(_.file) ==
+      Seq("ETHUSDT_1m.json"))
+    // full document round-trip including the extra map
+    assert(FileCatalog.load(spark, dir, k1).contains(dm(1, "raw")))
+    assert(FileCatalog.load(spark, dir, "missing_1m").isEmpty)
+    // lose the index; rebuild from per-dataset files
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir, "index.json"))
+    assert(FileCatalog.index(spark, dir).isEmpty)
+    val rebuilt = FileCatalog.rebuildIndex(spark, dir)
+    assert(rebuilt == idx)
+    // save of the same key overwrites in place (update semantics)
+    FileCatalog.save(spark, dir, dm(9, "raw2"))
+    assert(FileCatalog.index(spark, dir)(k1).rows == 1009L)
+    assert(FileCatalog.load(spark, dir, k1).get.dataset_id == 9L)
+  }
 }

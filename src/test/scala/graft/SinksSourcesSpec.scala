@@ -16,8 +16,30 @@ import graft.sources.{Csv, Generator}
 object FakeDb {
   val bound = new ConcurrentLinkedQueue[Vector[Any]]()
   val executeBatchCalls = new AtomicInteger(0)
+  val executedDdl = new ConcurrentLinkedQueue[String]()
 
-  def reset(): Unit = { bound.clear(); executeBatchCalls.set(0) }
+  def reset(): Unit = { bound.clear(); executeBatchCalls.set(0); executedDdl.clear() }
+
+  /** Plain-statement proxy: records DDL; rejects TimescaleDB-only calls
+    * like a vanilla PostgreSQL would (exercises the optional-DDL path).
+    */
+  private def stProxy(): java.sql.Statement =
+    Proxy.newProxyInstance(getClass.getClassLoader,
+      Array(classOf[java.sql.Statement]),
+      new InvocationHandler {
+        def invoke(proxy: AnyRef, m: Method, args: Array[AnyRef]): AnyRef =
+          m.getName match {
+            case "execute" =>
+              val sql = args(0).asInstanceOf[String]
+              if (sql.contains("hypertable") || sql.contains("timescaledb") ||
+                sql.contains("compression_policy"))
+                throw new java.sql.SQLException("function does not exist")
+              FakeDb.executedDdl.add(sql)
+              java.lang.Boolean.TRUE
+            case "close" => null
+            case _ => null
+          }
+      }).asInstanceOf[java.sql.Statement]
 
   private def psProxy(): PreparedStatement = {
     val params = scala.collection.mutable.Map[Int, Any]()
@@ -44,6 +66,7 @@ object FakeDb {
         def invoke(proxy: AnyRef, m: Method, args: Array[AnyRef]): AnyRef =
           m.getName match {
             case "prepareStatement" => psProxy()
+            case "createStatement" => stProxy()
             case "isClosed" => java.lang.Boolean.FALSE
             case _ => null
           }
@@ -61,6 +84,42 @@ class SinksSourcesSpec extends SparkSpec {
         "ON CONFLICT (timestamp, symbol) DO UPDATE SET open = EXCLUDED.open, close = EXCLUDED.close")
     assert(JdbcUpsertSink.upsertSql("ohlcv", cols, Seq("timestamp", "symbol"),
       JdbcUpsertSink.DoNothing).endsWith("ON CONFLICT (timestamp, symbol) DO NOTHING"))
+  }
+
+  test("DDL bootstrap creates table + index, skips Timescale-only DDL, then upserts") {
+    FakeDb.reset()
+    val ran = graft.sinks.JdbcDdl.bootstrapOhlcv(() => FakeDb.connect())
+    // required statements ran; TimescaleDB-specific ones skipped (vanilla PG)
+    assert(ran.size == 2)
+    assert(ran.head.startsWith("CREATE TABLE IF NOT EXISTS ohlcv_data (timestamp TIMESTAMPTZ NOT NULL, symbol TEXT NOT NULL"))
+    assert(ran.head.contains("PRIMARY KEY (timestamp, symbol)"))
+    assert(ran(1) ==
+      "CREATE INDEX IF NOT EXISTS idx_ohlcv_data_symbol_timestamp ON ohlcv_data (symbol, timestamp DESC)")
+    assert(FakeDb.executedDdl.size() == 2)
+    // upsert into the table the utility just created
+    val bars = Generator.ohlcv(spark, Seq("aaa"), 10)
+      .select(col("ts").as("timestamp"), col("symbol"),
+        col("open"), col("high"), col("low"), col("close"), col("volume"))
+      .coalesce(1)
+    JdbcUpsertSink.write(bars, "ohlcv_data", Seq("timestamp", "symbol"),
+      JdbcUpsertSink.DoUpdate, () => FakeDb.connect())
+    assert(FakeDb.bound.size() == 10)
+  }
+
+  test("DDL generation maps Spark schemas and rejects unknown types") {
+    import org.apache.spark.sql.types._
+    val s = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("payload", BinaryType),
+      StructField("price", DecimalType(38, 10))))
+    assert(graft.sinks.JdbcDdl.createTableSql("t", s) ==
+      "CREATE TABLE IF NOT EXISTS t (id BIGINT NOT NULL, payload BYTEA, price DECIMAL(38, 10))")
+    intercept[IllegalArgumentException] {
+      graft.sinks.JdbcDdl.sqlType(ArrayType(LongType))
+    }
+    intercept[IllegalArgumentException] {
+      graft.sinks.JdbcDdl.createTableSql("t", s, Seq("missing"))
+    }
   }
 
   test("upsert sink binds every row and batches executes") {
