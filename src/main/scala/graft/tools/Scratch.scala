@@ -6,31 +6,25 @@ import org.apache.spark.sql.functions._
 /** Dev scratchpad — not part of the library surface. */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-
-    def time[A](label: String)(f: => A): A = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"[scratch] $label%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      r
-    }
-
-    spark.range(1000000).selectExpr("sum(id)").collect() // warmup
-    import graft.operators._
-    for (q <- Seq("d4_token_jaccard", "d2b_lsh_pairs", "d3_simhash",
-        "d3b_hamming_hist", "d6_drop_list")) {
-      time(q) {
-        val df = DedupQueries.queries(q)(spark, dir)
-        df.write.format("noop").mode("overwrite").save()
-      }
-    }
-    println(s"[scratch] d4 rows=${DedupQueries.queries("d4_token_jaccard")(spark, dir).count()}")
+    val hour = 3600 * 1000L
+    val fmt = classOf[graft.sources.connector.KlineSource].getName
+    def readFrom(startMs: Long) = spark.read.format(fmt)
+      .option("symbols", "BTCUSDT")
+      .option("startMs", startMs).option("endMs", 6 * hour)
+      .option("intervalMs", 60000L).option("mockBars", 100000)
+      .load()
+    val resumeMs = (3 * hour - 60000L) + 1L
+    val rest = readFrom(resumeMs)
+    println(s"[scratch] rest=${rest.count()} distinct=${rest.select("ts").distinct().count()}")
+    rest.groupBy("ts").count().filter(col("count") > 1).show(5, false)
+    rest.orderBy("ts").select("ts").limit(3).show(false)
     spark.stop()
   }
 }
