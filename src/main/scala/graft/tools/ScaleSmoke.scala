@@ -105,6 +105,22 @@ object ScaleSmoke {
       Dedup.simhash(docs, col("text"), col("doc_id"))
         .agg(sum("simhash")).count(); nd
     }
+    // 15-bit banding pair counts need a DIVERSE corpus (the 64-word salad
+    // above makes every token set near-identical — simhashes collapse and
+    // banding degenerates to all-pairs, correctly: those docs ARE dups).
+    // With ~unique tokens per doc, hashes are uniform and candidates are
+    // ~4·n²/2^15 — vs n²/2 ≈ 5·10¹¹ all-pairs at n = 1 M. The printed
+    // count is the sub-quadratic evidence VERDICT asked for.
+    val diverse = spark.range(1000000).select(col("id").as("doc_id"),
+      concat_ws(" ", transform(sequence(lit(1), lit(30)), j =>
+        conv(pmod(xxhash64(col("id") * lit(31L) + j), lit(1000000000L)).cast("string"),
+          10, 16))).as("text")).cache()
+    diverse.count()
+    timeD("hamming-candidates") {
+      Dedup.simhashHammingHist(
+        Dedup.simhash(diverse, col("text"), col("doc_id")), maxDist = 60)
+        .agg(sum("n_pairs")).collect().head.getLong(0)
+    }
     timeD("langid+quality+tokens") {
       docs.select(
         TextOps.langId(col("text")).as("l"),
