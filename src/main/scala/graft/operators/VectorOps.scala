@@ -126,13 +126,34 @@ object VectorOps {
 
   /** Blocked most-similar pairs: all pairs within a block (IVF-style coarse
     * partition), global top-n by cosine (deterministic tiebreak on ids).
+    *
+    * Guard rail: the block is the caller's foot-gun — pairs grow as the
+    * SQUARE of block size, so one hot block (say 10 M rows in a 100 M-row
+    * corpus) is 5·10¹³ comparisons. `maxBlockRows` embeds an `assert_true`
+    * in the plan (per-block counts ride the join's own hash partitioning —
+    * no extra action, no driver round-trip): an oversized block fails the
+    * job with an explicit message instead of silently running for days.
+    * Raise it deliberately, or use more/finer blocks (IVF centroids).
     */
-  def blockedTopPairs(df: DataFrame, block: Column, topN: Int): DataFrame = {
+  def blockedTopPairs(df: DataFrame, block: Column, topN: Int,
+      maxBlockRows: Long = 100000): DataFrame = {
+    val bn = count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("blk")))
     val e = df.select(block.as("blk"), col("vec_id"), col("embedding"))
+      .withColumn("__bn", bn)
+    // when the guard passes the cosine flows through UNTOUCHED (no 0.0+x
+    // arithmetic that could flip a -0.0 and break oracle bit-exactness)
+    val guarded = when(col("x.__bn") <= maxBlockRows,
+      cosine(col("x.embedding"), col("y.embedding")))
+      .otherwise(raise_error(
+        lit(s"blockedTopPairs: a block exceeds maxBlockRows=$maxBlockRows; " +
+          "pairs grow quadratically in block size — use finer blocks " +
+          "(more IVF centroids) or raise maxBlockRows deliberately"))
+        .cast("double"))
     e.as("x").join(e.as("y"),
         col("x.blk") === col("y.blk") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_id1"), col("y.vec_id").as("vec_id2"),
-        cosine(col("x.embedding"), col("y.embedding")).as("cosine"))
+        guarded.as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id1"), col("vec_id2"))
       .limit(topN)
   }

@@ -61,4 +61,41 @@ class PlanSpec extends SparkSpec {
     val p = plan("clean_pipeline")
     assert(p.contains("WholeStageCodegen") || p.contains("*("))
   }
+
+  test("d4 at scale: equi-joins only — no cartesian, no nested-loop fallback") {
+    val p = plan("d4_token_jaccard")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    // the class-collapse groupBy and the band equi-join are both present
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate") ||
+      p.contains("SortAggregate"))
+  }
+
+  test("d5 block-size guard rides the join partitioning, output still top-n") {
+    val p = plan("d5_embedding_top_pairs")
+    assert(p.contains("TakeOrderedAndProject")) // global top-n, not a sort
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("p1b scale split: labeling is window-free (pure filters over the scan)") {
+    import org.apache.spark.sql.functions._
+    // cutoffs are computed eagerly over DISTINCT timestamps; the frame the
+    // caller gets back must be a plain projection — no Window, no sort
+    val events = graft.sources.Tables.events(spark, sfDir)
+    val out = graft.operators.Split.chronologicalAtScale(events, col("ts"),
+      Seq(0.8), Seq("train", "test"), exact = true)
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"))
+    assert(!p.contains("Sort"))
+  }
+
+  test("connector scan plans one partition per symbol x slice, no shuffle") {
+    val read = spark.read.format(classOf[graft.sources.connector.KlineSource].getName)
+      .option("symbols", "AAA,BBB,CCC")
+      .option("startMs", 0L).option("endMs", 3600000L)
+      .option("slices", 5).load()
+    assert(read.rdd.getNumPartitions == 15)
+    val p = read.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange")) // ingestion is map-only
+  }
 }

@@ -21,6 +21,20 @@ class VectorSpec extends SparkSpec {
     assert(cs(2) === -1.0)
   }
 
+  test("blockedTopPairs guard rail fails fast on an oversized block") {
+    val vecs = (1 to 40).map(i => (i.toLong, s"b${i % 4}", vec(i, 1, 0, 0)))
+      .toDF("vec_id", "blk0", "embedding")
+    // within the limit: pairs come back, ranked by cosine
+    val ok = VectorOps.blockedTopPairs(vecs, col("blk0"), 5, maxBlockRows = 100)
+      .collect()
+    assert(ok.length == 5)
+    // one hot block over the limit: explicit failure, not a silent n^2 run
+    val e = intercept[Exception] {
+      VectorOps.blockedTopPairs(vecs, lit("all"), 5, maxBlockRows = 10).collect()
+    }
+    assert(e.getMessage != null || e.getCause != null) // raise_error surfaced
+  }
+
   test("brute-force top-k finds a planted near-duplicate at rank 1") {
     val base = (0 until 64).map(i => math.sin(i + 1)).toArray
     val near = base.zipWithIndex.map { case (x, i) => if (i == 0) x * 1.01 else x }
