@@ -30,10 +30,13 @@ import graft.functions.Ema
   */
 object Indicators {
 
-  /** One logical time-series axis: partition keys + intra-series order. */
+  /** One logical time-series axis: partition keys + intra-series order.
+    * (No bounded-frame helper on purpose: Spark re-aggregates bounded
+    * sliding frames per row — trailing-n aggregates go through
+    * [[slidingDecSum]]/[[slidingCount]] instead.)
+    */
   case class Series(partition: Seq[Column], order: Seq[Column]) {
     lazy val w: WindowSpec = Window.partitionBy(partition: _*).orderBy(order: _*)
-    def frame(n: Int): WindowSpec = w.rowsBetween(-(n - 1), 0)
   }
 
   private val Dec = "decimal(38,10)"
