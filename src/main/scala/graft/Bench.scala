@@ -24,8 +24,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // JVM/codegen warmup so the first measured query isn't charged for it
+    // JVM/codegen warmup so the first measured query isn't charged for it:
+    // exercise the aggregate, window, AND parquet-scan paths — otherwise
+    // the alphabetically-first query absorbs parquet footer reads and the
+    // first whole-stage codegen compile (~3 s measured on a10)
     spark.range(1000000).selectExpr("sum(id)").collect()
+    spark.sql(
+      s"SELECT max(sum_v) FROM (SELECT sum(l_quantity) OVER (ORDER BY l_orderkey ROWS " +
+        s"BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) sum_v FROM " +
+        s"(SELECT * FROM parquet.`$sfDir/lineitem.parquet` LIMIT 1000))").collect()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -70,6 +70,12 @@ class EdgeCaseSpec extends SparkSpec {
     val sh = Dedup.simhash(docs, col("text"), col("doc_id"))
     assert(sh.count() == 4) // map-only: token-less docs stay, simhash 0
     assert(sh.filter(col("doc_id") <= 2).filter(col("simhash") === 0).count() == 2)
+    // at-scale jaccard: empty/whitespace docs form classes with empty token
+    // sets — never paired (jaccard undefined), and the op doesn't throw
+    val jp = Dedup.jaccardPairsAtScale(docs, col("text"), col("doc_id"), 0.5)
+    assert(jp.filter(col("doc_id1") <= 2 || col("doc_id2") <= 2).count() == 0)
+    assert(Dedup.jaccardPairsAtScale(docs.limit(0), col("text"), col("doc_id"), 0.5)
+      .count() == 0) // empty frame
     val t = docs.select(
       TextOps.tokenCount(col("text")).as("n"),
       TextOps.qualityScore(col("text")).as("q"),
