@@ -124,6 +124,57 @@ object VectorOps {
         col("neighbor_id"), col("cosine"))
   }
 
+  /** V4 — IVF-flat top-k: partition the corpus into inverted lists by
+    * nearest centroid, probe only the `nProbe` closest lists per query.
+    *
+    * Centroids here are the embeddings of the `nCentroids` smallest
+    * vec_ids — a deterministic stand-in for an offline-trained k-means
+    * codebook (which is how production IVF works too: the codebook is
+    * driver-side, tiny, and broadcast). Assignment is a PURE MAP over the
+    * corpus — the centroid array is a literal, the argmax a per-row fold —
+    * so building the inverted lists costs one pass and zero shuffles; the
+    * only shuffle is the probe join on cent_id. Recall/cost dial:
+    * nProbe/nCentroids of the corpus is scanned per query (nProbe=4 of 16
+    * lists = 25%), vs 100% for [[bruteTopK]] and bucket-luck for
+    * [[lshTopK]].
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val cents = corpus.orderBy("vec_id").limit(nCentroids)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val centArr = array(cents.map { case (cid, cv) =>
+      struct(lit(cid).as("cid"), typedLit(cv).as("cv")) }: _*)
+    // (cosine desc, cid asc) — identical tie order to the oracle's
+    // row_number() OVER (ORDER BY cos DESC, cid)
+    val cmp: (Column, Column) => Column = (l, r) =>
+      when(l.getField("cs") > r.getField("cs"), -1)
+        .when(l.getField("cs") < r.getField("cs"), 1)
+        .when(l.getField("cid") < r.getField("cid"), -1)
+        .otherwise(1)
+    def assign(df: DataFrame, n: Int): DataFrame = {
+      val scored = transform(centArr, c =>
+        struct(cosine(col("embedding"), c.getField("cv")).as("cs"),
+          c.getField("cid").as("cid")))
+      df.select(col("vec_id"), col("embedding"),
+          explode(slice(array_sort(scored, cmp), 1, n)).as("__a"))
+        .select(col("vec_id"), col("embedding"), col("__a.cid").as("cent_id"))
+    }
+    val inv = assign(corpus, 1).select(col("cent_id"),
+      col("vec_id").as("neighbor_id"), col("embedding").as("cemb"))
+    val probes = assign(queries, nProbe).select(col("cent_id"),
+      col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    probes.join(inv, Seq("cent_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cemb")).as("cosine"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cosine"))
+  }
+
   /** Blocked most-similar pairs: all pairs within a block (IVF-style coarse
     * partition), global top-n by cosine (deterministic tiebreak on ids).
     *

@@ -25,9 +25,15 @@ object VectorQueries {
     "v3_lsh_multiprobe" -> ((s, dir) =>
       VectorOps.lshTopKMultiProbe(queriesDf(s, dir), Tables.embeddings(s, dir),
         k, planes, dims)),
+    "v4_ivf_topk" -> ((s, dir) =>
+      VectorOps.ivfTopK(queriesDf(s, dir), Tables.embeddings(s, dir),
+        k, nCentroids, nProbe)),
     "d5_embedding_top_pairs" -> ((s, dir) =>
       VectorOps.blockedTopPairs(Tables.embeddings(s, dir), col("label"), 50))
   )
+
+  private val nCentroids = 16
+  private val nProbe = 4
 
   // ------------------------------------------------------------------
   // DuckDB mirrors — same left-to-right fold discipline as VectorOps.
@@ -92,6 +98,23 @@ object VectorQueries {
          |         row_number() OVER (PARTITION BY query_id
          |           ORDER BY cosine DESC, neighbor_id) AS rank
          |  FROM cand
+         |) WHERE rank <= $k""".stripMargin),
+    "v4_ivf_topk" -> (embSql +
+      s""", cents AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT $nCentroids),
+         |asgn AS (
+         |  SELECT vec_id, v, cid,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rnk
+         |  FROM (SELECT e.vec_id, e.v, c.cid, ${cosineSql("e.v", "c.cv")} AS cos
+         |        FROM e CROSS JOIN cents c)
+         |),
+         |inv AS (SELECT cid, vec_id, v FROM asgn WHERE rnk = 1),
+         |probes AS (SELECT cid, vec_id, v FROM asgn WHERE rnk <= $nProbe AND vec_id < 8)
+         |SELECT query_id, rank, neighbor_id, cosine FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         ${cosineSql("q.v", "c.v")} AS cosine,
+         |         row_number() OVER (PARTITION BY q.vec_id
+         |           ORDER BY ${cosineSql("q.v", "c.v")} DESC, c.vec_id) AS rank
+         |  FROM probes q JOIN inv c ON q.cid = c.cid AND c.vec_id <> q.vec_id
          |) WHERE rank <= $k""".stripMargin),
     "d5_embedding_top_pairs" -> (embSql +
       s"""

@@ -53,6 +53,29 @@ class VectorSpec extends SparkSpec {
     assert(cos.sliding(2).forall(p => p(0) >= p(1)))
   }
 
+  test("IVF top-k probes only nProbe lists yet finds the planted near-dup") {
+    val base = (0 until 64).map(i => math.sin(i + 1)).toArray
+    val near = base.zipWithIndex.map { case (x, i) => if (i == 0) x * 1.01 else x }
+    val corpus = (Seq(
+      (100L, base.map(_.toFloat)),
+      (101L, near.map(_.toFloat))
+    ) ++ (0 until 40).map(j =>
+      (j.toLong, (0 until 64).map(i => math.cos(i * (j + 2)).toFloat).toArray)
+    )).toDF("vec_id", "embedding")
+    val q = corpus.filter(col("vec_id") === 100L)
+    val top = VectorOps.ivfTopK(q, corpus, 3, nCentroids = 8, nProbe = 3).collect()
+    // the near-dup lands in the same inverted list as its near-identical
+    // query (cosine-nearest centroid is the same), so rank 1 survives IVF
+    assert(top.head.getLong(2) == 101L)
+    assert(top.head.getDouble(3) > 0.99)
+    // nProbe = all lists degrades to brute force exactly
+    val all = VectorOps.ivfTopK(q, corpus, 3, nCentroids = 8, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val brute = VectorOps.bruteTopK(q, corpus, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(all.toSeq == brute.toSeq)
+  }
+
   test("multi-probe lsh recall >= single-probe; results within hamming 1") {
     val corpus = (0 until 60).map(j =>
       (j.toLong, (0 until 64).map(i => math.cos(i * (j + 2) * 0.7).toFloat).toArray)
