@@ -113,4 +113,30 @@ class StreamingSpec extends SparkSpec {
     assert(out.length == 1)
     assert(out.head.getAs[Double]("volume") == 12.0)
   }
+
+  test("streaming doc ingest scores, quality-filters, and dedups within watermark") {
+    val input = MemoryStream[(Long, Timestamp, String)](spark)
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    val cleaned = graft.streaming.StreamDocs.cleanStream(docs, minQuality = 0.3, "1 hour")
+    val q = cleaned.writeStream
+      .format("memory").queryName("docs_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      val good = "the quick brown fox jumps over the lazy dog and runs far away today"
+      input.addData(
+        (1L, t("2024-01-01 10:00:00"), good),
+        (2L, t("2024-01-01 10:05:00"), good), // exact dup in the same burst
+        (3L, t("2024-01-01 10:10:00"), ""), // degenerate: quality 0.0
+        (4L, t("2024-01-01 10:15:00"), good + " with a different ending entirely"))
+      q.processAllAvailable()
+      val rows = spark.table("docs_out").collect()
+      val ids = rows.map(_.getAs[Long]("doc_id")).toSet
+      assert(ids == Set(1L, 4L)) // dup 2 dropped, low-quality 3 dropped
+      val r1 = rows.find(_.getAs[Long]("doc_id") == 1L).get
+      assert(r1.getAs[String]("lang") == "en")
+      assert(r1.getAs[Int]("n_tokens") > 10)
+      assert(r1.getAs[Double]("quality") >= 0.3)
+    } finally q.stop()
+  }
 }
