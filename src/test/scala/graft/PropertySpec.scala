@@ -121,6 +121,28 @@ class PropertySpec extends SparkSpec {
     assert(exact == rowNum)
   }
 
+  test("property: class-collapsed jaccard == doc-level jaccard on random corpora") {
+    import graft.operators.Dedup
+    // random docs over a tiny vocab -> dense duplication and many
+    // identical token sets, exercising class collapse + intra-class pairs
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val rnd = new scala.util.Random(42)
+    val docs = (1 to 120).map { i =>
+      val n = 1 + rnd.nextInt(5)
+      (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    for (minJ <- Seq(0.3, 0.8)) {
+      val sig = Dedup.minhashSignature(docs, col("text"), col("doc_id"), 16, 1)
+      val docLevel = Dedup.jaccardOnCandidates(docs, col("text"), col("doc_id"),
+          Dedup.lshCandidatePairs(sig, 4, 4), minJ)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+      val atScale = Dedup.jaccardPairsAtScale(docs, col("text"), col("doc_id"), minJ)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+      assert(atScale == docLevel, s"minJ=$minJ")
+      assert(atScale.nonEmpty) // the corpus is dense enough to mean something
+    }
+  }
+
   test("property: chronological splits conserve rows and order, any cuts") {
     for (cuts <- Seq(Seq(0.5), Seq(0.8), Seq(0.6, 0.8), Seq(0.33, 0.66))) {
       val labels = (1 to cuts.size + 1).map(i => s"s$i")
