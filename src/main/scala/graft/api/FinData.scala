@@ -50,7 +50,7 @@ object FinData {
     val tiebreak =
       if (bars.columns.contains("event_id")) Seq(col("event_id"))
       else bars.columns.filterNot(Set("symbol", "ts")).sorted.map(col).toSeq
-    val deduped = Cleaning.dedupKeepFirst(bars, Seq("symbol", "ts"), tiebreak)
+    val deduped = Cleaning.dedupKeepFirstSeries(bars, Seq("symbol"), col("ts"), tiebreak)
     val filled = Cleaning.bfill(
       Cleaning.ffill(deduped, Seq("close"), Seq("symbol"), order),
       Seq("close"), Seq("symbol"), order)

@@ -90,7 +90,8 @@ object CleaningQueries {
       Cleaning.qualityScore(bars(s, dir), Seq("symbol"), Seq(col("ts"), col("event_id")))),
     "clean_pipeline" -> ((s, dir) => {
       val order = Seq(col("ts"), col("event_id"))
-      val deduped = Cleaning.dedupKeepFirst(bars(s, dir), Seq("symbol", "ts"), Seq(col("event_id")))
+      val deduped = Cleaning.dedupKeepFirstSeries(bars(s, dir),
+        Seq("symbol"), col("ts"), Seq(col("event_id")))
       val filled = Cleaning.bfill(
         Cleaning.ffill(deduped, Seq("close"), Seq("symbol"), order),
         Seq("close"), Seq("symbol"), order)

@@ -16,8 +16,8 @@ object QueryFixtures {
 
   def dbars(s: SparkSession, dir: String): DataFrame = {
     val order = Seq(col("ts"), col("event_id"))
-    val d = Cleaning.dedupKeepFirst(Tables.bars(s, dir),
-      Seq("symbol", "ts"), Seq(col("event_id")))
+    val d = Cleaning.dedupKeepFirstSeries(Tables.bars(s, dir),
+      Seq("symbol"), col("ts"), Seq(col("event_id")))
     Cleaning.bfill(
       Cleaning.ffill(d, Seq("close"), Seq("symbol"), order),
       Seq("close"), Seq("symbol"), order)

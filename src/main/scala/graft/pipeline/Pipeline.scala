@@ -63,7 +63,8 @@ object Pipeline {
 
     var df = observed
     val c = config.cleaning
-    if (c.dedup) df = Cleaning.dedupKeepFirst(df, Seq("symbol", "ts"), order)
+    if (c.dedup) df = Cleaning.dedupKeepFirstSeries(df, Seq("symbol"),
+      col("ts"), order.drop(1)) // order.head IS ts; tiebreak is the rest
     if (c.fillCols.nonEmpty) {
       df = Cleaning.ffill(df, c.fillCols, Seq("symbol"), order)
       df = Cleaning.bfill(df, c.fillCols, Seq("symbol"), order)

@@ -38,7 +38,7 @@ object ScaleSmoke {
     time("clean-chain") {
       Cleaning.addTimeFeatures(Cleaning.repairOhlc(Cleaning.filterNonNegative(
         Cleaning.bfill(Cleaning.ffill(
-          Cleaning.dedupKeepFirst(bars, Seq("symbol", "ts"), order),
+          Cleaning.dedupKeepFirstSeries(bars, Seq("symbol"), col("ts"), Seq(col("close"))),
           Seq("close"), Seq("symbol"), order), Seq("close"), Seq("symbol"), order)))).count()
     }
     time("resample-1h") { Resample.ohlcv(bars, "1 hour").count() }

@@ -21,13 +21,16 @@ object Scratch {
     }
     spark.range(1000000).selectExpr("sum(id)").collect()
     import graft.operators._
-    val df = IndicatorQueries.queries("w9_indicators_all")(spark, dir)
-    val p = df.queryExecution.executedPlan.toString
-    println(s"[scratch] Sort nodes: ${"\\bSort\\b".r.findAllIn(p).length}, Exchange: ${"Exchange".r.findAllIn(p).length}, Window: ${"Window".r.findAllIn(p).length}")
-    time("w9 noop x1")(df.write.format("noop").mode("overwrite").save())
-    time("w9 noop x2")(df.write.format("noop").mode("overwrite").save())
-    val n = df.count()
-    println(s"[scratch] rows=$n")
+    val base = QueryFixtures.dbars(spark, dir)
+    time("dbars alone")(base.write.format("noop").mode("overwrite").save())
+    val agg = Resample.ohlcv(base, "15 minutes")
+    time("resample 15m")(agg.write.format("noop").mode("overwrite").save())
+    val filled = Resample.fillGaps(agg, "15 minutes")
+    time("resample+fill")(filled.write.format("noop").mode("overwrite").save())
+    for (q <- Seq("a11_volume_profile", "a10_norm_stats")) {
+      val df = StatsQueries.queries(q)(spark, dir)
+      time(q)(df.write.format("noop").mode("overwrite").save())
+    }
     spark.stop()
   }
 }

@@ -39,6 +39,24 @@ class EdgeCaseSpec extends SparkSpec {
     }
   }
 
+  test("series-fused dedup keeps exactly dedupKeepFirst's rows, incl. null ts") {
+    import spark.implicits._
+    val rows = Seq(
+      ("a", Some("2024-01-01 10:00:00"), 1L), ("a", Some("2024-01-01 10:00:00"), 2L),
+      ("a", Some("2024-01-01 11:00:00"), 3L),
+      ("a", None, 4L), ("a", None, 5L), // null-ts run: keep one
+      ("b", Some("2024-01-01 10:00:00"), 6L),
+      ("b", None, 7L)
+    ).toDF("symbol", "ts_s", "event_id")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val generic = Cleaning.dedupKeepFirst(rows, Seq("symbol", "ts"), Seq(col("event_id")))
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val fused = Cleaning.dedupKeepFirstSeries(rows, Seq("symbol"), col("ts"), Seq(col("event_id")))
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(fused == generic)
+    assert(fused == Set(1L, 3L, 4L, 6L, 7L))
+  }
+
   test("resample, fillGaps, indicators on empty and single-row frames") {
     for (df <- Seq(emptyBars, oneBar)) {
       assert(Resample.fillGaps(Resample.ohlcv(df, "1 hour"), "1 hour").count() == df.count())
