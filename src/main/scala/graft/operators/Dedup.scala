@@ -160,22 +160,32 @@ object Dedup {
   def simhashHammingHist(sh: DataFrame, maxDist: Int = 3,
       bands: Int = 4, bandBits: Int = 15): DataFrame = {
     val mask = (1L << bandBits) - 1
-    val slices = sh.select(col("doc_id"), col("simhash"),
+    // collapse to DISTINCT simhash values first (Hamming distance is a
+    // function of the value pair, multiplicity is a weight): the band
+    // self-join runs over distinct values and the histogram never
+    // materializes a doc pair — duplicated corpora cost a groupBy, not a
+    // quadratic join. Equal-value pairs (Hamming 0) are pure counting.
+    val vals = sh.groupBy("simhash").agg(count(lit(1)).as("m"))
+    val slices = vals.select(col("simhash"), col("m"),
       explode(array((0 until bands).map(k =>
         struct(lit(k).as("k"),
           shiftright(col("simhash"), bandBits * k).bitwiseAND(lit(mask)).as("slice"))): _*)).as("kb"))
-      .select(col("doc_id"), col("simhash"),
+      .select(col("simhash"), col("m"),
         col("kb.k").as("k"), col("kb.slice").as("slice"))
-    slices.as("x").join(slices.as("y"),
+    val cross = slices.as("x").join(slices.as("y"),
         col("x.k") === col("y.k") && col("x.slice") === col("y.slice") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_id1"), col("y.doc_id").as("doc_id2"),
-        col("x.simhash").as("s1"), col("y.simhash").as("s2"))
+          col("x.simhash") < col("y.simhash"))
+      .select(col("x.simhash").as("s1"), col("y.simhash").as("s2"),
+        col("x.m").as("m1"), col("y.m").as("m2"))
       .distinct()
       .withColumn("hamming", bit_count(col("s1").bitwiseXOR(col("s2"))))
       .filter(col("hamming") <= maxDist)
+      .select(col("hamming"), (col("m1") * col("m2")).as("w"))
+    val intra = vals.filter(col("m") > 1)
+      .select(lit(0).as("hamming"), (col("m") * (col("m") - 1) / 2).as("w"))
+    (if (maxDist >= 0) cross.unionByName(intra) else cross)
       .groupBy("hamming")
-      .agg(count(lit(1)).as("n_pairs"))
+      .agg(sum(col("w")).as("n_pairs"))
   }
 
   /** D4 (exact-within-block variant) — token-set Jaccard for all pairs

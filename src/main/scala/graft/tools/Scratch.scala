@@ -1,7 +1,6 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 /** Dev scratchpad — not part of the library surface. */
 object Scratch {
@@ -21,14 +20,8 @@ object Scratch {
     }
     spark.range(1000000).selectExpr("sum(id)").collect()
     import graft.operators._
-    val base = QueryFixtures.dbars(spark, dir)
-    time("dbars alone")(base.write.format("noop").mode("overwrite").save())
-    val agg = Resample.ohlcv(base, "15 minutes")
-    time("resample 15m")(agg.write.format("noop").mode("overwrite").save())
-    val filled = Resample.fillGaps(agg, "15 minutes")
-    time("resample+fill")(filled.write.format("noop").mode("overwrite").save())
-    for (q <- Seq("a11_volume_profile", "a10_norm_stats")) {
-      val df = StatsQueries.queries(q)(spark, dir)
+    for (q <- Seq("d3b_hamming_hist", "d3b_hamming_hist")) {
+      val df = DedupQueries.queries(q)(spark, dir)
       time(q)(df.write.format("noop").mode("overwrite").save())
     }
     spark.stop()
