@@ -117,6 +117,61 @@ object Dedup {
   def dropListFromPairs(pairs: DataFrame): DataFrame =
     pairs.select(col("doc_id2").as("drop_id")).distinct()
 
+  /** D6 at corpus scale — the drop list WITHOUT materializing doc pairs:
+    * collapse documents to identical-signature classes (n_equal and band
+    * keys are functions of the signature), band-join the class
+    * representatives, and per class take the minimum member id across its
+    * matched neighborhood (adjacent classes with ≥ minAgree agreeing
+    * hashes, plus itself — intra-class pairs agree on all n). A document
+    * is dropped iff that neighborhood minimum is smaller than its own id —
+    * exactly `dropListFromPairs(lshCandidatePairs(sig) ≥ minAgree)`, with
+    * the quadratic-in-duplication doc join replaced by a class join plus
+    * two linear passes.
+    */
+  def dropListAtScale(sig: DataFrame, bands: Int, rowsPerBand: Int,
+      minAgree: Int): DataFrame = {
+    val mhCols = sig.columns.filter(_.startsWith("mh")).map(col).toSeq
+    val classes = sig.groupBy(mhCols: _*)
+      .agg(collect_list(col("doc_id")).as("__members"))
+      .withColumn("cid", array_min(col("__members")))
+    val bandCols = (0 until bands).map { b =>
+      val ks = (0 until rowsPerBand).map(r => col(f"mh${b * rowsPerBand + r}%02d"))
+      struct(lit(b).as("band"), md5(concat_ws(",", ks: _*)).as("bkey"))
+    }
+    val exploded = classes
+      .select(col("cid"), array(mhCols: _*).as("sig"),
+        explode(array(bandCols: _*)).as("bk"))
+      .select(col("cid"), col("sig"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val eq = aggregate(
+      zip_with(col("x.sig"), col("y.sig"),
+        (a, b) => when(a === b, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
+    val edges = exploded.as("x")
+      .join(exploded.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.cid") < col("y.cid"))
+      .select(col("x.cid").as("cid1"), col("y.cid").as("cid2"), eq.as("n_equal"))
+      .filter(col("n_equal") >= minAgree)
+      .select("cid1", "cid2").distinct()
+    // symmetric adjacency + self; neighborhood min member per class. The
+    // self edge only exists for non-null signatures: doc-level n_equal
+    // between two all-null sigs is 0 (null === null counts as 0), so
+    // token-less duplicates are NOT near-dup candidates — mirror that.
+    val mins = classes.select(col("cid"), array_min(col("__members")).as("__mn"))
+    val adj = edges.select(col("cid1").as("cid"), col("cid2").as("nb"))
+      .unionByName(edges.select(col("cid2").as("cid"), col("cid1").as("nb")))
+      .unionByName(classes.filter(col("mh00").isNotNull)
+        .select(col("cid"), col("cid").as("nb")))
+    val nbMin = adj
+      .join(mins.select(col("cid").as("nb"), col("__mn")), "nb")
+      .groupBy("cid").agg(min(col("__mn")).as("__nbmin"))
+    classes.select(col("cid"), explode(col("__members")).as("doc_id"))
+      .join(nbMin, "cid")
+      .filter(col("doc_id") > col("__nbmin"))
+      .select(col("doc_id").as("drop_id"))
+  }
+
   /** Apply a drop list (anti-join — no payload from the drop side). */
   def pruneDuplicates(df: DataFrame, id: Column, dropList: DataFrame): DataFrame =
     df.join(dropList, id === col("drop_id"), "left_anti")

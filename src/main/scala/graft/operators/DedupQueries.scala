@@ -48,12 +48,13 @@ object DedupQueries {
     "d4_token_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairsAtScale(Tables.documents(s, dir),
         col("text"), col("doc_id"), 0.8, nHashes, bands, rows)),
+    // D6 at scale: signature-class collapse — the drop list is derived
+    // from class adjacency + neighborhood minima, never doc pairs.
     "d6_drop_list" -> ((s, dir) =>
-      Dedup.dropListFromPairs(
-        Dedup.lshCandidatePairs(
-          Dedup.minhashSignature(Tables.documents(s, dir), col("text"), col("doc_id"),
-            nHashes, shingleN = 3),
-          bands, rows).filter(col("n_equal") >= 8)))
+      Dedup.dropListAtScale(
+        Dedup.minhashSignature(Tables.documents(s, dir), col("text"), col("doc_id"),
+          nHashes, shingleN = 3),
+        bands, rows, minAgree = 8))
   )
 
   // ------------------------------------------------------------------

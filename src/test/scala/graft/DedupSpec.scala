@@ -79,6 +79,25 @@ class DedupSpec extends SparkSpec {
     assert(j.getOrElse((1L, 3L), 0.0) < 0.2)
   }
 
+  test("class-level drop list equals the doc-pair drop list (incl. empty docs)") {
+    // dense random corpus + two token-less docs (must never be dropped:
+    // null sigs have n_equal 0 even against each other)
+    val vocab = Vector("alpha", "beta", "gamma", "delta")
+    val rnd = new scala.util.Random(7)
+    val d = ((1 to 80).map { i =>
+      (i.toLong, Seq.fill(4 + rnd.nextInt(3))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    } ++ Seq((200L, ""), (201L, "   "))).toDF("doc_id", "text")
+    val sig = Dedup.minhashSignature(d, col("text"), col("doc_id"), 16, 1)
+    val docLevel = Dedup.dropListFromPairs(
+        Dedup.lshCandidatePairs(sig, 4, 4).filter(col("n_equal") >= 8))
+      .collect().map(_.getLong(0)).toSet
+    val atScale = Dedup.dropListAtScale(sig, 4, 4, minAgree = 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(atScale == docLevel)
+    assert(atScale.nonEmpty)
+    assert(!atScale.contains(200L) && !atScale.contains(201L))
+  }
+
   test("drop list keeps the lowest id of each dup group; prune anti-joins it") {
     val sig = Dedup.minhashSignature(docs, col("text"), col("doc_id"), 16, 3)
     val pairs = Dedup.lshCandidatePairs(sig, 4, 4)
