@@ -237,7 +237,10 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
       .select(col("hamming"), (col("m1") * col("m2")).as("w"))
     val intra = vals.filter(col("m") > 1)
-      .select(lit(0).as("hamming"), (col("m") * (col("m") - 1) / 2).as("w"))
+      .select(lit(0).as("hamming"),
+        // integral C(m,2): Spark's `/` is double division — shiftright
+        // keeps w (and the summed n_pairs) BIGINT like the oracle's count
+        shiftright(col("m") * (col("m") - 1), 1).as("w"))
     (if (maxDist >= 0) cross.unionByName(intra) else cross)
       .groupBy("hamming")
       .agg(sum(col("w")).as("n_pairs"))

@@ -121,6 +121,26 @@ object ScaleSmoke {
         Dedup.simhash(diverse, col("text"), col("doc_id")), maxDist = 60)
         .agg(sum("n_pairs")).collect().head.getLong(0)
     }
+    // duplication-heavy corpus (1 M docs = 50 k distinct texts × ~20
+    // copies, diverse vocab): doc-level banding pays ~20² per duplicate
+    // cluster per band; the class-collapsed drop list pays one groupBy —
+    // every pairwise stage runs on the 50 k distinct signatures. The
+    // signature is cached: the operator's three branches (band join,
+    // self edges, member explode) would otherwise re-tokenize thrice.
+    // (Do NOT feed tiny-vocab salad to minhash: a 64-word universe makes
+    // band keys collide across unrelated docs and candidates explode —
+    // that corpus is kept for throughput entries only.)
+    val dupDocs = spark.range(1000000).select(col("id").as("doc_id"),
+      concat_ws(" ", transform(sequence(lit(1), lit(40)), j =>
+        conv(pmod(xxhash64(pmod(col("id"), lit(50000L)) * lit(41L) + j),
+          lit(1000000000L)).cast("string"), 10, 16))).as("text")).cache()
+    dupDocs.count()
+    timeD("droplist-atscale-1M") {
+      val sig = Dedup.minhashSignature(dupDocs, col("text"), col("doc_id"), 16, 3).cache()
+      try Dedup.dropListAtScale(sig, 4, 4, minAgree = 8).count()
+      finally sig.unpersist()
+    }
+    dupDocs.unpersist()
     timeD("langid+quality+tokens") {
       docs.select(
         TextOps.langId(col("text")).as("l"),
