@@ -101,10 +101,15 @@ object Resample {
       case s"$n hour$_" => n.trim.toLong * 3600000000L
       case other => throw new IllegalArgumentException(s"unsupported anchor interval: $other")
     }
+    // .cast("timestamp"): unix_micros rejects TIMESTAMP_NTZ; the session
+    // is UTC so the cast matches DuckDB's naive epoch_us
     val origin = unix_micros(date_trunc("day",
-      min(ts).over(Window.partitionBy(col("symbol")))))
+      min(ts).over(Window.partitionBy(col("symbol")))).cast("timestamp"))
+    // emit NTZ like every other bucket column (UTC session; the driver's
+    // canonicalizer should never see a tz-aware dtype from one query only)
     val bucket = timestamp_micros(
-      origin + floor((unix_micros(ts) - origin) / ivMicros).cast("long") * ivMicros)
+      origin + floor((unix_micros(ts.cast("timestamp")) - origin) / ivMicros).cast("long") * ivMicros)
+      .cast("timestamp_ntz")
     val aggs = ohlcvAggs(ts)
     df.withColumn("__bucket", bucket)
       .groupBy(col("symbol"), col("__bucket").as("bucket_ts"))

@@ -34,6 +34,9 @@ object StatsQueries {
     "a1_ohlcv_15m_filled" -> ((s, dir) =>
       Resample.fillGaps(Resample.ohlcv(dbars(s, dir), "15 minutes"), "15 minutes")),
     "a1_ohlcv_month" -> ((s, dir) => Resample.ohlcvMonthly(dbars(s, dir))),
+    // pandas-anchored frames: 3d from each symbol's start day, 1w W-SUN
+    "a1_ohlcv_3d" -> ((s, dir) => Resample.ohlcvAnchored(dbars(s, dir), "3 days")),
+    "a1_ohlcv_1w" -> ((s, dir) => Resample.ohlcvWeekly(dbars(s, dir))),
     "a3_symbol_stats" -> ((s, dir) =>
       dbars(s, dir).filter(col("symbol") === "click").agg(
         count(lit(1)).as("n_bars"),
@@ -128,6 +131,25 @@ object StatsQueries {
     "a1_ohlcv_month" -> (dbarsSql +
       s"""
          |SELECT symbol, date_trunc('month', ts) AS bucket_ts,
+         |       arg_min(open, ts) AS open, max(high) AS high, min(low) AS low,
+         |       arg_max(close, ts) AS close,
+         |       ${O.exactSum("volume")} AS volume, count(*) AS n_bars
+         |FROM dbars GROUP BY 1, 2""".stripMargin),
+    "a1_ohlcv_3d" -> (dbarsSql +
+      s""", org AS (
+         |  SELECT symbol, epoch_us(date_trunc('day', min(ts))) AS o_us
+         |  FROM dbars GROUP BY symbol
+         |)
+         |SELECT d.symbol AS symbol,
+         |       make_timestamp(o_us + ((epoch_us(ts) - o_us) // ${3L * 86400000000L}) * ${3L * 86400000000L}) AS bucket_ts,
+         |       arg_min(open, ts) AS open, max(high) AS high, min(low) AS low,
+         |       arg_max(close, ts) AS close,
+         |       ${O.exactSum("volume")} AS volume, count(*) AS n_bars
+         |FROM dbars d JOIN org ON d.symbol = org.symbol
+         |GROUP BY 1, 2""".stripMargin),
+    "a1_ohlcv_1w" -> (dbarsSql +
+      s"""
+         |SELECT symbol, date_trunc('week', ts) + INTERVAL 6 DAY AS bucket_ts,
          |       arg_min(open, ts) AS open, max(high) AS high, min(low) AS low,
          |       arg_max(close, ts) AS close,
          |       ${O.exactSum("volume")} AS volume, count(*) AS n_bars

@@ -81,10 +81,11 @@ class ResampleSpec extends SparkSpec {
       .withColumn("symbol", lit("C"))
     val out = Resample.ohlcvAnchored(bars.unionByName(c), "3 days").collect()
     val byS = out.groupBy(_.getAs[String]("symbol"))
-    assert(byS("A").map(_.getAs[Timestamp]("bucket_ts")).toSet ==
-      Set(Timestamp.valueOf("2024-03-01 00:00:00")))
-    assert(byS("C").map(_.getAs[Timestamp]("bucket_ts")).toSet ==
-      Set(Timestamp.valueOf("2024-03-02 00:00:00"))) // own origin, same data
+    def ldt(s: String) = Timestamp.valueOf(s).toLocalDateTime
+    assert(byS("A").map(_.getAs[java.time.LocalDateTime]("bucket_ts")).toSet ==
+      Set(ldt("2024-03-01 00:00:00")))
+    assert(byS("C").map(_.getAs[java.time.LocalDateTime]("bucket_ts")).toSet ==
+      Set(ldt("2024-03-02 00:00:00"))) // own origin, same data
   }
 
   test("1w buckets bin ISO weeks and label their Sunday (pandas W-SUN)") {
