@@ -16,8 +16,15 @@ import graft.functions.TextHash
   *     LSH banding turns the quadratic all-pairs problem into equi-joins on
   *     (band, bandKey): only documents agreeing on a full band meet, so the
   *     shuffle volume is O(n·bands) and candidate pairs are rare by design.
-  *   - SimHash reduces each document to one 32-bit value; near-dup pairs are
-  *     found by byte-banding (a Hamming-ball cover), again an equi-join.
+  *   - SimHash reduces each document to one 60-bit value with a map-only
+  *     fold; near-dup pairs are found by 15-bit banding (a Hamming-ball
+  *     cover), again an equi-join — over DISTINCT simhash values.
+  *   - Corpus duplication is collapsed BEFORE any pairwise stage:
+  *     [[jaccardPairsAtScale]] and [[dropListAtScale]] group documents
+  *     into identical-token-set / identical-signature classes (minhash,
+  *     band keys, Jaccard, and agreement counts are pure functions of the
+  *     set), run the joins on classes, and expand member lists at the end,
+  *     so a corpus that is 95% copies costs a groupBy, not copies².
   *   - All hashes derive from md5 via [[TextHash.tokenHash]], bit-identical
   *     in Spark and DuckDB, so every stage is oracle-checkable.
   */
@@ -138,6 +145,9 @@ object Dedup {
       val ks = (0 until rowsPerBand).map(r => col(f"mh${b * rowsPerBand + r}%02d"))
       struct(lit(b).as("band"), md5(concat_ws(",", ks: _*)).as("bkey"))
     }
+    // cid IS the min member, so edges carry both classes' minima for free —
+    // the upstream class aggregation is evaluated exactly TWICE (once under
+    // the band join, once for the final member expansion), not per use
     val exploded = classes
       .select(col("cid"), array(mhCols: _*).as("sig"),
         explode(array(bandCols: _*)).as("bk"))
@@ -154,20 +164,21 @@ object Dedup {
       .select(col("x.cid").as("cid1"), col("y.cid").as("cid2"), eq.as("n_equal"))
       .filter(col("n_equal") >= minAgree)
       .select("cid1", "cid2").distinct()
-    // symmetric adjacency + self; neighborhood min member per class. The
-    // self edge only exists for non-null signatures: doc-level n_equal
-    // between two all-null sigs is 0 (null === null counts as 0), so
-    // token-less duplicates are NOT near-dup candidates — mirror that.
-    val mins = classes.select(col("cid"), array_min(col("__members")).as("__mn"))
-    val adj = edges.select(col("cid1").as("cid"), col("cid2").as("nb"))
-      .unionByName(edges.select(col("cid2").as("cid"), col("cid1").as("nb")))
-      .unionByName(classes.filter(col("mh00").isNotNull)
-        .select(col("cid"), col("cid").as("nb")))
-    val nbMin = adj
-      .join(mins.select(col("cid").as("nb"), col("__mn")), "nb")
-      .groupBy("cid").agg(min(col("__mn")).as("__nbmin"))
-    classes.select(col("cid"), explode(col("__members")).as("doc_id"))
-      .join(nbMin, "cid")
+    // min adjacent-class member per class (cid2 < ... is not implied: the
+    // edge gives each side the OTHER side's minimum = the other cid)
+    val minAdj = edges.select(col("cid1").as("cid"), col("cid2").as("__nb"))
+      .unionByName(edges.select(col("cid2").as("cid"), col("cid1").as("__nb")))
+      .groupBy("cid").agg(min(col("__nb")).as("__minadj"))
+    // neighborhood minimum: own minimum (= cid) for non-null signatures —
+    // doc-level n_equal between two all-null sigs is 0 (null === null
+    // counts as 0), so token-less duplicates never self-match — plus the
+    // smallest adjacent class minimum
+    classes
+      .join(minAdj, Seq("cid"), "left")
+      .withColumn("__nbmin",
+        when(col("mh00").isNotNull, least(col("cid"), coalesce(col("__minadj"), col("cid"))))
+          .otherwise(col("__minadj")))
+      .select(col("__nbmin"), explode(col("__members")).as("doc_id"))
       .filter(col("doc_id") > col("__nbmin"))
       .select(col("doc_id").as("drop_id"))
   }
