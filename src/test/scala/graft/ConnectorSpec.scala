@@ -109,6 +109,22 @@ class ConnectorSpec extends SparkSpec {
     assert(KlineSource.resumeStartMs(firstHalf.filter(lit(false))) == 0L)
   }
 
+  test("connector edge cases: empty range rejected, out-of-grid reads empty") {
+    intercept[Exception] {
+      spark.read.format(fmt)
+        .option("symbols", "BTCUSDT")
+        .option("startMs", hour).option("endMs", hour) // empty [x, x)
+        .load().count()
+    }
+    // start beyond the venue's grid: zero rows, not an error
+    val n = spark.read.format(fmt)
+      .option("symbols", "BTCUSDT")
+      .option("startMs", 500 * hour).option("endMs", 501 * hour)
+      .option("intervalMs", 60000L).option("mockBars", 100)
+      .load().count()
+    assert(n == 0)
+  }
+
   test("connector output drives the clean chain end-to-end") {
     val bars = spark.read.format(fmt)
       .option("symbols", "BTCUSDT,ETHUSDT")
