@@ -131,8 +131,9 @@ object IndicatorQueries {
         Indicators.ema(col("close"), 12, S).as("ema_12"),
         Indicators.ema(col("close"), 26, S).as("ema_26"))),
     "w3_rsi" -> ((s, dir) =>
-      cbars(s, dir).select(col("event_id"), col("symbol"),
-        Indicators.rsi(col("close"), 14, S).as("rsi_14"))),
+      // staged form: averages aliased once, CASE over attribute refs
+      Indicators.withRsi(cbars(s, dir), col("close"), 14, S, "rsi_14")
+        .select(col("event_id"), col("symbol"), col("rsi_14"))),
     "w4_macd" -> ((s, dir) => {
       val base = cbars(s, dir)
         .withColumn("macd",
@@ -141,14 +142,11 @@ object IndicatorQueries {
         Indicators.ema(col("macd"), 9, S).as("macd_signal"))
         .withColumn("macd_hist", col("macd") - col("macd_signal"))
     }),
-    "w5_bollinger" -> ((s, dir) => {
-      val mid = Indicators.sma(col("close"), 20, S)
-      val sd = Indicators.rollingStdSamp(col("close"), 20, S)
-      cbars(s, dir).select(col("event_id"), col("symbol"),
-        mid.as("bb_middle"),
-        (mid + lit(2.0) * sd).as("bb_upper"),
-        (mid - lit(2.0) * sd).as("bb_lower"))
-    }),
+    "w5_bollinger" -> ((s, dir) =>
+      // staged form: mid/std aliased once, bands derived arithmetically
+      Indicators.withBollinger(cbars(s, dir), col("close"), 20, S)
+        .select(col("event_id"), col("symbol"),
+          col("bb_middle"), col("bb_upper"), col("bb_lower"))),
     "w6_atr" -> ((s, dir) =>
       cbars(s, dir).select(col("event_id"), col("symbol"),
         Indicators.atr(col("high"), col("low"), col("close"), 14, S).as("atr_14"))),
@@ -158,9 +156,14 @@ object IndicatorQueries {
     "w8_diff" -> ((s, dir) =>
       cbars(s, dir).select(col("event_id"), col("symbol"),
         Indicators.diff(col("close"), S).as("close_diff"))),
-    "w10_rsi_wilder" -> ((s, dir) =>
-      cbars(s, dir).select(col("event_id"), col("symbol"),
-        Indicators.rsiWilder(col("close"), 14, S).as("rsi_w"))),
+    "w10_rsi_wilder" -> ((s, dir) => {
+      // staged like w3: the two RMA window functions aliased once
+      val (ag, al) = Indicators.rsiWilderAverages(col("close"), 14, S)
+      cbars(s, dir)
+        .select(col("event_id"), col("symbol"), ag.as("__ag"), al.as("__al"))
+        .select(col("event_id"), col("symbol"),
+          Indicators.rsiFromAverages(col("__ag"), col("__al")).as("rsi_w"))
+    }),
     "w11_atr_wilder" -> ((s, dir) =>
       cbars(s, dir).select(col("event_id"), col("symbol"),
         Indicators.atrWilder(col("high"), col("low"), col("close"), 14, S)

@@ -131,12 +131,16 @@ object Indicators {
   /** W8 — value diff vs previous row. */
   def diff(c: Column, s: Series): Column = c - lag(c, 1).over(s.w)
 
-  /** W3 — RSI(n), Cutler's variant: simple moving averages of gains/losses
-    * (reference technical_indicators.py:22-29 uses `rolling(window).mean()`,
-    * NOT Wilder smoothing). Edge cases mirror pandas arithmetic:
-    * loss=0 ∧ gain>0 → 100 (rs=∞); loss=0 ∧ gain=0 → NULL (0/0).
+  /** W3 stage 1 — the gated rolling average gain / average loss columns
+    * (pandas `rolling(n).mean()` over the split deltas, reference
+    * technical_indicators.py:22-29). Exposed separately so callers can
+    * STAGE them as named columns in one projection and derive the RSI
+    * arithmetic in a second: Spark does not dedupe equivalent window
+    * expressions across aliases, so referencing these trees 4× each in
+    * the final CASE (as a single composed Column must) re-expands ~16
+    * window aggregates — measured 3.6 s vs ≤1.5 s staged at sf0.1.
     */
-  def rsi(c: Column, n: Int, s: Series): Column = {
+  def rsiAverages(c: Column, n: Int, s: Series): (Column, Column) = {
     val delta = diff(c, s)
     val gain = when(delta.isNull, lit(null).cast("double"))
       .when(delta > 0, delta).otherwise(lit(0.0))
@@ -147,11 +151,59 @@ object Indicators {
       slidingDecSum(gain.cast(Dec), n, s).cast("double") / nd)
     val avgLoss = when(slidingCount(loss, n, s) === n,
       slidingDecSum(loss.cast(Dec), n, s).cast("double") / nd)
+    (avgGain, avgLoss)
+  }
+
+  /** W3 stage 2 — RSI from already-staged average gain/loss. Pure
+    * arithmetic (no window expressions), so repeated references are free
+    * attribute reads. Edge cases mirror pandas arithmetic: loss=0 ∧
+    * gain>0 → 100 (rs=∞); loss=0 ∧ gain=0 → NULL (0/0). The division is
+    * guarded by the CASE order (lazy per-row), so ANSI divide-by-zero
+    * never fires.
+    */
+  def rsiFromAverages(avgGain: Column, avgLoss: Column): Column =
     when(avgGain.isNull || avgLoss.isNull, lit(null).cast("double"))
       .when(avgLoss === 0 && avgGain > 0, lit(100.0))
       .when(avgLoss === 0 && avgGain === 0, lit(null).cast("double"))
       .otherwise(lit(100.0) - lit(100.0) / (lit(1.0) + avgGain / avgLoss))
+
+  /** W3 — RSI(n), Cutler's variant, as a single composable Column.
+    * PERF NOTE: this inlines [[rsiAverages]] into [[rsiFromAverages]]'s
+    * CASE, so the window trees are re-expanded per reference — fine inside
+    * a larger expression, but for a standalone RSI column prefer
+    * [[withRsi]] (the staged two-projection form).
+    */
+  def rsi(c: Column, n: Int, s: Series): Column = {
+    val (avgGain, avgLoss) = rsiAverages(c, n, s)
+    rsiFromAverages(avgGain, avgLoss)
   }
+
+  /** W3, staged: appends `out` to `df` via two projections — the gated
+    * averages once as named columns, then the CASE over attribute refs.
+    * Bit-identical to [[rsi]] (same expression trees, same evaluation),
+    * ~4 window aggregates instead of ~16.
+    */
+  def withRsi(df: DataFrame, c: Column, n: Int, s: Series, out: String): DataFrame = {
+    val (g, l) = rsiAverages(c, n, s)
+    df.select(col("*"), g.as("__avg_gain"), l.as("__avg_loss"))
+      .withColumn(out, rsiFromAverages(col("__avg_gain"), col("__avg_loss")))
+      .drop("__avg_gain", "__avg_loss")
+  }
+
+  /** W5, staged: appends bb_middle/bb_upper/bb_lower via two projections —
+    * the rolling mean and sample std once as named columns, then the band
+    * arithmetic over attribute refs (reference technical_indicators.py
+    * bollinger_bands). Same alias-once rationale as [[withRsi]]: a single
+    * select referencing `mid` 3× and `sd` 2× re-expands ~5× the window
+    * aggregates (measured 8.8 s vs ≤1.5 s staged at sf0.1).
+    */
+  def withBollinger(df: DataFrame, c: Column, n: Int, s: Series): DataFrame =
+    df.select(col("*"),
+        sma(c, n, s).as("bb_middle"),
+        rollingStdSamp(c, n, s).as("bb_std"))
+      .withColumn("bb_upper", col("bb_middle") + lit(2.0) * col("bb_std"))
+      .withColumn("bb_lower", col("bb_middle") - lit(2.0) * col("bb_std"))
+      .drop("bb_std")
 
   /** W6 helper — true range: max(h−l, |h−close₋₁|, |l−close₋₁|); first row
     * of a series falls back to h−l (pandas skipna max over the NaN shifts,
@@ -175,17 +227,22 @@ object Indicators {
     * NULL until a delta exists; loss-free stretches → 100 (rs=∞ in double).
     */
   def rsiWilder(c: Column, n: Int, s: Series): Column = {
+    val (ag, al) = rsiWilderAverages(c, n, s)
+    rsiFromAverages(ag, al)
+  }
+
+  /** Wilder stage 1 — RMA-smoothed gain/loss, stageable like
+    * [[rsiAverages]] (same alias-once rationale; the final CASE is the
+    * shared [[rsiFromAverages]]).
+    */
+  def rsiWilderAverages(c: Column, n: Int, s: Series): (Column, Column) = {
     val delta = diff(c, s)
     val gain = when(delta.isNull, lit(null).cast("double"))
       .when(delta > 0, delta).otherwise(lit(0.0))
     val loss = when(delta.isNull, lit(null).cast("double"))
       .when(delta < 0, -delta).otherwise(lit(0.0))
-    val ag = Ema.rma(gain, n, s.partition, s.order)
-    val al = Ema.rma(loss, n, s.partition, s.order)
-    when(ag.isNull || al.isNull, lit(null).cast("double"))
-      .when(al === 0 && ag > 0, lit(100.0))
-      .when(al === 0 && ag === 0, lit(null).cast("double"))
-      .otherwise(lit(100.0) - lit(100.0) / (lit(1.0) + ag / al))
+    (Ema.rma(gain, n, s.partition, s.order),
+     Ema.rma(loss, n, s.partition, s.order))
   }
 
   /** Beyond-reference — classic Wilder ATR: RMA(TR) instead of SMA(TR). */
@@ -209,22 +266,26 @@ object Indicators {
     // ~2× on the w9 fan-out. Expression trees are unchanged (bit-identical
     // output); bb_middle IS sma_20, stated once.
     val sma20 = sma(c, 20, s)
+    val (avgGain, avgLoss) = rsiAverages(c, 14, s)
     val stage1 = df.select(col("*"),
         sma20.as("sma_20"),
         sma(c, 50, s).as("sma_50"),
         sma(c, 200, s).as("sma_200"),
         ema(c, 12, s).as("ema_12"),
         ema(c, 26, s).as("ema_26"),
-        rsi(c, 14, s).as("rsi_14"),
+        avgGain.as("__avg_gain"),
+        avgLoss.as("__avg_loss"),
         sma20.as("bb_middle"),
         rollingStdSamp(c, 20, s).as("bb_std"),
         atr(col("high"), col("low"), c, 14, s).as("atr_14"))
+      .withColumn("rsi_14",
+        rsiFromAverages(col("__avg_gain"), col("__avg_loss")))
       .withColumn("macd", col("ema_12") - col("ema_26"))
     stage1
       .withColumn("macd_signal", ema(col("macd"), 9, s))
       .withColumn("macd_hist", col("macd") - col("macd_signal"))
       .withColumn("bb_upper", col("bb_middle") + lit(2.0) * col("bb_std"))
       .withColumn("bb_lower", col("bb_middle") - lit(2.0) * col("bb_std"))
-      .drop("bb_std")
+      .drop("bb_std", "__avg_gain", "__avg_loss")
   }
 }

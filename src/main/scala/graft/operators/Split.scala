@@ -134,4 +134,37 @@ object Split {
       .drop("__vals")
       .withColumnRenamed("__rn", "window_start_rn")
   }
+
+  /** P5, multi-feature — the reference tensorizes 2-D input to
+    * `(n_samples, window, features)` / `(n_samples, target, features)`
+    * (data_splitter.py:251-252 `data.shape[1:]` ride-along). Spark has no
+    * tensor type; the faithful relational shape is ONE per-feature array
+    * pair per window row: `x_<f>: array[T]` (window values) and
+    * `y_<f>: array[T]` (target values) for every feature — a consumer
+    * zips them positionally to recover the (window, features) matrix.
+    *
+    * One `collect_list(struct(features))` over the shared frame buffers
+    * the rows ONCE regardless of feature count (k separate collect_lists
+    * would be k frame passes — and collect_list drops NULL elements,
+    * silently misaligning positions; a struct is never null, so null
+    * feature values keep their slot, matching numpy's NaN-preserving
+    * slices). Feature arrays are then free `transform`/`slice` projections.
+    */
+  def slidingWindowsMulti(df: DataFrame, partition: Seq[Column], order: Seq[Column],
+      features: Seq[String], window: Int, target: Int, stride: Int): DataFrame = {
+    val w = Window.partitionBy(partition: _*).orderBy(order: _*)
+    val frame = w.rowsBetween(0, window + target - 1)
+    val base = df
+      .withColumn("__vals", collect_list(struct(features.map(col): _*)).over(frame))
+      .withColumn("__rn", row_number().over(w))
+      .filter(size(col("__vals")) === window + target)
+      .filter((col("__rn") - 1) % stride === 0)
+    val withParts = features.foldLeft(base) { (d, f) =>
+      d.withColumn(s"x_$f",
+          transform(slice(col("__vals"), 1, window), v => v.getField(f)))
+        .withColumn(s"y_$f",
+          transform(slice(col("__vals"), window + 1, target), v => v.getField(f)))
+    }
+    withParts.drop("__vals").withColumnRenamed("__rn", "window_start_rn")
+  }
 }
