@@ -62,6 +62,24 @@ object PrepQueries {
       part("x").unionByName(part("y"))
         .select(col("event_id"), col("window_start_rn"), col("part"),
           col("pos").cast("long").as("idx"), col("col").as("value"))
+    }),
+    "p5b_sliding_windows_multi" -> ((s, dir) => {
+      // Multi-feature tensor windows (n, window, features), exploded to
+      // (part, feature, idx, value) scalar rows for the driver's hasher.
+      val feats = Seq("open", "close", "volume")
+      val w = Split.slidingWindowsMulti(
+        dbars(s, dir).filter(col("symbol") === "click"),
+        Seq(col("symbol")), Seq(col("ts"), col("event_id")),
+        feats, window = 8, target = 2, stride = 4)
+      def part(p: String, f: String) =
+        w.select(col("event_id"),
+          col("window_start_rn").cast("long").as("window_start_rn"),
+          lit(p).as("part"), lit(f).as("feature"), posexplode(col(s"${p}_$f")))
+      feats.map(f => part("x", f).unionByName(part("y", f)))
+        .reduce(_ unionByName _)
+        .select(col("event_id"), col("window_start_rn"), col("part"),
+          col("feature"), col("pos").cast("long").as("idx"),
+          col("col").as("value"))
     })
   )
 
@@ -152,6 +170,41 @@ object PrepQueries {
         |UNION ALL
         |SELECT event_id, window_start_rn, 'y' AS part,
         |       CAST(i - 1 AS BIGINT) AS idx, y[i] AS value
-        |FROM win CROSS JOIN generate_series(1, 2) g(i)""".stripMargin)
+        |FROM win CROSS JOIN generate_series(1, 2) g(i)""".stripMargin),
+    "p5b_sliding_windows_multi" -> (dbarsSql +
+      """, s AS (
+        |  SELECT event_id,
+        |         row_number() OVER w AS rn,
+        |         list(open)   OVER (w ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING) AS lo,
+        |         list(close)  OVER (w ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING) AS lc,
+        |         list(volume) OVER (w ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING) AS lv
+        |  FROM dbars WHERE symbol = 'click'
+        |  WINDOW w AS (PARTITION BY symbol ORDER BY ts, event_id)
+        |), win AS (
+        |  SELECT event_id, rn AS window_start_rn,
+        |         lo[1:8] AS x_open,   lo[9:10] AS y_open,
+        |         lc[1:8] AS x_close,  lc[9:10] AS y_close,
+        |         lv[1:8] AS x_volume, lv[9:10] AS y_volume
+        |  FROM s WHERE len(lc) = 10 AND (rn - 1) % 4 = 0
+        |), xarm AS (
+        |  SELECT event_id, window_start_rn, 'x' AS part, f.feature,
+        |         CAST(i - 1 AS BIGINT) AS idx,
+        |         CASE f.feature WHEN 'open' THEN x_open[i]
+        |                        WHEN 'close' THEN x_close[i]
+        |                        ELSE x_volume[i] END AS value
+        |  FROM win
+        |  CROSS JOIN (VALUES ('open'), ('close'), ('volume')) f(feature)
+        |  CROSS JOIN generate_series(1, 8) g(i)
+        |), yarm AS (
+        |  SELECT event_id, window_start_rn, 'y' AS part, f.feature,
+        |         CAST(i - 1 AS BIGINT) AS idx,
+        |         CASE f.feature WHEN 'open' THEN y_open[i]
+        |                        WHEN 'close' THEN y_close[i]
+        |                        ELSE y_volume[i] END AS value
+        |  FROM win
+        |  CROSS JOIN (VALUES ('open'), ('close'), ('volume')) f(feature)
+        |  CROSS JOIN generate_series(1, 2) g(i)
+        |)
+        |SELECT * FROM xarm UNION ALL SELECT * FROM yarm""".stripMargin)
   )
 }

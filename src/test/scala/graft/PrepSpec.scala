@@ -74,6 +74,29 @@ class PrepSpec extends SparkSpec {
     assert(first == (1 to 8).map(i => 50.0 + (i % 23) * 1.7))
   }
 
+  test("multi-feature sliding windows: shape (n,window,features), stride, null slots") {
+    val ts = df.withColumn("symbol", lit("A"))
+      // null out one open value to prove slots are preserved (numpy keeps NaN)
+      .withColumn("open", when($"id" === 3L, lit(null)).otherwise($"open"))
+    val wdf = Split.slidingWindowsMulti(ts, Seq($"symbol"), Seq($"id"),
+      Seq("open", "volume"), window = 8, target = 2, stride = 4)
+    val rows = wdf.select($"x_open", $"y_open", $"x_volume", $"y_volume")
+      .as[(Seq[Option[Double]], Seq[Option[Double]], Seq[Double], Seq[Double])]
+      .collect()
+    // same window count as the single-feature variant: (500-10)/4+1 = 123
+    assert(rows.length == 123)
+    assert(rows.forall { case (xo, yo, xv, yv) =>
+      xo.size == 8 && yo.size == 2 && xv.size == 8 && yv.size == 2 })
+    val first = wdf.orderBy("window_start_rn")
+      .select($"x_open", $"x_volume")
+      .as[(Seq[Option[Double]], Seq[Double])].head()
+    // id=3 (index 2) is null but KEEPS its slot; volume is untouched
+    assert(first._1(2).isEmpty)
+    assert(first._1.zipWithIndex.forall { case (v, i) =>
+      i == 2 || v.contains(50.0 + ((i + 1) % 23) * 1.7) })
+    assert(first._2 == (1 to 8).map(i => 10.0 + (i % 11)))
+  }
+
   test("as-of join picks the latest right row at-or-before each left ts") {
     def t(s: String) = Timestamp.valueOf(s)
     val probes = Seq(
