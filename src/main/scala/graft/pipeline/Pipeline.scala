@@ -108,4 +108,29 @@ object Pipeline {
     val report = obs.get
     Result(df, report, sizes)
   }
+
+  /** Persist a run's validation report + per-metric quality rows through
+    * the metadata store (reference crypto_pipeline.py:293-305
+    * `store_validation_report` → metadata_db.py:258-320): bootstrap the
+    * tables, upsert the dataset registry row, then the report keyed
+    * (dataset_id, validation_timestamp) and one data_quality_metrics row
+    * per numeric report entry. Idempotent end to end — a replayed run
+    * overwrites itself instead of appending duplicates.
+    */
+  def persistReport(spark: SparkSession, result: Result, datasetName: String,
+      provider: String, symbol: String, timeframe: String,
+      at: java.sql.Timestamp,
+      connect: () => java.sql.Connection): Long = {
+    import graft.sinks.MetaStore
+    MetaStore.bootstrap(connect)
+    val dsId = MetaStore.datasetId(datasetName, provider, symbol, timeframe)
+    val reportAll = result.report ++
+      result.splitSizes.map { case (k, v) => s"split_$k" -> v }
+    MetaStore.storeDatasetMetadata(
+      MetaStore.datasetMetadataDf(spark, datasetName, provider, symbol,
+        timeframe, result.splitSizes.values.sum, at, at), connect)
+    MetaStore.storeValidationReport(spark, dsId, reportAll, at, connect)
+    MetaStore.storeQualityMetrics(spark, dsId, reportAll, at, connect)
+    dsId
+  }
 }

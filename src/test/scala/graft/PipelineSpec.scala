@@ -53,6 +53,57 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(stats.getDouble(1) - 1.0) < 1e-9)
   }
 
+  test("config loader: defaults, deep-merge, dot-notation, e2e run") {
+    import org.json4s._
+    import graft.pipeline.ConfigLoader
+    // defaults alone (missing file → reference's silent fallback)
+    val dflt = ConfigLoader.load("/nonexistent/pipeline_config.json")
+    assert(dflt.getDouble("split_config.train_test_split.test_size").contains(0.2))
+    assert(dflt.getString("storage_config.compression").contains("snappy"))
+
+    // a file overriding a NESTED field deep-merges: sibling keys survive
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cfg")
+    val cfgPath = tmp.resolve("pipeline_config.json")
+    java.nio.file.Files.writeString(cfgPath,
+      """{"pipeline": "crypto",
+        |  "pipeline_config": {
+        |    "normalize": true, "normalize_method": "minmax",
+        |    "aggregate": true, "aggregate_timeframe": "15m",
+        |    "splits": {"train_test_split": {"test_size": 0.25}}
+        |  },
+        |  "db_config": {"port": 6543}}""".stripMargin)
+    val v = ConfigLoader.load(cfgPath.toString)
+    assert(v.get("db_config.port").contains(JInt(6543)))
+    // deep-merge preserved the sibling default next to the override
+    assert(v.getString("db_config.host").isDefined)
+    assert(v.getString("pipeline_config.splits.train_test_split.method").isEmpty)
+    assert(v.getDouble("pipeline_config.splits.train_test_split.test_size").contains(0.25))
+
+    // dot-notation set creates intermediate levels; save round-trips
+    val v2 = v.set("providers.bybit.testnet", JBool(false))
+      .set("brand.new.key", JString("x"))
+    assert(v2.getBool("providers.bybit.testnet").contains(false))
+    assert(v2.getString("brand.new.key").contains("x"))
+    val saved = tmp.resolve("saved.json")
+    v2.save(saved.toString)
+    assert(ConfigLoader.load(saved.toString).getString("brand.new.key").contains("x"))
+
+    // arrays REPLACE on merge (reference merge_dict), never concatenate
+    val arr = ConfigLoader.parse("""{"pipeline_config": {"assets": [1, 2]}}""")
+      .set("pipeline_config.assets", JArray(List(JInt(9))))
+    assert(arr.get("pipeline_config.assets").contains(JArray(List(JInt(9)))))
+
+    // the mapped Pipeline.Config drives the e2e run
+    val pc = v.toPipelineConfig
+    assert(pc.resampleTo.contains("15 minutes"))
+    assert(pc.normalize.contains("minmax"))
+    assert(pc.split.cuts == Seq(0.75))
+    val bars = Generator.ohlcv(spark, Seq("btc"), 300, intervalSec = 60)
+    val res = Pipeline.run(spark, bars, pc.copy(outputPath = None))
+    assert(res.splitSizes.keySet == Set("train", "test"))
+    assert(res.splitSizes.values.sum == res.data.count())
+  }
+
   test("pipeline writes the partitioned lake when configured") {
     val dir = java.nio.file.Files.createTempDirectory("graft-pipe").toString + "/lake"
     val bars = Generator.ohlcv(spark, Seq("sol"), 200)

@@ -15,10 +15,14 @@ import graft.sources.{Csv, Generator}
   */
 object FakeDb {
   val bound = new ConcurrentLinkedQueue[Vector[Any]]()
+  /** (insert SQL, bound row) — lets tests read rows back per table. */
+  val boundBySql = new ConcurrentLinkedQueue[(String, Vector[Any])]()
   val executeBatchCalls = new AtomicInteger(0)
   val executedDdl = new ConcurrentLinkedQueue[String]()
 
-  def reset(): Unit = { bound.clear(); executeBatchCalls.set(0); executedDdl.clear() }
+  def reset(): Unit = {
+    bound.clear(); boundBySql.clear(); executeBatchCalls.set(0); executedDdl.clear()
+  }
 
   /** Plain-statement proxy: records DDL; rejects TimescaleDB-only calls
     * like a vanilla PostgreSQL would (exercises the optional-DDL path).
@@ -41,7 +45,7 @@ object FakeDb {
           }
       }).asInstanceOf[java.sql.Statement]
 
-  private def psProxy(): PreparedStatement = {
+  private def psProxy(sql: String): PreparedStatement = {
     val params = scala.collection.mutable.Map[Int, Any]()
     Proxy.newProxyInstance(getClass.getClassLoader,
       Array(classOf[PreparedStatement]),
@@ -51,7 +55,10 @@ object FakeDb {
             case "setObject" =>
               params(args(0).asInstanceOf[Integer].intValue()) = args(1); null
             case "addBatch" =>
-              FakeDb.bound.add((1 to params.size).map(params(_)).toVector); null
+              val row = (1 to params.size).map(params(_)).toVector
+              FakeDb.bound.add(row)
+              FakeDb.boundBySql.add(sql -> row)
+              null
             case "executeBatch" =>
               FakeDb.executeBatchCalls.incrementAndGet(); Array.empty[Int]
             case "close" => null
@@ -65,7 +72,7 @@ object FakeDb {
       new InvocationHandler {
         def invoke(proxy: AnyRef, m: Method, args: Array[AnyRef]): AnyRef =
           m.getName match {
-            case "prepareStatement" => psProxy()
+            case "prepareStatement" => psProxy(args(0).asInstanceOf[String])
             case "createStatement" => stProxy()
             case "isClosed" => java.lang.Boolean.FALSE
             case _ => null
@@ -132,6 +139,69 @@ class SinksSourcesSpec extends SparkSpec {
     assert(FakeDb.executeBatchCalls.get() == 3) // 10 + 10 + 5
     val first = FakeDb.bound.peek()
     assert(first.length == 3)
+  }
+
+  test("metadata store: bootstrap DDL, report + metrics round-trip") {
+    FakeDb.reset()
+    import graft.pipeline.Pipeline
+    import graft.sources.Generator
+
+    // run the pipeline, then persist its observed report
+    val bars = Generator.ohlcv(spark, Seq("btc"), 200, intervalSec = 60)
+    val res = Pipeline.run(spark, bars, Pipeline.Config())
+    val at = java.sql.Timestamp.valueOf("2026-08-12 00:00:00")
+    val dsId = Pipeline.persistReport(spark, res, "btc_1m", "bybit", "btc",
+      "1m", at, () => FakeDb.connect())
+
+    // bootstrap created all four reference tables + indexes (vanilla PG)
+    val ddl = FakeDb.executedDdl.toArray.map(_.toString)
+    for (t <- Seq("dataset_metadata", "validation_reports", "data_lineage",
+        "data_quality_metrics"))
+      assert(ddl.exists(_.startsWith(s"CREATE TABLE IF NOT EXISTS $t")), t)
+    assert(ddl.count(_.startsWith("CREATE INDEX")) == 4)
+    // JSONB payload columns survive the TEXT→JSONB swap
+    assert(ddl.exists(s => s.contains("validation_details JSONB") &&
+      s.contains("errors JSONB") && s.contains("warnings JSONB")))
+    // replay-safe keys instead of SERIAL ids
+    assert(ddl.exists(s => s.startsWith("CREATE TABLE IF NOT EXISTS validation_reports") &&
+      s.contains("PRIMARY KEY (dataset_id, validation_timestamp)")))
+
+    // read the report row back from the captured binds
+    val byTable = FakeDb.boundBySql.toArray
+      .map(_.asInstanceOf[(String, Vector[Any])])
+      .groupBy { case (sql, _) => sql.split("INSERT INTO ")(1).split(" ")(0) }
+    val Array((repSql, repRow)) = byTable("validation_reports")
+    assert(repSql.contains("ON CONFLICT (dataset_id, validation_timestamp) DO UPDATE"))
+    assert(repRow(0) == dsId)
+    val cols = repSql.split("\\(")(1).split("\\)")(0).split(", ")
+    val rep = cols.zip(repRow).toMap
+    assert(rep("total_records") == res.report("rows_in"))
+    assert(rep("missing_values") == res.report("null_close"))
+    // is_valid mirrors the zero-violation rule (generator bars are clean)
+    val violations = res.report("ohlc_violations").asInstanceOf[Long] +
+      res.report("negative_volume").asInstanceOf[Long]
+    assert(rep("is_valid") == (violations == 0L))
+    assert(rep("invalid_records") == violations)
+    // validation_details JSON carries the full report verbatim
+    val details = org.json4s.jackson.JsonMethods.parse(
+      rep("validation_details").toString).values.asInstanceOf[Map[String, Any]]
+    assert(details("rows_in") == res.report("rows_in").toString)
+    assert(details.keySet.exists(_.startsWith("split_")))
+
+    // one quality-metric row per numeric report entry, same dataset id
+    val metrics = byTable("data_quality_metrics")
+    assert(metrics.length == res.report.size + res.splitSizes.size)
+    assert(metrics.forall { case (_, row) => row(0) == dsId })
+    val mnames = metrics.map { case (_, row) => row(1) }.toSet
+    assert(mnames.contains("rows_in") && mnames.contains("split_train"))
+
+    // dataset registry row upserts on the deterministic id
+    val Array((dmSql, dmRow)) = byTable("dataset_metadata")
+    assert(dmSql.contains("ON CONFLICT (dataset_id) DO UPDATE"))
+    assert(dmRow(0) == dsId && dmRow(1) == "btc_1m" && dmRow(2) == "bybit")
+    // deterministic id: same natural key → same id, different key → different
+    assert(graft.sinks.MetaStore.datasetId("btc_1m", "bybit", "btc", "1m") == dsId)
+    assert(graft.sinks.MetaStore.datasetId("btc_1m", "bybit", "btc", "5m") != dsId)
   }
 
   test("archive lake round-trips and prunes partitions") {
