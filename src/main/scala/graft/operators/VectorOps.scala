@@ -124,25 +124,94 @@ object VectorOps {
         col("neighbor_id"), col("cosine"))
   }
 
+  /** Driver-side deterministic k-means codebook (Lloyd, FIXED iteration
+    * count, no randomness — reproducible on any cluster and exactly
+    * mirrorable in SQL):
+    *
+    *  - training sample = rows with `vec_id % sampleMod == 0` (a stride
+    *    sample is the one sampling scheme an oracle can replicate
+    *    verbatim; production codebooks train on samples anyway);
+    *  - init = the k smallest-vec_id sample vectors, cid = 0..k-1;
+    *  - assignment = argmax cosine, ties to the LOWEST cid (the same
+    *    `ORDER BY cos DESC, cid` rule the query itself uses);
+    *  - update = per-dim mean over members in vec_id order — a
+    *    LEFT-TO-RIGHT double fold seeded 0.0, divided by the member
+    *    count, so every float op has a fixed association mirrored by
+    *    DuckDB's `list_reduce(list_prepend(0.0, …))`; empty clusters
+    *    keep their previous centroid.
+    *
+    * The result is tiny (k × dims doubles) and rides into the plan as a
+    * literal — broadcast by construction, never a shuffle.
+    */
+  def kmeansCodebook(corpus: DataFrame, k: Int, iters: Int,
+      sampleMod: Long): Array[(Long, Array[Double])] = {
+    val sample: Array[(Long, Array[Double])] = corpus
+      .filter(col("vec_id") % sampleMod === 0)
+      .select("vec_id", "embedding").orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    require(sample.length >= k,
+      s"k-means sample (${sample.length}) smaller than k=$k — lower sampleMod")
+    def dotD(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc = acc + a(i) * b(i); i += 1 }; acc
+    }
+    def norm2D(a: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc = acc + a(i) * a(i); i += 1 }; acc
+    }
+    def cosD(a: Array[Double], b: Array[Double]): Double =
+      dotD(a, b) / (math.sqrt(norm2D(a)) * math.sqrt(norm2D(b)))
+    var cents: Array[Array[Double]] = sample.take(k).map(_._2)
+    for (_ <- 0 until iters) {
+      // argmax cosine, strict > keeps the earliest (lowest) cid on ties
+      val assigned: Array[(Int, (Long, Array[Double]))] = sample.map { case (id, v) =>
+        var best = 0; var bestCos = cosD(v, cents(0)); var c = 1
+        while (c < k) {
+          val cs = cosD(v, cents(c))
+          if (cs > bestCos) { best = c; bestCos = cs }
+          c += 1
+        }
+        (best, (id, v))
+      }
+      val byC = assigned.groupBy(_._1)
+      cents = Array.tabulate(k) { c =>
+        byC.get(c) match {
+          case None => cents(c) // empty cluster keeps its centroid
+          case Some(members) =>
+            val vs = members.map(_._2).sortBy(_._1).map(_._2)
+            val dims = vs(0).length
+            Array.tabulate(dims) { d =>
+              var acc = 0.0; var i = 0
+              while (i < vs.length) { acc = acc + vs(i)(d); i += 1 }
+              acc / vs.length
+            }
+        }
+      }
+    }
+    cents.zipWithIndex.map { case (cv, cid) => (cid.toLong, cv) }
+  }
+
   /** V4 — IVF-flat top-k: partition the corpus into inverted lists by
     * nearest centroid, probe only the `nProbe` closest lists per query.
     *
-    * Centroids here are the embeddings of the `nCentroids` smallest
-    * vec_ids — a deterministic stand-in for an offline-trained k-means
-    * codebook (which is how production IVF works too: the codebook is
-    * driver-side, tiny, and broadcast). Assignment is a PURE MAP over the
-    * corpus — the centroid array is a literal, the argmax a per-row fold —
-    * so building the inverted lists costs one pass and zero shuffles; the
-    * only shuffle is the probe join on cent_id. Recall/cost dial:
-    * nProbe/nCentroids of the corpus is scanned per query (nProbe=4 of 16
-    * lists = 25%), vs 100% for [[bruteTopK]] and bucket-luck for
-    * [[lshTopK]].
+    * The codebook is [[kmeansCodebook]] when `codebook` is given;
+    * otherwise the embeddings of the `nCentroids` smallest vec_ids — a
+    * deterministic stand-in (production IVF works the same way either
+    * way: the codebook is driver-side, tiny, and broadcast). Assignment
+    * is a PURE MAP over the corpus — the centroid array is a literal, the
+    * argmax a per-row fold — so building the inverted lists costs one
+    * pass and zero shuffles; the only shuffle is the probe join on
+    * cent_id. Recall/cost dial: nProbe/nCentroids of the corpus is
+    * scanned per query (nProbe=4 of 16 lists = 25%), vs 100% for
+    * [[bruteTopK]] and bucket-luck for [[lshTopK]].
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    val cents = corpus.orderBy("vec_id").limit(nCentroids)
-      .select("vec_id", "embedding").collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      nCentroids: Int = 16, nProbe: Int = 4,
+      codebook: Option[Array[(Long, Array[Double])]] = None): DataFrame = {
+    val cents: Array[(Long, Array[Double])] = codebook.getOrElse(
+      corpus.orderBy("vec_id").limit(nCentroids)
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)))
     val centArr = array(cents.map { case (cid, cv) =>
       struct(lit(cid).as("cid"), typedLit(cv).as("cv")) }: _*)
     // (cosine desc, cid asc) — identical tie order to the oracle's

@@ -25,15 +25,19 @@ object VectorQueries {
     "v3_lsh_multiprobe" -> ((s, dir) =>
       VectorOps.lshTopKMultiProbe(queriesDf(s, dir), Tables.embeddings(s, dir),
         k, planes, dims)),
-    "v4_ivf_topk" -> ((s, dir) =>
-      VectorOps.ivfTopK(queriesDf(s, dir), Tables.embeddings(s, dir),
-        k, nCentroids, nProbe)),
+    "v4_ivf_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cb = VectorOps.kmeansCodebook(emb, nCentroids, kmIters, sampleMod)
+      VectorOps.ivfTopK(queriesDf(s, dir), emb, k, nCentroids, nProbe, Some(cb))
+    }),
     "d5_embedding_top_pairs" -> ((s, dir) =>
       VectorOps.blockedTopPairs(Tables.embeddings(s, dir), col("label"), 50))
   )
 
   private val nCentroids = 16
   private val nProbe = 4
+  private val kmIters = 4
+  private val sampleMod = 3
 
   // ------------------------------------------------------------------
   // DuckDB mirrors — same left-to-right fold discipline as VectorOps.
@@ -59,6 +63,36 @@ object VectorQueries {
     (0 until planes)
       .map(p => s"(CASE WHEN ${planeDotSql(v, p)} > 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
       .mkString(" + ")
+
+  /** Chained-CTE mirror of [[VectorOps.kmeansCodebook]] — one
+    * (assign, members, update, carry) CTE quartet per Lloyd iteration,
+    * ending in `cb$kmIters (cid, cv)`. Identical float association to the
+    * driver-side Scala: cosine/mean folds are left-to-right double folds
+    * seeded 0.0, members averaged in vec_id order, empty clusters carry
+    * the previous centroid via the LEFT JOIN coalesce.
+    */
+  private def kmeansCtes: String = {
+    val sb = new StringBuilder
+    sb.append(s", samp AS (SELECT vec_id, v FROM e WHERE vec_id % $sampleMod = 0)")
+    sb.append(s",\ncb0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, v AS cv " +
+      s"FROM (SELECT vec_id, v FROM samp ORDER BY vec_id LIMIT $nCentroids))")
+    for (i <- 1 to kmIters) {
+      val prev = s"cb${i - 1}"
+      sb.append(s""",
+        |a$i AS (
+        |  SELECT vec_id, v, cid,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rnk
+        |  FROM (SELECT s.vec_id, s.v, c.cid, ${cosineSql("s.v", "c.cv")} AS cos
+        |        FROM samp s CROSS JOIN $prev c)
+        |),
+        |m$i AS (SELECT cid, list(v ORDER BY vec_id) AS vs FROM a$i WHERE rnk = 1 GROUP BY cid),
+        |u$i AS (SELECT cid, list_transform(generate_series(1, $dims), d ->
+        |          list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(vs, w -> w[d])), (acc, x) -> acc + x) / len(vs)) AS cv
+        |        FROM m$i),
+        |cb$i AS (SELECT p.cid, coalesce(u.cv, p.cv) AS cv FROM $prev p LEFT JOIN u$i u ON p.cid = u.cid)""".stripMargin)
+    }
+    sb.toString
+  }
 
   val oracle: Map[String, String] = Map(
     "v1_cosine_topk" -> (embSql +
@@ -99,8 +133,9 @@ object VectorQueries {
          |           ORDER BY cosine DESC, neighbor_id) AS rank
          |  FROM cand
          |) WHERE rank <= $k""".stripMargin),
-    "v4_ivf_topk" -> (embSql +
-      s""", cents AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT $nCentroids),
+    "v4_ivf_topk" -> (embSql + kmeansCtes +
+      s""",
+         |cents AS (SELECT cid, cv FROM cb$kmIters),
          |asgn AS (
          |  SELECT vec_id, v, cid,
          |         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rnk

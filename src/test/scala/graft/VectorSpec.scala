@@ -76,6 +76,32 @@ class VectorSpec extends SparkSpec {
     assert(all.toSeq == brute.toSeq)
   }
 
+  test("k-means codebook: deterministic, and IVF recall@10 >= 0.55 on sf0.1") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val q = emb.filter(col("vec_id") < 8)
+    // deterministic: same inputs, same codebook, twice
+    val cb1 = VectorOps.kmeansCodebook(emb, 16, iters = 4, sampleMod = 3)
+    val cb2 = VectorOps.kmeansCodebook(emb, 16, iters = 4, sampleMod = 3)
+    assert(cb1.length == 16)
+    assert(cb1.map(_._2.toSeq).toSeq == cb2.map(_._2.toSeq).toSeq)
+    // Lloyd moved the centroids off their init vectors (it actually trained)
+    val inits = emb.filter(col("vec_id") % 3 === 0).orderBy("vec_id").limit(16)
+      .select("embedding").collect().map(_.getSeq[Float](0).map(_.toDouble))
+    assert(cb1.map(_._2.toSeq).toSet != inits.map(_.toSeq).toSet)
+
+    def hits(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val truth = hits(VectorOps.bruteTopK(q, emb, 10))
+    val ivf = hits(VectorOps.ivfTopK(q, emb, 10, 16, nProbe = 4, Some(cb1)))
+    val recall = truth.map { case (qid, t) =>
+      ivf.getOrElse(qid, Set.empty[Long]).intersect(t).size / 10.0
+    }.sum / truth.size
+    info(f"IVF(16 lists, 4 probes) recall@10 vs brute force: $recall%.3f")
+    // stated floor: 4/16 lists probed must recover >= 55% of true top-10
+    assert(recall >= 0.55, f"recall $recall%.3f below floor")
+  }
+
   test("multi-probe lsh recall >= single-probe; results within hamming 1") {
     val corpus = (0 until 60).map(j =>
       (j.toLong, (0 until 64).map(i => math.cos(i * (j + 2) * 0.7).toFloat).toArray)
