@@ -138,32 +138,8 @@ object Dedup {
   def dropListAtScale(sig: DataFrame, bands: Int, rowsPerBand: Int,
       minAgree: Int): DataFrame = {
     val mhCols = sig.columns.filter(_.startsWith("mh")).map(col).toSeq
-    val classes = sig.groupBy(mhCols: _*)
-      .agg(collect_list(col("doc_id")).as("__members"))
-      .withColumn("cid", array_min(col("__members")))
-    val bandCols = (0 until bands).map { b =>
-      val ks = (0 until rowsPerBand).map(r => col(f"mh${b * rowsPerBand + r}%02d"))
-      struct(lit(b).as("band"), md5(concat_ws(",", ks: _*)).as("bkey"))
-    }
-    // cid IS the min member, so edges carry both classes' minima for free —
-    // the upstream class aggregation is evaluated exactly TWICE (once under
-    // the band join, once for the final member expansion), not per use
-    val exploded = classes
-      .select(col("cid"), array(mhCols: _*).as("sig"),
-        explode(array(bandCols: _*)).as("bk"))
-      .select(col("cid"), col("sig"),
-        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    val eq = aggregate(
-      zip_with(col("x.sig"), col("y.sig"),
-        (a, b) => when(a === b, 1).otherwise(0)),
-      lit(0), (acc, v) => acc + v)
-    val edges = exploded.as("x")
-      .join(exploded.as("y"),
-        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-          col("x.cid") < col("y.cid"))
-      .select(col("x.cid").as("cid1"), col("y.cid").as("cid2"), eq.as("n_equal"))
-      .filter(col("n_equal") >= minAgree)
-      .select("cid1", "cid2").distinct()
+    val classes = sigClasses(sig, mhCols)
+    val edges = classEdges(classes, mhCols, bands, rowsPerBand, minAgree)
     // min adjacent-class member per class (cid2 < ... is not implied: the
     // edge gives each side the OTHER side's minimum = the other cid)
     val minAdj = edges.select(col("cid1").as("cid"), col("cid2").as("__nb"))
@@ -181,6 +157,116 @@ object Dedup {
       .select(col("__nbmin"), explode(col("__members")).as("doc_id"))
       .filter(col("doc_id") > col("__nbmin"))
       .select(col("doc_id").as("drop_id"))
+  }
+
+  /** Identical-signature classes: member list + the class minimum id. */
+  private def sigClasses(sig: DataFrame, mhCols: Seq[Column]): DataFrame =
+    sig.groupBy(mhCols: _*)
+      .agg(collect_list(col("doc_id")).as("__members"))
+      .withColumn("cid", array_min(col("__members")))
+
+  /** Class-level near-dup edges (cid1 < cid2): band-join the class
+    * representatives, keep pairs with ≥ minAgree agreeing hashes. cid IS
+    * the min member, so edges carry both classes' minima for free — the
+    * upstream class aggregation is evaluated exactly TWICE (once under
+    * the band join, once for the final member expansion), not per use.
+    */
+  private def classEdges(classes: DataFrame, mhCols: Seq[Column],
+      bands: Int, rowsPerBand: Int, minAgree: Int): DataFrame = {
+    val bandCols = (0 until bands).map { b =>
+      val ks = (0 until rowsPerBand).map(r => col(f"mh${b * rowsPerBand + r}%02d"))
+      struct(lit(b).as("band"), md5(concat_ws(",", ks: _*)).as("bkey"))
+    }
+    val exploded = classes
+      .select(col("cid"), array(mhCols: _*).as("sig"),
+        explode(array(bandCols: _*)).as("bk"))
+      .select(col("cid"), col("sig"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val eq = aggregate(
+      zip_with(col("x.sig"), col("y.sig"),
+        (a, b) => when(a === b, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
+    exploded.as("x")
+      .join(exploded.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.cid") < col("y.cid"))
+      .select(col("x.cid").as("cid1"), col("y.cid").as("cid2"), eq.as("n_equal"))
+      .filter(col("n_equal") >= minAgree)
+      .select("cid1", "cid2").distinct()
+  }
+
+  /** D6, chain-aware variant — drops resolve against KEPT SURVIVORS only.
+    *
+    * The greedy rule ([[dropListAtScale]]) drops every document with ANY
+    * smaller near-dup neighbor; on a transitive chain a~b, b~c (a≁c) it
+    * drops both b and c, although once b is gone c duplicates nothing
+    * that remains. This variant keeps c: within each connected component
+    * of the class graph the kept set is the greedy minimum-id maximal
+    * independent set — a class is dropped only when an ADJACENT class
+    * with a smaller id is itself kept. (Pure connected-components
+    * labeling — keep only each component's min — would over-drop MORE
+    * than greedy: it also drops members merely transitively reachable.)
+    *
+    * Resolution is an iterative fixpoint on the CLASS graph (already
+    * collapsed — typically orders of magnitude smaller than the corpus):
+    * each round, classes with no surviving smaller neighbor become kept
+    * roots, their larger neighbors drop, and all resolved edges leave the
+    * frontier. Real dup graphs are clique-heavy (mutual near-dups), so
+    * most edges resolve in round one; rounds are bounded by the longest
+    * id-decreasing chain, `maxRounds` guards pathological inputs. Each
+    * round's frontier is localCheckpoint'ed: the loop would otherwise
+    * stack one join-lineage per round onto the next plan.
+    *
+    * Doc-level expansion is exact, not approximate: edges are functions
+    * of the SIGNATURE, so every member of a dropped class is adjacent to
+    * the kept dropper, and every non-min member of a kept class is
+    * adjacent to its kept minimum — both drop.
+    */
+  def dropListConnected(sig: DataFrame, bands: Int, rowsPerBand: Int,
+      minAgree: Int, maxRounds: Int = 64): DataFrame = {
+    val spark = sig.sparkSession
+    val mhCols = sig.columns.filter(_.startsWith("mh")).map(col).toSeq
+    val classes = sigClasses(sig, mhCols)
+    var frontier = classEdges(classes, mhCols, bands, rowsPerBand, minAgree)
+      .localCheckpoint()
+    var droppedCids = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cid",
+          classes.schema("cid").dataType))))
+    var rounds = 0
+    while (frontier.head(1).nonEmpty) {
+      rounds += 1
+      require(rounds <= maxRounds,
+        s"dropListConnected did not converge in $maxRounds rounds")
+      // roots: classes never on the larger side of a live edge → kept
+      val roots = frontier.select(col("cid1").as("cid")).distinct()
+        .join(frontier.select(col("cid2").as("cid")).distinct(),
+          Seq("cid"), "left_anti")
+      val newDropped = frontier
+        .join(roots.withColumnRenamed("cid", "cid1"), Seq("cid1"))
+        .select(col("cid2").as("cid")).distinct().localCheckpoint()
+      droppedCids = droppedCids.unionByName(newDropped)
+      // resolved edges leave: roots decided all their edges; dropped
+      // classes can no longer drop anyone
+      frontier = frontier
+        .join(roots.withColumnRenamed("cid", "cid1"), Seq("cid1"), "left_anti")
+        .join(newDropped.withColumnRenamed("cid", "cid1"), Seq("cid1"), "left_anti")
+        .join(newDropped.withColumnRenamed("cid", "cid2"), Seq("cid2"), "left_anti")
+        .localCheckpoint()
+    }
+    // dropped class → all members; kept class → members above its min.
+    // All-null-signature classes have no edges and never self-match
+    // (doc-level n_equal over null hashes is 0), so they drop nothing —
+    // same rule as dropListAtScale.
+    val droppedAll = classes.join(droppedCids, Seq("cid"))
+      .select(explode(col("__members")).as("doc_id"))
+    val keptIntra = classes.join(droppedCids, Seq("cid"), "left_anti")
+      .filter(col("mh00").isNotNull)
+      .select(col("cid"), explode(col("__members")).as("doc_id"))
+      .filter(col("doc_id") > col("cid"))
+      .select("doc_id")
+    droppedAll.unionByName(keptIntra).select(col("doc_id").as("drop_id"))
   }
 
   /** Apply a drop list (anti-join — no payload from the drop side). */

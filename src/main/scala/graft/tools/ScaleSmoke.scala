@@ -140,6 +140,11 @@ object ScaleSmoke {
       try Dedup.dropListAtScale(sig, 4, 4, minAgree = 8).count()
       finally sig.unpersist()
     }
+    timeD("droplist-connected-1M") {
+      val sig = Dedup.minhashSignature(dupDocs, col("text"), col("doc_id"), 16, 3).cache()
+      try Dedup.dropListConnected(sig, 4, 4, minAgree = 8).count()
+      finally sig.unpersist()
+    }
     dupDocs.unpersist()
     timeD("langid+quality+tokens") {
       docs.select(

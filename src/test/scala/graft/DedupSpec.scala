@@ -98,6 +98,32 @@ class DedupSpec extends SparkSpec {
     assert(!atScale.contains(200L) && !atScale.contains(201L))
   }
 
+  test("dropListConnected keeps the end of a transitive chain; matches greedy on cliques") {
+    // hand-built signatures (bands=2, rows=2): a~b via band0 (3 agreeing
+    // hashes), b~c via band1 (3 agreeing), but a≁c (2 agreeing, no band)
+    val sig = Seq(
+      (1L, 10L, 20L, 30L, 40L), // a
+      (2L, 10L, 20L, 30L, 50L), // b
+      (3L, 90L, 20L, 30L, 50L)  // c
+    ).toDF("doc_id", "mh00", "mh01", "mh02", "mh03")
+    val greedy = Dedup.dropListAtScale(sig, 2, 2, minAgree = 3)
+      .collect().map(_.getLong(0)).toSet
+    val chainAware = Dedup.dropListConnected(sig, 2, 2, minAgree = 3)
+      .collect().map(_.getLong(0)).toSet
+    // greedy drops c although its only duplicate b is itself dropped
+    assert(greedy == Set(2L, 3L))
+    // chain-aware resolution keeps c: no KEPT smaller near-dup remains
+    assert(chainAware == Set(2L))
+
+    // on a clique (mutual near-dups: 1≈2≈4, 4 exact-dups 1) both agree
+    val cliqueSig = Dedup.minhashSignature(docs, col("text"), col("doc_id"), 16, 3)
+    val g2 = Dedup.dropListAtScale(cliqueSig, 4, 4, minAgree = 12)
+      .collect().map(_.getLong(0)).toSet
+    val c2 = Dedup.dropListConnected(cliqueSig, 4, 4, minAgree = 12)
+      .collect().map(_.getLong(0)).toSet
+    assert(g2 == c2 && g2.contains(4L))
+  }
+
   test("drop list keeps the lowest id of each dup group; prune anti-joins it") {
     val sig = Dedup.minhashSignature(docs, col("text"), col("doc_id"), 16, 3)
     val pairs = Dedup.lshCandidatePairs(sig, 4, 4)
