@@ -19,10 +19,15 @@ import graft.functions.{Ema, JavaLog}
   * an already-running session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.builders.foreach { case (name, info, builder) =>
       e.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // continuous-aggregate serve: rewrite coarse OHLCV windows over a
+    // registered raw source to scan its roll-up (RollupCatalog). For a
+    // live session use spark.experimental.extraOptimizations instead.
+    e.injectOptimizerRule(_ => RollupRewrite)
+  }
 }
 
 object GraftFunctions {

@@ -89,6 +89,76 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Sort"))
   }
 
+  test("rollup rewrite serves coarse OHLCV windows from the registered roll-up") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Resample
+    import graft.plans.{RollupCatalog, RollupRewrite}
+    import graft.sources.Tables
+
+    def raw = Tables.bars(spark, sfDir)
+    // expected result BEFORE any registration (plain raw aggregation)
+    val expected = Resample.ohlcv(raw, "1 hour").collect()
+      .map(_.toString).sorted
+
+    // materialize the 15-minute roll-up as a parquet table (bars shape)
+    val dir = java.nio.file.Files.createTempDirectory("graft-rollup").toString
+    Resample.ohlcv(raw, "15 minutes").withColumnRenamed("bucket_ts", "ts")
+      .write.mode("overwrite").parquet(s"$dir/rollup15m")
+    val rollup = spark.read.parquet(s"$dir/rollup15m")
+
+    spark.experimental.extraOptimizations = Seq(RollupRewrite)
+    try {
+      RollupCatalog.register(raw, 15L * 60 * 1000000, rollup)
+
+      def scanPaths(df: org.apache.spark.sql.DataFrame): String =
+        df.queryExecution.optimizedPlan.collectLeaves().flatMap {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.rootPaths.map(_.toString)
+              case _ => Nil
+            }
+          case _ => Nil
+        }.mkString("\n")
+
+      val coarse = Resample.ohlcv(raw, "1 hour")
+      val plan = coarse.queryExecution.optimizedPlan
+      val scanned = scanPaths(coarse)
+      // the rewritten plan scans the ROLL-UP table, not the raw source
+      assert(scanned.contains("rollup15m"), s"expected roll-up scan:\n$scanned")
+      assert(!scanned.contains("events"), s"raw source still scanned:\n$scanned")
+      // count(1) re-expressed as sum of the roll-up's n_bars
+      assert(plan.toString.contains("__rollup_n_bars"))
+      // identical results
+      assert(coarse.collect().map(_.toString).sorted.sameElements(expected))
+
+      // a non-dividing step (7 min) must NOT rewrite
+      val oddScan = scanPaths(Resample.ohlcv(raw, "7 minutes"))
+      assert(oddScan.contains("events") && !oddScan.contains("rollup15m"))
+
+      // an avg-style aggregate over the raw source must NOT rewrite
+      val nonDecomposable = raw
+        .groupBy(col("symbol"),
+          org.apache.spark.sql.functions.window(col("ts"), "1 hour"))
+        .agg(org.apache.spark.sql.functions.avg(col("close")).as("avg_close"))
+      val ndScan = scanPaths(nonDecomposable)
+      assert(ndScan.contains("events") && !ndScan.contains("rollup15m"))
+
+      // in-memory (unmaterialized) roll-up registration also terminates
+      // and rewrites: the defining query itself must not self-match
+      RollupCatalog.clear()
+      RollupCatalog.register(raw, 5L * 60 * 1000000,
+        Resample.ohlcv(raw, "5 minutes").withColumnRenamed("bucket_ts", "ts"))
+      val viaInMem = Resample.ohlcv(raw, "1 hour")
+      assert(viaInMem.queryExecution.optimizedPlan.toString
+        .contains("__rollup_n_bars"))
+      assert(viaInMem.collect().map(_.toString).sorted.sameElements(expected))
+    } finally {
+      RollupCatalog.clear()
+      spark.experimental.extraOptimizations = Nil
+    }
+  }
+
   test("connector scan plans one partition per symbol x slice, no shuffle") {
     val read = spark.read.format(classOf[graft.sources.connector.KlineSource].getName)
       .option("symbols", "AAA,BBB,CCC")
