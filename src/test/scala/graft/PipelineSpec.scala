@@ -104,6 +104,28 @@ class PipelineSpec extends SparkSpec {
     assert(res.splitSizes.values.sum == res.data.count())
   }
 
+  test("RunPipeline CLI: config-driven per-asset fan-out with error isolation") {
+    import graft.pipeline.RunPipeline
+    val tmp = java.nio.file.Files.createTempDirectory("graft-runp")
+    val cfgPath = tmp.resolve("pipeline_config.json")
+    java.nio.file.Files.writeString(cfgPath,
+      """{"pipeline": "crypto",
+        |  "pipeline_config": {
+        |    "assets": [{"symbol": "click", "timeframe": "1h"},
+        |               {"symbol": "view", "timeframe": "1h"}],
+        |    "aggregate": true, "aggregate_timeframe": "1h",
+        |    "splits": {"train_test_split": {"test_size": 0.2}},
+        |    "save_files": false
+        |  }}""".stripMargin)
+    val summary = RunPipeline.run(spark, cfgPath.toString, sfDir, None)
+    assert(summary.keySet == Set("click", "view"))
+    assert(summary.values.forall(_.startsWith("rows=")))
+    assert(summary("click").contains("train="))
+    // missing config file → defaults, single "all" asset
+    val dflt = RunPipeline.run(spark, "/nonexistent.json", sfDir, None)
+    assert(dflt.keySet == Set("all") && dflt("all").startsWith("rows="))
+  }
+
   test("pipeline writes the partitioned lake when configured") {
     val dir = java.nio.file.Files.createTempDirectory("graft-pipe").toString + "/lake"
     val bars = Generator.ohlcv(spark, Seq("sol"), 200)
