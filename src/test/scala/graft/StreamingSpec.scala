@@ -81,6 +81,64 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming as-of enrich: latest quote at-or-before, out-of-order safe") {
+    import graft.streaming.StreamAsOf
+    import graft.streaming.StreamAsOf.{probe, quote, MarketEvent}
+    val input = MemoryStream[MarketEvent](spark)
+    val q = StreamAsOf.enrichAsOf(input.toDS(), horizonMs = 3600_000L)
+      .writeStream.format("memory").queryName("asof_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: quote@10:00 100, quote@10:05 105; probes before/on/after
+      input.addData(
+        quote("s", t("2024-01-01 10:00:00"), 100.0),
+        quote("s", t("2024-01-01 10:05:00"), 105.0),
+        probe("s", t("2024-01-01 09:59:00"), 1L), // before any quote → None
+        probe("s", t("2024-01-01 10:05:00"), 2L), // equal ts → matches 105
+        probe("s", t("2024-01-01 10:07:00"), 3L)) // after → 105
+      q.processAllAvailable()
+      // batch 2: newer quote, then an OUT-OF-ORDER probe older than it —
+      // the buffer must serve the historical 10:00 quote, not 10:06's
+      input.addData(
+        quote("s", t("2024-01-01 10:06:00"), 106.0),
+        probe("s", t("2024-01-01 10:02:00"), 4L),
+        probe("s", t("2024-01-01 10:08:00"), 5L),
+        probe("x", t("2024-01-01 10:00:00"), 6L)) // symbol with no quotes
+      q.processAllAvailable()
+      val out = spark.table("asof_out").collect()
+        .map(r => r.getAs[Long]("probeId") ->
+          (if (r.isNullAt(r.fieldIndex("quotePrice"))) None
+           else Some(r.getAs[Double]("quotePrice")))).toMap
+      assert(out(1L) == None)
+      assert(out(2L) == Some(105.0))
+      assert(out(3L) == Some(105.0))
+      assert(out(4L) == Some(100.0)) // historical match, not latest
+      assert(out(5L) == Some(106.0))
+      assert(out(6L) == None)
+    } finally q.stop()
+  }
+
+  test("streaming as-of buffer prunes to the lateness horizon") {
+    import graft.streaming.StreamAsOf
+    import graft.streaming.StreamAsOf.{probe, quote, MarketEvent}
+    val input = MemoryStream[MarketEvent](spark)
+    val q = StreamAsOf.enrichAsOf(input.toDS(), horizonMs = 60_000L)
+      .writeStream.format("memory").queryName("asof_prune_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        quote("s", t("2024-01-01 10:00:00"), 100.0),
+        quote("s", t("2024-01-01 10:10:00"), 110.0))
+      q.processAllAvailable()
+      // 10:00 quote fell off the 1-minute horizon behind 10:10: a probe
+      // at 10:05 must NOT borrow the too-new 10:10 quote → unenriched
+      input.addData(probe("s", t("2024-01-01 10:05:00"), 1L))
+      q.processAllAvailable()
+      val row = spark.table("asof_prune_out").collect().head
+      assert(row.isNullAt(row.fieldIndex("quotePrice")))
+    } finally q.stop()
+  }
+
   test("streaming rollup lands finalized buckets in a parquet lake") {
     val base = java.nio.file.Files.createTempDirectory("graft-stream").toString
     val input = MemoryStream[InBar](spark)
@@ -101,6 +159,54 @@ class StreamingSpec extends SparkSpec {
       assert(hour10.length == 1)
       assert(hour10.head.getAs[Double]("volume") == 12.0)
     } finally q.stop()
+  }
+
+  test("batch queries serve from the STREAMING rollup lake via RollupRewrite") {
+    import graft.plans.{RollupCatalog, RollupRewrite}
+    val base = java.nio.file.Files.createTempDirectory("graft-cagg").toString
+    val data = Seq(
+      bar("ddd", "2024-01-01 10:00:00", 100.0, 5.0),
+      bar("ddd", "2024-01-01 10:20:00", 101.0, 7.0),
+      bar("ddd", "2024-01-01 10:40:00", 102.0, 2.0),
+      bar("ddd", "2024-01-01 11:10:00", 103.0, 4.0))
+    // stream the bars through the 15-minute continuous aggregate
+    val input = MemoryStream[InBar](spark)
+    val q = graft.streaming.StreamRollup.sinkToLake(
+      StreamRollup.ohlcvTumbling(input.toDF(), "15 minutes", "1 hour"),
+      s"$base/lake15m", s"$base/ckpt")
+    try {
+      input.addData(data: _*)
+      q.processAllAvailable()
+      // watermark-advancing event finalizes every data bucket
+      input.addData(bar("ddd", "2024-01-02 09:00:00", 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    // the SAME rows land as the batch raw table
+    data.toDF().write.mode("overwrite").parquet(s"$base/raw")
+    val raw = spark.read.parquet(s"$base/raw")
+    val expected = graft.operators.Resample.ohlcv(raw, "1 hour")
+      .collect().map(_.toString).sorted
+
+    spark.experimental.extraOptimizations = Seq(RollupRewrite)
+    try {
+      RollupCatalog.register(raw, 15L * 60 * 1000000,
+        spark.read.parquet(s"$base/lake15m").withColumnRenamed("bucket_ts", "ts"))
+      val coarse = graft.operators.Resample.ohlcv(raw, "1 hour")
+      val leaves = coarse.queryExecution.optimizedPlan.collectLeaves().flatMap {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString)
+            case _ => Nil
+          }
+        case _ => Nil
+      }.mkString
+      assert(leaves.contains("lake15m") && !leaves.contains("raw"))
+      assert(coarse.collect().map(_.toString).sorted.sameElements(expected))
+    } finally {
+      RollupCatalog.clear()
+      spark.experimental.extraOptimizations = Nil
+    }
   }
 
   test("batch and streaming share the same rollup code path") {
