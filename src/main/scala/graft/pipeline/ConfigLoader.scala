@@ -71,14 +71,23 @@ object ConfigLoader {
     case (_, u) => u
   }
 
-  /** Defaults deep-merged with an optional config file (missing file →
-    * defaults only, like the reference's silent fallback).
+  /** Defaults deep-merged with an optional config file. Missing file →
+    * defaults only; MALFORMED file → defaults plus a stderr warning —
+    * both mirror the reference's try/except-warn fallback
+    * (config_manager.py:66-73), which never fails pipeline startup over
+    * a bad config.
     */
   def load(path: String): View = {
     val base: JValue = defaults
     val merged =
       if (path != null && Files.exists(Paths.get(path)))
-        deepMerge(base, JsonMethods.parse(Files.readString(Paths.get(path))))
+        try deepMerge(base, JsonMethods.parse(Files.readString(Paths.get(path))))
+        catch {
+          case e: Exception =>
+            System.err.println(
+              s"Warning: Failed to load config file $path: ${e.getMessage}")
+            base
+        }
       else base
     View(merged)
   }

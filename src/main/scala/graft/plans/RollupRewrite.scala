@@ -21,12 +21,15 @@ import org.apache.spark.sql.types.LongType
   * asserts "this bars-shaped table IS the `stepUs` roll-up of the bars
   * pipeline over this raw path". The rule itself guarantees, structurally:
   *
-  *  - the aggregate is OHLCV-decomposable: only min/max/sum (any input
-  *    expression over mapped columns), min_by/max_by ordered BY the time
-  *    column (first/last compose across levels because the earliest raw
-  *    row lives in the earliest fine bucket), and `count(1)`, which is
-  *    re-expressed as `sum(n_bars)` over the roll-up. Anything else
-  *    (avg, count distinct, filter clauses, UDAFs) vetoes the rewrite.
+  *  - the aggregate is OHLCV-decomposable AND role-matched to how each
+  *    roll-up column was materialized: max only over high, min only over
+  *    low, sum only over volume, min_by/max_by(·, ts) only over
+  *    open/close (first/last compose across levels because the earliest
+  *    raw row lives in the earliest fine bucket), and `count(1)`, which
+  *    is re-expressed as `sum(n_bars)`. Anything else — avg, count
+  *    distinct, filter clauses, UDAFs, or a composing function applied
+  *    to the WRONG column (max(open), sum(close), min(ts)…) — vetoes
+  *    the rewrite, because bucket-level values don't reproduce it.
   *  - the window is tumbling, epoch-aligned, with `rollup.stepUs`
   *    strictly dividing the query step — bucket edges provably coincide.
   *  - every column the aggregate touches exists, with the same type, in
@@ -133,16 +136,35 @@ object RollupRewrite extends Rule[LogicalPlan] {
       entry.rollup)
     val level2 = Project(Seq(windowAlias) ++ needed :+ nBars.toAttribute, level1)
 
-    // whitelist pass; count(1) composes as sum(n_bars)
+    // Whitelist pass, tied to the roll-up columns' ROLES — an aggregate
+    // composes across levels only when it re-applies the function the
+    // roll-up column was materialized with: max only over high (bucket
+    // max-of-maxes IS the raw max), min only over low, sum only over
+    // volume (sum of bucket sums), min_by/max_by(·, ts) only over
+    // open/close (the earliest raw row lives in the earliest bucket, and
+    // any POINTWISE value expr commutes with "take the first"), count(1)
+    // as sum(n_bars). max(open), sum(close), min(ts) etc. do NOT compose
+    // and must veto. Sum/Min/Max inputs are restricted to the bare column
+    // through casts (sum of f(volume) ≠ f-sum composition unless linear).
+    def bareThroughCasts(e: Expression, colName: String): Boolean = e match {
+      case a: Attribute => a.name == colName
+      case c: Cast => bareThroughCasts(c.child, colName)
+      case _ => false
+    }
+    def refsOnly(e: Expression, colName: String): Boolean =
+      e.references.forall(_.name == colName) && e.references.nonEmpty
+    val byTs = (ord: Expression) => ord.references == AttributeSet(Seq(tsAttr))
     var ok = true
     val newAggExprs = agg.aggregateExpressions.map { ne =>
       ne.transform {
         case ae @ AggregateExpression(fn, _, isDistinct, filter, _) =>
           if (isDistinct || filter.nonEmpty) { ok = false; ae }
           else fn match {
-            case _: Min | _: Max | _: Sum => ae
-            case MinBy(_, ord) if ord.references == AttributeSet(Seq(tsAttr)) => ae
-            case MaxBy(_, ord) if ord.references == AttributeSet(Seq(tsAttr)) => ae
+            case Max(c) if bareThroughCasts(c, "high") => ae
+            case Min(c) if bareThroughCasts(c, "low") => ae
+            case Sum(c, _) if bareThroughCasts(c, "volume") => ae
+            case MinBy(v, ord) if byTs(ord) && refsOnly(v, "open") => ae
+            case MaxBy(v, ord) if byTs(ord) && refsOnly(v, "close") => ae
             case Count(Seq(Literal(1, _))) =>
               ae.copy(aggregateFunction = Sum(nBars.toAttribute))
             case _ => ok = false; ae

@@ -65,4 +65,24 @@ object StreamRollup {
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .start()
+
+  /** Land finalized buckets in a JDBC table via idempotent upserts per
+    * micro-batch — the reference's TimescaleDB materialization path
+    * (timeseries_db.py:399-434 `ON CONFLICT DO UPDATE`, streamed):
+    * `foreachBatch` hands each finalized-bucket batch to
+    * [[graft.sinks.JdbcUpsertSink]] keyed (symbol, bucket_ts), so
+    * at-least-once micro-batch delivery (restarts, retries) still yields
+    * exactly-once TABLE state — a replayed bucket overwrites itself.
+    */
+  def sinkToJdbc(rolled: DataFrame, table: String,
+      connect: () => java.sql.Connection)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rolled.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sinks.JdbcUpsertSink.write(batch, table,
+          Seq("symbol", "bucket_ts"), graft.sinks.JdbcUpsertSink.DoUpdate,
+          connect)
+      }
+      .outputMode("append")
+      .start()
 }

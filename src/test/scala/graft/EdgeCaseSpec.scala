@@ -74,6 +74,26 @@ class EdgeCaseSpec extends SparkSpec {
       col("close"), 8, 2, 4).count() == 0)
     assert(Split.slidingWindows(oneBar, Seq(col("symbol")), order,
       col("close"), 8, 2, 4).count() == 0) // shorter than window+target
+    assert(Split.slidingWindowsMulti(emptyBars, Seq(col("symbol")), order,
+      Seq("open", "close"), 8, 2, 4).count() == 0)
+    assert(Split.slidingWindowsMulti(oneBar, Seq(col("symbol")), order,
+      Seq("open", "close"), 8, 2, 4).count() == 0)
+  }
+
+  test("config loader survives malformed JSON; k-means rejects tiny samples") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-badcfg")
+    val bad = tmp.resolve("bad.json")
+    java.nio.file.Files.writeString(bad, "{not json at all")
+    // reference config_manager.py:66-73 warns and keeps defaults
+    val v = graft.pipeline.ConfigLoader.load(bad.toString)
+    assert(v.getDouble("split_config.train_test_split.test_size").contains(0.2))
+    // k-means: a sample smaller than k must fail loudly, not train garbage
+    val tiny = Seq((0L, Array(1.0f, 0.0f)), (3L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      VectorOps.kmeansCodebook(tiny, k = 8, iters = 2, sampleMod = 3)
+    }
+    assert(e.getMessage.contains("sample"))
   }
 
   test("dedup and text ops on empty, whitespace, and sub-shingle docs") {

@@ -144,6 +144,16 @@ class PlanSpec extends SparkSpec {
       val ndScan = scanPaths(nonDecomposable)
       assert(ndScan.contains("events") && !ndScan.contains("rollup15m"))
 
+      // a composing FUNCTION on the WRONG column must NOT rewrite either:
+      // roll-up `open` is first-of-bucket, so max(open) over buckets would
+      // silently lose intra-bucket maxima
+      val wrongRole = raw
+        .groupBy(col("symbol"),
+          org.apache.spark.sql.functions.window(col("ts"), "1 hour"))
+        .agg(org.apache.spark.sql.functions.max(col("open")).as("max_open"))
+      val wrScan = scanPaths(wrongRole)
+      assert(wrScan.contains("events") && !wrScan.contains("rollup15m"))
+
       // in-memory (unmaterialized) roll-up registration also terminates
       // and rewrites: the defining query itself must not self-match
       RollupCatalog.clear()

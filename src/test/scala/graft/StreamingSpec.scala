@@ -161,6 +161,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming rollup upserts finalized buckets into JDBC per micro-batch") {
+    FakeDb.reset()
+    val input = MemoryStream[InBar](spark)
+    val q = StreamRollup.sinkToJdbc(
+      StreamRollup.ohlcvTumbling(input.toDF(), "1 hour", "1 hour"),
+      "ohlcv_1h", () => FakeDb.connect())
+    try {
+      input.addData(
+        bar("eee", "2024-01-01 10:00:00", 100.0, 5.0),
+        bar("eee", "2024-01-01 10:30:00", 102.0, 7.0))
+      q.processAllAvailable()
+      // watermark-advancing event finalizes hour 10
+      input.addData(bar("eee", "2024-01-01 12:30:00", 110.0))
+      q.processAllAvailable()
+      val byTable = FakeDb.boundBySql.toArray
+        .map(_.asInstanceOf[(String, Vector[Any])])
+        .filter(_._1.contains("ohlcv_1h"))
+      assert(byTable.nonEmpty)
+      // idempotent conflict target = the bucket key
+      assert(byTable.head._1.contains(
+        "ON CONFLICT (symbol, bucket_ts) DO UPDATE"))
+      // exactly the finalized hour-10 bucket landed, volume summed
+      val cols = byTable.head._1.split("\\(")(1).split("\\)")(0).split(", ")
+      val row = cols.zip(byTable.head._2).toMap
+      assert(row("symbol") == "eee")
+      assert(row("volume") == 12.0)
+    } finally q.stop()
+  }
+
   test("batch queries serve from the STREAMING rollup lake via RollupRewrite") {
     import graft.plans.{RollupCatalog, RollupRewrite}
     val base = java.nio.file.Files.createTempDirectory("graft-cagg").toString
