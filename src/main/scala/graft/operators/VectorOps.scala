@@ -37,6 +37,16 @@ object VectorOps {
   def cosine(a: Column, b: Column): Column =
     try_divide(dot(a, b), sqrt(norm2(a)) * sqrt(norm2(b)))
 
+  /** Cosine from PRE-STAGED squared norms. A join re-evaluates expression
+    * trees per OUTPUT row, so inlining [[cosine]] into a pair join folds
+    * each side's norm once per PAIR — 3× the arithmetic of the dot alone.
+    * Staging `norm2` as a column on each side before the join computes it
+    * once per ROW; the per-pair value (and the oracle mirror) is
+    * unchanged: same dot, same sqrt of the same norm.
+    */
+  def cosineStaged(a: Column, b: Column, n2a: Column, n2b: Column): Column =
+    try_divide(dot(a, b), sqrt(n2a) * sqrt(n2b))
+
   /** Deterministic integer hyperplane coefficient for (plane p, dim d):
     * ((1103515245·(p·dim + d) + 12345) mod 2001) − 1000 ∈ [−1000, 1000].
     * Pure integer arithmetic → identical in any engine; inlined as literals
@@ -62,11 +72,15 @@ object VectorOps {
     */
   def bruteTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val q = broadcast(
-      queries.select(col("vec_id").as("query_id"), col("embedding").as("qv")))
-    val joined = corpus.crossJoin(q)
+      queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        norm2(col("embedding")).as("__n2q")))
+    val joined = corpus
+      .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("__n2c"))
+      .crossJoin(q)
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosine(col("qv"), col("embedding")).as("cosine"))
+        cosineStaged(col("qv"), col("embedding"),
+          col("__n2q"), col("__n2c")).as("cosine"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
     joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -80,13 +94,16 @@ object VectorOps {
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       planes: Int, dims: Int): DataFrame = {
     val qb = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+      norm2(col("embedding")).as("__n2q"),
       lshBucket(col("embedding"), planes, dims).as("bucket"))
     val cb = corpus.select(col("vec_id").as("neighbor_id"), col("embedding"),
+      norm2(col("embedding")).as("__n2c"),
       lshBucket(col("embedding"), planes, dims).as("bucket"))
     val joined = qb.join(cb, Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qv"), col("embedding")).as("cosine"))
+        cosineStaged(col("qv"), col("embedding"),
+          col("__n2q"), col("__n2c")).as("cosine"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
     joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -104,18 +121,21 @@ object VectorOps {
   def lshTopKMultiProbe(queries: DataFrame, corpus: DataFrame, k: Int,
       planes: Int, dims: Int): DataFrame = {
     val qb0 = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+      norm2(col("embedding")).as("__n2q"),
       lshBucket(col("embedding"), planes, dims).as("bucket0"))
-    val probes = qb0.select(col("query_id"), col("qv"), col("bucket0"),
+    val probes = qb0.select(col("query_id"), col("qv"), col("__n2q"), col("bucket0"),
       explode(array((lit(0L) +: (0 until planes).map(p => lit(1L << p))): _*))
         .as("flip"))
-      .select(col("query_id"), col("qv"),
+      .select(col("query_id"), col("qv"), col("__n2q"),
         col("bucket0").bitwiseXOR(col("flip")).as("bucket"))
     val cb = corpus.select(col("vec_id").as("neighbor_id"), col("embedding"),
+      norm2(col("embedding")).as("__n2c"),
       lshBucket(col("embedding"), planes, dims).as("bucket"))
     val joined = probes.join(cb, Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qv"), col("embedding")).as("cosine"))
+        cosineStaged(col("qv"), col("embedding"),
+          col("__n2q"), col("__n2c")).as("cosine"))
       .distinct()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
@@ -222,23 +242,32 @@ object VectorOps {
         .when(l.getField("cid") < r.getField("cid"), -1)
         .otherwise(1)
     def assign(df: DataFrame, n: Int): DataFrame = {
+      // row norm staged once — the transform would otherwise re-fold it
+      // per CENTROID (centroid norms are literals Catalyst constant-folds)
+      val staged = df.select(col("vec_id"), col("embedding"),
+        norm2(col("embedding")).as("__n2"))
       val scored = transform(centArr, c =>
-        struct(cosine(col("embedding"), c.getField("cv")).as("cs"),
+        struct(cosineStaged(col("embedding"), c.getField("cv"),
+          col("__n2"), norm2(c.getField("cv"))).as("cs"),
           c.getField("cid").as("cid")))
-      df.select(col("vec_id"), col("embedding"),
+      staged.select(col("vec_id"), col("embedding"), col("__n2"),
           explode(slice(array_sort(scored, cmp), 1, n)).as("__a"))
-        .select(col("vec_id"), col("embedding"), col("__a.cid").as("cent_id"))
+        .select(col("vec_id"), col("embedding"), col("__n2"),
+          col("__a.cid").as("cent_id"))
     }
     val inv = assign(corpus, 1).select(col("cent_id"),
-      col("vec_id").as("neighbor_id"), col("embedding").as("cemb"))
+      col("vec_id").as("neighbor_id"), col("embedding").as("cemb"),
+      col("__n2").as("__n2c"))
     val probes = assign(queries, nProbe).select(col("cent_id"),
-      col("vec_id").as("query_id"), col("embedding").as("qv"))
+      col("vec_id").as("query_id"), col("embedding").as("qv"),
+      col("__n2").as("__n2q"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
     probes.join(inv, Seq("cent_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qv"), col("cemb")).as("cosine"))
+        cosineStaged(col("qv"), col("cemb"),
+          col("__n2q"), col("__n2c")).as("cosine"))
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"), col("cosine"))
@@ -259,12 +288,15 @@ object VectorOps {
       maxBlockRows: Long = 100000): DataFrame = {
     val bn = count(lit(1)).over(
       org.apache.spark.sql.expressions.Window.partitionBy(col("blk")))
-    val e = df.select(block.as("blk"), col("vec_id"), col("embedding"))
+    val e = df.select(block.as("blk"), col("vec_id"), col("embedding"),
+        norm2(col("embedding")).as("__n2"))
       .withColumn("__bn", bn)
     // when the guard passes the cosine flows through UNTOUCHED (no 0.0+x
-    // arithmetic that could flip a -0.0 and break oracle bit-exactness)
+    // arithmetic that could flip a -0.0 and break oracle bit-exactness);
+    // norms are staged per ROW above, not re-folded per pair
     val guarded = when(col("x.__bn") <= maxBlockRows,
-      cosine(col("x.embedding"), col("y.embedding")))
+      cosineStaged(col("x.embedding"), col("y.embedding"),
+        col("x.__n2"), col("y.__n2")))
       .otherwise(raise_error(
         lit(s"blockedTopPairs: a block exceeds maxBlockRows=$maxBlockRows; " +
           "pairs grow quadratically in block size — use finer blocks " +
