@@ -121,9 +121,13 @@ class PipelineSpec extends SparkSpec {
     assert(summary.keySet == Set("click", "view"))
     assert(summary.values.forall(_.startsWith("rows=")))
     assert(summary("click").contains("train="))
-    // missing config file → defaults, single "all" asset
-    val dflt = RunPipeline.run(spark, "/nonexistent.json", sfDir, None)
+    // missing config file → defaults, single "all" asset; defaults have
+    // save_files=true, so redirect data_dir into the temp dir (never the
+    // working directory)
+    val dflt = RunPipeline.run(spark, "/nonexistent.json", sfDir,
+      Some(tmp.resolve("out").toString))
     assert(dflt.keySet == Set("all") && dflt("all").startsWith("rows="))
+    assert(java.nio.file.Files.exists(tmp.resolve("out/all")))
   }
 
   test("pipeline writes the partitioned lake when configured") {
