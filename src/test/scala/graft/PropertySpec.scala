@@ -143,6 +143,45 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: multi-feature window count = max(0, (n-w-t)/s + 1), any (w,t,s)") {
+    import spark.implicits._
+    val series = (1 to 97).map(i => ("A", i.toLong, i * 1.0, i * 2.0))
+      .toDF("symbol", "id", "open", "volume")
+    for ((w, t, s) <- Seq((8, 2, 4), (3, 1, 1), (10, 3, 7), (50, 40, 5),
+        (96, 1, 1), (97, 1, 1), (5, 2, 100))) {
+      val out = Split.slidingWindowsMulti(series, Seq(col("symbol")),
+        Seq(col("id")), Seq("open", "volume"), w, t, s)
+      val expected = math.max(0L, (97L - w - t) / s + 1)
+      assert(out.count() == expected, s"(w,t,s)=($w,$t,$s)")
+      // shapes hold for every emitted window
+      val shapes = out.selectExpr("size(x_open)", "size(y_open)",
+        "size(x_volume)", "size(y_volume)").distinct().collect()
+      assert(shapes.forall(r => r.getInt(0) == w && r.getInt(1) == t &&
+        r.getInt(2) == w && r.getInt(3) == t), s"(w,t,s)=($w,$t,$s)")
+    }
+  }
+
+  test("property: chain-aware drop list is a SUBSET of the greedy drop list") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // random signature corpora with heavy collisions so band edges form
+    // chains as well as cliques; the kept-survivor resolution may only
+    // RESCUE documents relative to greedy, never drop extra ones
+    for (seed <- Seq(3L, 11L, 42L)) {
+      val rnd = new scala.util.Random(seed)
+      val sig = (1 to 120).map { i =>
+        (i.toLong, rnd.nextInt(4).toLong, rnd.nextInt(4).toLong,
+          rnd.nextInt(4).toLong, rnd.nextInt(4).toLong)
+      }.toDF("doc_id", "mh00", "mh01", "mh02", "mh03")
+      val greedy = Dedup.dropListAtScale(sig, 2, 2, minAgree = 3)
+        .collect().map(_.getLong(0)).toSet
+      val chainAware = Dedup.dropListConnected(sig, 2, 2, minAgree = 3)
+        .collect().map(_.getLong(0)).toSet
+      assert(chainAware.subsetOf(greedy), s"seed=$seed")
+      assert(greedy.nonEmpty, s"seed=$seed corpus produced no duplicates")
+    }
+  }
+
   test("property: chronological splits conserve rows and order, any cuts") {
     for (cuts <- Seq(Seq(0.5), Seq(0.8), Seq(0.6, 0.8), Seq(0.33, 0.66))) {
       val labels = (1 to cuts.size + 1).map(i => s"s$i")
