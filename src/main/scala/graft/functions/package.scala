@@ -27,6 +27,19 @@ package object functions {
     */
   def exactSum(c: Column): Column = sum(c.cast(Dec)).cast("double")
 
+  /** [[exactSum]] WITHOUT the final double cast — the decimal bucket sum a
+    * roll-up table materializes (`sum_<col>`) so that
+    * [[graft.plans.RollupRewrite]] can re-aggregate it exactly: decimal
+    * addition is associative, so sum-of-bucket-sums is bit-identical to the
+    * raw decimal sum, with the double rounding happening once, at the top.
+    */
+  def exactSumDec(c: Column): Column = sum(c.cast(Dec))
+
+  /** Decimal sum of squares (`sum2_<col>`) — the roll-up counterpart of the
+    * sum-of-squares term in [[exactVarSamp]], re-aggregable the same way.
+    */
+  def exactSumSqDec(c: Column): Column = sum((c * c).cast(Dec))
+
   /** Exact mean: decimal sum cast to double, divided by count — the division
     * is a single deterministic double op.
     * Oracle mirror: `CAST(sum(CAST(x AS DECIMAL(38,10))) AS DOUBLE) / count(x)`.

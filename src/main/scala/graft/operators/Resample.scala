@@ -78,6 +78,30 @@ object Resample {
         Seq("open", "high", "low", "close", "volume", "n_bars").map(col): _*)
   }
 
+  /** A1 variant for CONTINUOUS-AGGREGATE MATERIALIZATION
+    * ([[graft.plans.RollupCatalog.register]]): the bars shape of [[ohlcv]]
+    * plus, per requested raw column, the exact-composition columns
+    * `sum_<c>` (decimal bucket sum), `sum2_<c>` (decimal bucket sum of
+    * squares) and `n_<c>` (non-null count) that let
+    * [[graft.plans.RollupRewrite]] serve `exactSum`/`exactAvg`/
+    * `exactVarSamp`/`count(c)`-shaped queries BIT-EXACTLY from the roll-up
+    * (decimal addition is associative; the double rounding happens once,
+    * at the query's top-level cast). The double `volume` column remains for
+    * direct bars-shaped readers; Sum queries are never served from it.
+    */
+  def ohlcvRollup(df: DataFrame, interval: String,
+      exactCols: Seq[String] = Seq("volume"), ts: Column = col("ts")): DataFrame = {
+    val aggs = ohlcvAggs(ts) ++ exactCols.flatMap(c => Seq(
+      exactSumDec(col(c)).as(s"sum_$c"),
+      exactSumSqDec(col(c)).as(s"sum2_$c"),
+      count(col(c)).as(s"n_$c")))
+    df.groupBy(col("symbol"), window(ts, interval))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("symbol") +: col("window.start").as("bucket_ts") +:
+        (Seq("open", "high", "low", "close", "volume", "n_bars") ++
+          exactCols.flatMap(c => Seq(s"sum_$c", s"sum2_$c", s"n_$c"))).map(col): _*)
+  }
+
   /** A1, "1M" frame — calendar-month buckets via `date_trunc` (tumbling
     * windows have no month interval; SURVEY §7.3 item 1).
     */

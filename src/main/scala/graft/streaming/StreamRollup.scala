@@ -33,23 +33,34 @@ object StreamRollup {
     *                   watermark (the upsert conflict-target analog)
     */
   def ohlcvTumbling(bars: DataFrame, bucket: String = "1 hour",
-      lateness: String = "1 hour", dedupReplay: Boolean = true): DataFrame = {
+      lateness: String = "1 hour", dedupReplay: Boolean = true,
+      exactCols: Seq[String] = Seq("volume")): DataFrame = {
+    import graft.functions.{exactSum, exactSumDec, exactSumSqDec}
     val marked = bars.withWatermark("ts", lateness)
     val deduped =
       if (dedupReplay) marked.dropDuplicatesWithinWatermark("symbol", "ts")
       else marked
+    // volume via exactSum (deterministic, matches batch A1); per exactCol,
+    // the decimal sum_* / sum2_* / n_* companions RollupRewrite serves
+    // exactSum/exactAvg/exactVarSamp/count queries from — so a lake built
+    // by this stream is registrable as a full continuous aggregate
+    val extras = exactCols.flatMap(c => Seq(
+      exactSumDec(col(c)).as(s"sum_$c"),
+      exactSumSqDec(col(c)).as(s"sum2_$c"),
+      count(col(c)).as(s"n_$c")))
+    val aggs = Seq(
+      min_by(col("open"), col("ts")).as("open"),
+      max(col("high")).as("high"),
+      min(col("low")).as("low"),
+      max_by(col("close"), col("ts")).as("close"),
+      exactSum(col("volume")).as("volume"),
+      count(lit(1)).as("n_bars")) ++ extras
     deduped
       .groupBy(window(col("ts"), bucket).as("w"), col("symbol"))
-      .agg(
-        min_by(col("open"), col("ts")).as("open"),
-        max(col("high")).as("high"),
-        min(col("low")).as("low"),
-        max_by(col("close"), col("ts")).as("close"),
-        sum(col("volume")).as("volume"),
-        count(lit(1)).as("n_bars"))
-      .select(col("w.start").as("bucket_ts"), col("symbol"),
-        col("open"), col("high"), col("low"), col("close"),
-        col("volume"), col("n_bars"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("w.start").as("bucket_ts") +: col("symbol") +:
+        (Seq("open", "high", "low", "close", "volume", "n_bars") ++
+          exactCols.flatMap(c => Seq(s"sum_$c", s"sum2_$c", s"n_$c"))).map(col): _*)
   }
 
   /** Land the rollup in a parquet lake: append mode + checkpoint gives
@@ -73,11 +84,19 @@ object StreamRollup {
     * [[graft.sinks.JdbcUpsertSink]] keyed (symbol, bucket_ts), so
     * at-least-once micro-batch delivery (restarts, retries) still yields
     * exactly-once TABLE state — a replayed bucket overwrites itself.
+    *
+    * The `checkpoint` is MANDATORY for that claim to survive a restart:
+    * without one, a restarted query loses its watermark + aggregation
+    * state and can emit a PARTIALLY recomputed bucket (source resumed
+    * mid-bucket) whose upsert silently overwrites a previously complete
+    * row. With it, offsets + state resume exactly and a replayed
+    * micro-batch re-upserts identical values (no-op on table state).
     */
-  def sinkToJdbc(rolled: DataFrame, table: String,
+  def sinkToJdbc(rolled: DataFrame, table: String, checkpoint: String,
       connect: () => java.sql.Connection)
       : org.apache.spark.sql.streaming.StreamingQuery =
     rolled.writeStream
+      .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         graft.sinks.JdbcUpsertSink.write(batch, table,
           Seq("symbol", "bucket_ts"), graft.sinks.JdbcUpsertSink.DoUpdate,

@@ -100,9 +100,10 @@ class PlanSpec extends SparkSpec {
     val expected = Resample.ohlcv(raw, "1 hour").collect()
       .map(_.toString).sorted
 
-    // materialize the 15-minute roll-up as a parquet table (bars shape)
+    // materialize the 15-minute roll-up as a parquet table (bars shape +
+    // the decimal exact-composition columns Sum queries are served from)
     val dir = java.nio.file.Files.createTempDirectory("graft-rollup").toString
-    Resample.ohlcv(raw, "15 minutes").withColumnRenamed("bucket_ts", "ts")
+    Resample.ohlcvRollup(raw, "15 minutes").withColumnRenamed("bucket_ts", "ts")
       .write.mode("overwrite").parquet(s"$dir/rollup15m")
     val rollup = spark.read.parquet(s"$dir/rollup15m")
 
@@ -158,11 +159,118 @@ class PlanSpec extends SparkSpec {
       // and rewrites: the defining query itself must not self-match
       RollupCatalog.clear()
       RollupCatalog.register(raw, 5L * 60 * 1000000,
-        Resample.ohlcv(raw, "5 minutes").withColumnRenamed("bucket_ts", "ts"))
+        Resample.ohlcvRollup(raw, "5 minutes").withColumnRenamed("bucket_ts", "ts"))
       val viaInMem = Resample.ohlcv(raw, "1 hour")
       assert(viaInMem.queryExecution.optimizedPlan.toString
         .contains("__rollup_n_bars"))
       assert(viaInMem.collect().map(_.toString).sorted.sameElements(expected))
+    } finally {
+      RollupCatalog.clear()
+      spark.experimental.extraOptimizations = Nil
+    }
+  }
+
+  test("rollup rewrite: veto edges, and exact avg/stddev serving from extended roll-ups") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{exactAvg, exactSum, exactSumSqDec}
+    import graft.operators.Resample
+    import graft.plans.{RollupCatalog, RollupRewrite}
+    import graft.sources.Tables
+
+    def raw = Tables.bars(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft-rollup2").toString
+    // full roll-up: volume AND close exact-composition columns
+    Resample.ohlcvRollup(raw, "15 minutes", exactCols = Seq("volume", "close"))
+      .withColumnRenamed("bucket_ts", "ts")
+      .write.mode("overwrite").parquet(s"$dir/full15m")
+    // plain roll-up: volume only — close-based avg/stddev must veto
+    Resample.ohlcvRollup(raw, "15 minutes")
+      .withColumnRenamed("bucket_ts", "ts")
+      .write.mode("overwrite").parquet(s"$dir/plain15m")
+
+    def scans(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.optimizedPlan.collectLeaves().flatMap {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString)
+            case _ => Nil
+          }
+        case _ => Nil
+      }.mkString("\n")
+
+    // the exactAvg / sum-of-squares / count / exactSum probe query —
+    // exactly the aggregate shapes exactVarSamp/exactStdSamp decompose into
+    // (the stddev division itself happens above the served aggregates)
+    def probe = raw.groupBy(col("symbol"), window(col("ts"), "1 hour"))
+      .agg(exactAvg(col("close")).as("avg_close"),
+        exactSumSqDec(col("close")).cast("double").as("sumsq_close"),
+        count(col("close")).as("n_close"),
+        exactSum(col("volume")).as("sum_vol"))
+    val expected = probe.collect().map(_.toString).sorted // raw, pre-registration
+
+    spark.experimental.extraOptimizations = Seq(RollupRewrite)
+    try {
+      // ---- veto edges, registered against the FULL roll-up ----
+      RollupCatalog.register(raw, 15L * 60 * 1000000,
+        spark.read.parquet(s"$dir/full15m"))
+
+      // negative startTime (legal Spark, shifts the bucket lattice) vetoes
+      val shifted = raw.groupBy(col("symbol"),
+          window(col("ts"), "1 hour", "1 hour", "-7 minutes"))
+        .agg(max(col("high")).as("h"))
+      assert(!scans(shifted).contains("full15m"), "shifted window must not rewrite")
+
+      // extra grouping key that is bucket-VARYING on the raw source vetoes:
+      // ts would remap row-level groups onto bucket starts, close onto
+      // last-of-bucket — different groups entirely
+      val groupTs = raw.groupBy(col("symbol"), window(col("ts"), "1 hour"), col("ts"))
+        .agg(max(col("high")).as("h"))
+      assert(!scans(groupTs).contains("full15m"), "groupBy ts must not rewrite")
+      val groupClose = raw.groupBy(col("symbol"), window(col("ts"), "1 hour"), col("close"))
+        .agg(max(col("high")).as("h"))
+      assert(!scans(groupClose).contains("full15m"), "groupBy close must not rewrite")
+
+      // min_by with a negated or coarsened ordering references only ts but
+      // does not pick the same bucket across levels — vetoes
+      val negOrd = raw.groupBy(col("symbol"), window(col("ts"), "1 hour"))
+        .agg(min_by(col("open"), -unix_micros(col("ts").cast("timestamp"))).as("o"))
+      assert(!scans(negOrd).contains("full15m"), "negated ordering must not rewrite")
+      val coarseOrd = raw.groupBy(col("symbol"), window(col("ts"), "1 hour"))
+        .agg(min_by(col("open"), date_trunc("day", col("ts"))).as("o"))
+      assert(!scans(coarseOrd).contains("full15m"), "coarsened ordering must not rewrite")
+
+      // window-only grouping: bucket ts values tie ACROSS symbols, so
+      // first/last is ambiguous at the bucket level — vetoes
+      val noSym = raw.groupBy(window(col("ts"), "1 hour"))
+        .agg(min_by(col("open"), col("ts")).as("o"))
+      assert(!scans(noSym).contains("full15m"), "symbol-less min_by must not rewrite")
+
+      // plain DOUBLE sum (no decimal cast) would re-round per level — vetoes
+      val dblSum = raw.groupBy(col("symbol"), window(col("ts"), "1 hour"))
+        .agg(sum(col("volume")).as("v"))
+      assert(!scans(dblSum).contains("full15m"), "double sum must not rewrite")
+
+      // ---- exact serving: avg/stddev/count from sum_/sum2_/n_ columns ----
+      val served = probe
+      val s = scans(served)
+      assert(s.contains("full15m") && !s.contains("events"),
+        s"probe should serve from the roll-up:\n$s")
+      // decimal re-aggregation is associative ⇒ BIT-identical results
+      assert(served.collect().map(_.toString).sorted.sameElements(expected))
+
+      // ---- the same probe vetoes when the roll-up lacks close columns ----
+      RollupCatalog.clear()
+      RollupCatalog.register(raw, 15L * 60 * 1000000,
+        spark.read.parquet(s"$dir/plain15m"))
+      val unserved = probe
+      val s2 = scans(unserved)
+      assert(!s2.contains("plain15m") && s2.contains("events"),
+        s"close-avg probe must veto on a volume-only roll-up:\n$s2")
+      // …while a volume-only query still serves
+      val volOnly = raw.groupBy(col("symbol"), window(col("ts"), "1 hour"))
+        .agg(exactSum(col("volume")).as("sum_vol"), count(lit(1)).as("n"))
+      assert(scans(volOnly).contains("plain15m"))
     } finally {
       RollupCatalog.clear()
       spark.experimental.extraOptimizations = Nil
