@@ -70,12 +70,26 @@ object Multimodal {
       least(col("meta.width"), lit(maxW)).as("width"),
       least(col("meta.height"), lit(maxH)).as("height")))
 
-  /** The decode boundary. A real implementation calls the codec here, one
-    * batch of rows at a time; this deterministic stub keeps the identical
-    * signature and iterator discipline (no per-row JNI chatter — batch,
-    * decode, emit).
+  /** The decode boundary — the pluggable seam a real image/audio codec
+    * drops into without touching the operator. Implementations must be
+    * `Serializable` (the codec ships to executors inside the
+    * mapPartitions closure) and are handed a WHOLE BATCH at a time, so a
+    * JNI or subprocess decoder amortizes its native call per batch, not
+    * per row (the mapInPandas batch-shape discipline).
     */
-  object MediaDecoder {
+  trait Codec extends Serializable {
+    /** Decode one batch of (mime, payload) into (mean, histogram) feature
+      * pairs, positionally aligned with the input.
+      */
+    def decodeBatch(batch: Seq[(String, Array[Byte])]): Seq[(Double, Array[Long])]
+  }
+
+  /** Default codec — a deterministic byte-level STUB (the codec libraries
+    * are not in this container): mean byte value + a 16-bin byte
+    * histogram. Keeps the pipeline testable end-to-end with the identical
+    * signature and batch shape a real decoder would use.
+    */
+  object MediaDecoder extends Codec {
     val HistBins = 16
 
     /** STUB: replace with a real image/audio decode. Deterministic
@@ -93,22 +107,29 @@ object Multimodal {
       }
       (if (bytes.length == 0) 0.0 else sum.toDouble / bytes.length, hist)
     }
+
+    override def decodeBatch(batch: Seq[(String, Array[Byte])]): Seq[(Double, Array[Long])] =
+      batch.map { case (_, bytes) => decode(bytes) }
   }
 
   /** Feature extraction over the decode boundary: batched per-partition
     * iteration (the mapInPandas analog in Scala — one iterator pass per
-    * partition, decoder invoked per batch, only features emitted).
+    * partition, codec invoked once per batch, only features emitted).
+    * Inject a real [[Codec]] to productionize; the default is the
+    * deterministic [[MediaDecoder]] stub.
     */
-  def decodeFeatures(media: DataFrame, batchSize: Int = 64): Dataset[MediaFeatures] = {
+  def decodeFeatures(media: DataFrame, batchSize: Int = 64,
+      codec: Codec = MediaDecoder): Dataset[MediaFeatures] = {
     val ds = media.select(col("media_id"), col("bytes"), col("meta.mime"),
       col("meta.width"), col("meta.height"))
       .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY,
         Encoders.STRING, Encoders.scalaInt, Encoders.scalaInt))
     ds.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
-        // a real decoder would process `batch` in one native call
-        batch.iterator.map { case (id, bytes, _, _, _) =>
-          val (mean, hist) = MediaDecoder.decode(bytes)
+        val feats = codec.decodeBatch(batch.map { case (_, bytes, mime, _, _) =>
+          (mime, bytes)
+        })
+        batch.iterator.zip(feats.iterator).map { case ((id, bytes, _, _, _), (mean, hist)) =>
           MediaFeatures(id, bytes.length.toLong, mean, hist)
         }
       }

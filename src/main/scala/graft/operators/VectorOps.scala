@@ -162,11 +162,26 @@ object VectorOps {
     *
     * The result is tiny (k × dims doubles) and rides into the plan as a
     * literal — broadcast by construction, never a shuffle.
+    *
+    * The sample is collected onto the DRIVER, so it is bounded on BOTH
+    * sides: at least k rows, and at most `maxSample` rows — the count is
+    * checked with a cheap aggregate BEFORE the collect, so pointing a
+    * small `sampleMod` at a 10¹⁰-row corpus fails fast with an explicit
+    * message instead of OOMing the driver (same guard-rail discipline as
+    * [[blockedTopPairs]]'s in-plan block-size assert). 100 k × 128-dim
+    * doubles ≈ 100 MB — a comfortable ceiling for Lloyd iterations on the
+    * driver; raise it deliberately if you have the heap.
     */
   def kmeansCodebook(corpus: DataFrame, k: Int, iters: Int,
-      sampleMod: Long): Array[(Long, Array[Double])] = {
-    val sample: Array[(Long, Array[Double])] = corpus
-      .filter(col("vec_id") % sampleMod === 0)
+      sampleMod: Long, maxSample: Long = 100000): Array[(Long, Array[Double])] = {
+    val strided = corpus.filter(col("vec_id") % sampleMod === 0)
+    val sampleRows = strided.count() // 1-row aggregate, no data movement
+    require(sampleRows <= maxSample,
+      s"k-means sample ($sampleRows rows at sampleMod=$sampleMod) exceeds " +
+        s"maxSample=$maxSample — the sample is collected onto the driver; " +
+        "raise sampleMod so the stride sample stays bounded, or raise " +
+        "maxSample deliberately")
+    val sample: Array[(Long, Array[Double])] = strided
       .select("vec_id", "embedding").orderBy("vec_id").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
     require(sample.length >= k,

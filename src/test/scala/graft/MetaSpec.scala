@@ -62,4 +62,48 @@ class MetaSpec extends SparkSpec {
     assert(FileCatalog.index(spark, dir)(k1).rows == 1009L)
     assert(FileCatalog.load(spark, dir, k1).get.dataset_id == 9L)
   }
+
+  test("lake-vs-DB reconciliation reports per-key coverage and the overall census") {
+    import graft.meta.{FileCatalog, Reconcile}
+    import graft.sinks.MetaStore
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-02 00:00:00")
+
+    // seeded lake: BTCUSDT has 4 actual rows, ETHUSDT 2
+    val base = java.nio.file.Files.createTempDirectory("graft-recon").toString
+    Seq(("BTCUSDT", 1), ("BTCUSDT", 2), ("BTCUSDT", 3), ("BTCUSDT", 4),
+        ("ETHUSDT", 1), ("ETHUSDT", 2))
+      .toDF("symbol", "v").write.parquet(s"$base/lake")
+    val lake = Reconcile.lakeCounts(spark.read.parquet(s"$base/lake"), "1m")
+
+    // DB side: BTC fully registered (4), ETH under-registered (1),
+    // SOL registered with no lake file at all
+    val metaDf = MetaStore.datasetMetadataDf(spark, "btc_1m", "bybit",
+        "BTCUSDT", "1m", 4L, t0, t1)
+      .union(MetaStore.datasetMetadataDf(spark, "eth_1m", "bybit",
+        "ETHUSDT", "1m", 1L, t0, t1))
+      .union(MetaStore.datasetMetadataDf(spark, "sol_1m", "bybit",
+        "SOLUSDT", "1m", 7L, t0, t1))
+
+    val report = Reconcile.coverage(lake, Reconcile.dbCounts(metaDf))
+    val byKey = report.collect().map(r => (r.getString(0),
+      (Option(r.get(2)), Option(r.get(3)), Option(r.get(4)), r.getString(5)))).toMap
+    assert(byKey("BTCUSDT") == (Some(4L), Some(4L), Some(100.0), "MATCH"))
+    assert(byKey("ETHUSDT") == (Some(2L), Some(1L), Some(50.0), "MISMATCH"))
+    assert(byKey("SOLUSDT") == (None, Some(7L), None, "DB_ONLY"))
+
+    val s = Reconcile.coverageSummary(report).collect().head
+    assert(s.getLong(0) == 6L)              // total lake rows
+    assert(s.getLong(1) == 12L)             // total registered rows
+    assert(s.getDouble(2) == 200.0)         // reference formula: db/file*100
+    assert((s.getLong(3), s.getLong(4), s.getLong(5), s.getLong(6)) == ((1L, 1L, 0L, 1L)))
+
+    // the catalog side plugs into the same report: claimed vs registered
+    val catDir = java.nio.file.Files.createTempDirectory("graft-recon-cat").toString
+    FileCatalog.save(spark, catDir, dm(21, "eth", "ETHUSDT")) // claims 1021 rows
+    val viaCatalog = Reconcile.coverage(
+      Reconcile.catalogCounts(spark, catDir), Reconcile.dbCounts(metaDf))
+    val eth = viaCatalog.filter($"symbol" === "ETHUSDT").collect().head
+    assert(eth.getString(5) == "MISMATCH" && eth.getLong(2) == 1021L)
+  }
 }

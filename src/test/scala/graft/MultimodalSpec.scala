@@ -43,6 +43,32 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(3L).n_bytes == 0L && feats(3L).mean_byte == 0.0)
   }
 
+  test("codec seam: an injected codec replaces the stub, sees whole batches") {
+    // a fake "real" decoder: features derived from mime + payload length,
+    // and every invocation records its batch size via the returned hist
+    class FakeCodec extends Multimodal.Codec {
+      override def decodeBatch(batch: Seq[(String, Array[Byte])]): Seq[(Double, Array[Long])] =
+        batch.map { case (mime, bytes) =>
+          (mime.length.toDouble * 1000 + bytes.length,
+            Array(batch.length.toLong)) // smuggle out the observed batch size
+        }
+    }
+    val m = Multimodal.toMediaTable(docs).repartition(1)
+    val feats = Multimodal.decodeFeatures(m, batchSize = 2, codec = new FakeCodec)
+      .collect().map(f => f.media_id -> f).toMap
+    // the injected codec's features came through, not the stub's
+    assert(feats(1L).mean_byte == "text/plain".length * 1000 + 11.0)
+    // batches were real batches: with 1 partition and batchSize=2, no
+    // codec call saw more than 2 rows, and at least one saw exactly 2
+    val batchSizes = feats.values.map(_.byte_hist.head).toSeq
+    assert(batchSizes.forall(_ <= 2L))
+    assert(batchSizes.contains(2L))
+    // the default path still runs the deterministic stub unchanged
+    val stub = Multimodal.decodeFeatures(m, batchSize = 2).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(stub(1L).n_bytes == 11L && stub(1L).byte_hist.sum == 11L)
+  }
+
   test("resize clamps metadata dims and preserves mime") {
     val m = Multimodal.resizeMeta(Multimodal.toMediaTable(docs), 8, 8)
     val meta = m.filter(col("media_id") === 1L)

@@ -182,6 +182,115 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: rollup rewrite never changes results; fires iff the shape is servable") {
+    import graft.functions.{exactAvg, exactSum}
+    import graft.plans.{RollupCatalog, RollupRewrite}
+    import org.apache.spark.sql.Column
+
+    // file-backed raw + 15-minute roll-up (registration keys on file paths)
+    val base = java.nio.file.Files.createTempDirectory("graft-fuzz").toString
+    bars.write.parquet(s"$base/raw")
+    val raw = spark.read.parquet(s"$base/raw")
+    Resample.ohlcvRollup(raw, "15 minutes", exactCols = Seq("volume", "close"))
+      .withColumnRenamed("bucket_ts", "ts")
+      .write.parquet(s"$base/rollup")
+
+    def scans(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.optimizedPlan.collectLeaves().flatMap {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString)
+            case _ => Nil
+          }
+        case _ => Nil
+      }.mkString("\n")
+
+    // (label, column, servable, deterministic given symbol-in-grouping)
+    case class Shape(label: String, c: Column, servable: Boolean,
+        det: Boolean => Boolean = _ => true)
+    val aggPool = Seq(
+      Shape("max_high", max(col("high")), servable = true),
+      Shape("min_low", min(col("low")), servable = true),
+      Shape("exact_sum_vol", exactSum(col("volume")), servable = true),
+      Shape("count_star", count(lit(1)), servable = true),
+      Shape("count_close", count(col("close")), servable = true),
+      Shape("exact_avg_close", exactAvg(col("close")), servable = true),
+      // first/last compose only with symbol in the grouping; ties across
+      // symbols also make the RAW result order-dependent, so determinism
+      // carries the same condition
+      Shape("minby_open", min_by(col("open"), col("ts")), servable = true, det = sym => sym),
+      Shape("maxby_close", max_by(col("close"), col("ts")), servable = true, det = sym => sym),
+      // wrong role / wrong lattice — must veto, results still deterministic
+      Shape("max_open", max(col("open")), servable = false),
+      Shape("min_high", min(col("high")), servable = false),
+      Shape("sum_dec18", sum(col("volume").cast("decimal(18,4)")), servable = false),
+      // hazard class — must veto; raw result itself is order-dependent,
+      // so only the no-rewrite half is asserted
+      Shape("plain_sum_vol", sum(col("volume")), servable = false, det = _ => false),
+      Shape("avg_close", avg(col("close")), servable = false, det = _ => false),
+      Shape("minby_neg", min_by(col("open"),
+        -unix_micros(col("ts").cast("timestamp"))), servable = false, det = _ => false),
+      Shape("minby_trunc", min_by(col("open"),
+        date_trunc("day", col("ts"))), servable = false, det = _ => false))
+    // (label, window column, tumbling-aligned-and-dividing)
+    val winPool = Seq(
+      ("w30m", window(col("ts"), "30 minutes"), true),
+      ("w45m", window(col("ts"), "45 minutes"), true),
+      ("w1h", window(col("ts"), "1 hour"), true),
+      ("w2h", window(col("ts"), "2 hours"), true),
+      ("w7m", window(col("ts"), "7 minutes"), false),
+      ("w50m", window(col("ts"), "50 minutes"), false),
+      ("w1h_slide", window(col("ts"), "1 hour", "30 minutes"), false),
+      ("w1h_neg", window(col("ts"), "1 hour", "1 hour", "-7 minutes"), false),
+      ("w1h_pos", window(col("ts"), "1 hour", "1 hour", "5 minutes"), false))
+    // (label, grouping columns given the window, symbol-in-grouping, servable)
+    val groupPool = Seq(
+      ("sym", (w: Column) => Seq(col("symbol"), w), true, true),
+      ("nosym", (w: Column) => Seq(w), false, true),
+      ("extra_close", (w: Column) => Seq(col("symbol"), w, col("close")), true, false))
+
+    val rnd = new scala.util.Random(42)
+    spark.experimental.extraOptimizations = Seq(RollupRewrite)
+    try {
+      RollupCatalog.register(raw, 15L * 60 * 1000000,
+        spark.read.parquet(s"$base/rollup"))
+      var fired = 0
+      for (trial <- 0 until 40) {
+        val (wl, w, aligned) = winPool(rnd.nextInt(winPool.size))
+        val (gl, gs, hasSym, gOk) = groupPool(rnd.nextInt(groupPool.size))
+        // half the trials draw only servable shapes — otherwise the
+        // all-servable conjunction is rare and the fire path undersampled
+        val pool = if (rnd.nextBoolean()) aggPool.filter(_.servable) else aggPool
+        val aggs = rnd.shuffle(pool).take(1 + rnd.nextInt(3))
+        val tag = s"trial=$trial $wl/$gl/${aggs.map(_.label).mkString("+")}"
+
+        def q = raw.groupBy(gs(w): _*)
+          .agg(aggs.head.c.as("a0"),
+            aggs.tail.zipWithIndex.map { case (s, i) => s.c.as(s"a${i + 1}") }: _*)
+        val expectRewrite = aligned && gOk && aggs.forall(_.servable) &&
+          (hasSym || !aggs.exists(s => Set("minby_open", "maxby_close")(s.label)))
+        val s = scans(q)
+        assert(s.contains("rollup") == expectRewrite,
+          s"$tag: expectRewrite=$expectRewrite but scans:\n$s")
+        if (expectRewrite) fired += 1
+
+        if (aggs.forall(_.det(hasSym))) {
+          val served = q.collect().map(_.toString).sorted
+          RollupCatalog.clear()
+          val rawRes = q.collect().map(_.toString).sorted
+          RollupCatalog.register(raw, 15L * 60 * 1000000,
+            spark.read.parquet(s"$base/rollup"))
+          assert(served.sameElements(rawRes), s"$tag: served != raw")
+        }
+      }
+      assert(fired >= 5, s"only $fired/40 trials exercised the rewrite path")
+    } finally {
+      RollupCatalog.clear()
+      spark.experimental.extraOptimizations = Nil
+    }
+  }
+
   test("property: chronological splits conserve rows and order, any cuts") {
     for (cuts <- Seq(Seq(0.5), Seq(0.8), Seq(0.6, 0.8), Seq(0.33, 0.66))) {
       val labels = (1 to cuts.size + 1).map(i => s"s$i")

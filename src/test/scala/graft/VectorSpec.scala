@@ -93,13 +93,33 @@ class VectorSpec extends SparkSpec {
       .select("query_id", "neighbor_id").collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
     val truth = hits(VectorOps.bruteTopK(q, emb, 10))
-    val ivf = hits(VectorOps.ivfTopK(q, emb, 10, 16, nProbe = 4, Some(cb1)))
-    val recall = truth.map { case (qid, t) =>
-      ivf.getOrElse(qid, Set.empty[Long]).intersect(t).size / 10.0
-    }.sum / truth.size
-    info(f"IVF(16 lists, 4 probes) recall@10 vs brute force: $recall%.3f")
+    def recallAt(nProbe: Int): Double = {
+      val ivf = hits(VectorOps.ivfTopK(q, emb, 10, 16, nProbe, Some(cb1)))
+      truth.map { case (qid, t) =>
+        ivf.getOrElse(qid, Set.empty[Long]).intersect(t).size / 10.0
+      }.sum / truth.size
+    }
+    val recall4 = recallAt(4)
+    info(f"IVF(16 lists, 4 probes) recall@10 vs brute force: $recall4%.3f")
     // stated floor: 4/16 lists probed must recover >= 55% of true top-10
-    assert(recall >= 0.55, f"recall $recall%.3f below floor")
+    assert(recall4 >= 0.55, f"recall $recall4%.3f below floor")
+    // second operating point (BASELINE.md dial): 8/16 lists scans 2x the
+    // corpus for materially better recall — callers pick the trade-off
+    val recall8 = recallAt(8)
+    info(f"IVF(16 lists, 8 probes) recall@10 vs brute force: $recall8%.3f")
+    assert(recall8 >= recall4, "more probes must not lose recall")
+    assert(recall8 >= 0.75, f"recall $recall8%.3f below nProbe=8 floor")
+  }
+
+  test("k-means codebook refuses an unbounded driver-side sample, fast") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.1")
+    // sampleMod=3 strides ~1/3 of the corpus onto the driver: with a tight
+    // maxSample the count-guard must fail BEFORE any collect
+    val e = intercept[IllegalArgumentException] {
+      VectorOps.kmeansCodebook(emb, 16, iters = 1, sampleMod = 3, maxSample = 100)
+    }
+    assert(e.getMessage.contains("exceeds maxSample=100"))
+    assert(e.getMessage.contains("raise sampleMod"))
   }
 
   test("multi-probe lsh recall >= single-probe; results within hamming 1") {
