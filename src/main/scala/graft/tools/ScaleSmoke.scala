@@ -35,48 +35,117 @@ object ScaleSmoke {
 
     println(s"[scale] corpus: $total bars (${symbols.size} symbols x $n)")
     val order = Seq(col("ts"), col("symbol"))
+    // Forcing evaluation: every timing ends in .collect() of a checksum
+    // aggregate that REFERENCES the expensive columns. A bare .count() —
+    // even over agg(sum(cols)) — lets RemoveRedundantAggregates drop the
+    // unreferenced sums and with them the whole Window/Project chain
+    // (verified: the count() physical plan contains no Window node), so
+    // count()-terminated smokes time only the generator scan.
+    def checksum(df: org.apache.spark.sql.DataFrame,
+        cols: org.apache.spark.sql.Column*): Long = {
+      df.agg(sum(cols.reduce(_ + _)).as("c")).collect()
+      df.count()
+    }
     time("clean-chain") {
-      Cleaning.addTimeFeatures(Cleaning.repairOhlc(Cleaning.filterNonNegative(
+      val cleaned = Cleaning.addTimeFeatures(Cleaning.repairOhlc(Cleaning.filterNonNegative(
         Cleaning.bfill(Cleaning.ffill(
           Cleaning.dedupKeepFirstSeries(bars, Seq("symbol"), col("ts"), Seq(col("close"))),
-          Seq("close"), Seq("symbol"), order), Seq("close"), Seq("symbol"), order)))).count()
+          Seq("close"), Seq("symbol"), order), Seq("close"), Seq("symbol"), order))))
+      checksum(cleaned, col("open"), col("close"), col("hour").cast("double"))
     }
-    time("resample-1h") { Resample.ohlcv(bars, "1 hour").count() }
-    // checksum aggregates force the window columns (count() would let
-    // Catalyst prune them away and time nothing)
+    time("resample-1h") {
+      checksum(Resample.ohlcv(bars, "1 hour"),
+        col("open"), col("close"), col("volume"), col("n_bars").cast("double"))
+    }
     time("indicators-13col") {
       Indicators.withIndicators(bars, Seq(col("symbol")), Seq(col("ts")))
         .agg(sum(col("sma_20") + col("macd_hist") + col("atr_14") + col("rsi_14")))
-        .count()
+        .collect()
       total
     }
     time("ema-native-window") {
       bars.select(graft.functions.Ema.ema(col("close"), 12,
         Seq(col("symbol")), Seq(col("ts"))).as("e"))
-        .agg(sum("e")).count()
+        .agg(sum("e")).collect()
       total
     }
     time("zscore-normalize") {
       Normalize.finish(Normalize.zscoreTransform(
         Normalize.zscoreFit(bars, Seq("close", "volume")),
         Seq("close", "volume")))
-        .agg(sum(col("close") + col("volume"))).count()
+        .agg(sum(col("close") + col("volume"))).collect()
       total
     }
     time("chrono-split") {
       Split.chronological(bars, order, Seq(0.8), Seq("train", "test"))
-        .groupBy("split").count().count()
+        .groupBy("split").count().collect().length.toLong
     }
     time("chrono-split-atscale") {
       Split.chronologicalAtScale(bars, col("ts"), Seq(0.8), Seq("train", "test"))
-        .groupBy("split").count().count()
+        .groupBy("split").count().collect().length.toLong
     }
     time("date-split") {
       Split.splitByDate(bars, col("ts"),
         Seq("2026-01-01 00:00:00"), Seq("train", "test"))
-        .groupBy("split").count().count()
+        .groupBy("split").count().collect().length.toLong
     }
     bars.unpersist()
+
+    // ---- hot-symbol skew: same 10 M rows, 90% on ONE symbol. Per-symbol
+    // windows put the hot series in one task (AQE cannot split a window
+    // partition); the (symbol, chunk)+halo variant restores parallelism.
+    val skewN = total / 10 * 9 // 90% hot at the same total row count
+    val skewed = Generator.ohlcv(spark, Seq("hot"), skewN)
+      .unionByName(Generator.ohlcv(spark, symbols.take(4), (total - skewN) / 4))
+      .cache()
+    val skewTotal = skewed.count()
+    println(s"[scale] skewed corpus: $skewTotal bars (90% on one symbol)")
+    def timeS(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] $label%-22s rows=$rows%-10d ${sec}%6.1f s  ${skewTotal / sec / 1e6}%5.1f M rows/s")
+    }
+    val sAll = graft.operators.Indicators.Series(Seq(col("symbol")), Seq(col("ts")))
+    val monthChunk = floor(unix_micros(col("ts").cast("timestamp")) /
+      lit(30L * 86400 * 1000000))
+    // balanced reference point for the finite set, same forcing discipline
+    val balanced = Generator.ohlcv(spark, symbols, n).cache()
+    balanced.count()
+    timeS("bal-finite-plain") {
+      Skew.finiteIndicators(balanced, sAll)
+        .agg(sum(col("sma_20") + col("bb_upper") + col("atr_14") + col("rsi_14")))
+        .collect(); skewTotal
+    }
+    timeS("bal-ind13-plain") {
+      Indicators.withIndicators(balanced, Seq(col("symbol")), Seq(col("ts")))
+        .agg(sum(col("sma_20") + col("macd_hist") + col("atr_14") + col("rsi_14")))
+        .collect(); skewTotal
+    }
+    balanced.unpersist()
+    timeS("skew-ind13-plain") { // full fan-out incl. EMA/MACD: hot task serializes
+      Indicators.withIndicators(skewed, Seq(col("symbol")), Seq(col("ts")))
+        .agg(sum(col("sma_20") + col("macd_hist") + col("atr_14") + col("rsi_14")))
+        .collect(); skewTotal
+    }
+    timeS("skew-finite-plain") { // finite columns, same single-task window
+      Skew.finiteIndicators(skewed, sAll)
+        .agg(sum(col("sma_20") + col("bb_upper") + col("atr_14") + col("rsi_14")))
+        .collect(); skewTotal
+    }
+    timeS("skew-finite-chunked") { // (symbol, month)+halo: parallel again
+      Skew.chunkedFiniteIndicators(skewed, Seq(col("symbol")), col("ts"), monthChunk)
+        .agg(sum(col("sma_20") + col("bb_upper") + col("atr_14") + col("rsi_14")))
+        .collect(); skewTotal
+    }
+    timeS("skew-clean-chain") { // groupBy/agg path: AQE + hash partial combine cope
+      val cleaned = Cleaning.addTimeFeatures(Cleaning.repairOhlc(Cleaning.filterNonNegative(
+        Cleaning.bfill(Cleaning.ffill(
+          Cleaning.dedupKeepFirstSeries(skewed, Seq("symbol"), col("ts"), Seq(col("close"))),
+          Seq("close"), Seq("symbol"), order), Seq("close"), Seq("symbol"), order))))
+      checksum(cleaned, col("open"), col("close"), col("hour").cast("double"))
+    }
+    skewed.unpersist()
 
     // ---- text side: 1 M synthetic word-salad docs, ~60 tokens each
     val nDocs = 1000000L
@@ -97,13 +166,15 @@ object ScaleSmoke {
     timeD("exact-dedup") {
       Dedup.exactDedupGroups(docs, col("text"), col("doc_id")).count()
     }
+    // checksums in double: a long sum of 1 M 60-bit hashes overflows
+    // (ANSI throws; the count()-era harness never evaluated it to notice)
     timeD("minhash-16sig") {
       Dedup.minhashSignature(docs, col("text"), col("doc_id"), 16, 3)
-        .agg(sum(col("mh00") + col("mh15"))).count(); nd
+        .agg(sum((col("mh00") + col("mh15")).cast("double"))).collect(); nd
     }
     timeD("simhash60-maponly") {
       Dedup.simhash(docs, col("text"), col("doc_id"))
-        .agg(sum("simhash")).count(); nd
+        .agg(sum(col("simhash").cast("double"))).collect(); nd
     }
     // 15-bit banding pair counts need a DIVERSE corpus (the 64-word salad
     // above makes every token set near-identical — simhashes collapse and
@@ -151,11 +222,11 @@ object ScaleSmoke {
         TextOps.langId(col("text")).as("l"),
         TextOps.qualityScore(col("text")).as("q"),
         TextOps.tokenCount(col("text")).as("n"))
-        .groupBy("l").agg(sum("q"), sum("n")).count(); nd
+        .groupBy("l").agg(sum("q"), sum("n")).collect(); nd
     }
     timeD("fingerprint") {
       docs.select(TextOps.fingerprint(col("text")).as("f"))
-        .agg(sum("f")).count(); nd
+        .agg(sum(col("f").cast("double"))).collect(); nd
     }
     spark.stop()
   }

@@ -27,6 +27,38 @@ class SkewAndSqlSpec extends SparkSpec {
     assert(spread == 8)
   }
 
+  test("chunked finite indicators are bit-equal to the plain per-symbol window") {
+    import graft.operators.Indicators
+    // 2 symbols x 2500 minutes spanning many 6-hour chunks; values from the
+    // deterministic generator so decimal frames are exercised realistically
+    val bars = graft.sources.Generator.ohlcv(spark, Seq("hot", "cold"), 2500L)
+    val chunk = floor(unix_micros(col("ts").cast("timestamp")) / lit(6L * 3600 * 1000000))
+    val cols = Seq("symbol", "ts", "sma_20", "sma_50", "sma_200", "bb_middle",
+      "bb_upper", "bb_lower", "rsi_14", "atr_14")
+
+    val plain = Skew.finiteIndicators(bars,
+        Indicators.Series(Seq(col("symbol")), Seq(col("ts"))))
+      .select(cols.map(col): _*).collect().map(_.toString).sorted
+    val chunked = Skew.chunkedFiniteIndicators(bars, Seq(col("symbol")),
+        col("ts"), chunk)
+      .select(cols.map(col): _*).collect().map(_.toString).sorted
+    assert(chunked.length == plain.length)
+    assert(chunked.sameElements(plain)) // bit-identical, incl. null gating
+
+    // an UNDERSIZED halo must differ (proves the halo is doing the work:
+    // sma_200 needs 200 rows of replayed context, 10 is not enough)
+    val tooSmall = Skew.chunkedFiniteIndicators(bars, Seq(col("symbol")),
+        col("ts"), chunk, halo = 10)
+      .select(cols.map(col): _*).collect().map(_.toString).sorted
+    assert(!tooSmall.sameElements(plain))
+
+    // the window really is partitioned by (symbol, chunk) — the hot
+    // symbol's series is split across window partitions
+    val plan = Skew.chunkedFiniteIndicators(bars, Seq(col("symbol")),
+        col("ts"), chunk).queryExecution.executedPlan.toString
+    assert(plan.contains("__chunk"))
+  }
+
   test("ema and jlog are callable from SQL after registration") {
     GraftFunctions.register(spark)
     Seq(("s", 1L, 10.0), ("s", 2L, 20.0), ("s", 3L, 30.0))
