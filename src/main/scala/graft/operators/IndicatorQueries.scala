@@ -168,6 +168,17 @@ object IndicatorQueries {
       cbars(s, dir).select(col("event_id"), col("symbol"),
         Indicators.atrWilder(col("high"), col("low"), col("close"), 14, S)
           .as("atr_w"))),
+    "w12_chunked_finite" -> ((s, dir) =>
+      // the hot-symbol skew path: (symbol, week)-chunked windows with a
+      // 201-row replayed halo — bit-identical to the plain per-symbol
+      // window, so the oracle is the PLAIN window SQL (the equivalence IS
+      // the assertion)
+      Skew.chunkedFiniteIndicators(cbars(s, dir), Seq(col("symbol")), order,
+          floor(unix_micros(col("ts").cast("timestamp")) / lit(7L * 86400 * 1000000L)))
+        .select(col("event_id"), col("symbol"),
+          col("sma_20"), col("sma_50"), col("sma_200"),
+          col("bb_middle"), col("bb_upper"), col("bb_lower"),
+          col("rsi_14"), col("atr_14"))),
     "w9_indicators_all" -> ((s, dir) =>
       Indicators.withIndicators(cbars(s, dir), Seq(col("symbol")), order)
         .select(col("event_id"), col("symbol"), col("close"),
@@ -238,6 +249,28 @@ object IndicatorQueries {
          |SELECT event_id, symbol,
          |       close - lag(close, 1) OVER ($W) AS close_diff
          |FROM cbars""".stripMargin),
+    "w12_chunked_finite" -> (cbarsSql +
+      s""", d1 AS (
+         |  SELECT *, close - lag(close, 1) OVER ($W) AS __delta,
+         |         lag(close, 1) OVER ($W) AS __pc,
+         |         ${smaSql("close", 20)} AS sma_20,
+         |         ${smaSql("close", 50)} AS sma_50,
+         |         ${smaSql("close", 200)} AS sma_200,
+         |         ${stdSql("close", 20)} AS __bb_std
+         |  FROM cbars
+         |), d2 AS (
+         |  SELECT *, $gainSql AS __gain, $lossSql AS __loss, $trSql AS __tr
+         |  FROM d1
+         |), d3 AS (
+         |  SELECT *, ${rsiSql(14)}, ${smaSql("__tr", 14)} AS atr_14
+         |  FROM d2
+         |)
+         |SELECT event_id, symbol, sma_20, sma_50, sma_200,
+         |       sma_20 AS bb_middle,
+         |       sma_20 + ${dbl(2.0)} * __bb_std AS bb_upper,
+         |       sma_20 - ${dbl(2.0)} * __bb_std AS bb_lower,
+         |       $rsiFinalSql AS rsi_14, atr_14
+         |FROM d3""".stripMargin),
     "w9_indicators_all" -> (cbarsSql +
       s""", d1 AS (
          |  SELECT *,

@@ -66,15 +66,17 @@ object Skew {
     * largest window + lag the chunked result is bit-identical to the
     * plain per-symbol window (asserted in SkewAndSqlSpec).
     *
-    * `chunk` must be a monotone non-decreasing function of the order
-    * column (e.g. a month index) — halo rows of chunk k are the rows
-    * IMMEDIATELY preceding chunk k+1 in series order.
+    * `chunk` must be a monotone non-decreasing function of the series
+    * `order` (e.g. a month index of its leading time column) — halo rows
+    * of chunk k are the rows IMMEDIATELY preceding chunk k+1 in series
+    * order. Pass the FULL order incl. tie-breaks so the replayed tail is
+    * deterministic when timestamps collide.
     *
     * Cost: one extra column pass (the per-chunk tail ranking) and
     * `halo` duplicated rows per (key, chunk) — both co-partitioned with
     * the indicator windows themselves, so still a single exchange.
     */
-  def chunkedSeries(df: DataFrame, keys: Seq[Column], ts: Column,
+  def chunkedSeries(df: DataFrame, keys: Seq[Column], order: Seq[Column],
       chunk: Column, halo: Int)(
       add: (DataFrame, Indicators.Series) => DataFrame): DataFrame = {
     // EXPLICIT repartition on (keys, chunk): a source already hashed on
@@ -87,13 +89,13 @@ object Skew {
     val base = df.withColumn("__chunk", chunk.cast("long"))
       .repartition(keys :+ col("__chunk"): _*)
     val fromEnd = org.apache.spark.sql.expressions.Window
-      .partitionBy(keys :+ col("__chunk"): _*).orderBy(ts.desc)
+      .partitionBy(keys :+ col("__chunk"): _*).orderBy(order.map(_.desc): _*)
     val marked = base.withColumn("__from_end", row_number().over(fromEnd))
     val carried = marked.filter(col("__from_end") <= halo)
       .withColumn("__chunk", col("__chunk") + 1)
       .withColumn("__halo", lit(true))
     val work = marked.withColumn("__halo", lit(false)).unionByName(carried)
-    add(work, Indicators.Series(keys :+ col("__chunk"), Seq(ts)))
+    add(work, Indicators.Series(keys :+ col("__chunk"), order))
       .filter(!col("__halo"))
       .drop("__chunk", "__halo", "__from_end")
   }
@@ -105,9 +107,9 @@ object Skew {
     * 201 = the largest window (sma_200) + one lag row (true range /
     * RSI delta).
     */
-  def chunkedFiniteIndicators(df: DataFrame, keys: Seq[Column], ts: Column,
-      chunk: Column, halo: Int = 201): DataFrame =
-    chunkedSeries(df, keys, ts, chunk, halo)(finiteIndicators)
+  def chunkedFiniteIndicators(df: DataFrame, keys: Seq[Column],
+      order: Seq[Column], chunk: Column, halo: Int = 201): DataFrame =
+    chunkedSeries(df, keys, order, chunk, halo)(finiteIndicators)
 
   /** The finite-memory column set itself, over any [[Indicators.Series]] —
     * the plain (per-symbol window) formulation [[chunkedFiniteIndicators]]

@@ -134,7 +134,7 @@ object ScaleSmoke {
         .collect(); skewTotal
     }
     timeS("skew-finite-chunked") { // (symbol, month)+halo: parallel again
-      Skew.chunkedFiniteIndicators(skewed, Seq(col("symbol")), col("ts"), monthChunk)
+      Skew.chunkedFiniteIndicators(skewed, Seq(col("symbol")), Seq(col("ts")), monthChunk)
         .agg(sum(col("sma_20") + col("bb_upper") + col("atr_14") + col("rsi_14")))
         .collect(); skewTotal
     }

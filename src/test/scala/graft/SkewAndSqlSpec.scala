@@ -40,7 +40,7 @@ class SkewAndSqlSpec extends SparkSpec {
         Indicators.Series(Seq(col("symbol")), Seq(col("ts"))))
       .select(cols.map(col): _*).collect().map(_.toString).sorted
     val chunked = Skew.chunkedFiniteIndicators(bars, Seq(col("symbol")),
-        col("ts"), chunk)
+        Seq(col("ts")), chunk)
       .select(cols.map(col): _*).collect().map(_.toString).sorted
     assert(chunked.length == plain.length)
     assert(chunked.sameElements(plain)) // bit-identical, incl. null gating
@@ -48,14 +48,14 @@ class SkewAndSqlSpec extends SparkSpec {
     // an UNDERSIZED halo must differ (proves the halo is doing the work:
     // sma_200 needs 200 rows of replayed context, 10 is not enough)
     val tooSmall = Skew.chunkedFiniteIndicators(bars, Seq(col("symbol")),
-        col("ts"), chunk, halo = 10)
+        Seq(col("ts")), chunk, halo = 10)
       .select(cols.map(col): _*).collect().map(_.toString).sorted
     assert(!tooSmall.sameElements(plain))
 
     // the window really is partitioned by (symbol, chunk) — the hot
     // symbol's series is split across window partitions
     val plan = Skew.chunkedFiniteIndicators(bars, Seq(col("symbol")),
-        col("ts"), chunk).queryExecution.executedPlan.toString
+        Seq(col("ts")), chunk).queryExecution.executedPlan.toString
     assert(plan.contains("__chunk"))
   }
 
