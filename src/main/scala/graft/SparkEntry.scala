@@ -32,7 +32,8 @@ object SparkEntry {
     graft.operators.TextQueries.queries ++
     graft.operators.DedupQueries.queries ++
     graft.operators.VectorQueries.queries ++
-    graft.operators.MultimodalQueries.queries
+    graft.operators.MultimodalQueries.queries ++
+    graft.operators.ScaleQueries.queries
 
   private def base: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g1_synthetic_bars" -> ((s, _) =>
@@ -68,7 +69,8 @@ object SparkEntry {
     graft.operators.TextQueries.oracle ++
     graft.operators.DedupQueries.oracle ++
     graft.operators.VectorQueries.oracle ++
-    graft.operators.MultimodalQueries.oracle
+    graft.operators.MultimodalQueries.oracle ++
+    graft.operators.ScaleQueries.oracle
 
   private def baseOracle: Map[String, String] = Map(
     "g1_synthetic_bars" -> (graft.sources.Generator.ohlcvSql(Seq("alpha", "beta"), 200) +

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Oracle-gated queries for the scale-hardening surface: the salted
+  * two-phase aggregation (SURVEY §7.3.3's hot-key mitigation) and the
+  * lake-vs-DB reconciliation census (reference
+  * pipeline_status_report.py:184-216). Both were previously spec-only;
+  * gating them through the DuckDB oracle pins their SEMANTICS, not just
+  * their plumbing — the salted path must be indistinguishable from a plain
+  * GROUP BY, and the coverage report must reproduce the reference's
+  * formula on a deterministic simulated DB state.
+  */
+object ScaleQueries {
+
+  /** Simulated metadata-DB state (symbol, timeframe, total_records),
+    * derived deterministically from the same events the lake side counts
+    * so DuckDB can replay it: the DB has registered all bars EXCEPT
+    * user_id % 50 == 0 (ingest lag ⇒ MISMATCH rows), never registered the
+    * `error` symbol (FILE_ONLY), and still carries a `delisted` symbol the
+    * lake no longer has (DB_ONLY).
+    */
+  private def dbCountsFrame(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val registered = Tables.events(s, dir)
+      .filter(col("user_id") % 50 =!= 0 && col("event_type") =!= "error")
+      .groupBy(col("event_type").as("symbol"))
+      .agg(count(lit(1)).as("total_records"))
+      .withColumn("timeframe", lit("1m"))
+      .select("symbol", "timeframe", "total_records")
+    val dbOnly = Seq(("delisted", "1m", 42L))
+      .toDF("symbol", "timeframe", "total_records")
+    registered.unionByName(dbOnly)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Two-phase salted aggregation over the hot-key-prone symbol column:
+    // must be bit-identical to the direct GROUP BY the oracle runs.
+    "sk1_salted_stats" -> ((s, dir) =>
+      Skew.saltedStats(Tables.bars(s, dir), col("symbol"), col("event_id"),
+          col("close"), buckets = 16)
+        .select(col("symbol"), col("n"),
+          col("sum").as("sum_close"), col("min").as("min_close"),
+          col("max").as("max_close"))),
+
+    // Lake-vs-DB coverage census: file side = actual per-symbol lake rows,
+    // DB side = the simulated registration state above.
+    "rec1_coverage" -> ((s, dir) => {
+      val fileSide = graft.meta.Reconcile.lakeCounts(Tables.bars(s, dir), "1m")
+        .withColumnRenamed("lake_rows", "file_rows")
+      graft.meta.Reconcile.coverage(fileSide,
+        graft.meta.Reconcile.dbCounts(dbCountsFrame(s, dir)))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "sk1_salted_stats" -> (Tables.barsSql +
+      s"""
+         |SELECT symbol, count(*) AS n,
+         |       CAST(sum(CAST(close AS DECIMAL(38,10))) AS DOUBLE) AS sum_close,
+         |       min(close) AS min_close, max(close) AS max_close
+         |FROM bars GROUP BY symbol""".stripMargin),
+
+    "rec1_coverage" -> (Tables.barsSql +
+      s""", file_side AS (
+         |  SELECT symbol, '1m' AS interval, count(*) AS file_rows
+         |  FROM bars GROUP BY symbol
+         |), db_side AS (
+         |  SELECT event_type AS symbol, '1m' AS interval,
+         |         count(*) AS db_rows
+         |  FROM events
+         |  WHERE user_id % 50 <> 0 AND event_type <> 'error'
+         |  GROUP BY 1
+         |  UNION ALL
+         |  SELECT 'delisted', '1m', 42
+         |)
+         |SELECT coalesce(f.symbol, d.symbol) AS symbol,
+         |       coalesce(f.interval, d.interval) AS interval,
+         |       f.file_rows, d.db_rows,
+         |       CASE WHEN f.file_rows IS NOT NULL AND f.file_rows > 0
+         |            THEN CAST(d.db_rows AS DOUBLE) / CAST(f.file_rows AS DOUBLE) * 100.0
+         |       END AS coverage_pct,
+         |       CASE WHEN f.file_rows IS NULL THEN 'DB_ONLY'
+         |            WHEN d.db_rows IS NULL THEN 'FILE_ONLY'
+         |            WHEN f.file_rows = d.db_rows THEN 'MATCH'
+         |            ELSE 'MISMATCH' END AS status
+         |FROM file_side f FULL OUTER JOIN db_side d
+         |  ON f.symbol = d.symbol AND f.interval = d.interval""".stripMargin)
+  )
+}

@@ -67,14 +67,20 @@ object Skew {
     * plain per-symbol window (asserted in SkewAndSqlSpec).
     *
     * `chunk` must be a monotone non-decreasing function of the series
-    * `order` (e.g. a month index of its leading time column) — halo rows
-    * of chunk k are the rows IMMEDIATELY preceding chunk k+1 in series
-    * order. Pass the FULL order incl. tie-breaks so the replayed tail is
-    * deterministic when timestamps collide.
+    * `order` (e.g. a month index of its leading time column). The replayed
+    * context for each chunk is the last `halo` rows before its first row
+    * in SERIES order — resolved against the actual data, so it spans
+    * several preceding chunks when those are shorter than `halo` and skips
+    * over calendar chunks with no rows at all. Pass the FULL order incl.
+    * tie-breaks so the replayed tail is deterministic when timestamps
+    * collide.
     *
-    * Cost: one extra column pass (the per-chunk tail ranking) and
-    * `halo` duplicated rows per (key, chunk) — both co-partitioned with
-    * the indicator windows themselves, so still a single exchange.
+    * Cost: one extra column pass (the per-chunk tail ranking), a
+    * dimension-sized per-(key, chunk) census whose self-join plans the
+    * replay (broadcast back — the big table never self-joins), and up to
+    * `halo` duplicated rows per (key, chunk). Choose the chunk granularity
+    * so a typical chunk holds ≫ `halo` rows; pathologically tiny chunks
+    * replay each row into many targets.
     */
   def chunkedSeries(df: DataFrame, keys: Seq[Column], order: Seq[Column],
       chunk: Column, halo: Int)(
@@ -87,17 +93,48 @@ object Skew {
     // entire point of chunking (measured: chunked == plain wall-clock
     // until this repartition; 3-4x faster after).
     val base = df.withColumn("__chunk", chunk.cast("long"))
+      .withColumn("__k", struct(keys: _*))
       .repartition(keys :+ col("__chunk"): _*)
     val fromEnd = org.apache.spark.sql.expressions.Window
       .partitionBy(keys :+ col("__chunk"): _*).orderBy(order.map(_.desc): _*)
     val marked = base.withColumn("__from_end", row_number().over(fromEnd))
-    val carried = marked.filter(col("__from_end") <= halo)
-      .withColumn("__chunk", col("__chunk") + 1)
+
+    // A chunk's warm-up context is the last `halo` rows BEFORE its first
+    // row in series order — which span SEVERAL preceding chunks when those
+    // are short, and skip over chunks with no rows at all (a naive
+    // carry-into-chunk+1 loses the halo at every gap). Resolve the
+    // (source chunk → target chunk, rows-to-replay) plan on the per-chunk
+    // CENSUS — keys × chunks rows, dimension-sized — so the big table
+    // never self-joins: rows strictly between source k and target c are
+    // `cum_before(c) - cum_incl(k)`, and k must replay its last
+    // `halo - between` rows (capped at its size) into c.
+    val cumW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__k")).orderBy(col("__chunk"))
+    val census = marked.groupBy(col("__k"), col("__chunk"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__cum_incl", sum(col("__n")).over(cumW))
+    val src = census.select(col("__k"), col("__chunk"),
+      col("__n").as("__sn"), col("__cum_incl").as("__scum"))
+    val tgt = census.select(col("__k").as("__tk"), col("__chunk").as("__tgt"),
+      (col("__cum_incl") - col("__n")).as("__tbefore"))
+    val between = col("__tbefore") - col("__scum")
+    val plan = src.join(tgt,
+        col("__k") === col("__tk") && col("__chunk") < col("__tgt") &&
+          between < halo)
+      .select(col("__k"), col("__chunk"), col("__tgt"),
+        least(col("__sn"), lit(halo.toLong) - between).as("__take"))
+
+    val carried = marked
+      .join(broadcast(plan), Seq("__k", "__chunk"))
+      .filter(col("__from_end") <= col("__take"))
+      .withColumn("__chunk", col("__tgt"))
+      .drop("__tgt", "__take")
       .withColumn("__halo", lit(true))
     val work = marked.withColumn("__halo", lit(false)).unionByName(carried)
+      .repartition(keys :+ col("__chunk"): _*)
     add(work, Indicators.Series(keys :+ col("__chunk"), order))
       .filter(!col("__halo"))
-      .drop("__chunk", "__halo", "__from_end")
+      .drop("__chunk", "__halo", "__from_end", "__k")
   }
 
   /** The finite-memory indicator fan-out (everything in

@@ -59,6 +59,40 @@ class SkewAndSqlSpec extends SparkSpec {
     assert(plan.contains("__chunk"))
   }
 
+  test("chunked indicators survive EMPTY and SHORT chunks (halo spans back)") {
+    import graft.operators.Indicators
+    // A series with (a) a chunk that has NO rows — the generator's minutes
+    // filtered out for one whole chunk — and (b) chunks SHORTER than the
+    // halo, so warm-up context must span SEVERAL preceding chunks. A naive
+    // carry into chunk+1 loses the halo at the gap, and a carry from only
+    // the adjacent chunk loses the tail beyond it.
+    val minutes = graft.sources.Generator.ohlcv(spark, Seq("hot", "cold"), 3000L)
+    // hour index relative to the generator's 2024-01-01 start: 60-row
+    // chunks, FAR smaller than the 201-row halo
+    val chunkExpr = floor(
+      (unix_micros(col("ts").cast("timestamp")) / lit(1000000L) - lit(1704067200L)) /
+        lit(3600L))
+    // drop hour 2 entirely (a whole empty chunk per symbol), and thin
+    // hour 5 down to its first 7 rows
+    val fromStart = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("symbol"), chunkExpr).orderBy(col("ts"))
+    val bars = minutes
+      .withColumn("__pos", row_number().over(fromStart))
+      .filter(chunkExpr =!= 2)
+      .filter(!(chunkExpr === 5) || col("__pos") <= 7)
+      .drop("__pos")
+    val cols = Seq("symbol", "ts", "sma_20", "sma_50", "sma_200", "bb_middle",
+      "bb_upper", "bb_lower", "rsi_14", "atr_14")
+    val plain = Skew.finiteIndicators(bars,
+        Indicators.Series(Seq(col("symbol")), Seq(col("ts"))))
+      .select(cols.map(col): _*).collect().map(_.toString).sorted
+    val chunked = Skew.chunkedFiniteIndicators(bars, Seq(col("symbol")),
+        Seq(col("ts")), chunkExpr)
+      .select(cols.map(col): _*).collect().map(_.toString).sorted
+    assert(chunked.length == plain.length)
+    assert(chunked.sameElements(plain))
+  }
+
   test("ema and jlog are callable from SQL after registration") {
     GraftFunctions.register(spark)
     Seq(("s", 1L, 10.0), ("s", 2L, 20.0), ("s", 3L, 30.0))
