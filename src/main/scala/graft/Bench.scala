@@ -10,6 +10,9 @@ import java.nio.file.{Files, Paths}
   *     columns (a windowed-indicator query would time almost nothing);
   *     the noop write evaluates every output column distributedly.
   *   - warm JVM (one throwaway aggregate before the loop).
+  *   - best of 2 full sweeps — the shared host's steal bursts only ever
+  *     ADD time, so the per-query min across two suite sweeps (minutes
+  *     apart) is the robust estimate (see the measurement loop comment).
   *   - the JSON is written to BENCH.json (sole content) AND printed as the
   *     last stdout line after spark.stop(), so no Spark shutdown logging
   *     or build-tool noise can trail it.
@@ -33,13 +36,28 @@ object Bench {
       s"SELECT max(sum_v) FROM (SELECT sum(l_quantity) OVER (ORDER BY l_orderkey ROWS " +
         s"BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) sum_v FROM " +
         s"(SELECT * FROM parquet.`$sfDir/lineitem.parquet` LIMIT 1000))").collect()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName} ${e.getMessage}")
+    // Best of 2 FULL SWEEPS per query: this container shares an
+    // oversubscribed host (measured: a 32-way CPU spin runs 2.2x its
+    // 1-way time, with minute-scale steal bursts that inflate a single
+    // pass by 5-50x on random queries — identical suites measured 95 s to
+    // 194 s back to back). A stall can only ADD time, so the per-query
+    // MINIMUM is the robust estimate; taking it across two whole-suite
+    // sweeps (rather than back-to-back passes) spaces each query's two
+    // measurements minutes apart, so even a sustained burst can't cover
+    // both.
+    def sweep(): Seq[(String, Double)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName} ${e.getMessage}")
+        }
+        name -> (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+    val first = sweep()
+    val second = sweep().toMap
+    val results = first.map { case (name, t) =>
+      name -> math.min(t, second(name))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

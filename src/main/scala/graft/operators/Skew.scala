@@ -148,6 +148,57 @@ object Skew {
       order: Seq[Column], chunk: Column, halo: Int = 201): DataFrame =
     chunkedSeries(df, keys, order, chunk, halo)(finiteIndicators)
 
+  /** Halo length that bounds an `adjust=False` EMA's truncated-history
+    * error below `tol` (relative to the series' value range): two EMA
+    * recursions differing only in their starting state converge by a
+    * factor of (1-alpha) per row, so after `halo` replayed warm-up rows
+    * the chunked state is within `(1-alpha)^halo <= tol` of the exact one
+    * — null gaps only ADD decay (ignore_na=false keeps discounting
+    * through them), so the bound holds on gappy series too. tol = 1e-12
+    * puts a span-26 EMA within double-precision noise after 360 rows.
+    */
+  def emaHalo(span: Int, tol: Double = 1e-12): Int = {
+    require(span >= 1, s"span must be >= 1, got $span")
+    require(tol > 0 && tol < 1, s"tol must be in (0,1), got $tol")
+    math.ceil(math.log(tol) / math.log1p(-2.0 / (span + 1))).toInt
+  }
+
+  /** Hot-key mitigation for the INFINITE-memory indicator columns
+    * (EMA-12/26, MACD, signal, histogram) — the set [[chunkedFiniteIndicators]]
+    * excludes. These have no finite exact halo, but their dependence on
+    * history decays geometrically, so a [[emaHalo]]-sized replayed warm-up
+    * makes the chunked result APPROXIMATE with a proven bound: each EMA is
+    * within `tol x range(close)` of exact, and the signal line — an EMA
+    * whose INPUT (macd) already carries up to `(1-a26)^j x range` error at
+    * halo position j — compounds to at most `~halo x tol x range` with a
+    * single halo, which the default DOUBLED halo crushes back below
+    * `tol x range` (the accumulated-input sum is then `<= halo x tol^2`).
+    * Asserted empirically in SkewAndSqlSpec (observed error at the default
+    * halo: ~1e-12 relative; an undersized halo visibly diverges).
+    *
+    * NOT oracle-gated (the repo's bit-exactness discipline reserves that
+    * for exact paths); this is the documented trade-off when one symbol
+    * dominates and the plain serial window (the exact path, 3.9x degraded
+    * at 90% skew — BASELINE.md) is too slow.
+    */
+  def chunkedEmaMacd(df: DataFrame, keys: Seq[Column], order: Seq[Column],
+      chunk: Column, halo: Int = 2 * 360): DataFrame =
+    chunkedSeries(df, keys, order, chunk, halo)(emaMacd)
+
+  /** The EMA/MACD column set over any [[Indicators.Series]] — the plain
+    * exact formulation [[chunkedEmaMacd]] approximates, and the baseline
+    * its error bound is measured against.
+    */
+  def emaMacd(work: DataFrame, s: Indicators.Series): DataFrame = {
+    val c = col("close")
+    work.select(col("*"),
+        Indicators.ema(c, 12, s).as("ema_12"),
+        Indicators.ema(c, 26, s).as("ema_26"))
+      .withColumn("macd", col("ema_12") - col("ema_26"))
+      .withColumn("macd_signal", Indicators.ema(col("macd"), 9, s))
+      .withColumn("macd_hist", col("macd") - col("macd_signal"))
+  }
+
   /** The finite-memory column set itself, over any [[Indicators.Series]] —
     * the plain (per-symbol window) formulation [[chunkedFiniteIndicators]]
     * is bit-equal to, and the fair baseline to benchmark it against.

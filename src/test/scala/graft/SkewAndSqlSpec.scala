@@ -93,6 +93,49 @@ class SkewAndSqlSpec extends SparkSpec {
     assert(chunked.sameElements(plain))
   }
 
+  test("chunked EMA/MACD meets its error bound; undersized halo diverges") {
+    import graft.operators.Indicators
+    // 2 symbols x 4000 minutes; 6-hour (360-row) chunks, SMALLER than the
+    // default 720-row halo, so warm-up context must span chunks
+    val bars = graft.sources.Generator.ohlcv(spark, Seq("hot", "cold"), 4000L)
+    val chunk = floor(unix_micros(col("ts").cast("timestamp")) / lit(6L * 3600 * 1000000))
+    val emaCols = Seq("ema_12", "ema_26", "macd", "macd_signal", "macd_hist")
+
+    def byKey(df: org.apache.spark.sql.DataFrame): Map[(String, Any), Seq[Double]] =
+      df.select((Seq("symbol", "ts") ++ emaCols).map(col): _*).collect()
+        .map(r => (r.getString(0), r.get(1)) -> emaCols.indices.map(i => r.getDouble(2 + i)))
+        .toMap
+
+    val plain = byKey(Skew.emaMacd(bars,
+      Indicators.Series(Seq(col("symbol")), Seq(col("ts")))))
+    val chunked = byKey(Skew.chunkedEmaMacd(bars, Seq(col("symbol")),
+      Seq(col("ts")), chunk))
+    assert(chunked.keySet == plain.keySet)
+
+    val range = {
+      val r = bars.agg(max("close") - min("close")).collect()(0).getDouble(0)
+      math.max(r, 1.0)
+    }
+    def maxErr(m: Map[(String, Any), Seq[Double]]): Double =
+      m.map { case (k, vs) =>
+        vs.zip(plain(k)).map { case (a, b) => math.abs(a - b) }.max
+      }.max
+
+    // documented bound: within tol x range of the exact per-symbol window
+    val err = maxErr(chunked)
+    info(f"chunked EMA/MACD max abs error at default halo: $err%.3e (range $range%.1f)")
+    assert(err <= 1e-9 * range, f"error $err%.3e exceeds bound")
+
+    // the halo is doing the work: a 20-row warm-up leaves visible error
+    val tooSmall = byKey(Skew.chunkedEmaMacd(bars, Seq(col("symbol")),
+      Seq(col("ts")), chunk, halo = 20))
+    assert(maxErr(tooSmall) > 1e-6 * range)
+
+    // and the halo calculator matches the closed form it documents
+    assert(Skew.emaHalo(26) == 360)
+    assert(math.pow(1.0 - 2.0 / 27, Skew.emaHalo(26, 1e-12).toDouble) <= 1e-12)
+  }
+
   test("ema and jlog are callable from SQL after registration") {
     GraftFunctions.register(spark)
     Seq(("s", 1L, 10.0), ("s", 2L, 20.0), ("s", 3L, 30.0))
