@@ -291,6 +291,48 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: chunked finite indicators == plain window, random gaps and chunk widths") {
+    import graft.operators.{Indicators, Skew}
+    // The halo-resolution logic (spanning short chunks, skipping empty
+    // ones, capping at source size) is the newest plan-level code in the
+    // repo; pin it against randomly-thinned series and chunk widths far
+    // smaller than the 201-row halo, where every chunk's warm-up must
+    // stitch across MANY predecessors.
+    val cases = Seq((60, 97L), (45, 7L), (30, 3L)) // (chunk minutes, keep-mod)
+    for ((chunkMin, keepMod) <- cases) {
+      val bars = graft.sources.Generator.ohlcv(spark, Seq("hot", "cold"), 1500L)
+        .filter(pmod(xxhash64(col("ts")), lit(keepMod)) =!= 0) // random thinning
+      val chunk = floor(unix_micros(col("ts").cast("timestamp")) /
+        lit(chunkMin * 60L * 1000000L))
+      val cols = Seq("symbol", "ts", "sma_20", "sma_50", "sma_200", "bb_middle",
+        "bb_upper", "bb_lower", "rsi_14", "atr_14")
+      val plain = Skew.finiteIndicators(bars,
+          Indicators.Series(Seq(col("symbol")), Seq(col("ts"))))
+        .select(cols.map(col): _*).collect().map(_.toString).sorted
+      val chunked = Skew.chunkedFiniteIndicators(bars, Seq(col("symbol")),
+          Seq(col("ts")), chunk)
+        .select(cols.map(col): _*).collect().map(_.toString).sorted
+      assert(chunked.length == plain.length, s"case ($chunkMin, $keepMod)")
+      assert(chunked.sameElements(plain), s"case ($chunkMin, $keepMod)")
+    }
+  }
+
+  test("property: salted aggregation == direct aggregation, any bucket count") {
+    import graft.operators.Skew
+    for (buckets <- Seq(1, 2, 7, 32)) {
+      val df = bars.withColumn("id", unix_micros(col("ts").cast("timestamp")))
+      val direct = df.groupBy("symbol").agg(
+          count(lit(1)).as("n"),
+          sum(col("close").cast("decimal(38,10)")).cast("double").as("sum"),
+          min("close").as("min"), max("close").as("max"))
+        .collect().map(_.toString).sorted
+      val salted = Skew.saltedStats(df, col("symbol"), col("id"), col("close"),
+          buckets)
+        .collect().map(_.toString).sorted
+      assert(salted.sameElements(direct), s"buckets=$buckets")
+    }
+  }
+
   test("property: chronological splits conserve rows and order, any cuts") {
     for (cuts <- Seq(Seq(0.5), Seq(0.8), Seq(0.6, 0.8), Seq(0.33, 0.66))) {
       val labels = (1 to cuts.size + 1).map(i => s"s$i")
