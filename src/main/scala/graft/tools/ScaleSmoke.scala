@@ -12,6 +12,11 @@ import org.apache.spark.sql.functions._
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(2000000L) // per symbol
+    // optional section filter: `run 2000000 skew` times only the skew
+    // block (each block is internally comparable; absolute numbers drift
+    // with the shared host's load, ratios within a run don't)
+    val sections = args.drop(1).toSet
+    def on(s: String): Boolean = sections.isEmpty || sections(s)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 64)
@@ -25,7 +30,6 @@ object ScaleSmoke {
     val symbols = Seq("btc", "eth", "sol", "ada", "dot")
     val bars = Generator.ohlcv(spark, symbols, n, intervalSec = 60).cache()
     val total = bars.count() // materialize once so op timings exclude generation
-
     def time(label: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val rows = f
@@ -46,6 +50,7 @@ object ScaleSmoke {
       df.agg(sum(cols.reduce(_ + _)).as("c")).collect()
       df.count()
     }
+    if (on("bars")) {
     time("clean-chain") {
       val cleaned = Cleaning.addTimeFeatures(Cleaning.repairOhlc(Cleaning.filterNonNegative(
         Cleaning.bfill(Cleaning.ffill(
@@ -89,8 +94,10 @@ object ScaleSmoke {
         Seq("2026-01-01 00:00:00"), Seq("train", "test"))
         .groupBy("split").count().collect().length.toLong
     }
+    }
     bars.unpersist()
 
+    if (on("skew")) {
     // ---- hot-symbol skew: same 10 M rows, 90% on ONE symbol. Per-symbol
     // windows put the hot series in one task (AQE cannot split a window
     // partition); the (symbol, chunk)+halo variant restores parallelism.
@@ -138,6 +145,14 @@ object ScaleSmoke {
         .agg(sum(col("sma_20") + col("bb_upper") + col("atr_14") + col("rsi_14")))
         .collect(); skewTotal
     }
+    timeS("skew-emamacd-plain") { // infinite-memory set, serial hot task
+      Skew.emaMacd(skewed, sAll)
+        .agg(sum(col("ema_12") + col("macd_hist"))).collect(); skewTotal
+    }
+    timeS("skew-emamacd-chunked") { // tolerance-bounded 720-row halo
+      Skew.chunkedEmaMacd(skewed, Seq(col("symbol")), Seq(col("ts")), monthChunk)
+        .agg(sum(col("ema_12") + col("macd_hist"))).collect(); skewTotal
+    }
     timeS("skew-clean-chain") { // groupBy/agg path: AQE + hash partial combine cope
       val cleaned = Cleaning.addTimeFeatures(Cleaning.repairOhlc(Cleaning.filterNonNegative(
         Cleaning.bfill(Cleaning.ffill(
@@ -146,7 +161,9 @@ object ScaleSmoke {
       checksum(cleaned, col("open"), col("close"), col("hour").cast("double"))
     }
     skewed.unpersist()
+    }
 
+    if (on("text")) {
     // ---- text side: 1 M synthetic word-salad docs, ~60 tokens each
     val nDocs = 1000000L
     val vocab = array((0 until 64).map(i => lit(s"w$i")): _*)
@@ -227,6 +244,7 @@ object ScaleSmoke {
     timeD("fingerprint") {
       docs.select(TextOps.fingerprint(col("text")).as("f"))
         .agg(sum(col("f").cast("double"))).collect(); nd
+    }
     }
     spark.stop()
   }
