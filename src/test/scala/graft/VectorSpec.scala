@@ -137,6 +137,14 @@ class VectorSpec extends SparkSpec {
     val adc = recallOf(VectorOps.pqTopK(q, emb, 10, cb1))
     info(f"PQ(16x32) ADC recall@10 vs brute force: $adc%.3f")
     assert(adc >= 0.35, f"ADC recall $adc%.3f below floor")
+    // the native codegen'd expressions (PqEncode/PqAdcCosine) are
+    // bit-equal to the independent HOF Column formulation: same rows,
+    // same ranks, same approx_cosine doubles
+    val native = VectorOps.pqTopK(q, emb, 10, cb1)
+      .collect().map(_.toString).sorted
+    val viaCols = VectorOps.pqTopKViaColumns(q, emb, 10, cb1)
+      .collect().map(_.toString).sorted
+    assert(native.sameElements(viaCols), "native PQ path diverged from HOF path")
     // shortlist-100 + exact re-rank: quantization error only costs recall
     // when a true neighbor misses the whole shortlist
     val refined = recallOf(VectorOps.pqRefineTopK(q, emb, 10, 100, cb1))
