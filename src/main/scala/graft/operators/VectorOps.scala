@@ -240,6 +240,34 @@ object VectorOps {
     * scanned per query (nProbe=4 of 16 lists = 25%), vs 100% for
     * [[bruteTopK]] and bucket-luck for [[lshTopK]].
     */
+  /** Coarse IVF assignment: each row of `df` gets its `n` nearest
+    * centroids (cosine desc, cid asc — identical tie order to the
+    * oracle's `row_number() OVER (ORDER BY cos DESC, cid)`) exploded into
+    * `cent_id` rows. A pure map — the centroid array is a literal.
+    */
+  private def ivfAssign(df: DataFrame,
+      cents: Array[(Long, Array[Double])], n: Int): DataFrame = {
+    val centArr = array(cents.map { case (cid, cv) =>
+      struct(lit(cid).as("cid"), typedLit(cv).as("cv")) }: _*)
+    val cmp: (Column, Column) => Column = (l, r) =>
+      when(l.getField("cs") > r.getField("cs"), -1)
+        .when(l.getField("cs") < r.getField("cs"), 1)
+        .when(l.getField("cid") < r.getField("cid"), -1)
+        .otherwise(1)
+    // row norm staged once — the transform would otherwise re-fold it
+    // per CENTROID (centroid norms are literals Catalyst constant-folds)
+    val staged = df.select(col("vec_id"), col("embedding"),
+      norm2(col("embedding")).as("__n2"))
+    val scored = transform(centArr, c =>
+      struct(cosineStaged(col("embedding"), c.getField("cv"),
+        col("__n2"), norm2(c.getField("cv"))).as("cs"),
+        c.getField("cid").as("cid")))
+    staged.select(col("vec_id"), col("embedding"), col("__n2"),
+        explode(slice(array_sort(scored, cmp), 1, n)).as("__a"))
+      .select(col("vec_id"), col("embedding"), col("__n2"),
+        col("__a.cid").as("cent_id"))
+  }
+
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4,
       codebook: Option[Array[(Long, Array[Double])]] = None): DataFrame = {
@@ -247,29 +275,7 @@ object VectorOps {
       corpus.orderBy("vec_id").limit(nCentroids)
         .select("vec_id", "embedding").collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)))
-    val centArr = array(cents.map { case (cid, cv) =>
-      struct(lit(cid).as("cid"), typedLit(cv).as("cv")) }: _*)
-    // (cosine desc, cid asc) — identical tie order to the oracle's
-    // row_number() OVER (ORDER BY cos DESC, cid)
-    val cmp: (Column, Column) => Column = (l, r) =>
-      when(l.getField("cs") > r.getField("cs"), -1)
-        .when(l.getField("cs") < r.getField("cs"), 1)
-        .when(l.getField("cid") < r.getField("cid"), -1)
-        .otherwise(1)
-    def assign(df: DataFrame, n: Int): DataFrame = {
-      // row norm staged once — the transform would otherwise re-fold it
-      // per CENTROID (centroid norms are literals Catalyst constant-folds)
-      val staged = df.select(col("vec_id"), col("embedding"),
-        norm2(col("embedding")).as("__n2"))
-      val scored = transform(centArr, c =>
-        struct(cosineStaged(col("embedding"), c.getField("cv"),
-          col("__n2"), norm2(c.getField("cv"))).as("cs"),
-          c.getField("cid").as("cid")))
-      staged.select(col("vec_id"), col("embedding"), col("__n2"),
-          explode(slice(array_sort(scored, cmp), 1, n)).as("__a"))
-        .select(col("vec_id"), col("embedding"), col("__n2"),
-          col("__a.cid").as("cent_id"))
-    }
+    def assign(df: DataFrame, n: Int): DataFrame = ivfAssign(df, cents, n)
     val inv = assign(corpus, 1).select(col("cent_id"),
       col("vec_id").as("neighbor_id"), col("embedding").as("cemb"),
       col("__n2").as("__n2c"))
@@ -472,9 +478,18 @@ object VectorOps {
     * the same pairs — the oracle replays shortlist and re-rank verbatim.
     */
   def pqRefineTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      shortlist: Int, codebooks: Array[Array[(Long, Array[Double])]]): DataFrame = {
-    val cand = pqTopK(queries, corpus, shortlist, codebooks)
-      .select(col("query_id"), col("neighbor_id"))
+      shortlist: Int, codebooks: Array[Array[(Long, Array[Double])]]): DataFrame =
+    rerankExact(queries, corpus, k,
+      pqTopK(queries, corpus, shortlist, codebooks)
+        .select(col("query_id"), col("neighbor_id")))
+
+  /** Exact-cosine re-rank of a `(query_id, neighbor_id)` shortlist: fetch
+    * the true vectors in one corpus scan against the broadcast shortlist,
+    * score with staged norms (bit-identical to [[bruteTopK]] for the same
+    * pairs), keep the top k per query.
+    */
+  private def rerankExact(queries: DataFrame, corpus: DataFrame, k: Int,
+      cand: DataFrame): DataFrame = {
     val fetched = corpus.select(col("vec_id").as("neighbor_id"),
         col("embedding").as("cemb"), norm2(col("embedding")).as("__n2c"))
       .join(broadcast(cand), Seq("neighbor_id"))
@@ -489,6 +504,44 @@ object VectorOps {
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"), col("cosine"))
+  }
+
+  /** V7 — IVF-PQ with refine (the full production ANN index, FAISS's
+    * IndexIVFPQ + refine): the coarse quantizer prunes the SCAN (only
+    * `nProbe`/`nCentroids` of the corpus is touched per query), PQ codes
+    * compress what is scanned (`m` bytes per vector in the candidate
+    * pass), and the exact re-rank of the ADC shortlist restores recall.
+    * At 100 TB this is the composition that works: inverted lists bound
+    * I/O, codes bound memory, and the refine join touches only
+    * `queries × shortlist` raw vectors.
+    *
+    * Everything deterministic and oracle-replayed: coarse assignment =
+    * [[ivfAssign]] (cosine, ties to lowest cid), codes = [[graft.functions.PqEncode]],
+    * ADC = [[graft.functions.PqAdcCosine]], shortlist ties broken on
+    * neighbor_id, re-rank = exact staged-norm cosine.
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      coarse: Array[(Long, Array[Double])],
+      codebooks: Array[Array[(Long, Array[Double])]],
+      nProbe: Int = 4, shortlist: Int = 100): DataFrame = {
+    import graft.functions.Pq
+    val cbs: Pq.Codebooks = codebooks.map(_.map(_._2))
+    val inv = ivfAssign(corpus, coarse, 1)
+      .select(col("cent_id"), col("vec_id").as("neighbor_id"),
+        Pq.encode(col("embedding"), cbs).as("__codes"))
+    val probes = ivfAssign(queries, coarse, nProbe)
+      .select(col("cent_id"), col("vec_id").as("query_id"),
+        col("embedding").as("qv"), col("__n2").as("__n2q"))
+    val ws = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("approx_cosine").desc, col("neighbor_id"))
+    val cand = probes.join(inv, Seq("cent_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Pq.adcCosine(col("__codes"), col("qv"), col("__n2q"), cbs)
+          .as("approx_cosine"))
+      .withColumn("rank", row_number().over(ws)).filter(col("rank") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    rerankExact(queries, corpus, k, cand)
   }
 
   /** Blocked most-similar pairs: all pairs within a block (IVF-style coarse

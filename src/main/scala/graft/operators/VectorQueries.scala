@@ -40,6 +40,12 @@ object VectorQueries {
       val cbs = VectorOps.pqCodebooks(emb, pqM, pqKsub, pqIters, sampleMod)
       VectorOps.pqRefineTopK(queriesDf(s, dir), emb, k, pqShortlist, cbs)
     }),
+    "v7_ivfpq_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val coarse = VectorOps.kmeansCodebook(emb, nCentroids, kmIters, sampleMod)
+      val cbs = VectorOps.pqCodebooks(emb, pqM, pqKsub, pqIters, sampleMod)
+      VectorOps.ivfPqTopK(queriesDf(s, dir), emb, k, coarse, cbs, nProbe, pqShortlist)
+    }),
     "d5_embedding_top_pairs" -> ((s, dir) =>
       VectorOps.blockedTopPairs(Tables.embeddings(s, dir), col("label"), 50))
   )
@@ -127,12 +133,12 @@ object VectorQueries {
     def subVec(v: String, off: Int): String =
       s"list_transform(generate_series(1, $sub), i -> $v[i + $off])"
     val sb = new StringBuilder
-    sb.append(s", samp AS (SELECT vec_id, v FROM e WHERE vec_id % $sampleMod = 0)")
+    sb.append(s", psamp AS (SELECT vec_id, v FROM e WHERE vec_id % $sampleMod = 0)")
     for (j <- 0 until pqM) {
       val off = j * sub
       sb.append(s""",
         |p${j}cb0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, ${subVec("v", off)} AS cv
-        |  FROM (SELECT vec_id, v FROM samp ORDER BY vec_id LIMIT $pqKsub))""".stripMargin)
+        |  FROM (SELECT vec_id, v FROM psamp ORDER BY vec_id LIMIT $pqKsub))""".stripMargin)
       for (i <- 1 to pqIters) {
         val prev = s"p${j}cb${i - 1}"
         sb.append(s""",
@@ -140,7 +146,7 @@ object VectorQueries {
           |  SELECT vec_id, v, cid,
           |         row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cid) AS rnk
           |  FROM (SELECT s.vec_id, s.v, c.cid, ${subL2("s.v", off, "c.cv")} AS d
-          |        FROM samp s CROSS JOIN $prev c)
+          |        FROM psamp s CROSS JOIN $prev c)
           |),
           |p${j}m$i AS (SELECT cid, list(v ORDER BY vec_id) AS vs FROM p${j}a$i WHERE rnk = 1 GROUP BY cid),
           |p${j}u$i AS (SELECT cid, list_transform(generate_series(1, $sub), d ->
@@ -254,6 +260,41 @@ object VectorQueries {
          |  FROM e q CROSS JOIN codes t
          |  ${(0 until pqM).map(j => s"JOIN p${j}cb$pqIters c$j ON c$j.cid = t.code$j").mkString(" ")}
          |  WHERE q.vec_id < 8 AND t.vec_id <> q.vec_id
+         |),
+         |short AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY approx_cosine DESC, neighbor_id) AS rnk
+         |    FROM cands
+         |  ) WHERE rnk <= $pqShortlist
+         |)
+         |SELECT query_id, rank, neighbor_id, cosine FROM (
+         |  SELECT s.query_id, s.neighbor_id,
+         |         ${cosineSql("q.v", "c.v")} AS cosine,
+         |         row_number() OVER (PARTITION BY s.query_id
+         |           ORDER BY ${cosineSql("q.v", "c.v")} DESC, s.neighbor_id) AS rank
+         |  FROM short s JOIN e q ON q.vec_id = s.query_id
+         |               JOIN e c ON c.vec_id = s.neighbor_id
+         |) WHERE rank <= $k""".stripMargin),
+    "v7_ivfpq_topk" -> (embSql + kmeansCtes + pqCtes +
+      s""",
+         |cents AS (SELECT cid, cv FROM cb$kmIters),
+         |casgn AS (
+         |  SELECT vec_id, v, cid,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rnk
+         |  FROM (SELECT e.vec_id, e.v, c.cid, ${cosineSql("e.v", "c.cv")} AS cos
+         |        FROM e CROSS JOIN cents c)
+         |),
+         |cinv AS (SELECT cid, vec_id FROM casgn WHERE rnk = 1),
+         |cprobes AS (SELECT cid, vec_id, v FROM casgn WHERE rnk <= $nProbe AND vec_id < 8),
+         |cands AS (
+         |  SELECT q.vec_id AS query_id, i.vec_id AS neighbor_id,
+         |         $pqScoreSql AS approx_cosine
+         |  FROM cprobes q
+         |  JOIN cinv i ON i.cid = q.cid AND i.vec_id <> q.vec_id
+         |  JOIN codes t ON t.vec_id = i.vec_id
+         |  ${(0 until pqM).map(j => s"JOIN p${j}cb$pqIters c$j ON c$j.cid = t.code$j").mkString(" ")}
          |),
          |short AS (
          |  SELECT query_id, neighbor_id FROM (

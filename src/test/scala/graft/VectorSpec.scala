@@ -152,6 +152,15 @@ class VectorSpec extends SparkSpec {
     assert(refined >= 0.85, f"refine recall $refined%.3f below floor")
     assert(refined >= adc, "re-ranking must not lose recall")
 
+    // IVF-PQ + refine (v7): coarse pruning bounds recall by list
+    // coverage (IVF@4 probes = 0.663 with EXACT scoring), PQ+refine
+    // inside the probed lists should stay near that ceiling
+    val coarse = VectorOps.kmeansCodebook(emb, 16, iters = 4, sampleMod = 3)
+    val ivfpq = recallOf(VectorOps.ivfPqTopK(q, emb, 10, coarse, cb1,
+      nProbe = 4, shortlist = 100))
+    info(f"IVFPQ(16 lists, 4 probes, 16x32 PQ, refine@100) recall@10: $ivfpq%.3f")
+    assert(ivfpq >= 0.55, f"IVFPQ recall $ivfpq%.3f below floor")
+
     // same driver-sample guard rail as the IVF codebook
     val err = intercept[IllegalArgumentException] {
       VectorOps.pqCodebooks(emb, m = 16, ksub = 32, iters = 2,
