@@ -67,10 +67,43 @@ object VectorOps {
       .map(p => when(planeDot(v, p, dims) > 0, lit(1L << p)).otherwise(lit(0L)))
       .reduce(_ + _)
 
-  /** Brute-force cosine top-k: broadcast the query set, one corpus pass,
-    * per-query ranking (ties broken by neighbor id).
+  /** Per-query top-k WITHOUT a global sort: [[graft.functions.TopKByScore]]
+    * — a bounded-heap native aggregate — keeps k entries per (query,
+    * partition) with map-side partial aggregation, so only `partitions ×
+    * queries × k` heap entries cross the wire and nothing is ever sorted
+    * beyond the final k rows per query. The windowed formulation
+    * (`row_number() OVER (PARTITION BY query_id)`) must shuffle AND SORT
+    * every scored row — measured at a 10 M-vector ADC scan the sort
+    * dominated the whole pass; the aggregate streams it in one pass.
+    * Output is identical (same rows, ranks, tie-breaks — asserted against
+    * [[topKPerQueryViaWindows]] in VectorSpec; the v1-v7 oracles pin it
+    * end-to-end).
     */
-  def bruteTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+  private[graft] def topKPerQuery(scored: DataFrame, k: Int, scoreCol: String): DataFrame =
+    scored.groupBy("query_id")
+      .agg(graft.functions.TopK.topK(col(scoreCol), col("neighbor_id"), k).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("neighbor_id"), col("col.score").as(scoreCol))
+
+  /** The window formulation of [[topKPerQuery]] — the independent
+    * equivalence witness (and the shape the DuckDB oracles use).
+    */
+  private[graft] def topKPerQueryViaWindows(scored: DataFrame, k: Int,
+      scoreCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col(scoreCol).desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col(scoreCol))
+  }
+
+  /** [[bruteTopK]] with the window-ranked tail — for the topKPerQuery
+    * equivalence spec only.
+    */
+  private[graft] def bruteTopKViaWindows(queries: DataFrame, corpus: DataFrame,
+      k: Int): DataFrame = {
     val q = broadcast(
       queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         norm2(col("embedding")).as("__n2q")))
@@ -81,11 +114,33 @@ object VectorOps {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosineStaged(col("qv"), col("embedding"),
           col("__n2q"), col("__n2c")).as("cosine"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("neighbor_id"), col("cosine"))
+    topKPerQueryViaWindows(joined, k, "cosine")
+  }
+
+  /** Brute-force cosine top-k: broadcast the query set, one corpus pass,
+    * per-query ranking (ties broken by neighbor id).
+    */
+  def bruteTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(
+      queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        norm2(col("embedding")).as("__n2q")))
+    // NOTE on the staged corpus norm: whole-stage codegen fuses this
+    // projection into the join's per-pair consume, so __n2c actually
+    // re-folds once per (row, query) — an exchange here would make the
+    // staging literal, but shipping RAW 256-byte vectors through a
+    // shuffle costs more than the re-fold (measured at 10 M rows:
+    // repartitioned 48 s vs fused 35 s), and at 100 TB you never shuffle
+    // the full corpus. The PQ paths get the exchange instead — their
+    // codes are 32x smaller (see pqTopK). The 100 TB form of staging for
+    // raw vectors is storing the norm as a table column at write time.
+    val joined = corpus
+      .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("__n2c"))
+      .crossJoin(q)
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosineStaged(col("qv"), col("embedding"),
+          col("__n2q"), col("__n2c")).as("cosine"))
+    topKPerQuery(joined, k, "cosine")
   }
 
   /** LSH-bucketed top-k: both sides keyed by bucket, equi-join, rank within
@@ -104,11 +159,7 @@ object VectorOps {
       .select(col("query_id"), col("neighbor_id"),
         cosineStaged(col("qv"), col("embedding"),
           col("__n2q"), col("__n2c")).as("cosine"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("neighbor_id"), col("cosine"))
+    topKPerQuery(joined, k, "cosine")
   }
 
   /** Multi-probe LSH top-k: the probe side also visits every bucket at
@@ -137,11 +188,7 @@ object VectorOps {
         cosineStaged(col("qv"), col("embedding"),
           col("__n2q"), col("__n2c")).as("cosine"))
       .distinct()
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("neighbor_id"), col("cosine"))
+    topKPerQuery(joined, k, "cosine")
   }
 
   /** Driver-side deterministic k-means codebook (Lloyd, FIXED iteration
@@ -282,16 +329,12 @@ object VectorOps {
     val probes = assign(queries, nProbe).select(col("cent_id"),
       col("vec_id").as("query_id"), col("embedding").as("qv"),
       col("__n2").as("__n2q"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    probes.join(inv, Seq("cent_id"))
+    val scored = probes.join(inv, Seq("cent_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosineStaged(col("qv"), col("cemb"),
           col("__n2q"), col("__n2c")).as("cosine"))
-      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("neighbor_id"), col("cosine"))
+    topKPerQuery(scored, k, "cosine")
   }
 
   /** Per-subspace deterministic k-means codebooks for product quantization:
@@ -387,8 +430,16 @@ object VectorOps {
     // native codegen'd encode + ADC ([[graft.functions.PqEncode]] /
     // [[PqAdcCosine]]): same fold orders as [[pqTopKViaColumns]] and the
     // oracle — bit-equal, ~7x faster warm (HOF lambdas evaluate interpreted)
+    // the repartition is a deliberate pipeline break: whole-stage codegen
+    // fuses this projection into the broadcast join's per-PAIR consume, so
+    // without an exchange PqEncode re-evaluates once per (row, query) —
+    // measured 8 queries x 10 M rows: 72 s fused vs 4.4 s encode + 2.6 s
+    // scan with the boundary (tools/PqProf2). At scale this exchange is
+    // the moral equivalent of writing the codes table — which a real
+    // deployment persists anyway.
     val encoded = corpus.select(col("vec_id"),
       Pq.encode(col("embedding"), cbs).as("__codes"))
+      .repartition(col("vec_id"))
     val q = broadcast(queries.select(col("vec_id").as("query_id"),
       col("embedding").as("qv"), norm2(col("embedding")).as("__n2q")))
     val scored = encoded.crossJoin(q)
@@ -396,11 +447,7 @@ object VectorOps {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         Pq.adcCosine(col("__codes"), col("qv"), col("__n2q"), cbs)
           .as("approx_cosine"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("approx_cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("neighbor_id"), col("approx_cosine"))
+    topKPerQuery(scored, k, "approx_cosine")
   }
 
   /** The Column-function formulation of [[pqTopK]] — higher-order-function
@@ -455,11 +502,7 @@ object VectorOps {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         try_divide(adot, sqrt(col("__n2q")) * sqrt(cn2)).as("approx_cosine"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("approx_cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("neighbor_id"), col("approx_cosine"))
+    topKPerQuery(scored, k, "approx_cosine")
   }
 
   /** V6 — PQ shortlist + exact re-rank (the FAISS "refine" pattern): ADC
@@ -495,15 +538,11 @@ object VectorOps {
       .join(broadcast(cand), Seq("neighbor_id"))
     val q = broadcast(queries.select(col("vec_id").as("query_id"),
       col("embedding").as("qv"), norm2(col("embedding")).as("__n2q")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    fetched.join(q, Seq("query_id"))
+    val scored = fetched.join(q, Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosineStaged(col("qv"), col("cemb"),
           col("__n2q"), col("__n2c")).as("cosine"))
-      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("neighbor_id"), col("cosine"))
+    topKPerQuery(scored, k, "cosine")
   }
 
   /** V7 — IVF-PQ with refine (the full production ANN index, FAISS's
@@ -526,20 +565,22 @@ object VectorOps {
       nProbe: Int = 4, shortlist: Int = 100): DataFrame = {
     import graft.functions.Pq
     val cbs: Pq.Codebooks = codebooks.map(_.map(_._2))
+    // pipeline break before the probe join — see pqTopK: without it the
+    // fused join re-evaluates PqEncode per matched probe pair
     val inv = ivfAssign(corpus, coarse, 1)
       .select(col("cent_id"), col("vec_id").as("neighbor_id"),
         Pq.encode(col("embedding"), cbs).as("__codes"))
+      .repartition(col("neighbor_id"))
     val probes = ivfAssign(queries, coarse, nProbe)
       .select(col("cent_id"), col("vec_id").as("query_id"),
         col("embedding").as("qv"), col("__n2").as("__n2q"))
-    val ws = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("approx_cosine").desc, col("neighbor_id"))
-    val cand = probes.join(inv, Seq("cent_id"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        Pq.adcCosine(col("__codes"), col("qv"), col("__n2q"), cbs)
-          .as("approx_cosine"))
-      .withColumn("rank", row_number().over(ws)).filter(col("rank") <= shortlist)
+    val cand = topKPerQuery(
+      probes.join(inv, Seq("cent_id"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          Pq.adcCosine(col("__codes"), col("qv"), col("__n2q"), cbs)
+            .as("approx_cosine")),
+      shortlist, "approx_cosine")
       .select(col("query_id"), col("neighbor_id"))
     rerankExact(queries, corpus, k, cand)
   }

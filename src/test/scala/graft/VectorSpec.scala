@@ -169,6 +169,29 @@ class VectorSpec extends SparkSpec {
     assert(err.getMessage.contains("maxSample"))
   }
 
+  test("top-k heap aggregate == window ranking, incl. ties and tiny corpora") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val q = emb.filter(col("vec_id") < 8)
+    // end-to-end: the aggregate-ranked brute path vs the window-ranked one
+    val viaAgg = VectorOps.bruteTopK(q, emb, 10).collect().map(_.toString).sorted
+    val viaWin = VectorOps.bruteTopKViaWindows(q, emb, 10)
+      .collect().map(_.toString).sorted
+    assert(viaAgg.sameElements(viaWin))
+
+    // tie-heavy synthetic: many identical scores, tie-break on id must
+    // match row_number's (score DESC, id ASC) exactly; k larger than some
+    // groups exercises the short-group path
+    import spark.implicits._
+    val scored = (1 to 500).map { i =>
+      (i % 3L, (i % 7).toDouble, i.toLong) // 3 queries, 7 distinct scores
+    }.toDF("query_id", "cosine", "neighbor_id")
+    val aggRanked = VectorOps.topKPerQuery(scored, 25, "cosine")
+      .collect().map(_.toString).sorted
+    val winRanked = VectorOps.topKPerQueryViaWindows(scored, 25, "cosine")
+      .collect().map(_.toString).sorted
+    assert(aggRanked.sameElements(winRanked))
+  }
+
   test("k-means codebook refuses an unbounded driver-side sample, fast") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.1")
     // sampleMod=3 strides ~1/3 of the corpus onto the driver: with a tight
