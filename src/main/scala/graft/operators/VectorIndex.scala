@@ -1,0 +1,194 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Pq
+
+/** Persisted IVF-PQ index — the production form of [[VectorOps.ivfPqTopK]].
+  *
+  * The in-memory composition re-trains and re-encodes per query run; a
+  * real deployment builds the index ONCE as a batch job and every query
+  * (and every appended vector) reuses it. This object is that lifecycle
+  * on a parquet lake:
+  *
+  * {{{
+  *   dir/coarse/      cent_id, centroid          (nCentroids rows — tiny)
+  *   dir/codebooks/   sub, code, centroid        (m × ksub rows — tiny)
+  *   dir/codes/       cent_id=<c>/ vec_id, codes (the corpus, 32× smaller)
+  * }}}
+  *
+  * Scale shape, piece by piece:
+  *   - BUILD trains both quantizers off one guarded driver sample
+  *     (the [[VectorOps.kmeansCodebook]] / [[VectorOps.pqCodebooks]]
+  *     `maxSample` rail), then encodes the corpus in ONE shuffle-free map
+  *     pass and writes it `partitionBy(cent_id)` — the inverted lists ARE
+  *     the partition layout.
+  *   - QUERY prunes at the FILESYSTEM: the probed centroid ids become a
+  *     partition filter on the codes scan, so nProbe/nCentroids of the
+  *     index is READ, not just scanned-and-dropped (the spec asserts the
+  *     pruned file count). ADC ranks the read codes with the bounded-heap
+  *     [[graft.functions.TopK]] aggregate; the exact re-rank fetches only
+  *     `queries × shortlist` raw vectors from the corpus.
+  *   - APPEND encodes new vectors with the STORED codebooks (pure map,
+  *     no retraining — standard IVF practice until list-size drift calls
+  *     for a rebuild) and appends into the same partition layout; the
+  *     streaming variant is the identical projection under
+  *     `writeStream` + checkpoint, so an embedding firehose lands as
+  *     query-ready index partitions.
+  *
+  * Everything is deterministic (fixed-order folds, ties to lowest id),
+  * so index-served results are BIT-IDENTICAL to the in-memory
+  * [[VectorOps.ivfPqTopK]] — asserted in VectorIndexSpec; the v7 oracle
+  * pins the shared maths end-to-end.
+  */
+object VectorIndex {
+
+  /** A loaded index: the two (tiny, driver-side) quantizers plus the lake
+    * location of the codes table.
+    */
+  final case class Index(dir: String,
+      coarse: Array[(Long, Array[Double])],
+      codebooks: Array[Array[(Long, Array[Double])]]) {
+    private[operators] def cbs: Pq.Codebooks = codebooks.map(_.map(_._2))
+  }
+
+  /** Encode `corpus` under the index's quantizers: one map pass, the
+    * output schema of the codes table. Shared by build / append / stream.
+    */
+  private def encoded(corpus: DataFrame, idx: Index): DataFrame =
+    VectorOps.ivfAssign(corpus, idx.coarse, 1)
+      .select(col("cent_id"), col("vec_id"),
+        Pq.encode(col("embedding"), idx.cbs).as("codes"))
+
+  /** Train both quantizers (one guarded sample each), encode the corpus,
+    * write the three tables. Returns the loaded index.
+    *
+    * The codes write carries the partition layout: `partitionBy(cent_id)`
+    * with each input split writing its own per-list files. At very large
+    * builds prepend a `repartitionByRange(cent_id, vec_id)` if small-file
+    * count ever matters more than the extra exchange — correctness and
+    * read-side pruning are identical either way.
+    */
+  def build(corpus: DataFrame, dir: String, nCentroids: Int = 16,
+      m: Int = 16, ksub: Int = 32, iters: Int = 2, sampleMod: Long = 3,
+      maxSample: Long = 100000): Index = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val coarse = VectorOps.kmeansCodebook(corpus, nCentroids, iters, sampleMod, maxSample)
+    val cbs = VectorOps.pqCodebooks(corpus, m, ksub, iters, sampleMod, maxSample)
+    coarse.toSeq.map { case (cid, cv) => (cid, cv.toSeq) }
+      .toDF("cent_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/coarse")
+    cbs.zipWithIndex.flatMap { case (cb, sub) =>
+      cb.map { case (code, cv) => (sub, code, cv.toSeq) }
+    }.toSeq.toDF("sub", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+    val idx = Index(dir, coarse, cbs)
+    encoded(corpus, idx).write.mode("overwrite")
+      .partitionBy("cent_id").parquet(s"$dir/codes")
+    idx
+  }
+
+  /** Load the quantizers (two tiny collects — nCentroids and m × ksub
+    * rows); the codes stay in the lake until a query prunes into them.
+    */
+  def load(spark: SparkSession, dir: String): Index = {
+    val coarse = spark.read.parquet(s"$dir/coarse")
+      .orderBy("cent_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val cb = spark.read.parquet(s"$dir/codebooks")
+      .orderBy("sub", "code").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.map { case (_, code, cv) => (code, cv) }.sortBy(_._1))
+      .toArray
+    Index(dir, coarse, cb)
+  }
+
+  /** The full codes table: the batch-built main segment plus, when the
+    * streaming ingest has landed anything, the `codes_stream` delta
+    * segment. The two are SEPARATE directories by design: the streaming
+    * file sink owns a `_spark_metadata` transaction log, and a batch read
+    * of a directory carrying one sees ONLY log-listed files — streaming
+    * into the batch segment would make the batch files invisible. A main
+    * segment + streamed delta (compacted back by the next [[build]]) is
+    * also exactly how production ANN indexes take ingest.
+    */
+  def codes(spark: SparkSession, idx: Index): DataFrame = {
+    val main = spark.read.parquet(s"${idx.dir}/codes")
+    val deltaPath = new org.apache.hadoop.fs.Path(s"${idx.dir}/codes_stream")
+    val fs = deltaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val both =
+      if (fs.exists(deltaPath)) main.unionByName(spark.read.parquet(deltaPath.toString))
+      else main
+    both.withColumn("cent_id", col("cent_id").cast("long"))
+  }
+
+  /** The codes scan, pruned to the probed lists: `cent_id` is a partition
+    * column in both segments, so the `isin` filter prunes DIRECTORIES —
+    * only nProbe/nCentroids of the index is read. (The partition column
+    * reads back as its directory-inferred type; cast restores the join
+    * key.)
+    */
+  private def probedCodes(spark: SparkSession, idx: Index,
+      probed: Seq[Long]): DataFrame =
+    codes(spark, idx).filter(col("cent_id").isin(probed: _*))
+
+  /** IVF-PQ-refine top-k served FROM the persisted index: probe lists →
+    * partition-pruned codes read → ADC shortlist (heap top-k) → exact
+    * re-rank against `corpus`. Bit-identical to
+    * [[VectorOps.ivfPqTopK]] on the same quantizers.
+    *
+    * The probed-list collect is `queries × nProbe` ids — the query set is
+    * broadcast-small by contract (every top-k path broadcasts it), so
+    * this is a bounded driver round-trip that buys filesystem-level
+    * pruning.
+    */
+  def topK(queries: DataFrame, corpus: DataFrame, idx: Index, k: Int,
+      nProbe: Int = 4, shortlist: Int = 100): DataFrame = {
+    val spark = queries.sparkSession
+    val probes = VectorOps.ivfAssign(queries, idx.coarse, nProbe)
+      .select(col("cent_id"), col("vec_id").as("query_id"),
+        col("embedding").as("qv"), col("__n2").as("__n2q"))
+    val probed = probes.select("cent_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val inv = probedCodes(spark, idx, probed)
+      .select(col("cent_id"), col("vec_id").as("neighbor_id"), col("codes"))
+    val cand = VectorOps.topKPerQuery(
+      probes.join(inv, Seq("cent_id"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          Pq.adcCosine(col("codes"), col("qv"), col("__n2q"), idx.cbs)
+            .as("approx_cosine")),
+      shortlist, "approx_cosine")
+      .select(col("query_id"), col("neighbor_id"))
+    VectorOps.rerankExact(queries, corpus, k, cand)
+  }
+
+  /** Append new vectors: encode with the STORED codebooks (no retraining)
+    * and land them in the same partition layout. Idempotence is the
+    * caller's contract (re-appending a batch duplicates codes, exactly as
+    * re-inserting rows into any lake table would).
+    */
+  def append(newVectors: DataFrame, idx: Index): Unit =
+    encoded(newVectors, idx).write.mode("append")
+      .partitionBy("cent_id").parquet(s"${idx.dir}/codes")
+
+  /** Streaming append: the same encode projection under `writeStream`,
+    * landing in the `codes_stream` delta segment — an embedding firehose
+    * becomes query-ready index partitions. The file sink's transaction
+    * log + checkpoint give exactly-once FILES per micro-batch (same
+    * argument as [[graft.streaming.StreamRollup.sinkToLake]]); [[codes]]
+    * unions the delta in, and the next [[build]] compacts it away.
+    */
+  def appendStream(newVectors: DataFrame, idx: Index, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    encoded(newVectors, idx).writeStream
+      .format("parquet")
+      .option("path", s"${idx.dir}/codes_stream")
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("cent_id")
+      .outputMode("append")
+      .start()
+}

@@ -292,7 +292,7 @@ object VectorOps {
     * oracle's `row_number() OVER (ORDER BY cos DESC, cid)`) exploded into
     * `cent_id` rows. A pure map — the centroid array is a literal.
     */
-  private def ivfAssign(df: DataFrame,
+  private[graft] def ivfAssign(df: DataFrame,
       cents: Array[(Long, Array[Double])], n: Int): DataFrame = {
     val centArr = array(cents.map { case (cid, cv) =>
       struct(lit(cid).as("cid"), typedLit(cv).as("cv")) }: _*)
@@ -531,7 +531,7 @@ object VectorOps {
     * score with staged norms (bit-identical to [[bruteTopK]] for the same
     * pairs), keep the top k per query.
     */
-  private def rerankExact(queries: DataFrame, corpus: DataFrame, k: Int,
+  private[graft] def rerankExact(queries: DataFrame, corpus: DataFrame, k: Int,
       cand: DataFrame): DataFrame = {
     val fetched = corpus.select(col("vec_id").as("neighbor_id"),
         col("embedding").as("cemb"), norm2(col("embedding")).as("__n2c"))
