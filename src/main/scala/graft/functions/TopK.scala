@@ -129,9 +129,19 @@ object TopKByScore {
     private var ids = new Array[Long](math.min(k + 1, 64))
     private var n = 0
 
-    // a is strictly worse than b under (score DESC, id ASC) final order
-    private def worse(sa: Double, ia: Long, sb: Double, ib: Long): Boolean =
-      sa < sb || (sa == sb && ia > ib)
+    // a is strictly worse than b under (score DESC, id ASC) final order.
+    // Score comparison is Spark SQL's OWN double ordering
+    // (SQLOrderingUtil.compareDoubles): signed zeros TIE and NaN ranks
+    // LARGEST — a raw `<` would diverge from the window formulation on
+    // both (java.lang.Double.compare splits -0.0 < 0.0; primitive < is
+    // always false on NaN). Caught by the PropertySpec signed-zero pool.
+    private def cmpScore(a: Double, b: Double): Int =
+      org.apache.spark.sql.catalyst.util.SQLOrderingUtil.compareDoubles(a, b)
+
+    private def worse(sa: Double, ia: Long, sb: Double, ib: Long): Boolean = {
+      val c = cmpScore(sa, sb)
+      c < 0 || (c == 0 && ia > ib)
+    }
 
     private def swap(i: Int, j: Int): Unit = {
       val ts = scores(i); scores(i) = scores(j); scores(j) = ts
@@ -186,7 +196,7 @@ object TopKByScore {
       val arr = entries
       java.util.Arrays.sort(arr, new java.util.Comparator[(Double, Long)] {
         override def compare(a: (Double, Long), b: (Double, Long)): Int = {
-          val c = java.lang.Double.compare(b._1, a._1)
+          val c = cmpScore(b._1, a._1)
           if (c != 0) c else java.lang.Long.compare(a._2, b._2)
         }
       })

@@ -350,4 +350,34 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: heap top-k == window top-k on adversarial score sets") {
+    // score pools chosen to force collisions: few distinct values (mass
+    // ties), negatives, ±extremes, and k straddling group sizes — the
+    // regimes where a heap's eviction order could diverge from
+    // row_number's (score DESC, id ASC)
+    val pools = Seq(
+      Seq(0.0, 1.0),                                  // near-total ties
+      Seq(-1.5, 0.0, 2.5, 1e300, -1e300, Double.NaN), // extremes + NaN
+      (0 until 37).map(_ * 0.1 - 1.8),                // many distinct
+      Seq(Double.MinPositiveValue, 0.0, -0.0))        // signed zero
+    for ((pool, pi) <- pools.zipWithIndex; k <- Seq(1, 7, 64)) {
+      val rowGen = for {
+        g <- Gen.choose(0L, 5L)
+        s <- Gen.oneOf(pool)
+      } yield (g, s)
+      val params = org.scalacheck.Gen.Parameters.default
+      // ids unique by construction: a duplicated (score, id) pair would
+      // make even window-vs-window nondeterministic
+      val rows = (0 until 800)
+        .flatMap(i => rowGen.apply(params, Seed(1000L * pi + i))
+          .map { case (g, s) => (g, s, i.toLong) })
+      val df = rows.toDF("query_id", "cosine", "neighbor_id")
+      val viaAgg = graft.operators.VectorOps.topKPerQuery(df, k, "cosine")
+        .collect().map(_.toString).sorted
+      val viaWin = graft.operators.VectorOps.topKPerQueryViaWindows(df, k, "cosine")
+        .collect().map(_.toString).sorted
+      assert(viaAgg.sameElements(viaWin), s"pool=$pi k=$k")
+    }
+  }
 }

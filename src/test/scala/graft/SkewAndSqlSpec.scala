@@ -147,4 +147,22 @@ class SkewAndSqlSpec extends SparkSpec {
     assert(rows.map(_.getDouble(1)).toSeq == Seq(10.0, 15.0, 22.5))
     assert(rows.head.getDouble(2) == math.log(10.0))
   }
+
+  test("top_k is callable from SQL; agrees with the window formulation") {
+    GraftFunctions.register(spark)
+    (1 to 200).map(i => (i % 4L, (i % 9).toDouble, i.toLong))
+      .toDF("q", "score", "id").createOrReplaceTempView("sql_scored")
+    val viaAgg = spark.sql(
+      """SELECT q, pos + 1 AS rank, col.id AS id, col.score AS score
+        |FROM (SELECT q, top_k(score, id, 5) AS t FROM sql_scored GROUP BY q)
+        |LATERAL VIEW posexplode(t) AS pos, col""".stripMargin)
+      .collect().map(_.toString).sorted
+    val viaWin = spark.sql(
+      """SELECT q, CAST(rank AS BIGINT) AS rank, id, score FROM (
+        |  SELECT q, id, score,
+        |         row_number() OVER (PARTITION BY q ORDER BY score DESC, id) AS rank
+        |  FROM sql_scored) WHERE rank <= 5""".stripMargin)
+      .collect().map(_.toString).sorted
+    assert(viaAgg.sameElements(viaWin))
+  }
 }
