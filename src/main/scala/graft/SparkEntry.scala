@@ -68,7 +68,7 @@ object SparkEntry {
     graft.operators.PrepQueries.oracle ++
     graft.operators.TextQueries.oracle ++
     graft.operators.DedupQueries.oracle ++
-    graft.operators.VectorQueries.oracle ++
+    graft.operators.VectorQueries.oracleAll ++
     graft.operators.MultimodalQueries.oracle ++
     graft.operators.ScaleQueries.oracle
 

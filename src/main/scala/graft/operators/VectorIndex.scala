@@ -71,12 +71,12 @@ object VectorIndex {
     * read-side pruning are identical either way.
     */
   def build(corpus: DataFrame, dir: String, nCentroids: Int = 16,
-      m: Int = 16, ksub: Int = 32, iters: Int = 2, sampleMod: Long = 3,
-      maxSample: Long = 100000): Index = {
+      m: Int = 16, ksub: Int = 32, coarseIters: Int = 2, pqIters: Int = 2,
+      sampleMod: Long = 3, maxSample: Long = 100000): Index = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val coarse = VectorOps.kmeansCodebook(corpus, nCentroids, iters, sampleMod, maxSample)
-    val cbs = VectorOps.pqCodebooks(corpus, m, ksub, iters, sampleMod, maxSample)
+    val coarse = VectorOps.kmeansCodebook(corpus, nCentroids, coarseIters, sampleMod, maxSample)
+    val cbs = VectorOps.pqCodebooks(corpus, m, ksub, pqIters, sampleMod, maxSample)
     coarse.toSeq.map { case (cid, cv) => (cid, cv.toSeq) }
       .toDF("cent_id", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/coarse")
@@ -191,4 +191,26 @@ object VectorIndex {
       .partitionBy("cent_id")
       .outputMode("append")
       .start()
+
+  /** Compact the streamed delta back into the main segment: rewrite the
+    * union into a fresh directory, swap it in, drop the delta. Run with
+    * the ingest stream STOPPED, and restart it on a FRESH checkpoint —
+    * the old checkpoint's file-sink log describes the removed delta
+    * directory. (On object stores the rename is a copy; a production
+    * deployment would swap a table pointer instead — the segment
+    * lifecycle is the same.)
+    */
+  def compact(spark: SparkSession, idx: Index): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val main = new org.apache.hadoop.fs.Path(s"${idx.dir}/codes")
+    val delta = new org.apache.hadoop.fs.Path(s"${idx.dir}/codes_stream")
+    val fs = main.getFileSystem(conf)
+    if (!fs.exists(delta)) return
+    val tmp = new org.apache.hadoop.fs.Path(s"${idx.dir}/codes_compacting")
+    codes(spark, idx).write.mode("overwrite")
+      .partitionBy("cent_id").parquet(tmp.toString)
+    fs.delete(main, true)
+    require(fs.rename(tmp, main), s"compaction swap failed: $tmp -> $main")
+    fs.delete(delta, true)
+  }
 }

@@ -46,6 +46,20 @@ object VectorQueries {
       val cbs = VectorOps.pqCodebooks(emb, pqM, pqKsub, pqIters, sampleMod)
       VectorOps.ivfPqTopK(queriesDf(s, dir), emb, k, coarse, cbs, nProbe, pqShortlist)
     }),
+    // v7 served FROM the persisted index (train+encode once per JVM into
+    // a temp lake, every run after that reads codes through partition
+    // pruning) — same quantizer parameters, so the v7 oracle pins it
+    // bit-exactly; the bench's min-of-two-sweeps shows the SERVE cost
+    "v8_index_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val idx = indexCache.computeIfAbsent(dir, _ => {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-vidx-query").toString
+        VectorIndex.build(emb, path, nCentroids, pqM, pqKsub,
+          coarseIters = kmIters, pqIters = pqIters, sampleMod = sampleMod)
+      })
+      VectorIndex.topK(queriesDf(s, dir), emb, idx, k, nProbe, pqShortlist)
+    }),
     "d5_embedding_top_pairs" -> ((s, dir) =>
       VectorOps.blockedTopPairs(Tables.embeddings(s, dir), col("label"), 50))
   )
@@ -54,6 +68,8 @@ object VectorQueries {
   private val nProbe = 4
   private val kmIters = 4
   private val sampleMod = 3
+  private val indexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, VectorIndex.Index]()
   // m=16 4-dim subspaces x 32 centroids: measured on the sf0.1 embeddings
   // (near-uniform unit vectors — ANN's worst case), ADC recall@10 = 0.45
   // and refine@100 = 0.95 vs brute force; finer m or larger ksub buys more
@@ -320,4 +336,11 @@ object VectorQueries {
          |ORDER BY cosine DESC, vec_id1, vec_id2
          |LIMIT 50""".stripMargin)
   )
+
+  /** v8 shares v7's oracle verbatim: the persisted-index serve is the
+    * same computation (same quantizers, same ADC, same refine) read from
+    * the lake instead of recomputed — it must be bit-equal.
+    */
+  val oracleAll: Map[String, String] =
+    oracle + ("v8_index_topk" -> oracle("v7_ivfpq_topk"))
 }

@@ -19,7 +19,7 @@ class VectorIndexSpec extends SparkSpec {
     val dir = tmp("graft-vidx")
 
     val built = VectorIndex.build(emb, dir, nCentroids = 16, m = 16,
-      ksub = 32, iters = 2, sampleMod = 3)
+      ksub = 32, coarseIters = 2, pqIters = 2, sampleMod = 3)
     // load round-trips the quantizers exactly (doubles are bit-stable
     // through parquet)
     val loaded = VectorIndex.load(spark, dir)
@@ -44,7 +44,7 @@ class VectorIndexSpec extends SparkSpec {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.01")
     val dir = tmp("graft-vidx-prune")
     val idx = VectorIndex.build(emb, dir, nCentroids = 16, m = 16,
-      ksub = 32, iters = 2, sampleMod = 3)
+      ksub = 32, coarseIters = 2, pqIters = 2, sampleMod = 3)
 
     // files ACTUALLY READ (the scan's numFiles metric, after execution) —
     // the isin on the partition column must prune directories, not rows
@@ -74,7 +74,7 @@ class VectorIndexSpec extends SparkSpec {
     val dir = tmp("graft-vidx-append")
     val base = emb.filter(col("vec_id") >= 100)
     val idx = VectorIndex.build(base, dir, nCentroids = 8, m = 16,
-      ksub = 32, iters = 2, sampleMod = 3)
+      ksub = 32, coarseIters = 2, pqIters = 2, sampleMod = 3)
 
     // append the held-out head; the index must now serve them
     VectorIndex.append(emb.filter(col("vec_id") < 100), idx)
@@ -97,7 +97,7 @@ class VectorIndexSpec extends SparkSpec {
     val dir = tmp("graft-vidx-stream")
     val ckpt = tmp("graft-vidx-ckpt")
     val idx = VectorIndex.build(emb.filter(col("vec_id") < 400), dir,
-      nCentroids = 8, m = 16, ksub = 32, iters = 2, sampleMod = 3)
+      nCentroids = 8, m = 16, ksub = 32, coarseIters = 2, pqIters = 2, sampleMod = 3)
     val before = VectorIndex.codes(spark, idx).count()
 
     val input = MemoryStream[(Long, Array[Float])](spark)
@@ -123,5 +123,20 @@ class VectorIndexSpec extends SparkSpec {
       .select("vec_id", "cent_id", "codes")
       .collect().map(_.toString).sorted
     assert(streamed.sameElements(batchCodes))
+
+    // compaction folds the delta into the main segment: same rows, same
+    // codes, delta directory gone
+    val beforeCompact = VectorIndex.codes(spark, idx)
+      .select("vec_id", "cent_id", "codes")
+      .collect().map(_.toString).sorted
+    VectorIndex.compact(spark, idx)
+    assert(!new java.io.File(s"$dir/codes_stream").exists())
+    val afterCompact = VectorIndex.codes(spark, idx)
+      .select("vec_id", "cent_id", "codes")
+      .collect().map(_.toString).sorted
+    assert(afterCompact.sameElements(beforeCompact))
+    // idempotent when there is nothing to compact
+    VectorIndex.compact(spark, idx)
+    assert(VectorIndex.codes(spark, idx).count() == before + delta.length)
   }
 }
