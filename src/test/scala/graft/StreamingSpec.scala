@@ -339,4 +339,37 @@ class StreamingSpec extends SparkSpec {
       assert(r1.getAs[Double]("quality") >= 0.3)
     } finally q.stop()
   }
+
+  test("streaming ANN enrichment == batch index lookup for the same queries") {
+    import graft.operators.VectorIndex
+    import org.apache.spark.sql.functions.col
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val dir = java.nio.file.Files.createTempDirectory("graft-enrich-idx").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-enrich-ckpt").toString
+    val idx = VectorIndex.build(emb, dir, nCentroids = 8, m = 16, ksub = 32,
+      coarseIters = 2, pqIters = 2, sampleMod = 3)
+
+    val collected = scala.collection.mutable.ArrayBuffer.empty[String]
+    val input = MemoryStream[(Long, Array[Float])](spark)
+    val stream = input.toDF().toDF("vec_id", "embedding")
+    val q = graft.streaming.StreamVectorEnrich.enrich(
+      stream, emb, idx, k = 5, checkpoint = ckpt, nProbe = 8) { out =>
+      collected.synchronized {
+        collected ++= out.collect().map(_.toString)
+      }
+    }
+    try {
+      val queries = emb.filter(col("vec_id") < 6)
+        .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+      input.addData(queries.take(3).toIndexedSeq) // two micro-batches:
+      q.processAllAvailable()                     // the lookup is per-batch
+      input.addData(queries.drop(3).toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val batch = VectorIndex.topK(emb.filter(col("vec_id") < 6), emb, idx,
+        k = 5, nProbe = 8)
+      .collect().map(_.toString)
+    assert(collected.sorted.sameElements(batch.sorted))
+  }
 }
