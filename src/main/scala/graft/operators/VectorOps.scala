@@ -290,9 +290,28 @@ object VectorOps {
   /** Coarse IVF assignment: each row of `df` gets its `n` nearest
     * centroids (cosine desc, cid asc — identical tie order to the
     * oracle's `row_number() OVER (ORDER BY cos DESC, cid)`) exploded into
-    * `cent_id` rows. A pure map — the centroid array is a literal.
+    * `cent_id` rows. A pure map through the native codegen'd
+    * [[graft.functions.IvfAssignTopN]]: the codebook lives in the
+    * expression OBJECT, not the plan tree — a literal codebook bloats
+    * every explain at 16 centroids and becomes a multi-megabyte plan at
+    * the thousands a 100 TB index runs — and the top-n selection never
+    * allocates or sorts a per-row struct array. Bit-equal to
+    * [[ivfAssignViaColumns]] (asserted in VectorSpec; v4/v7/v8 oracles
+    * pin it end-to-end).
     */
   private[graft] def ivfAssign(df: DataFrame,
+      cents: Array[(Long, Array[Double])], n: Int): DataFrame = {
+    val staged = df.select(col("vec_id"), col("embedding"),
+      norm2(col("embedding")).as("__n2"))
+    staged.select(col("vec_id"), col("embedding"), col("__n2"),
+      explode(graft.functions.Ivf.assignTopN(col("embedding"), col("__n2"),
+        cents, n)).as("cent_id"))
+  }
+
+  /** The Column/HOF formulation of [[ivfAssign]] — the equivalence
+    * witness (and the shape the DuckDB oracles mirror CTE-for-CTE).
+    */
+  private[graft] def ivfAssignViaColumns(df: DataFrame,
       cents: Array[(Long, Array[Double])], n: Int): DataFrame = {
     val centArr = array(cents.map { case (cid, cv) =>
       struct(lit(cid).as("cid"), typedLit(cv).as("cv")) }: _*)

@@ -169,6 +169,23 @@ class VectorSpec extends SparkSpec {
     assert(err.getMessage.contains("maxSample"))
   }
 
+  test("native IVF assignment == HOF witness, n = 1 / 4 / all, both codebooks") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    // k-means codebook (cids 0..k-1) and the vec_id stand-in codebook
+    // (cids = corpus ids) — both cid shapes the callers use
+    val cbKm = VectorOps.kmeansCodebook(emb, 8, 2, 3)
+    val cbIds = emb.orderBy("vec_id").limit(8)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    for (cb <- Seq(cbKm, cbIds); n <- Seq(1, 4, 8)) {
+      val native = VectorOps.ivfAssign(emb, cb, n)
+        .selectExpr("vec_id", "cent_id").collect().map(_.toString).sorted
+      val hof = VectorOps.ivfAssignViaColumns(emb, cb, n)
+        .selectExpr("vec_id", "cent_id").collect().map(_.toString).sorted
+      assert(native.sameElements(hof), s"n=$n cids=${cb.take(2).map(_._1).mkString(",")}")
+    }
+  }
+
   test("top-k heap aggregate == window ranking, incl. ties and tiny corpora") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.01")
     val q = emb.filter(col("vec_id") < 8)
