@@ -61,8 +61,21 @@ object VectorOps {
       acc + element_at(v.cast("array<double>"), i) *
         planeCoef(p, dims)(i - lit(1)).cast("double"))
 
-  /** LSH bucket id from `planes` hyperplane sign bits. */
+  /** LSH bucket id from `planes` hyperplane sign bits — the native
+    * codegen'd [[graft.functions.LshBucket]]: coefficient planes live in
+    * the expression object and the projections run as generated loops
+    * (the Column form re-derives every coefficient interpreted, per row ×
+    * plane × dim, because the coef expression references the fold's
+    * lambda variable and so never constant-folds). Bit-equal to
+    * [[lshBucketViaColumns]] (VectorSpec; v2/v3 oracles).
+    */
   def lshBucket(v: Column, planes: Int, dims: Int): Column =
+    graft.functions.Lsh.bucket(v, planes, dims)
+
+  /** The Column formulation of [[lshBucket]] — the equivalence witness
+    * and the oracle's shape.
+    */
+  private[graft] def lshBucketViaColumns(v: Column, planes: Int, dims: Int): Column =
     (0 until planes)
       .map(p => when(planeDot(v, p, dims) > 0, lit(1L << p)).otherwise(lit(0L)))
       .reduce(_ + _)

@@ -169,6 +169,16 @@ class VectorSpec extends SparkSpec {
     assert(err.getMessage.contains("maxSample"))
   }
 
+  test("native LSH bucket == Column witness across the corpus") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    for (planes <- Seq(1, 4, 8)) {
+      val pair = emb.select(
+        VectorOps.lshBucket(col("embedding"), planes, 64).as("nb"),
+        VectorOps.lshBucketViaColumns(col("embedding"), planes, 64).as("wb"))
+      assert(pair.filter(col("nb") =!= col("wb")).count() == 0, s"planes=$planes")
+    }
+  }
+
   test("native IVF assignment == HOF witness, n = 1 / 4 / all, both codebooks") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.01")
     // k-means codebook (cids 0..k-1) and the vec_id stand-in codebook
