@@ -192,6 +192,24 @@ object VectorIndex {
       .outputMode("append")
       .start()
 
+  /** Per-list census of the codes table (main + delta): `(cent_id, n)`.
+    * One column-pruned distributed count — the index-health scan.
+    */
+  def stats(spark: SparkSession, idx: Index): DataFrame =
+    codes(spark, idx).groupBy("cent_id").agg(count(lit(1)).as("n"))
+
+  /** The FAISS-style imbalance factor of the inverted lists:
+    * `k · Σ (n_i / N)²` — 1.0 means perfectly balanced lists; λ means a
+    * probe costs λ× the balanced estimate on average, i.e. the skew
+    * multiplier the probe join inherits. Driver-side k-row collect.
+    */
+  def imbalance(spark: SparkSession, idx: Index): Double = {
+    val ns = stats(spark, idx).collect().map(_.getAs[Long]("n").toDouble)
+    val total = ns.sum
+    if (total == 0.0) 1.0
+    else idx.coarse.length * ns.map(n => (n / total) * (n / total)).sum
+  }
+
   /** Compact the streamed delta back into the main segment: rewrite the
     * union into a fresh directory, swap it in, drop the delta. Run with
     * the ingest stream STOPPED, and restart it on a FRESH checkpoint —

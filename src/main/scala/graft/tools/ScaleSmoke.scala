@@ -285,6 +285,17 @@ object ScaleSmoke {
     timeV("brute-scan-8q") { // the raw-vector baseline the codes replace
       VectorOps.bruteTopK(queries, vecs, 10).count()
     }
+    // coarse assignment at 10 M: the native expression vs the HOF witness
+    // (the literal-codebook form the native one replaced)
+    val coarse = VectorOps.kmeansCodebook(vecs, 16, 2, sampleMod = 199)
+    timeV("ivf-assign-native") {
+      VectorOps.ivfAssign(vecs, coarse, 1)
+        .agg(sum(col("cent_id"))).collect(); nv
+    }
+    timeV("ivf-assign-hof") {
+      VectorOps.ivfAssignViaColumns(vecs, coarse, 1)
+        .agg(sum(col("cent_id"))).collect(); nv
+    }
     vecs.unpersist()
     }
     spark.stop()

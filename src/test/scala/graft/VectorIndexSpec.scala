@@ -68,6 +68,20 @@ class VectorIndexSpec extends SparkSpec {
       s"cent_id should be a partition filter:\n$plan")
   }
 
+  test("stats census sums to the corpus; imbalance factor is sane") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val dir = tmp("graft-vidx-stats")
+    val idx = VectorIndex.build(emb, dir, nCentroids = 16, m = 16,
+      ksub = 32, coarseIters = 2, pqIters = 2, sampleMod = 3)
+    val census = VectorIndex.stats(spark, idx).collect()
+    assert(census.map(_.getAs[Long]("n")).sum == emb.count())
+    assert(census.length <= 16)
+    val lambda = VectorIndex.imbalance(spark, idx)
+    // 1.0 = perfectly balanced; k = everything in one list
+    assert(lambda >= 1.0 - 1e-9 && lambda <= 16.0 + 1e-9, s"imbalance=$lambda")
+    info(f"IVF list imbalance factor on sf0.01: $lambda%.2f")
+  }
+
   test("append encodes with stored codebooks; planted near-dup is found") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.01")
       .select("vec_id", "embedding")
