@@ -653,4 +653,33 @@ object VectorOps {
       .orderBy(col("cosine").desc, col("vec_id1"), col("vec_id2"))
       .limit(topN)
   }
+
+  /** Semantic near-dup drop list — the embedding-space analog of the
+    * MinHash drop list ([[Dedup.dropListFromPairs]]): candidates are
+    * pairs sharing a coarse IVF list (blocking = the index's own
+    * partition layout, so candidate count is Σ listᵢ², never corpus²),
+    * a pair is a duplicate iff its EXACT staged-norm cosine ≥ `tau`, and
+    * the greedy keep-lowest-id rule drops the higher id of every
+    * duplicate pair. One self-equi-join on cent_id plus a distinct —
+    * the same shuffle shape at any corpus size; norms ride from
+    * [[ivfAssign]]'s staging so the pair computes only the dot.
+    *
+    * Recall caveat (same as every blocked near-dup pass, documented not
+    * hidden): a pair straddling two coarse lists is not a candidate.
+    * Probe more lists (assign with n > 1) to trade candidates for
+    * recall, exactly like nProbe on the query path.
+    */
+  def semanticDropList(corpus: DataFrame,
+      coarse: Array[(Long, Array[Double])], tau: Double,
+      nAssign: Int = 1): DataFrame = {
+    val inv = ivfAssign(corpus, coarse, nAssign)
+      .select(col("cent_id"), col("vec_id"), col("embedding"), col("__n2"))
+    inv.as("x").join(inv.as("y"),
+        col("x.cent_id") === col("y.cent_id") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .filter(cosineStaged(col("x.embedding"), col("y.embedding"),
+        col("x.__n2"), col("y.__n2")) >= tau)
+      .select(col("y.vec_id").as("drop_id"))
+      .distinct()
+  }
 }

@@ -61,7 +61,14 @@ object VectorQueries {
       VectorIndex.topK(queriesDf(s, dir), emb, idx, k, nProbe, pqShortlist)
     }),
     "d5_embedding_top_pairs" -> ((s, dir) =>
-      VectorOps.blockedTopPairs(Tables.embeddings(s, dir), col("label"), 50))
+      VectorOps.blockedTopPairs(Tables.embeddings(s, dir), col("label"), 50)),
+    // semantic dedup end-to-end: IVF-blocked candidates, exact cosine
+    // threshold, greedy keep-lowest-id — the embedding-space d6
+    "d7_semantic_drop_list" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val coarse = VectorOps.kmeansCodebook(emb, nCentroids, kmIters, sampleMod)
+      VectorOps.semanticDropList(emb, coarse, semanticTau)
+    })
   )
 
   private val nCentroids = 16
@@ -78,6 +85,10 @@ object VectorQueries {
   private val pqKsub = 32
   private val pqIters = 2
   private val pqShortlist = 100
+  // d7 duplicate threshold: ~the p99 of within-list cosines on the
+  // near-uniform test embeddings at every SF — a real corpus with true
+  // semantic dups would sit at 0.9+; the rule is threshold-agnostic
+  private val semanticTau = 0.35
 
   // ------------------------------------------------------------------
   // DuckDB mirrors — same left-to-right fold discipline as VectorOps.
@@ -334,7 +345,20 @@ object VectorQueries {
          |       ${cosineSql("x.v", "y.v")} AS cosine
          |FROM e x JOIN e y ON x.label = y.label AND x.vec_id < y.vec_id
          |ORDER BY cosine DESC, vec_id1, vec_id2
-         |LIMIT 50""".stripMargin)
+         |LIMIT 50""".stripMargin),
+    "d7_semantic_drop_list" -> (embSql + kmeansCtes +
+      s""",
+         |cents AS (SELECT cid, cv FROM cb$kmIters),
+         |casgn AS (
+         |  SELECT vec_id, v, cid,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rnk
+         |  FROM (SELECT e.vec_id, e.v, c.cid, ${cosineSql("e.v", "c.cv")} AS cos
+         |        FROM e CROSS JOIN cents c)
+         |),
+         |inv AS (SELECT cid, vec_id, v FROM casgn WHERE rnk = 1)
+         |SELECT DISTINCT y.vec_id AS drop_id
+         |FROM inv x JOIN inv y ON x.cid = y.cid AND x.vec_id < y.vec_id
+         |WHERE ${cosineSql("x.v", "y.v")} >= CAST('0.35' AS DOUBLE)""".stripMargin)
   )
 
   /** v8 shares v7's oracle verbatim: the persisted-index serve is the

@@ -169,6 +169,21 @@ class VectorSpec extends SparkSpec {
     assert(err.getMessage.contains("maxSample"))
   }
 
+  test("semantic drop list drops a planted twin, keeps the original") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.01")
+      .select("vec_id", "embedding")
+    // twin of vector 0 under a HIGHER id: same coarse list by
+    // construction, cosine 1.0 — must be dropped; 0 must be kept
+    val twin = emb.filter(col("vec_id") === 0)
+      .select(lit(900001L).as("vec_id"), col("embedding"))
+    val corpus = emb.unionByName(twin)
+    val coarse = VectorOps.kmeansCodebook(corpus, 16, 2, 3)
+    val drops = VectorOps.semanticDropList(corpus, coarse, tau = 0.95)
+      .collect().map(_.getLong(0)).toSet
+    assert(drops.contains(900001L), s"twin not dropped: $drops")
+    assert(!drops.contains(0L), "keep-lowest-id must keep the original")
+  }
+
   test("native LSH bucket == Column witness across the corpus") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.01")
     for (planes <- Seq(1, 4, 8)) {
