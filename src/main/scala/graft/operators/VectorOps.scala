@@ -668,17 +668,38 @@ object VectorOps {
     * hidden): a pair straddling two coarse lists is not a candidate.
     * Probe more lists (assign with n > 1) to trade candidates for
     * recall, exactly like nProbe on the query path.
+    *
+    * Guard rail (same discipline as [[blockedTopPairs]]): pairs grow as
+    * Σ listᵢ², so a codebook under-provisioned for the corpus — 16 lists
+    * against 10 M rows is 6·10¹² comparisons — must FAIL FAST, not run
+    * for days. `maxListRows` embeds an in-plan `assert`-style
+    * `raise_error` on the per-list count (rides the join's own hash
+    * partitioning, no extra action); size `coarse` so lists stay under
+    * it, or raise it deliberately.
     */
   def semanticDropList(corpus: DataFrame,
       coarse: Array[(Long, Array[Double])], tau: Double,
-      nAssign: Int = 1): DataFrame = {
+      nAssign: Int = 1, maxListRows: Long = 100000): DataFrame = {
+    val ln = count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("cent_id")))
     val inv = ivfAssign(corpus, coarse, nAssign)
       .select(col("cent_id"), col("vec_id"), col("embedding"), col("__n2"))
+      .withColumn("__ln", ln)
+    // guard wraps the pair cosine: when lists are within bound the value
+    // flows through untouched (bit-exactness for the oracle), otherwise
+    // the job fails with the sizing message
+    val guarded = when(col("x.__ln") <= maxListRows,
+      cosineStaged(col("x.embedding"), col("y.embedding"),
+        col("x.__n2"), col("y.__n2")))
+      .otherwise(raise_error(
+        lit(s"semanticDropList: a coarse list exceeds maxListRows=$maxListRows; " +
+          "pairs grow quadratically in list size — train more coarse " +
+          "centroids for this corpus or raise maxListRows deliberately"))
+        .cast("double"))
     inv.as("x").join(inv.as("y"),
         col("x.cent_id") === col("y.cent_id") &&
           col("x.vec_id") < col("y.vec_id"))
-      .filter(cosineStaged(col("x.embedding"), col("y.embedding"),
-        col("x.__n2"), col("y.__n2")) >= tau)
+      .filter(guarded >= tau)
       .select(col("y.vec_id").as("drop_id"))
       .distinct()
   }

@@ -182,6 +182,16 @@ class VectorSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(drops.contains(900001L), s"twin not dropped: $drops")
     assert(!drops.contains(0L), "keep-lowest-id must keep the original")
+
+    // guard rail: an undersized maxListRows fails fast with the sizing
+    // message instead of running the quadratic pair join
+    val err = intercept[Exception] {
+      VectorOps.semanticDropList(corpus, coarse, tau = 0.95,
+        maxListRows = 3).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: messages(e.getCause))
+    assert(messages(err).exists(m => m != null && m.contains("maxListRows")))
   }
 
   test("native LSH bucket == Column witness across the corpus") {
