@@ -4,11 +4,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{OracleSql => O}
+import graft.sources.Tables
 import QueryFixtures.{dbars, dbarsSql}
 
-/** Declared-query catalog for SURVEY §2.7: normalization (N1-N3) and
-  * train/test splits (P1-P5). Expression trees mirror the DuckDB oracles
-  * (exact decimal moments; splits are integer/row_number arithmetic).
+/** Declared-query catalog for SURVEY §2.7: normalization (N1-N3),
+  * train/test splits (P1-P5), and beyond-reference token-budget packing
+  * (P6). Expression trees mirror the DuckDB oracles (exact decimal
+  * moments; splits/packing are integer/row_number arithmetic).
   */
 object PrepQueries {
 
@@ -49,6 +51,16 @@ object PrepQueries {
     "p2_hash_split" -> ((s, dir) =>
       Split.hashSplit(dbars(s, dir), col("event_id"), 0.8)
         .groupBy("split").agg(count(lit(1)).as("n"))),
+    // P6 (beyond-reference) — token-budget packing: per-source prefix bins
+    // over the documents corpus, the shard-assignment step of an LLM
+    // training pipeline. Pure integer window arithmetic, one exchange.
+    "p6_token_packing" -> ((s, dir) =>
+      Split.packByTokenBudget(
+          Tables.documents(s, dir).select(col("doc_id"), col("source"),
+            TextOps.tokenCount(col("text")).as("n_tokens")),
+          Seq(col("source")), Seq(col("doc_id")), col("n_tokens"), budget = 256L)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("bin_id"), col("bin_offset"))),
     "p5_sliding_windows" -> ((s, dir) => {
       // Declared output is exploded to (part, idx, value) rows: the driver's
       // canonicalizer sorts every column and cannot hash raw array cells.
@@ -153,6 +165,21 @@ object PrepQueries {
         |            ELSE 'test' END AS split,
         |       count(*) AS n
         |FROM dbars GROUP BY 1""".stripMargin),
+    "p6_token_packing" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, source,
+         |         CAST(len(${O.tokens("text")}) AS INTEGER) AS n_tokens
+         |  FROM documents
+         |), pre AS (
+         |  SELECT doc_id, source, n_tokens,
+         |         CAST(COALESCE(SUM(n_tokens) OVER (
+         |           PARTITION BY source ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pb
+         |  FROM toks
+         |)
+         |SELECT doc_id, source, n_tokens,
+         |       pb // 256 AS bin_id, pb % 256 AS bin_offset
+         |FROM pre""".stripMargin,
     "p5_sliding_windows" -> (dbarsSql +
       """, s AS (
         |  SELECT event_id,

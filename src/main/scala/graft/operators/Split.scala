@@ -167,4 +167,40 @@ object Split {
     }
     withParts.drop("__vals").withColumnRenamed("__rn", "window_start_rn")
   }
+
+  /** Token-budget sequence packing — assign each document to a fixed
+    * token-budget bin, the shard/context-window assignment step of an LLM
+    * training-data pipeline (beyond-reference; the reference stops at
+    * window tensorization, data_splitter.py:230-263).
+    *
+    * Semantics: contiguous PREFIX packing. Within each `partition` group
+    * (order by `order`), a document goes to the bin its FIRST token lands
+    * in: `bin_id = ⌊prefix_before / budget⌋`, `bin_offset = prefix_before
+    * mod budget` where `prefix_before` is the running token total of all
+    * prior documents in the group. A document straddling a boundary stays
+    * in its starting bin, so a bin can overflow `budget` by at most
+    * (doc_tokens − 1); consumers that truncate at the boundary instead
+    * have `bin_offset` to split on. Exact greedy packing (reset the
+    * accumulator when a doc would overflow) is a sequential recurrence —
+    * it cannot be expressed as a window aggregate and would serialize the
+    * whole group; prefix packing is the standard distributed
+    * approximation and is pure integer window arithmetic: one hash
+    * exchange on the partition keys, O(1)/row, reproducible bit-for-bit
+    * at any parallelism.
+    *
+    * `prefix_before` is computed ONCE in a staging projection and the two
+    * derived columns read the alias — Spark does not CSE across
+    * expression-tree references, so repeating the window sum would run the
+    * frame twice (same alias-once discipline as Indicators.withRsi).
+    */
+  def packByTokenBudget(df: DataFrame, partition: Seq[Column], order: Seq[Column],
+      nTokens: Column, budget: Long): DataFrame = {
+    require(budget > 0, s"pack budget must be positive, got $budget")
+    val w = Window.partitionBy(partition: _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__pack_before", coalesce(sum(nTokens.cast("long")).over(w), lit(0L)))
+      .withColumn("bin_id", floor(col("__pack_before") / lit(budget)))
+      .withColumn("bin_offset", col("__pack_before") % lit(budget))
+      .drop("__pack_before")
+  }
 }

@@ -89,6 +89,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Sort"))
   }
 
+  test("p6 token packing: one hash exchange on the group keys, no global sort") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        graft.operators.TextOps.tokenCount(col("text")).as("n_tokens"))
+    val out = graft.operators.Split.packByTokenBudget(docs,
+      Seq(col("source")), Seq(col("doc_id")), col("n_tokens"), budget = 256L)
+    val p = out.queryExecution.executedPlan.toString
+    // the prefix sum is a per-group running window: it must partition by the
+    // group keys (parallel across sources), never collapse to one partition
+    assert(p.contains("hashpartitioning(source"))
+    assert(!p.contains("SinglePartition"))
+    // exactly one exchange — the two derived columns read the staged alias,
+    // they must not replan the window
+    assert("Exchange".r.findAllIn(p).size == 1)
+    assert("\\bWindow\\b".r.findAllIn(p).size == 1)
+  }
+
   test("rollup rewrite serves coarse OHLCV windows from the registered roll-up") {
     import org.apache.spark.sql.functions.col
     import graft.operators.Resample

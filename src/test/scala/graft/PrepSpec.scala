@@ -61,6 +61,32 @@ class PrepSpec extends SparkSpec {
     assert(maxTrain.before(minTest))
   }
 
+  test("token packing: prefix bins, conservation, offsets, overflow bound") {
+    // two groups with known token counts; budget 100
+    val docs = Seq(
+      ("a", 1L, 60), ("a", 2L, 30), ("a", 3L, 30), ("a", 4L, 95), ("a", 5L, 10),
+      ("b", 1L, 250), ("b", 2L, 1)
+    ).toDF("src", "id", "n_tok")
+    val packed = Split.packByTokenBudget(docs, Seq($"src"), Seq($"id"),
+        $"n_tok", budget = 100L)
+      .select($"src", $"id", $"bin_id", $"bin_offset")
+      .as[(String, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    // group a prefixes: 0,60,90,120,215 → bins 0,0,0,1,2; offsets 0,60,90,20,15
+    // group b prefixes: 0,250 → bins 0,2 (oversized doc owns bins 0-1; the
+    // straddler's successor lands where the prefix says, not "next bin")
+    assert(packed.toSeq == Seq(
+      ("a", 1L, 0L, 0L), ("a", 2L, 0L, 60L), ("a", 3L, 0L, 90L),
+      ("a", 4L, 1L, 20L), ("a", 5L, 2L, 15L),
+      ("b", 1L, 0L, 0L), ("b", 2L, 2L, 50L)))
+    // every doc is in exactly one bin (assignment is a projection, no dedup)
+    assert(packed.length == 7)
+    // bin_id is non-decreasing in pack order within each group
+    Seq("a", "b").foreach { g =>
+      val bins = packed.filter(_._1 == g).map(_._3)
+      assert(bins.zip(bins.tail).forall { case (x, y) => x <= y })
+    }
+  }
+
   test("sliding windows have exact shapes and stride") {
     val ts = df.withColumn("symbol", lit("A"))
     val wdf = Split.slidingWindows(ts, Seq($"symbol"), Seq($"id"),
