@@ -8,9 +8,10 @@ import graft.sources.Tables
 import QueryFixtures.{dbars, dbarsSql}
 
 /** Declared-query catalog for SURVEY §2.7: normalization (N1-N3),
-  * train/test splits (P1-P5), and beyond-reference token-budget packing
-  * (P6). Expression trees mirror the DuckDB oracles (exact decimal
-  * moments; splits/packing are integer/row_number arithmetic).
+  * train/test splits (P1-P5), and the beyond-reference training-prep
+  * ops — token-budget packing (P6) and stratified sampling (P7).
+  * Expression trees mirror the DuckDB oracles (exact decimal moments;
+  * splits/packing/sampling are integer/row_number arithmetic).
   */
 object PrepQueries {
 
@@ -61,6 +62,13 @@ object PrepQueries {
           Seq(col("source")), Seq(col("doc_id")), col("n_tokens"), budget = 256L)
         .select(col("doc_id"), col("source"), col("n_tokens"),
           col("bin_id"), col("bin_offset"))),
+    // P7 (beyond-reference) — deterministic stratified sampling: domain
+    // mixture reweighting as a pure row-local filter (no shuffle).
+    "p7_stratified_sample" -> ((s, dir) =>
+      Split.stratifiedHashSample(Tables.documents(s, dir),
+          col("doc_id"), col("source"),
+          Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 1.0), defaultRate = 0.1)
+        .select(col("doc_id"), col("source"))),
     "p5_sliding_windows" -> ((s, dir) => {
       // Declared output is exploded to (part, idx, value) rows: the driver's
       // canonicalizer sorts every column and cannot hash raw array cells.
@@ -180,6 +188,13 @@ object PrepQueries {
          |SELECT doc_id, source, n_tokens,
          |       pb // 256 AS bin_id, pb % 256 AS bin_offset
          |FROM pre""".stripMargin,
+    "p7_stratified_sample" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE (doc_id * 2246822519) % 4294967296 <
+        |      CASE source WHEN 'src0' THEN 2147483648
+        |                  WHEN 'src1' THEN 1073741824
+        |                  WHEN 'src2' THEN 4294967296
+        |                  ELSE 429496730 END""".stripMargin,
     "p5_sliding_windows" -> (dbarsSql +
       """, s AS (
         |  SELECT event_id,

@@ -203,4 +203,33 @@ object Split {
       .withColumn("bin_offset", col("__pack_before") % lit(budget))
       .drop("__pack_before")
   }
+
+  /** Deterministic stratified sampling — per-stratum keep rates, the
+    * domain-mixture reweighting step of a training-data pipeline
+    * (beyond-reference): keep a row iff its key's multiplicative hash
+    * falls below the stratum's rate threshold. Deliberately a DIFFERENT
+    * multiplier (xxhash PRIME32_2) than [[hashSplit]]'s Knuth constant:
+    * with the SAME hash, a rate-r stratum's survivors are exactly the
+    * rows with h < r·2³² — a prefix of the split hash's range — so a
+    * subsequent hashSplit would label a 0.1-rate stratum 100% train.
+    * Independent multipliers decorrelate the two, and sample-then-split
+    * preserves the split fractions within every stratum.
+    *
+    * A pure row-local filter: no shuffle, no window, no state — the
+    * trivially-100 TB-safe shape. Rates are folded into one `when` chain
+    * (sorted for a deterministic plan); unlisted strata get
+    * `defaultRate`. Rate 1.0 keeps everything (threshold = 2³² > every
+    * hash), 0.0 drops the stratum.
+    */
+  def stratifiedHashSample(df: DataFrame, key: Column, stratum: Column,
+      rates: Map[String, Double], defaultRate: Double): DataFrame = {
+    (rates.values.toSeq :+ defaultRate).foreach(r =>
+      require(r >= 0.0 && r <= 1.0, s"rates must be in [0,1], got $r"))
+    def thresh(r: Double) = lit(math.round(r * 4294967296.0))
+    val h = pmod(key.cast("long") * lit(2246822519L), lit(4294967296L))
+    val cutoff = rates.toSeq.sortBy(_._1).foldRight(thresh(defaultRate): Column) {
+      case ((s, r), rest) => when(stratum === lit(s), thresh(r)).otherwise(rest)
+    }
+    df.filter(h < cutoff)
+  }
 }

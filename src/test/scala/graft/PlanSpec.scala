@@ -107,6 +107,16 @@ class PlanSpec extends SparkSpec {
     assert("\\bWindow\\b".r.findAllIn(p).size == 1)
   }
 
+  test("p7 stratified sample: pure row-local filter — no exchange, no window") {
+    import org.apache.spark.sql.functions._
+    val out = graft.operators.Split.stratifiedHashSample(
+      graft.sources.Tables.documents(spark, sfDir),
+      col("doc_id"), col("source"), Map("src0" -> 0.5), defaultRate = 0.1)
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"))
+    assert(!p.contains("Window"))
+  }
+
   test("rollup rewrite serves coarse OHLCV windows from the registered roll-up") {
     import org.apache.spark.sql.functions.col
     import graft.operators.Resample

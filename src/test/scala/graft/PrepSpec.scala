@@ -87,6 +87,31 @@ class PrepSpec extends SparkSpec {
     }
   }
 
+  test("stratified hash sample: deterministic, rate-faithful, composes with hashSplit") {
+    val docs = (1L to 20000L).map(i => (i, s"src${i % 4}")).toDF("id", "src")
+    val rates = Map("src0" -> 0.5, "src1" -> 0.1, "src2" -> 1.0)
+    val s1 = Split.stratifiedHashSample(docs, $"id", $"src", rates, defaultRate = 0.0)
+    // deterministic: two runs agree exactly
+    assert(s1.collect().toSet == Split.stratifiedHashSample(
+      docs, $"id", $"src", rates, defaultRate = 0.0).collect().toSet)
+    val counts = s1.groupBy("src").count().as[(String, Long)].collect().toMap
+    // 5000 rows per stratum; multiplicative-hash uniformity → within ~3%
+    assert(math.abs(counts("src0") - 2500.0) < 150)
+    assert(math.abs(counts("src1") - 500.0) < 150)
+    assert(counts("src2") == 5000) // rate 1.0 keeps every row
+    assert(!counts.contains("src3")) // defaultRate 0.0 drops unlisted strata
+    // composition: sample-then-split keeps the 0.8 train fraction in EVERY
+    // stratum — the sampler's multiplier is independent of hashSplit's, so
+    // even the 0.1-rate stratum's survivors split ~80/20 (with a shared
+    // multiplier they would be a prefix of the split range: 100% train)
+    val split = Split.hashSplit(s1, $"id", 0.8)
+    Seq("src0", "src1", "src2").foreach { g =>
+      val in = split.filter($"src" === g)
+      val frac = in.filter($"split" === "train").count().toDouble / in.count()
+      assert(math.abs(frac - 0.8) < 0.05, s"$g train fraction $frac")
+    }
+  }
+
   test("sliding windows have exact shapes and stride") {
     val ts = df.withColumn("symbol", lit("A"))
     val wdf = Split.slidingWindows(ts, Seq($"symbol"), Seq($"id"),
