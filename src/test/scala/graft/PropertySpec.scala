@@ -351,6 +351,32 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: token packing == driver-side prefix fold, random corpora and budgets") {
+    val params = org.scalacheck.Gen.Parameters.default
+    val docGen = for {
+      src <- Gen.oneOf("a", "b", "c", "d")
+      id <- Gen.choose(1L, 100000L)
+      tok <- Gen.frequency(8 -> Gen.choose(0, 300), 1 -> Gen.const(0),
+        1 -> Gen.choose(900, 3000)) // include empty docs and budget-oversized docs
+    } yield (src, id, tok)
+    for (seed <- Seq(11L, 42L); budget <- Seq(1L, 256L, 1024L)) {
+      val rows = (0 until 400).flatMap(k => docGen.apply(params, Seed(seed + k)))
+        .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq // unique (src,id) keys
+      val expected = rows.groupBy(_._1).flatMap { case (src, ds) =>
+        ds.sortBy(_._2).foldLeft((0L, List.empty[((String, Long), (Long, Long))])) {
+          case ((pre, acc), (_, id, tok)) =>
+            (pre + tok, ((src, id), (pre / budget, pre % budget)) :: acc)
+        }._2
+      }
+      val got = Split.packByTokenBudget(rows.toDF("src", "id", "n_tok"),
+          Seq(col("src")), Seq(col("id")), col("n_tok"), budget)
+        .select(col("src"), col("id"), col("bin_id"), col("bin_offset"))
+        .as[(String, Long, Long, Long)].collect()
+        .map(r => ((r._1, r._2), (r._3, r._4))).toMap
+      assert(got == expected, s"seed=$seed budget=$budget")
+    }
+  }
+
   test("property: heap top-k == window top-k on adversarial score sets") {
     // score pools chosen to force collisions: few distinct values (mass
     // ties), negatives, ±extremes, and k straddling group sizes — the
