@@ -9,7 +9,8 @@ import QueryFixtures.{dbars, dbarsSql}
 
 /** Declared-query catalog for SURVEY §2.7: normalization (N1-N3),
   * train/test splits (P1-P5), and the beyond-reference training-prep
-  * ops — token-budget packing (P6) and stratified sampling (P7).
+  * ops — token-budget packing (P6), stratified sampling (P7), and
+  * shuffled-shard export labels (P8).
   * Expression trees mirror the DuckDB oracles (exact decimal moments;
   * splits/packing/sampling are integer/row_number arithmetic).
   */
@@ -69,6 +70,11 @@ object PrepQueries {
           col("doc_id"), col("source"),
           Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 1.0), defaultRate = 0.1)
         .select(col("doc_id"), col("source"))),
+    // P8 (beyond-reference) — deterministic shuffled-shard export labels:
+    // reproducible global shuffle + shard assignment for training order.
+    "p8_shuffled_shards" -> ((s, dir) =>
+      Split.shuffledShards(Tables.documents(s, dir), col("doc_id"), nShards = 8)
+        .select(col("doc_id"), col("shard_id"), col("pos"))),
     "p5_sliding_windows" -> ((s, dir) => {
       // Declared output is exploded to (part, idx, value) rows: the driver's
       // canonicalizer sorts every column and cannot hash raw array cells.
@@ -195,6 +201,14 @@ object PrepQueries {
         |                  WHEN 'src1' THEN 1073741824
         |                  WHEN 'src2' THEN 4294967296
         |                  ELSE 429496730 END""".stripMargin,
+    "p8_shuffled_shards" ->
+      """WITH h AS (
+        |  SELECT doc_id, (doc_id * 3266489917) % 4294967296 AS hv FROM documents
+        |)
+        |SELECT doc_id, CAST(hv % 8 AS INTEGER) AS shard_id,
+        |       CAST(row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id)
+        |            AS INTEGER) AS pos
+        |FROM h""".stripMargin,
     "p5_sliding_windows" -> (dbarsSql +
       """, s AS (
         |  SELECT event_id,

@@ -232,4 +232,36 @@ object Split {
     }
     df.filter(h < cutoff)
   }
+
+  /** Deterministic shuffled-shard export — the training-order step of an
+    * LLM data pipeline (beyond-reference): every row gets a shard and a
+    * position within it, pseudo-randomly via a multiplicative hash of its
+    * key, so the training order is (a) globally shuffled, (b) bit-for-bit
+    * reproducible at any parallelism — `rand()`-based shuffles are
+    * partition-order-dependent and unresumable — and (c) resumable: a
+    * restarted export recomputes the exact same (shard, pos) labels.
+    *
+    * Third independent multiplier (xxhash PRIME32_3): shard residues and
+    * within-shard hash order must correlate with neither [[hashSplit]]'s
+    * train cut nor [[stratifiedHashSample]]'s keep cut, or a shard's
+    * leading rows would be systematically train/sampled rows. Hash
+    * collisions across distinct keys tie-break on the key itself, keeping
+    * the order total and deterministic.
+    *
+    * Scale: one hash exchange on `shard_id` and a per-shard sort — shards
+    * are uniform by construction (no skew), and `nShards` is the writer's
+    * file-count dial. The window form here is the oracle-checkable
+    * witness; a writer wanting files skips the row_number and does
+    * `repartition(shard)` + `sortWithinPartitions(hash)` for the same
+    * order without materializing positions.
+    */
+  def shuffledShards(df: DataFrame, key: Column, nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val h = pmod(key.cast("long") * lit(3266489917L), lit(4294967296L))
+    val w = Window.partitionBy(col("shard_id")).orderBy(col("__h"), key)
+    df.withColumn("__h", h)
+      .withColumn("shard_id", pmod(col("__h"), lit(nShards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .drop("__h")
+  }
 }

@@ -117,6 +117,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"))
   }
 
+  test("p8 shuffled shards: one exchange on shard_id, per-shard sort only") {
+    import org.apache.spark.sql.functions._
+    val out = graft.operators.Split.shuffledShards(
+      graft.sources.Tables.documents(spark, sfDir), col("doc_id"), nShards = 8)
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("hashpartitioning(shard_id"))
+    assert(!p.contains("SinglePartition"))
+    assert("Exchange".r.findAllIn(p).size == 1)
+  }
+
   test("rollup rewrite serves coarse OHLCV windows from the registered roll-up") {
     import org.apache.spark.sql.functions.col
     import graft.operators.Resample

@@ -112,6 +112,27 @@ class PrepSpec extends SparkSpec {
     }
   }
 
+  test("shuffled shards: deterministic, conserving, dense positions, balanced") {
+    val docs = (1L to 8000L).toDF("id")
+    val s1 = Split.shuffledShards(docs, $"id", nShards = 8)
+      .select($"id", $"shard_id", $"pos")
+    val rows = s1.as[(Long, Int, Int)].collect()
+    assert(rows.length == 8000) // labeling is a projection: no loss, no dup
+    assert(rows.toSet == Split.shuffledShards(docs, $"id", 8)
+      .select($"id", $"shard_id", $"pos").as[(Long, Int, Int)].collect().toSet)
+    val byShard = rows.groupBy(_._2)
+    assert(byShard.keySet == (0 until 8).toSet)
+    byShard.foreach { case (sh, rs) =>
+      // positions are dense 1..n within each shard
+      assert(rs.map(_._3).sorted.toSeq == (1 to rs.length))
+      // uniform hash → balanced shards (1000 ± 10%)
+      assert(math.abs(rs.length - 1000) < 100, s"shard $sh size ${rs.length}")
+    }
+    // it actually shuffles: within-shard order is not key order
+    val firstShard = byShard(0).sortBy(_._3).map(_._1)
+    assert(firstShard.toSeq != firstShard.sorted.toSeq)
+  }
+
   test("sliding windows have exact shapes and stride") {
     val ts = df.withColumn("symbol", lit("A"))
     val wdf = Split.slidingWindows(ts, Seq($"symbol"), Seq($"id"),
