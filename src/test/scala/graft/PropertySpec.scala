@@ -377,6 +377,33 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: stratified sample and shuffled shards == driver-side hash math, incl. negative keys") {
+    // library keys need not be positive doc_ids: pmod keeps the hash in
+    // [0, 2^32) for negative keys too, so both ops must match a driver-side
+    // floorMod reference on a key range straddling zero
+    val keys = (-5000L to 5000L).filter(_ % 3 != 0)
+    val docs = keys.map(k => (k, if (k % 2 == 0) "even" else "odd")).toDF("id", "src")
+    def floorMod32(x: Long) = java.lang.Math.floorMod(x, 4294967296L)
+
+    val rates = Map("even" -> 0.3)
+    val sampled = Split.stratifiedHashSample(docs, $"id", $"src", rates, defaultRate = 0.7)
+      .select($"id").as[Long].collect().toSet
+    val expectSample = keys.filter { k =>
+      val cut = if (k % 2 == 0) math.round(0.3 * 4294967296.0) else math.round(0.7 * 4294967296.0)
+      floorMod32(k * 2246822519L) < cut
+    }.toSet
+    assert(sampled == expectSample)
+
+    val sharded = Split.shuffledShards(docs, $"id", nShards = 5)
+      .select($"id", $"shard_id", $"pos").as[(Long, Int, Int)].collect()
+    val expectShard = keys.groupBy(k => floorMod32(k * 3266489917L) % 5).flatMap {
+      case (sh, ks) =>
+        ks.sortBy(k => (floorMod32(k * 3266489917L), k)).zipWithIndex
+          .map { case (k, i) => k -> ((sh.toInt, i + 1)) }
+    }
+    assert(sharded.map(r => r._1 -> ((r._2, r._3))).toMap == expectShard)
+  }
+
   test("property: heap top-k == window top-k on adversarial score sets") {
     // score pools chosen to force collisions: few distinct values (mass
     // ties), negatives, ±extremes, and k straddling group sizes — the
