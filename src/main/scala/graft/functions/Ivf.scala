@@ -35,11 +35,14 @@ import org.apache.spark.sql.types._
   * `list_reduce(list_prepend(0.0, …))`; centroid norms are folded once
   * at expression construction (the HOF version's literal norms are
   * constant-folded by Catalyst from the same association). `try_divide`
-  * NULL (zero denominator) is represented as NaN internally: in the HOF
-  * comparator a NULL score makes both CASE comparisons false and the tie
-  * falls to the cid — Java NaN comparisons do exactly the same, so
-  * selection order matches. Ranking is (score DESC, cid ASC), strict
-  * comparisons, identical to the witness comparator.
+  * NULL (zero denominator, i.e. a zero-norm vector or centroid) is
+  * represented as NaN internally and ranked explicitly LAST, ties to
+  * the lowest cid — the witness comparator ranks its NULL scores the
+  * same way, so the two agree on degenerate inputs too. (An implicit
+  * "NaN compares as a tie against everything" treatment would make the
+  * selection comparator non-transitive and the witness's array_sort
+  * order undefined — the explicit rank keeps both total.) Ranking is
+  * (score DESC, NaN/NULL last, cid ASC), identical to the witness.
   */
 object Ivf {
   def assignTopN(embedding: Column, n2: Column,
@@ -106,9 +109,13 @@ case class IvfAssignTopN(left: Expression, right: Expression,
       var best = -1
       var i = 0
       while (i < k) {
-        if (!taken(i) &&
-            (best < 0 || cs(i) > cs(best) ||
-              (!(cs(i) < cs(best)) && cids(i) < cids(best)))) best = i
+        if (!taken(i) && (best < 0 || {
+          // (score DESC, NaN last, cid ASC) — total, hence transitive
+          val iN = java.lang.Double.isNaN(cs(i))
+          val bN = java.lang.Double.isNaN(cs(best))
+          if (iN || bN) (!iN && bN) || (iN && bN && cids(i) < cids(best))
+          else cs(i) > cs(best) || (cs(i) == cs(best) && cids(i) < cids(best))
+        })) best = i
         i += 1
       }
       taken(best) = true
@@ -143,8 +150,14 @@ case class IvfAssignTopN(left: Expression, right: Expression,
          |for (int $r = 0; $r < $outN; $r++) {
          |  int $best = -1;
          |  for (int $i = 0; $i < $k; $i++) {
-         |    if (!$taken[$i] && ($best < 0 || $cs[$i] > $cs[$best] ||
-         |        (!($cs[$i] < $cs[$best]) && $ci[$i] < $ci[$best]))) $best = $i;
+         |    if ($taken[$i]) continue;
+         |    boolean ${i}N = $best >= 0 && java.lang.Double.isNaN($cs[$i]);
+         |    boolean ${best}N = $best >= 0 && java.lang.Double.isNaN($cs[$best]);
+         |    if ($best < 0 ||
+         |        ((${i}N || ${best}N)
+         |          ? ((!${i}N && ${best}N) || (${i}N && ${best}N && $ci[$i] < $ci[$best]))
+         |          : ($cs[$i] > $cs[$best] ||
+         |             ($cs[$i] == $cs[$best] && $ci[$i] < $ci[$best])))) $best = $i;
          |  }
          |  $taken[$best] = true;
          |  $out[$r] = $ci[$best];

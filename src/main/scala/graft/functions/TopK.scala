@@ -29,8 +29,17 @@ import org.apache.spark.sql.types._
   * engine uses (asserted in VectorSpec): keep the k entries with the
   * highest (score, then LOWEST id on ties) and emit them best-first, so
   * `posexplode + 1` reproduces `row_number() ORDER BY score DESC, id`.
-  * Null scores are dropped (a window ranks them last; all callers rank
-  * over candidate sets larger than k, where the two agree).
+  *
+  * NULL-score contract (ADVICE r4): null scores are DROPPED, where the
+  * window formulation ranks them last — the two diverge only when a
+  * query's non-null candidates number fewer than k AND nulls exist
+  * (the query then returns fewer rows than the window path would).
+  * The engine's null-score producer is [[Pq.adcCosine]]'s
+  * zero-denominator `try_divide` (a zero-norm query vector); every
+  * caller ranks over candidate sets ≫ k (ADC shortlists over probed
+  * inverted lists), where drop-vs-rank-last agree on the kept k. A
+  * caller that cannot guarantee that must pre-filter or pre-count its
+  * candidates, not rely on the heap to surface nulls.
   */
 object TopK {
 

@@ -63,6 +63,17 @@ object PrepQueries {
           Seq(col("source")), Seq(col("doc_id")), col("n_tokens"), budget = 256L)
         .select(col("doc_id"), col("source"), col("n_tokens"),
           col("bin_id"), col("bin_offset"))),
+    // P6 at scale — the distributed two-phase chunked prefix, bit-equal
+    // to p6 by construction (same oracle SQL): local prefix within each
+    // (source, doc_id DIV 64) chunk + broadcast cumulative chunk offsets.
+    "p6b_token_packing_scale" -> ((s, dir) =>
+      Split.packByTokenBudgetChunked(
+          Tables.documents(s, dir).select(col("doc_id"), col("source"),
+            TextOps.tokenCount(col("text")).as("n_tokens")),
+          Seq(col("source")), Seq(col("doc_id")), expr("doc_id DIV 64"),
+          col("n_tokens"), budget = 256L)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("bin_id"), col("bin_offset"))),
     // P7 (beyond-reference) — deterministic stratified sampling: domain
     // mixture reweighting as a pure row-local filter (no shuffle).
     "p7_stratified_sample" -> ((s, dir) =>
@@ -194,16 +205,41 @@ object PrepQueries {
          |SELECT doc_id, source, n_tokens,
          |       pb // 256 AS bin_id, pb % 256 AS bin_offset
          |FROM pre""".stripMargin,
+    // p6b is the chunked two-phase computation of the SAME labels — one
+    // oracle, two physical plans.
+    "p6b_token_packing_scale" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, source,
+         |         CAST(len(${O.tokens("text")}) AS INTEGER) AS n_tokens
+         |  FROM documents
+         |), pre AS (
+         |  SELECT doc_id, source, n_tokens,
+         |         CAST(COALESCE(SUM(n_tokens) OVER (
+         |           PARTITION BY source ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pb
+         |  FROM toks
+         |)
+         |SELECT doc_id, source, n_tokens,
+         |       pb // 256 AS bin_id, pb % 256 AS bin_offset
+         |FROM pre""".stripMargin,
+    // The hash oracles mirror Spark's pmod with an explicit floorMod wrap
+    // (plain `%` keeps the dividend's sign in DuckDB, diverging on
+    // negative keys). Key-domain assumption next to the maths: the
+    // 64-bit product must not overflow — |doc_id| < 2^63/PRIME ≈ 4.1e9 —
+    // else DuckDB raises where Spark wraps (PropertySpec pins the Spark
+    // side against a floorMod reference over negative keys too).
     "p7_stratified_sample" ->
       """SELECT doc_id, source FROM documents
-        |WHERE (doc_id * 2246822519) % 4294967296 <
+        |WHERE ((doc_id * 2246822519) % 4294967296 + 4294967296) % 4294967296 <
         |      CASE source WHEN 'src0' THEN 2147483648
         |                  WHEN 'src1' THEN 1073741824
         |                  WHEN 'src2' THEN 4294967296
         |                  ELSE 429496730 END""".stripMargin,
     "p8_shuffled_shards" ->
       """WITH h AS (
-        |  SELECT doc_id, (doc_id * 3266489917) % 4294967296 AS hv FROM documents
+        |  SELECT doc_id,
+        |         ((doc_id * 3266489917) % 4294967296 + 4294967296) % 4294967296 AS hv
+        |  FROM documents
         |)
         |SELECT doc_id, CAST(hv % 8 AS INTEGER) AS shard_id,
         |       CAST(row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id)

@@ -199,9 +199,74 @@ object Split {
     val w = Window.partitionBy(partition: _*).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     df.withColumn("__pack_before", coalesce(sum(nTokens.cast("long")).over(w), lit(0L)))
-      .withColumn("bin_id", floor(col("__pack_before") / lit(budget)))
+      .withColumn("bin_id", binId(budget))
       .withColumn("bin_offset", col("__pack_before") % lit(budget))
       .drop("__pack_before")
+  }
+
+  /** `⌊prefix / budget⌋` in EXACT integer arithmetic. Spark's `/` on
+    * longs is double division — `floor(pb / budget)` rounds through a
+    * 53-bit mantissa, so once a group's prefix sum approaches ~2^52 the
+    * quotient can cross an integer boundary and disagree with the exact
+    * `%` next to it. `DIV` is the SQL integer division the oracle's `//`
+    * mirrors, correct over the full long range. (Takes the staged column
+    * by NAME: there is no integral-divide Column operator, and `expr`
+    * resolves against the frame it lands on.)
+    */
+  private def binId(budget: Long): Column =
+    expr(s"__pack_before DIV ${budget}L")
+
+  /** [[packByTokenBudget]] at scale — the SAME bin labels from a
+    * two-phase chunked prefix sum, bit-identical output (oracle-gated as
+    * p6b against p6's SQL).
+    *
+    * WHY: the plain form's prefix sum is one window per `partition`
+    * group — a 90%-hot source serializes its whole corpus through one
+    * task, exactly the ceiling [[Skew.chunkedSeries]] lifts for
+    * indicator windows. A running total is associative, so it
+    * distributes without any halo machinery:
+    *
+    *   1. repartition by (partition, chunk) — EXPLICIT, for the same
+    *      subset-distribution trap documented in [[Skew.chunkedSeries]]:
+    *      an upstream hash on `partition` alone satisfies the clustered
+    *      distribution and would silently keep the hot group serial —
+    *      and compute each chunk's LOCAL prefix-before in parallel;
+    *   2. aggregate one (partition, chunk) → Σtokens census
+    *      (dimension-sized), run the cumulative offset over the census'
+    *      tiny ordered window, and broadcast-join the offsets back;
+    *   3. prefix_before = chunk_offset + local_prefix_before; bin id and
+    *      offset are then row-local integer arithmetic.
+    *
+    * `chunk` must be monotone non-decreasing in `order` within each
+    * group (e.g. `doc_id DIV chunkRows` when ordering by doc_id, or a
+    * month index of a time order) — that is what makes local order +
+    * chunk order compose to the global order. Choose the granularity so
+    * a hot group spans many chunks; tasks are then bounded by the chunk
+    * size, not the group size.
+    */
+  def packByTokenBudgetChunked(df: DataFrame, partition: Seq[Column],
+      order: Seq[Column], chunk: Column, nTokens: Column, budget: Long): DataFrame = {
+    require(budget > 0, s"pack budget must be positive, got $budget")
+    val base = df.withColumn("__chunk", chunk.cast("long"))
+      .withColumn("__tok", nTokens.cast("long"))
+      .repartition(partition :+ col("__chunk"): _*)
+    val localW = Window.partitionBy(partition :+ col("__chunk"): _*)
+      .orderBy(order: _*).rowsBetween(Window.unboundedPreceding, -1)
+    val local = base.withColumn("__local_before",
+      coalesce(sum(col("__tok")).over(localW), lit(0L)))
+    val censusW = Window.partitionBy(partition: _*).orderBy(col("__chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(partition :+ col("__chunk"): _*)
+      .agg(sum(col("__tok")).as("__chunk_tokens"))
+      .withColumn("__chunk_offset",
+        coalesce(sum(col("__chunk_tokens")).over(censusW), lit(0L)))
+      .select(partition :+ col("__chunk") :+ col("__chunk_offset"): _*)
+    val joinKeys = partition.map(_.toString) :+ "__chunk"
+    local.join(broadcast(offsets), joinKeys)
+      .withColumn("__pack_before", col("__chunk_offset") + col("__local_before"))
+      .withColumn("bin_id", binId(budget))
+      .withColumn("bin_offset", col("__pack_before") % lit(budget))
+      .drop("__chunk", "__tok", "__local_before", "__chunk_offset", "__pack_before")
   }
 
   /** Deterministic stratified sampling — per-stratum keep rates, the

@@ -94,6 +94,7 @@ object VectorIndex {
     * rows); the codes stay in the lake until a query prunes into them.
     */
   def load(spark: SparkSession, dir: String): Index = {
+    recoverSwap(spark, dir)
     val coarse = spark.read.parquet(s"$dir/coarse")
       .orderBy("cent_id").collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
@@ -108,22 +109,50 @@ object VectorIndex {
 
   /** The full codes table: the batch-built main segment plus, when the
     * streaming ingest has landed anything, the `codes_stream` delta
-    * segment. The two are SEPARATE directories by design: the streaming
-    * file sink owns a `_spark_metadata` transaction log, and a batch read
-    * of a directory carrying one sees ONLY log-listed files — streaming
-    * into the batch segment would make the batch files invisible. A main
-    * segment + streamed delta (compacted back by the next [[build]]) is
-    * also exactly how production ANN indexes take ingest.
+    * segment, MINUS any tombstoned ids. The segments are SEPARATE
+    * directories by design: the streaming file sink owns a
+    * `_spark_metadata` transaction log, and a batch read of a directory
+    * carrying one sees ONLY log-listed files — streaming into the batch
+    * segment would make the batch files invisible. A main segment +
+    * streamed delta + tombstones (all folded back by [[compact]]) is
+    * exactly how production ANN indexes take ingest and deletes.
+    *
+    * Tombstone cost shape: the anti-join broadcasts the (small by
+    * contract — deletes between compactions) tombstone set against the
+    * pruned codes scan; [[compact]] restores the tombstone-free fast
+    * path.
     */
   def codes(spark: SparkSession, idx: Index): DataFrame = {
+    val fs = fsOf(spark, idx.dir)
     val main = spark.read.parquet(s"${idx.dir}/codes")
-    val deltaPath = new org.apache.hadoop.fs.Path(s"${idx.dir}/codes_stream")
-    val fs = deltaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val deltaPath = hpath(s"${idx.dir}/codes_stream")
     val both =
       if (fs.exists(deltaPath)) main.unionByName(spark.read.parquet(deltaPath.toString))
       else main
-    both.withColumn("cent_id", col("cent_id").cast("long"))
+    val live = both.withColumn("cent_id", col("cent_id").cast("long"))
+    val tombPath = hpath(s"${idx.dir}/tombstones")
+    if (fs.exists(tombPath))
+      live.join(broadcast(spark.read.parquet(tombPath.toString)),
+        Seq("vec_id"), "left_anti")
+    else live
   }
+
+  private def hpath(s: String) = new org.apache.hadoop.fs.Path(s)
+  private def fsOf(spark: SparkSession, dir: String) =
+    hpath(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Mark vectors deleted: land their ids in the `tombstones` segment.
+    * Every read path ([[codes]], hence [[topK]]/[[stats]]/[[imbalance]])
+    * excludes them immediately; [[compact]] folds them away physically.
+    * Production indexes must forget vectors (deduplicated or retracted
+    * documents) without a full rebuild — this is that path. Deleting an
+    * absent id is a no-op; re-adding a deleted vec_id requires a compact
+    * first (the tombstone would hide the new row — same contract as any
+    * id-keyed lake table).
+    */
+  def delete(ids: DataFrame, idx: Index): Unit =
+    ids.select(col("vec_id").cast("long").as("vec_id")).distinct()
+      .write.mode("append").parquet(s"${idx.dir}/tombstones")
 
   /** The codes scan, pruned to the probed lists: `cent_id` is a partition
     * column in both segments, so the `isin` filter prunes DIRECTORIES —
@@ -210,25 +239,70 @@ object VectorIndex {
     else idx.coarse.length * ns.map(n => (n / total) * (n / total)).sum
   }
 
-  /** Compact the streamed delta back into the main segment: rewrite the
-    * union into a fresh directory, swap it in, drop the delta. Run with
-    * the ingest stream STOPPED, and restart it on a FRESH checkpoint —
-    * the old checkpoint's file-sink log describes the removed delta
-    * directory. (On object stores the rename is a copy; a production
-    * deployment would swap a table pointer instead — the segment
-    * lifecycle is the same.)
+  /** Compact the streamed delta and the tombstones back into the main
+    * segment: rewrite the live view into a fresh directory, swap it in
+    * crash-safely, drop the folded segments. Run with the ingest stream
+    * STOPPED, and restart it on a FRESH checkpoint — the old
+    * checkpoint's file-sink log describes the removed delta directory.
+    *
+    * Crash safety (ADVICE r4: delete-then-rename loses the index if the
+    * process dies between): the swap NEVER has a moment with no main
+    * segment —
+    *
+    *   1. write `codes_compacting` (the live view);
+    *   2. rename `codes` → `codes_old`;
+    *   3. rename `codes_compacting` → `codes`;
+    *   4. delete delta, tombstones, then `codes_old` LAST.
+    *
+    * `codes_old`'s existence is the in-progress marker: [[load]] and
+    * [[compact]] first run [[recoverSwap]], which rolls the swap forward
+    * (new main present → finish step 4) or back (no main → restore
+    * `codes_old`), so a crash at any point leaves a recoverable index.
+    * (On object stores the renames are copies; a production deployment
+    * would swap a table pointer instead — the lifecycle is the same.)
     */
   def compact(spark: SparkSession, idx: Index): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val main = new org.apache.hadoop.fs.Path(s"${idx.dir}/codes")
-    val delta = new org.apache.hadoop.fs.Path(s"${idx.dir}/codes_stream")
-    val fs = main.getFileSystem(conf)
-    if (!fs.exists(delta)) return
-    val tmp = new org.apache.hadoop.fs.Path(s"${idx.dir}/codes_compacting")
+    val fs = fsOf(spark, idx.dir)
+    recoverSwap(spark, idx.dir)
+    val main = hpath(s"${idx.dir}/codes")
+    val delta = hpath(s"${idx.dir}/codes_stream")
+    val tombs = hpath(s"${idx.dir}/tombstones")
+    if (!fs.exists(delta) && !fs.exists(tombs)) return
+    val tmp = hpath(s"${idx.dir}/codes_compacting")
     codes(spark, idx).write.mode("overwrite")
       .partitionBy("cent_id").parquet(tmp.toString)
-    fs.delete(main, true)
+    val old = hpath(s"${idx.dir}/codes_old")
+    require(fs.rename(main, old), s"compaction swap failed: $main -> $old")
     require(fs.rename(tmp, main), s"compaction swap failed: $tmp -> $main")
     fs.delete(delta, true)
+    fs.delete(tombs, true)
+    fs.delete(old, true)
+  }
+
+  /** Roll an interrupted [[compact]] swap forward or back. Idempotent;
+    * called from [[load]] and [[compact]].
+    */
+  def recoverSwap(spark: SparkSession, dir: String): Unit = {
+    val fs = fsOf(spark, dir)
+    val main = hpath(s"$dir/codes")
+    val old = hpath(s"$dir/codes_old")
+    val tmp = hpath(s"$dir/codes_compacting")
+    if (fs.exists(old)) {
+      if (!fs.exists(main) && fs.exists(tmp)) {
+        // died between the two renames — finish the forward swap
+        require(fs.rename(tmp, main), s"swap recovery failed: $tmp -> $main")
+      } else if (!fs.exists(main)) {
+        // no new main to install — roll back to the old segment
+        require(fs.rename(old, main), s"swap recovery failed: $old -> $main")
+        return
+      }
+      // new main is authoritative: it already folds delta + tombstones
+      fs.delete(hpath(s"$dir/codes_stream"), true)
+      fs.delete(hpath(s"$dir/tombstones"), true)
+      fs.delete(old, true)
+    } else if (fs.exists(tmp)) {
+      // write finished or died mid-write, swap never started — discard
+      fs.delete(tmp, true)
+    }
   }
 }

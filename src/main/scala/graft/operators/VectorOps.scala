@@ -328,8 +328,17 @@ object VectorOps {
       cents: Array[(Long, Array[Double])], n: Int): DataFrame = {
     val centArr = array(cents.map { case (cid, cv) =>
       struct(lit(cid).as("cid"), typedLit(cv).as("cv")) }: _*)
+    // (score DESC, NULL last, cid ASC) — NULL scores (try_divide's
+    // zero-denominator result, the native expression's NaN) are ranked
+    // explicitly so the comparator is total; an implicit fall-through to
+    // the cid tie would be non-transitive and array_sort's output
+    // undefined on degenerate inputs (ADVICE r4).
     val cmp: (Column, Column) => Column = (l, r) =>
-      when(l.getField("cs") > r.getField("cs"), -1)
+      when(l.getField("cs").isNull && r.getField("cs").isNull,
+          when(l.getField("cid") < r.getField("cid"), -1).otherwise(1))
+        .when(l.getField("cs").isNull, 1)
+        .when(r.getField("cs").isNull, -1)
+        .when(l.getField("cs") > r.getField("cs"), -1)
         .when(l.getField("cs") < r.getField("cs"), 1)
         .when(l.getField("cid") < r.getField("cid"), -1)
         .otherwise(1)

@@ -87,6 +87,35 @@ class PrepSpec extends SparkSpec {
     }
   }
 
+  test("chunked token packing == plain packing bit-for-bit, 90%-hot source included") {
+    // one hot source owns 90% of the corpus — the shape that serializes
+    // the plain per-source window; chunking must not change a single label
+    val docs = (1L to 5000L).map { i =>
+      val src = if (i % 10 == 0) s"cold${i % 3}" else "hot"
+      (src, i, (i * 37 % 190 + 10).toInt)
+    }.toDF("src", "id", "n_tok")
+    val plain = Split.packByTokenBudget(docs, Seq($"src"), Seq($"id"),
+        $"n_tok", budget = 256L)
+      .select($"src", $"id", $"bin_id", $"bin_offset")
+      .collect().map(_.toString).sorted
+    for (chunkRows <- Seq(64L, 100L, 4096L, 1000000L)) { // incl. one-chunk edge
+      val chunked = Split.packByTokenBudgetChunked(docs, Seq($"src"), Seq($"id"),
+          expr(s"id DIV $chunkRows"), $"n_tok", budget = 256L)
+        .select($"src", $"id", $"bin_id", $"bin_offset")
+        .collect().map(_.toString).sorted
+      assert(chunked.sameElements(plain), s"chunkRows=$chunkRows")
+    }
+    // and the chunked plan actually distributes: the big-side exchange
+    // hashes on (src, __chunk), not src alone — the hot source's rows
+    // spread across chunk partitions (AQE may coalesce tiny test
+    // shuffles, so assert the partitioning expression, not task counts)
+    val plan = Split.packByTokenBudgetChunked(docs, Seq($"src"), Seq($"id"),
+        expr("id DIV 64"), $"n_tok", budget = 256L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(src") && plan.contains("__chunk"),
+      s"expected an exchange keyed on (src, __chunk):\n$plan")
+  }
+
   test("stratified hash sample: deterministic, rate-faithful, composes with hashSplit") {
     val docs = (1L to 20000L).map(i => (i, s"src${i % 4}")).toDF("id", "src")
     val rates = Map("src0" -> 0.5, "src1" -> 0.1, "src2" -> 1.0)

@@ -153,4 +153,91 @@ class VectorIndexSpec extends SparkSpec {
     VectorIndex.compact(spark, idx)
     assert(VectorIndex.codes(spark, idx).count() == before + delta.length)
   }
+
+  test("delete tombstones vectors: queries exclude them, compact folds them away") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.01")
+      .select("vec_id", "embedding")
+    val dir = tmp("graft-vidx-del")
+    val idx = VectorIndex.build(emb, dir, nCentroids = 8, m = 16,
+      ksub = 32, coarseIters = 2, pqIters = 2, sampleMod = 3)
+    val total = emb.count()
+
+    // a planted twin of vector 0 finds it at rank 1 (pre-delete witness)
+    val twin = emb.filter(col("vec_id") === 0)
+      .select(lit(900001L).as("vec_id"), col("embedding"))
+    val corpus = emb.unionByName(twin)
+    val before = VectorIndex.topK(twin, corpus, idx, k = 3, nProbe = 8).collect()
+    assert(before.head.getAs[Long]("neighbor_id") == 0L)
+
+    // delete vector 0: every read path excludes it immediately
+    VectorIndex.delete(Seq(0L).toDF("vec_id"), idx)
+    assert(VectorIndex.codes(spark, idx).count() == total - 1)
+    assert(VectorIndex.stats(spark, idx).agg(sum("n")).head.getLong(0) == total - 1)
+    val after = VectorIndex.topK(twin, corpus, idx, k = 3, nProbe = 8).collect()
+    assert(after.forall(_.getAs[Long]("neighbor_id") != 0L),
+      s"deleted vector still served: ${after.mkString(", ")}")
+
+    // deleting an absent id is a no-op
+    VectorIndex.delete(Seq(987654321L).toDF("vec_id"), idx)
+    assert(VectorIndex.codes(spark, idx).count() == total - 1)
+
+    // compact folds tombstones physically: directory gone, codes shrunk,
+    // served rows identical to the tombstone-filtered view
+    val preCompact = VectorIndex.codes(spark, idx)
+      .select("vec_id", "cent_id", "codes").collect().map(_.toString).sorted
+    VectorIndex.compact(spark, idx)
+    assert(!new java.io.File(s"$dir/tombstones").exists())
+    val postCompact = VectorIndex.codes(spark, idx)
+      .select("vec_id", "cent_id", "codes").collect().map(_.toString).sorted
+    assert(postCompact.sameElements(preCompact))
+    assert(VectorIndex.codes(spark, idx).count() == total - 1)
+    // physical fold: vec 0's row is not in the parquet at all
+    assert(spark.read.parquet(s"$dir/codes")
+      .filter(col("vec_id") === 0L).count() == 0)
+  }
+
+  test("interrupted compaction swap recovers without data loss") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.01")
+      .select("vec_id", "embedding")
+    val dir = tmp("graft-vidx-crash")
+    val idx = VectorIndex.build(emb, dir, nCentroids = 8, m = 16,
+      ksub = 32, coarseIters = 2, pqIters = 2, sampleMod = 3)
+    val want = VectorIndex.codes(spark, idx)
+      .select("vec_id", "cent_id", "codes").collect().map(_.toString).sorted
+
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s"$dir/$s")
+
+    // crash between the two renames: main missing, tmp holds the new
+    // segment — recovery must roll FORWARD
+    VectorIndex.delete(Seq(-1L).toDF("vec_id"), idx) // no-op tombstone forces work
+    val live = VectorIndex.codes(spark, idx)
+    live.write.mode("overwrite").partitionBy("cent_id")
+      .parquet(p("codes_compacting").toString)
+    assert(fs.rename(p("codes"), p("codes_old")))
+    VectorIndex.recoverSwap(spark, dir)
+    assert(fs.exists(p("codes")) && !fs.exists(p("codes_old"))
+      && !fs.exists(p("codes_compacting")) && !fs.exists(p("tombstones")))
+    val recovered = VectorIndex.codes(spark, idx)
+      .select("vec_id", "cent_id", "codes").collect().map(_.toString).sorted
+    assert(recovered.sameElements(want))
+
+    // crash after the write but before any rename: tmp is discarded,
+    // main untouched (fresh codes() — `live`'s plan captured the now
+    // tombstone-bearing read)
+    VectorIndex.codes(spark, idx).write.mode("overwrite").partitionBy("cent_id")
+      .parquet(p("codes_compacting").toString)
+    VectorIndex.recoverSwap(spark, dir)
+    assert(fs.exists(p("codes")) && !fs.exists(p("codes_compacting")))
+    assert(VectorIndex.codes(spark, idx).count() == want.length)
+
+    // crash with old present and NO tmp (rollback case): old is restored
+    assert(fs.rename(p("codes"), p("codes_old")))
+    VectorIndex.recoverSwap(spark, dir)
+    assert(fs.exists(p("codes")) && !fs.exists(p("codes_old")))
+    val rolledBack = VectorIndex.codes(spark, idx)
+      .select("vec_id", "cent_id", "codes").collect().map(_.toString).sorted
+    assert(rolledBack.sameElements(want))
+  }
 }

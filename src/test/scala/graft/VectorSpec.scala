@@ -221,6 +221,38 @@ class VectorSpec extends SparkSpec {
     }
   }
 
+  test("IVF assignment ranks degenerate (zero-norm) scores identically in native and witness") {
+    // zero-norm vectors/centroids make the cosine NULL (witness) / NaN
+    // (native); both must rank them LAST with cid ties — the ADVICE r4
+    // non-transitivity case. Mix degenerate and real on both sides.
+    val rows = Seq(
+      (0L, Array(0f, 0f, 0f, 0f)),           // zero-norm vector: ALL scores NaN
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f, 0f)),
+      (3L, Array(0.5f, 0.5f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val cb: Array[(Long, Array[Double])] = Array(
+      (10L, Array(0.0, 0.0, 0.0, 0.0)),      // zero-norm centroid: NaN vs everyone
+      (11L, Array(1.0, 0.0, 0.0, 0.0)),
+      (12L, Array(0.0, 1.0, 0.0, 0.0)),
+      (13L, Array(0.0, 0.0, 0.0, 0.0))       // second zero centroid: cid tie-break
+    )
+    for (n <- Seq(1, 2, 4)) {
+      val native = VectorOps.ivfAssign(rows, cb, n)
+        .selectExpr("vec_id", "cent_id").collect().map(_.toString).sorted
+      val hof = VectorOps.ivfAssignViaColumns(rows, cb, n)
+        .selectExpr("vec_id", "cent_id").collect().map(_.toString).sorted
+      assert(native.sameElements(hof), s"n=$n")
+    }
+    // explicit rank check: a real score always beats a NaN one, NaN ties
+    // break to the LOWEST cid
+    val one = VectorOps.ivfAssign(rows.filter(col("vec_id") === 1L), cb, 4)
+      .selectExpr("cent_id").collect().map(_.getLong(0))
+    assert(one.take(1).sameElements(Array(11L)), s"got ${one.mkString(",")}")
+    assert(one.drop(2).sameElements(Array(10L, 13L)),
+      s"NaN scores must rank last, cid ties ascending: ${one.mkString(",")}")
+  }
+
   test("top-k heap aggregate == window ranking, incl. ties and tiny corpora") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.01")
     val q = emb.filter(col("vec_id") < 8)
