@@ -39,7 +39,22 @@ object MultimodalQueries {
     "m3_decode_features" -> ((s, dir) =>
       Multimodal.decodeFeatures(media(s, dir)).toDF()
         .select(col("media_id"), col("n_bytes"), col("mean_byte"),
-          to_json(col("byte_hist")).as("byte_hist_json")))
+          to_json(col("byte_hist")).as("byte_hist_json"))),
+    // m4/m5 — the REAL codecs: generated PNG/BMP (javax.imageio) and WAV
+    // (RIFF/PCM16) whose pixel/sample values are closed-form in
+    // (id, position), so the oracle replays the DECODED stats as pure
+    // integer arithmetic — a hash match proves the actual encode→decode
+    // round-trip, not a stub.
+    "m4_decode_image" -> ((s, dir) =>
+      Multimodal.decodeMedia(Multimodal.syntheticImages(
+          Tables.documents(s, dir).select(col("doc_id").as("media_id")))).toDF()
+        .select(col("media_id"), col("width"), col("height"),
+          col("n_samples"), col("sum_r"), col("sum_g"), col("sum_b"))),
+    "m5_decode_audio" -> ((s, dir) =>
+      Multimodal.decodeMedia(Multimodal.syntheticWavs(
+          Tables.documents(s, dir).select(col("doc_id").as("media_id")))).toDF()
+        .select(col("media_id"), col("sample_rate"), col("n_channels"),
+          col("n_samples"), col("sum_pcm")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -88,6 +103,44 @@ object MultimodalQueries {
         |       CAST(to_json(h.byte_hist) AS VARCHAR) AS byte_hist_json
         |FROM documents d
         |LEFT JOIN sums s ON s.doc_id = d.doc_id
-        |LEFT JOIN hl h ON h.doc_id = d.doc_id""".stripMargin
+        |LEFT JOIN hl h ON h.doc_id = d.doc_id""".stripMargin,
+    // m4/m5: the generator's pixel/sample formulas replayed as integer
+    // arithmetic — a hash match proves javax.imageio (m4) / the RIFF+PCM
+    // walk (m5) decoded the real containers bit-exactly.
+    "m4_decode_image" ->
+      """WITH dims AS (
+        |  SELECT doc_id, CAST(doc_id % 24 + 4 AS INTEGER) AS w,
+        |         CAST(doc_id % 16 + 4 AS INTEGER) AS h
+        |  FROM documents
+        |), xs AS (
+        |  SELECT doc_id, w, h,
+        |         unnest(generate_series(0, CAST(w AS BIGINT) - 1)) AS x
+        |  FROM dims
+        |), px AS (
+        |  SELECT doc_id, w, h, x,
+        |         unnest(generate_series(0, CAST(h AS BIGINT) - 1)) AS y
+        |  FROM xs
+        |)
+        |SELECT doc_id AS media_id, w AS width, h AS height,
+        |       CAST(w AS BIGINT) * h AS n_samples,
+        |       CAST(sum((doc_id + x + y) % 256) AS BIGINT) AS sum_r,
+        |       CAST(sum((doc_id + 2 * x + y) % 256) AS BIGINT) AS sum_g,
+        |       CAST(sum((doc_id + x + 2 * y) % 256) AS BIGINT) AS sum_b
+        |FROM px GROUP BY doc_id, w, h""".stripMargin,
+    "m5_decode_audio" ->
+      """WITH p AS (
+        |  SELECT doc_id, CAST(doc_id % 100 + 50 AS INTEGER) AS n,
+        |         CAST(8000 + (doc_id % 8) * 1000 AS INTEGER) AS rate
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, n, rate,
+        |         unnest(generate_series(0, CAST(n AS BIGINT) - 1)) AS i
+        |  FROM p
+        |)
+        |SELECT doc_id AS media_id, rate AS sample_rate,
+        |       CAST(1 AS INTEGER) AS n_channels,
+        |       CAST(n AS BIGINT) AS n_samples,
+        |       CAST(sum((doc_id * 31 + i * 7) % 65536 - 32768) AS BIGINT) AS sum_pcm
+        |FROM s GROUP BY doc_id, rate, n""".stripMargin
   )
 }

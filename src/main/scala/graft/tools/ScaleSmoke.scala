@@ -298,6 +298,132 @@ object ScaleSmoke {
     }
     vecs.unpersist()
     }
+
+    if (on("pack")) {
+    // ---- token packing under source skew: 40 M docs, 90% on ONE source.
+    // The plain per-source prefix window serializes the hot source in a
+    // single task (the pre-w12 indicator ceiling); the chunked two-phase
+    // prefix distributes it with bit-identical labels (PrepSpec). 4× the
+    // bars corpus: a bare running-sum row is so cheap that at 10 M the
+    // chunked plan's extra exchange still beats the serial sort only
+    // marginally — the crossover the table documents needs the serial
+    // task to actually dominate.
+    val packDocs = spark.range(total * 4).select(
+      when(pmod(col("id"), lit(10L)) === 0,
+          concat(lit("cold"), pmod(col("id"), lit(7L)).cast("string")))
+        .otherwise(lit("hot")).as("source"),
+      col("id").as("doc_id"),
+      (pmod(xxhash64(col("id")), lit(190L)) + lit(10L)).cast("int").as("n_tokens"))
+      .cache()
+    val np = packDocs.count()
+    println(s"[scale] pack corpus: $np docs, 90% one source")
+    def timeP(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] $label%-22s rows=$rows%-10d ${sec}%6.1f s  ${np / sec / 1e6}%5.1f M docs/s")
+    }
+    timeP("pack-plain") {
+      checksum(Split.packByTokenBudget(packDocs, Seq(col("source")),
+        Seq(col("doc_id")), col("n_tokens"), budget = 4096L),
+        col("bin_id").cast("double"), col("bin_offset").cast("double"))
+    }
+    timeP("pack-chunked") { // (source, doc_id DIV 64k) chunks + offsets
+      checksum(Split.packByTokenBudgetChunked(packDocs, Seq(col("source")),
+        Seq(col("doc_id")), expr("doc_id DIV 65536"), col("n_tokens"),
+        budget = 4096L),
+        col("bin_id").cast("double"), col("bin_offset").cast("double"))
+    }
+    packDocs.unpersist()
+    }
+
+    if (on("skewjoin")) {
+    // ---- AQE skew-join proof (VERDICT r4 item 5): fact-fact equi join,
+    // 90% of the probe side on ONE key (the j2/d4 shape after a hot
+    // symbol/class). Broadcast is disabled — at 100 TB neither side
+    // broadcasts — so the join is a shuffled SMJ; the hot key's
+    // partition carries 9 M rows in one task until AQE's skew split
+    // divides it among idle cores. Same join, same checksum, conf
+    // toggled: the delta IS the skew-split win.
+    val nKeys = 1000000L
+    val factL = spark.range(total).select(
+      when(pmod(col("id"), lit(10L)) =!= 0, lit(0L))
+        .otherwise(pmod(xxhash64(col("id")), lit(nKeys))).as("k"),
+      col("id").as("v")).cache()
+    factL.count()
+    val factR = spark.range(nKeys).select(col("id").as("k"),
+      (col("id") * lit(2L)).as("w")).cache()
+    factR.count()
+    println(s"[scale] skew-join: $total x $nKeys, 90% of probe on one key")
+    def timeJ(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] $label%-22s rows=$rows%-10d ${sec}%6.1f s  ${total / sec / 1e6}%5.1f M rows/s")
+    }
+    def joinChecksum(): Long = {
+      factL.join(factR, "k").agg(sum(col("v") + col("w"))).collect(); total
+    }
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    timeJ("skewjoin-split-off")(joinChecksum())
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16m")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+    timeJ("skewjoin-split-on")(joinChecksum())
+    saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+    factL.unpersist(); factR.unpersist()
+    }
+
+    if (on("bloom")) {
+    // ---- drop-list application (VERDICT r4 item 6): 10 M docs with a
+    // real text payload, 5% dropped. Broadcast disabled — the 100 TB
+    // drop list doesn't broadcast — so the plain anti-join shuffles the
+    // whole corpus, payload included; the bloom pre-filter keeps 95% of
+    // it map-side and shuffles only the maybe-hits.
+    val bloomDocs = spark.range(total).select(col("id").as("doc_id"),
+      concat_ws(" ", transform(sequence(lit(1), lit(30)), j =>
+        conv(pmod(xxhash64(col("id") * lit(31L) + j), lit(1000000000L))
+          .cast("string"), 10, 16))).as("text")).cache()
+    val nb = bloomDocs.count()
+    val drops = spark.range(total / 20)
+      .select((col("id") * lit(20L)).as("drop_id")).cache()
+    val ndrop = drops.count()
+    println(s"[scale] bloom corpus: $nb docs, $ndrop drops (5%)")
+    def timeB(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] $label%-22s rows=$rows%-10d ${sec}%6.1f s  ${nb / sec / 1e6}%5.1f M docs/s")
+    }
+    val savedB = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    timeB("prune-antijoin") { // full-corpus shuffle, payload and all
+      Dedup.pruneDuplicates(bloomDocs, col("doc_id"), drops)
+        .agg(sum(crc32(col("text")))).collect(); nb
+    }
+    timeB("prune-bloom") { // map-side definite-keeps, 5%+fpp shuffled
+      Dedup.pruneDuplicatesBloom(bloomDocs, col("doc_id"), drops,
+          expectedDrops = ndrop)
+        .agg(sum(crc32(col("text")))).collect(); nb
+    }
+    savedB.fold(spark.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+    spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    bloomDocs.unpersist(); drops.unpersist()
+    }
     spark.stop()
   }
 }

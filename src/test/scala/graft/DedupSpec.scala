@@ -135,6 +135,29 @@ class DedupSpec extends SparkSpec {
     assert(!kept.contains(4L)) // exact dup of 1 dropped
   }
 
+  test("bloom-pruned drop list == plain anti-join bit-for-bit, fp-heavy too") {
+    // 10k docs, every 7th dropped; tiny filter (high fpp) so FALSE
+    // POSITIVES definitely occur and must be corrected by the exact
+    // anti-join branch
+    val corpus = spark.range(10000).select(col("id").as("doc_id"),
+      concat(lit("doc-"), col("id")).as("text"))
+    val drops = spark.range(10000).filter(col("id") % 7 === 0)
+      .select(col("id").as("drop_id"))
+    val plain = Dedup.pruneDuplicates(corpus, col("doc_id"), drops)
+      .collect().map(_.toString).sorted
+    for (fpp <- Seq(0.5, 0.03)) {
+      val bloom = Dedup.pruneDuplicatesBloom(corpus, col("doc_id"), drops,
+          expectedDrops = 1429, fpp = fpp)
+        .collect().map(_.toString).sorted
+      assert(bloom.sameElements(plain), s"fpp=$fpp")
+    }
+    // the definite-keep branch is a pure filter: no join above it
+    val bloomed = Dedup.pruneDuplicatesBloom(corpus, col("doc_id"), drops, 1429L)
+    val plan = bloomed.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_might_contain"),
+      s"bloom probe should be in the plan:\n$plan")
+  }
+
   test("normalizeText makes formatting variants fingerprint-identical") {
     val d = Seq(
       (1L, "Alpha,  beta—GAMMA!"),

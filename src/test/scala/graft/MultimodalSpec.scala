@@ -69,6 +69,58 @@ class MultimodalSpec extends SparkSpec {
     assert(stub(1L).n_bytes == 11L && stub(1L).byte_hist.sum == 11L)
   }
 
+  test("real codec: PNG and BMP containers decode to the generator's closed-form stats") {
+    val ids = (0L to 49L).toDF("media_id")
+    val decoded = Multimodal.decodeMedia(
+        Multimodal.syntheticImages(ids), batchSize = 8)
+      .collect().map(d => d.media_id -> d).toMap
+    assert(decoded.size == 50)
+    for (id <- 0L to 49L) {
+      val (w, h) = Multimodal.MediaGen.dims(id)
+      val d = decoded(id)
+      assert(d.kind == "image" && d.width == w && d.height == h)
+      assert(d.n_samples == w.toLong * h)
+      var (er, eg, eb) = (0L, 0L, 0L)
+      for (y <- 0 until h; x <- 0 until w) {
+        er += (id + x + y) % 256
+        eg += (id + 2 * x + y) % 256
+        eb += (id + x + 2 * y) % 256
+      }
+      assert(d.sum_r == er && d.sum_g == eg && d.sum_b == eb,
+        s"id=$id: got (${d.sum_r},${d.sum_g},${d.sum_b}) want ($er,$eg,$eb)")
+    }
+    // PNG (even ids) and BMP (odd ids) are genuinely different containers
+    val even = Multimodal.MediaGen.pngOrBmp(2L)
+    val odd = Multimodal.MediaGen.pngOrBmp(3L)
+    assert(even._1 == "image/png" &&
+      (even._2.take(8).map(_ & 0xff) sameElements
+        Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)))
+    assert(odd._1 == "image/bmp" && odd._2(0) == 'B'.toByte && odd._2(1) == 'M'.toByte)
+  }
+
+  test("real codec: WAV RIFF walk matches javax.sound's header parse and the PCM formula") {
+    val ids = (0L to 29L).toDF("media_id")
+    val decoded = Multimodal.decodeMedia(
+        Multimodal.syntheticWavs(ids), batchSize = 8)
+      .collect().map(d => d.media_id -> d).toMap
+    for (id <- 0L to 29L) {
+      val d = decoded(id)
+      val n = Multimodal.MediaGen.wavSamples(id)
+      assert(d.kind == "audio" && d.n_channels == 1)
+      assert(d.sample_rate == Multimodal.MediaGen.wavRate(id))
+      assert(d.n_samples == n.toLong)
+      val want = (0 until n).map(i => ((id * 31 + i * 7) % 65536) - 32768).sum
+      assert(d.sum_pcm == want, s"id=$id: got ${d.sum_pcm} want $want")
+      // cross-check the header against the JDK's own WAV parser
+      val fmt = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(Multimodal.MediaGen.wav(id)._2))
+      assert(fmt.getFormat.getSampleRate.toInt == d.sample_rate)
+      assert(fmt.getFormat.getChannels == d.n_channels)
+      assert(fmt.getFormat.getSampleSizeInBits == 16)
+      assert(fmt.getFrameLength == d.n_samples)
+    }
+  }
+
   test("resize clamps metadata dims and preserves mime") {
     val m = Multimodal.resizeMeta(Multimodal.toMediaTable(docs), 8, 8)
     val meta = m.filter(col("media_id") === 1L)
