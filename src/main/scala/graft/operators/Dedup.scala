@@ -81,6 +81,42 @@ object Dedup {
     hashed.select((col("doc_id") +: cols): _*)
   }
 
+  /** Column-preserving fuzzy-dedup signatures: ADD mh00..mhNN and
+    * `simhash` to `df` without projecting anything away — the streaming
+    * enrichment shape ([[graft.streaming.StreamDocs]] lands these with
+    * every micro-batch so the lake is drop-list-extendable without a
+    * full re-pass; VERDICT r4 item 7). Bit-equal to [[minhashSignature]]
+    * and [[simhash]] by construction: same tokenizer, same shingle
+    * hashing mod P, same affine maps, same bit-vote fold (asserted in
+    * StreamingSpec). Pure per-row expressions — map-only, no state, so
+    * it drops into any streaming plan.
+    *
+    * Same alias-once discipline as the batch forms: token/shingle/hash
+    * arrays live in their own projections so the n minhash lambdas and
+    * `bits` vote folds never re-tokenize (Catalyst does not CSE across
+    * lambda boundaries).
+    */
+  def withSignatures(df: DataFrame, text: Column, n: Int = 16,
+      shingleN: Int = 3, bits: Int = 60): DataFrame = {
+    require(bits <= 60)
+    val staged = df
+      .withColumn("__tk", TextHash.tokens(text))
+      .withColumn("__sh", array_distinct(TextHash.wordNgrams(col("__tk"), shingleN)))
+      .withColumn("__mh", transform(col("__sh"), t => TextHash.tokenHash(t) % lit(P)))
+      .withColumn("__th", transform(col("__tk"), t => TextHash.tokenHash(t)))
+    val mhCols = hashParams(n).zipWithIndex.map { case ((a, b), i) =>
+      minhashCol(col("__mh"), a, b).as(f"mh$i%02d")
+    }
+    val nTok = size(col("__th"))
+    val simhashWord = (0 until bits).map { b =>
+      val nSet = aggregate(col("__th"), lit(0L),
+        (acc, h) => acc + shiftright(h, b).bitwiseAND(lit(1L)))
+      when(nSet * lit(2) > nTok, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    staged.select(
+      (df.columns.map(col).toSeq ++ mhCols) :+ simhashWord.as("simhash"): _*)
+  }
+
   /** D2b — LSH candidate pairs: band the signature (bands × rowsPerBand
     * must equal the signature width), join documents sharing any full band,
     * and report how many of the n minhashes agree (n_equal/n estimates

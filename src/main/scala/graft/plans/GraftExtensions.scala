@@ -3,9 +3,10 @@ package graft.plans
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, CreateNamedStruct, Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
-import graft.functions.{Ema, JavaLog, TopKByScore}
+import graft.functions.{Ema, IvfAssignTopN, JavaLog, LshBucket, PqAdcCosine, PqEncode, TopKByScore}
 
 /** SQL surface for graft's custom Catalyst expressions: registers
   *   - `ema(x, alpha)` — the recursive EMA window function
@@ -14,6 +15,13 @@ import graft.functions.{Ema, JavaLog, TopKByScore}
   *   - `top_k(score, id, k)` — the bounded-heap per-group top-k aggregate
   *     (`SELECT query_id, top_k(cosine, neighbor_id, 10) FROM scored
   *     GROUP BY query_id`)
+  *   - the ANN stack (VERDICT r4 item 8): `lsh_bucket(v, planes, dims)`,
+  *     `ivf_assign(v, n2, n, cents [, cids])`, `pq_encode(v, codebooks)`,
+  *     `pq_adc(codes, qv, n2q, codebooks)` — codebook arguments are
+  *     FOLDABLE array literals the builder evaluates ONCE at resolution
+  *     into the expression object, so the plan tree still carries a
+  *     pointer (the `addReferenceObj` discipline), not a wall of
+  *     nested-array text
   * so SQL-first users get the same operators as the DataFrame API.
   *
   * Two registration paths: `GraftExtensions` for
@@ -58,6 +66,70 @@ object GraftFunctions {
       Literal("id"), Cast(args(1), LongType))), k)
   }
 
+  // ---- foldable-argument extraction for the ANN builders: the codebook
+  // arrives as SQL array syntax (a CreateArray tree); it must be foldable
+  // so resolution can evaluate it ONCE into the expression object.
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case Literal(v: Long, LongType) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private def folded(e: Expression, tpe: DataType, what: String): Any = {
+    val cast = Cast(e, tpe)
+    require(cast.resolved && cast.foldable,
+      s"$what must be a foldable array literal of type ${tpe.sql}")
+    cast.eval()
+  }
+
+  private def doubles2(e: Expression, what: String): Array[Array[Double]] =
+    folded(e, ArrayType(ArrayType(DoubleType)), what).asInstanceOf[ArrayData]
+      .toObjectArray(ArrayType(DoubleType))
+      .map(_.asInstanceOf[ArrayData].toDoubleArray())
+
+  private def doubles3(e: Expression, what: String): Array[Array[Array[Double]]] =
+    folded(e, ArrayType(ArrayType(ArrayType(DoubleType))), what)
+      .asInstanceOf[ArrayData]
+      .toObjectArray(ArrayType(ArrayType(DoubleType)))
+      .map(_.asInstanceOf[ArrayData]
+        .toObjectArray(ArrayType(DoubleType))
+        .map(_.asInstanceOf[ArrayData].toDoubleArray()))
+
+  private def floatArr(e: Expression): Expression =
+    Cast(e, ArrayType(FloatType))
+
+  private def lshBuilder(args: Seq[Expression]): Expression = {
+    require(args.size == 3, "lsh_bucket(v, planes, dims) takes exactly 3 arguments")
+    LshBucket(floatArr(args.head),
+      intLit(args(1), "planes"), intLit(args(2), "dims"))
+  }
+
+  private def ivfBuilder(args: Seq[Expression]): Expression = {
+    require(args.size == 4 || args.size == 5,
+      "ivf_assign(v, n2, n, cents [, cids]) takes 4 or 5 arguments")
+    val cents = doubles2(args(3), "cents")
+    val cids =
+      if (args.size == 5)
+        folded(args(4), ArrayType(LongType), "cids")
+          .asInstanceOf[ArrayData].toLongArray()
+      else Array.tabulate(cents.length)(_.toLong)
+    IvfAssignTopN(floatArr(args.head), Cast(args(1), DoubleType),
+      cids, cents, intLit(args(2), "n"))
+  }
+
+  private def pqEncodeBuilder(args: Seq[Expression]): Expression = {
+    require(args.size == 2, "pq_encode(v, codebooks) takes exactly 2 arguments")
+    PqEncode(floatArr(args.head), doubles3(args(1), "codebooks"))
+  }
+
+  private def pqAdcBuilder(args: Seq[Expression]): Expression = {
+    require(args.size == 4,
+      "pq_adc(codes, qv, n2q, codebooks) takes exactly 4 arguments")
+    PqAdcCosine(Cast(args.head, ArrayType(LongType)), floatArr(args(1)),
+      Cast(args(2), DoubleType), doubles3(args(3), "codebooks"))
+  }
+
   val builders: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("ema",
       new ExpressionInfo(classOf[Ema].getName, "ema"),
@@ -67,7 +139,19 @@ object GraftFunctions {
       jlogBuilder _),
     ("top_k",
       new ExpressionInfo(classOf[TopKByScore].getName, "top_k"),
-      topKBuilder _))
+      topKBuilder _),
+    ("lsh_bucket",
+      new ExpressionInfo(classOf[LshBucket].getName, "lsh_bucket"),
+      lshBuilder _),
+    ("ivf_assign",
+      new ExpressionInfo(classOf[IvfAssignTopN].getName, "ivf_assign"),
+      ivfBuilder _),
+    ("pq_encode",
+      new ExpressionInfo(classOf[PqEncode].getName, "pq_encode"),
+      pqEncodeBuilder _),
+    ("pq_adc",
+      new ExpressionInfo(classOf[PqAdcCosine].getName, "pq_adc"),
+      pqAdcBuilder _))
 
   /** Register on a live session (tests, REPLs). */
   def register(spark: SparkSession): Unit =

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.operators.TextOps
+import graft.operators.{Dedup, TextOps}
 
 /** Streaming document ingestion — the LLM-training-data pipeline's
   * incremental surface: `readStream → text metrics → quality filter →
@@ -26,7 +26,14 @@ import graft.operators.TextOps
 object StreamDocs {
 
   /** Score + filter + dedup a (possibly streaming) document frame with an
-    * event-time `ts` column.
+    * event-time `ts` column. Survivors carry their FUZZY-dedup
+    * signatures too (mh00..mh15 + simhash via [[Dedup.withSignatures]],
+    * bit-equal to the batch forms): the landed lake is immediately
+    * drop-list-extendable — a batch [[Dedup.dropListAtScale]] pass over
+    * new rows bands the PERSISTED signatures without re-tokenizing the
+    * corpus. Signatures are computed AFTER the quality filter and dedup
+    * (no tokens burned on rows that won't land) and are map-only, so the
+    * streaming plan gains no state.
     *
     * @param minQuality  drop documents scoring below this
     *                    ([[TextOps.qualityScore]]'s 0-1 scale)
@@ -34,12 +41,14 @@ object StreamDocs {
     */
   def cleanStream(docs: DataFrame, minQuality: Double = 0.3,
       lateness: String = "1 hour"): DataFrame =
-    docs
-      .withColumn("quality", TextOps.qualityScore(col("text")))
-      .withColumn("lang", TextOps.langId(col("text")))
-      .withColumn("n_tokens", TextOps.tokenCount(col("text")))
-      .withColumn("content_hash", sha2(col("text"), 256))
-      .filter(col("quality") >= minQuality)
-      .withWatermark("ts", lateness)
-      .dropDuplicatesWithinWatermark("content_hash")
+    Dedup.withSignatures(
+      docs
+        .withColumn("quality", TextOps.qualityScore(col("text")))
+        .withColumn("lang", TextOps.langId(col("text")))
+        .withColumn("n_tokens", TextOps.tokenCount(col("text")))
+        .withColumn("content_hash", sha2(col("text"), 256))
+        .filter(col("quality") >= minQuality)
+        .withWatermark("ts", lateness)
+        .dropDuplicatesWithinWatermark("content_hash"),
+      col("text"))
 }

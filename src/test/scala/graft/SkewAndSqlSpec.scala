@@ -165,4 +165,62 @@ class SkewAndSqlSpec extends SparkSpec {
       .collect().map(_.toString).sorted
     assert(viaAgg.sameElements(viaWin))
   }
+
+  test("the ANN stack is callable from pure SQL, bit-equal to the DataFrame API") {
+    GraftFunctions.register(spark)
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    emb.createOrReplaceTempView("sql_emb")
+
+    // lsh_bucket: SQL == DataFrame expression on the whole table
+    val lshSql = spark.sql(
+      "SELECT vec_id, lsh_bucket(embedding, 8, 64) AS b FROM sql_emb")
+      .collect().map(_.toString).sorted
+    val lshDf = emb.select(col("vec_id"),
+        graft.operators.VectorOps.lshBucket(col("embedding"), 8, 64).as("b"))
+      .collect().map(_.toString).sorted
+    assert(lshSql.sameElements(lshDf))
+
+    // a tiny trained codebook rendered as SQL array literals — the
+    // builder must fold it into the expression object at resolution
+    val cents = graft.operators.VectorOps.kmeansCodebook(emb, 4, 1, 7)
+    def sqlArr(a: Array[Double]) = a.mkString("array(", "D,", "D)")
+    val centsSql = cents.map(c => sqlArr(c._2)).mkString("array(", ",", ")")
+    val cidsSql = cents.map(_._1).mkString("array(", "L,", "L)")
+    val ivfSql = spark.sql(
+      s"""SELECT vec_id, explode(ivf_assign(embedding,
+         |  aggregate(embedding, 0.0D, (a, x) -> a + CAST(x AS DOUBLE) * x),
+         |  2, $centsSql, $cidsSql)) AS cent_id
+         |FROM sql_emb""".stripMargin)
+      .collect().map(_.toString).sorted
+    val ivfDf = graft.operators.VectorOps.ivfAssign(emb, cents, 2)
+      .select("vec_id", "cent_id")
+      .collect().map(_.toString).sorted
+    assert(ivfSql.sameElements(ivfDf))
+    // the codebook is an object reference, not plan-tree literal text
+    val plan = spark.sql(
+      s"SELECT ivf_assign(embedding, 1.0D, 1, $centsSql) FROM sql_emb")
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("ivf_assign_topn"))
+
+    // pq_encode + pq_adc round-trip against the DataFrame path
+    val cbs = graft.operators.VectorOps.pqCodebooks(emb, 4, 4, 1, 7)
+    val cbSql = cbs.map(cb => cb.map(c => sqlArr(c._2))
+      .mkString("array(", ",", ")")).mkString("array(", ",", ")")
+    val pqSql = spark.sql(
+      s"""SELECT vec_id, pq_encode(embedding, $cbSql) AS codes,
+         |  pq_adc(pq_encode(embedding, $cbSql), embedding,
+         |    aggregate(embedding, 0.0D, (a, x) -> a + CAST(x AS DOUBLE) * x),
+         |    $cbSql) AS self_adc
+         |FROM sql_emb""".stripMargin)
+      .collect().map(_.toString).sorted
+    val pqDf = {
+      import graft.functions.Pq
+      val cb = cbs.map(_.map(_._2))
+      emb.select(col("vec_id"), Pq.encode(col("embedding"), cb).as("codes"),
+          Pq.adcCosine(Pq.encode(col("embedding"), cb), col("embedding"),
+            graft.operators.VectorOps.norm2(col("embedding")), cb).as("self_adc"))
+        .collect().map(_.toString).sorted
+    }
+    assert(pqSql.sameElements(pqDf))
+  }
 }
