@@ -77,7 +77,32 @@ def compare(spark_df, duck_df, exact):
         return f"COLUMN MISMATCH spark={list(a.columns)} oracle={list(b.columns)}"
     if len(a) != len(b):
         return f"ROWCOUNT MISMATCH spark={len(a)} oracle={len(b)}"
+    import numpy as np
     for c in a.columns:
+        # vectorized fast path (sf1 outputs run to millions of rows — the
+        # python loop below is the fallback, not the common case)
+        try:
+            av_np = a[c].to_numpy()
+            bv_np = b[c].to_numpy()
+            if av_np.dtype.kind in "ifu" and bv_np.dtype.kind in "ifu":
+                ok = (av_np == bv_np) | (pd.isna(av_np) & pd.isna(bv_np))
+                if not exact and not ok.all():
+                    fa, fb = av_np.astype(float), bv_np.astype(float)
+                    tol = 1e-9 * np.maximum(1.0, np.maximum(np.abs(fa), np.abs(fb)))
+                    ok = ok | (np.abs(fa - fb) <= tol)
+                if ok.all():
+                    continue
+            elif av_np.dtype == bv_np.dtype and av_np.dtype.kind in "UMS":
+                if (av_np == bv_np).all():
+                    continue
+            elif av_np.dtype.kind == "O" and bv_np.dtype.kind == "O":
+                # plain strings vectorize; list/array cells raise and fall
+                # through to the exact row loop
+                eq = (a[c].fillna("\x00N") == b[c].fillna("\x00N"))
+                if bool(eq.all()):
+                    continue
+        except (TypeError, ValueError):
+            pass
         av, bv = a[c].tolist(), b[c].tolist()
         for i, (x, y) in enumerate(zip(av, bv)):
             if not values_equal(x, y, exact):

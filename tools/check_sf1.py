@@ -1,0 +1,203 @@
+#!/usr/bin/env python3
+"""sf1 (10x) correctness gate — check_oracle.py plus linear-time fold
+oracles (dev tool, not engine code).
+
+The committed DuckDB oracles for the EMA-family queries (w2_ema,
+w4_macd, w9_indicators_all, w10_rsi_wilder, w11_atr_wilder) build a
+PREFIX LIST per row and re-fold it — O(n^2) per symbol. Exact and fast
+at the driver's sf0.01 gate; at sf1 (~200k rows/symbol) that is ~1e11
+lambda steps, so this harness swaps JUST the fold evaluation for the
+equivalent O(n) running recurrence in float64 — the same left fold, one
+step per row, bit-identical by construction (fold(prefix+v) =
+step(fold(prefix), v)). Everything else (cbars CTE, lag columns, the
+DECIMAL(38,10) SMA/stddev windows) still runs in DuckDB from the
+committed oracle text itself, so the independent-oracle property is
+preserved for every non-fold column.
+
+Usage: python3 tools/check_sf1.py <sfDir> <verifyOutDir>
+Writes a summary line per query; exit 0 iff everything passes.
+"""
+import glob
+import json
+import re
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, "/root/repo/tools")
+import check_oracle as co
+
+FOLD_QUERIES = ["w2_ema", "w4_macd", "w9_indicators_all",
+                "w10_rsi_wilder", "w11_atr_wilder"]
+
+
+def running_fold(values, alpha):
+    """Per-row left fold over the non-null prefix: seed = first non-null,
+    step = alpha*v + (1-alpha)*acc. Emits NaN before the first non-null —
+    exactly the committed emaSql/rmaSql over `list(x) FILTER (x IS NOT
+    NULL)`, one step per row instead of a re-fold."""
+    out = np.empty(len(values))
+    acc = None
+    one_minus = 1.0 - alpha
+    for i, v in enumerate(values):
+        if v is not None and not (isinstance(v, float) and np.isnan(v)):
+            acc = v if acc is None else alpha * v + one_minus * acc
+        out[i] = np.nan if acc is None else acc
+    return out
+
+
+def cbars_frame(con, oracle_sql):
+    """Materialize the cbars CTE from the committed w2 oracle text itself
+    (everything before its first ', d1 AS'), ordered by (symbol, ts,
+    event_id) — the window order W of every fold."""
+    prefix = oracle_sql["w2_ema"]
+    cte = prefix[:prefix.index(", d1 AS")]
+    df = con.execute(
+        cte + "\nSELECT event_id, symbol, ts, high, low, close FROM cbars"
+        "\nORDER BY symbol, ts, event_id").df()
+    return df
+
+
+def per_symbol(df, fn):
+    """Apply fn(sub_df) per symbol (df already in window order), concat."""
+    parts = [fn(g) for _, g in df.groupby("symbol", sort=True)]
+    return pd.concat(parts, ignore_index=True)
+
+
+def ema_cols(g):
+    c = g["close"].to_numpy()
+    return pd.DataFrame({
+        "event_id": g["event_id"].to_numpy(),
+        "symbol": g["symbol"].to_numpy(),
+        "ema_12": running_fold(c, 2.0 / 13.0),
+        "ema_26": running_fold(c, 2.0 / 27.0)})
+
+
+def macd_cols(g):
+    c = g["close"].to_numpy()
+    macd = running_fold(c, 2.0 / 13.0) - running_fold(c, 2.0 / 27.0)
+    sig = running_fold(macd, 2.0 / 10.0)
+    return pd.DataFrame({
+        "event_id": g["event_id"].to_numpy(),
+        "symbol": g["symbol"].to_numpy(),
+        "macd": macd, "macd_signal": sig, "macd_hist": macd - sig})
+
+
+def rsi_wilder_cols(g):
+    c = g["close"].to_numpy()
+    delta = np.concatenate(([np.nan], c[1:] - c[:-1]))
+    gain = np.where(np.isnan(delta), np.nan, np.where(delta > 0, delta, 0.0))
+    loss = np.where(np.isnan(delta), np.nan, np.where(delta < 0, -delta, 0.0))
+    ag = running_fold(gain, 1.0 / 14.0)
+    al = running_fold(loss, 1.0 / 14.0)
+    rsi = np.where(
+        np.isnan(ag) | np.isnan(al), np.nan,
+        np.where((al == 0) & (ag > 0), 100.0,
+                 np.where((al == 0) & (ag == 0), np.nan,
+                          100.0 - 100.0 / (1.0 + ag / al))))
+    return pd.DataFrame({
+        "event_id": g["event_id"].to_numpy(),
+        "symbol": g["symbol"].to_numpy(), "rsi_w": rsi})
+
+
+def atr_wilder_cols(g):
+    c = g["close"].to_numpy()
+    h = g["high"].to_numpy()
+    lo = g["low"].to_numpy()
+    pc = np.concatenate(([np.nan], c[:-1]))
+    tr = np.where(np.isnan(pc), h - lo,
+                  np.maximum(h - lo, np.maximum(np.abs(h - pc), np.abs(lo - pc))))
+    return pd.DataFrame({
+        "event_id": g["event_id"].to_numpy(),
+        "symbol": g["symbol"].to_numpy(),
+        "atr_w": running_fold(tr, 1.0 / 14.0)})
+
+
+def patched_w9(con, oracle_sql, cb):
+    """w9: run the committed oracle with the quadratic pieces stubbed to
+    NULL (regex on the SQL text), then overwrite the five fold-derived
+    columns from the O(n) recurrences."""
+    sql = oracle_sql["w9_indicators_all"]
+    sql = re.sub(
+        r"list\((\w+)\) FILTER \(\1 IS NOT NULL\) OVER \([^)]*\) AS (__l\w+)",
+        r"CAST(NULL AS DOUBLE) AS \2", sql)
+    sql = re.sub(
+        r"CASE WHEN len\((__l\w+)\) = 0 THEN NULL ELSE list_reduce\(\1,.*?\) END",
+        "CAST(NULL AS DOUBLE)", sql, flags=re.S)
+    base = con.execute(sql).df()
+    folds = per_symbol(cb, macd_cols).merge(
+        per_symbol(cb, ema_cols)[["event_id", "ema_12", "ema_26"]],
+        on="event_id")
+    out = base.drop(columns=["ema_12", "ema_26", "macd", "macd_signal",
+                             "macd_hist"]).merge(
+        folds[["event_id", "ema_12", "ema_26", "macd", "macd_signal",
+               "macd_hist"]], on="event_id")
+    return out
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in co.TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracles = json.load(f)
+
+    cb = cbars_frame(con, oracles)
+    fold_oracles = {
+        "w2_ema": lambda: per_symbol(cb, ema_cols),
+        "w4_macd": lambda: per_symbol(cb, macd_cols),
+        "w10_rsi_wilder": lambda: per_symbol(cb, rsi_wilder_cols),
+        "w11_atr_wilder": lambda: per_symbol(cb, atr_wilder_cols),
+        "w9_indicators_all": lambda: patched_w9(con, oracles, cb),
+    }
+
+    names = sorted(
+        p.rsplit("/", 1)[-1] for p in glob.glob(f"{out_dir}/*")
+        if not p.endswith(".json"))
+    n_pass = n_fail = 0
+    import time
+    for name in names:
+        t0 = time.time()
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"SKIP {name}: no parquet output")
+            n_fail += 1
+            continue
+        spark_df = pd.concat([pd.read_parquet(p) for p in files],
+                             ignore_index=True)
+        if name not in oracles:
+            print(f"NO-ORACLE {name}: rows={len(spark_df)}")
+            continue
+        try:
+            if name in fold_oracles:
+                duck_df = fold_oracles[name]()
+            else:
+                duck_df = con.execute(oracles[name]).df()
+        except Exception as e:
+            print(f"FAIL      {name}: oracle error: {e}", flush=True)
+            n_fail += 1
+            continue
+        err = co.compare(spark_df, duck_df, exact=True)
+        if err is None:
+            tag = "PASS-EXACT"
+        else:
+            tol_err = co.compare(spark_df, duck_df, exact=False)
+            tag = "PASS-TOL " if tol_err is None else None
+            if tag is None:
+                print(f"FAIL      {name}: {err}", flush=True)
+                n_fail += 1
+                continue
+        src = "pyfold" if name in fold_oracles else "duckdb"
+        print(f"{tag} {name}: rows={len(spark_df)} [{src} {time.time()-t0:.0f}s]"
+              + ("" if tag == "PASS-EXACT" else f" (not bit-exact: {err})"),
+              flush=True)
+        n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {len(names)} total")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
