@@ -626,6 +626,23 @@ object VectorOps {
     rerankExact(queries, corpus, k, cand)
   }
 
+  /** The scale dial for every blocked pairwise stage ([[blockedTopPairs]],
+    * [[semanticDropList]]): size the block COUNT so the expected block
+    * holds ~`targetBlockRows`. With block size bounded, total pairwise
+    * work is ∝ corpus × targetBlockRows — LINEAR in corpus — where a
+    * FIXED block count makes it quadratic (the sf1 gate measured exactly
+    * that: d5/d7 ran 21–31× at 10× data with their oracle-pinned fixed
+    * blocks; see BASELINE.md). Skew can still concentrate a list —
+    * [[VectorIndex.imbalance]] is the census and the in-plan
+    * `maxBlockRows` guard stays the backstop. Driver-side Lloyd training
+    * bounds k in practice (~thousands); beyond that, train hierarchically
+    * or reuse a persisted index's coarse quantizer.
+    */
+  def blocksFor(corpusRows: Long, targetBlockRows: Long = 4096): Int = {
+    require(corpusRows >= 0 && targetBlockRows > 0)
+    math.max(1, math.ceil(corpusRows.toDouble / targetBlockRows).toInt)
+  }
+
   /** Blocked most-similar pairs: all pairs within a block (IVF-style coarse
     * partition), global top-n by cosine (deterministic tiebreak on ids).
     *

@@ -221,6 +221,35 @@ class VectorSpec extends SparkSpec {
     }
   }
 
+  test("blocksFor keeps pairwise candidates linear in corpus size; fixed blocks go quadratic") {
+    // candidate count = sum n_i*(n_i-1)/2 over the census — measurable
+    // without evaluating a single cosine
+    def candidates(n: Long, nBlocks: Int): Long = {
+      val vecs = spark.range(n).select(col("id").as("vec_id"),
+        transform(sequence(lit(1), lit(16)), i =>
+          ((pmod(xxhash64(col("id") * lit(17L) + i), lit(2001L)) - lit(1000L))
+            .cast("double") / lit(1000.0)).cast("float")).as("embedding"))
+      val cb = VectorOps.kmeansCodebook(vecs, nBlocks, 1, sampleMod = 7)
+      VectorOps.ivfAssign(vecs, cb, 1)
+        .groupBy("cent_id").agg(count(lit(1)).as("n"))
+        .agg(sum(expr("n * (n - 1) / 2"))).head.getAs[Any](0)
+        .toString.toDouble.toLong
+    }
+    val target = 2000L
+    val cSmall = candidates(20000, VectorOps.blocksFor(20000, target))
+    val cBig = candidates(80000, VectorOps.blocksFor(80000, target))
+    val ratioDialed = cBig.toDouble / cSmall
+    // 4x corpus with the dial: candidates grow ~4x (linear), never ~16x
+    assert(ratioDialed < 8.0, s"dialed ratio $ratioDialed (small=$cSmall big=$cBig)")
+    // the oracle-pinned FIXED block count goes quadratic on the same data
+    val fSmall = candidates(20000, 10)
+    val fBig = candidates(80000, 10)
+    val ratioFixed = fBig.toDouble / fSmall
+    assert(ratioFixed > 10.0, s"fixed-blocks ratio $ratioFixed should be ~16x")
+    info(f"candidates 4x corpus: dialed x$ratioDialed%.1f, fixed-blocks x$ratioFixed%.1f")
+    assert(VectorOps.blocksFor(0, 100) == 1 && VectorOps.blocksFor(1000000, 4096) == 245)
+  }
+
   test("IVF assignment ranks degenerate (zero-norm) scores identically in native and witness") {
     // zero-norm vectors/centroids make the cosine NULL (witness) / NaN
     // (native); both must rank them LAST with cid ties — the ADVICE r4
