@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
-import graft.operators.{Normalize, Resample, Split}
+import graft.operators.{Dedup, Normalize, Resample, Split}
 
 /** Property-style invariants from SURVEY §5's test plan, on ScalaCheck-
   * generated frames with FIXED seeds (the reference's unseeded fixtures are
@@ -374,6 +374,40 @@ class PropertySpec extends SparkSpec {
         .as[(String, Long, Long, Long)].collect()
         .map(r => ((r._1, r._2), (r._3, r._4))).toMap
       assert(got == expected, s"seed=$seed budget=$budget")
+      // the chunked two-phase form must reproduce the same driver-side
+      // fold for ANY monotone chunking of the order key — including a
+      // chunk size of 1 (every row its own chunk) and irregular DIV
+      // boundaries that split sources unevenly
+      for (chunkRows <- Seq(1L, 7L, 1000L)) {
+        val gotChunked = Split.packByTokenBudgetChunked(
+            rows.toDF("src", "id", "n_tok"), Seq(col("src")), Seq(col("id")),
+            expr(s"id DIV $chunkRows"), col("n_tok"), budget)
+          .select(col("src"), col("id"), col("bin_id"), col("bin_offset"))
+          .as[(String, Long, Long, Long)].collect()
+          .map(r => ((r._1, r._2), (r._3, r._4))).toMap
+        assert(gotChunked == expected, s"seed=$seed budget=$budget chunk=$chunkRows")
+      }
+    }
+  }
+
+  test("property: bloom-pruned drop-list application == plain anti-join on random sets") {
+    val params = org.scalacheck.Gen.Parameters.default
+    for (seed <- Seq(3L, 77L)) {
+      val ids = (0 until 600).flatMap(k =>
+        Gen.choose(-20000L, 20000L).apply(params, Seed(seed + k))).distinct
+      val dropIds = ids.filter(_ % 5 == 0) ++
+        (0 until 100).flatMap(k => // drops absent from the corpus too
+          Gen.choose(50000L, 60000L).apply(params, Seed(seed * 31 + k)))
+      val corpus = ids.toDF("doc_id")
+      val drops = dropIds.distinct.toDF("drop_id")
+      val want = Dedup.pruneDuplicates(corpus, col("doc_id"), drops)
+        .as[Long].collect().sorted
+      for (fpp <- Seq(0.4, 0.01)) {
+        val got = Dedup.pruneDuplicatesBloom(corpus, col("doc_id"), drops,
+            expectedDrops = math.max(1, dropIds.size).toLong, fpp = fpp)
+          .as[Long].collect().sorted
+        assert(got.sameElements(want), s"seed=$seed fpp=$fpp")
+      }
     }
   }
 
