@@ -18,8 +18,10 @@ import org.apache.spark.sql.functions._
   *     oracles hash-check actual encode→decode round-trips: the
   *     generated media's pixel/sample values are closed-form in
   *     (id, position), so DuckDB replays the DECODED stats as pure
-  *     integer arithmetic. Video/JPEG remain out of container scope —
-  *     they slot into the same [[MediaCodec]] batch seam.
+  *     integer arithmetic. JPEG (lossy) runs through the same image
+  *     path, spec-gated with a quantization tolerance since lossy
+  *     codecs have no closed-form oracle. Video remains out of
+  *     container scope — it slots into the same [[MediaCodec]] seam.
   *
   * Scale notes: media bytes never pass through a shuffle here — decode and
   * sampling are map-only over the scan; only the (small) extracted features
@@ -287,6 +289,34 @@ object Multimodal {
       val bos = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(img, fmt._1, bos)
       (fmt._2, bos.toByteArray)
+    }
+
+    /** JPEG variant of the same gradient — LOSSY, so it exercises
+      * [[JvmMediaCodec]]'s image path on a real-world compressed
+      * container but is spec-gated with a tolerance (MultimodalSpec)
+      * rather than oracle-gated: decoded dims/pixel-count are exact,
+      * channel sums approximate the generator formula within the
+      * codec's quantization error.
+      */
+    def jpeg(id: Long): (String, Array[Byte]) = {
+      val (w, h) = dims(id)
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val r = ((id + x + y) % 256).toInt
+          val g = ((id + 2 * x + y) % 256).toInt
+          val b = ((id + x + 2 * y) % 256).toInt
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      ("image/jpeg", bos.toByteArray)
     }
 
     def wavSamples(id: Long): Int = (id % 100 + 50).toInt

@@ -98,6 +98,38 @@ class MultimodalSpec extends SparkSpec {
     assert(odd._1 == "image/bmp" && odd._2(0) == 'B'.toByte && odd._2(1) == 'M'.toByte)
   }
 
+  test("real codec: JPEG (lossy) decodes with exact dims and near-formula channel stats") {
+    val ids = (0L to 19L).toDF("media_id")
+    val jpegs = ids.as[Long].map { id =>
+      val (mime, bytes) = Multimodal.MediaGen.jpeg(id)
+      Multimodal.MediaRow(id, bytes, Multimodal.MediaMeta(mime,
+        Multimodal.MediaGen.dims(id)._1, Multimodal.MediaGen.dims(id)._2))
+    }.toDF()
+    val decoded = Multimodal.decodeMedia(jpegs, batchSize = 4)
+      .collect().map(d => d.media_id -> d).toMap
+    for (id <- 0L to 19L) {
+      val (w, h) = Multimodal.MediaGen.dims(id)
+      val d = decoded(id)
+      // container metadata is exact even under lossy compression
+      assert(d.width == w && d.height == h && d.n_samples == w.toLong * h)
+      // channel sums approximate the generator formula: JPEG quantization
+      // error is bounded; mean per-pixel-channel error well under 48/255
+      var (er, eg, eb) = (0L, 0L, 0L)
+      for (y <- 0 until h; x <- 0 until w) {
+        er += (id + x + y) % 256
+        eg += (id + 2 * x + y) % 256
+        eb += (id + x + 2 * y) % 256
+      }
+      val n = (w * h).toDouble
+      assert(math.abs(d.sum_r - er) / n < 48 && math.abs(d.sum_g - eg) / n < 48 &&
+        math.abs(d.sum_b - eb) / n < 48,
+        s"id=$id: got (${d.sum_r},${d.sum_g},${d.sum_b}) want ~($er,$eg,$eb)")
+    }
+    // it is really a JPEG container (SOI marker)
+    val bytes = Multimodal.MediaGen.jpeg(4L)._2
+    assert((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8)
+  }
+
   test("real codec: WAV RIFF walk matches javax.sound's header parse and the PCM formula") {
     val ids = (0L to 29L).toDF("media_id")
     val decoded = Multimodal.decodeMedia(
