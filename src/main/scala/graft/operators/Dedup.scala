@@ -345,7 +345,12 @@ object Dedup {
     require(expectedDrops > 0, s"expectedDrops must be positive, got $expectedDrops")
     val bf = dropList.select(col("drop_id").cast("long").as("drop_id"))
       .stat.bloomFilter("drop_id", expectedDrops, fpp)
-    val maybe = graft.functions.Bloom.mightContain(id.cast("long"), bf)
+    // NULL ids (or ids that fail the long cast): the probe is NULL, and
+    // NULL must land on the KEEP side — the plain anti-join keeps them
+    // (NULL = drop_id never matches). coalesce(..., false) routes them
+    // there instead of silently dropping them from BOTH branches.
+    val maybe = coalesce(
+      graft.functions.Bloom.mightContain(id.cast("long"), bf), lit(false))
     df.filter(!maybe)
       .unionByName(df.filter(maybe).join(dropList, id === col("drop_id"), "left_anti"))
   }

@@ -137,6 +137,9 @@ object Multimodal {
         val feats = codec.decodeBatch(batch.map { case (_, bytes, mime, _, _) =>
           (mime, bytes)
         })
+        require(feats.size == batch.size,
+          s"Codec contract violation: ${batch.size} payloads in, " +
+            s"${feats.size} features out — positional alignment required")
         batch.iterator.zip(feats.iterator).map { case ((id, bytes, _, _, _), (mean, hist)) =>
           MediaFeatures(id, bytes.length.toLong, mean, hist)
         }
@@ -164,7 +167,11 @@ object Multimodal {
 
   /** The real-decode boundary: whole batches in, stats out — same batch
     * discipline as [[Codec]] (a JNI/subprocess decoder amortizes per
-    * batch).
+    * batch). CONTRACT: the output is positionally aligned 1:1 with the
+    * input — a codec that cannot decode a payload must throw (or emit a
+    * sentinel row), never skip it: [[decodeMedia]] zips positionally and
+    * asserts the lengths match, because a silent skip would shift every
+    * later stat onto the wrong media_id.
     */
   trait MediaCodec extends Serializable {
     def decodeBatch(batch: Seq[(String, Array[Byte])]): Seq[DecodedMedia]
@@ -212,7 +219,13 @@ object Multimodal {
       while (pos + 8 <= bytes.length) {
         val id = bb.getInt(pos)
         val size = bb.getInt(pos + 4)
+        // corrupt/truncated containers must FAIL the decode, not hang
+        // the executor: a negative or out-of-bounds size would advance
+        // pos by <= 0 (infinite loop) or overrun the sample fold
+        require(size >= 0 && pos + 8 + size <= bytes.length,
+          s"corrupt WAV: chunk size $size at offset $pos exceeds payload")
         if (id == 0x20746d66) { // "fmt "
+          require(size >= 16, s"corrupt WAV: fmt chunk of $size bytes")
           channels = bb.getShort(pos + 10).toInt
           rate = bb.getInt(pos + 12)
           bits = bb.getShort(pos + 22).toInt
@@ -251,6 +264,10 @@ object Multimodal {
       rows.grouped(batchSize).flatMap { batch =>
         val stats = codec.decodeBatch(batch.map { case (_, bytes, mime) =>
           (mime, bytes) })
+        require(stats.size == batch.size,
+          s"MediaCodec contract violation: ${batch.size} payloads in, " +
+            s"${stats.size} stats out — a skipped row would shift every " +
+            "later stat onto the wrong media_id")
         batch.iterator.zip(stats.iterator).map { case ((id, _, _), s) =>
           s.copy(media_id = id)
         }
@@ -269,7 +286,12 @@ object Multimodal {
   object MediaGen {
     def dims(id: Long): (Int, Int) = ((id % 24 + 4).toInt, (id % 16 + 4).toInt)
 
-    def pngOrBmp(id: Long): (String, Array[Byte]) = {
+    /** The shared gradient raster — the closed-form contract the m4
+      * oracle SQL and MultimodalSpec mirror; PNG/BMP (lossless,
+      * oracle-gated) and JPEG (lossy, tolerance-gated) all encode THIS,
+      * so the formulas cannot desynchronize between tiers.
+      */
+    private def gradientImage(id: Long): java.awt.image.BufferedImage = {
       val (w, h) = dims(id)
       val img = new java.awt.image.BufferedImage(w, h,
         java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
@@ -285,11 +307,18 @@ object Multimodal {
         }
         y += 1
       }
-      val fmt = if (id % 2 == 0) ("png", "image/png") else ("bmp", "image/bmp")
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, fmt._1, bos)
-      (fmt._2, bos.toByteArray)
+      img
     }
+
+    private def encode(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+
+    def pngOrBmp(id: Long): (String, Array[Byte]) =
+      if (id % 2 == 0) ("image/png", encode(gradientImage(id), "png"))
+      else ("image/bmp", encode(gradientImage(id), "bmp"))
 
     /** JPEG variant of the same gradient — LOSSY, so it exercises
       * [[JvmMediaCodec]]'s image path on a real-world compressed
@@ -298,26 +327,8 @@ object Multimodal {
       * channel sums approximate the generator formula within the
       * codec's quantization error.
       */
-    def jpeg(id: Long): (String, Array[Byte]) = {
-      val (w, h) = dims(id)
-      val img = new java.awt.image.BufferedImage(w, h,
-        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val r = ((id + x + y) % 256).toInt
-          val g = ((id + 2 * x + y) % 256).toInt
-          val b = ((id + x + 2 * y) % 256).toInt
-          img.setRGB(x, y, (r << 16) | (g << 8) | b)
-          x += 1
-        }
-        y += 1
-      }
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "jpg", bos)
-      ("image/jpeg", bos.toByteArray)
-    }
+    def jpeg(id: Long): (String, Array[Byte]) =
+      ("image/jpeg", encode(gradientImage(id), "jpg"))
 
     def wavSamples(id: Long): Int = (id % 100 + 50).toInt
     def wavRate(id: Long): Int = (8000 + (id % 8) * 1000).toInt

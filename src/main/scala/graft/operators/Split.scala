@@ -256,17 +256,23 @@ object Split {
       coalesce(sum(col("__tok")).over(localW), lit(0L)))
     val censusW = Window.partitionBy(partition: _*).orderBy(col("__chunk"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // join on ONE struct key: struct equality is null-safe field-wise, so
+    // rows with a NULL partition value or NULL chunk keep their labels —
+    // a using-columns join would silently drop them where the plain
+    // window form labels them (NULL is its own window partition group)
+    val jk = struct(partition :+ col("__chunk"): _*)
     val offsets = base.groupBy(partition :+ col("__chunk"): _*)
       .agg(sum(col("__tok")).as("__chunk_tokens"))
       .withColumn("__chunk_offset",
         coalesce(sum(col("__chunk_tokens")).over(censusW), lit(0L)))
-      .select(partition :+ col("__chunk") :+ col("__chunk_offset"): _*)
-    val joinKeys = partition.map(_.toString) :+ "__chunk"
-    local.join(broadcast(offsets), joinKeys)
+      .select(jk.as("__jk"), col("__chunk_offset"))
+    local.withColumn("__jk", jk)
+      .join(broadcast(offsets), "__jk")
       .withColumn("__pack_before", col("__chunk_offset") + col("__local_before"))
       .withColumn("bin_id", binId(budget))
       .withColumn("bin_offset", col("__pack_before") % lit(budget))
-      .drop("__chunk", "__tok", "__local_before", "__chunk_offset", "__pack_before")
+      .drop("__jk", "__chunk", "__tok", "__local_before", "__chunk_offset",
+        "__pack_before")
   }
 
   /** Deterministic stratified sampling — per-stratum keep rates, the

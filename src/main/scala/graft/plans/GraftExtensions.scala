@@ -71,7 +71,10 @@ object GraftFunctions {
   // so resolution can evaluate it ONCE into the expression object.
   private def intLit(e: Expression, what: String): Int = e match {
     case Literal(v: Int, IntegerType) => v
-    case Literal(v: Long, LongType) => v.toInt
+    case Literal(v: Long, LongType) =>
+      require(v >= Int.MinValue && v <= Int.MaxValue,
+        s"$what out of int range: $v") // silent .toInt truncation would
+      v.toInt                          // turn 2^32+1 planes into 1
     case other => throw new IllegalArgumentException(
       s"$what must be an integer literal, got $other")
   }

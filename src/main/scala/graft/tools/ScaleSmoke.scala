@@ -407,7 +407,9 @@ object ScaleSmoke {
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"[scale] $label%-22s rows=$rows%-10d ${sec}%6.1f s  ${nb / sec / 1e6}%5.1f M docs/s")
     }
-    val savedB = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    val savedB = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     timeB("prune-antijoin") { // full-corpus shuffle, payload and all
@@ -419,9 +421,8 @@ object ScaleSmoke {
           expectedDrops = ndrop)
         .agg(sum(crc32(col("text")))).collect(); nb
     }
-    savedB.fold(spark.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
-    spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    savedB.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
     bloomDocs.unpersist(); drops.unpersist()
     }
     spark.stop()

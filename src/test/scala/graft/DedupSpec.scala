@@ -156,6 +156,20 @@ class DedupSpec extends SparkSpec {
     val plan = bloomed.queryExecution.executedPlan.toString
     assert(plan.contains("graft_might_contain"),
       s"bloom probe should be in the plan:\n$plan")
+
+    // NULL ids land on the KEEP side in both paths (the anti-join keeps
+    // them: NULL = drop_id never matches; the bloom probe must coalesce
+    // its NULL to keep, not lose the row from both branches)
+    val withNull = corpus.withColumn("doc_id",
+      when(col("doc_id") % 11 === 0, lit(null)).otherwise(col("doc_id")))
+    val plainN = Dedup.pruneDuplicates(withNull, col("doc_id"), drops)
+      .collect().map(_.toString).sorted
+    val bloomN = Dedup.pruneDuplicatesBloom(withNull, col("doc_id"), drops, 1429L)
+      .collect().map(_.toString).sorted
+    assert(bloomN.sameElements(plainN))
+    // 910 nulled ids all kept + 7791 of the 9090 non-null survive the
+    // every-7th drop list — the nulled rows are genuinely kept
+    assert(plainN.length == 8701)
   }
 
   test("normalizeText makes formatting variants fingerprint-identical") {

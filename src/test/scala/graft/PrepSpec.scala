@@ -114,6 +114,21 @@ class PrepSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("hashpartitioning(src") && plan.contains("__chunk"),
       s"expected an exchange keyed on (src, __chunk):\n$plan")
+
+    // NULL partition values must keep their labels: a window treats NULL
+    // as its own group, and the chunked join must not drop them (struct
+    // keys are null-safe; a using-columns join would lose every row)
+    val withNulls = docs.withColumn("src",
+      when($"id" % 5 === 0, lit(null)).otherwise($"src"))
+    val plainN = Split.packByTokenBudget(withNulls, Seq($"src"), Seq($"id"),
+        $"n_tok", budget = 256L)
+      .select($"src", $"id", $"bin_id", $"bin_offset")
+      .collect().map(_.toString).sorted
+    val chunkedN = Split.packByTokenBudgetChunked(withNulls, Seq($"src"), Seq($"id"),
+        expr("id DIV 64"), $"n_tok", budget = 256L)
+      .select($"src", $"id", $"bin_id", $"bin_offset")
+      .collect().map(_.toString).sorted
+    assert(chunkedN.length == plainN.length && chunkedN.sameElements(plainN))
   }
 
   test("stratified hash sample: deterministic, rate-faithful, composes with hashSplit") {

@@ -129,7 +129,13 @@ def embeddings():
         if k == 0:
             emb, ids = t.column("embedding"), vec_id
         else:
-            signs = [1.0 if ((k * 1000003 + d * 7919) % 2 == 0) else -1.0
+            # a MIXED hash bit per (k, d) — a linear form like
+            # (k*odd1 + d*odd2) % 2 collapses to (k+d) % 2 (both
+            # multipliers odd), making all odd copies share ONE pattern
+            # (exact cross-copy twins, the duplication inflation this
+            # scaler exists to avoid)
+            signs = [1.0 if ((((k * 1000003) ^ (d * 7919)) * 2654435761
+                              % 4294967296) >> 16) & 1 == 0 else -1.0
                      for d in range(dims)]
             flipped = [[v * s for v, s in zip(e, signs)] for e in embs]
             emb = pa.array(flipped, t.schema.field("embedding").type)
