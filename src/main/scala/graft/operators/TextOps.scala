@@ -86,4 +86,97 @@ object TextOps {
       TextHash.tokens(text),
       lit(0L),
       (acc, t) => (acc * lit(31L) + TextHash.tokenHash(t) % lit(p)) % lit(p))
+
+  // ------------------------------------------------------------------
+  // Repetition / shape filters (the Gopher-rule family)
+
+  /** Fraction of word n-grams that are repeats of an earlier occurrence
+    * (1 − distinct/total; 0 for docs shorter than n tokens). The linear-
+    * time repetition signal behind the classic "duplicate n-grams" quality
+    * rule: boilerplate and generation loops push it toward 1 while natural
+    * text stays near 0. Per-doc array expression — no explode, no shuffle,
+    * O(doc length) per row.
+    */
+  def repeatedNgramRatio(text: Column, n: Int): Column = {
+    val ng = TextHash.wordNgrams(TextHash.tokens(text), n)
+    val m = size(ng)
+    when(m > 0,
+      (m - size(array_distinct(ng))).cast("double") / m.cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Mean characters per whitespace token (0 for empty docs). Gibberish
+    * and mark-up skew far from natural text's 3–10 band.
+    */
+  def meanWordLength(text: Column): Column = {
+    val tk = TextHash.tokens(text)
+    when(size(tk) > 0,
+      aggregate(tk, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+        size(tk).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Fraction of characters outside [a-z0-9 ] (0 for empty strings) — the
+    * symbol-to-text ratio rule that catches code dumps, tables, and
+    * encoding junk.
+    */
+  def symbolRatio(text: Column): Column = {
+    val total = length(text)
+    val clean = length(regexp_replace(text, "[^a-z0-9 ]", ""))
+    when(total > 0,
+      (total - clean).cast("double") / total.cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** First-failing-rule quality verdict over the Gopher-style rule chain:
+    * token-count band → symbol ratio → mean-word-length band → repeated-
+    * 2-gram ceiling → must contain a stopword. Returns the rule name or
+    * `keep`, so a census GROUP BY verdict explains exactly why the corpus
+    * shrank — the operational question every filtering pass gets asked.
+    * Defaults are tuned to the synthetic corpus (a real deployment tunes
+    * per source); one map-only pass at any scale.
+    */
+  def filterVerdict(
+      text: Column,
+      minTokens: Int = 20, maxTokens: Int = 90,
+      maxSymbol: Double = 0.1,
+      minWordLen: Double = 4.3, maxWordLen: Double = 4.7,
+      maxRep2: Double = 0.05): Column = {
+    val n = tokenCount(text)
+    val mwl = meanWordLength(text)
+    when(n < minTokens, lit("too_short"))
+      .when(n > maxTokens, lit("too_long"))
+      .when(symbolRatio(text) > maxSymbol, lit("symbols"))
+      .when(mwl < minWordLen || mwl > maxWordLen, lit("word_length"))
+      .when(repeatedNgramRatio(text, 2) > maxRep2, lit("repetitive"))
+      .when(stopwordRatio(text) === 0.0, lit("no_stopwords"))
+      .otherwise(lit("keep"))
+  }
+
+  // ------------------------------------------------------------------
+  // PII scrubbing
+
+  /** Conservative ASCII patterns; RE2 ∩ java.util.regex syntax so the
+    * DuckDB oracle applies the identical expressions.
+    */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val Ipv4Re = "\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b"
+  val PhoneRe = "\\b555-[0-9]{4}\\b"
+
+  /** Count of matches of a PII pattern. */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  /** Replace emails → [EMAIL], IPv4s → [IP], phones → [PHONE]. Email runs
+    * first so a dotted mail domain can't be half-eaten by the IP rule;
+    * the replacement tokens themselves match none of the later patterns.
+    * Pure codegen'd regexp_replace chain — redacting a 100 TB corpus is a
+    * map-only scan.
+    */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "[EMAIL]"),
+        Ipv4Re, "[IP]"),
+      PhoneRe, "[PHONE]")
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{OracleSql => O}
@@ -46,8 +46,68 @@ object TextQueries {
       Tables.documents(s, dir).select(
         col("doc_id"),
         TextOps.normalizeText(col("text")).as("norm_text"),
-        TextOps.fingerprint(TextOps.normalizeText(col("text"))).as("fp")))
+        TextOps.fingerprint(TextOps.normalizeText(col("text"))).as("fp"))),
+    "x6_repetition" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.repeatedNgramRatio(col("text"), 2).as("rep_2gram"),
+        TextOps.repeatedNgramRatio(col("text"), 3).as("rep_3gram"),
+        TextOps.meanWordLength(col("text")).as("mean_word_len"),
+        TextOps.symbolRatio(col("text")).as("symbol_ratio"))),
+    "x7_filter_verdict" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextOps.filterVerdict(col("text")).as("verdict"))),
+    "x8_pii_scrub" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), piiAugmented.as("aug"))
+        .select(
+          col("doc_id"),
+          TextOps.piiCount(col("aug"), TextOps.EmailRe).as("n_emails"),
+          TextOps.piiCount(col("aug"), TextOps.Ipv4Re).as("n_ips"),
+          TextOps.piiCount(col("aug"), TextOps.PhoneRe).as("n_phones"),
+          TextOps.scrubPii(col("aug")).as("scrubbed"))),
+    "x9_source_quality" -> ((s, dir) => {
+      val perDoc = Tables.documents(s, dir).select(
+        col("source"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tok"),
+        (TextOps.filterVerdict(col("text")) === "keep").cast("long").as("is_keep"),
+        TextOps.repeatedNgramRatio(col("text"), 2).as("rep2"))
+      perDoc.groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("is_keep").as("n_keep"),
+          sum("n_tok").as("sum_tok"),
+          max("rep2").as("max_rep2"))
+        .select(
+          col("source"), col("n_docs"), col("n_keep"),
+          (col("n_keep").cast("double") / col("n_docs").cast("double")).as("keep_rate"),
+          (col("sum_tok").cast("double") / col("n_docs").cast("double")).as("avg_tokens"),
+          col("max_rep2"))
+    })
   )
+
+  /** Deterministic PII augmentation for x8: the synthetic corpus carries no
+    * PII, so both engines append identical doc_id-derived email / IPv4 /
+    * phone spans (each on a different doc_id residue class, so PII-free
+    * docs stay in the output) and the scrubber is exercised on real
+    * matches. doc_ids are non-negative in every table this runs on; the
+    * `%` forms below agree between engines on that domain.
+    */
+  private def piiAugmented: Column =
+    concat(
+      col("text"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com now"))).otherwise(lit("")),
+      when(col("doc_id") % 4 === 0,
+        concat(lit(" node at 10.0."), (col("doc_id") % 256).cast("string"),
+          lit("."), ((col("doc_id") * 7) % 256).cast("string"),
+          lit(" up"))).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" call 555-"), (lit(1000) + col("doc_id") % 9000).cast("string"),
+          lit(" today"))).otherwise(lit("")))
 
   val oracle: Map[String, String] = Map(
     "x1_lang_id" -> (toksSql +
@@ -94,6 +154,98 @@ object TextQueries {
          |         list_prepend(CAST(0 AS BIGINT),
          |           list_transform(tk, t -> ${O.tokenHash("t")} % 2147483647)),
          |         (a, b) -> (a * 31 + b) % 2147483647) AS fp
-         |FROM ntoks""".stripMargin
+         |FROM ntoks""".stripMargin,
+    "x6_repetition" -> (toksSql +
+      s"""
+         |SELECT doc_id,
+         |       CAST(len(tk) AS INTEGER) AS n_tokens,
+         |       ${repSql(2)} AS rep_2gram,
+         |       ${repSql(3)} AS rep_3gram,
+         |       $mwlSql AS mean_word_len,
+         |       $symSql AS symbol_ratio
+         |FROM toks""".stripMargin),
+    "x7_filter_verdict" -> (toksSql +
+      s"""
+         |SELECT doc_id, $verdictSql AS verdict
+         |FROM toks""".stripMargin),
+    "x8_pii_scrub" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id,
+         |    text
+         |    || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END
+         |    || CASE WHEN doc_id % 4 = 0 THEN ' node at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) || ' up' ELSE '' END
+         |    || CASE WHEN doc_id % 5 = 0 THEN ' call 555-' || CAST(1000 + doc_id % 9000 AS VARCHAR) || ' today' ELSE '' END
+         |    AS aug
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |       CAST(len(regexp_extract_all(aug, '$EmailSql')) AS INTEGER) AS n_emails,
+         |       CAST(len(regexp_extract_all(aug, '$Ipv4Sql')) AS INTEGER) AS n_ips,
+         |       CAST(len(regexp_extract_all(aug, '$PhoneSql')) AS INTEGER) AS n_phones,
+         |       regexp_replace(
+         |         regexp_replace(
+         |           regexp_replace(aug, '$EmailSql', '[EMAIL]', 'g'),
+         |           '$Ipv4Sql', '[IP]', 'g'),
+         |         '$PhoneSql', '[PHONE]', 'g') AS scrubbed
+         |FROM aug""".stripMargin,
+    "x9_source_quality" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, text, source, ${O.tokens("text")} AS tk FROM documents
+         |), per_doc AS (
+         |  SELECT source,
+         |         CAST(len(tk) AS BIGINT) AS n_tok,
+         |         CASE WHEN $verdictSql = 'keep' THEN 1 ELSE 0 END AS is_keep,
+         |         ${repSql(2)} AS rep2
+         |  FROM toks
+         |)
+         |SELECT source,
+         |       count(*) AS n_docs,
+         |       CAST(sum(is_keep) AS BIGINT) AS n_keep,
+         |       CAST(sum(is_keep) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS keep_rate,
+         |       CAST(sum(n_tok) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_tokens,
+         |       max(rep2) AS max_rep2
+         |FROM per_doc
+         |GROUP BY source""".stripMargin
   )
+
+  // ------------------------------------------------------------------
+  // x6–x9 DuckDB fragments (mirror TextOps expression-for-expression)
+
+  /** Repeated word-n-gram ratio of the token list `tk` — mirrors
+    * [[TextOps.repeatedNgramRatio]] incl. the wordNgrams short-doc guard.
+    */
+  private def repSql(n: Int): String = {
+    val gram = (0 until n).map(k => s"tk[i+$k]").mkString(" || ' ' || ")
+    s"""CASE WHEN len(tk) >= $n THEN
+       |  CAST(len(tk) - ${n - 1} - len(list_distinct(
+       |    list_transform(generate_series(1, len(tk) - ${n - 1}), i -> $gram))) AS DOUBLE)
+       |  / CAST(len(tk) - ${n - 1} AS DOUBLE)
+       |ELSE CAST(0 AS DOUBLE) END""".stripMargin
+  }
+
+  private def mwlSql: String =
+    """CASE WHEN len(tk) > 0 THEN
+      |  CAST(list_sum(list_transform(tk, t -> CAST(len(t) AS BIGINT))) AS DOUBLE)
+      |  / CAST(len(tk) AS DOUBLE)
+      |ELSE CAST(0 AS DOUBLE) END""".stripMargin
+
+  private def symSql: String =
+    """CASE WHEN len(text) > 0 THEN
+      |  CAST(len(text) - len(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+      |  / CAST(len(text) AS DOUBLE)
+      |ELSE CAST(0 AS DOUBLE) END""".stripMargin
+
+  /** First-failing-rule chain — mirrors [[TextOps.filterVerdict]] defaults. */
+  private def verdictSql: String =
+    s"""CASE WHEN len(tk) < 20 THEN 'too_short'
+       |     WHEN len(tk) > 90 THEN 'too_long'
+       |     WHEN $symSql > CAST('0.1' AS DOUBLE) THEN 'symbols'
+       |     WHEN $mwlSql < CAST('4.3' AS DOUBLE) OR $mwlSql > CAST('4.7' AS DOUBLE) THEN 'word_length'
+       |     WHEN ${repSql(2)} > CAST('0.05' AS DOUBLE) THEN 'repetitive'
+       |     WHEN $stopRatioSql = CAST(0 AS DOUBLE) THEN 'no_stopwords'
+       |     ELSE 'keep' END""".stripMargin
+
+  private def EmailSql: String = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private def Ipv4Sql: String = "\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b"
+  private def PhoneSql: String = "\\b555-[0-9]{4}\\b"
 }

@@ -125,6 +125,37 @@ class EdgeCaseSpec extends SparkSpec {
     assert(empty == 0.0)
   }
 
+  test("repetition, shape, verdict, and PII scrub on degenerate docs") {
+    val docs = Seq(
+      (1L, ""), // empty: every ratio 0, verdict too_short
+      (2L, "one"), // sub-n-gram: rep ratios 0
+      (3L, "spam spam spam spam"), // fully repetitive 2-grams
+      (4L, "mail me at bob@example.com or 10.0.0.1 or 555-1234 ok")
+    ).toDF("doc_id", "text")
+    val r = docs.select(
+      col("doc_id"),
+      TextOps.repeatedNgramRatio(col("text"), 2).as("rep2"),
+      TextOps.meanWordLength(col("text")).as("mwl"),
+      TextOps.symbolRatio(col("text")).as("sym"),
+      TextOps.filterVerdict(col("text")).as("v"),
+      TextOps.scrubPii(col("text")).as("scrubbed"))
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getDouble(1) == 0.0 && r(1L).getDouble(2) == 0.0 &&
+      r(1L).getDouble(3) == 0.0 && r(1L).getString(4) == "too_short")
+    assert(r(2L).getDouble(1) == 0.0) // 1 token, no 2-grams
+    assert(r(3L).getDouble(1) == 2.0 / 3.0) // 3 bigrams, 1 distinct
+    assert(r(4L).getString(5) ==
+      "mail me at [EMAIL] or [IP] or [PHONE] ok")
+    // scrub is idempotent: replacement tokens match no pattern
+    val again = docs.filter(col("doc_id") === 4L)
+      .select(TextOps.scrubPii(TextOps.scrubPii(col("text")))).head.getString(0)
+    assert(again == "mail me at [EMAIL] or [IP] or [PHONE] ok")
+    // a dotted mail domain must not be half-eaten by the IP rule
+    val ipMail = Seq((1L, "x 1.2.3.4@example.com y")).toDF("doc_id", "text")
+      .select(TextOps.scrubPii(col("text"))).head.getString(0)
+    assert(ipMail == "x [EMAIL] y")
+  }
+
   test("vector ops on empty corpus and as-of with empty right side") {
     val emptyVecs = spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
       StructType(Seq(StructField("vec_id", LongType),

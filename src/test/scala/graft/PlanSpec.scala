@@ -117,6 +117,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"))
   }
 
+  test("x6/x8 quality + PII passes are map-only; x9 rollup is one exchange") {
+    // repetition/shape stats and the scrub chain must scan-project only —
+    // a 100 TB filtering pass with any exchange in it is wrong
+    assert(!plan("x6_repetition").contains("Exchange"))
+    assert(!plan("x8_pii_scrub").contains("Exchange"))
+    val p9 = plan("x9_source_quality")
+    assert("Exchange".r.findAllIn(p9).size == 1) // partial agg, one shuffle
+    assert(p9.contains("partial_count") || p9.contains("partial"))
+  }
+
   test("p8 shuffled shards: one exchange on shard_id, per-shard sort only") {
     import org.apache.spark.sql.functions._
     val out = graft.operators.Split.shuffledShards(
