@@ -571,4 +571,35 @@ object Dedup {
         lit(1.0).as("jaccard"))
     if (minJaccard > 1.0) cross else cross.unionByName(intra)
   }
+
+  /** D8 — duplicated-span census: word n-gram spans that occur in ≥
+    * `minDocs` distinct documents, with corpus-wide occurrence counts —
+    * the discovery half of substring-level dedup (the "duplicated
+    * 50-token span" pass modern training corpora run after doc-level
+    * dedup; doc-level passes miss boilerplate shared across otherwise
+    * distinct pages).
+    *
+    * Exactly-distinct doc counts WITHOUT `countDistinct`'s expand: the
+    * first aggregate collapses (span, doc) to per-doc occurrence counts,
+    * the second counts the survivors — two exchanges, but the second is
+    * over already-collapsed rows (≤ one per (span, doc) pair), and both
+    * are plain hash aggregates with map-side partials. Everything is
+    * keyed by the span hash, so at 100 TB the stage buckets/salts like
+    * any other key'd aggregate; no stage is quadratic in duplication
+    * (contrast [[tokenJaccardPairs]], which must pair docs up).
+    *
+    * Spans are hashed ([[TextHash.tokenHash]], 60-bit md5 prefix) so the
+    * shuffle carries 8-byte keys, not n-word strings, and the DuckDB
+    * oracle replays bit-exactly.
+    */
+  def spanCensus(df: DataFrame, text: Column, id: Column, n: Int,
+      minDocs: Int = 2): DataFrame =
+    df.select(id.as("doc_id"),
+        explode(TextHash.wordNgrams(TextHash.tokens(text), n)).as("__g"))
+      .select(col("doc_id"), TextHash.tokenHash(col("__g")).as("span_hash"))
+      .groupBy(col("span_hash"), col("doc_id"))
+      .agg(count(lit(1)).as("__occ"))
+      .groupBy(col("span_hash"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__occ")).as("n_occurrences"))
+      .filter(col("n_docs") >= minDocs)
 }

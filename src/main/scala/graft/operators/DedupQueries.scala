@@ -54,7 +54,25 @@ object DedupQueries {
       Dedup.dropListAtScale(
         Dedup.minhashSignature(Tables.documents(s, dir), col("text"), col("doc_id"),
           nHashes, shingleN = 3),
-        bands, rows, minAgree = 8))
+        bands, rows, minAgree = 8)),
+    // D8 (beyond-reference) — duplicated-span census: word 8-gram spans
+    // occurring in >= 2 distinct docs, the discovery pass of
+    // substring-level dedup (boilerplate shared across distinct pages).
+    "d8_span_census" -> ((s, dir) =>
+      Dedup.spanCensus(Tables.documents(s, dir), col("text"), col("doc_id"),
+        n = 8, minDocs = 2)),
+    // DC1 (beyond-reference) — benchmark decontamination: training docs
+    // (doc_id % 97 != 0) sharing any word 3-gram with the benchmark
+    // residue class (doc_id % 97 = 0). Broadcast bench grams; only
+    // matches reach the per-doc count exchange.
+    "dc1_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Contamination.overlapReport(
+        docs.filter(col("doc_id") % 97 =!= 0), col("text"), col("doc_id"),
+        Contamination.benchmarkGrams(
+          docs.filter(col("doc_id") % 97 === 0), col("text"), n = 3),
+        n = 3)
+    })
   )
 
   // ------------------------------------------------------------------
@@ -176,6 +194,35 @@ object DedupQueries {
         |SELECT doc_id1, doc_id2, n_inter, sz - n_inter AS n_union,
         |       CAST(n_inter AS DOUBLE) / CAST(sz - n_inter AS DOUBLE) AS jaccard
         |FROM j
-        |WHERE CAST(n_inter AS DOUBLE) / CAST(sz - n_inter AS DOUBLE) >= CAST('0.8' AS DOUBLE)""".stripMargin)
+        |WHERE CAST(n_inter AS DOUBLE) / CAST(sz - n_inter AS DOUBLE) >= CAST('0.8' AS DOUBLE)""".stripMargin),
+    "d8_span_census" ->
+      s"""WITH toks AS (SELECT doc_id, ${O.tokens("text")} AS tk FROM documents),
+         |g AS (SELECT doc_id, unnest(${ngramListSql(8)}) AS gs FROM toks),
+         |h AS (SELECT doc_id, ${O.tokenHash("gs")} AS span_hash FROM g),
+         |pd AS (SELECT span_hash, doc_id, count(*) AS occ FROM h GROUP BY 1, 2)
+         |SELECT span_hash, count(*) AS n_docs, CAST(sum(occ) AS BIGINT) AS n_occurrences
+         |FROM pd GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
+    // Joined on the 60-bit HASH (not the gram string) exactly as the
+    // Spark side does, so even a hash collision affects both engines
+    // identically.
+    "dc1_decontaminate" ->
+      s"""WITH toks AS (SELECT doc_id, ${O.tokens("text")} AS tk FROM documents),
+         |gsets AS (SELECT doc_id, list_distinct(${ngramListSql(3)}) AS gset FROM toks),
+         |g AS (SELECT doc_id, len(gset) AS n_grams, unnest(gset) AS gs FROM gsets),
+         |gh AS (SELECT doc_id, n_grams, ${O.tokenHash("gs")} AS ghash FROM g),
+         |bench AS (SELECT DISTINCT ghash FROM gh WHERE doc_id % 97 = 0),
+         |tr AS (SELECT doc_id, n_grams, ghash FROM gh WHERE doc_id % 97 != 0)
+         |SELECT doc_id, CAST(n_grams AS INTEGER) AS n_grams, count(*) AS n_overlap,
+         |       CAST(count(*) AS DOUBLE) / CAST(n_grams AS DOUBLE) AS overlap_ratio
+         |FROM tr JOIN bench USING (ghash)
+         |GROUP BY doc_id, n_grams""".stripMargin
   )
+
+  /** Word n-gram list over `tk` (ALL occurrences; wrap in list_distinct
+    * for the set form) — the general-n mirror of TextHash.wordNgrams.
+    */
+  private def ngramListSql(n: Int): String = {
+    val join = (0 until n).map(k => s"tk[i+$k]").mkString(" || ' ' || ")
+    s"CASE WHEN len(tk) >= $n THEN list_transform(generate_series(1, len(tk) - ${n - 1}), i -> $join) ELSE [] END"
+  }
 }

@@ -86,6 +86,14 @@ object PrepQueries {
     "p8_shuffled_shards" -> ((s, dir) =>
       Split.shuffledShards(Tables.documents(s, dir), col("doc_id"), nShards = 8)
         .select(col("doc_id"), col("shard_id"), col("pos"))),
+    // MX1 (beyond-reference) — temperature-scaled source-mixture weights
+    // (tokens^0.5, fixed-point-quantized so the normalizing sum is exact
+    // integer arithmetic): the sampling-rate table of a multi-source run.
+    "mx1_mixture_weights" -> ((s, dir) =>
+      Split.mixtureWeights(
+        Tables.documents(s, dir).select(col("source"),
+          TextOps.tokenCount(col("text")).as("n_tok")),
+        col("source"), col("n_tok"), budgetTokens = 100000L)),
     "p5_sliding_windows" -> ((s, dir) => {
       // Declared output is exploded to (part, idx, value) rows: the driver's
       // canonicalizer sorts every column and cannot hash raw array cells.
@@ -235,6 +243,26 @@ object PrepQueries {
         |                  WHEN 'src1' THEN 1073741824
         |                  WHEN 'src2' THEN 4294967296
         |                  ELSE 429496730 END""".stripMargin,
+    // Every emitted double is one IEEE op on exact integers (sqrt is
+    // correctly rounded; the quantized weights sum exactly), so the
+    // hash-match holds engine-to-engine — see Split.mixtureWeights.
+    "mx1_mixture_weights" ->
+      s"""WITH toks AS (
+         |  SELECT source, CAST(len(${O.tokens("text")}) AS BIGINT) AS n_tok
+         |  FROM documents
+         |), ps AS (
+         |  SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+         |  FROM toks GROUP BY 1
+         |), w AS (
+         |  SELECT source, n_docs, n_tokens,
+         |         CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0) AS BIGINT) AS w_fixed
+         |  FROM ps
+         |), tot AS (SELECT CAST(sum(w_fixed) AS BIGINT) AS wt FROM w)
+         |SELECT source, n_docs, n_tokens, w_fixed,
+         |       CAST(w_fixed AS DOUBLE) / CAST(wt AS DOUBLE) AS weight,
+         |       (CAST(w_fixed AS DOUBLE) / CAST(wt AS DOUBLE)) * CAST(100000 AS DOUBLE) AS expected_tokens,
+         |       ((CAST(w_fixed AS DOUBLE) / CAST(wt AS DOUBLE)) * CAST(100000 AS DOUBLE)) / CAST(n_tokens AS DOUBLE) AS epochs
+         |FROM w CROSS JOIN tot""".stripMargin,
     "p8_shuffled_shards" ->
       """WITH h AS (
         |  SELECT doc_id,

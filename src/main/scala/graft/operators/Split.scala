@@ -335,4 +335,49 @@ object Split {
       .withColumn("pos", row_number().over(w))
       .drop("__h")
   }
+
+  /** Temperature-scaled source-mixture weights — the sampling-rate table a
+    * multi-source training run is driven by (beyond-reference): weight each
+    * source ∝ tokens^α, α < 1 flattening the natural distribution so
+    * small high-quality sources are not drowned by the biggest crawl
+    * (α = 1 → proportional, α = 0 → uniform). Emits, per source: doc/token
+    * counts, the normalized mixture weight, the token draw expected under
+    * `budgetTokens`, and the implied epochs over that source (> 1 ⇒ the
+    * schedule repeats it).
+    *
+    * Determinism discipline (hash-match oracle over doubles): tokens^α is
+    * quantized to a 1e-6 fixed-point BIGINT immediately — `sqrt` is
+    * IEEE-correctly-rounded and `double × 2^k`-free truncation agrees
+    * between engines, whereas SUMMING raw doubles would be
+    * accumulation-order-dependent. The normalizing total is then an exact
+    * integer sum, and every emitted double is a SINGLE IEEE op on exact
+    * integers (one divide / one multiply), identical on any engine and any
+    * partitioning. α is restricted to 0.5 on the declared-query path for
+    * exactly this reason (`sqrt`, not `pow`, which libm does not promise
+    * correctly rounded).
+    *
+    * Scale: one partial-agg exchange on `source` (sources number in the
+    * tens), then a broadcast of the single total row — the corpus is
+    * touched once, map-side.
+    */
+  def mixtureWeights(docs: DataFrame, source: Column, nTokens: Column,
+      budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    val perSource = docs
+      .groupBy(source.as("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(nTokens.cast("long")).as("n_tokens"))
+      .withColumn("w_fixed",
+        floor(sqrt(col("n_tokens").cast("double")) * lit(1000000.0)).cast("long"))
+    val total = perSource.agg(sum(col("w_fixed")).as("__w_total"))
+    perSource.crossJoin(broadcast(total))
+      .select(
+        col("source"), col("n_docs"), col("n_tokens"), col("w_fixed"),
+        (col("w_fixed").cast("double") / col("__w_total").cast("double"))
+          .as("weight"),
+        ((col("w_fixed").cast("double") / col("__w_total").cast("double"))
+          * lit(budgetTokens.toDouble)).as("expected_tokens"),
+        (((col("w_fixed").cast("double") / col("__w_total").cast("double"))
+          * lit(budgetTokens.toDouble)) / col("n_tokens").cast("double"))
+          .as("epochs"))
+  }
 }

@@ -209,4 +209,48 @@ class DedupSpec extends SparkSpec {
     assert(r(1)._2 == "en" && r(2)._2 == "unk")
     assert(r(3)._1 == 0.0)
   }
+
+  test("spanCensus finds cross-doc spans, counts within-doc repeats, ignores singles") {
+    val boiler = "all rights reserved contact the site admin for takedown requests"
+    val d = Seq(
+      (1L, s"page one body text here $boiler"),
+      (2L, s"$boiler and some page two content"),
+      (3L, s"unrelated third page $boiler again repeated $boiler"),
+      (4L, "a document with no shared spans in it at all whatsoever today")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.spanCensus(d, col("text"), col("doc_id"), n = 10, minDocs = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    // the 10-token boilerplate yields exactly one shared 10-gram; doc 3
+    // carries it twice → 3 docs, 4 occurrences
+    assert(spans.toSeq == Seq((3L, 4L)))
+    // n larger than any shared run → empty census
+    assert(Dedup.spanCensus(d, col("text"), col("doc_id"), n = 14, minDocs = 2).isEmpty)
+  }
+
+  test("decontamination flags benchmark-overlapping docs; bloom variant is bit-equal") {
+    import graft.operators.Contamination
+    val benchText = "what is the capital of france paris is the capital"
+    val d = Seq(
+      (0L, benchText), // benchmark doc (id % 97 == 0)
+      (1L, s"trivia dump question what is the capital of france answer paris"),
+      (2L, "completely clean training document about spark physical plans"),
+      (3L, benchText) // verbatim leak of the benchmark
+    ).toDF("doc_id", "text")
+    val bench = Contamination.benchmarkGrams(d.filter(col("doc_id") % 97 === 0),
+      col("text"), n = 3)
+    val train = d.filter(col("doc_id") % 97 =!= 0)
+    val rep = Contamination.overlapReport(train, col("text"), col("doc_id"), bench, 3)
+    val byDoc = rep.collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(!byDoc.contains(2L)) // clean doc absent from the report
+    // the verbatim leak overlaps on ALL of its distinct 3-grams
+    assert(byDoc(3L)._1 == byDoc(3L)._2.toInt && byDoc(3L)._3 == 1.0)
+    // the partial leak overlaps on some but not all
+    assert(byDoc(1L)._2 >= 3 && byDoc(1L)._3 < 1.0)
+    // bloom-pruned variant: bit-equal rows (false positives re-checked
+    // by the exact join, false negatives impossible)
+    val viaBloom = Contamination.overlapReportBloom(train, col("text"), col("doc_id"),
+      bench, 3, expectedGrams = 64L)
+    assert(rep.exceptAll(viaBloom).isEmpty && viaBloom.exceptAll(rep).isEmpty)
+  }
 }

@@ -177,6 +177,31 @@ class PrepSpec extends SparkSpec {
     assert(firstShard.toSeq != firstShard.sorted.toSeq)
   }
 
+  test("mixture weights: tokens^0.5 flattening, exact normalization, budget math") {
+    // big source: 1M tokens; small source: 10k tokens — a 100:1 corpus
+    val docs = Seq(("big", 1000000L), ("small", 10000L), ("small", 0L))
+      .toDF("src", "n_tok")
+    val w = Split.mixtureWeights(docs, $"src", $"n_tok", budgetTokens = 1000000L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6))).toMap
+    assert(w("big")._2 == 1000000L && w("small")._2 == 10000L)
+    // sqrt flattening: the 100:1 token ratio becomes a 10:1 weight ratio
+    assert(w("big")._3 == 1000000000L && w("small")._3 == 100000000L)
+    assert(math.abs(w("big")._4 / w("small")._4 - 10.0) < 1e-12)
+    // weights normalize exactly (integer total ⇒ the sum of the two
+    // divisions reconstructs 1.0 up to one ulp)
+    assert(math.abs(w("big")._4 + w("small")._4 - 1.0) < 1e-15)
+    // expected tokens split the budget 10:1; the small source repeats
+    // (epochs > 1) while the big one is subsampled (epochs < 1)
+    assert(math.abs(w("big")._5 - 909090.909) < 1.0)
+    assert(w("small")._6 > 1.0 && w("big")._6 < 1.0)
+    // determinism under repartitioning: same rows at any parallelism
+    val w2 = Split.mixtureWeights(docs.repartition(7), $"src", $"n_tok", 1000000L)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(w2("big") == w("big")._4 && w2("small") == w("small")._4)
+  }
+
   test("sliding windows have exact shapes and stride") {
     val ts = df.withColumn("symbol", lit("A"))
     val wdf = Split.slidingWindows(ts, Seq($"symbol"), Seq($"id"),
