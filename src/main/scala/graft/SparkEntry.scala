@@ -31,6 +31,7 @@ object SparkEntry {
     graft.operators.PrepQueries.queries ++
     graft.operators.TextQueries.queries ++
     graft.operators.DedupQueries.queries ++
+    graft.operators.CorpusQueries.queries ++
     graft.operators.VectorQueries.queries ++
     graft.operators.MultimodalQueries.queries ++
     graft.operators.ScaleQueries.queries
@@ -68,6 +69,7 @@ object SparkEntry {
     graft.operators.PrepQueries.oracle ++
     graft.operators.TextQueries.oracle ++
     graft.operators.DedupQueries.oracle ++
+    graft.operators.CorpusQueries.oracle ++
     graft.operators.VectorQueries.oracleAll ++
     graft.operators.MultimodalQueries.oracle ++
     graft.operators.ScaleQueries.oracle

@@ -27,14 +27,29 @@ object TextHash {
   def tokenSet(c: Column): Column = array_distinct(tokens(c))
 
   /** Word n-grams over the token array (n=1 → the tokens themselves).
-    * Guarded: Spark's `sequence(1, 0)` counts DOWN, so short docs must
-    * short-circuit to an empty array (DuckDB's generate_series is empty).
+    *
+    * Built as a zip_with fold over n SHIFTED SLICES of the array — NOT as
+    * `transform(sequence(...), i -> concat(element_at(toks, i+k)...))`:
+    * Catalyst does not CSE across lambda boundaries, so each
+    * `element_at(toks, ·)` in a lambda body re-evaluates the whole `toks`
+    * subtree (for `tokens(text)` that re-runs split+filter), turning the
+    * gram build into O(grams × n) tokenizations per row. Measured on the
+    * x6/x7/d8/dc1 suite queries: 31.3 → sub-second for x6 at sf0.1. The
+    * slice/zip_with form evaluates `toks` O(n) times per row, with the
+    * lambdas touching only their bound variables.
+    *
+    * Guarded: short docs short-circuit to an empty array (`when` branches
+    * evaluate lazily, so the negative slice length is never computed;
+    * DuckDB's generate_series mirror is empty there too).
     */
   def wordNgrams(toks: Column, n: Int): Column =
     if (n == 1) toks
-    else
-      when(size(toks) >= n,
-        transform(sequence(lit(1), size(toks) - lit(n - 1)), i =>
-          concat_ws(" ", (0 until n).map(k => element_at(toks, i + lit(k))): _*)))
+    else {
+      val m = size(toks) - lit(n - 1)
+      val grams = (2 to n).foldLeft(slice(toks, lit(1), m)) { (acc, k) =>
+        zip_with(acc, slice(toks, lit(k), m), (a, b) => concat(a, lit(" "), b))
+      }
+      when(size(toks) >= n, grams)
         .otherwise(array().cast("array<string>"))
+    }
 }

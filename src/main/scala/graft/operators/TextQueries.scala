@@ -13,13 +13,13 @@ import graft.sources.Tables
   */
 object TextQueries {
 
-  private val stopList = TextOps.EnStopwords.map(s => s"'$s'").mkString("(", ", ", ")")
+  private[operators] val stopList = TextOps.EnStopwords.map(s => s"'$s'").mkString("(", ", ", ")")
 
   /** Shared CTE: per-doc token list. */
   private val toksSql =
     s"WITH toks AS (SELECT doc_id, text, n_chars, ${O.tokens("text")} AS tk FROM documents)"
 
-  private val stopRatioSql =
+  private[operators] val stopRatioSql =
     s"CASE WHEN len(tk) > 0 THEN CAST(len(list_filter(tk, t -> t IN $stopList)) AS DOUBLE) / CAST(len(tk) AS DOUBLE) ELSE CAST(0 AS DOUBLE) END"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -214,7 +214,7 @@ object TextQueries {
   /** Repeated word-n-gram ratio of the token list `tk` — mirrors
     * [[TextOps.repeatedNgramRatio]] incl. the wordNgrams short-doc guard.
     */
-  private def repSql(n: Int): String = {
+  private[operators] def repSql(n: Int): String = {
     val gram = (0 until n).map(k => s"tk[i+$k]").mkString(" || ' ' || ")
     s"""CASE WHEN len(tk) >= $n THEN
        |  CAST(len(tk) - ${n - 1} - len(list_distinct(
@@ -223,20 +223,20 @@ object TextQueries {
        |ELSE CAST(0 AS DOUBLE) END""".stripMargin
   }
 
-  private def mwlSql: String =
+  private[operators] def mwlSql: String =
     """CASE WHEN len(tk) > 0 THEN
       |  CAST(list_sum(list_transform(tk, t -> CAST(len(t) AS BIGINT))) AS DOUBLE)
       |  / CAST(len(tk) AS DOUBLE)
       |ELSE CAST(0 AS DOUBLE) END""".stripMargin
 
-  private def symSql: String =
+  private[operators] def symSql: String =
     """CASE WHEN len(text) > 0 THEN
       |  CAST(len(text) - len(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
       |  / CAST(len(text) AS DOUBLE)
       |ELSE CAST(0 AS DOUBLE) END""".stripMargin
 
   /** First-failing-rule chain — mirrors [[TextOps.filterVerdict]] defaults. */
-  private def verdictSql: String =
+  private[operators] def verdictSql: String =
     s"""CASE WHEN len(tk) < 20 THEN 'too_short'
        |     WHEN len(tk) > 90 THEN 'too_long'
        |     WHEN $symSql > CAST('0.1' AS DOUBLE) THEN 'symbols'
