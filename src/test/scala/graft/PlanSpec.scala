@@ -127,6 +127,34 @@ class PlanSpec extends SparkSpec {
     assert(p9.contains("partial_count") || p9.contains("partial"))
   }
 
+  test("dc1 decontamination: bench grams broadcast, corpus side never cartesians") {
+    val p = plan("dc1_decontaminate")
+    assert(p.contains("BroadcastHashJoin")) // bench grams are the broadcast side
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
+
+  test("d8 span census: exact distinct-doc counts without a countDistinct expand") {
+    val p = plan("d8_span_census")
+    assert(!p.contains("Expand")) // two-level agg, not count(distinct ...)
+    // both aggregates keep map-side partials ahead of their exchange
+    assert(p.contains("partial_count") || p.contains("partial"))
+  }
+
+  test("mx1 mixture weights: one source exchange plus a broadcast total") {
+    val p = plan("mx1_mixture_weights")
+    assert(p.contains("BroadcastExchange")) // the single-row total
+    assert(!p.contains("CartesianProduct")) // cross-join collapses to BNLJ-free broadcast
+  }
+
+  test("c1 corpus pipeline: broadcast decontamination, no quadratic stage") {
+    val p = plan("c1_corpus_pipeline")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+    assert(p.contains("LeftAnti")) // flagged ids applied as an anti-join
+    // the anti-join's flagged side is broadcast — the corpus does not
+    // shuffle to drop a handful of contaminated ids
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
   test("p8 shuffled shards: one exchange on shard_id, per-shard sort only") {
     import org.apache.spark.sql.functions._
     val out = graft.operators.Split.shuffledShards(
