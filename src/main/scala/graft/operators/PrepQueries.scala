@@ -94,6 +94,15 @@ object PrepQueries {
         Tables.documents(s, dir).select(col("source"),
           TextOps.tokenCount(col("text")).as("n_tok")),
         col("source"), col("n_tok"), budgetTokens = 100000L)),
+    // MX2 — the weights APPLIED: per-source keep rate = min(1, epochs),
+    // enforced as a deterministic row-local hash filter (broadcast rate
+    // table, shuffle-free corpus pass).
+    "mx2_mixture_sample" -> ((s, dir) =>
+      Split.sampleToMixture(
+        Tables.documents(s, dir).select(col("doc_id"), col("source"),
+          TextOps.tokenCount(col("text")).as("n_tok")),
+        col("doc_id"), col("source"), col("n_tok"), budgetTokens = 30000L)
+        .select(col("doc_id"), col("source"))),
     "p5_sliding_windows" -> ((s, dir) => {
       // Declared output is exploded to (part, idx, value) rows: the driver's
       // canonicalizer sorts every column and cannot hash raw array cells.
@@ -263,6 +272,27 @@ object PrepQueries {
          |       (CAST(w_fixed AS DOUBLE) / CAST(wt AS DOUBLE)) * CAST(100000 AS DOUBLE) AS expected_tokens,
          |       ((CAST(w_fixed AS DOUBLE) / CAST(wt AS DOUBLE)) * CAST(100000 AS DOUBLE)) / CAST(n_tokens AS DOUBLE) AS epochs
          |FROM w CROSS JOIN tot""".stripMargin,
+    "mx2_mixture_sample" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, source, CAST(len(${O.tokens("text")}) AS BIGINT) AS n_tok
+         |  FROM documents
+         |), ps AS (
+         |  SELECT source, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+         |  FROM toks GROUP BY 1
+         |), w AS (
+         |  SELECT source, n_tokens,
+         |         CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0) AS BIGINT) AS w_fixed
+         |  FROM ps
+         |), tot AS (SELECT CAST(sum(w_fixed) AS BIGINT) AS wt FROM w),
+         |rates AS (
+         |  SELECT source,
+         |         CAST(floor(least(CAST(1 AS DOUBLE),
+         |           ((CAST(w_fixed AS DOUBLE) / CAST(wt AS DOUBLE)) * CAST(30000 AS DOUBLE))
+         |             / CAST(n_tokens AS DOUBLE)) * 4294967296.0) AS BIGINT) AS thresh
+         |  FROM w CROSS JOIN tot
+         |)
+         |SELECT doc_id, source FROM toks JOIN rates USING (source)
+         |WHERE ((doc_id * 668265263) % 4294967296 + 4294967296) % 4294967296 < thresh""".stripMargin,
     "p8_shuffled_shards" ->
       """WITH h AS (
         |  SELECT doc_id,

@@ -360,6 +360,34 @@ object Split {
     * tens), then a broadcast of the single total row — the corpus is
     * touched once, map-side.
     */
+  /** Apply [[mixtureWeights]] as an actual sampling pass: each source's
+    * keep RATE is its expected token draw over its token mass, capped at 1
+    * (a source the schedule would repeat keeps everything — repetition is
+    * the shard-writer's job, not the sampler's), and rows are kept by the
+    * same deterministic multiplicative-hash threshold as
+    * [[stratifiedHashSample]] — a pure row-local filter, so the corpus
+    * pass is shuffle-free. The per-source rate table rides a BROADCAST
+    * join (sources number in the tens); nothing is collected to the
+    * driver. Fourth independent multiplier (xxhash PRIME32_4): the keep
+    * decision must correlate with neither the train/test cut, the
+    * stratified sampler, nor the shard order.
+    *
+    * The cap and threshold are single IEEE ops on exact integers
+    * (`w_fixed / total`, `× budget`, `/ tokens`, floor to a 2^32 grid),
+    * so the kept SET is bit-reproducible on any engine and partitioning.
+    */
+  def sampleToMixture(docs: DataFrame, key: Column, source: Column,
+      nTokens: Column, budgetTokens: Long): DataFrame = {
+    val rates = mixtureWeights(docs, source, nTokens, budgetTokens)
+      .select(col("source").as("__mix_src"),
+        floor(least(lit(1.0), col("epochs")) * lit(4294967296.0))
+          .cast("long").as("__keep_thresh"))
+    val h = pmod(key.cast("long") * lit(668265263L), lit(4294967296L))
+    docs.join(broadcast(rates), source === col("__mix_src"))
+      .filter(h < col("__keep_thresh"))
+      .drop("__mix_src", "__keep_thresh")
+  }
+
   def mixtureWeights(docs: DataFrame, source: Column, nTokens: Column,
       budgetTokens: Long): DataFrame = {
     require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")

@@ -46,6 +46,13 @@ object StreamDocs {
         .withColumn("quality", TextOps.qualityScore(col("text")))
         .withColumn("lang", TextOps.langId(col("text")))
         .withColumn("n_tokens", TextOps.tokenCount(col("text")))
+        // Gopher-style rule verdict + PII-scrubbed text land WITH the
+        // row (map-only, stateless): the lake keeps the raw text for
+        // re-filtering, the verdict explains the quality score, and the
+        // scrubbed column is what a training export reads. Bit-equal to
+        // the batch x7/x8 forms (StreamingSpec asserts).
+        .withColumn("verdict", TextOps.filterVerdict(col("text")))
+        .withColumn("scrubbed", TextOps.scrubPii(col("text")))
         .withColumn("content_hash", sha2(col("text"), 256))
         .filter(col("quality") >= minQuality)
         .withWatermark("ts", lateness)

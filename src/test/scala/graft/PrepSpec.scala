@@ -202,6 +202,24 @@ class PrepSpec extends SparkSpec {
     assert(w2("big") == w("big")._4 && w2("small") == w("small")._4)
   }
 
+  test("mixture sampling keeps repeated sources whole and subsamples the giant") {
+    // big: 8k docs / 80k tokens; small: 200 docs / 2k tokens; budget 30k.
+    // sqrt weights → big epochs ≈ 0.324 (subsampled), small ≈ 2.05 (capped: keep all)
+    val docs = ((1L to 8000L).map(i => (i, "big", 10)) ++
+      (10001L to 10200L).map(i => (i, "small", 10)))
+      .toDF("doc_id", "src", "n_tok")
+    val kept = Split.sampleToMixture(docs, $"doc_id", $"src", $"n_tok", 30000L)
+      .select($"doc_id", $"src").as[(Long, String)].collect()
+    val bySrc = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc("small") == 200) // epochs > 1 → rate capped at 1, nothing dropped
+    val bigRate = bySrc("big") / 8000.0
+    assert(bigRate > 0.29 && bigRate < 0.36, s"big keep rate $bigRate")
+    // deterministic: same kept SET at any parallelism
+    val again = Split.sampleToMixture(docs.repartition(13), $"doc_id", $"src",
+      $"n_tok", 30000L).select($"doc_id", $"src").as[(Long, String)].collect()
+    assert(kept.toSet == again.toSet)
+  }
+
   test("sliding windows have exact shapes and stride") {
     val ts = df.withColumn("symbol", lit("A"))
     val wdf = Split.slidingWindows(ts, Seq($"symbol"), Seq($"id"),

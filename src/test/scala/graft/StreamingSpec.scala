@@ -361,6 +361,17 @@ class StreamingSpec extends SparkSpec {
         assert(row.getAs[Long]("simhash") == batchSh(id),
           s"doc $id simhash diverges from batch")
       }
+
+      // streamed verdict + PII scrub are the batch x7/x8 forms bit for bit
+      val batchVs = batchDf.select($"doc_id",
+          graft.operators.TextOps.filterVerdict($"text").as("verdict"),
+          graft.operators.TextOps.scrubPii($"text").as("scrubbed"))
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+      for (row <- landed.collect()) {
+        val id = row.getAs[Long]("doc_id")
+        assert(row.getAs[String]("verdict") == batchVs(id)._1)
+        assert(row.getAs[String]("scrubbed") == batchVs(id)._2)
+      }
     } finally q.stop()
   }
 
