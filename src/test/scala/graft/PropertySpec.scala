@@ -121,6 +121,34 @@ class PropertySpec extends SparkSpec {
     assert(exact == rowNum)
   }
 
+  test("property: wordNgrams zip_with build == sliding-window reference, any (doc, n)") {
+    // Pins the slice/zip_with gram construction (the lambda-CSE perf fix)
+    // to the obvious Scala reference across doc lengths 0..12, including
+    // docs shorter than n, repeated tokens, and multi-space runs.
+    val wordGen = Gen.oneOf("alpha", "beta", "gamma", "delta", "x", "yy")
+    val docGen = for {
+      k <- Gen.choose(0, 12)
+      ws <- Gen.listOfN(k, wordGen)
+      sep <- Gen.oneOf(" ", "  ") // consecutive spaces → empty tokens, filtered
+    } yield ws.mkString(sep)
+    val params = org.scalacheck.Gen.Parameters.default
+    val docs = (0 until 120).flatMap(i => docGen.apply(params, Seed(31L + i)))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = docs.toDF("doc_id", "text")
+    for (n <- Seq(2, 3, 5, 8)) {
+      val got = df.select(col("doc_id"),
+          graft.functions.TextHash.wordNgrams(
+            graft.functions.TextHash.tokens(col("text")), n).as("g"))
+        .as[(Long, Seq[String])].collect().toMap
+      docs.foreach { case (id, t) =>
+        val toks = t.split(" ").filter(_.nonEmpty).toSeq
+        val want = if (toks.length < n) Seq.empty
+          else toks.sliding(n).map(_.mkString(" ")).toSeq
+        assert(got(id) == want, s"doc $id n=$n: ${got(id)} != $want")
+      }
+    }
+  }
+
   test("property: class-collapsed jaccard == doc-level jaccard on random corpora") {
     import graft.operators.Dedup
     // random docs over a tiny vocab -> dense duplication and many
