@@ -103,6 +103,13 @@ object RelQueries {
         .agg(count(lit(1)).as("n_events"), exactSum(col("value")).as("sum_value"))
         .withColumnRenamed("k", "session_id")
     }),
+    // SE1 — gap-based sessionization via session_window: one exchange on
+    // user_id, session merging inside the aggregate (no WindowExec, no
+    // per-user total order). 24 h gap over the sparse synthetic events
+    // (~1.2 k sessions, ~8 events each at sf0.01).
+    "se1_sessionize" -> ((s, dir) =>
+      Sessionize.sessionize(Tables.events(s, dir),
+        col("user_id"), col("ts"), col("value"), gapSeconds = 86400L)),
     // R1/R2 — rollup & cube subtotal surfaces (free Catalyst capabilities,
     // declared + oracle-checked per SURVEY §2.4's note).
     "r1_rollup" -> ((s, dir) =>
@@ -183,6 +190,30 @@ object RelQueries {
          |FROM events e JOIN sessions s
          |  ON CAST(e.ts AS TIMESTAMP) >= s.s_start AND CAST(e.ts AS TIMESTAMP) <= s.s_end
          |GROUP BY k""".stripMargin,
+    // Gaps-and-islands replay of session_window's merge rule: a new
+    // session starts only when the quiet gap EXCEEDS the 24 h window
+    // (events exactly `gap` apart merge — probed Spark semantics, pinned
+    // in SessionizeSpec).
+    "se1_sessionize" ->
+      s"""WITH o AS (
+         |  SELECT user_id, event_id, value,
+         |         ${O.epochUs("CAST(ts AS TIMESTAMP)")} AS tus,
+         |         lag(${O.epochUs("CAST(ts AS TIMESTAMP)")}) OVER
+         |           (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+         |  FROM events
+         |), f AS (
+         |  SELECT user_id, event_id, tus, value,
+         |         CASE WHEN prev IS NULL OR tus - prev > 86400000000 THEN 1 ELSE 0 END AS ns
+         |  FROM o
+         |), s AS (
+         |  SELECT user_id, tus, value,
+         |         sum(ns) OVER (PARTITION BY user_id ORDER BY tus, event_id
+         |                       ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM f
+         |)
+         |SELECT user_id, min(tus) AS session_start_us, max(tus) AS session_end_us,
+         |       count(*) AS n_events, ${O.exactSum("value")} AS sum_value
+         |FROM s GROUP BY user_id, sid""".stripMargin,
     "r1_rollup" ->
       s"""SELECT l_returnflag, l_linestatus, ${O.exactSum("l_quantity")} AS sum_qty,
          |       count(*) AS n

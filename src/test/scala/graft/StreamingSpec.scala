@@ -407,4 +407,36 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.toString)
     assert(collected.sorted.sameElements(batch.sorted))
   }
+
+  test("streaming sessions: late bridge event merges provisional sessions; batch-identical") {
+    val input = MemoryStream[(Long, Timestamp, Double)](spark)
+    val events = input.toDF().toDF("user_id", "ts", "value")
+    val q = graft.streaming.StreamSessions
+      .sessions(events, gapSeconds = 600L, lateness = "1 hour")
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode(OutputMode.Append()).start()
+    val a = (1L, t("2024-01-01 10:00:00"), 1.0)
+    val c = (1L, t("2024-01-01 10:20:00"), 4.0)
+    val b = (1L, t("2024-01-01 10:10:00"), 2.0) // late bridge: a~b and b~c ≤ gap
+    val late = (1L, t("2024-01-01 12:00:00"), 8.0)
+    try {
+      input.addData(a, c)
+      q.processAllAvailable() // two provisional sessions in state, none emitted
+      assert(spark.table("sessions_out").count() == 0)
+      input.addData(b)
+      q.processAllAvailable() // bridges them into one [10:00, 10:20] session
+      input.addData(late) // watermark → 11:00 > 10:20+gap: session finalizes
+      q.processAllAvailable()
+      val out = spark.table("sessions_out")
+        .as[(Long, Long, Long, Long, Double)].collect()
+      assert(out.toSeq === Seq((1L, 1704103200000000L, 1704104400000000L, 3L, 7.0)))
+      // the same transform over the bounded frame is the batch operator
+      val batch = graft.operators.Sessionize.sessionize(
+          Seq(a, b, c, late).toDF("user_id", "ts", "value"),
+          $"user_id", $"ts", $"value", 600L)
+        .filter($"session_end_us" < 1704106800000000L)
+        .as[(Long, Long, Long, Long, Double)].collect()
+      assert(batch.toSeq === out.toSeq)
+    } finally q.stop()
+  }
 }
