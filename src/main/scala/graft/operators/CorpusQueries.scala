@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{OracleSql => O}
+import graft.functions.{TextHash, OracleSql => O}
 import graft.sources.Tables
 
 /** Declared-query catalog for the composed corpus pipeline
@@ -18,7 +18,29 @@ object CorpusQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_corpus_pipeline" -> ((s, dir) =>
       CorpusPipeline.run(Tables.documents(s, dir), col("text"), col("doc_id"),
-        benchResidue = 97, n = 3, contaminationThreshold = 0.05, budget = 256L))
+        benchResidue = 97, n = 3, contaminationThreshold = 0.05, budget = 256L)),
+    // C2 — corpus-level line dedup over derived multi-line docs (the flat
+    // synthetic texts re-lined as 8-token rows; 153 lines repeat across
+    // docs at sf0.01, so the boilerplate path genuinely fires). __tk is
+    // materialized BEFORE the per-line lambda so the slice calls index a
+    // bound attribute instead of re-tokenizing per line (the wordNgrams
+    // CSE cliff).
+    "c2_line_dedup" -> ((s, dir) => {
+      val lined = Tables.documents(s, dir)
+        .withColumn("__tk", TextHash.tokens(col("text")))
+        .select(col("doc_id"),
+          when(size(col("__tk")) === 0, lit(""))
+            .otherwise(array_join(
+              transform(
+                // (len-1) div 8: double division is exact here (line
+                // counts ≪ 2^52); empty docs never reach this branch
+                sequence(lit(0),
+                  ((size(col("__tk")) - lit(1)) / lit(8)).cast("int")),
+                i => array_join(
+                  slice(col("__tk"), i * lit(8) + lit(1), lit(8)), " ")),
+              "\n")).as("mtext"))
+      Dedup.lineDedup(lined, col("mtext"), col("doc_id"), minDocs = 2)
+    })
   )
 
   /** Word 3-gram set over `tk` (the dc1 construction). */
@@ -66,6 +88,33 @@ object CorpusQueries {
          |)
          |SELECT doc_id, source, n_tokens,
          |       pb // 256 AS bin_id, pb % 256 AS bin_offset
-         |FROM pre""".stripMargin
+         |FROM pre""".stripMargin,
+    // Line census joined on the 60-bit line HASH (not the string) exactly
+    // as the Spark side does, so hash collisions affect both engines
+    // identically; reassembly order is the original line position.
+    "c2_line_dedup" ->
+      s"""WITH toks AS (SELECT doc_id, ${O.tokens("text")} AS tk FROM documents),
+         |lined AS (
+         |  SELECT doc_id, CASE WHEN len(tk) = 0 THEN ''
+         |    ELSE array_to_string(list_transform(
+         |           generate_series(0, CAST((len(tk) - 1) // 8 AS BIGINT)),
+         |           i -> array_to_string(tk[i*8+1 : i*8+8], ' ')), chr(10)) END AS mtext
+         |  FROM toks),
+         |l0 AS (SELECT doc_id, string_split(mtext, chr(10)) AS ls FROM lined),
+         |lx AS (SELECT doc_id, unnest(generate_series(1, len(ls))) AS pos, ls FROM l0),
+         |lh AS (SELECT doc_id, pos, ls[pos] AS line, ${O.tokenHash("ls[pos]")} AS lhash FROM lx),
+         |pd AS (SELECT lhash, doc_id FROM lh GROUP BY 1, 2),
+         |cen AS (SELECT lhash, count(*) AS n_docs, min(doc_id) AS keep_doc FROM pd GROUP BY 1),
+         |kept AS (
+         |  SELECT doc_id, pos, line FROM lh JOIN cen USING (lhash)
+         |  WHERE n_docs < 2 OR doc_id = keep_doc),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS kept_n,
+         |         string_agg(line, chr(10) ORDER BY pos) AS text_clean
+         |  FROM kept GROUP BY 1)
+         |SELECT b.doc_id, CAST(len(string_split(b.mtext, chr(10))) AS BIGINT) AS n_lines,
+         |       CAST(coalesce(a.kept_n, 0) AS BIGINT) AS n_lines_kept,
+         |       coalesce(a.text_clean, '') AS text_clean
+         |FROM lined b LEFT JOIN agg a USING (doc_id)""".stripMargin
   )
 }

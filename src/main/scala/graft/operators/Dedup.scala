@@ -128,16 +128,7 @@ object Dedup {
     * n·8 bytes × bands per doc, trivial next to the join shuffle itself).
     */
   def lshCandidatePairs(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
-    val mhCols = sig.columns.filter(_.startsWith("mh")).map(col).toSeq
-    val bandCols = (0 until bands).map { b =>
-      val ks = (0 until rowsPerBand).map(r => col(f"mh${b * rowsPerBand + r}%02d"))
-      struct(lit(b).as("band"), md5(concat_ws(",", ks: _*)).as("bkey"))
-    }
-    val exploded = sig
-      .select(col("doc_id"), array(mhCols: _*).as("sig"),
-        explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("sig"),
-        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val exploded = bandExplode(sig, bands, rowsPerBand)
     val eq = aggregate(
       zip_with(col("x.sig"), col("y.sig"),
         (a, b) => when(a === b, 1).otherwise(0)),
@@ -149,6 +140,65 @@ object Dedup {
       .select(col("x.doc_id").as("doc_id1"), col("y.doc_id").as("doc_id2"),
         eq.as("n_equal"))
       .distinct()
+  }
+
+  /** (doc_id, sig array, band, bkey) — one row per (doc, band), the LSH
+    * join key material shared by [[lshCandidatePairs]] and
+    * [[incrementalDropList]]. The signature rides along as one array so
+    * agreement counting after the band join needs no join-back.
+    */
+  private def bandExplode(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val mhCols = sig.columns.filter(_.startsWith("mh")).map(col).toSeq
+    val bandCols = (0 until bands).map { b =>
+      val ks = (0 until rowsPerBand).map(r => col(f"mh${b * rowsPerBand + r}%02d"))
+      struct(lit(b).as("band"), md5(concat_ws(",", ks: _*)).as("bkey"))
+    }
+    sig
+      .select(col("doc_id"), array(mhCols: _*).as("sig"),
+        explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("sig"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+  }
+
+  /** D9 — INCREMENTAL dedup: the drop list for a NEW batch of documents
+    * against the EXISTING corpus' signature store, without ever banding
+    * the corpus against itself. This is the ingest-time shape: the lake
+    * already carries mh00..mhNN per landed doc ([[withSignatures]],
+    * streamed in by [[graft.streaming.StreamDocs]]), so admitting a new
+    * batch costs one band join of (new × corpus-bands), not a corpus
+    * re-pass. A new doc is dropped when it shares an LSH band with an
+    * existing doc AND their signatures agree on ≥ `minAgree` of the n
+    * minhashes (estimated Jaccard ≥ minAgree/n; an exact replica agrees
+    * on all n).
+    *
+    * Returns one row per dropped NEW doc: `drop_id`, `n_matches`
+    * (distinct existing near-dups), `match_id` (lowest matching existing
+    * id — the keeper it duplicates).
+    *
+    * Scale shape: equi-join on (band, bkey) only; the new batch is
+    * typically ≪ the corpus, so Catalyst broadcasts ITS banded side and
+    * the corpus side streams map-side (no corpus shuffle at all — the
+    * 100 TB lake is read once, band keys + signature columns only, which
+    * column pruning reduces to a few dozen bytes/doc). Existing-vs-
+    * existing pairs are never formed.
+    */
+  def incrementalDropList(newSig: DataFrame, existingSig: DataFrame,
+      bands: Int, rowsPerBand: Int, minAgree: Int): DataFrame = {
+    val nb = bandExplode(newSig, bands, rowsPerBand)
+    val eb = bandExplode(existingSig, bands, rowsPerBand)
+    val eq = aggregate(
+      zip_with(col("n.sig"), col("e.sig"),
+        (a, b) => when(a === b, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
+    nb.as("n")
+      .join(eb.as("e"),
+        col("n.band") === col("e.band") && col("n.bkey") === col("e.bkey"))
+      .select(col("n.doc_id").as("drop_id"), col("e.doc_id").as("match_id"),
+        eq.as("n_equal"))
+      .filter(col("n_equal") >= minAgree)
+      .distinct() // a pair can share several bands
+      .groupBy("drop_id")
+      .agg(count(lit(1)).as("n_matches"), min("match_id").as("match_id"))
   }
 
   /** Resolve candidate pairs into a drop list: keep the lowest doc_id of
@@ -602,4 +652,57 @@ object Dedup {
       .groupBy(col("span_hash"))
       .agg(count(lit(1)).as("n_docs"), sum(col("__occ")).as("n_occurrences"))
       .filter(col("n_docs") >= minDocs)
+
+  /** C2 — corpus-level LINE dedup (the C4/CCNet boilerplate pass): a line
+    * occurring in ≥ `minDocs` DISTINCT documents is boilerplate (nav
+    * bars, cookie banners, licence headers); keep it only in the
+    * lowest-id document containing it and strip it from every other,
+    * then reassemble each document's surviving lines in original order.
+    * This is the REMOVAL half that [[spanCensus]] is the discovery half
+    * of — census counts duplicated spans, this rewrites the corpus.
+    *
+    * One row per input doc: `doc_id`, `n_lines`, `n_lines_kept`,
+    * `text_clean` ('' when every line was boilerplate owned elsewhere —
+    * fully-emptied docs are preserved via the left join back to the
+    * input, so a downstream length filter can drop them EXPLICITLY).
+    *
+    * Scale shape (the reason this form survives 100 TB):
+    *   - lines shuffle by their 60-bit hash, never by content pairs — no
+    *     stage is quadratic in duplication (the d8 discipline);
+    *   - the census is distinct + hash-agg with map-side partials;
+    *     keep_doc = min(doc_id) makes ownership deterministic without
+    *     any window or global sort;
+    *   - the join back is an equi-join on the hash (runtime bloom prunes
+    *     the probe side exactly like [[pruneDuplicatesBloom]]'s
+    *     drop-list application when duplicates are sparse);
+    *   - reassembly is one exchange on doc_id; per-doc collect_list is
+    *     bounded by document size, not corpus size.
+    */
+  def lineDedup(df: DataFrame, text: Column, id: Column,
+      minDocs: Int = 2): DataFrame = {
+    val base = df.select(id.as("doc_id"), text.as("__text"))
+    val lines = base
+      .select(col("doc_id"),
+        posexplode(split(col("__text"), "\n")).as(Seq("__pos", "__line")))
+      .withColumn("__lhash", TextHash.tokenHash(col("__line")))
+    val census = lines.select(col("__lhash"), col("doc_id")).distinct()
+      .groupBy("__lhash")
+      .agg(count(lit(1)).as("__n_docs"), min(col("doc_id")).as("__keep_doc"))
+    val kept = lines.join(census, "__lhash")
+      .filter(col("__n_docs") < minDocs || col("doc_id") === col("__keep_doc"))
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("__kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("__pos"), col("__line")))),
+            s => s.getField("__line")),
+          "\n").as("__clean"))
+    base
+      .select(col("doc_id"),
+        size(split(col("__text"), "\n")).cast("long").as("n_lines"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("__kept"), lit(0L)).as("n_lines_kept"),
+        coalesce(col("__clean"), lit("")).as("text_clean"))
+  }
 }

@@ -61,6 +61,18 @@ object DedupQueries {
     "d8_span_census" -> ((s, dir) =>
       Dedup.spanCensus(Tables.documents(s, dir), col("text"), col("doc_id"),
         n = 8, minDocs = 2)),
+    // D9 (beyond-reference) — incremental ingest dedup: the % 5 == 0
+    // residue class plays the NEW batch, the rest the already-landed
+    // corpus signature store; new docs near-duplicating the corpus are
+    // dropped without any corpus-vs-corpus banding.
+    "d9_incremental_drop" -> ((s, dir) => {
+      val sig = Dedup.minhashSignature(Tables.documents(s, dir),
+        col("text"), col("doc_id"), nHashes, shingleN = 3)
+      Dedup.incrementalDropList(
+        sig.filter(col("doc_id") % 5 === 0),
+        sig.filter(col("doc_id") % 5 =!= 0),
+        bands, rows, minAgree = 8)
+    }),
     // DC1 (beyond-reference) — benchmark decontamination: training docs
     // (doc_id % 97 != 0) sharing any word 3-gram with the benchmark
     // residue class (doc_id % 97 = 0). Broadcast bench grams; only
@@ -105,21 +117,25 @@ object DedupQueries {
 
   private val sigSql = sigSqlFor(3)
 
-  /** bandt/pairs CTE fragment over `sig`: documents agreeing on a full band. */
-  private val bandPairsSql = {
+  /** bandt CTE over `sig`: one row per (doc, band) with the band key. */
+  private val bandtSql = {
     val bandSelects = (0 until bands).map { b =>
       val ks = (0 until rows).map(r => f"mh${b * rows + r}%02d").mkString(", ")
       s"SELECT doc_id, $b AS band, md5(concat_ws(',', $ks)) AS bkey FROM sig"
     }.mkString("\nUNION ALL\n")
     s"""bandt AS (
        |$bandSelects
-       |),
+       |)""".stripMargin
+  }
+
+  /** bandt/pairs CTE fragment over `sig`: documents agreeing on a full band. */
+  private val bandPairsSql =
+    s"""$bandtSql,
        |pairs AS (
        |  SELECT DISTINCT x.doc_id AS doc_id1, y.doc_id AS doc_id2
        |  FROM bandt x JOIN bandt y
        |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
        |)""".stripMargin
-  }
 
   /** MAP-ONLY SimHash mirror: per-doc fold over the token-hash list —
     * bit b set ⟺ 2·|{h : bit b of h}| > |tokens| (ties clear the bit,
@@ -195,6 +211,24 @@ object DedupQueries {
         |       CAST(n_inter AS DOUBLE) / CAST(sz - n_inter AS DOUBLE) AS jaccard
         |FROM j
         |WHERE CAST(n_inter AS DOUBLE) / CAST(sz - n_inter AS DOUBLE) >= CAST('0.8' AS DOUBLE)""".stripMargin),
+    "d9_incremental_drop" -> (sigSql + ",\n" + bandtSql + ",\n" + {
+      val eq = (0 until nHashes)
+        .map(i => f"CASE WHEN s1.mh$i%02d = s2.mh$i%02d THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""cand AS (
+         |  SELECT DISTINCT n.doc_id AS drop_id, e.doc_id AS match_id
+         |  FROM bandt n JOIN bandt e ON n.band = e.band AND n.bkey = e.bkey
+         |  WHERE n.doc_id % 5 = 0 AND e.doc_id % 5 != 0
+         |),
+         |j AS (
+         |  SELECT drop_id, match_id FROM cand
+         |  JOIN sig s1 ON drop_id = s1.doc_id
+         |  JOIN sig s2 ON match_id = s2.doc_id
+         |  WHERE $eq >= 8
+         |)
+         |SELECT drop_id, count(*) AS n_matches, min(match_id) AS match_id
+         |FROM j GROUP BY drop_id""".stripMargin
+    }),
     "d8_span_census" ->
       s"""WITH toks AS (SELECT doc_id, ${O.tokens("text")} AS tk FROM documents),
          |g AS (SELECT doc_id, unnest(${ngramListSql(8)}) AS gs FROM toks),

@@ -253,4 +253,43 @@ class DedupSpec extends SparkSpec {
       bench, 3, expectedGrams = 64L)
     assert(rep.exceptAll(viaBloom).isEmpty && viaBloom.exceptAll(rep).isEmpty)
   }
+
+  test("incrementalDropList drops new docs near-duplicating the corpus, never corpus docs") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "completely different existing document about catalyst physical plans")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again today"), // replica of 1
+      (101L, "fresh unique content that matches nothing in the landed corpus")
+    ).toDF("doc_id", "text")
+    val sigC = Dedup.minhashSignature(corpus, col("text"), col("doc_id"), 16, 3)
+    val sigN = Dedup.minhashSignature(batch, col("text"), col("doc_id"), 16, 3)
+    val drops = Dedup.incrementalDropList(sigN, sigC, 4, 4, minAgree = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(drops.toSeq === Seq((100L, 1L, 1L))) // exact replica: 1 match, keeper id 1
+    // drop list only ever names NEW ids — the landed corpus is immutable
+    assert(drops.forall(_._1 >= 100L))
+  }
+
+  test("lineDedup strips cross-doc boilerplate, keeps first owner, preserves order") {
+    val banner = "accept all cookies to continue"
+    val d = Seq(
+      (10L, s"unique alpha line\n$banner\nunique beta line"),
+      (20L, s"$banner\nown content here\n$banner"), // boilerplate twice
+      (30L, banner), // nothing but the banner -> fully emptied
+      (40L, "repeated inside\nrepeated inside\nonly in this doc")
+    ).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(d, col("text"), col("doc_id"), minDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // doc 10 is the lowest-id owner: keeps the banner, in original position
+    assert(out(10L) === ((3L, 3L, s"unique alpha line\n$banner\nunique beta line")))
+    // doc 20 loses BOTH occurrences, surviving lines keep their order
+    assert(out(20L) === ((3L, 1L, "own content here")))
+    // doc 30 empties but is still present with '' text
+    assert(out(30L) === ((1L, 0L, "")))
+    // within-doc repetition alone (n_docs = 1) is NOT boilerplate
+    assert(out(40L) === ((3L, 3L, "repeated inside\nrepeated inside\nonly in this doc")))
+  }
 }

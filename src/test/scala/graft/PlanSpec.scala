@@ -140,6 +140,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("partial"))
   }
 
+  test("c2 line dedup: hash-keyed equi-joins only, no window, no cartesian") {
+    val p = plan("c2_line_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+    assert(!p.contains("Window")) // keep_doc via min-agg, not a ranking window
+    assert(!p.contains("Expand")) // distinct-doc census, no countDistinct expand
+  }
+
+  test("d9 incremental drop: band equi-join only, corpus side never pairs with itself") {
+    val p = plan("d9_incremental_drop")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+    assert(!p.contains("Window"))
+  }
+
   test("mx1 mixture weights: one source exchange plus a broadcast total") {
     val p = plan("mx1_mixture_weights")
     assert(p.contains("BroadcastExchange")) // the single-row total
