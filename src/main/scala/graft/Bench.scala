@@ -45,29 +45,45 @@ object Bench {
     // sweeps (rather than back-to-back passes) spaces each query's two
     // measurements minutes apart, so even a sustained burst can't cover
     // both.
-    def sweep(): Seq[(String, Double)] =
+    // A failed query must NEVER masquerade as a fast timing (the round-5
+    // lesson: 57 broken queries recorded ~0.05 s each and the merged bench
+    // looked like an improvement). Failures carry through as None and are
+    // reported in an explicit "failed" list with a null timing.
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
+    def sweep(): Seq[(String, Option[Double])] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          name -> Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName} ${e.getMessage}")
+          failures(name) = e.getClass.getSimpleName
+          name -> None
         }
-        name -> (System.nanoTime() - t0) / 1e9
       }
     val first = sweep()
     val second = sweep().toMap
+    // min of the two sweeps; a query that failed in EITHER sweep is failed.
     val results = first.map { case (name, t) =>
-      name -> math.min(t, second(name))
+      name -> (for (a <- t; b <- second(name)) yield math.min(a, b))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val qs = results.map {
+      case (k, Some(v)) => "\"" + k + "\":" + v
+      case (k, None)    => "\"" + k + "\":null"
+    }.mkString("{", ",", "}")
+    val failedJson = failures.keys.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.flatMap(_._2).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     Files.writeString(Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")), json + "\n")
     spark.stop()
     println(json)
     System.out.flush()
+    if (failures.nonEmpty) {
+      System.err.println(s"[bench] ${failures.size} queries FAILED: ${failures.keys.mkString(", ")}")
+      sys.exit(3)
+    }
   }
 }

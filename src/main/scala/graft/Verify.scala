@@ -15,6 +15,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Round-5 lesson: a swallowed per-query exception leaves no output dir,
+    // the driver's compare only looks at outputs that exist, and the round
+    // silently reads as all-pass with half the suite never executed. Record
+    // every failure explicitly and exit nonzero so a broken suite can never
+    // look green.
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.foreach { case (name, fn) =>
       // repartition(1), NOT coalesce(1): coalesce folds the query's
       // whole final stage into one task (a serialized window/join pass
@@ -24,6 +30,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failures(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -41,6 +48,18 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Explicit failure manifest: {query: "ExceptionClass: msg"} for every
+    // registered query with no output directory, written even when empty so
+    // its absence is itself a signal.
+    val errJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
     spark.stop()
+    if (failures.nonEmpty) {
+      System.err.println(
+        s"[verify] ${failures.size}/${SparkEntry.queries.size} queries FAILED: " +
+          failures.keys.mkString(", "))
+      sys.exit(3)
+    }
   }
 }

@@ -15,23 +15,33 @@ import org.apache.spark.sql.types._
   */
 object Tables {
 
-  /** events.parquet carries INT64 TIMESTAMP(NANOS) which Spark cannot read
-    * natively (PARQUET_TYPE_ILLEGAL). We read nanos as Long and convert to a
-    * microsecond TIMESTAMP_NTZ ourselves — integer `div 1000` floors exactly
-    * like DuckDB's nanos→micros truncation, so oracle comparisons line up.
+  /** events.parquet's `ts` column has shipped under two physical types across
+    * testdata generations: INT64 TIMESTAMP(NANOS) (which Spark cannot read
+    * natively — PARQUET_TYPE_ILLEGAL) and plain parquet TIMESTAMP(MICROS).
+    * Branch on the SCANNED dtype rather than assuming either:
+    *   - LongType (nanosAsLong):   integer `ts div 1000` floors exactly like
+    *     DuckDB's nanos→micros truncation, so oracle comparisons line up.
+    *   - TimestampNTZType:         already the canonical type — use as-is.
+    *   - TimestampType (LTZ):      cast to NTZ under the pinned UTC session
+    *     TZ, which makes the wall-clock equal the raw epoch micros.
+    * Every downstream operator sees one canonical TIMESTAMP_NTZ `ts`.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // The LTZ->NTZ cast below shifts by the session TZ; pin it to UTC so the
     // wall-clock values are the raw epoch micros regardless of caller env.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.read
-      .parquet(s"$dir/events.parquet")
-      // `div` = integral division: epoch nanos (~1.7e18) overflow double's
-      // 53-bit mantissa, so `/` (fractional) would corrupt timestamps.
-      .withColumn(
-        "ts",
-        timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // `div` = integral division: epoch nanos (~1.7e18) overflow double's
+        // 53-bit mantissa, so `/` (fractional) would corrupt timestamps.
+        raw.withColumn(
+          "ts",
+          timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+      case TimestampNTZType => raw
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampNTZType))
+    }
   }
 
   def region(spark: SparkSession, dir: String): DataFrame =
