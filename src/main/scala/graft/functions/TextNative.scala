@@ -1,0 +1,555 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native text kernels for the corpus-hygiene / quality / dedup surface.
+  *
+  * Why these exist (SURVEY §2.10 ladder, same reasoning as [[Lsh]]/[[Pq]]):
+  * every higher-order function (`filter`, `transform`, `zip_with`,
+  * `aggregate`) is CodegenFallback — evaluated INTERPRETED, per row, with no
+  * common-subexpression elimination across the lambda boundary. The text
+  * operators stack 5–10 of them per document (tokenize → shingle → hash →
+  * fold), so a map-only quality pass was paying interpreted-tree prices:
+  * x6 measured 2.3 s for 5 000 tiny docs at sf0.1 — ~15 ms of CPU per
+  * 300-char document. Each kernel here is ONE compiled pass over the
+  * string, exposed as a codegen-compatible expression (the generated code
+  * is a single call on a referenced kernel object, so surrounding
+  * whole-stage codegen and subexpression elimination keep working).
+  *
+  * Bit-exactness contract: every field reproduces the legacy Column-chain
+  * formulation EXACTLY — same single-space tokenizer (split on ' ' then
+  * drop empties), same md5-prefix 60-bit hash (first 15 hex chars, i.e.
+  * first 8 big-endian bytes >>> 4), same fold orders, same integer
+  * arithmetic. The HOF chains survive as witnesses in
+  * [[graft.operators.TextWitness]] and the specs assert equality on the
+  * real corpus plus adversarial synthetics; the DuckDB oracles are
+  * unchanged and keep hash-matching.
+  */
+object TextNative {
+
+  def stats(text: Column, stopwords: Seq[String]): Column =
+    ColumnBridge.column(TextStats(ColumnBridge.expression(text), stopwords))
+
+  def tokens(text: Column): Column =
+    ColumnBridge.column(Tokens(ColumnBridge.expression(text)))
+
+  def wordNgramHashes(text: Column, n: Int, distinct: Boolean): Column =
+    ColumnBridge.column(
+      WordNgramHashes(ColumnBridge.expression(text), n, distinct))
+
+  def minhashSig(text: Column, shingleN: Int, nHashes: Int): Column =
+    ColumnBridge.column(
+      MinhashSig(ColumnBridge.expression(text), shingleN, nHashes))
+
+  def hashModP(arr: Column): Column =
+    ColumnBridge.column(HashModP(ColumnBridge.expression(arr)))
+
+  def minhashFromHashes(arr: Column, nHashes: Int): Column =
+    ColumnBridge.column(
+      MinhashFromHashes(ColumnBridge.expression(arr), nHashes))
+}
+
+/** Shared per-row computation. All methods are called from generated code —
+  * keep signatures Java-friendly (UTF8String / ArrayData in, ArrayData /
+  * InternalRow out).
+  */
+object TextKernel {
+  final val P: Long = 2147483647L // 2^31 − 1, the universal-hash modulus
+
+  private val md = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  /** Single-entry per-thread memo for [[TextStats]]: the quality operators
+    * reference the same stats struct from several CASE WHEN branches, and
+    * whole-stage subexpression elimination does NOT extract common
+    * subtrees that only occur under conditional branches — the generated
+    * code calls compute() once per reference (9× measured for
+    * qualityScore). The struct is a pure function of (text, stopwords),
+    * so consecutive calls with byte-equal input return the cached row.
+    * The key is CLONED: column readers reuse buffers across rows, and a
+    * stored view could silently mutate into the next row's bytes.
+    */
+  private val statsMemo = new ThreadLocal[Array[AnyRef]] {
+    override def initialValue(): Array[AnyRef] = new Array[AnyRef](3)
+  }
+
+  def memoGet(input: UTF8String, stopwords: AnyRef): InternalRow = {
+    val m = statsMemo.get()
+    val k = m(0).asInstanceOf[UTF8String]
+    if (k != null && m(1) == stopwords && k.equals(input))
+      m(2).asInstanceOf[InternalRow]
+    else null
+  }
+
+  def memoPut(input: UTF8String, stopwords: AnyRef, row: InternalRow): Unit = {
+    val m = statsMemo.get()
+    m(0) = input.clone()
+    m(1) = stopwords
+    m(2) = row
+  }
+
+  /** Same (aᵢ, bᵢ) as `Dedup.hashParams` (which delegates here). */
+  def hashParams(n: Int): Seq[(Long, Long)] =
+    (0 until n).map { i =>
+      val a = (1103515245L * (i + 1) + 12345L) % P
+      val b = (1103515245L * (i + 101) + 54321L) % P
+      (if (a == 0) 1L else a, b)
+    }
+
+  /** == `conv(substring(md5(s), 1, 15), 16, 10)`: the first 15 hex chars of
+    * the md5 are the first 60 bits = first 8 big-endian bytes >>> 4.
+    */
+  def hash60(s: String): Long = {
+    val d = md.get()
+    d.reset()
+    val h = d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val top =
+      ((h(0) & 0xffL) << 56) | ((h(1) & 0xffL) << 48) | ((h(2) & 0xffL) << 40) |
+        ((h(3) & 0xffL) << 32) | ((h(4) & 0xffL) << 24) | ((h(5) & 0xffL) << 16) |
+        ((h(6) & 0xffL) << 8) | (h(7) & 0xffL)
+    top >>> 4
+  }
+
+  /** == `filter(split(text, " "), t => t =!= "")`: split on single spaces,
+    * drop empties, order preserved.
+    */
+  def tokenize(text: String): java.util.ArrayList[String] = {
+    val out = new java.util.ArrayList[String]()
+    var start = 0
+    val len = text.length
+    var i = 0
+    while (i < len) {
+      if (text.charAt(i) == ' ') {
+        if (i > start) out.add(text.substring(start, i))
+        start = i + 1
+      }
+      i += 1
+    }
+    if (len > start) out.add(text.substring(start, len))
+    out
+  }
+
+  /** n-gram strings (tokens joined by ' '), order preserved; empty when
+    * fewer than n tokens — mirrors `TextHash.wordNgrams`.
+    */
+  def ngrams(toks: java.util.ArrayList[String], n: Int): java.util.ArrayList[String] = {
+    val out = new java.util.ArrayList[String]()
+    val m = toks.size - n + 1
+    var i = 0
+    while (i < m) {
+      val sb = new java.lang.StringBuilder(toks.get(i))
+      var k = 1
+      while (k < n) { sb.append(' ').append(toks.get(i + k)); k += 1 }
+      out.add(sb.toString)
+      i += 1
+    }
+    out
+  }
+}
+
+/** One compiled pass over a document, returning every scalar the
+  * quality / repetition / fingerprint / simhash operators need. All fields
+  * are exact integers; ratios stay in Column land so their single IEEE
+  * division (and null semantics via the legacy when/otherwise wrappers)
+  * are untouched.
+  */
+case class TextStats(child: Expression, stopwords: Seq[String])
+    extends UnaryExpression {
+
+  override def prettyName: String = "text_stats"
+
+  override def dataType: DataType = TextStats.schema
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"text_stats needs string, got $other")
+  }
+
+  private val stopSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    stopwords.foreach(s.add)
+    s
+  }
+
+  def compute(input: UTF8String): InternalRow = {
+    val cached = TextKernel.memoGet(input, stopwords)
+    if (cached != null) return cached
+    val text = input.toString
+    val toks = TextKernel.tokenize(text)
+    val nTok = toks.size
+
+    // character census over the whole text (code points, like length())
+    var nChars = 0
+    var alnum = 0
+    var ci = 0
+    while (ci < text.length) {
+      val cp = text.codePointAt(ci)
+      nChars += 1
+      if ((cp >= 'a' && cp <= 'z') || (cp >= '0' && cp <= '9') || cp == ' ')
+        alnum += 1
+      ci += Character.charCount(cp)
+    }
+
+    var charSum = 0L
+    var nAlpha = 0
+    var nStop = 0
+    var fingerprint = 0L
+    val fpP = 2147483647L
+    val votes = new Array[Int](60)
+    val distinct = new java.util.HashSet[String]()
+    var ti = 0
+    while (ti < nTok) {
+      val t = toks.get(ti)
+      charSum += t.codePointCount(0, t.length)
+      var alpha = true
+      var k = 0
+      while (alpha && k < t.length) {
+        val c = t.charAt(k)
+        if (c < 'a' || c > 'z') alpha = false
+        k += 1
+      }
+      if (alpha) nAlpha += 1
+      if (stopSet.contains(t)) nStop += 1
+      distinct.add(t)
+      val h = TextKernel.hash60(t)
+      fingerprint = (fingerprint * 31L + h % fpP) % fpP
+      var b = 0
+      while (b < 60) {
+        votes(b) += ((h >>> b) & 1L).toInt
+        b += 1
+      }
+      ti += 1
+    }
+    var simhash = 0L
+    var b = 0
+    while (b < 60) {
+      if (votes(b) * 2 > nTok) simhash |= (1L << b)
+      b += 1
+    }
+
+    def repStats(n: Int): (Int, Int) =
+      if (nTok < n) (0, 0)
+      else {
+        val total = nTok - n + 1
+        val seen = new java.util.HashSet[String]()
+        val gs = TextKernel.ngrams(toks, n)
+        var i = 0
+        while (i < total) { seen.add(gs.get(i)); i += 1 }
+        (total, seen.size)
+      }
+    val (r2t, r2d) = repStats(2)
+    val (r3t, r3d) = repStats(3)
+
+    val row = new GenericInternalRow(Array[Any](
+      nTok, nChars, alnum, charSum, nAlpha, distinct.size, nStop,
+      r2t, r2d, r3t, r3d, fingerprint, simhash))
+    TextKernel.memoPut(input, stopwords, row)
+    row
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, input => {
+      val ref = ctx.addReferenceObj("textStats", this, classOf[TextStats].getName)
+      s"${ev.value} = $ref.compute($input);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): TextStats =
+    copy(child = newChild)
+}
+
+object TextStats {
+  val schema: StructType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("n_chars", IntegerType, nullable = false),
+    StructField("alnum_chars", IntegerType, nullable = false),
+    StructField("char_sum", LongType, nullable = false),
+    StructField("n_alpha", IntegerType, nullable = false),
+    StructField("n_distinct", IntegerType, nullable = false),
+    StructField("n_stop", IntegerType, nullable = false),
+    StructField("rep2_total", IntegerType, nullable = false),
+    StructField("rep2_distinct", IntegerType, nullable = false),
+    StructField("rep3_total", IntegerType, nullable = false),
+    StructField("rep3_distinct", IntegerType, nullable = false),
+    StructField("fingerprint", LongType, nullable = false),
+    StructField("simhash", LongType, nullable = false)))
+}
+
+/** == `filter(split(text, " "), t => t =!= "")` as one compiled pass. */
+case class Tokens(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "tokens"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"tokens needs string, got $other")
+  }
+
+  def compute(input: UTF8String): ArrayData = {
+    val toks = TextKernel.tokenize(input.toString)
+    val out = new Array[Any](toks.size)
+    var i = 0
+    while (i < toks.size) { out(i) = UTF8String.fromString(toks.get(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, input => {
+      val ref = ctx.addReferenceObj("tokens", this, classOf[Tokens].getName)
+      s"${ev.value} = $ref.compute($input);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Tokens =
+    copy(child = newChild)
+}
+
+/** 60-bit md5-prefix hashes of the word n-grams of `text` —
+  * == `transform([array_distinct(]wordNgrams(tokens(text), n)[)], tokenHash)`.
+  * `distinct` dedupes GRAM STRINGS first (array_distinct order: first
+  * occurrence), exactly like the legacy chain, so a (vanishingly unlikely)
+  * hash collision still yields the same array as the witness.
+  */
+case class WordNgramHashes(child: Expression, n: Int, distinct: Boolean)
+    extends UnaryExpression {
+  require(n >= 1, s"n must be >= 1, got $n")
+
+  override def prettyName: String = "word_ngram_hashes"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  // n = 1 mirrors transform(tokens(null)) = null; n ≥ 2 mirrors the
+  // wordNgrams when/otherwise guard, whose null condition falls through to
+  // the EMPTY-array branch.
+  override def nullable: Boolean = n == 1 && child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"word_ngram_hashes needs string, got $other")
+  }
+
+  private lazy val emptyArr: ArrayData = ArrayData.toArrayData(Array.emptyLongArray)
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) { if (n == 1) null else emptyArr }
+    else compute(v.asInstanceOf[UTF8String])
+  }
+
+  def compute(input: UTF8String): ArrayData = {
+    val toks = TextKernel.tokenize(input.toString)
+    val grams =
+      if (n == 1) toks
+      else if (toks.size < n) new java.util.ArrayList[String]()
+      else TextKernel.ngrams(toks, n)
+    val src: java.util.Collection[String] =
+      if (distinct) new java.util.LinkedHashSet[String](grams) else grams
+    val out = new Array[Long](src.size)
+    var i = 0
+    val it = src.iterator()
+    while (it.hasNext) { out(i) = TextKernel.hash60(it.next()); i += 1 }
+    ArrayData.toArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    if (n == 1)
+      nullSafeCodeGen(ctx, ev, input => {
+        val ref =
+          ctx.addReferenceObj("ngramHashes", this, classOf[WordNgramHashes].getName)
+        s"${ev.value} = $ref.compute($input);"
+      })
+    else {
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+      val childGen = child.genCode(ctx)
+      val ref =
+        ctx.addReferenceObj("ngramHashes", this, classOf[WordNgramHashes].getName)
+      val arrCls = classOf[ArrayData].getName
+      ev.copy(
+        code = code"""
+          |${childGen.code}
+          |$arrCls ${ev.value} = ${childGen.isNull}
+          |  ? $ref.emptyArray()
+          |  : $ref.compute(${childGen.value});
+          |""".stripMargin,
+        isNull = FalseLiteral)
+    }
+
+  def emptyArray(): ArrayData = emptyArr
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgramHashes =
+    copy(child = newChild)
+}
+
+/** Full MinHash signature in one pass: distinct word `shingleN`-grams,
+  * h = hash60(gram) mod P, sig(i) = min over grams of (aᵢ·h + bᵢ) mod P.
+  * NULL when the document has no shingles (mirrors `array_min([]) = null`
+  * → all-null mh columns in the legacy chain).
+  */
+case class MinhashSig(child: Expression, shingleN: Int, nHashes: Int)
+    extends UnaryExpression {
+  require(shingleN >= 1 && nHashes >= 1)
+
+  override def prettyName: String = "minhash_sig"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"minhash_sig needs string, got $other")
+  }
+
+  private val paramA: Array[Long] = TextKernel.hashParams(nHashes).map(_._1).toArray
+  private val paramB: Array[Long] = TextKernel.hashParams(nHashes).map(_._2).toArray
+
+  def compute(input: UTF8String): ArrayData = {
+    val toks = TextKernel.tokenize(input.toString)
+    val grams =
+      if (shingleN == 1) new java.util.LinkedHashSet[String](toks)
+      else if (toks.size < shingleN) new java.util.LinkedHashSet[String]()
+      else new java.util.LinkedHashSet[String](TextKernel.ngrams(toks, shingleN))
+    if (grams.isEmpty) return null
+    val mins = new Array[Long](nHashes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val it = grams.iterator()
+    while (it.hasNext) {
+      val h = TextKernel.hash60(it.next()) % TextKernel.P
+      var i = 0
+      while (i < nHashes) {
+        val v = (paramA(i) * h + paramB(i)) % TextKernel.P
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+    }
+    ArrayData.toArrayData(mins)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, input => {
+      val ref = ctx.addReferenceObj("minhashSig", this, classOf[MinhashSig].getName)
+      s"""
+         |${ev.value} = $ref.compute($input);
+         |${ev.isNull} = ${ev.value} == null;
+         |""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashSig =
+    copy(child = newChild)
+}
+
+/** array<string> → array<long>: hash60(s) mod P per element, order kept —
+  * == `transform(arr, t => tokenHash(t) % P)`.
+  */
+case class HashModP(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "hash_mod_p"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"hash_mod_p needs array<string>, got $other")
+  }
+
+  def compute(input: ArrayData): ArrayData = {
+    val n = input.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = TextKernel.hash60(input.getUTF8String(i).toString) % TextKernel.P
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, input => {
+      val ref = ctx.addReferenceObj("hashModP", this, classOf[HashModP].getName)
+      s"${ev.value} = $ref.compute($input);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): HashModP =
+    copy(child = newChild)
+}
+
+/** array<long> of reduced hashes → the n minhash values in one pass —
+  * == `array_min(transform(hs, h => (aᵢ·h + bᵢ) % P))` per i. NULL for an
+  * empty input array (array_min of empty is null).
+  */
+case class MinhashFromHashes(child: Expression, nHashes: Int)
+    extends UnaryExpression {
+  require(nHashes >= 1)
+
+  override def prettyName: String = "minhash_from_hashes"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"minhash_from_hashes needs array<long>, got $other")
+  }
+
+  private val paramA: Array[Long] = TextKernel.hashParams(nHashes).map(_._1).toArray
+  private val paramB: Array[Long] = TextKernel.hashParams(nHashes).map(_._2).toArray
+
+  def compute(input: ArrayData): ArrayData = {
+    val n = input.numElements()
+    if (n == 0) return null
+    val mins = new Array[Long](nHashes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      val h = input.getLong(j)
+      var i = 0
+      while (i < nHashes) {
+        val v = (paramA(i) * h + paramB(i)) % TextKernel.P
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    ArrayData.toArrayData(mins)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, input => {
+      val ref = ctx.addReferenceObj("minhashFrom", this,
+        classOf[MinhashFromHashes].getName)
+      s"""
+         |${ev.value} = $ref.compute($input);
+         |${ev.isNull} = ${ev.value} == null;
+         |""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashFromHashes =
+    copy(child = newChild)
+}

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextHash
+import graft.functions.TextNative
 
 /** Benchmark decontamination: flag training documents whose word n-grams
   * overlap an evaluation/benchmark set, the standard pre-training hygiene
@@ -37,16 +37,15 @@ object Contamination {
   private def gramRows(docs: DataFrame, text: Column, id: Column, n: Int): DataFrame =
     docs
       .select(id.as("doc_id"),
-        array_distinct(TextHash.wordNgrams(TextHash.tokens(text), n)).as("__grams"))
+        TextNative.wordNgramHashes(text, n, distinct = true).as("__grams"))
       .select(col("doc_id"), size(col("__grams")).as("n_grams"),
-        explode(col("__grams")).as("__g"))
-      .select(col("doc_id"), col("n_grams"), TextHash.tokenHash(col("__g")).as("gh"))
+        explode(col("__grams")).as("gh"))
 
   /** Distinct benchmark n-gram hashes (one column `gh`). */
   def benchmarkGrams(bench: DataFrame, text: Column, n: Int): DataFrame =
     bench
-      .select(explode(TextHash.wordNgrams(TextHash.tokens(text), n)).as("__g"))
-      .select(TextHash.tokenHash(col("__g")).as("gh"))
+      .select(explode(
+        TextNative.wordNgramHashes(text, n, distinct = false)).as("gh"))
       .distinct()
 
   /** Contamination report: one row per training doc with ≥1 n-gram found in

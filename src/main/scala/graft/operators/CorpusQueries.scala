@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{TextHash, OracleSql => O}
+import graft.functions.{TextNative, OracleSql => O}
 import graft.sources.Tables
 
 /** Declared-query catalog for the composed corpus pipeline
@@ -27,7 +27,7 @@ object CorpusQueries {
     // CSE cliff).
     "c2_line_dedup" -> ((s, dir) => {
       val lined = Tables.documents(s, dir)
-        .withColumn("__tk", TextHash.tokens(col("text")))
+        .withColumn("__tk", TextNative.tokens(col("text")))
         .select(col("doc_id"),
           when(size(col("__tk")) === 0, lit(""))
             .otherwise(array_join(

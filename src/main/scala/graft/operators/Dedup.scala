@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextHash
+import graft.functions.{TextHash, TextNative}
 
 /** Deduplication operators for training-data pipelines: exact content dedup,
   * MinHash signatures + LSH banding, SimHash, and token-set Jaccard.
@@ -33,15 +33,11 @@ object Dedup {
   val P: Long = 2147483647L // 2^31 − 1; keeps a*(h%P)+b well inside int64
 
   /** Deterministic universal-hash parameters (a_i, b_i) for MinHash —
-    * plain LCG constants; generated once here and inlined as literals into
-    * both the Spark expressions and the oracle SQL.
+    * plain LCG constants; generated once (in [[graft.functions.TextKernel]],
+    * shared with the native signature expressions) and inlined as literals
+    * into both the Spark expressions and the oracle SQL.
     */
-  def hashParams(n: Int): Seq[(Long, Long)] =
-    (0 until n).map { i =>
-      val a = (1103515245L * (i + 1) + 12345L) % P
-      val b = (1103515245L * (i + 101) + 54321L) % P
-      (if (a == 0) 1L else a, b)
-    }
+  def hashParams(n: Int): Seq[(Long, Long)] = graft.functions.TextKernel.hashParams(n)
 
   /** D1 — exact dedup groups: documents sharing a content digest; keeper is
     * the lowest id (deterministic). One shuffle on the digest.
@@ -69,16 +65,14 @@ object Dedup {
     */
   def minhashSignature(df: DataFrame, text: Column, id: Column,
       n: Int = 16, shingleN: Int = 3): DataFrame = {
-    val toks = df.select(id.as("doc_id"), TextHash.tokens(text).as("__tk"))
-    val shingled = toks.select(col("doc_id"),
-      array_distinct(TextHash.wordNgrams(col("__tk"), shingleN)).as("__sh"))
-    // md5 each shingle ONCE; the n affine maps then run over the longs
-    val hashed = shingled.select(col("doc_id"),
-      transform(col("__sh"), t => TextHash.tokenHash(t) % lit(P)).as("__hs"))
-    val cols = hashParams(n).zipWithIndex.map { case ((a, b), i) =>
-      minhashCol(col("__hs"), a, b).as(f"mh$i%02d")
-    }
-    hashed.select((col("doc_id") +: cols): _*)
+    // ONE compiled pass per doc (tokenize → distinct shingles → md5 → n
+    // affine mins): graft.functions.MinhashSig, bit-equal to the legacy
+    // tokens/wordNgrams/tokenHash/minhashCol chain (DedupSpec witness).
+    val sig = df.select(id.as("doc_id"),
+      TextNative.minhashSig(text, shingleN, n).as("__sig"))
+    val cols = (0 until n).map(i =>
+      element_at(col("__sig"), i + 1).as(f"mh$i%02d"))
+    sig.select((col("doc_id") +: cols): _*)
   }
 
   /** Column-preserving fuzzy-dedup signatures: ADD mh00..mhNN and
@@ -100,19 +94,15 @@ object Dedup {
       shingleN: Int = 3, bits: Int = 60): DataFrame = {
     require(bits <= 60)
     val staged = df
-      .withColumn("__tk", TextHash.tokens(text))
-      .withColumn("__sh", array_distinct(TextHash.wordNgrams(col("__tk"), shingleN)))
-      .withColumn("__mh", transform(col("__sh"), t => TextHash.tokenHash(t) % lit(P)))
-      .withColumn("__th", transform(col("__tk"), t => TextHash.tokenHash(t)))
-    val mhCols = hashParams(n).zipWithIndex.map { case ((a, b), i) =>
-      minhashCol(col("__mh"), a, b).as(f"mh$i%02d")
-    }
-    val nTok = size(col("__th"))
-    val simhashWord = (0 until bits).map { b =>
-      val nSet = aggregate(col("__th"), lit(0L),
-        (acc, h) => acc + shiftright(h, b).bitwiseAND(lit(1L)))
-      when(nSet * lit(2) > nTok, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
+      .withColumn("__sig", TextNative.minhashSig(text, shingleN, n))
+      .withColumn("__stats", TextNative.stats(text, TextOps.EnStopwords))
+    val mhCols = (0 until n).map(i =>
+      element_at(col("__sig"), i + 1).as(f"mh$i%02d"))
+    // the 60-bit kernel simhash == the bits-bold fold only at bits = 60;
+    // narrower signatures keep the witness fold (never used on hot paths)
+    val simhashWord =
+      if (bits == 60) coalesce(col("__stats").getField("simhash"), lit(0L))
+      else TextWitness.simhash(text, bits)
     staged.select(
       (df.columns.map(col).toSeq ++ mhCols) :+ simhashWord.as("simhash"): _*)
   }
@@ -420,15 +410,14 @@ object Dedup {
     */
   def simhash(df: DataFrame, text: Column, id: Column, bits: Int = 60): DataFrame = {
     require(bits <= 60)
-    val hashed = df.select(id.as("doc_id"),
-      transform(TextHash.tokens(text), t => TextHash.tokenHash(t)).as("__hs"))
-    val n = size(col("__hs"))
-    val word = (0 until bits).map { b =>
-      val nSet = aggregate(col("__hs"), lit(0L),
-        (acc, h) => acc + shiftright(h, b).bitwiseAND(lit(1L)))
-      when(nSet * lit(2) > n, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    hashed.select(col("doc_id"), word.as("simhash"))
+    // 60-bit default = one compiled TextStats pass (votes folded alongside
+    // the rest of the per-doc census); narrower widths keep the HOF fold.
+    val word =
+      if (bits == 60)
+        coalesce(TextNative.stats(text, TextOps.EnStopwords).getField("simhash"),
+          lit(0L))
+      else TextWitness.simhash(text, bits)
+    df.select(id.as("doc_id"), word.as("simhash"))
   }
 
   /** D3b — near-dup pair histogram by Hamming distance: band the simhash
@@ -485,7 +474,7 @@ object Dedup {
   def tokenJaccardPairs(df: DataFrame, text: Column, id: Column,
       block: Column, minJaccard: Double): DataFrame = {
     val toks = df.select(block.as("blk"), id.as("doc_id"),
-      explode(TextHash.tokenSet(text)).as("t"))
+      explode(array_distinct(TextNative.tokens(text))).as("t"))
     val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = toks.as("x").join(toks.as("y"),
         col("x.blk") === col("y.blk") && col("x.t") === col("y.t") &&
@@ -511,7 +500,7 @@ object Dedup {
     */
   def jaccardOnCandidates(df: DataFrame, text: Column, id: Column,
       candidates: DataFrame, minJaccard: Double): DataFrame = {
-    val tsets = df.select(id.as("doc_id"), TextHash.tokenSet(text).as("__ts"))
+    val tsets = df.select(id.as("doc_id"), array_distinct(TextNative.tokens(text)).as("__ts"))
     candidates.select("doc_id1", "doc_id2")
       .join(tsets.select(col("doc_id").as("doc_id1"), col("__ts").as("__tsa")), "doc_id1")
       .join(tsets.select(col("doc_id").as("doc_id2"), col("__ts").as("__tsb")), "doc_id2")
@@ -555,16 +544,18 @@ object Dedup {
     //    across MANY queries should persist the signature/class table
     //    themselves; a single-query evaluation keeps the lazy plan.
     val classes = df
-      .select(id.as("doc_id"), sort_array(TextHash.tokenSet(text)).as("__ts"))
+      .select(id.as("doc_id"),
+        sort_array(array_distinct(TextNative.tokens(text))).as("__ts"))
       .groupBy("__ts").agg(collect_list(col("doc_id")).as("__members"))
       .withColumn("cid", array_min(col("__members")))
-    // 2. class-level MinHash signature (== every member's signature)
+    // 2. class-level MinHash signature (== every member's signature);
+    //    native kernels (HashModP → MinhashFromHashes) replace the per-
+    //    element md5 transform + n interpreted minhashCol folds
     val hashed = classes.select(col("cid"),
-      transform(col("__ts"), t => TextHash.tokenHash(t) % lit(P)).as("__hs"))
-    val sigCols = hashParams(n).zipWithIndex.map { case ((a, b), i) =>
-      minhashCol(col("__hs"), a, b).as(f"mh$i%02d")
-    }
-    val csig = hashed.select(col("cid") +: sigCols: _*)
+      TextNative.minhashFromHashes(
+        TextNative.hashModP(col("__ts")), n).as("__sig"))
+    val csig = hashed.select(col("cid") +: (0 until n).map(i =>
+      element_at(col("__sig"), i + 1).as(f"mh$i%02d")): _*)
     // 3. class-level LSH banding (same construction as lshCandidatePairs)
     val bandCols = (0 until bands).map { b =>
       val ks = (0 until rowsPerBand).map(r => col(f"mh${b * rowsPerBand + r}%02d"))
@@ -645,8 +636,8 @@ object Dedup {
   def spanCensus(df: DataFrame, text: Column, id: Column, n: Int,
       minDocs: Int = 2): DataFrame =
     df.select(id.as("doc_id"),
-        explode(TextHash.wordNgrams(TextHash.tokens(text), n)).as("__g"))
-      .select(col("doc_id"), TextHash.tokenHash(col("__g")).as("span_hash"))
+        explode(TextNative.wordNgramHashes(text, n, distinct = false))
+          .as("span_hash"))
       .groupBy(col("span_hash"), col("doc_id"))
       .agg(count(lit(1)).as("__occ"))
       .groupBy(col("span_hash"))

@@ -3,17 +3,22 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextHash
+import graft.functions.{TextHash, TextNative}
 
 /** Text-analysis operators for large-scale training-data pipelines (beyond
   * the reference per the build brief): token counting, language-ID heuristic,
   * quality scoring, document fingerprinting.
   *
-  * Everything here is a pure codegen'd Column expression over the token
-  * array — no explode, no shuffle, no UDF — so a quality-score pass over
-  * 100 TB of documents is a single map-only scan. The DuckDB mirrors live
-  * next to each query in [[TextQueries]]; integer-ratio arithmetic keeps the
-  * doubles bit-identical across engines.
+  * Execution: every scalar here reads a field of ONE native [[graft.functions.TextStats]]
+  * pass per document (compiled, codegen-compatible — whole-stage
+  * subexpression elimination collapses the repeated struct subtree), while
+  * the ratio arithmetic and its null semantics stay in Column land as the
+  * exact when/otherwise shapes the DuckDB mirrors replay. The original
+  * higher-order-function chains — interpreted per row, measured ~15 ms of
+  * CPU per 300-char doc across a 5-expression quality pass — survive in
+  * [[TextWitness]] and the specs assert bit-equality field by field.
+  * A quality-score pass over 100 TB of documents remains a single map-only
+  * scan; it just stops paying interpreted-tree prices for it.
   */
 object TextOps {
 
@@ -23,8 +28,15 @@ object TextOps {
     */
   val EnStopwords: Seq[String] = Seq("the", "a", "an", "of", "to", "in", "is", "and")
 
+  /** The one-pass stats struct every scalar below reads from. Deterministic
+    * and codegen'd, so repeated use inside one projection evaluates once
+    * (subexpression elimination); null text → null struct, and the
+    * when/otherwise wrappers below reproduce the legacy null behavior.
+    */
+  private def stats(text: Column): Column = TextNative.stats(text, EnStopwords)
+
   /** Whitespace token count. */
-  def tokenCount(text: Column): Column = size(TextHash.tokens(text))
+  def tokenCount(text: Column): Column = stats(text).getField("n_tokens")
 
   /** BPE-ish subword count: runs of letters, runs of digits, or single
     * other non-space characters — the classic pre-tokenizer regex.
@@ -34,9 +46,10 @@ object TextOps {
 
   /** Fraction of tokens that are stopwords (0 for empty docs). */
   def stopwordRatio(text: Column): Column = {
-    val toks = TextHash.tokens(text)
-    val stops = filter(toks, t => t.isInCollection(EnStopwords))
-    when(size(toks) > 0, size(stops).cast("double") / size(toks).cast("double"))
+    val s = stats(text)
+    val n = s.getField("n_tokens")
+    when(n > 0,
+      s.getField("n_stop").cast("double") / n.cast("double"))
       .otherwise(lit(0.0))
   }
 
@@ -55,12 +68,11 @@ object TextOps {
     * shape, data_validator.py:135-186, re-targeted at text).
     */
   def qualityScore(text: Column): Column = {
-    val toks = TextHash.tokens(text)
-    val n = size(toks).cast("double")
+    val s = stats(text)
+    val n = s.getField("n_tokens").cast("double")
     val lenScore = least(lit(1.0), n / lit(50.0))
-    val alphaRatio =
-      size(filter(toks, t => t.rlike("^[a-z]+$"))).cast("double") / n
-    val diversity = size(array_distinct(toks)).cast("double") / n
+    val alphaRatio = s.getField("n_alpha").cast("double") / n
+    val diversity = s.getField("n_distinct").cast("double") / n
     val stopCloseness =
       lit(1.0) - abs(stopwordRatio(text) - lit(0.4))
     when(n > 0,
@@ -82,10 +94,8 @@ object TextOps {
     * whitespace/formatting; cheap enough to store as a content key.
     */
   def fingerprint(text: Column, p: Long = 2147483647L): Column =
-    aggregate(
-      TextHash.tokens(text),
-      lit(0L),
-      (acc, t) => (acc * lit(31L) + TextHash.tokenHash(t) % lit(p)) % lit(p))
+    if (p == 2147483647L) stats(text).getField("fingerprint")
+    else TextWitness.fingerprint(text, p)
 
   // ------------------------------------------------------------------
   // Repetition / shape filters (the Gopher-rule family)
@@ -94,25 +104,27 @@ object TextOps {
     * (1 − distinct/total; 0 for docs shorter than n tokens). The linear-
     * time repetition signal behind the classic "duplicate n-grams" quality
     * rule: boilerplate and generation loops push it toward 1 while natural
-    * text stays near 0. Per-doc array expression — no explode, no shuffle,
-    * O(doc length) per row.
+    * text stays near 0. One compiled pass per row — no explode, no shuffle.
     */
-  def repeatedNgramRatio(text: Column, n: Int): Column = {
-    val ng = TextHash.wordNgrams(TextHash.tokens(text), n)
-    val m = size(ng)
-    when(m > 0,
-      (m - size(array_distinct(ng))).cast("double") / m.cast("double"))
-      .otherwise(lit(0.0))
+  def repeatedNgramRatio(text: Column, n: Int): Column = n match {
+    case 2 | 3 =>
+      val s = stats(text)
+      val total = s.getField(s"rep${n}_total")
+      val dist = s.getField(s"rep${n}_distinct")
+      when(total > 0,
+        (total - dist).cast("double") / total.cast("double"))
+        .otherwise(lit(0.0))
+    case _ => TextWitness.repeatedNgramRatio(text, n)
   }
 
   /** Mean characters per whitespace token (0 for empty docs). Gibberish
     * and mark-up skew far from natural text's 3–10 band.
     */
   def meanWordLength(text: Column): Column = {
-    val tk = TextHash.tokens(text)
-    when(size(tk) > 0,
-      aggregate(tk, lit(0L), (acc, t) => acc + length(t)).cast("double") /
-        size(tk).cast("double"))
+    val s = stats(text)
+    val n = s.getField("n_tokens")
+    when(n > 0,
+      s.getField("char_sum").cast("double") / n.cast("double"))
       .otherwise(lit(0.0))
   }
 
@@ -121,8 +133,9 @@ object TextOps {
     * encoding junk.
     */
   def symbolRatio(text: Column): Column = {
-    val total = length(text)
-    val clean = length(regexp_replace(text, "[^a-z0-9 ]", ""))
+    val s = stats(text)
+    val total = s.getField("n_chars")
+    val clean = s.getField("alnum_chars")
     when(total > 0,
       (total - clean).cast("double") / total.cast("double"))
       .otherwise(lit(0.0))
@@ -179,4 +192,78 @@ object TextOps {
         regexp_replace(text, EmailRe, "[EMAIL]"),
         Ipv4Re, "[IP]"),
       PhoneRe, "[PHONE]")
+}
+
+/** The legacy higher-order-function formulations, kept VERBATIM as
+  * bit-equality witnesses for the native kernels (TextNativeSpec asserts
+  * native == witness on the real corpus plus null/empty/multi-space/unicode
+  * synthetics — the same discipline as `lshBucketViaColumns` for
+  * [[graft.functions.LshBucket]]). Interpreted per row; do not use on hot
+  * paths.
+  */
+object TextWitness {
+
+  def tokenCount(text: Column): Column = size(TextHash.tokens(text))
+
+  def stopwordRatio(text: Column): Column = {
+    val toks = TextHash.tokens(text)
+    val stops = filter(toks, t => t.isInCollection(TextOps.EnStopwords))
+    when(size(toks) > 0, size(stops).cast("double") / size(toks).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  def qualityScore(text: Column): Column = {
+    val toks = TextHash.tokens(text)
+    val n = size(toks).cast("double")
+    val lenScore = least(lit(1.0), n / lit(50.0))
+    val alphaRatio =
+      size(filter(toks, t => t.rlike("^[a-z]+$"))).cast("double") / n
+    val diversity = size(array_distinct(toks)).cast("double") / n
+    val stopCloseness =
+      lit(1.0) - abs(stopwordRatio(text) - lit(0.4))
+    when(n > 0,
+      (lenScore + alphaRatio + diversity + stopCloseness) * lit(0.25))
+      .otherwise(lit(0.0))
+  }
+
+  def fingerprint(text: Column, p: Long = 2147483647L): Column =
+    aggregate(
+      TextHash.tokens(text),
+      lit(0L),
+      (acc, t) => (acc * lit(31L) + TextHash.tokenHash(t) % lit(p)) % lit(p))
+
+  def repeatedNgramRatio(text: Column, n: Int): Column = {
+    val ng = TextHash.wordNgrams(TextHash.tokens(text), n)
+    val m = size(ng)
+    when(m > 0,
+      (m - size(array_distinct(ng))).cast("double") / m.cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  def meanWordLength(text: Column): Column = {
+    val tk = TextHash.tokens(text)
+    when(size(tk) > 0,
+      aggregate(tk, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+        size(tk).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  def symbolRatio(text: Column): Column = {
+    val total = length(text)
+    val clean = length(regexp_replace(text, "[^a-z0-9 ]", ""))
+    when(total > 0,
+      (total - clean).cast("double") / total.cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Simhash word over the token hashes — the fold from `Dedup.simhash`. */
+  def simhash(text: Column, bits: Int = 60): Column = {
+    val hs = transform(TextHash.tokens(text), t => TextHash.tokenHash(t))
+    val n = size(hs)
+    (0 until bits).map { b =>
+      val nSet = aggregate(hs, lit(0L),
+        (acc, h) => acc + shiftright(h, b).bitwiseAND(lit(1L)))
+      when(nSet * lit(2) > n, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
 }

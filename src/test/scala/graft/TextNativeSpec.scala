@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextHash, TextNative}
+import graft.operators.{Dedup, TextOps, TextWitness}
+
+/** Bit-equality witnesses for the native text kernels
+  * ([[graft.functions.TextNative]]): every kernel must reproduce the legacy
+  * higher-order-function chain EXACTLY — on the real corpus fixture AND on
+  * adversarial synthetics (null, empty, single/multi-space runs, unicode
+  * incl. surrogate pairs, token counts straddling every shingle guard).
+  * The same discipline as LshBucket/PqEncode vs their Column witnesses.
+  */
+class TextNativeSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Adversarial fixture rows + the real sf0.001 documents. */
+  private lazy val fixtures: DataFrame = {
+    val synth = Seq(
+      (1001L, null.asInstanceOf[String]),
+      (1002L, ""),
+      (1003L, " "),
+      (1004L, "   "),
+      (1005L, "a"),
+      (1006L, "a b"),
+      (1007L, "a b c"),
+      (1008L, "  leading and   trailing  "),
+      (1009L, "the the the the the"),
+      (1010L, "héllo wörld © déjà-vu"),
+      (1011L, "é 𝄞 music 𝄞"), // surrogate pair
+      (1012L, "one-token"),
+      (1013L, "the a an of to in is and"),
+      (1014L, "THE UPPER CASE TEXT"),
+      (1015L, "tabs\tand\nnewlines stay intact"),
+      (1016L, "x y x y x y x y"),
+      (1017L, (1 to 60).map(i => s"w${i % 7}").mkString(" ")),
+      (1018L, "123 456 a1b2 999")
+    ).toDF("doc_id", "text")
+    val real = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    synth.unionByName(real)
+  }
+
+  private def assertColsEqual(df: DataFrame, name: String): Unit = {
+    val bad = df.filter(!(col("a") <=> col("b"))).limit(5).collect()
+    assert(bad.isEmpty,
+      s"$name: native != witness for ${bad.mkString("; ")}")
+  }
+
+  test("TextStats scalars equal the legacy HOF chains field by field") {
+    val checks: Seq[(String, org.apache.spark.sql.Column, org.apache.spark.sql.Column)] = Seq(
+      ("tokenCount", TextOps.tokenCount(col("text")), TextWitness.tokenCount(col("text"))),
+      ("stopwordRatio", TextOps.stopwordRatio(col("text")), TextWitness.stopwordRatio(col("text"))),
+      ("qualityScore", TextOps.qualityScore(col("text")), TextWitness.qualityScore(col("text"))),
+      ("fingerprint", TextOps.fingerprint(col("text")), TextWitness.fingerprint(col("text"))),
+      ("fingerprint_p97", TextOps.fingerprint(col("text"), 97L), TextWitness.fingerprint(col("text"), 97L)),
+      ("rep2", TextOps.repeatedNgramRatio(col("text"), 2), TextWitness.repeatedNgramRatio(col("text"), 2)),
+      ("rep3", TextOps.repeatedNgramRatio(col("text"), 3), TextWitness.repeatedNgramRatio(col("text"), 3)),
+      ("meanWordLength", TextOps.meanWordLength(col("text")), TextWitness.meanWordLength(col("text"))),
+      ("symbolRatio", TextOps.symbolRatio(col("text")), TextWitness.symbolRatio(col("text"))),
+      ("simhash60", coalesce(TextNative.stats(col("text"), TextOps.EnStopwords)
+        .getField("simhash"), lit(0L)), TextWitness.simhash(col("text"))),
+      ("langId", TextOps.langId(col("text")), when(TextWitness.stopwordRatio(col("text")) >= 0.05,
+        lit("en")).otherwise(lit("unk")))
+    )
+    checks.foreach { case (name, native, witness) =>
+      assertColsEqual(
+        fixtures.select(col("doc_id"), native.as("a"), witness.as("b")), name)
+    }
+  }
+
+  test("Tokens equals filter(split) incl. order") {
+    assertColsEqual(fixtures.select(col("doc_id"),
+      TextNative.tokens(col("text")).as("a"),
+      TextHash.tokens(col("text")).as("b")), "tokens")
+  }
+
+  test("WordNgramHashes equals the wordNgrams+tokenHash chain, both modes") {
+    for (n <- Seq(1, 2, 3, 5); dist <- Seq(true, false)) {
+      val grams = TextHash.wordNgrams(TextHash.tokens(col("text")), n)
+      val base = if (dist) array_distinct(grams) else grams
+      val witness = transform(base, g => TextHash.tokenHash(g))
+      assertColsEqual(fixtures.select(col("doc_id"),
+        TextNative.wordNgramHashes(col("text"), n, dist).as("a"),
+        witness.as("b")), s"ngramHashes(n=$n, distinct=$dist)")
+    }
+  }
+
+  test("MinhashSig equals the tokens/shingle/minhashCol chain") {
+    for (shingleN <- Seq(1, 3)) {
+      val hs = transform(
+        array_distinct(TextHash.wordNgrams(TextHash.tokens(col("text")), shingleN)),
+        t => TextHash.tokenHash(t) % lit(Dedup.P))
+      val witness = array(Dedup.hashParams(16).map { case (a, b) =>
+        Dedup.minhashCol(hs, a, b)
+      }: _*)
+      // legacy array_min([]) = null PER ELEMENT; native returns a NULL array
+      // there — compare element-wise through the null-array collapse
+      val native = TextNative.minhashSig(col("text"), shingleN, 16)
+      val a = when(native.isNull, array((0 until 16).map(_ =>
+        lit(null).cast("long")): _*)).otherwise(native)
+      assertColsEqual(fixtures.select(col("doc_id"), a.as("a"), witness.as("b")),
+        s"minhashSig(shingleN=$shingleN)")
+    }
+  }
+
+  test("HashModP / MinhashFromHashes equal their HOF forms") {
+    val ts = sort_array(array_distinct(TextNative.tokens(col("text"))))
+    assertColsEqual(fixtures.select(col("doc_id"),
+      TextNative.hashModP(ts).as("a"),
+      transform(ts, t => TextHash.tokenHash(t) % lit(Dedup.P)).as("b")),
+      "hashModP")
+    val hs = TextNative.hashModP(ts)
+    val witness = array(Dedup.hashParams(16).map { case (a, b) =>
+      Dedup.minhashCol(hs, a, b)
+    }: _*)
+    val native = TextNative.minhashFromHashes(hs, 16)
+    val a = when(native.isNull, array((0 until 16).map(_ =>
+      lit(null).cast("long")): _*)).otherwise(native)
+    assertColsEqual(fixtures.select(col("doc_id"), a.as("a"), witness.as("b")),
+      "minhashFromHashes")
+  }
+
+  test("filterVerdict equals the witness-composed CASE chain") {
+    val witnessVerdict = {
+      val n = TextWitness.tokenCount(col("text"))
+      val mwl = TextWitness.meanWordLength(col("text"))
+      when(n < 20, lit("too_short"))
+        .when(n > 90, lit("too_long"))
+        .when(TextWitness.symbolRatio(col("text")) > 0.1, lit("symbols"))
+        .when(mwl < 4.3 || mwl > 4.7, lit("word_length"))
+        .when(TextWitness.repeatedNgramRatio(col("text"), 2) > 0.05, lit("repetitive"))
+        .when(TextWitness.stopwordRatio(col("text")) === 0.0, lit("no_stopwords"))
+        .otherwise(lit("keep"))
+    }
+    assertColsEqual(fixtures.select(col("doc_id"),
+      TextOps.filterVerdict(col("text")).as("a"), witnessVerdict.as("b")),
+      "filterVerdict")
+  }
+}
