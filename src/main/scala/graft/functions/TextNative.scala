@@ -58,6 +58,60 @@ object TextNative {
   def minhashFromHashes(arr: Column, nHashes: Int): Column =
     ColumnBridge.column(
       MinhashFromHashes(ColumnBridge.expression(arr), nHashes))
+
+  def termFreqs(text: Column, terms: Seq[String]): Column =
+    ColumnBridge.column(TermFreqs(ColumnBridge.expression(text), terms))
+}
+
+/** Document length + per-term occurrence counts in one pass —
+  * struct<dl:int, tf:array<int>> with tf(i) = occurrences of terms(i).
+  * == `size(tokens)` and `size(filter(tokens, _ === term))` per term; the
+  * BM25 scorer reads every field from one kernel call.
+  */
+case class TermFreqs(child: Expression, terms: Seq[String])
+    extends UnaryExpression {
+  require(terms.nonEmpty, "terms must be non-empty")
+
+  override def prettyName: String = "term_freqs"
+  override def dataType: DataType = StructType(Seq(
+    StructField("dl", IntegerType, nullable = false),
+    StructField("tf", ArrayType(IntegerType, containsNull = false), nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"term_freqs needs string, got $other")
+  }
+
+  private val index: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    terms.zipWithIndex.foreach { case (t, i) => m.put(t, i) }
+    m
+  }
+
+  def compute(input: UTF8String): InternalRow = {
+    val toks = TextKernel.tokenize(input.toString)
+    val tf = new Array[Int](terms.size)
+    var i = 0
+    while (i < toks.size) {
+      val idx = index.get(toks.get(i))
+      if (idx != null) tf(idx.intValue()) += 1
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](toks.size, ArrayData.toArrayData(tf)))
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, input => {
+      val ref = ctx.addReferenceObj("termFreqs", this, classOf[TermFreqs].getName)
+      s"${ev.value} = $ref.compute($input);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): TermFreqs =
+    copy(child = newChild)
 }
 
 /** Shared per-row computation. All methods are called from generated code —

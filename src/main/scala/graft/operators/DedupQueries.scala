@@ -121,7 +121,7 @@ object DedupQueries {
   private val bandtSql = {
     val bandSelects = (0 until bands).map { b =>
       val ks = (0 until rows).map(r => f"mh${b * rows + r}%02d").mkString(", ")
-      s"SELECT doc_id, $b AS band, md5(concat_ws(',', $ks)) AS bkey FROM sig"
+      s"SELECT doc_id, $b AS band, ${O.tokenHash(s"concat_ws(',', $ks)")} AS bkey FROM sig"
     }.mkString("\nUNION ALL\n")
     s"""bandt AS (
        |$bandSelects

@@ -85,8 +85,15 @@ object TextQueries {
           (col("n_keep").cast("double") / col("n_docs").cast("double")).as("keep_rate"),
           (col("sum_tok").cast("double") / col("n_docs").cast("double")).as("avg_tokens"),
           col("max_rep2"))
-    })
+    }),
+    // BM25 top-k lexical search (TextSearch): three mid-frequency corpus
+    // terms; every double op mirrored in the oracle in fold order
+    "bm1_bm25_topk" -> ((s, dir) =>
+      TextSearch.bm25TopK(Tables.documents(s, dir), col("text"), col("doc_id"),
+        Bm25Terms, 25))
   )
+
+  private[operators] val Bm25Terms = Seq("vector", "join", "spark")
 
   /** Deterministic PII augmentation for x8: the synthetic corpus carries no
     * PII, so both engines append identical doc_id-derived email / IPv4 /
@@ -109,7 +116,41 @@ object TextQueries {
         concat(lit(" call 555-"), (lit(1000) + col("doc_id") % 9000).cast("string"),
           lit(" today"))).otherwise(lit("")))
 
+  /** BM25 mirror: one tf CTE (dl + per-term counts), one stats row, score
+    * folded in term order with every double op parenthesized like the
+    * Spark expression; ln is libm on both engines (JavaLog).
+    */
+  private def bm25Sql(terms: Seq[String], k: Int): String = {
+    val m = terms.size
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(tk, x -> x = '$t')) AS tf$i"
+    }.mkString(", ")
+    val dfCols = (0 until m).map(i =>
+      s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i").mkString(", ")
+    val avgdl = "(CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))"
+    val dlNorm = s"(1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / $avgdl)))"
+    val contribs = (0 until m).map { i =>
+      val df = s"CAST(df$i AS DOUBLE)"
+      val idf = s"ln(1.0 + ((CAST(n AS DOUBLE) - $df) + 0.5) / ($df + 0.5))"
+      s"($idf * ((CAST(tf$i AS DOUBLE) * (1.2 + 1.0)) / (CAST(tf$i AS DOUBLE) + $dlNorm)))"
+    }
+    val score = contribs.reduceLeft((a, b) => s"($a + $b)")
+    s"""WITH toks AS (SELECT doc_id, ${O.tokens("text")} AS tk FROM documents),
+       |tf AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, $tfCols FROM toks),
+       |stats AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sumdl, $dfCols FROM tf),
+       |scored AS (
+       |  SELECT doc_id, $score AS score FROM tf CROSS JOIN stats
+       |),
+       |ranked AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+       |         doc_id, score
+       |  FROM scored WHERE score > 0.0
+       |)
+       |SELECT rank, doc_id, score FROM ranked WHERE rank <= $k""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "bm1_bm25_topk" -> bm25Sql(Bm25Terms, 25),
     "x1_lang_id" -> (toksSql +
       s"""
          |SELECT doc_id, stop_ratio,

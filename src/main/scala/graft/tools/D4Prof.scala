@@ -1,0 +1,62 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.functions.TextNative
+import graft.operators.Dedup
+object D4Prof {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[d4prof] $name%-28s ${(System.nanoTime()-t0)/1e9}%.2f s"); r
+    }
+    t("warmup")(spark.range(1000000).selectExpr("sum(id)").collect())
+    val n=16; val bands=4; val rowsPerBand=4
+    val classes = docs
+      .select(col("doc_id"), sort_array(array_distinct(TextNative.tokens(col("text")))).as("__ts"))
+      .groupBy("__ts").agg(collect_list(col("doc_id")).as("__members"))
+      .withColumn("cid", array_min(col("__members")))
+    val hashed = classes.select(col("cid"),
+      TextNative.minhashFromHashes(TextNative.hashModP(col("__ts")), n).as("__sig"))
+    val csig = hashed.select(col("cid") +: (0 until n).map(i =>
+      element_at(col("__sig"), i + 1).as(f"mh$i%02d")): _*)
+    val bandCols = (0 until bands).map { b =>
+      val ks = (0 until rowsPerBand).map(r => col(f"mh${b * rowsPerBand + r}%02d"))
+      struct(lit(b).as("band"), md5(concat_ws(",", ks: _*)).as("bkey"))
+    }
+    val exploded = csig
+      .select(col("cid"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("cid"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val classPairs = exploded.as("x")
+      .join(exploded.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.cid") < col("y.cid"))
+      .select(col("x.cid").as("cid1"), col("y.cid").as("cid2"))
+      .distinct()
+    t("classPairs count")(println("  classPairs=" + classPairs.count()))
+    val info = classes.select(col("cid"), col("__ts"), col("__members"))
+    val enriched = classPairs
+      .join(info.as("i1"), col("cid1") === col("i1.cid"))
+      .join(info.as("i2"), col("cid2") === col("i2.cid"))
+      .select(col("i1.__ts").as("__tsa"), col("i1.__members").as("__ma"),
+        col("i2.__ts").as("__tsb"), col("i2.__members").as("__mb"))
+    t("enriched noop")(enriched.write.format("noop").mode("overwrite").save())
+    val classJ = enriched
+      .select(col("__ma"), col("__mb"),
+        size(array_intersect(col("__tsa"), col("__tsb"))).cast("long").as("n_inter"),
+        (size(col("__tsa")) + size(col("__tsb"))).cast("long").as("__sz"))
+      .select(col("__ma"), col("__mb"), col("n_inter"),
+        (col("__sz") - col("n_inter")).as("n_union"))
+      .withColumn("jaccard",
+        try_divide(col("n_inter").cast("double"), col("n_union").cast("double")))
+      .filter(col("jaccard") >= 0.5)
+    t("classJ noop")(classJ.write.format("noop").mode("overwrite").save())
+    t("classJ count")(println("  classJ=" + classJ.count()))
+    spark.stop()
+  }
+}
