@@ -1,0 +1,63 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.sinks.Lake
+
+/** Partition-pruned lake MERGE: upsert semantics + proof that untouched
+  * partition directories are not rewritten.
+  */
+class MergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private lazy val base = Seq(
+    // three months, two symbols, version = v
+    ("btc", ts("2024-01-10 00:00:00"), 100.0, 1L),
+    ("btc", ts("2024-02-10 00:00:00"), 200.0, 1L),
+    ("eth", ts("2024-02-11 00:00:00"), 210.0, 1L),
+    ("btc", ts("2024-03-10 00:00:00"), 300.0, 1L)
+  ).toDF("symbol", "ts", "close", "v")
+
+  test("merge rewrites touched partitions only, keep-latest wins") {
+    val dir = java.nio.file.Files.createTempDirectory("merge").toString + "/lake"
+    Lake.writeArchive(base, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def partFiles(p: String): Map[String, Long] = {
+      val d = new org.apache.hadoop.fs.Path(s"$dir/$p")
+      fs.listStatus(d).filter(_.isFile).filter(!_.getPath.getName.startsWith("_"))
+        .map(f => f.getPath.getName -> f.getModificationTime).toMap
+    }
+    val janBefore = partFiles("year=2024/month=1")
+    val marBefore = partFiles("year=2024/month=3")
+
+    val updates = Seq(
+      ("btc", ts("2024-02-10 00:00:00"), 250.0, 2L), // update (higher v)
+      ("eth", ts("2024-02-11 00:00:00"), 205.0, 0L), // stale (lower v) — loses
+      ("eth", ts("2024-02-12 00:00:00"), 215.0, 1L), // insert into feb
+      ("btc", ts("2024-04-01 00:00:00"), 400.0, 1L)  // brand-new partition
+    ).toDF("symbol", "ts", "close", "v")
+    val (touched, written) = Lake.mergeArchive(spark, dir, updates,
+      keyCols = Seq("symbol", "ts"), versionCol = "v")
+    assert(touched == Seq((2024, 2), (2024, 4)))
+    // feb: btc@250 (v2 wins), eth 2-11@210 (v1 kept over stale v0),
+    // eth 2-12@215 (insert) = 3; apr: 1 → 4 rows rewritten
+    assert(written == 4)
+    val after = spark.read.parquet(dir)
+    assert(after.count() == 6) // jan 1 + feb 3 + mar 1 + apr 1
+    val feb = after.filter(col("month") === 2)
+      .select("symbol", "close", "v").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(feb == Set(("btc", 250.0, 2L), ("eth", 210.0, 1L), ("eth", 215.0, 1L)))
+    // untouched partitions: identical files, identical mtimes
+    assert(partFiles("year=2024/month=1") == janBefore)
+    assert(partFiles("year=2024/month=3") == marBefore)
+    // staging dir cleaned up
+    assert(!fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .exists(_.getPath.getName.startsWith(".merge_staging")))
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sinks.Lake
+
+/** Z-order clustering: layout fidelity + measured multi-dimensional file
+  * skipping vs the time-ordered layout (the realistic ingest baseline).
+  */
+class ZorderSpec extends SparkSpec {
+
+  private def events = graft.sources.Tables.events(spark, "/root/testdata/sf0.01")
+    .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+
+  test("z-ordered write preserves rows exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    Lake.writeZOrdered(events, s"$dir/z", Seq("user_id", "value"), numFiles = 32)
+    val back = spark.read.parquet(s"$dir/z")
+    assert(back.count() == events.count())
+    // set equality row-for-row (event_id unique → multiset == set)
+    assert(back.select(events.columns.map(col): _*).except(events).isEmpty)
+    assert(events.except(back.select(events.columns.map(col): _*)).isEmpty)
+    assert(back.columns.sorted.toSeq == events.columns.sorted.toSeq) // no __zv leak
+  }
+
+  test("z-order skips files on a 2-D box where the time layout cannot") {
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    // ingest-order baseline: range-partitioned + sorted by ts, like any
+    // streaming landing zone
+    events.repartitionByRange(32, col("ts")).sortWithinPartitions("ts")
+      .write.parquet(s"$dir/linear")
+    Lake.writeZOrdered(events, s"$dir/z", Seq("user_id", "value"), numFiles = 32)
+
+    val Array(uLo, uHi) = events.stat.approxQuantile("user_id", Array(0.45, 0.55), 0.0)
+    val Array(vLo, vHi) = events.stat.approxQuantile("value", Array(0.45, 0.55), 0.0)
+    val box = Map("user_id" -> (uLo, uHi), "value" -> (vLo, vHi))
+
+    val zc = Lake.candidateFiles(
+      Lake.fileStats(spark, s"$dir/z", Seq("user_id", "value")), box)
+    val lc = Lake.candidateFiles(
+      Lake.fileStats(spark, s"$dir/linear", Seq("user_id", "value")), box)
+    info(s"candidate files for a 10% x 10% box: zorder=$zc linear=$lc (of 32)")
+    // time-ordered files all span the full user/value range -> no skipping
+    assert(lc >= 30, s"expected the time layout to scan ~all files, got $lc")
+    // z-order confines the box to a small corner of the file set
+    assert(zc * 3 <= lc, s"expected >=3x skipping, got z=$zc linear=$lc")
+  }
+
+  test("rank buckets are monotone and span the range") {
+    val bounds = Array(10.0, 20.0, 30.0)
+    val rb = graft.functions.RankBucket(
+      org.apache.spark.sql.graftbridge.ColumnBridge.expression(lit(0.0)), bounds)
+    assert(rb.compute(5.0) == 0 && rb.compute(10.0) == 0)
+    assert(rb.compute(10.5) == 1 && rb.compute(25.0) == 2)
+    assert(rb.compute(31.0) == 3)
+  }
+}
