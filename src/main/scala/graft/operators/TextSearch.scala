@@ -60,24 +60,37 @@ object TextSearch {
             .as(s"__df$i"))
     val stats = perDoc.agg(statAggs.head, statAggs.tail: _*)
     val scored = perDoc.crossJoin(broadcast(stats))
-    val avgdl = col("__sumdl").cast("double") / col("__n").cast("double")
-    val dlNorm = lit(k1) * (lit(1.0) - lit(b) + lit(b) * (col("__dl").cast("double") / avgdl))
-    val contribs = (0 until m).map { i =>
-      val tf = element_at(col("__tf"), i + 1).cast("double")
-      val df = col(s"__df$i").cast("double")
-      val idf = JavaMath.jlog(lit(1.0) +
-        ((col("__n").cast("double") - df) + lit(0.5)) / (df + lit(0.5)))
-      // k1 + 1 as a RUNTIME addition of the two literals (constant-folded
-      // with IEEE semantics) so the SQL mirror `(1.2 + 1.0)` is the same
-      // double — a pre-added Scala literal need not equal the SQL parse
-      idf * ((tf * (lit(k1) + lit(1.0))) / (tf + dlNorm))
-    }
-    val score = contribs.reduceLeft(_ + _)
+    val score = scoreExpr(
+      (0 until m).map(i => element_at(col("__tf"), i + 1)),
+      col("__dl"), col("__n"), col("__sumdl"),
+      (0 until m).map(i => col(s"__df$i")), k1, b)
     scored.select(col("doc_id"), score.as("score"))
       .filter(col("score") > 0.0)
       .agg(TopK.topK(col("score"), col("doc_id"), k).as("__top"))
       .select(posexplode(col("__top")))
       .select((col("pos") + 1).cast("long").as("rank"),
         col("col.id").as("doc_id"), col("col.score").as("score"))
+  }
+
+  /** The BM25 score fold, shared verbatim by the batch scan and the
+    * persisted [[TextIndex]] so both paths produce bit-identical doubles:
+    * contributions in TERM ORDER, reduced left-to-right.
+    */
+  private[operators] def scoreExpr(tfs: Seq[Column], dl: Column,
+      n: Column, sumdl: Column, dfs: Seq[Column],
+      k1: Double, b: Double): Column = {
+    val avgdl = sumdl.cast("double") / n.cast("double")
+    val dlNorm = lit(k1) * (lit(1.0) - lit(b) + lit(b) * (dl.cast("double") / avgdl))
+    val contribs = tfs.zip(dfs).map { case (tfc, dfc) =>
+      val tf = tfc.cast("double")
+      val df = dfc.cast("double")
+      val idf = JavaMath.jlog(lit(1.0) +
+        ((n.cast("double") - df) + lit(0.5)) / (df + lit(0.5)))
+      // k1 + 1 as a RUNTIME addition of the two literals (constant-folded
+      // with IEEE semantics) so the SQL mirror `(1.2 + 1.0)` is the same
+      // double — a pre-added Scala literal need not equal the SQL parse
+      idf * ((tf * (lit(k1) + lit(1.0))) / (tf + dlNorm))
+    }
+    contribs.reduceLeft(_ + _)
   }
 }

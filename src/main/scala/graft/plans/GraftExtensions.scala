@@ -6,7 +6,8 @@ import org.apache.spark.sql.catalyst.expressions.{Cast, CreateNamedStruct, Expre
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
-import graft.functions.{Ema, IvfAssignTopN, JavaLog, LshBucket, PqAdcCosine, PqEncode, TopKByScore}
+import graft.functions.{Ema, IvfAssignTopN, JavaLog, LshBucket, MinhashSig, PqAdcCosine, PqEncode, TermFreqs, TextStats, Tokens, TopKByScore, WordNgramHashes}
+import graft.operators.TextOps
 
 /** SQL surface for graft's custom Catalyst expressions: registers
   *   - `ema(x, alpha)` — the recursive EMA window function
@@ -133,6 +134,49 @@ object GraftFunctions {
       Cast(args(2), DoubleType), doubles3(args(3), "codebooks"))
   }
 
+  // ---- text-kernel builders (round 6): the native one-pass document
+  // census / signature expressions, SQL-callable
+  private def str(e: Expression): Expression =
+    Cast(e, org.apache.spark.sql.types.StringType)
+
+  private def textStatsBuilder(args: Seq[Expression]): Expression = {
+    require(args.size == 1, "text_stats(text) takes exactly 1 argument")
+    TextStats(str(args.head), TextOps.EnStopwords)
+  }
+
+  private def tokensBuilder(args: Seq[Expression]): Expression = {
+    require(args.size == 1, "tokens(text) takes exactly 1 argument")
+    Tokens(str(args.head))
+  }
+
+  private def ngramHashesBuilder(args: Seq[Expression]): Expression = {
+    require(args.size == 3,
+      "ngram_hashes(text, n, distinct) takes exactly 3 arguments")
+    val dist = args(2) match {
+      case Literal(b: Boolean, org.apache.spark.sql.types.BooleanType) => b
+      case other => throw new IllegalArgumentException(
+        s"ngram_hashes' distinct must be a boolean literal, got $other")
+    }
+    WordNgramHashes(str(args.head), intLit(args(1), "n"), dist)
+  }
+
+  private def minhashSigBuilder(args: Seq[Expression]): Expression = {
+    require(args.size == 3,
+      "minhash_sig(text, shingleN, nHashes) takes exactly 3 arguments")
+    MinhashSig(str(args.head), intLit(args(1), "shingleN"),
+      intLit(args(2), "nHashes"))
+  }
+
+  private def termFreqsBuilder(args: Seq[Expression]): Expression = {
+    require(args.size == 2, "term_freqs(text, terms) takes exactly 2 arguments")
+    val terms = folded(args(1),
+      ArrayType(org.apache.spark.sql.types.StringType), "terms")
+      .asInstanceOf[ArrayData]
+      .toObjectArray(org.apache.spark.sql.types.StringType)
+      .map(_.toString).toSeq
+    TermFreqs(str(args.head), terms)
+  }
+
   val builders: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("ema",
       new ExpressionInfo(classOf[Ema].getName, "ema"),
@@ -154,7 +198,22 @@ object GraftFunctions {
       pqEncodeBuilder _),
     ("pq_adc",
       new ExpressionInfo(classOf[PqAdcCosine].getName, "pq_adc"),
-      pqAdcBuilder _))
+      pqAdcBuilder _),
+    ("text_stats",
+      new ExpressionInfo(classOf[TextStats].getName, "text_stats"),
+      textStatsBuilder _),
+    ("tokens",
+      new ExpressionInfo(classOf[Tokens].getName, "tokens"),
+      tokensBuilder _),
+    ("ngram_hashes",
+      new ExpressionInfo(classOf[WordNgramHashes].getName, "ngram_hashes"),
+      ngramHashesBuilder _),
+    ("minhash_sig",
+      new ExpressionInfo(classOf[MinhashSig].getName, "minhash_sig"),
+      minhashSigBuilder _),
+    ("term_freqs",
+      new ExpressionInfo(classOf[TermFreqs].getName, "term_freqs"),
+      termFreqsBuilder _))
 
   /** Register on a live session (tests, REPLs). */
   def register(spark: SparkSession): Unit =

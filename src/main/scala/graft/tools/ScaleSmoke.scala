@@ -245,6 +245,35 @@ object ScaleSmoke {
       docs.select(TextOps.fingerprint(col("text")).as("f"))
         .agg(sum(col("f").cast("double"))).collect(); nd
     }
+    // ---- native kernel vs the interpreted HOF witness, same corpus:
+    // the round-6 TextStats/MinhashSig speedup measured at 1 M docs
+    // (TextOps/Dedup above already ride the kernels; these two pin the
+    // ratio explicitly against the TextWitness chains)
+    timeD("quality-witness-hof") {
+      docs.select(graft.operators.TextWitness.qualityScore(col("text")).as("q"),
+        graft.operators.TextWitness.repeatedNgramRatio(col("text"), 2).as("r"))
+        .agg(sum(col("q") + col("r"))).collect(); nd
+    }
+    timeD("quality-native") {
+      docs.select(TextOps.qualityScore(col("text")).as("q"),
+        TextOps.repeatedNgramRatio(col("text"), 2).as("r"))
+        .agg(sum(col("q") + col("r"))).collect(); nd
+    }
+    timeD("minhash-witness-hof") {
+      import graft.functions.TextHash
+      val hs = transform(
+        array_distinct(TextHash.wordNgrams(TextHash.tokens(col("text")), 3)),
+        t => TextHash.tokenHash(t) % lit(Dedup.P))
+      val staged = docs.select(col("doc_id"), hs.as("__hs"))
+      val cols16 = Dedup.hashParams(16).zipWithIndex.map { case ((a, b), i) =>
+        Dedup.minhashCol(col("__hs"), a, b).as(f"mh$i%02d") }
+      staged.select(col("doc_id") +: cols16: _*)
+        .agg(sum((col("mh00") + col("mh15")).cast("double"))).collect(); nd
+    }
+    timeD("bm25-top25-1M") {
+      graft.operators.TextSearch.bm25TopK(docs, col("text"), col("doc_id"),
+        Seq("w1", "w2", "w3"), 25).count()
+    }
     }
 
     if (on("vectors")) {

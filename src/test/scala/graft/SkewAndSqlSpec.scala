@@ -223,4 +223,30 @@ class SkewAndSqlSpec extends SparkSpec {
     }
     assert(pqSql.sameElements(pqDf))
   }
+
+  test("the text kernels are callable from pure SQL, bit-equal to the DataFrame API") {
+    GraftFunctions.register(spark)
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    docs.createOrReplaceTempView("sql_docs")
+
+    val statsSql = spark.sql(
+      """SELECT doc_id, text_stats(text).n_tokens AS n, text_stats(text).simhash AS sh,
+        |       tokens(text) AS tk, ngram_hashes(text, 3, true) AS gh,
+        |       minhash_sig(text, 3, 16) AS sig,
+        |       term_freqs(text, array('vector', 'join')).tf AS tf
+        |FROM sql_docs""".stripMargin)
+      .collect().map(_.toString).sorted
+    val statsDf = docs.select(col("doc_id"),
+        graft.functions.TextNative.stats(col("text"),
+          graft.operators.TextOps.EnStopwords).getField("n_tokens").as("n"),
+        graft.functions.TextNative.stats(col("text"),
+          graft.operators.TextOps.EnStopwords).getField("simhash").as("sh"),
+        graft.functions.TextNative.tokens(col("text")).as("tk"),
+        graft.functions.TextNative.wordNgramHashes(col("text"), 3, distinct = true).as("gh"),
+        graft.functions.TextNative.minhashSig(col("text"), 3, 16).as("sig"),
+        graft.functions.TextNative.termFreqs(col("text"),
+          Seq("vector", "join")).getField("tf").as("tf"))
+      .collect().map(_.toString).sorted
+    assert(statsSql.sameElements(statsDf))
+  }
 }
