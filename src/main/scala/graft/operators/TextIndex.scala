@@ -59,6 +59,43 @@ object TextIndex {
       .write.mode("overwrite").parquet(s"$path/stats")
   }
 
+  /** Append a batch of NEW documents (caller guarantees doc_ids disjoint
+    * from the indexed corpus — ingest-time dedup is [[Dedup
+    * .incrementalDropList]]'s job, upstream of indexing). Postings rows
+    * append into their bucket partitions (no existing file is read or
+    * rewritten); the one-row stats table is read (one collect of two
+    * longs), summed, and overwritten. df(term) needs no maintenance — it
+    * is derived from the postings at query time, so an append is visible
+    * to the next query atomically with its partition commit.
+    * TextIndexSpec asserts build(half)+append(half) == build(full)
+    * bit-exactly.
+    */
+  def append(spark: SparkSession, newDocs: DataFrame, text: Column,
+      id: Column, path: String, buckets: Int = 64): Unit = {
+    val toks = newDocs.select(id.as("doc_id"), TextNative.tokens(text).as("__tk"))
+      .select(col("doc_id"), size(col("__tk")).as("dl"),
+        explode(col("__tk")).as("term"))
+    toks
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("int").as("tf"))
+      .withColumn("bucket", pmod(TextHash.tokenHash(col("term")), lit(buckets.toLong)))
+      .repartition(col("bucket"))
+      .sortWithinPartitions("bucket", "term", "doc_id")
+      .write.mode("append")
+      .option("compression", "zstd")
+      .partitionBy("bucket")
+      .parquet(s"$path/postings")
+    val old = spark.read.parquet(s"$path/stats").collect()(0)
+    val delta = newDocs
+      .select(id.as("doc_id"), TextNative.tokens(text).as("__tk"))
+      .agg(count(lit(1)).as("n"), sum(size(col("__tk")).cast("long")).as("s"))
+      .collect()(0)
+    import spark.implicits._
+    Seq((old.getLong(0) + delta.getLong(0), old.getLong(1) + delta.getLong(1)))
+      .toDF("n_docs", "sum_dl")
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
   /** Top-k BM25 from the index: (rank, doc_id, score), identical to
     * [[TextSearch.bm25TopK]] on the indexed corpus.
     */

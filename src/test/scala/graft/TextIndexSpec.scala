@@ -23,6 +23,21 @@ class TextIndexSpec extends SparkSpec {
     }
   }
 
+  test("build(half) + append(half) equals build(full) bit-exactly") {
+    val dirA = java.nio.file.Files.createTempDirectory("textidx").toString
+    val dirB = java.nio.file.Files.createTempDirectory("textidx").toString
+    val (lo, hi) = (docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1))
+    TextIndex.build(docs, col("text"), col("doc_id"), dirA, buckets = 16)
+    TextIndex.build(lo, col("text"), col("doc_id"), dirB, buckets = 16)
+    TextIndex.append(spark, hi, col("text"), col("doc_id"), dirB, buckets = 16)
+    val full = TextIndex.topK(spark, dirA, Seq("vector", "spark"), 20, buckets = 16)
+      .collect().map(_.toString).sorted
+    val inc = TextIndex.topK(spark, dirB, Seq("vector", "spark"), 20, buckets = 16)
+      .collect().map(_.toString).sorted
+    assert(inc.sameElements(full))
+  }
+
   test("query reads only the buckets its terms hash to") {
     val dir = java.nio.file.Files.createTempDirectory("textidx").toString
     TextIndex.build(docs, col("text"), col("doc_id"), dir, buckets = 16)
