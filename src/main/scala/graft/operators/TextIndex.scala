@@ -85,7 +85,12 @@ object TextIndex {
       .option("compression", "zstd")
       .partitionBy("bucket")
       .parquet(s"$path/postings")
-    val old = spark.read.parquet(s"$path/stats").collect()(0)
+    // first streamed batch may land before any build(): absent stats = empty index
+    val statsPath = new org.apache.hadoop.fs.Path(s"$path/stats")
+    val fs = statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old =
+      if (fs.exists(statsPath)) spark.read.parquet(s"$path/stats").collect()(0)
+      else org.apache.spark.sql.Row(0L, 0L)
     val delta = newDocs
       .select(id.as("doc_id"), TextNative.tokens(text).as("__tk"))
       .agg(count(lit(1)).as("n"), sum(size(col("__tk")).cast("long")).as("s"))

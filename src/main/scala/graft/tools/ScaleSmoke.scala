@@ -328,6 +328,48 @@ object ScaleSmoke {
     vecs.unpersist()
     }
 
+    if (on("zorder")) {
+    // ---- Z-order vs time-ordered layout at 10 M rows x 128 files: the
+    // candidate-file count bounds what ANY pruning reader must touch for
+    // a 2-D box, and the timed filtered scans show it reaching wall time
+    // through ordinary parquet row-group stats.
+    import graft.sinks.Lake
+    val zdir = java.nio.file.Files.createTempDirectory("smoke-zorder").toString
+    val zn = 10000000L
+    val zrows = spark.range(zn).select(
+      col("id").as("event_id"),
+      timestamp_micros(lit(1700000000000000L) + col("id") * lit(60000000L)).as("ts"),
+      pmod(xxhash64(col("id")), lit(100000L)).as("user_id"),
+      (pmod(xxhash64(col("id") + lit(7L)), lit(1000000L)).cast("double") / lit(1000.0))
+        .as("value"))
+    def timeZ(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[scale] $label%-22s rows=$r%-10d ${(System.nanoTime() - t0) / 1e9}%6.1f s")
+    }
+    timeZ("zorder-write-10M") {
+      Lake.writeZOrdered(zrows, s"$zdir/z", Seq("user_id", "value"), numFiles = 128)
+      zn
+    }
+    timeZ("linear-write-10M") {
+      zrows.repartitionByRange(128, col("ts")).sortWithinPartitions("ts")
+        .write.parquet(s"$zdir/linear"); zn
+    }
+    val box = Map("user_id" -> (45000.0, 55000.0), "value" -> (450.0, 550.0))
+    val zc = Lake.candidateFiles(
+      Lake.fileStats(spark, s"$zdir/z", Seq("user_id", "value")), box)
+    val lc = Lake.candidateFiles(
+      Lake.fileStats(spark, s"$zdir/linear", Seq("user_id", "value")), box)
+    println(s"[scale] zorder-candidates     z=$zc linear=$lc (of 128 files, 10%x10% box)")
+    def boxCount(path: String): Long =
+      spark.read.parquet(path)
+        .filter(col("user_id").between(45000L, 55000L) &&
+          col("value").between(450.0, 550.0))
+        .count()
+    timeZ("box-scan-zorder") { boxCount(s"$zdir/z") }
+    timeZ("box-scan-linear") { boxCount(s"$zdir/linear") }
+    }
+
     if (on("pack")) {
     // ---- token packing under source skew: 40 M docs, 90% on ONE source.
     // The plain per-source prefix window serializes the hot source in a

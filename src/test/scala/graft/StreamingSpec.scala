@@ -439,4 +439,28 @@ class StreamingSpec extends SparkSpec {
       assert(batch.toSeq === out.toSeq)
     } finally q.stop()
   }
+
+  test("streamed posting ingestion serves bit-identically to a cold rebuild") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.{TextIndex, TextSearch}
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft-tidx").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-tidx-ckpt").toString
+    val input = MemoryStream[(Long, String)](spark)
+    val stream = input.toDF().toDF("doc_id", "text")
+    val q = graft.streaming.StreamTextIndex.appendStream(
+      stream, col("text"), col("doc_id"), dir, ckpt, buckets = 16)
+    try {
+      val rows = docs.select("doc_id", "text").as[(Long, String)].collect()
+      input.addData(rows.take(rows.length / 2).toIndexedSeq)
+      q.processAllAvailable() // first batch builds the index from nothing
+      input.addData(rows.drop(rows.length / 2).toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = TextIndex.topK(spark, dir, Seq("vector", "spark"), 20,
+      buckets = 16).collect().map(_.toString).sorted
+    val batch = TextSearch.bm25TopK(docs, col("text"), col("doc_id"),
+      Seq("vector", "spark"), 20).collect().map(_.toString).sorted
+    assert(streamed.sameElements(batch))
+  }
 }
