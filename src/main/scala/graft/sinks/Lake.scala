@@ -109,6 +109,38 @@ object Lake {
       .parquet(path)
   }
 
+  /** OPTIMIZE: rewrite chosen year/month partitions of the archive into
+    * Z-ordered files (the Delta `OPTIMIZE ... ZORDER BY` lifecycle on
+    * plain parquet). Each partition is rewritten INDEPENDENTLY —
+    * quantile boundaries are computed per partition, cost is
+    * O(partitions touched), and untouched directories are never read.
+    * Rewrite-swap-drop per directory (write to a hidden sibling, swap,
+    * drop the old) so a crash mid-optimize leaves either the old or the
+    * new complete directory, never a mix — the [[graft.operators
+    * .VectorIndex]] compact discipline.
+    */
+  def optimizeZOrder(spark: SparkSession, path: String, zCols: Seq[String],
+      partitions: Seq[(Int, Int)], filesPerPartition: Int = 8,
+      bits: Int = 12): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    partitions.foreach { case (y, m) =>
+      val dir = new org.apache.hadoop.fs.Path(path, s"year=$y/month=$m")
+      require(fs.exists(dir), s"no such partition: year=$y/month=$m")
+      val tmp = new org.apache.hadoop.fs.Path(path,
+        s"year=$y/.zorder_tmp_month=$m")
+      val old = new org.apache.hadoop.fs.Path(path,
+        s"year=$y/.zorder_old_month=$m")
+      writeZOrdered(spark.read.parquet(dir.toString), tmp.toString,
+        zCols, filesPerPartition, bits)
+      // swap: old dir aside, tmp in, old dropped — each rename atomic
+      fs.delete(old, true)
+      require(fs.rename(dir, old), s"swap-out failed for $dir")
+      require(fs.rename(tmp, dir), s"swap-in failed for $dir")
+      fs.delete(old, true)
+    }
+  }
+
   /** Per-FILE min/max envelope of `cols` — exactly the statistics a
     * pruning reader consults. `candidateFiles` counts the files a box
     * predicate cannot skip; the Z-order spec asserts the clustered layout

@@ -46,6 +46,39 @@ class ZorderSpec extends SparkSpec {
     assert(zc * 3 <= lc, s"expected >=3x skipping, got z=$zc linear=$lc")
   }
 
+  test("optimizeZOrder rewrites chosen partitions in place, rows identical") {
+    import graft.sinks.Lake
+    val dir = java.nio.file.Files.createTempDirectory("zopt").toString + "/lake"
+    val bars = events
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      .withColumn("symbol", concat(lit("s"), (col("event_id") % 3).cast("string")))
+    Lake.writeArchive(bars, dir)
+    val before = spark.read.parquet(dir)
+    val rows = before.count()
+    val parts = before.select("year", "month").distinct()
+      .collect().map(r => (r.getInt(0), r.getInt(1))).sorted
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (oy, om) = parts.last // leave the last partition alone
+    val untouchedBefore = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$dir/year=$oy/month=$om"))
+      .map(f => f.getPath.getName -> f.getModificationTime).toMap
+
+    Lake.optimizeZOrder(spark, dir, Seq("user_id", "value"),
+      parts.dropRight(1).toSeq, filesPerPartition = 4)
+
+    val after = spark.read.parquet(dir)
+    assert(after.count() == rows)
+    assert(after.select(before.columns.map(col): _*).except(before).isEmpty)
+    assert(before.except(after.select(before.columns.map(col): _*)).isEmpty)
+    // untouched partition: identical files and mtimes; no temp dirs left
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/year=$oy/month=$om"))
+      .map(f => f.getPath.getName -> f.getModificationTime).toMap == untouchedBefore)
+    val leftovers = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/year=$oy"))
+      .map(_.getPath.getName).filter(_.startsWith(".zorder"))
+    assert(leftovers.isEmpty, s"temp dirs left: ${leftovers.mkString(",")}")
+  }
+
   test("rank buckets are monotone and span the range") {
     val bounds = Array(10.0, 20.0, 30.0)
     val rb = graft.functions.RankBucket(
