@@ -60,4 +60,15 @@ class MergeSpec extends SparkSpec {
     assert(!fs.listStatus(new org.apache.hadoop.fs.Path(dir))
       .exists(_.getPath.getName.startsWith(".merge_staging")))
   }
+
+  test("empty update batch is a no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("merge").toString + "/lake"
+    Lake.writeArchive(base, dir)
+    val before = spark.read.parquet(dir).collect().map(_.toString).sorted
+    val (touched, written) = Lake.mergeArchive(spark, dir,
+      base.filter(col("v") < 0), keyCols = Seq("symbol", "ts"), versionCol = "v")
+    assert(touched.isEmpty && written == 0)
+    val after = spark.read.parquet(dir).collect().map(_.toString).sorted
+    assert(after.sameElements(before))
+  }
 }
