@@ -79,6 +79,18 @@ class ZorderSpec extends SparkSpec {
     assert(leftovers.isEmpty, s"temp dirs left: ${leftovers.mkString(",")}")
   }
 
+  test("z-order tolerates null dimension values (nulls cluster, rows survive)") {
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    val withNulls = events.withColumn("value",
+      when(col("event_id") % 7 === 0, lit(null).cast("double"))
+        .otherwise(col("value")))
+    Lake.writeZOrdered(withNulls, s"$dir/z", Seq("user_id", "value"), numFiles = 8)
+    val back = spark.read.parquet(s"$dir/z")
+    assert(back.count() == withNulls.count())
+    assert(back.filter(col("value").isNull).count() ==
+      withNulls.filter(col("value").isNull).count())
+  }
+
   test("rank buckets are monotone and span the range") {
     val bounds = Array(10.0, 20.0, 30.0)
     val rb = graft.functions.RankBucket(
