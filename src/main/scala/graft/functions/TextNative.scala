@@ -61,6 +61,60 @@ object TextNative {
 
   def termFreqs(text: Column, terms: Seq[String]): Column =
     ColumnBridge.column(TermFreqs(ColumnBridge.expression(text), terms))
+
+  def sortedIntersectSize(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      SortedIntersectSize(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}
+
+/** |a ∩ b| for two SORTED string sets (ascending, distinct — exactly the
+  * `sort_array(array_distinct(...))` class keys): one merge walk, no
+  * per-row hash table, no materialized intersection array —
+  * == `size(array_intersect(a, b))` on that input class (witnessed in
+  * TextNativeSpec; the Jaccard class stage runs millions of these per
+  * query). Binary comparison (UTF8String ordering) matches both
+  * sort_array's ordering and array_intersect's equality.
+  */
+case class SortedIntersectSize(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def prettyName: String = "sorted_intersect_size"
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(
+          s"sorted_intersect_size needs two array<string>, got $other")
+    }
+
+  def compute(a: ArrayData, b: ArrayData): Int = {
+    val (na, nb) = (a.numElements(), b.numElements())
+    var i = 0; var j = 0; var n = 0
+    while (i < na && j < nb) {
+      val c = a.getUTF8String(i).binaryCompare(b.getUTF8String(j))
+      if (c == 0) { n += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    n
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val ref = ctx.addReferenceObj("sortedIsect", this,
+        classOf[SortedIntersectSize].getName)
+      s"${ev.value} = $ref.compute($a, $b);"
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): SortedIntersectSize =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Document length + per-term occurrence counts in one pass —

@@ -502,12 +502,14 @@ object Dedup {
     */
   def jaccardOnCandidates(df: DataFrame, text: Column, id: Column,
       candidates: DataFrame, minJaccard: Double): DataFrame = {
-    val tsets = df.select(id.as("doc_id"), array_distinct(TextNative.tokens(text)).as("__ts"))
+    val tsets = df.select(id.as("doc_id"),
+      sort_array(array_distinct(TextNative.tokens(text))).as("__ts"))
     candidates.select("doc_id1", "doc_id2")
       .join(tsets.select(col("doc_id").as("doc_id1"), col("__ts").as("__tsa")), "doc_id1")
       .join(tsets.select(col("doc_id").as("doc_id2"), col("__ts").as("__tsb")), "doc_id2")
       .select(col("doc_id1"), col("doc_id2"),
-        size(array_intersect(col("__tsa"), col("__tsb"))).cast("long").as("n_inter"),
+        TextNative.sortedIntersectSize(col("__tsa"), col("__tsb"))
+          .cast("long").as("n_inter"),
         (size(col("__tsa")) + size(col("__tsb"))).cast("long").as("__sz"))
       .select(col("doc_id1"), col("doc_id2"), col("n_inter"),
         (col("__sz") - col("n_inter")).as("n_union"))
@@ -600,7 +602,11 @@ object Dedup {
         col("i2.__ts").as("__tsb"), col("i2.__members").as("__mb"))
     val classJ = enriched
       .select(col("__ma"), col("__mb"),
-        size(array_intersect(col("__tsa"), col("__tsb"))).cast("long").as("n_inter"),
+        // class keys are sorted distinct token arrays -> one native merge
+        // walk per pair (no per-pair hash table, no materialized
+        // intersection; millions of pairs per query at corpus scale)
+        TextNative.sortedIntersectSize(col("__tsa"), col("__tsb"))
+          .cast("long").as("n_inter"),
         (size(col("__tsa")) + size(col("__tsb"))).cast("long").as("__sz"))
       .select(col("__ma"), col("__mb"), col("n_inter"),
         (col("__sz") - col("n_inter")).as("n_union"))

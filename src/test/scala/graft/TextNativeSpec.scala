@@ -123,6 +123,17 @@ class TextNativeSpec extends SparkSpec {
       "minhashFromHashes")
   }
 
+  test("SortedIntersectSize equals size(array_intersect) on sorted sets") {
+    val pairs = fixtures.as("a").crossJoin(fixtures.limit(8).as("b"))
+      .select(
+        sort_array(array_distinct(TextNative.tokens(col("a.text")))).as("__ta"),
+        sort_array(array_distinct(TextNative.tokens(col("b.text")))).as("__tb"))
+    assertColsEqual(pairs.select(lit(0L).as("doc_id"),
+      TextNative.sortedIntersectSize(col("__ta"), col("__tb")).as("a"),
+      size(array_intersect(col("__ta"), col("__tb"))).as("b")),
+      "sortedIntersectSize")
+  }
+
   test("filterVerdict equals the witness-composed CASE chain") {
     val witnessVerdict = {
       val n = TextWitness.tokenCount(col("text"))
