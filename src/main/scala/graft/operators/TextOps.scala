@@ -61,6 +61,42 @@ object TextOps {
   def langId(text: Column, threshold: Double = 0.05): Column =
     when(stopwordRatio(text) >= threshold, lit("en")).otherwise(lit("unk"))
 
+  /** Per-language function-word profiles for [[langIdMulti]] (standard
+    * closed-class words; tiny on purpose — swap per-deployment).
+    */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "an", "of", "to", "in", "is", "and"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "fr" -> Seq("le", "les", "et", "est", "pas", "une", "dans", "je"),
+    "es" -> Seq("el", "los", "y", "es", "no", "una", "por", "que"))
+
+  /** Multi-language ID: function-word hit ratio per profile from ONE
+    * [[graft.functions.TermFreqs]] pass over the union vocabulary, winner
+    * by first-in-order argmax over the threshold (deterministic
+    * tie-break: profile order), `unk` when nothing clears it. The CASE
+    * chain is written out (not `greatest`) so the DuckDB mirror is the
+    * same decision procedure token for token.
+    */
+  def langIdMulti(text: Column, threshold: Double = 0.05): Column = {
+    val vocab = LangProfiles.flatMap(_._2).distinct
+    val idx = vocab.zipWithIndex.toMap
+    val f = TextNative.termFreqs(text, vocab)
+    val n = f.getField("dl")
+    val ratios = LangProfiles.map { case (lang, words) =>
+      val hits = words.map(w => element_at(f.getField("tf"), idx(w) + 1))
+        .reduceLeft[Column](_ + _)
+      lang -> when(n > 0, hits.cast("double") / n.cast("double"))
+        .otherwise(lit(0.0))
+    }
+    val langs = ratios.map(_._1)
+    ratios.zipWithIndex.foldRight(lit("unk")) { case (((lang, r), i), els) =>
+      val beatsLater = langs.drop(i + 1)
+        .map(l => r >= ratios.find(_._1 == l).get._2)
+        .foldLeft(r >= threshold)(_ && _)
+      when(beatsLater, lit(lang)).otherwise(els)
+    }
+  }
+
   /** Document quality score in [0,1]: equal-weight blend of
     * length score (tokens/50 capped at 1), alphabetic-token ratio,
     * type-token diversity, and closeness of the stopword ratio to a

@@ -90,7 +90,11 @@ object TextQueries {
     // terms; every double op mirrored in the oracle in fold order
     "bm1_bm25_topk" -> ((s, dir) =>
       TextSearch.bm25TopK(Tables.documents(s, dir), col("text"), col("doc_id"),
-        Bm25Terms, 25))
+        Bm25Terms, 25)),
+    "x10_lang_multi" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextOps.langIdMulti(col("text")).as("lang_pred")))
   )
 
   private[operators] val Bm25Terms = Seq("vector", "join", "spark")
@@ -149,7 +153,35 @@ object TextQueries {
        |SELECT rank, doc_id, score FROM ranked WHERE rank <= $k""".stripMargin
   }
 
+  /** langIdMulti mirror: one ratio per profile, the same first-in-order
+    * argmax CASE chain (NOT greatest()) the Spark side folds.
+    */
+  private val langMultiSql: String = {
+    val profiles = TextOps.LangProfiles
+    val ratioCols = profiles.map { case (lang, words) =>
+      val list = words.map(w => s"'$w'").mkString("(", ", ", ")")
+      s"CASE WHEN len(tk) > 0 THEN CAST(len(list_filter(tk, t -> t IN $list)) AS DOUBLE) / CAST(len(tk) AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS r_$lang"
+    }.mkString(",\n       ")
+    val langs = profiles.map(_._1)
+    val whens = langs.zipWithIndex.map { case (lang, i) =>
+      val conds = (s"r_$lang >= CAST('0.05' AS DOUBLE)" +:
+        langs.drop(i + 1).map(l => s"r_$lang >= r_$l")).mkString(" AND ")
+      s"WHEN $conds THEN '$lang'"
+    }.mkString("\n         ")
+    s"""WITH toks AS (SELECT doc_id, ${O.tokens("text")} AS tk FROM documents),
+       |ratios AS (
+       |  SELECT doc_id,
+       |       $ratioCols
+       |  FROM toks
+       |)
+       |SELECT doc_id,
+       |       CASE $whens
+       |         ELSE 'unk' END AS lang_pred
+       |FROM ratios""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "x10_lang_multi" -> langMultiSql,
     "bm1_bm25_topk" -> bm25Sql(Bm25Terms, 25),
     "x1_lang_id" -> (toksSql +
       s"""

@@ -123,6 +123,22 @@ class TextNativeSpec extends SparkSpec {
       "minhashFromHashes")
   }
 
+  test("langIdMulti identifies planted languages, unk below threshold, en-first ties") {
+    val planted = Seq(
+      (1L, "der hund ist nicht mit dem ball und das ist gut"),
+      (2L, "le chat est dans la maison et je ne sais pas"),
+      (3L, "el perro es muy grande y no come por la noche que"),
+      (4L, "the cat is in the house and it is happy"),
+      (5L, "zzz qqq www rrr ttt"),
+      (6L, "") // empty -> all ratios 0 -> unk
+    ).toDF("doc_id", "text")
+    val out = planted.select(col("doc_id"),
+        graft.operators.TextOps.langIdMulti(col("text")).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "de", 2L -> "fr", 3L -> "es", 4L -> "en",
+      5L -> "unk", 6L -> "unk"))
+  }
+
   test("SortedIntersectSize equals size(array_intersect) on sorted sets") {
     val pairs = fixtures.as("a").crossJoin(fixtures.limit(8).as("b"))
       .select(
