@@ -203,6 +203,47 @@ object TextOps {
   }
 
   // ------------------------------------------------------------------
+  // Context-window chunking
+
+  /** Split each document into fixed-token-budget chunks with overlap —
+    * the context-window preparation step between cleaning and packing:
+    * chunk k covers tokens [k·stride, k·stride + maxTokens) with
+    * stride = maxTokens − overlap, so consecutive chunks share `overlap`
+    * tokens and every token is covered. Docs within budget yield ONE
+    * chunk; empty docs yield none.
+    *
+    * Output: (doc_id, chunk_id, n_tokens, chunk). Pure per-row explode —
+    * map-only at any corpus size; the token array is materialized once
+    * per doc (alias-once discipline) and every chunk is a slice of it.
+    */
+  def chunkByTokens(df: DataFrame, text: Column, id: Column,
+      maxTokens: Int, overlap: Int): DataFrame = {
+    require(maxTokens >= 1, s"maxTokens must be >= 1, got $maxTokens")
+    require(overlap >= 0 && overlap < maxTokens,
+      s"overlap must be in [0, maxTokens), got $overlap")
+    val stride = maxTokens - overlap
+    val base = df.select(id.as("doc_id"),
+      graft.functions.TextNative.tokens(text).as("__tk"))
+    val n = size(col("__tk"))
+    // 1 + ceil((n - maxTokens) / stride) chunks for non-empty docs;
+    // integer `div` (floor on non-negatives) mirrors DuckDB's //
+    val nChunks = when(n <= lit(0), lit(0))
+      .when(n <= lit(maxTokens), lit(1))
+      .otherwise(lit(1) +
+        expr(s"(size(__tk) - $maxTokens + $stride - 1) div $stride"))
+    base
+      .withColumn("__nc", nChunks)
+      .filter(col("__nc") > 0)
+      .select(col("doc_id"), col("__tk"),
+        explode(sequence(lit(0), col("__nc").cast("int") - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        size(slice(col("__tk"), col("chunk_id") * lit(stride) + lit(1), lit(maxTokens)))
+          .as("n_tokens"),
+        array_join(slice(col("__tk"), col("chunk_id") * lit(stride) + lit(1), lit(maxTokens)), " ")
+          .as("chunk"))
+  }
+
+  // ------------------------------------------------------------------
   // PII scrubbing
 
   /** Conservative ASCII patterns; RE2 ∩ java.util.regex syntax so the

@@ -94,7 +94,10 @@ object TextQueries {
     "x10_lang_multi" -> ((s, dir) =>
       Tables.documents(s, dir).select(
         col("doc_id"),
-        TextOps.langIdMulti(col("text")).as("lang_pred")))
+        TextOps.langIdMulti(col("text")).as("lang_pred"))),
+    "cw1_chunk_documents" -> ((s, dir) =>
+      TextOps.chunkByTokens(Tables.documents(s, dir), col("text"),
+        col("doc_id"), maxTokens = 40, overlap = 8))
   )
 
   private[operators] val Bm25Terms = Seq("vector", "join", "spark")
@@ -180,7 +183,29 @@ object TextQueries {
        |FROM ratios""".stripMargin
   }
 
+  /** chunkByTokens mirror: same chunk-count arithmetic (// == `div` on
+    * non-negatives), list_slice's INCLUSIVE end = start + maxTokens − 1.
+    */
+  private def chunkSql(maxTokens: Int, overlap: Int): String = {
+    val stride = maxTokens - overlap
+    s"""WITH toks AS (SELECT doc_id, ${O.tokens("text")} AS tk FROM documents),
+       |counted AS (
+       |  SELECT doc_id, tk,
+       |         CASE WHEN len(tk) <= 0 THEN 0
+       |              WHEN len(tk) <= $maxTokens THEN 1
+       |              ELSE 1 + (len(tk) - $maxTokens + $stride - 1) // $stride
+       |         END AS nc
+       |  FROM toks
+       |)
+       |SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+       |       CAST(len(list_slice(tk, k * $stride + 1, k * $stride + $maxTokens)) AS INTEGER) AS n_tokens,
+       |       array_to_string(list_slice(tk, k * $stride + 1, k * $stride + $maxTokens), ' ') AS chunk
+       |FROM counted, unnest(generate_series(0, CAST(nc AS BIGINT) - 1)) AS u(k)
+       |WHERE nc > 0""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "cw1_chunk_documents" -> chunkSql(40, 8),
     "x10_lang_multi" -> langMultiSql,
     "bm1_bm25_topk" -> bm25Sql(Bm25Terms, 25),
     "x1_lang_id" -> (toksSql +

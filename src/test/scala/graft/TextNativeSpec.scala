@@ -123,6 +123,52 @@ class TextNativeSpec extends SparkSpec {
       "minhashFromHashes")
   }
 
+  test("chunkByTokens: overlap coverage, budget boundary, empty docs") {
+    val docs = Seq(
+      // 100 toks @ 40/8 → stride 32 → 1 + ceil(60/32) = 3 chunks
+      (1L, (1 to 100).map(i => s"t$i").mkString(" ")),
+      (2L, (1 to 40).map(i => s"t$i").mkString(" ")),  // exactly the budget → 1
+      (3L, "one two"),                                  // tiny → 1
+      (4L, "")                                          // empty → none
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextOps.chunkByTokens(
+        docs, col("text"), col("doc_id"), maxTokens = 40, overlap = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getString(3)))
+    val byDoc = out.groupBy(_._1)
+    assert(byDoc(1L).length == 3 && !byDoc.contains(4L))
+    assert(byDoc(2L).length == 1 && byDoc(3L).head._3 == 2)
+    // consecutive chunks of doc 1 share exactly `overlap` tokens
+    val c = byDoc(1L).sortBy(_._2).map(_._4.split(" ").toSeq).toSeq
+    c.sliding(2).foreach { w =>
+      assert(w(0).takeRight(8) == w(1).take(8))
+    }
+    // every token covered in order: stitching de-overlapped chunks = doc
+    val stitched = c.head ++ c.tail.flatMap(_.drop(8))
+    assert(stitched == (1 to 100).map(i => s"t$i"))
+  }
+
+  test("property fuzz: kernels equal witnesses on random spacey strings") {
+    import org.scalacheck.{Gen, rng}
+    val alpha = Gen.frequency(
+      (6, Gen.alphaLowerChar), (3, Gen.const(' ')), (1, Gen.oneOf('0', '9', 'é', '.')))
+    val gen = Gen.chooseNum(0, 80).flatMap(n => Gen.stringOfN(n, alpha))
+    val params = Gen.Parameters.default
+    val strs = (0 until 300).flatMap(i =>
+      gen.apply(params, rng.Seed(42L + i))) :+ "" :+ " " :+ "a  b"
+    val df = strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("doc_id", "text")
+    val checks = Seq(
+      ("fp", TextOps.fingerprint(col("text")), TextWitness.fingerprint(col("text"))),
+      ("rep2", TextOps.repeatedNgramRatio(col("text"), 2),
+        TextWitness.repeatedNgramRatio(col("text"), 2)),
+      ("mwl", TextOps.meanWordLength(col("text")), TextWitness.meanWordLength(col("text"))),
+      ("sym", TextOps.symbolRatio(col("text")), TextWitness.symbolRatio(col("text"))),
+      ("q", TextOps.qualityScore(col("text")), TextWitness.qualityScore(col("text"))))
+    checks.foreach { case (name, a, b) =>
+      assertColsEqual(df.select(col("doc_id"), a.as("a"), b.as("b")), s"fuzz-$name")
+    }
+  }
+
   test("langIdMulti identifies planted languages, unk below threshold, en-first ties") {
     val planted = Seq(
       (1L, "der hund ist nicht mit dem ball und das ist gut"),
