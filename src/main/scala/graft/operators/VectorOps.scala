@@ -21,8 +21,16 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
-  /** Bit-exact dot product: fold of elementwise products in index order. */
-  def dot(a: Column, b: Column): Column =
+  /** Bit-exact dot product: one compiled loop forming each product once
+    * and adding left-to-right — the identical op sequence as the legacy
+    * products-array-then-fold, which survives as [[dotWitness]]
+    * (VectorSpec asserts bit-equality; the HOF form is two interpreted
+    * CodegenFallback lambdas and was the pair-stage hot spot).
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.Dot.dot(a, b)
+
+  /** The legacy HOF formulation, kept as the bit-equality witness. */
+  private[graft] def dotWitness(a: Column, b: Column): Column =
     aggregate(zip_with(a.cast("array<double>"), b.cast("array<double>"), _ * _),
       lit(0.0), (acc, v) => acc + v)
 

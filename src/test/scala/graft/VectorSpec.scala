@@ -358,4 +358,26 @@ class VectorSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     res.foreach(r => assert(buckets(r.getLong(2)) == buckets(100L)))
   }
+
+  test("native dot product is bit-equal to the HOF witness, incl. null/length edges") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val pairs = emb.as("a").crossJoin(emb.limit(7).as("b"))
+      .select(col("a.embedding").as("x"), col("b.embedding").as("y"))
+    val diff = pairs.select(
+        VectorOps.dot(col("x"), col("y")).as("n"),
+        VectorOps.dotWitness(col("x"), col("y")).as("w"))
+      .filter(!(col("n") <=> col("w"))).count()
+    assert(diff == 0)
+    // double-typed side (centroid shape) + mismatched lengths → null
+    val edge = Seq(
+      (Array(1.0f, 2.0f), Array(0.5, 0.25)),
+      (Array(1.0f), Array(0.5, 0.25))
+    ).toDF("x", "y")
+    val out = edge.select(
+      VectorOps.dot(col("x"), col("y")).as("n"),
+      VectorOps.dotWitness(col("x"), col("y")).as("w")).collect()
+    assert(out(0).getDouble(0) == out(0).getDouble(1))
+    assert(out(1).isNullAt(0) && out(1).isNullAt(1))
+  }
 }
