@@ -34,8 +34,13 @@ object VectorOps {
     aggregate(zip_with(a.cast("array<double>"), b.cast("array<double>"), _ * _),
       lit(0.0), (acc, v) => acc + v)
 
-  /** Squared L2 norm, same fold discipline. */
-  def norm2(a: Column): Column =
+  /** Squared L2 norm — dot(a, a): each v·v formed once and added in index
+    * order, the identical op sequence as the legacy fused fold (kept as
+    * [[norm2Witness]]; bit-equality in VectorSpec).
+    */
+  def norm2(a: Column): Column = graft.functions.Dot.dot(a, a)
+
+  private[graft] def norm2Witness(a: Column): Column =
     aggregate(a.cast("array<double>"), lit(0.0), (acc, v) => acc + v * v)
 
   /** Cosine similarity — dot / (sqrt(n2a) * sqrt(n2b)). try_divide: an

@@ -379,5 +379,10 @@ class VectorSpec extends SparkSpec {
       VectorOps.dotWitness(col("x"), col("y")).as("w")).collect()
     assert(out(0).getDouble(0) == out(0).getDouble(1))
     assert(out(1).isNullAt(0) && out(1).isNullAt(1))
+    // norm2 = dot(a, a) equals the fused v*v fold bit-for-bit
+    val n2 = emb.select(VectorOps.norm2(col("embedding")).as("n"),
+        VectorOps.norm2Witness(col("embedding")).as("w"))
+      .filter(!(col("n") <=> col("w"))).count()
+    assert(n2 == 0)
   }
 }
