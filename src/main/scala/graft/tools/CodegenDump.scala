@@ -1,6 +1,12 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.debug._
+
+/** Dev tool: print a declared query's whole-stage-codegen subtrees and the
+  * kernel-call lines inside them — how the round-6 conditional-CSE gap was
+  * confirmed (9 text_stats compute() calls per row in the generated code
+  * for qualityScore). `runMain graft.tools.CodegenDump <sfDir> <query>`.
+  */
 object CodegenDump {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

@@ -3,6 +3,13 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.functions.TextNative
 import graft.operators.Dedup
+
+/** Dev harness behind the round-6 d4 findings (BASELINE.md): stage-by-stage
+  * timing of jaccardPairsAtScale — class collapse, band join, enrichment,
+  * intersections — that established the query is output-bound (2.75 M real
+  * candidate class pairs at sf0.1) and motivated the broadcast class lookup
+  * + SortedIntersectSize kernel. `runMain graft.tools.D4Prof [sfDir]`.
+  */
 object D4Prof {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
