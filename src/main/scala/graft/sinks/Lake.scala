@@ -141,6 +141,47 @@ object Lake {
     }
   }
 
+  /** Small-file compaction for chosen year/month partitions — the
+    * operational complement of streaming ingest (micro-batches land one
+    * file each; a month of 1-minute batches is ~43 k tiny files whose
+    * open/footer costs dominate any later scan). Each partition is
+    * rewritten to ceil(bytes / targetBytes) files with the archive's
+    * (symbol, ts) clustering restored, using the same rewrite-swap-drop
+    * discipline as [[optimizeZOrder]] — crash-safe, untouched partitions
+    * never read. Returns (partition, filesBefore, filesAfter) per
+    * partition touched.
+    */
+  def compactPartitions(spark: SparkSession, path: String,
+      partitions: Seq[(Int, Int)],
+      targetBytes: Long = 128L * 1024 * 1024): Seq[(String, Int, Int)] = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    partitions.map { case (y, m) =>
+      val dir = new org.apache.hadoop.fs.Path(path, s"year=$y/month=$m")
+      require(fs.exists(dir), s"no such partition: year=$y/month=$m")
+      val files = fs.listStatus(dir).filter(_.isFile)
+        .filter(!_.getPath.getName.startsWith("_"))
+      val bytes = files.map(_.getLen).sum
+      val nOut = math.max(1, ((bytes + targetBytes - 1) / targetBytes).toInt)
+      val tmp = new org.apache.hadoop.fs.Path(path, s"year=$y/.compact_tmp_month=$m")
+      val old = new org.apache.hadoop.fs.Path(path, s"year=$y/.compact_old_month=$m")
+      spark.read.parquet(dir.toString)
+        .repartition(nOut)
+        .sortWithinPartitions("symbol", "ts")
+        .write.mode("overwrite")
+        .option("compression", "zstd")
+        .parquet(tmp.toString)
+      fs.delete(old, true)
+      require(fs.rename(dir, old), s"swap-out failed for $dir")
+      require(fs.rename(tmp, dir), s"swap-in failed for $dir")
+      fs.delete(old, true)
+      val after = fs.listStatus(dir).count(s =>
+        s.isFile && !s.getPath.getName.startsWith("_"))
+      (s"year=$y/month=$m", files.length, after)
+    }
+  }
+
   /** Per-FILE min/max envelope of `cols` — exactly the statistics a
     * pruning reader consults. `candidateFiles` counts the files a box
     * predicate cannot skip; the Z-order spec asserts the clustered layout

@@ -61,6 +61,32 @@ class MergeSpec extends SparkSpec {
       .exists(_.getPath.getName.startsWith(".merge_staging")))
   }
 
+  test("compactPartitions folds many small files into few, rows identical") {
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString + "/lake"
+    // simulate streaming ingest: 12 tiny appends into one partition
+    (0 until 12).foreach { i =>
+      base.filter(col("symbol") === "btc" && month(col("ts")) === 2)
+        .withColumn("close", col("close") + i)
+        .withColumn("v", lit(i.toLong))
+        .withColumn("ts", col("ts") + expr(s"INTERVAL $i MINUTES"))
+        .withColumn("year", year(col("ts"))).withColumn("month", month(col("ts")))
+        .write.mode("append").partitionBy("year", "month").parquet(dir)
+    }
+    val before = spark.read.parquet(dir)
+    val rows = before.collect().map(_.toString).sorted
+    val report = Lake.compactPartitions(spark, dir, Seq((2024, 2)))
+    assert(report.length == 1)
+    val (p, nb, na) = report.head
+    assert(p == "year=2024/month=2" && nb == 12 && na == 1)
+    val after = spark.read.parquet(dir).collect().map(_.toString).sorted
+    assert(after.sameElements(rows))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val leftovers = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/year=2024"))
+      .map(_.getPath.getName).filter(_.startsWith(".compact"))
+    assert(leftovers.isEmpty)
+  }
+
   test("empty update batch is a no-op") {
     val dir = java.nio.file.Files.createTempDirectory("merge").toString + "/lake"
     Lake.writeArchive(base, dir)
