@@ -38,6 +38,18 @@ class TextIndexSpec extends SparkSpec {
     assert(inc.sameElements(full))
   }
 
+  test("absent terms: empty result, no crash; mixed present/absent still exact") {
+    val dir = java.nio.file.Files.createTempDirectory("textidx").toString
+    TextIndex.build(docs, col("text"), col("doc_id"), dir, buckets = 16)
+    assert(TextIndex.topK(spark, dir, Seq("zzz_not_in_corpus"), 5,
+      buckets = 16).count() == 0)
+    val idx = TextIndex.topK(spark, dir, Seq("vector", "zzz_not_in_corpus"), 10,
+      buckets = 16).collect().map(_.toString).sorted
+    val batch = TextSearch.bm25TopK(docs, col("text"), col("doc_id"),
+      Seq("vector", "zzz_not_in_corpus"), 10).collect().map(_.toString).sorted
+    assert(idx.sameElements(batch))
+  }
+
   test("query reads only the buckets its terms hash to") {
     val dir = java.nio.file.Files.createTempDirectory("textidx").toString
     TextIndex.build(docs, col("text"), col("doc_id"), dir, buckets = 16)
