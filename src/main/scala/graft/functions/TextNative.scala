@@ -125,6 +125,11 @@ case class SortedIntersectSize(left: Expression, right: Expression)
 case class TermFreqs(child: Expression, terms: Seq[String])
     extends UnaryExpression {
   require(terms.nonEmpty, "terms must be non-empty")
+  // the term→slot map is one slot per term: a duplicate term would
+  // silently leave its earlier slot at tf=0 while the pivot paths count
+  // it — fail loudly here; callers dedupe at their entry points
+  require(terms.distinct.size == terms.size,
+    s"term_freqs terms must be distinct, got $terms")
 
   override def prettyName: String = "term_freqs"
   override def dataType: DataType = StructType(Seq(

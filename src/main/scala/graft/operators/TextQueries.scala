@@ -91,6 +91,22 @@ object TextQueries {
     "bm1_bm25_topk" -> ((s, dir) =>
       TextSearch.bm25TopK(Tables.documents(s, dir), col("text"), col("doc_id"),
         Bm25Terms, 25)),
+    // batched multi-query BM25 served from the persisted inverted index
+    // (TextIndex.topKBatch): all queries in ONE job — postings ⋈
+    // broadcast query terms, slot-ordered contribution fold, bounded-heap
+    // per query_id; the oracle replays each query's full fold in DuckDB
+    "bm2_bm25_batch" -> ((s, dir) => {
+      val path = tidxCache.computeIfAbsent(dir, _ => {
+        val p = java.nio.file.Files
+          .createTempDirectory("graft-tidx-query").toString
+        TextIndex.build(Tables.documents(s, dir), col("text"), col("doc_id"),
+          p, buckets = 64)
+        p
+      })
+      import s.implicits._
+      TextIndex.topKBatch(s, path,
+        Bm25BatchQueries.toDF("query_id", "terms"), k = 15)
+    }),
     "x10_lang_multi" -> ((s, dir) =>
       Tables.documents(s, dir).select(
         col("doc_id"),
@@ -101,6 +117,22 @@ object TextQueries {
   )
 
   private[operators] val Bm25Terms = Seq("vector", "join", "spark")
+
+  /** bm2's fixed query batch: mid-frequency corpus terms, one query with
+    * an absent term (contributes +0.0 per the fold identity), sizes 2–4.
+    */
+  private[operators] val Bm25BatchQueries: Seq[(Long, Seq[String])] = Seq(
+    1L -> Seq("vector", "join", "spark"),
+    2L -> Seq("stream", "filter"),
+    3L -> Seq("hash", "merge", "window", "scan"),
+    4L -> Seq("batch", "zzz_not_in_corpus"))
+
+  /** One index per sf dir for bm2, built once and reused across the
+    * verify/bench runs of a session (same lifecycle as VectorQueries'
+    * index cache).
+    */
+  private val tidxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Deterministic PII augmentation for x8: the synthetic corpus carries no
     * PII, so both engines append identical doc_id-derived email / IPv4 /
@@ -127,7 +159,10 @@ object TextQueries {
     * folded in term order with every double op parenthesized like the
     * Spark expression; ln is libm on both engines (JavaLog).
     */
-  private def bm25Sql(terms: Seq[String], k: Int): String = {
+  /** The per-query CTE chain (tf → stats → scored → ranked), suffixed so
+    * several queries can share one WITH clause ([[bm25BatchSql]]).
+    */
+  private def bm25Ctes(terms: Seq[String], sfx: String): String = {
     val m = terms.size
     val tfCols = terms.zipWithIndex.map { case (t, i) =>
       s"len(list_filter(tk, x -> x = '$t')) AS tf$i"
@@ -142,18 +177,37 @@ object TextQueries {
       s"($idf * ((CAST(tf$i AS DOUBLE) * (1.2 + 1.0)) / (CAST(tf$i AS DOUBLE) + $dlNorm)))"
     }
     val score = contribs.reduceLeft((a, b) => s"($a + $b)")
-    s"""WITH toks AS (SELECT doc_id, ${O.tokens("text")} AS tk FROM documents),
-       |tf AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, $tfCols FROM toks),
-       |stats AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sumdl, $dfCols FROM tf),
-       |scored AS (
-       |  SELECT doc_id, $score AS score FROM tf CROSS JOIN stats
+    s"""tf$sfx AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, $tfCols FROM toks),
+       |stats$sfx AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sumdl, $dfCols FROM tf$sfx),
+       |scored$sfx AS (
+       |  SELECT doc_id, $score AS score FROM tf$sfx CROSS JOIN stats$sfx
        |),
-       |ranked AS (
+       |ranked$sfx AS (
        |  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
        |         doc_id, score
-       |  FROM scored WHERE score > 0.0
-       |)
+       |  FROM scored$sfx WHERE score > 0.0
+       |)""".stripMargin
+  }
+
+  private def bm25Sql(terms: Seq[String], k: Int): String =
+    s"""WITH toks AS (SELECT doc_id, ${O.tokens("text")} AS tk FROM documents),
+       |${bm25Ctes(terms.distinct, "")}
        |SELECT rank, doc_id, score FROM ranked WHERE rank <= $k""".stripMargin
+
+  /** bm2 mirror: each query's CTE chain is the bm1 mirror verbatim
+    * (duplicate terms deduped like the engine), one UNION ALL stitches
+    * the per-query top-k together — the oracle proves the one-job
+    * batched engine path equals Q independent full-fold scorings.
+    */
+  private def bm25BatchSql(qs: Seq[(Long, Seq[String])], k: Int): String = {
+    val ctes = qs.map { case (qid, terms) => bm25Ctes(terms.distinct, s"_q$qid") }
+      .mkString(",\n")
+    val selects = qs.map { case (qid, _) =>
+      s"SELECT CAST($qid AS BIGINT) AS query_id, rank, doc_id, score FROM ranked_q$qid WHERE rank <= $k"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH toks AS (SELECT doc_id, ${O.tokens("text")} AS tk FROM documents),
+       |$ctes
+       |$selects""".stripMargin
   }
 
   /** langIdMulti mirror: one ratio per profile, the same first-in-order
@@ -208,6 +262,7 @@ object TextQueries {
     "cw1_chunk_documents" -> chunkSql(40, 8),
     "x10_lang_multi" -> langMultiSql,
     "bm1_bm25_topk" -> bm25Sql(Bm25Terms, 25),
+    "bm2_bm25_batch" -> bm25BatchSql(Bm25BatchQueries, 15),
     "x1_lang_id" -> (toksSql +
       s"""
          |SELECT doc_id, stop_ratio,

@@ -45,9 +45,14 @@ object TextSearch {
       terms: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "terms must be non-empty")
-    val m = terms.size
+    // dedupe at the entry point (first occurrence keeps its slot) so this
+    // path, TermFreqs' slot map, and TextIndex's pivot share one
+    // contract: a term contributes once (ADVICE r6 — the kernel's
+    // term→slot map and the index pivot diverged on duplicate terms)
+    val dterms = terms.distinct
+    val m = dterms.size
     val base = docs.select(id.as("doc_id"),
-      TextNative.termFreqs(text, terms).as("__f"))
+      TextNative.termFreqs(text, dterms).as("__f"))
     val perDoc = base.select(col("doc_id"),
       col("__f").getField("dl").as("__dl"),
       col("__f").getField("tf").as("__tf"))
@@ -78,19 +83,28 @@ object TextSearch {
     */
   private[operators] def scoreExpr(tfs: Seq[Column], dl: Column,
       n: Column, sumdl: Column, dfs: Seq[Column],
+      k1: Double, b: Double): Column =
+    tfs.zip(dfs)
+      .map { case (tfc, dfc) => contribExpr(tfc, dl, n, sumdl, dfc, k1, b) }
+      .reduceLeft(_ + _)
+
+  /** One term's BM25 contribution — the unit [[scoreExpr]] folds and the
+    * join-shaped [[TextIndex.topKBatch]] sums per matched (query, doc)
+    * row; kept as ONE function so every path computes the identical
+    * double-op sequence.
+    */
+  private[operators] def contribExpr(tfc: Column, dl: Column,
+      n: Column, sumdl: Column, dfc: Column,
       k1: Double, b: Double): Column = {
     val avgdl = sumdl.cast("double") / n.cast("double")
     val dlNorm = lit(k1) * (lit(1.0) - lit(b) + lit(b) * (dl.cast("double") / avgdl))
-    val contribs = tfs.zip(dfs).map { case (tfc, dfc) =>
-      val tf = tfc.cast("double")
-      val df = dfc.cast("double")
-      val idf = JavaMath.jlog(lit(1.0) +
-        ((n.cast("double") - df) + lit(0.5)) / (df + lit(0.5)))
-      // k1 + 1 as a RUNTIME addition of the two literals (constant-folded
-      // with IEEE semantics) so the SQL mirror `(1.2 + 1.0)` is the same
-      // double — a pre-added Scala literal need not equal the SQL parse
-      idf * ((tf * (lit(k1) + lit(1.0))) / (tf + dlNorm))
-    }
-    contribs.reduceLeft(_ + _)
+    val tf = tfc.cast("double")
+    val df = dfc.cast("double")
+    val idf = JavaMath.jlog(lit(1.0) +
+      ((n.cast("double") - df) + lit(0.5)) / (df + lit(0.5)))
+    // k1 + 1 as a RUNTIME addition of the two literals (constant-folded
+    // with IEEE semantics) so the SQL mirror `(1.2 + 1.0)` is the same
+    // double — a pre-added Scala literal need not equal the SQL parse
+    idf * ((tf * (lit(k1) + lit(1.0))) / (tf + dlNorm))
   }
 }

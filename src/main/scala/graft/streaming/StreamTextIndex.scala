@@ -11,19 +11,23 @@ import graft.operators.TextIndex
   * counterpart of [[graft.operators.VectorIndex]]'s `appendStream`.
   *
   * Per micro-batch work is exactly [[TextIndex.append]]: one tokenize
-  * pass over the batch, posting rows land append-mode in their term-hash
-  * bucket partitions (no existing file read or rewritten), and the
-  * two-long stats row is summed forward. A query issued after batch N
-  * commits sees every document of batches 1..N with scores bit-identical
-  * to a cold rebuild (TextIndexSpec property, asserted again under
-  * streaming in StreamingSpec).
+  * pass over the batch, posting rows stage and commit into their
+  * term-hash bucket partitions (no existing file read or rewritten), and
+  * the stats delta is APPENDED to the stats log. A query issued after
+  * batch N commits sees every document of batches 1..N with scores
+  * bit-identical to a cold rebuild (TextIndexSpec property, asserted
+  * again under streaming in StreamingSpec).
   *
-  * Delivery: standard `foreachBatch` at-least-once. A REPLAYED batch
-  * would double-append postings (tf doubles); exactly-once ingestion
-  * pairs this with upstream replay dedup ([[StreamDocs.cleanStream]]'s
-  * within-watermark dedup, or [[graft.operators.Dedup
-  * .incrementalDropList]] at admission) — same contract as the JDBC
-  * rollup sink, stated rather than hidden.
+  * Delivery: `foreachBatch` replays the in-flight batch after a crash,
+  * and the epoch id is passed as [[TextIndex.append]]'s idempotency key
+  * — a replayed batch whose commit already landed is a no-op, and one
+  * that crashed mid-commit rolls forward/back via the staging marker, so
+  * index COMMITS are exactly-once (round 6 double-appended tf on
+  * replay). Duplicate DOCUMENTS across different batches remain
+  * upstream's job ([[StreamDocs.cleanStream]]'s within-watermark dedup,
+  * or [[graft.operators.Dedup.incrementalDropList]] at admission).
+  * Micro-batches arrive serially per query — the single-writer contract
+  * holds by construction.
   */
 object StreamTextIndex {
 
@@ -31,9 +35,10 @@ object StreamTextIndex {
       checkpoint: String, buckets: Int = 64): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
         if (!batch.isEmpty)
-          TextIndex.append(batch.sparkSession, batch, text, id, path, buckets)
+          TextIndex.append(batch.sparkSession, batch, text, id, path,
+            batchId = s"epoch-$epochId", buckets = buckets)
       }
       .outputMode("append")
       .start()
