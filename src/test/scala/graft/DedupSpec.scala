@@ -70,6 +70,50 @@ class DedupSpec extends SparkSpec {
     assert(atScale.contains((4L, 5L, 15L, 15L, 1.0)))
   }
 
+  test("density guard: fires on a low-entropy word-salad corpus, silent on clusters") {
+    // word salad: each doc draws a pseudo-random ~80% subset of a
+    // 20-word universe — distinct classes whose pairwise Jaccard ≈ 0.67,
+    // so band keys collide corpus-wide: the documented banding failure
+    // class. Deterministic from doc_id (array_join skips the nulls the
+    // filter leaves).
+    val salad = spark.range(300).select(col("id").as("doc_id"),
+      array_join(transform(sequence(lit(0), lit(19)), k =>
+        when((col("id") * 131071 + k * 8191) % 5 =!= 0,
+          concat(lit("s"), k.cast("string")))), " ").as("text"))
+    val (sc, sp) = Dedup.bandCandidateDensity(salad, col("text"), col("doc_id"))
+    assert(sp.toDouble / (sc.toDouble * (sc - 1) / 2) > 0.05,
+      s"salad fixture not dense enough to exercise the guard: $sp pairs / $sc classes")
+    val ex = intercept[IllegalStateException] {
+      Dedup.jaccardPairsAtScaleGuarded(salad, col("text"), col("doc_id"), 0.8)
+    }
+    assert(ex.getMessage.contains("admission check failed"))
+
+    // duplication clusters with diverse (cluster-prefixed) vocabulary:
+    // banding prunes all cross-cluster pairs — guard stays silent and
+    // the guarded result is bit-identical to the direct path
+    val clusters = spark.range(400).select(col("id").as("doc_id"),
+      array_join(transform(sequence(lit(0), lit(39)), k =>
+        when(k === col("id") % 40, concat(lit("u"), col("id").cast("string")))
+          .otherwise(concat(lit("c"), (col("id") % 80).cast("string"),
+            lit("w"), k.cast("string")))), " ").as("text"))
+    val guarded = Dedup.jaccardPairsAtScaleGuarded(
+      clusters, col("text"), col("doc_id"), 0.8)
+      .collect().map(_.toString).sorted
+    val direct = Dedup.jaccardPairsAtScale(
+      clusters, col("text"), col("doc_id"), 0.8)
+      .collect().map(_.toString).sorted
+    assert(guarded.nonEmpty && guarded.sameElements(direct))
+  }
+
+  test("candidate-pair count is observable per run (density telemetry)") {
+    val pairs = Dedup.jaccardPairsAtScale(docs, col("text"), col("doc_id"), 0.8)
+    pairs.collect()
+    val metrics = pairs.queryExecution.observedMetrics
+      .collect { case (k, v) if k.startsWith("dedup_density_") => v }
+    assert(metrics.nonEmpty, "no dedup_density_* observation recorded")
+    assert(metrics.head.getLong(0) >= 1) // the planted near-dup pair banded
+  }
+
   test("token jaccard ranks near-dup above unrelated") {
     val j = Dedup.tokenJaccardPairs(docs.withColumn("src", lit("s")),
         col("text"), col("doc_id"), col("src"), 0.0)

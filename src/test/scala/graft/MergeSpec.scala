@@ -87,6 +87,25 @@ class MergeSpec extends SparkSpec {
     assert(leftovers.isEmpty)
   }
 
+  test("equal-version batch duplicates resolve identically across runs") {
+    // two batch rows share (symbol, ts) AND v — the winner must be the
+    // same row every time (whole-row hash tie-break), not whichever task
+    // finished first
+    val dup = Seq(
+      ("btc", ts("2024-05-01 00:00:00"), 111.0, 5L),
+      ("btc", ts("2024-05-01 00:00:00"), 999.0, 5L)
+    ).toDF("symbol", "ts", "close", "v")
+    val picks = (1 to 3).map { _ =>
+      val dir = java.nio.file.Files.createTempDirectory("merge").toString + "/lake"
+      Lake.writeArchive(base, dir)
+      Lake.mergeArchive(spark, dir, dup, Seq("symbol", "ts"), "v")
+      spark.read.parquet(dir).filter(col("month") === 5)
+        .select("close").collect().map(_.getDouble(0)).toSeq
+    }
+    assert(picks.forall(_.length == 1))
+    assert(picks.distinct.size == 1, s"nondeterministic winners: $picks")
+  }
+
   test("empty update batch is a no-op") {
     val dir = java.nio.file.Files.createTempDirectory("merge").toString + "/lake"
     Lake.writeArchive(base, dir)

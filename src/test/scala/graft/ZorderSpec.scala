@@ -79,6 +79,77 @@ class ZorderSpec extends SparkSpec {
     assert(leftovers.isEmpty, s"temp dirs left: ${leftovers.mkString(",")}")
   }
 
+  test("readBox opens only candidate files and returns exactly the box rows") {
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    Lake.writeZOrdered(events, s"$dir/z", Seq("user_id", "value"), numFiles = 32)
+    val Array(uLo, uHi) = events.stat.approxQuantile("user_id", Array(0.45, 0.55), 0.0)
+    val Array(vLo, vHi) = events.stat.approxQuantile("value", Array(0.45, 0.55), 0.0)
+    val box = Map("user_id" -> (uLo, uHi), "value" -> (vLo, vHi))
+    val stats = Lake.fileStats(spark, s"$dir/z", Seq("user_id", "value"))
+    val nCand = Lake.candidateFiles(stats, box)
+    assert(nCand < 32, s"box unexpectedly touches all files")
+
+    val pruned = Lake.readBox(spark, s"$dir/z", stats, box)
+    val expect = spark.read.parquet(s"$dir/z").filter(
+      col("user_id").cast("double") >= uLo && col("user_id").cast("double") <= uHi &&
+        col("value").cast("double") >= vLo && col("value").cast("double") <= vHi)
+    // identical rows...
+    assert(pruned.count() == expect.count() && expect.count() > 0)
+    assert(pruned.select(expect.columns.map(col): _*).except(expect).isEmpty)
+    assert(expect.except(pruned.select(expect.columns.map(col): _*)).isEmpty)
+    // ...with I/O bounded by the candidate list, not the file set
+    pruned.collect()
+    val opened = pruned.queryExecution.executedPlan.collectLeaves().collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metrics("numFiles").value
+    }.sum
+    assert(opened <= nCand, s"pruned read opened $opened files > $nCand candidates")
+
+    // an impossible box: no files opened, empty result, schema intact
+    val none = Lake.readBox(spark, s"$dir/z", stats,
+      Map("user_id" -> (-2e18, -1e18)))
+    assert(none.count() == 0)
+    assert(none.columns.sorted.toSeq == expect.columns.sorted.toSeq)
+  }
+
+  test("recoverPartitionSwaps rolls a crashed optimize forward or back") {
+    val dir = java.nio.file.Files.createTempDirectory("zrec").toString + "/lake"
+    val bars = events.withColumn("symbol",
+      concat(lit("s"), (col("event_id") % 3).cast("string")))
+    Lake.writeArchive(bars, dir)
+    val before = spark.read.parquet(dir)
+    val rows = before.count()
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = before.select("year", "month").distinct()
+      .collect().map(r => (r.getInt(0), r.getInt(1))).sorted
+    val (y, m) = parts.head
+    val live = new org.apache.hadoop.fs.Path(dir, s"year=$y/month=$m")
+    val old = new org.apache.hadoop.fs.Path(dir, s"year=$y/.zorder_old_month=$m")
+
+    // crash between swap-out and swap-in, rewritten tmp complete:
+    // recovery must install the tmp (roll FORWARD)
+    val tmp = new org.apache.hadoop.fs.Path(dir, s"year=$y/.zorder_tmp_month=$m")
+    Lake.writeZOrdered(spark.read.parquet(live.toString), tmp.toString,
+      Seq("user_id", "value"), numFiles = 2)
+    assert(fs.rename(live, old))
+    // the loss window: the partition is invisible to discovery (a
+    // single-partition lake here, so the read cannot even infer a schema)
+    assert(!fs.exists(live))
+    val recovered = Lake.recoverPartitionSwaps(spark, dir)
+    assert(recovered == Seq(s"year=$y/month=$m"))
+    assert(spark.read.parquet(dir).count() == rows)
+    assert(!fs.exists(old) && !fs.exists(tmp))
+
+    // crash with NO tmp (died before/mid-write): roll BACK to the original
+    assert(fs.rename(live, old))
+    Lake.recoverPartitionSwaps(spark, dir)
+    assert(spark.read.parquet(dir).count() == rows)
+    assert(fs.exists(live) && !fs.exists(old))
+    // idempotent on a clean lake
+    assert(Lake.recoverPartitionSwaps(spark, dir).isEmpty)
+  }
+
   test("z-order tolerates null dimension values (nulls cluster, rows survive)") {
     val dir = java.nio.file.Files.createTempDirectory("zorder").toString
     val withNulls = events.withColumn("value",
