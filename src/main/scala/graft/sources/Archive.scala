@@ -1,0 +1,349 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, BufferedOutputStream, EOFException, InputStream, OutputStream}
+import java.util.zip.{Deflater, DeflaterOutputStream, Inflater}
+
+import org.apache.commons.compress.compressors.bzip2.{BZip2CompressorInputStream, BZip2CompressorOutputStream}
+import org.apache.commons.compress.compressors.xz.{XZCompressorInputStream, XZCompressorOutputStream}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Java-serializable carrier for the session's Hadoop configuration so
+  * rehydration tasks resolve filesystems with the driver's settings
+  * (credentials, fs.* overrides) rather than a bare-classpath default.
+  * Spark's own `SerializableConfiguration` is `private[spark]`, hence this
+  * standard Writable-based equivalent.
+  */
+private[sources] final class SerializableHadoopConf(
+    @transient private var conf: Configuration) extends Serializable {
+  def value: Configuration = conf
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    conf.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    conf = new Configuration(false)
+    conf.readFields(in)
+  }
+}
+
+/** Whole-file compressed archive read/write — the reference's
+  * `data_compressor.py:14-30` wraps entire files (parquet, CSV) in
+  * zlib / xz (lzma) / bz2 containers and `data_storage_manager.py:203-228`
+  * reads them back by decompressing to a temp file first. This module gives
+  * the engine the same capability so archives written by the reference are
+  * directly consumable.
+  *
+  * Two semantics quirks of the reference matter for compatibility:
+  *
+  *  1. `compress_file` (data_compressor.py:80-86) compresses the input in
+  *     1 MiB chunks and CONCATENATES the independent compressed streams.
+  *     So an archive >1 MiB is a sequence of back-to-back zlib/xz/bz2
+  *     streams, not one stream. Our readers handle concatenated streams for
+  *     all three methods (bz2/xz natively via commons-compress'
+  *     `decompressConcatenated`, zlib via [[ConcatZlibInputStream]]) — which
+  *     means this engine can read files the reference *wrote* but whose own
+  *     `decompress_file` (one-shot `zlib.decompress` of the whole blob,
+  *     data_compressor.py:135-140) would fail to round-trip.
+  *  2. Extension-driven dispatch: `.zlib` / `.xz` / `.bz2` select the codec
+  *     (data_storage_manager.py:205-211); anything else is read as-is.
+  *
+  * Scale shape: single-file compress/decompress are driver-side utilities
+  * (parity with the reference API, all I/O streamed through the Hadoop
+  * FileSystem so they work against HDFS/S3 paths too). Directory-level
+  * [[rehydrate]]/[[compressDirectory]] distribute one task per file over the
+  * cluster — whole-file codecs are unsplittable, so file-level parallelism
+  * is the only parallelism available, and archives are rehydrated next to
+  * each other on the shared filesystem where every downstream scan (with
+  * full pushdown/pruning) can read them. New data should keep going through
+  * `Lake`'s splittable zstd parquet; this path exists to onboard the
+  * reference's existing archives.
+  */
+object Archive {
+
+  sealed abstract class Method(val name: String, val extension: String)
+      extends Serializable
+  case object Zlib extends Method("zlib", ".zlib")
+  case object Lzma extends Method("lzma", ".xz")
+  case object Bz2 extends Method("bz2", ".bz2")
+
+  val methods: Seq[Method] = Seq(Zlib, Lzma, Bz2)
+
+  def forName(name: String): Method =
+    methods.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"Unsupported compression method: $name"))
+
+  /** Codec selection by extension, as the reference does. None = not an archive. */
+  def forPath(path: String): Option[Method] =
+    methods.find(m => path.endsWith(m.extension))
+
+  /** Strip the archive extension → the payload's path (reference
+    * `file_path.with_suffix("")`).
+    */
+  def payloadName(name: String): String = forPath(name) match {
+    case Some(m) => name.dropRight(m.extension.length)
+    case None => name
+  }
+
+  /** Mirror of the reference's per-file stats dict (data_compressor.py:91-100). */
+  final case class CompressStats(
+      inputPath: String,
+      outputPath: String,
+      method: String,
+      originalSize: Long,
+      compressedSize: Long,
+      compressionRatio: Double,
+      spaceSaved: Long)
+
+  // ---------------------------------------------------------------- streams
+
+  /** Decompressing stream that accepts a CONCATENATION of independent
+    * streams (the reference's >1 MiB chunked framing) as well as a single
+    * stream. bz2/xz get this from commons-compress; zlib needs
+    * [[ConcatZlibInputStream]] because `InflaterInputStream` stops at the
+    * first stream's end.
+    */
+  def decompressing(method: Method, in: InputStream): InputStream = method match {
+    case Zlib => new ConcatZlibInputStream(in)
+    case Lzma => new XZCompressorInputStream(in, true)
+    case Bz2 => new BZip2CompressorInputStream(in, true)
+  }
+
+  /** Single-stream compressor. We deliberately emit ONE stream per file
+    * (better ratio, and every concatenated-stream reader — including ours —
+    * accepts it); the reference's chunked framing is a write-side artifact
+    * we only need to READ.
+    */
+  def compressing(method: Method, out: OutputStream, level: Int): OutputStream = {
+    val lvl = math.min(9, math.max(1, level))
+    method match {
+      case Zlib => new DeflaterOutputStream(out, new Deflater(lvl), 64 * 1024)
+      case Lzma => new XZCompressorOutputStream(out, lvl)
+      case Bz2 => new BZip2CompressorOutputStream(out, lvl)
+    }
+  }
+
+  // ------------------------------------------------------------ single file
+
+  /** Compress one file (reference `compress_file`). Streamed through Hadoop
+    * FS; returns the same stats the reference returns. Default output path =
+    * input + method extension next to the source.
+    */
+  def compressFile(spark: SparkSession, src: String, dst: Option[String] = None,
+      method: Method = Zlib, level: Int = 6): CompressStats = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val out = dst.getOrElse(src + method.extension)
+    compressOne(FileSystem.get(new HPath(src).toUri, conf), src, out, method, level)
+  }
+
+  /** Decompress one archive (reference `decompress_file`); codec from the
+    * extension. Default output strips the archive extension.
+    */
+  def decompressFile(spark: SparkSession, src: String,
+      dst: Option[String] = None): String = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val out = dst.getOrElse(payloadName(src))
+    decompressOne(FileSystem.get(new HPath(src).toUri, conf), src, out)
+    out
+  }
+
+  private def compressOne(fs: FileSystem, src: String, dst: String,
+      method: Method, level: Int): CompressStats = {
+    val srcPath = new HPath(src)
+    val originalSize = fs.getFileStatus(srcPath).getLen
+    val tmp = new HPath(dst + ".inprogress")
+    val in = new BufferedInputStream(fs.open(srcPath), 1 << 20)
+    try {
+      val raw = fs.create(tmp, true)
+      val out = compressing(method, new BufferedOutputStream(raw, 1 << 20), level)
+      try copy(in, out) finally out.close()
+    } finally in.close()
+    val dstPath = new HPath(dst)
+    fs.delete(dstPath, false)
+    if (!fs.rename(tmp, dstPath))
+      throw new java.io.IOException(s"rename $tmp -> $dstPath failed")
+    val compressedSize = fs.getFileStatus(dstPath).getLen
+    CompressStats(src, dst, method.name, originalSize, compressedSize,
+      if (originalSize == 0) 0.0 else compressedSize.toDouble / originalSize * 100.0,
+      originalSize - compressedSize)
+  }
+
+  private def decompressOne(fs: FileSystem, src: String, dst: String): Long = {
+    val method = forPath(src).getOrElse(
+      throw new IllegalArgumentException(s"Not a recognized archive extension: $src"))
+    val tmp = new HPath(dst + ".inprogress")
+    val in = decompressing(method,
+      new BufferedInputStream(fs.open(new HPath(src)), 1 << 20))
+    var written = 0L
+    try {
+      val out = new BufferedOutputStream(fs.create(tmp, true), 1 << 20)
+      try written = copy(in, out) finally out.close()
+    } finally in.close()
+    val dstPath = new HPath(dst)
+    fs.delete(dstPath, false)
+    if (!fs.rename(tmp, dstPath))
+      throw new java.io.IOException(s"rename $tmp -> $dstPath failed")
+    written
+  }
+
+  private def copy(in: InputStream, out: OutputStream): Long = {
+    val buf = new Array[Byte](1 << 16)
+    var total = 0L
+    var n = in.read(buf)
+    while (n >= 0) {
+      if (n > 0) { out.write(buf, 0, n); total += n }
+      n = in.read(buf)
+    }
+    total
+  }
+
+  // -------------------------------------------------------------- directory
+
+  /** Distributed decompress of every archive under `srcDir` into `dstDir`
+    * (payload name = archive name minus extension), one task per file —
+    * whole-file codecs are unsplittable so this IS the maximum parallelism.
+    * Non-archive files are left alone (the reference's reader handles mixed
+    * dirs by extension; point the downstream scan at both dirs, or at
+    * `dstDir` only when the source is all-archive). Rehydration is staged
+    * (`.inprogress` + rename) so a crashed run never leaves a torn payload
+    * a later scan would read. Returns one row per file
+    * (src, dst, method, bytes_written) collected from the tasks.
+    */
+  def rehydrate(spark: SparkSession, srcDir: String, dstDir: String): DataFrame = {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = FileSystem.get(new HPath(srcDir).toUri, conf)
+    val archives = fs.listStatus(new HPath(srcDir)).toSeq
+      .filter(st => st.isFile && forPath(st.getPath.getName).isDefined)
+      .map(_.getPath.toString)
+    fs.mkdirs(new HPath(dstDir))
+    if (archives.isEmpty) return Seq.empty[(String, String, String, Long)]
+      .toDF("src", "dst", "method", "bytes_written")
+    val bc = spark.sparkContext.broadcast(new SerializableHadoopConf(conf))
+    val slices = math.min(archives.size, spark.sparkContext.defaultParallelism)
+    spark.sparkContext.parallelize(archives, slices).map { src =>
+      val p = new HPath(src)
+      val taskFs = p.getFileSystem(bc.value.value)
+      val dst = s"$dstDir/${payloadName(p.getName)}"
+      val written = decompressOne(taskFs, src, dst)
+      (src, dst, forPath(src).get.name, written)
+    }.collect().toSeq.toDF("src", "dst", "method", "bytes_written")
+  }
+
+  /** Distributed mirror of the reference's `compress_directory`
+    * (data_compressor.py:144-183): every plain file under `srcDir` becomes
+    * `dstDir/<name><ext>`. One task per file; per-file stats rows collected
+    * (file counts are listing-sized, not data-sized).
+    */
+  def compressDirectory(spark: SparkSession, srcDir: String, dstDir: String,
+      method: Method = Zlib, level: Int = 6): DataFrame = {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = FileSystem.get(new HPath(srcDir).toUri, conf)
+    val files = fs.listStatus(new HPath(srcDir)).toSeq
+      .filter(st => st.isFile && forPath(st.getPath.getName).isEmpty &&
+        !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+      .map(_.getPath.toString)
+    fs.mkdirs(new HPath(dstDir))
+    if (files.isEmpty) return spark.emptyDataset[CompressStats].toDF()
+    val bc = spark.sparkContext.broadcast(new SerializableHadoopConf(conf))
+    val slices = math.min(files.size, spark.sparkContext.defaultParallelism)
+    spark.sparkContext.parallelize(files, slices).map { src =>
+      val p = new HPath(src)
+      val taskFs = p.getFileSystem(bc.value.value)
+      compressOne(taskFs, src, s"$dstDir/${p.getName}${method.extension}", method, level)
+    }.collect().toSeq.toDS().toDF()
+  }
+
+  /** Read a directory of archived parquet files (the reference's archive
+    * layout) as a DataFrame: rehydrate into `scratchDir`, then a normal
+    * parquet scan over scratch + any plain parquet already in `srcDir` —
+    * mixed compressed/uncompressed dirs are exactly what
+    * data_storage_manager.py:204-228 handles. The scan keeps full
+    * pushdown/pruning because it is an ordinary parquet read.
+    */
+  def readArchivedParquet(spark: SparkSession, srcDir: String,
+      scratchDir: String): DataFrame = {
+    rehydrate(spark, srcDir, scratchDir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = FileSystem.get(new HPath(srcDir).toUri, conf)
+    val plain = fs.listStatus(new HPath(srcDir)).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString)
+    val rehydrated = fs.listStatus(new HPath(scratchDir)).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString)
+    spark.read.parquet((plain ++ rehydrated): _*)
+  }
+}
+
+/** InputStream over a concatenation of independent zlib streams — what the
+  * reference's chunked `compress_file` writes for inputs >1 MiB
+  * (data_compressor.py:80-86). `java.util.zip.InflaterInputStream` stops at
+  * the first stream's trailer; this one resets the Inflater and re-feeds the
+  * unconsumed tail of the read buffer, repeating until the underlying stream
+  * is exhausted. Single-stream files are the trivial case.
+  */
+final class ConcatZlibInputStream(in: InputStream) extends InputStream {
+  private val inflater = new Inflater()
+  private val buf = new Array[Byte](1 << 16)
+  private var bufLen = 0 // length of the window last handed to setInput
+  private var eof = false // underlying stream exhausted
+
+  override def read(): Int = {
+    val one = new Array[Byte](1)
+    val n = read(one, 0, 1)
+    if (n < 0) -1 else one(0) & 0xff
+  }
+
+  override def read(out: Array[Byte], off: Int, len: Int): Int = {
+    if (len == 0) return 0
+    while (true) {
+      if (inflater.finished()) {
+        // End of one member stream. Unconsumed bytes (if any) are the tail
+        // of the last setInput window and start the next member.
+        val rem = inflater.getRemaining
+        if (rem > 0) {
+          System.arraycopy(buf, bufLen - rem, buf, 0, rem)
+          bufLen = rem
+          inflater.reset()
+          inflater.setInput(buf, 0, bufLen)
+        } else if (!fill()) {
+          return -1
+        }
+      } else if (inflater.needsInput()) {
+        if (!fill()) {
+          if (inflater.getBytesRead == 0) return -1 // clean EOF before any stream
+          throw new EOFException("truncated zlib stream")
+        }
+      }
+      val n = inflater.inflate(out, off, len)
+      if (n > 0) return n
+      // n == 0 with neither finished nor needsInput cannot persist; loop.
+    }
+    -1 // unreachable
+  }
+
+  /** Read the next chunk from the underlying stream into the inflater.
+    * False at EOF. Only called when the inflater has consumed its window.
+    */
+  private def fill(): Boolean = {
+    if (eof) return false
+    var n = in.read(buf)
+    while (n == 0) n = in.read(buf)
+    if (n < 0) { eof = true; return false }
+    bufLen = n
+    if (inflater.finished()) inflater.reset()
+    inflater.setInput(buf, 0, n)
+    true
+  }
+
+  override def available(): Int = if (inflater.finished() && eof) 0 else 1
+
+  override def close(): Unit = {
+    inflater.end()
+    in.close()
+  }
+}
