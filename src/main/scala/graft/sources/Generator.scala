@@ -68,6 +68,39 @@ object Generator {
       .select("symbol", "ts", "open", "high", "low", "close", "volume")
   }
 
+  /** Deterministic clustered unit vectors for ANN evaluation: `nClusters`
+    * gaussian centers, each vector = center + `noise`·gaussian perturbation,
+    * L2-normalized. Real embedding corpora are clustered — the uniform
+    * sphere the `embeddings` fixture approximates is ANN's WORST case
+    * (nearest-centroid pruning carries no information when every direction
+    * is equally likely), so recall dials need both fixtures: uniform as the
+    * lower bound, clustered as the regime IVF/PQ are built for.
+    *
+    * Every coordinate derives from md5(seed:tag:dim) through Box–Muller, so
+    * the output is bit-identical at any parallelism (same discipline as
+    * [[ohlcv]]); there is no shuffle at all — pure map over `spark.range`.
+    * `noise` sets the intra/inter-cluster separation: 0 collapses each
+    * cluster to its center, large values degrade toward the uniform sphere.
+    */
+  def clusteredEmbeddings(spark: SparkSession, n: Long, dims: Int = 64,
+      nClusters: Int = 32, noise: Double = 0.25, seed: Long = 42L): DataFrame = {
+    def uh(tag: Column, k: Int): Column =
+      (TextHash.tokenHash(concat_ws(":", lit(seed), tag, lit(k)))
+        .cast("double") + lit(1.0)) / lit(Two60)
+    def gauss(tag: Column): Column =
+      sqrt(lit(-2.0) * log(uh(tag, 0))) * cos(lit(2.0 * math.Pi) * uh(tag, 1))
+    spark.range(n).select(col("id").as("vec_id"))
+      .withColumn("cluster", (col("vec_id") % nClusters).cast("int"))
+      .withColumn("raw", transform(sequence(lit(0), lit(dims - 1)), d =>
+        gauss(concat_ws(":", lit("c"), col("cluster"), d)) +
+          lit(noise) * gauss(concat_ws(":", lit("v"), col("vec_id"), d))))
+      .withColumn("inv",
+        lit(1.0) / sqrt(aggregate(col("raw"), lit(0.0), (acc, x) => acc + x * x)))
+      .select(col("vec_id"),
+        transform(col("raw"), x => (x * col("inv")).cast("float")).as("embedding"),
+        concat(lit("cl_"), col("cluster")).as("label"))
+  }
+
   /** DuckDB mirror of [[ohlcv]] as a CTE named `gen` — same md5-derived
     * uniforms, same running-sum walk, same expression shapes.
     */
