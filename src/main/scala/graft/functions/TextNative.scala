@@ -65,6 +65,69 @@ object TextNative {
   def sortedIntersectSize(a: Column, b: Column): Column =
     ColumnBridge.column(
       SortedIntersectSize(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def docTermFreqs(text: Column): Column =
+    ColumnBridge.column(DocTermFreqs(ColumnBridge.expression(text)))
+}
+
+/** Per-document term frequencies in ONE pass: struct(dl, tfs) where `tfs`
+  * is array<struct<term, tf>> over the document's distinct tokens in
+  * first-occurrence order (deterministic). This is the map-side half of an
+  * inverted-index build: `explode(tfs)` yields exactly the rows that
+  * `explode(tokens) → groupBy(doc_id, term) → count` yields, WITHOUT the
+  * wide shuffle — tf aggregation happens inside the row, so the only
+  * shuffle left in [[graft.operators.TextIndex]]'s postings build is the
+  * bucket repartition. Same tokenizer as [[Tokens]]; Σtf == dl by
+  * construction (asserted in TextNativeSpec against the groupBy witness).
+  */
+case class DocTermFreqs(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "doc_term_freqs"
+  override def dataType: DataType = StructType(Seq(
+    StructField("dl", IntegerType, nullable = false),
+    StructField("tfs", ArrayType(StructType(Seq(
+      StructField("term", StringType, nullable = false),
+      StructField("tf", IntegerType, nullable = false))), containsNull = false),
+      nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"doc_term_freqs needs string, got $other")
+  }
+
+  def compute(input: UTF8String): InternalRow = {
+    val toks = TextKernel.tokenize(input.toString)
+    val counts = new java.util.LinkedHashMap[String, Array[Int]]()
+    var i = 0
+    while (i < toks.size) {
+      val c = counts.get(toks.get(i))
+      if (c == null) counts.put(toks.get(i), Array(1)) else c(0) += 1
+      i += 1
+    }
+    val rows = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      rows(j) = new GenericInternalRow(
+        Array[Any](UTF8String.fromString(e.getKey), e.getValue()(0)))
+      j += 1
+    }
+    new GenericInternalRow(Array[Any](toks.size, new GenericArrayData(rows)))
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, input => {
+      val ref = ctx.addReferenceObj("docTermFreqs", this, classOf[DocTermFreqs].getName)
+      s"${ev.value} = $ref.compute($input);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): DocTermFreqs =
+    copy(child = newChild)
 }
 
 /** |a ∩ b| for two SORTED string sets (ascending, distinct — exactly the

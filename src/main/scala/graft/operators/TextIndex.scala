@@ -79,9 +79,9 @@ object TextIndex {
     recoverPending(spark, path)
     val obs = Observation()
     val perDoc = docs
-      .select(id.as("doc_id"), TextNative.tokens(text).as("__tk"))
+      .select(id.as("doc_id"), TextNative.docTermFreqs(text).as("__r"))
       .observe(obs, count(lit(1)).as("n_docs"),
-        sum(size(col("__tk")).cast("long")).as("sum_dl"))
+        sum(col("__r.dl").cast("long")).as("sum_dl"))
     postingsOf(perDoc, buckets)
       .write.mode("overwrite")
       .option("compression", "zstd")
@@ -96,14 +96,22 @@ object TextIndex {
   }
 
   /** The shared posting shape: (doc_id, dl, term, tf, bucket), clustered
-    * within each bucket partition for row-group locality.
+    * within each bucket partition for row-group locality. tf aggregation
+    * happens INSIDE each row ([[graft.functions.DocTermFreqs]], one
+    * compiled pass per document) — the pre-round-7 explode + groupBy
+    * shuffled every token occurrence (40 M rows/M docs) and its wide hash
+    * agg spilled on one-shot builds; now the only shuffle is the bucket
+    * repartition of the already-aggregated postings (1 M-doc build:
+    * 137.8 s with the explode+groupBy form vs 17.9-42 s across runs with
+    * the kernel — ScaleSmoke stream section; the spread is shared-host
+    * load, the win reproduces in every pairing).
     */
   private def postingsOf(perDoc: DataFrame, buckets: Int): DataFrame =
     perDoc
-      .select(col("doc_id"), size(col("__tk")).as("dl"),
-        explode(col("__tk")).as("term"))
-      .groupBy(col("doc_id"), col("dl"), col("term"))
-      .agg(count(lit(1)).cast("int").as("tf"))
+      .select(col("doc_id"), col("__r.dl").as("dl"),
+        explode(col("__r.tfs")).as("p"))
+      .select(col("doc_id"), col("dl"),
+        col("p.term").as("term"), col("p.tf").as("tf"))
       .withColumn("bucket", pmod(TextHash.tokenHash(col("term")), lit(buckets.toLong)))
       .repartition(col("bucket"))
       .sortWithinPartitions("bucket", "term", "doc_id")
@@ -140,9 +148,9 @@ object TextIndex {
     fs.delete(new Path(staging), true) // partial earlier attempt, never visible
     val obs = Observation()
     val perDoc = newDocs
-      .select(id.as("doc_id"), TextNative.tokens(text).as("__tk"))
+      .select(id.as("doc_id"), TextNative.docTermFreqs(text).as("__r"))
       .observe(obs, count(lit(1)).as("n_docs"),
-        sum(size(col("__tk")).cast("long")).as("sum_dl"))
+        sum(col("__r.dl").cast("long")).as("sum_dl"))
     postingsOf(perDoc, buckets)
       .write.mode("overwrite")
       .option("compression", "zstd")

@@ -496,6 +496,94 @@ object ScaleSmoke {
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
     bloomDocs.unpersist(); drops.unpersist()
     }
+
+    if (on("stream")) {
+    // ---- streaming throughput (VERDICT r6 item 7): the bit-equality of
+    // stream vs batch is already spec'd (StreamingSpec); this measures
+    // the THROUGHPUT cost of micro-batched delivery — checkpointing,
+    // per-batch planning, and (for the text index) per-batch staged
+    // commits — against the identical one-shot batch job. 1 M docs with
+    // ts, landed as 20 parquet files consumed 2-per-trigger = 10
+    // micro-batches, a realistic incremental-ingest shape.
+    import org.apache.spark.sql.types._
+    val nStream = 1000000L
+    val streamSrc = java.nio.file.Files.createTempDirectory("smoke-stream-src").toString
+    spark.range(nStream).select(
+        col("id").as("doc_id"),
+        timestamp_seconds(lit(1704067200L) + col("id") % 86400L).as("ts"),
+        concat_ws(" ", transform(sequence(lit(1), lit(40)), j =>
+          conv(pmod(xxhash64(col("id") * lit(41L) + j), lit(1000000000L))
+            .cast("string"), 10, 16))).as("text"))
+      .repartition(20).write.mode("overwrite").parquet(streamSrc)
+    val streamSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("ts", TimestampType),
+      StructField("text", StringType)))
+    def fileStream = spark.readStream.schema(streamSchema)
+      .option("maxFilesPerTrigger", 2).parquet(streamSrc)
+    def timeS(label: String, rows: Long)(f: => Int): Unit = {
+      val t0 = System.nanoTime()
+      val batches = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] $label%-22s rows=$rows%-10d ${sec}%6.1f s  ${rows / sec / 1e6}%5.2f M docs/s  batches=$batches")
+    }
+    println(s"[scale] stream corpus: $nStream docs, 20 files, 2 files/trigger")
+
+    // batch baseline: the same clean chain, one job, no checkpoint
+    // (dropDuplicatesWithinWatermark is streaming-only; its batch
+    // equivalent is a plain dropDuplicates on the content hash)
+    val batchDocs = spark.read.schema(streamSchema).parquet(streamSrc)
+    timeS("doc-clean-batch", nStream) {
+      Dedup.withSignatures(
+        batchDocs
+          .withColumn("quality", TextOps.qualityScore(col("text")))
+          .withColumn("lang", TextOps.langId(col("text")))
+          .withColumn("n_tokens", TextOps.tokenCount(col("text")))
+          .withColumn("verdict", TextOps.filterVerdict(col("text")))
+          .withColumn("scrubbed", TextOps.scrubPii(col("text")))
+          .withColumn("content_hash", sha2(col("text"), 256))
+          .filter(col("quality") >= 0.3)
+          .dropDuplicates("content_hash"),
+        col("text"))
+        .agg(sum(crc32(col("scrubbed"))), sum(col("n_tokens"))).collect()
+      1
+    }
+    // streamed: identical transforms through a checkpointed file-source
+    // query landing parquet — dedup state bounded by the 1 h watermark
+    timeS("doc-clean-stream", nStream) {
+      val outDir = java.nio.file.Files.createTempDirectory("smoke-stream-out").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("smoke-stream-ck").toString
+      val q = graft.streaming.StreamDocs.cleanStream(fileStream)
+        .writeStream.option("checkpointLocation", ckpt)
+        .outputMode("append").format("parquet")
+        .option("path", outDir).start()
+      q.processAllAvailable(); q.stop()
+      q.recentProgress.count(_.numInputRows > 0)
+    }
+
+    // text-index: one-shot build vs streamed per-batch staged commits
+    val idxBatch = java.nio.file.Files.createTempDirectory("smoke-idx-b").toString
+    timeS("text-index-build", nStream) {
+      TextIndex.build(batchDocs, col("text"), col("doc_id"), idxBatch)
+      1
+    }
+    val idxStream = java.nio.file.Files.createTempDirectory("smoke-idx-s").toString
+    timeS("text-index-stream", nStream) {
+      val ckpt = java.nio.file.Files.createTempDirectory("smoke-idx-ck").toString
+      val q = graft.streaming.StreamTextIndex.appendStream(
+        fileStream, col("text"), col("doc_id"), idxStream, ckpt)
+      q.processAllAvailable(); q.stop()
+      q.recentProgress.filter(_.numInputRows > 0).foreach { pr =>
+        println(s"[scale]   idx batch ${pr.batchId} rows=${pr.numInputRows} " +
+          s"durations=${pr.durationMs}")
+      }
+      q.recentProgress.count(_.numInputRows > 0)
+    }
+    // the streamed index is query-ready: probe with a real corpus term
+    val term = batchDocs.select(explode(split(col("text"), " ")).as("t"))
+      .limit(1).collect()(0).getString(0)
+    val probe = TextIndex.topK(spark, idxStream, Seq(term), 5)
+    println(s"[scale] streamed-index probe term=$term rows=${probe.count()}")
+    }
     spark.stop()
   }
 }

@@ -212,4 +212,34 @@ class TextNativeSpec extends SparkSpec {
       TextOps.filterVerdict(col("text")).as("a"), witnessVerdict.as("b")),
       "filterVerdict")
   }
+  test("DocTermFreqs equals explode+groupBy postings; dl == sum(tf)") {
+    // witness: the pre-round-7 shuffle formulation, row set equality
+    val docs = fixtures.filter(col("text").isNotNull)
+    val native = docs
+      .select(col("doc_id"), TextNative.docTermFreqs(col("text")).as("r"))
+      .select(col("doc_id"), col("r.dl").as("dl"), explode(col("r.tfs")).as("p"))
+      .select(col("doc_id"), col("dl"), col("p.term").as("term"), col("p.tf").as("tf"))
+    val witness = docs
+      .select(col("doc_id"), TextNative.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), size(col("tk")).as("dl"), explode(col("tk")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("int").as("tf"))
+    assert(native.exceptAll(witness).isEmpty && witness.exceptAll(native).isEmpty,
+      "posting rows must be identical to the explode+groupBy form")
+    // dl is the total token count, not the distinct-term count
+    val bad = native.groupBy("doc_id", "dl").agg(sum("tf").as("s"))
+      .filter(col("s") =!= col("dl")).collect()
+    assert(bad.isEmpty, s"sum(tf) != dl for ${bad.mkString(",")}")
+    // empty/whitespace docs: dl = 0, no postings
+    val empties = docs.filter(col("doc_id").isin(1002L, 1003L, 1004L))
+      .select(TextNative.docTermFreqs(col("text")).as("r"))
+      .select(col("r.dl"), size(col("r.tfs")).as("nt")).collect()
+    assert(empties.forall(r => r.getInt(0) == 0 && r.getInt(1) == 0))
+    // first-occurrence order is deterministic
+    val ord = docs.filter(col("doc_id") === 1016L)
+      .select(TextNative.docTermFreqs(col("text")).as("r"))
+      .selectExpr("transform(r.tfs, p -> p.term)").collect()(0).getSeq[String](0)
+    assert(ord == Seq("x", "y"))
+  }
 }
+
