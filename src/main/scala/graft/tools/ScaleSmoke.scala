@@ -583,6 +583,28 @@ object ScaleSmoke {
       .limit(1).collect()(0).getString(0)
     val probe = TextIndex.topK(spark, idxStream, Seq(term), 5)
     println(s"[scale] streamed-index probe term=$term rows=${probe.count()}")
+
+    // ---- many-query BM25 serving (VERDICT r6 item 2 done-criterion):
+    // 1000 eval queries, 3 real corpus terms each, against the 1 M-doc
+    // index. One topKBatch job vs a per-query topK loop (20 queries
+    // timed, per-query cost extrapolates linearly — each loop iteration
+    // is its own full Spark job by construction).
+    val qTerms = batchDocs.limit(1000)
+      .select(col("doc_id").as("query_id"),
+        slice(split(col("text"), " "), 1, 3).as("terms"))
+      .cache()
+    qTerms.count()
+    val t0b = System.nanoTime()
+    val batchHits = TextIndex.topKBatch(spark, idxBatch, qTerms, 10).count()
+    val batchSec = (System.nanoTime() - t0b) / 1e9
+    println(f"[scale] bm25-batch-1000q       hits=$batchHits%-8d ${batchSec}%6.1f s  (ONE job)")
+    val sample = qTerms.limit(20).collect()
+    val t0l = System.nanoTime()
+    val loopHits = sample.map(r => TextIndex.topK(spark, idxBatch,
+      r.getSeq[String](1), 10).count()).sum
+    val loopSec = (System.nanoTime() - t0l) / 1e9
+    println(f"[scale] bm25-loop-20q          hits=$loopHits%-8d ${loopSec}%6.1f s  (20 jobs -> ${loopSec / 20 * 1000}%6.0f s per 1000)")
+    qTerms.unpersist()
     }
     spark.stop()
   }
