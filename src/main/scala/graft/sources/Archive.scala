@@ -215,18 +215,29 @@ object Archive {
     import spark.implicits._
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = FileSystem.get(new HPath(srcDir).toUri, conf)
-    val archives = fs.listStatus(new HPath(srcDir)).toSeq
+    // RECURSIVE walk: the reference's archive tree is nested
+    // `archives/{year}/{month:02d}/{symbol}/<file>` (data_storage_manager
+    // .py:186), so archives live several levels down. Each payload keeps
+    // its RELATIVE subpath under dstDir — the year/month/symbol dirs
+    // survive rehydration and downstream scans can partition-prune on them.
+    val root = fs.getFileStatus(new HPath(srcDir)).getPath // qualified
+    val it = fs.listFiles(root, true)
+    val archives = Iterator.continually(it)
+      .takeWhile(_.hasNext).map(_.next())
       .filter(st => st.isFile && forPath(st.getPath.getName).isDefined)
-      .map(_.getPath.toString)
+      .map(st => st.getPath.toString)
+      .toSeq
     fs.mkdirs(new HPath(dstDir))
     if (archives.isEmpty) return Seq.empty[(String, String, String, Long)]
       .toDF("src", "dst", "method", "bytes_written")
+    val rootStr = root.toString.stripSuffix("/") + "/"
     val bc = spark.sparkContext.broadcast(new SerializableHadoopConf(conf))
     val slices = math.min(archives.size, spark.sparkContext.defaultParallelism)
     spark.sparkContext.parallelize(archives, slices).map { src =>
       val p = new HPath(src)
       val taskFs = p.getFileSystem(bc.value.value)
-      val dst = s"$dstDir/${payloadName(p.getName)}"
+      val rel = payloadName(src.stripPrefix(rootStr))
+      val dst = s"$dstDir/$rel"
       val written = decompressOne(taskFs, src, dst)
       (src, dst, forPath(src).get.name, written)
     }.collect().toSeq.toDF("src", "dst", "method", "bytes_written")
@@ -267,15 +278,70 @@ object Archive {
   def readArchivedParquet(spark: SparkSession, srcDir: String,
       scratchDir: String): DataFrame = {
     rehydrate(spark, srcDir, scratchDir)
+    def parquetFilesUnder(dir: String): Seq[String] = {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val fs = FileSystem.get(new HPath(dir).toUri, conf)
+      if (!fs.exists(new HPath(dir))) return Nil
+      val it = fs.listFiles(new HPath(dir), true)
+      Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.toString).toSeq
+    }
+    val files = parquetFilesUnder(srcDir) ++ parquetFilesUnder(scratchDir)
+    spark.read.parquet(files: _*)
+  }
+
+  /** The reference's monthly archive retrieval
+    * (`data_storage_manager.get_archived_data`, data_storage_manager.py
+    * :170-245): walk `archiveDir/{year}/{month:02d}/{symbol}/` for every
+    * month-start in [from, to], pick the `{symbol}_{timeframe}_{yyyyMM}.*`
+    * file whether compressed or plain, rehydrate the compressed ones into
+    * `scratchDir`, and return one DataFrame. The month list is
+    * CALENDAR-BOUNDED (same discipline as the lake MERGE's partition
+    * list), so driver-side state is months × 1 paths, never data-sized;
+    * decompression is the distributed [[rehydrate]] task shape.
+    */
+  def readMonthlyArchive(spark: SparkSession, archiveDir: String,
+      symbol: String, timeframe: String, fromMonth: String, toMonth: String,
+      scratchDir: String): DataFrame = {
+    import java.time.YearMonth
+    import spark.implicits._
     val conf = spark.sparkContext.hadoopConfiguration
-    val fs = FileSystem.get(new HPath(srcDir).toUri, conf)
-    val plain = fs.listStatus(new HPath(srcDir)).toSeq
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath.toString)
-    val rehydrated = fs.listStatus(new HPath(scratchDir)).toSeq
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath.toString)
-    spark.read.parquet((plain ++ rehydrated): _*)
+    val fs = FileSystem.get(new HPath(archiveDir).toUri, conf)
+    val start = YearMonth.parse(fromMonth)
+    val months = Iterator.iterate(start)(_.plusMonths(1))
+      .takeWhile(!_.isAfter(YearMonth.parse(toMonth))).toSeq
+    val found = months.flatMap { ym =>
+      val dir = new HPath(f"$archiveDir/${ym.getYear}/${ym.getMonthValue}%02d/$symbol")
+      val base = f"${symbol}_${timeframe}_${ym.getYear}${ym.getMonthValue}%02d"
+      if (!fs.exists(dir)) None
+      else fs.listStatus(dir).find(st => st.isFile &&
+        payloadName(st.getPath.getName).stripSuffix(".parquet") == base)
+        .map(_.getPath)
+    }
+    val (compressed, plain) = found.partition(p => forPath(p.getName).isDefined)
+    val rehydrated = if (compressed.isEmpty) Nil else {
+      fs.mkdirs(new HPath(scratchDir))
+      val bc = spark.sparkContext.broadcast(new SerializableHadoopConf(conf))
+      val paths = compressed.map(_.toString)
+      val slices = math.min(paths.size, spark.sparkContext.defaultParallelism)
+      spark.sparkContext.parallelize(paths, slices).map { src =>
+        val p = new HPath(src)
+        // the reference's compressor REPLACED ".parquet" with the codec
+        // extension (Path.with_suffix), and its reader re-adds it
+        // (data_storage_manager.py:216) — mirror that
+        val stem = payloadName(p.getName)
+        val name = if (stem.endsWith(".parquet")) stem else s"$stem.parquet"
+        val dst = s"$scratchDir/$name"
+        decompressOne(p.getFileSystem(bc.value.value), src, dst)
+        dst
+      }.collect().toSeq
+    }
+    val files = plain.map(_.toString) ++ rehydrated
+    if (files.isEmpty)
+      spark.emptyDataFrame
+    else
+      spark.read.parquet(files: _*)
   }
 }
 

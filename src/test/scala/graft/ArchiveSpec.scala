@@ -151,6 +151,58 @@ class ArchiveSpec extends SparkSpec {
     assert(back.exceptAll(events).isEmpty && events.exceptAll(back).isEmpty)
   }
 
+  test("nested monthly layout: recursive rehydrate + get_archived_data parity") {
+    import org.apache.spark.sql.functions._
+    // the reference's tree: archives/{year}/{month:02d}/{symbol}/
+    //   {symbol}_{timeframe}_{yyyyMM}.zlib|.xz|.parquet
+    // (data_storage_manager.py:186-194; compressor REPLACES .parquet with
+    // the codec extension via Path.with_suffix)
+    val arch = tmpDir("monthly-arch")
+    val scratch = tmpDir("monthly-scratch")
+    val bars = graft.sources.Generator.ohlcv(spark, Seq("BTCUSDT"), 300,
+      startTs = "2024-01-01 00:00:00", intervalSec = 21600) // 75 days -> 3 months
+    val byMonth = bars.withColumn("ym", date_format(col("ts"), "yyyyMM"))
+    val months = Seq("202401", "202402", "202403")
+    months.zipWithIndex.foreach { case (ym, i) =>
+      val dir = s"$arch/2024/${ym.takeRight(2)}/BTCUSDT"
+      java.nio.file.Files.createDirectories(Paths.get(dir))
+      val part = tmpDir(s"monthly-part-$ym")
+      byMonth.filter(col("ym") === ym).drop("ym")
+        .coalesce(1).write.mode("overwrite").parquet(part)
+      val f = Files.list(Paths.get(part))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      val plain = s"$dir/BTCUSDT_6h_$ym.parquet"
+      Files.copy(f, Paths.get(plain))
+      if (i < 2) { // two months compressed (zlib, xz), one left plain
+        val m = Archive.methods(i)
+        Archive.compressFile(spark, plain,
+          dst = Some(s"$dir/BTCUSDT_6h_$ym${m.extension}"), method = m)
+        Files.delete(Paths.get(plain))
+      }
+    }
+
+    // recursive rehydrate keeps the year/month/symbol subtree
+    val re = Archive.rehydrate(spark, arch, scratch)
+    assert(re.count() == 2)
+    assert(Files.exists(Paths.get(s"$scratch/2024/01/BTCUSDT/BTCUSDT_6h_202401")))
+
+    // monthly retrieval: mixed compressed+plain months, full range
+    val got = Archive.readMonthlyArchive(spark, arch, "BTCUSDT", "6h",
+      "2024-01", "2024-03", tmpDir("monthly-scratch2"))
+    assert(got.count() == bars.count())
+    assert(got.exceptAll(bars).isEmpty && bars.exceptAll(got).isEmpty)
+
+    // sub-range prunes by calendar: only February's rows
+    val feb = Archive.readMonthlyArchive(spark, arch, "BTCUSDT", "6h",
+      "2024-02", "2024-02", tmpDir("monthly-scratch3"))
+    val febExpected = byMonth.filter(col("ym") === "202402").drop("ym")
+    assert(feb.count() == febExpected.count() && feb.count() > 0)
+    // missing months/symbols are skipped, not errors
+    val none = Archive.readMonthlyArchive(spark, arch, "ETHUSDT", "6h",
+      "2024-01", "2024-03", tmpDir("monthly-scratch4"))
+    assert(none.isEmpty)
+  }
+
   test("compressDirectory -> rehydrate: distributed round trip with stats") {
     val src = tmpDir("dir-src")
     val arch = tmpDir("dir-arch")
