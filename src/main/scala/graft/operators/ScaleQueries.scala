@@ -46,6 +46,30 @@ object ScaleQueries {
           col("sum").as("sum_close"), col("min").as("min_close"),
           col("max").as("max_close"))),
 
+    // Whole-file archive round trip (reference data_compressor.py +
+    // data_storage_manager.py): a bars slice written to parquet,
+    // compressed into the reference's .xz whole-file containers,
+    // rehydrated by the distributed task path, and read back as an
+    // ordinary parquet scan. The oracle reads the ORIGINAL table — a
+    // hash match proves the archive cycle is lossless, column types,
+    // NTZ timestamps and all. Runs the real file path end-to-end inside
+    // the query (scratch dirs are per-run temp; the result is the data).
+    "ar1_archive_roundtrip" -> ((s, dir) => {
+      val slice = Tables.bars(s, dir)
+        .filter(col("event_id") % 7 === 0)
+        .select("event_id", "symbol", "ts", "open", "high", "low", "close",
+          "volume")
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-ar1").toString
+      slice.repartition(3).write.mode("overwrite").parquet(s"$work/plain")
+      graft.sources.Archive.compressDirectory(s, s"$work/plain",
+        s"$work/arch", graft.sources.Archive.Lzma)
+      graft.sources.Archive.readArchivedParquet(s, s"$work/arch",
+        s"$work/scratch")
+        .select("event_id", "symbol", "ts", "open", "high", "low", "close",
+          "volume")
+    }),
+
     // Lake-vs-DB coverage census: file side = actual per-symbol lake rows,
     // DB side = the simulated registration state above.
     "rec1_coverage" -> ((s, dir) => {
@@ -57,6 +81,11 @@ object ScaleQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "ar1_archive_roundtrip" -> (Tables.barsSql +
+      s"""
+         |SELECT event_id, symbol, ts, open, high, low, close, volume
+         |FROM bars WHERE event_id % 7 = 0""".stripMargin),
+
     "sk1_salted_stats" -> (Tables.barsSql +
       s"""
          |SELECT symbol, count(*) AS n,
