@@ -21,11 +21,19 @@ object Verify {
     // every failure explicitly and exit nonzero so a broken suite can never
     // look green.
     val failures = scala.collection.mutable.LinkedHashMap[String, String]()
+    // SPARK_GRAFT_VERIFY_RESUME=1: skip queries whose dump already exists
+    // COMPLETE (Spark's _SUCCESS marker — a killed run leaves partial dirs
+    // without it, so resume can never trust a torn write). Used by the
+    // long sf10 gate so a mid-run kill doesn't repeat hours of finished
+    // queries; the driver's own per-round gate runs without it.
+    val resume = sys.env.get("SPARK_GRAFT_VERIFY_RESUME").contains("1")
     SparkEntry.queries.foreach { case (name, fn) =>
       // repartition(1), NOT coalesce(1): coalesce folds the query's
       // whole final stage into one task (a serialized window/join pass
       // at 10x scales); repartition adds a shuffle boundary so the
       // query computes parallel and only the file write is single-task.
+      if (resume && Files.exists(Paths.get(s"$outDir/$name/_SUCCESS"))) ()
+      else
       try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -97,10 +97,14 @@ object DedupQueries {
     })
   )
 
-  /** d4b's derived corpus: 97 duplication clusters keyed by doc_id % 97,
-    * each doc = the cluster's 40 cluster-prefixed tokens with ONE slot
-    * (doc_id % 40) replaced by a doc-unique token — within a cluster
-    * Jaccard is 39/41 ≈ 0.95 (true near-dups), across clusters the
+  /** d4b's derived corpus: duplication clusters of FIXED SIZE ~11 keyed
+    * by doc_id / 11 (integer division — cluster COUNT grows with the
+    * corpus, cluster size does not, so near-dup pair output stays LINEAR
+    * in corpus size; the first cut keyed doc_id % 97, whose fixed cluster
+    * count made within-cluster pairs quadratic in sf — ~1.3e9 pairs at
+    * sf10). Each doc = the cluster's 40 cluster-prefixed tokens with ONE
+    * slot (doc_id % 40) replaced by a doc-unique token — within a cluster
+    * Jaccard is ≥ 39/41 ≈ 0.95 (true near-dups), across clusters the
     * vocabularies are disjoint (Jaccard 0). Deterministic from doc_id
     * only, so the DuckDB mirror derives the identical corpus.
     */
@@ -109,7 +113,7 @@ object DedupQueries {
       array_join(transform(sequence(lit(0), lit(39)), k =>
         when(k === col("doc_id") % 40,
           concat(lit("u"), col("doc_id").cast("string")))
-          .otherwise(concat(lit("c"), (col("doc_id") % 97).cast("string"),
+          .otherwise(concat(lit("c"), floor(col("doc_id") / 11).cast("string"),
             lit("w"), k.cast("string")))), " ").as("text"))
 
   private val clusteredCorpusSql =
@@ -117,7 +121,7 @@ object DedupQueries {
       |  SELECT doc_id,
       |         array_to_string(list_transform(generate_series(0, 39), k ->
       |           CASE WHEN k = doc_id % 40 THEN 'u' || CAST(doc_id AS VARCHAR)
-      |                ELSE 'c' || CAST(doc_id % 97 AS VARCHAR) || 'w' || CAST(k AS VARCHAR) END), ' ')
+      |                ELSE 'c' || CAST(doc_id // 11 AS VARCHAR) || 'w' || CAST(k AS VARCHAR) END), ' ')
       |         AS text
       |  FROM documents
       |)""".stripMargin
