@@ -137,6 +137,50 @@ def patched_w9(con, oracle_sql, cb):
     return out
 
 
+BIG_ROWS = 20_000_000
+
+
+def parquet_rows(files):
+    import pyarrow.parquet as pq
+    return sum(pq.ParquetFile(p).metadata.num_rows for p in files)
+
+
+def big_compare(con, files, oracle_sql):
+    """Multiset equality for outputs too large to sort in pandas
+    (d4 at sf10 is ~280M pairs): count(*) plus an order-independent
+    sum-of-row-hashes, computed streaming inside DuckDB on BOTH sides.
+
+    Canonicalization: every column CAST to VARCHAR (DuckDB prints
+    doubles shortest-roundtrip, so bit-identical doubles — the standard
+    the small-scale gate already proves — print identically; the oracle
+    side is first cast to the Spark dump's column type so e.g. a
+    narrower oracle DECIMAL widens before printing). Row hash =
+    hash([...]) over the name-sorted column list; sum as HUGEINT.
+    A hash match is a multiset match up to 64-bit collision odds; a
+    mismatch falls back to the exact pandas compare (slow, but only on
+    an actual failure)."""
+    flist = "[" + ", ".join(f"'{p}'" for p in files) + "]"
+    desc = con.execute(
+        f"DESCRIBE SELECT * FROM read_parquet({flist})").fetchall()
+    schema = [(r[0], r[1]) for r in desc]
+    cols = sorted(n for n, _ in schema)
+    types = dict(schema)
+    vec = "[" + ", ".join(f'CAST("{c}" AS VARCHAR)' for c in cols) + "]"
+    ovec = "[" + ", ".join(
+        f'CAST(CAST("{c}" AS {types[c]}) AS VARCHAR)' for c in cols) + "]"
+    a = con.execute(
+        f"SELECT count(*), sum(CAST(hash({vec}) AS HUGEINT)) "
+        f"FROM read_parquet({flist})").fetchone()
+    b = con.execute(
+        f"SELECT count(*), sum(CAST(hash({ovec}) AS HUGEINT)) "
+        f"FROM ({oracle_sql})").fetchone()
+    if a[0] != b[0]:
+        return f"ROWCOUNT MISMATCH spark={a[0]} oracle={b[0]}"
+    if a[1] != b[1]:
+        return f"ROWHASH MISMATCH spark={a[1]} oracle={b[1]}"
+    return None
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
@@ -165,6 +209,18 @@ def main():
         if not files:
             print(f"SKIP {name}: no parquet output")
             n_fail += 1
+            continue
+        n_rows = parquet_rows(files)
+        if n_rows > BIG_ROWS and name in oracles and name not in fold_oracles:
+            err = big_compare(con, files, oracles[name])
+            if err is None:
+                print(f"PASS-HASH {name}: rows={n_rows} "
+                      f"[duckdb-hash {time.time()-t0:.0f}s]", flush=True)
+                n_pass += 1
+            else:
+                print(f"FAIL      {name}: {err} (big-output hash path)",
+                      flush=True)
+                n_fail += 1
             continue
         spark_df = pd.concat([pd.read_parquet(p) for p in files],
                              ignore_index=True)
