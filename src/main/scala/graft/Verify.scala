@@ -12,6 +12,12 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // At 100x gate scales a driver full-GC can stall past the default
+      // 120 s heartbeat horizon, and in local mode "removing" the one
+      // executor kills the JVM mid-suite. These only widen tolerances —
+      // they change no query result.
+      .config("spark.network.timeout", "600s")
+      .config("spark.executor.heartbeatInterval", "30s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
@@ -32,9 +38,15 @@ object Verify {
       // whole final stage into one task (a serialized window/join pass
       // at 10x scales); repartition adds a shuffle boundary so the
       // query computes parallel and only the file write is single-task.
+      // SPARK_GRAFT_VERIFY_PARTS widens the dump to N files for the
+      // 100x gates, where a single task writing a 10^8-row dump is
+      // minutes of dead serial time (every compare tool reads the
+      // whole directory, so file count is invisible to the gate).
       if (resume && Files.exists(Paths.get(s"$outDir/$name/_SUCCESS"))) ()
       else
-      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
+      try fn(spark, sfDir)
+        .repartition(sys.env.getOrElse("SPARK_GRAFT_VERIFY_PARTS", "1").toInt)
+        .write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -184,6 +184,10 @@ def big_compare(con, files, oracle_sql):
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
+    import os
+    if os.environ.get("DUCKDB_THREADS"):
+        con.execute(f"SET threads = {int(os.environ['DUCKDB_THREADS'])}")
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     for t in co.TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     with open(f"{out_dir}/oracle_sql.json") as f:
@@ -201,6 +205,8 @@ def main():
     names = sorted(
         p.rsplit("/", 1)[-1] for p in glob.glob(f"{out_dir}/*")
         if not p.endswith(".json"))
+    if only is not None:
+        names = [n for n in names if n in only]
     n_pass = n_fail = 0
     import time
     for name in names:
