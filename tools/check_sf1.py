@@ -187,6 +187,9 @@ def main():
     import os
     if os.environ.get("DUCKDB_THREADS"):
         con.execute(f"SET threads = {int(os.environ['DUCKDB_THREADS'])}")
+    if os.environ.get("DUCKDB_MEMORY"):
+        con.execute(f"SET memory_limit = '{os.environ['DUCKDB_MEMORY']}'")
+        con.execute(f"SET temp_directory = '/root/repo/target/duckdb_tmp'")
     only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     for t in co.TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
