@@ -33,7 +33,23 @@ object Verify {
     // long sf10 gate so a mid-run kill doesn't repeat hours of finished
     // queries; the driver's own per-round gate runs without it.
     val resume = sys.env.get("SPARK_GRAFT_VERIFY_RESUME").contains("1")
+    // SPARK_GRAFT_VERIFY_SHARD="i/n": run only queries with
+    // abs(hash(name)) % n == i. Lets the LONG gates (sf10) run as n
+    // cooperating JVMs over disjoint query subsets — single queries
+    // rarely saturate the whole box (single-task dump writes, few-
+    // partition stages), so two 16-thread shards finish well under one
+    // 32-thread serial sweep. Shards write to the same outDir (disjoint
+    // names, no collisions); the driver's per-round gate doesn't set it.
+    val shard = sys.env.get("SPARK_GRAFT_VERIFY_SHARD").map { s =>
+      val Array(i, n) = s.split("/").map(_.trim.toInt); (i, n)
+    }
+    def inShard(name: String): Boolean = shard match {
+      case Some((i, n)) => math.floorMod(name.hashCode, n) == i
+      case None => true
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
+      if (!inShard(name)) ()
+      else
       // repartition(1), NOT coalesce(1): coalesce folds the query's
       // whole final stage into one task (a serialized window/join pass
       // at 10x scales); repartition adds a shuffle boundary so the
@@ -73,7 +89,13 @@ object Verify {
     // its absence is itself a signal.
     val errJson = failures
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
+    // sharded runs write per-shard error manifests so the last shard to
+    // finish can't clobber another shard's failures
+    val errName = shard match {
+      case Some((i, n)) => s"verify_errors_${i}_of_$n.json"
+      case None => "verify_errors.json"
+    }
+    Files.writeString(Paths.get(s"$outDir/$errName"), errJson)
     spark.stop()
     if (failures.nonEmpty) {
       System.err.println(
