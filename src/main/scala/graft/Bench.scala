@@ -50,8 +50,30 @@ object Bench {
     // looked like an improvement). Failures carry through as None and are
     // reported in an explicit "failed" list with a null timing.
     val failures = scala.collection.mutable.LinkedHashMap[String, String]()
-    def sweep(): Seq[(String, Option[Double])] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Host-speed canary: a CONSTANT sf-independent workload (hash-agg over
+    // a fixed range) timed before each sweep and recorded in the artifact.
+    // The shared host's speed drifts 2-3x between measurement windows
+    // (round-7 adjudication), so cross-round totals are only comparable
+    // after dividing by the canary ratio; without it, host drift reads as
+    // an engine regression.
+    def canary(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0, 50000000L, 1, 32)
+        .selectExpr("xxhash64(id) % 97 AS k", "id")
+        .groupBy("k").agg(org.apache.spark.sql.functions.sum("id"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // Round-7 lesson: both sweeps used to traverse the suite in the SAME
+    // alphabetical order at similar pace, so one sustained host-steal
+    // burst sat on the same contiguous block in both passes and the
+    // min-of-2 discipline was defeated (the r7 artifact's m1..o7 block,
+    // 3-8x inflated with untouched code). Shuffling each sweep with its
+    // own FIXED seed decorrelates which queries share a wall-clock
+    // window while keeping runs reproducible.
+    def sweep(seed: Long): Seq[(String, Option[Double])] =
+      new scala.util.Random(seed).shuffle(SparkEntry.queries.toSeq.sortBy(_._1))
+        .map { case (name, fn) =>
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -62,8 +84,11 @@ object Bench {
           name -> None
         }
       }
-    val first = sweep()
-    val second = sweep().toMap
+    val canary1 = canary()
+    val first = sweep(seed = 1).sortBy(_._1)
+    val canary2 = canary()
+    val second = sweep(seed = 2).toMap
+    val canarySec = math.min(canary1, canary2)
     // min of the two sweeps; a query that failed in EITHER sweep is failed.
     val results = first.map { case (name, t) =>
       name -> (for (a <- t; b <- second(name)) yield math.min(a, b))
@@ -75,7 +100,7 @@ object Bench {
     val failedJson = failures.keys.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.flatMap(_._2).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"canary_sec":$canarySec,"sf":"$sfDir"}"""
     Files.writeString(Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")), json + "\n")
     spark.stop()

@@ -34,19 +34,29 @@ object Verify {
     // queries; the driver's own per-round gate runs without it.
     val resume = sys.env.get("SPARK_GRAFT_VERIFY_RESUME").contains("1")
     // SPARK_GRAFT_VERIFY_SHARD="i/n": run only queries with
-    // abs(hash(name)) % n == i. Lets the LONG gates (sf10) run as n
-    // cooperating JVMs over disjoint query subsets — single queries
+    // floorMod(name.hashCode, n) == i. Lets the LONG gates (sf10) run as
+    // n cooperating JVMs over disjoint query subsets — single queries
     // rarely saturate the whole box (single-task dump writes, few-
     // partition stages), so two 16-thread shards finish well under one
     // 32-thread serial sweep. Shards write to the same outDir (disjoint
     // names, no collisions); the driver's per-round gate doesn't set it.
+    // An out-of-range index would silently run ZERO queries and exit 0 —
+    // a shard that never ran must be loud, not green — so validate hard.
     val shard = sys.env.get("SPARK_GRAFT_VERIFY_SHARD").map { s =>
-      val Array(i, n) = s.split("/").map(_.trim.toInt); (i, n)
+      val Array(i, n) = s.split("/").map(_.trim.toInt)
+      require(n > 0 && i >= 0 && i < n,
+        s"SPARK_GRAFT_VERIFY_SHARD=$s invalid: need 0 <= i < n, n > 0")
+      (i, n)
     }
     def inShard(name: String): Boolean = shard match {
       case Some((i, n)) => math.floorMod(name.hashCode, n) == i
       case None => true
     }
+    // A stale single-JVM manifest in a re-used outDir would be trusted by
+    // consumers of the sharded run; any shard may delete it (idempotent).
+    if (shard.isDefined)
+      Files.deleteIfExists(Paths.get(s"$outDir/verify_errors.json"))
+    var attempted = 0
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!inShard(name)) ()
       else
@@ -59,7 +69,8 @@ object Verify {
       // minutes of dead serial time (every compare tool reads the
       // whole directory, so file count is invisible to the gate).
       if (resume && Files.exists(Paths.get(s"$outDir/$name/_SUCCESS"))) ()
-      else
+      else {
+      attempted += 1
       try fn(spark, sfDir)
         .repartition(sys.env.getOrElse("SPARK_GRAFT_VERIFY_PARTS", "1").toInt)
         .write.mode("overwrite")
@@ -67,6 +78,7 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         failures(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
+      }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -81,12 +93,35 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // All file writes below go through temp-file + ATOMIC_MOVE: n shard
+    // JVMs share this outDir, and a plain truncate-and-rewrite of a file
+    // another process is reading (or a kill mid-write) yields a torn JSON
+    // that the compare's json.load would choke on.
+    def writeAtomic(path: String, content: String): Unit = {
+      val target = Paths.get(path)
+      val tmp = Files.createTempFile(target.getParent, ".tmp-", ".json")
+      Files.writeString(tmp, content)
+      Files.move(tmp, target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    // oracle_sql.json is identical from every shard — only shard 0 (or
+    // the unsharded driver run) writes it, so concurrent shards never
+    // race on it at all.
+    if (shard.forall(_._1 == 0)) {
+      val json = SparkEntry.oracleSql
+        .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      writeAtomic(s"$outDir/oracle_sql.json", json)
+      // Registry manifest: EVERY declared query name, so the compare can
+      // prove coverage (output dir present or an error recorded) instead
+      // of trusting whatever dirs happen to exist — the round-5 silent-
+      // all-pass hole, closed at the artifact level.
+      writeAtomic(s"$outDir/queries.json",
+        SparkEntry.queries.keys.map(q).mkString("[", ",", "]"))
+    }
     // Explicit failure manifest: {query: "ExceptionClass: msg"} for every
-    // registered query with no output directory, written even when empty so
-    // its absence is itself a signal.
+    // attempted query that threw, written even when empty so its absence
+    // is itself a signal.
     val errJson = failures
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     // sharded runs write per-shard error manifests so the last shard to
@@ -95,11 +130,26 @@ object Verify {
       case Some((i, n)) => s"verify_errors_${i}_of_$n.json"
       case None => "verify_errors.json"
     }
-    Files.writeString(Paths.get(s"$outDir/$errName"), errJson)
+    writeAtomic(s"$outDir/$errName", errJson)
+    // Once every shard's manifest exists, fold them into the canonical
+    // verify_errors.json (the documented completeness signal). The last
+    // shard to finish sees all n and writes it; if two finish together
+    // both write identical content through ATOMIC_MOVE — harmless.
+    // (Assumes shards are launched together, which the gate scripts do:
+    // the stale-manifest delete above happens before any shard finishes.)
+    shard.foreach { case (_, n) =>
+      val parts = (0 until n).map(j => Paths.get(s"$outDir/verify_errors_${j}_of_$n.json"))
+      if (parts.forall(Files.exists(_))) {
+        val merged = parts.map(Files.readString(_).trim)
+          .map(s => s.substring(1, s.length - 1)).filter(_.nonEmpty)
+          .mkString("{", ",", "}")
+        writeAtomic(s"$outDir/verify_errors.json", merged)
+      }
+    }
     spark.stop()
     if (failures.nonEmpty) {
       System.err.println(
-        s"[verify] ${failures.size}/${SparkEntry.queries.size} queries FAILED: " +
+        s"[verify] ${failures.size}/$attempted attempted queries FAILED: " +
           failures.keys.mkString(", "))
       sys.exit(3)
     }

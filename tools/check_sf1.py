@@ -211,6 +211,23 @@ def main():
     if only is not None:
         names = [n for n in names if n in only]
     n_pass = n_fail = 0
+    # Completeness: every REGISTERED query (queries.json, written by the
+    # unsharded run or shard 0) must either have an output dir or appear
+    # in an error manifest — a shard that never launched, crashed before
+    # its manifest, or was filtered out can otherwise read as green.
+    import os.path
+    if only is None and os.path.exists(f"{out_dir}/queries.json"):
+        with open(f"{out_dir}/queries.json") as f:
+            registered = set(json.load(f))
+        errored = set()
+        for mf in glob.glob(f"{out_dir}/verify_errors*.json"):
+            with open(mf) as f:
+                errored |= set(json.load(f))
+        uncovered = registered - set(names) - errored
+        for name in sorted(uncovered):
+            print(f"MISSING   {name}: registered but no output dir and no "
+                  f"error manifest entry (shard never ran it?)")
+            n_fail += 1
     import time
     for name in names:
         t0 = time.time()
