@@ -59,8 +59,7 @@ object ScaleQueries {
         .filter(col("event_id") % 7 === 0)
         .select("event_id", "symbol", "ts", "open", "high", "low", "close",
           "volume")
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-ar1").toString
+      val work = graft.TempDirs.create("graft-ar1")
       slice.repartition(3).write.mode("overwrite").parquet(s"$work/plain")
       graft.sources.Archive.compressDirectory(s, s"$work/plain",
         s"$work/arch", graft.sources.Archive.Lzma)

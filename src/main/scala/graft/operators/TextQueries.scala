@@ -97,8 +97,7 @@ object TextQueries {
     // per query_id; the oracle replays each query's full fold in DuckDB
     "bm2_bm25_batch" -> ((s, dir) => {
       val path = tidxCache.computeIfAbsent(dir, _ => {
-        val p = java.nio.file.Files
-          .createTempDirectory("graft-tidx-query").toString
+        val p = graft.TempDirs.create("graft-tidx-query")
         TextIndex.build(Tables.documents(s, dir), col("text"), col("doc_id"),
           p, buckets = 64)
         p

@@ -372,10 +372,24 @@ object VectorOps {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4,
       codebook: Option[Array[(Long, Array[Double])]] = None): DataFrame = {
-    val cents: Array[(Long, Array[Double])] = codebook.getOrElse(
-      corpus.orderBy("vec_id").limit(nCentroids)
-        .select("vec_id", "embedding").collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)))
+    // No caller-supplied codebook → TRAIN one ([[kmeansCodebook]], stride
+    // sized from a 1-row count so the driver sample stays ≤ ~50 k rows).
+    // The old default — the nCentroids smallest-vec_id embeddings — was a
+    // silent recall trap: on a corpus SORTED or CLUSTERED by vec_id those
+    // rows all come from one region, every list but one sits empty, and
+    // probing returns near-random neighbors (VectorSpec shows the clustered
+    // fixture collapsing to ≈chance). Training costs one extra pass over
+    // the stride sample and removes the pathology.
+    val cents: Array[(Long, Array[Double])] = codebook.getOrElse {
+      val n = corpus.count() // 1-row aggregate
+      val maxSample = 50000L
+      // stride over DENSE-ish vec_ids: mod chosen so ~n/mod <= maxSample;
+      // sparse ids just under-sample, and kmeansCodebook fails fast if the
+      // sample drops below k.
+      val mod = math.max(1L, (n + maxSample - 1) / maxSample)
+      kmeansCodebook(corpus, nCentroids, iters = 5, sampleMod = mod,
+        maxSample = 2 * maxSample)
+    }
     def assign(df: DataFrame, n: Int): DataFrame = ivfAssign(df, cents, n)
     val inv = assign(corpus, 1).select(col("cent_id"),
       col("vec_id").as("neighbor_id"), col("embedding").as("cemb"),

@@ -53,8 +53,7 @@ object VectorQueries {
     "v8_index_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val idx = indexCache.computeIfAbsent(dir, _ => {
-        val path = java.nio.file.Files
-          .createTempDirectory("graft-vidx-query").toString
+        val path = graft.TempDirs.create("graft-vidx-query")
         VectorIndex.build(emb, path, nCentroids, pqM, pqKsub,
           coarseIters = kmIters, pqIters = pqIters, sampleMod = sampleMod)
       })

@@ -334,7 +334,7 @@ object ScaleSmoke {
     // a 2-D box, and the timed filtered scans show it reaching wall time
     // through ordinary parquet row-group stats.
     import graft.sinks.Lake
-    val zdir = java.nio.file.Files.createTempDirectory("smoke-zorder").toString
+    val zdir = graft.TempDirs.create("smoke-zorder")
     val zn = 10000000L
     val zrows = spark.range(zn).select(
       col("id").as("event_id"),
@@ -507,7 +507,7 @@ object ScaleSmoke {
     // micro-batches, a realistic incremental-ingest shape.
     import org.apache.spark.sql.types._
     val nStream = 1000000L
-    val streamSrc = java.nio.file.Files.createTempDirectory("smoke-stream-src").toString
+    val streamSrc = graft.TempDirs.create("smoke-stream-src")
     spark.range(nStream).select(
         col("id").as("doc_id"),
         timestamp_seconds(lit(1704067200L) + col("id") % 86400L).as("ts"),
@@ -550,8 +550,8 @@ object ScaleSmoke {
     // streamed: identical transforms through a checkpointed file-source
     // query landing parquet — dedup state bounded by the 1 h watermark
     timeS("doc-clean-stream", nStream) {
-      val outDir = java.nio.file.Files.createTempDirectory("smoke-stream-out").toString
-      val ckpt = java.nio.file.Files.createTempDirectory("smoke-stream-ck").toString
+      val outDir = graft.TempDirs.create("smoke-stream-out")
+      val ckpt = graft.TempDirs.create("smoke-stream-ck")
       val q = graft.streaming.StreamDocs.cleanStream(fileStream)
         .writeStream.option("checkpointLocation", ckpt)
         .outputMode("append").format("parquet")
@@ -561,14 +561,14 @@ object ScaleSmoke {
     }
 
     // text-index: one-shot build vs streamed per-batch staged commits
-    val idxBatch = java.nio.file.Files.createTempDirectory("smoke-idx-b").toString
+    val idxBatch = graft.TempDirs.create("smoke-idx-b")
     timeS("text-index-build", nStream) {
       TextIndex.build(batchDocs, col("text"), col("doc_id"), idxBatch)
       1
     }
-    val idxStream = java.nio.file.Files.createTempDirectory("smoke-idx-s").toString
+    val idxStream = graft.TempDirs.create("smoke-idx-s")
     timeS("text-index-stream", nStream) {
-      val ckpt = java.nio.file.Files.createTempDirectory("smoke-idx-ck").toString
+      val ckpt = graft.TempDirs.create("smoke-idx-ck")
       val q = graft.streaming.StreamTextIndex.appendStream(
         fileStream, col("text"), col("doc_id"), idxStream, ckpt)
       q.processAllAvailable(); q.stop()

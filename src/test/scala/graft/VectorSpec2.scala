@@ -77,4 +77,55 @@ class VectorSpec2 extends SparkSpec {
     assert(ivfpq >= 0.90, f"clustered IVFPQ recall $ivfpq%.3f below floor")
     emb.unpersist()
   }
+
+  test("ivfTopK default codebook trains instead of taking the first N rows") {
+    // Adversarial-but-common layout: corpus physically SORTED by cluster
+    // (re-id so ascending vec_id walks cluster 0 first). ivfTopK's former
+    // no-codebook default — centroids = the nCentroids smallest-vec_id
+    // embeddings — takes 32 near-identical cluster-0 vectors as the
+    // codebook here, list assignment degenerates to noise, and 4/32
+    // probing scans an arbitrary 12.5% of the corpus.
+    val nC = 32
+    val base = Generator.clusteredEmbeddings(spark, 4096, dims = 64,
+      nClusters = nC, noise = 0.25)
+    val sorted = base.select(
+      ((col("vec_id") % nC) * 4096 + col("vec_id")).as("vec_id"),
+      col("embedding"), col("label")).cache()
+    val q = sorted.filter(col("vec_id") % 4096 < 16) // 16 queries, 16 clusters
+
+    def hits(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val truth = hits(VectorOps.bruteTopK(q, sorted, 10))
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val h = hits(df)
+      truth.map { case (qid, t) =>
+        h.getOrElse(qid, Set.empty[Long]).intersect(t).size / 10.0
+      }.sum / truth.size
+    }
+
+    // the OLD default, reconstructed explicitly: recall collapses
+    val firstN = sorted.orderBy("vec_id").limit(nC)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    // Measured 0.906: not a total collapse — every centroid is
+    // c0 + 0.25·noiseᵢ, so a vector's best list is decided by
+    // ⟨its cluster center, noiseᵢ⟩, which is SHARED across a cluster's
+    // members and keeps assignment mostly cluster-coherent by accident.
+    // But the margins are pure noise: the recall lost here (vs 1.000
+    // trained, below) is lost silently, and a different noise draw or
+    // tighter clusters shifts it unpredictably. That unpredictability is
+    // the hazard the trained default removes.
+    val oldR = recallOf(VectorOps.ivfTopK(q, sorted, 10, nC, 4, Some(firstN)))
+    info(f"first-N codebook on cluster-sorted corpus: recall@10 $oldR%.3f")
+    assert(oldR <= 0.95, f"first-N codebook unexpectedly healthy ($oldR%.3f) — " +
+      "fixture no longer adversarial?")
+
+    // the NEW default (codebook = None → kmeansCodebook-trained)
+    val newR = recallOf(VectorOps.ivfTopK(q, sorted, 10, nC, 4))
+    info(f"trained default codebook on cluster-sorted corpus: recall@10 $newR%.3f")
+    assert(newR >= 0.95, f"trained default recall $newR%.3f below floor")
+    assert(newR > oldR, "training must beat the first-N stand-in here")
+    sorted.unpersist()
+  }
 }
