@@ -305,6 +305,18 @@ object TextIndex {
     * top-k per query_id. TextIndexSpec asserts bit-identity with a
     * per-query [[topK]] loop; the bm2 oracle replays it in DuckDB.
     *
+    * Scale notes, measured at 1 M docs / 40 M postings (BASELINE.md
+    * round-8):
+    *  - the vocab filter `term.isin(vocab)` optimizes to an InSet hash
+    *    probe above 10 terms (TextIndexSpec pins the plan shape), so
+    *    10^4-term query sets cost O(1)/postings-row, not O(|vocab|);
+    *  - bucket pruning VANISHES as the query vocabulary grows: once the
+    *    distinct terms cover ~all `buckets` residues (coupon-collector:
+    *    likely by |vocab| ≈ buckets · ln(buckets)), the bucket filter
+    *    keeps every partition and the expected — and correct — plan is a
+    *    full-postings scan gated only by the InSet term filter. Batched
+    *    serving still wins by running ONE job instead of |queries|.
+    *
     * @param queries (query_id: long, terms: array&lt;string&gt;);
     *                duplicate terms within a query are deduplicated
     *                (first occurrence keeps its slot) like [[topK]].

@@ -606,6 +606,39 @@ object ScaleSmoke {
     println(f"[scale] bm25-loop-20q          hits=$loopHits%-8d ${loopSec}%6.1f s  (20 jobs -> ${loopSec / 20 * 1000}%6.0f s per 1000)")
     qTerms.unpersist()
     }
+    if (on("bm25")) {
+    // ---- batched BM25 at production query counts (VERDICT r7 item 4):
+    // 1 k and 10 k query batches against a 1 M-doc index. 10 k x 3-term
+    // queries carry ~30 k distinct terms >> 64 buckets, so bucket pruning
+    // has fully vanished (every partition kept — the documented
+    // vanishing point) and the run prices the honest worst case: a full
+    // postings scan gated by the InSet vocab filter, one job.
+    val nDocs = 1000000L
+    val docs10 = spark.range(nDocs).select(
+        col("id").as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(1), lit(40)), j =>
+          conv(pmod(xxhash64(col("id") * lit(41L) + j), lit(1000000000L))
+            .cast("string"), 10, 16))).as("text"))
+    val idxDir = graft.TempDirs.create("smoke-bm25-idx")
+    val tIdx = System.nanoTime()
+    TextIndex.build(docs10, col("text"), col("doc_id"), idxDir)
+    println(f"[scale] bm25-index-build       docs=$nDocs%-8d ${(System.nanoTime() - tIdx) / 1e9}%6.1f s")
+    for (nQ <- Seq(1000, 10000)) {
+      val qs = spark.range(nQ).select(
+          col("id").as("query_id"),
+          transform(sequence(lit(1), lit(3)), j =>
+            conv(pmod(xxhash64(col("id") * lit(977L) + j * lit(131L)),
+              lit(1000000000L)).cast("string"), 10, 16)).as("terms"))
+        .cache()
+      qs.count()
+      val t0 = System.nanoTime()
+      val hits = TextIndex.topKBatch(spark, idxDir, qs, 10).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val label = s"bm25-batch-${nQ}q"
+      println(f"[scale] $label%-22s hits=$hits%-8d ${sec}%6.1f s  ${nQ / sec}%7.0f queries/s")
+      qs.unpersist()
+    }
+    }
     spark.stop()
   }
 }

@@ -203,6 +203,77 @@ class ArchiveSpec extends SparkSpec {
     assert(none.isEmpty)
   }
 
+  test("archiveToLake: mixed monthly tree -> pruned lake, idempotent resume") {
+    import org.apache.spark.sql.functions._
+    import graft.pipeline.ArchiveMigration
+    val arch = tmpDir("mig-arch")
+    val lake = tmpDir("mig-lake")
+    // two symbols x three months, months 1-2 compressed, month 3 plain —
+    // the reference's actual mixed layout
+    val bars = graft.sources.Generator.ohlcv(spark, Seq("BTCUSDT", "ETHUSDT"),
+      300, startTs = "2024-01-01 00:00:00", intervalSec = 21600)
+    val byMonth = bars.withColumn("ym", date_format(col("ts"), "yyyyMM"))
+    val months = Seq("202401", "202402", "202403")
+    for (sym <- Seq("BTCUSDT", "ETHUSDT"); (ym, i) <- months.zipWithIndex) {
+      val dir = s"$arch/2024/${ym.takeRight(2)}/$sym"
+      java.nio.file.Files.createDirectories(Paths.get(dir))
+      val part = tmpDir(s"mig-part-$sym-$ym")
+      byMonth.filter(col("ym") === ym && col("symbol") === sym).drop("ym")
+        .coalesce(1).write.mode("overwrite").parquet(part)
+      val f = Files.list(Paths.get(part))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      val plain = s"$dir/${sym}_6h_$ym.parquet"
+      Files.copy(f, Paths.get(plain))
+      if (i < 2) {
+        val m = Archive.methods(i)
+        Archive.compressFile(spark, plain,
+          dst = Some(s"$dir/${sym}_6h_$ym${m.extension}"), method = m)
+        Files.delete(Paths.get(plain))
+      }
+    }
+    // a crashed earlier attempt: junk tmp dir that must be discarded
+    val junk = Paths.get(s"$lake/.migrate_tmp_year=2024_month=1")
+    java.nio.file.Files.createDirectories(junk)
+    Files.writeString(junk.resolve("garbage.parquet"), "not parquet")
+
+    val r1 = ArchiveMigration.archiveToLake(spark, arch, lake, filesPerMonth = 2)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSet
+    assert(r1 == Set((2024, 1, "migrated"), (2024, 2, "migrated"),
+      (2024, 3, "migrated")))
+    val back = spark.read.parquet(lake).drop("year", "month")
+      .select(bars.columns.map(col): _*)
+    assert(back.count() == bars.count())
+    assert(back.exceptAll(bars).isEmpty && bars.exceptAll(back).isEmpty)
+    // partition pruning works on the migrated layout
+    val feb = spark.read.parquet(lake).filter(col("month") === 2)
+    assert(feb.count() == byMonth.filter(col("ym") === "202402").count())
+    assert(feb.queryExecution.executedPlan.toString.contains("month#"))
+
+    // resume: re-run touches nothing (live dirs prove completion)
+    val before = Files.walk(Paths.get(lake)).sorted().toArray.mkString("\n")
+    val r2 = ArchiveMigration.archiveToLake(spark, arch, lake)
+      .collect().map(r => (r.getInt(1), r.getString(2))).toSet
+    assert(r2 == Set((1, "skipped"), (2, "skipped"), (3, "skipped")))
+    assert(Files.walk(Paths.get(lake)).sorted().toArray.mkString("\n") == before,
+      "idempotent re-run modified the lake")
+
+    // misfiled rows abort the month loudly instead of corrupting pruning
+    val badDir = s"$arch/2024/04/BTCUSDT"
+    java.nio.file.Files.createDirectories(Paths.get(badDir))
+    val badPart = tmpDir("mig-bad")
+    byMonth.filter(col("ym") === "202401").drop("ym")
+      .coalesce(1).write.mode("overwrite").parquet(badPart)
+    val bf = Files.list(Paths.get(badPart))
+      .filter(_.toString.endsWith(".parquet")).findFirst().get()
+    Files.copy(bf, Paths.get(s"$badDir/BTCUSDT_6h_202404.parquet"))
+    val err = intercept[IllegalArgumentException] {
+      ArchiveMigration.archiveToLake(spark, arch, lake)
+    }
+    assert(err.getMessage.contains("2024-4"))
+    assert(!Files.exists(Paths.get(s"$lake/year=2024/month=4")),
+      "aborted month must not publish")
+  }
+
   test("compressDirectory -> rehydrate: distributed round trip with stats") {
     val src = tmpDir("dir-src")
     val arch = tmpDir("dir-arch")

@@ -211,4 +211,27 @@ class TextIndexSpec extends SparkSpec {
     // appends keep working on the compacted index
     assert(TextIndex.topK(spark, dir, Seq("vector"), 5, buckets = 8).count() > 0)
   }
+
+  test("production-sized query batches compile the vocab filter to InSet") {
+    // topKBatch filters postings with term.isin(vocab). At eval-suite
+    // scale (10^3-10^4 distinct terms) that must optimize to a hash-set
+    // membership probe (InSet, O(1)/row), not a 10^4-branch In chain
+    // (O(|vocab|)/row comparisons against every postings row that
+    // survives pruning). Spark's OptimizeIn does this above
+    // spark.sql.optimizer.inSetConversionThreshold (default 10) — this
+    // pin guards against regressions (e.g. building the filter as a
+    // chain of ORs, which nothing would coalesce).
+    val dir = java.nio.file.Files.createTempDirectory("textidx").toString
+    TextIndex.build(docs, col("text"), col("doc_id"), dir, buckets = 16)
+    import spark.implicits._
+    val queries = (0 until 1000).map(i =>
+      (i.toLong, Seq("vector", "spark", s"term_$i")))
+      .toDF("query_id", "terms")
+    val out = TextIndex.topKBatch(spark, dir, queries, k = 5, buckets = 16)
+    val opt = out.queryExecution.optimizedPlan.toString
+    assert(opt.contains("INSET"),
+      "vocab filter did not optimize to InSet — plan:\n" + opt.take(4000))
+    // and the batch still answers (real terms present among the noise)
+    assert(out.filter(col("doc_id").isNotNull).count() > 0)
+  }
 }

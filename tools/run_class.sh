@@ -16,6 +16,10 @@ OPENS=(java.base/java.lang java.base/java.lang.invoke
   java.base/sun.util.calendar)
 ARGS=()
 for p in "${OPENS[@]}"; do ARGS+=(--add-opens "$p=ALL-UNNAMED"); done
+# GRAFT_CLASSES overrides the classes dir — long-running gate JVMs load
+# classes lazily, so point them at a SNAPSHOT copy to stay immune to
+# concurrent `sbt compile` rewriting target/scala-2.13/classes mid-run.
+CLASSES="${GRAFT_CLASSES:-/root/repo/target/scala-2.13/classes}"
 exec java "${ARGS[@]}" "-Xmx$MEM" \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
-  -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" "$@"
+  -cp "$CLASSES:/opt/spark/jars/*" "$@"
