@@ -189,6 +189,43 @@ object Lake {
     }
   }
 
+  /** Concurrent-reader contract for the rename-aside maintenance swaps
+    * ([[compactPartitions]], [[optimizeZOrder]], [[graft.operators
+    * .TextIndex.compactPostings]]): a reader that RESOLVED its file list
+    * before a swap and executes after it reads file names that no longer
+    * exist and fails with a `FileNotFoundException` (Spark wraps it per
+    * task and suggests REFRESH TABLE). That failure is the designed
+    * behavior — loud and lossless. The recovery is to RE-PLAN: build a
+    * fresh DataFrame (a fresh `spark.read` re-lists the directory and
+    * sees the post-swap files) and re-run. This helper packages that
+    * loop; `body` MUST construct its read from scratch per invocation —
+    * retrying a captured DataFrame re-executes the same stale plan
+    * forever.
+    *
+    * Do NOT "fix" this with `spark.sql.files.ignoreMissingFiles=true`:
+    * during a swap the partition's files vanish as a SET, so an ignoring
+    * reader silently returns the lake minus that whole partition —
+    * a wrong answer with no error. The loud-FNF + re-plan contract is
+    * the only lossless one without a manifest layer. (Swaps are
+    * per-partition renames, so the vulnerable window is one partition at
+    * a time; readers that planned after the swap are untouched.)
+    *
+    * MergeSpec races a pre-swap plan against a compaction and pins both
+    * halves of the contract.
+    */
+  def retryingOnSwap[T](attempts: Int = 3)(body: => T): T = {
+    def swapLoss(t: Throwable): Boolean =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+        .exists(_.isInstanceOf[java.io.FileNotFoundException])
+    def go(remaining: Int): T =
+      try body
+      catch {
+        case e: Throwable if swapLoss(e) && remaining > 1 => go(remaining - 1)
+      }
+    require(attempts >= 1, s"attempts must be >= 1, got $attempts")
+    go(attempts)
+  }
+
   /** Roll interrupted [[optimizeZOrder]]/[[compactPartitions]] swaps
     * forward or back. A `.{zorder,compact}_old_month=m` dir left behind
     * means the process died inside a swap: if the live dir is missing,

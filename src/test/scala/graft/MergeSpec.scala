@@ -87,6 +87,37 @@ class MergeSpec extends SparkSpec {
     assert(leftovers.isEmpty)
   }
 
+  test("reader racing a compaction swap: stale plan fails loudly, re-plan wins") {
+    val dir = java.nio.file.Files.createTempDirectory("race").toString + "/lake"
+    (0 until 6).foreach { i =>
+      base.filter(col("symbol") === "btc" && month(col("ts")) === 2)
+        .withColumn("ts", col("ts") + expr(s"INTERVAL $i MINUTES"))
+        .withColumn("year", year(col("ts"))).withColumn("month", month(col("ts")))
+        .write.mode("append").partitionBy("year", "month").parquet(dir)
+    }
+    val expected = spark.read.parquet(dir).collect().map(_.toString).sorted
+    // reader resolves its file list BEFORE the swap...
+    val stale = spark.read.parquet(dir)
+    assert(stale.inputFiles.length >= 6)
+    // ...maintenance swaps the partition underneath it...
+    Lake.compactPartitions(spark, dir, Seq((2024, 2)))
+    // ...execution of the pre-swap plan must fail LOUDLY (FileNotFound
+    // somewhere in the task-failure chain), never silently drop rows
+    val e = intercept[Throwable] { stale.collect() }
+    assert(Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10)
+      .exists(_.isInstanceOf[java.io.FileNotFoundException]),
+      s"expected FileNotFoundException in the cause chain, got: $e")
+    // the documented recovery: re-plan via retryingOnSwap (fresh read
+    // per attempt) — identical rows, no loss
+    val again = Lake.retryingOnSwap() {
+      // first attempt may still consult a cached FileIndex — the helper
+      // retries with a brand-new read, which re-lists
+      spark.read.parquet(dir).collect().map(_.toString).sorted
+    }
+    assert(again.sameElements(expected),
+      "post-swap re-plan lost or changed rows")
+  }
+
   test("equal-version batch duplicates resolve identically across runs") {
     // two batch rows share (symbol, ts) AND v — the winner must be the
     // same row every time (whole-row hash tie-break), not whichever task

@@ -39,6 +39,23 @@ def main():
     print(f"\n{len(shared)} shared queries; {ok} <= {factor:g}x, "
           f"{ok3} <= {3 * factor:g}x; suite wall {ta_tot:.1f}s -> {tb_tot:.1f}s "
           f"({tb_tot / ta_tot:.2f}x for {factor:g}x data)")
+    # Host-speed normalization: each artifact carries canary_sec (a
+    # constant sf-independent workload timed in the same JVM/session).
+    # The shared host drifts 2-3x between measurement windows, so the raw
+    # total ratio confounds host speed with plan changes; dividing by the
+    # canary ratio separates them mechanically (round-7 adjudication spent
+    # a session proving by hand what this line now prints).
+    ca = json.load(open(a_path)).get("canary_sec")
+    cb = json.load(open(b_path)).get("canary_sec")
+    if ca and cb:
+        host = cb / ca
+        print(f"host canary {ca:.2f}s -> {cb:.2f}s ({host:.2f}x); "
+              f"host-normalized suite ratio "
+              f"{tb_tot / ta_tot / host:.2f}x for {factor:g}x data")
+    else:
+        missing = [p for p, c in [(a_path, ca), (b_path, cb)] if not c]
+        print(f"(no canary_sec in {', '.join(missing)} — raw ratio only; "
+              f"pre-round-8 artifacts lack the canary)")
 
 
 if __name__ == "__main__":
