@@ -518,8 +518,9 @@ object ScaleSmoke {
     val streamSchema = StructType(Seq(
       StructField("doc_id", LongType), StructField("ts", TimestampType),
       StructField("text", StringType)))
-    def fileStream = spark.readStream.schema(streamSchema)
-      .option("maxFilesPerTrigger", 2).parquet(streamSrc)
+    def fileStreamN(files: Int) = spark.readStream.schema(streamSchema)
+      .option("maxFilesPerTrigger", files).parquet(streamSrc)
+    def fileStream = fileStreamN(2)
     def timeS(label: String, rows: Long)(f: => Int): Unit = {
       val t0 = System.nanoTime()
       val batches = f
@@ -553,6 +554,23 @@ object ScaleSmoke {
       val outDir = graft.TempDirs.create("smoke-stream-out")
       val ckpt = graft.TempDirs.create("smoke-stream-ck")
       val q = graft.streaming.StreamDocs.cleanStream(fileStream)
+        .writeStream.option("checkpointLocation", ckpt)
+        .outputMode("append").format("parquet")
+        .option("path", outDir).start()
+      q.processAllAvailable(); q.stop()
+      q.recentProgress.count(_.numInputRows > 0)
+    }
+
+    // trigger sizing follow-through (VERDICT r7 item 9): the 10-batch run
+    // above prices tiny triggers (~30 MB input each -> ~3x batch cost,
+    // 97% of it addBatch's fixed per-job overhead). Re-run the SAME
+    // pipeline at 10 files/trigger (~half the corpus, ~300 MB of input
+    // per micro-batch): the fixed cost amortizes into the real work and
+    // streamed throughput should approach the one-shot batch number.
+    timeS("doc-clean-stream-300MB", nStream) {
+      val outDir = graft.TempDirs.create("smoke-stream-out")
+      val ckpt = graft.TempDirs.create("smoke-stream-ck")
+      val q = graft.streaming.StreamDocs.cleanStream(fileStreamN(10))
         .writeStream.option("checkpointLocation", ckpt)
         .outputMode("append").format("parquet")
         .option("path", outDir).start()
