@@ -43,10 +43,19 @@ def read(name):
 
 
 def write(name, tables, schema):
-    out = pa.concat_tables(tables).cast(schema)
-    pq.write_table(out, f"{OUT}/{name}.parquet", version="2.6",
-                   coerce_timestamps=None, compression="snappy")
-    print(f"{name:10s} {out.num_rows} rows")
+    # Streamed copy-by-copy (tables may be a generator): at sf10 (100
+    # copies) the all-copies concat would hold ~60 M lineitem rows in
+    # memory; a ParquetWriter keeps peak memory at ONE copy. version=2.6
+    # preserves the TIMESTAMP(NANOS) physical type the events fixture
+    # relies on, same as the old single-shot write_table.
+    n = 0
+    with pq.ParquetWriter(f"{OUT}/{name}.parquet", schema, version="2.6",
+                          compression="snappy") as w:
+        for t in tables:
+            t = t.cast(schema)
+            w.write_table(t)
+            n += t.num_rows
+    print(f"{name:10s} {n} rows", flush=True)
 
 
 def add_i64(col, off, typ):
@@ -58,16 +67,17 @@ def add_i64(col, off, typ):
 
 def strided(name, strides):
     t = read(name)
-    copies = []
-    for k in range(COPIES):
-        cols = {}
-        for field in t.schema:
-            c = t.column(field.name)
-            if field.name in strides:
-                c = add_i64(c, k * strides[field.name], field.type)
-            cols[field.name] = c
-        copies.append(pa.table(cols, schema=t.schema))
-    write(name, copies, t.schema)
+
+    def copies():
+        for k in range(COPIES):
+            cols = {}
+            for field in t.schema:
+                c = t.column(field.name)
+                if field.name in strides:
+                    c = add_i64(c, k * strides[field.name], field.type)
+                cols[field.name] = c
+            yield pa.table(cols, schema=t.schema)
+    write(name, copies(), t.schema)
 
 
 def passthrough(name):
@@ -81,19 +91,20 @@ def events():
     ts_i = pc.cast(ts, pa.int64())
     span = pc.max(ts_i).as_py() - pc.min(ts_i).as_py()
     hour_ns = 3_600_000_000_000
-    copies = []
-    for k in range(COPIES):
-        cols = {
-            "event_id": add_i64(t.column("event_id"), k * 10_000_000, pa.int64()),
-            "ts": pc.cast(pc.add(ts_i, pa.scalar(k * (span + hour_ns), pa.int64())),
-                          t.schema.field("ts").type),
-            "user_id": t.column("user_id"),
-            "event_type": t.column("event_type"),
-            "value": t.column("value"),
-            "props": t.column("props"),
-        }
-        copies.append(pa.table(cols, schema=t.schema))
-    write(name, copies, t.schema)
+
+    def copies():
+        for k in range(COPIES):
+            cols = {
+                "event_id": add_i64(t.column("event_id"), k * 10_000_000, pa.int64()),
+                "ts": pc.cast(pc.add(ts_i, pa.scalar(k * (span + hour_ns), pa.int64())),
+                              t.schema.field("ts").type),
+                "user_id": t.column("user_id"),
+                "event_type": t.column("event_type"),
+                "value": t.column("value"),
+                "props": t.column("props"),
+            }
+            yield pa.table(cols, schema=t.schema)
+    write(name, copies(), t.schema)
 
 
 def documents():
@@ -102,20 +113,21 @@ def documents():
     texts = t.column("text").to_pylist()
     langs = t.column("lang")
     sources = t.column("source")
-    copies = []
-    for k in range(COPIES):
-        if k == 0:
-            txt, ids = t.column("text"), doc_id
-        else:
-            suffixed = [" ".join((tok + f"~{k}") if tok else tok
-                                 for tok in s.split(" ")) for s in texts]
-            txt = pa.array(suffixed, pa.string())
-            ids = add_i64(doc_id, k * 1_000_000, pa.int64())
-        n_chars = pc.cast(pc.utf8_length(txt), pa.int64())
-        copies.append(pa.table(
-            {"doc_id": ids, "text": txt, "lang": langs, "source": sources,
-             "n_chars": n_chars}, schema=t.schema))
-    write(name, copies, t.schema)
+
+    def copies():
+        for k in range(COPIES):
+            if k == 0:
+                txt, ids = t.column("text"), doc_id
+            else:
+                suffixed = [" ".join((tok + f"~{k}") if tok else tok
+                                     for tok in s.split(" ")) for s in texts]
+                txt = pa.array(suffixed, pa.string())
+                ids = add_i64(doc_id, k * 1_000_000, pa.int64())
+            n_chars = pc.cast(pc.utf8_length(txt), pa.int64())
+            yield pa.table(
+                {"doc_id": ids, "text": txt, "lang": langs, "source": sources,
+                 "n_chars": n_chars}, schema=t.schema)
+    write(name, copies(), t.schema)
 
 
 def embeddings():
@@ -124,8 +136,9 @@ def embeddings():
     embs = t.column("embedding").to_pylist()
     labels = t.column("label")
     dims = len(embs[0])
-    copies = []
-    for k in range(COPIES):
+
+    def copies():
+      for k in range(COPIES):
         if k == 0:
             emb, ids = t.column("embedding"), vec_id
         else:
@@ -140,9 +153,9 @@ def embeddings():
             flipped = [[v * s for v, s in zip(e, signs)] for e in embs]
             emb = pa.array(flipped, t.schema.field("embedding").type)
             ids = add_i64(vec_id, k * 1_000_000, pa.int64())
-        copies.append(pa.table(
-            {"vec_id": ids, "embedding": emb, "label": labels}, schema=t.schema))
-    write(name, copies, t.schema)
+        yield pa.table(
+            {"vec_id": ids, "embedding": emb, "label": labels}, schema=t.schema)
+    write(name, copies(), t.schema)
 
 
 def main():
