@@ -657,6 +657,50 @@ object ScaleSmoke {
       qs.unpersist()
     }
     }
+    if (on("semdedup")) {
+    // ---- the blocksFor dial vs the oracle-pinned fixed block count, at
+    // the sf10 falsifier's scale (BENCH_sf10: d5 68.8x / d7 44.5x for 10x
+    // data — their declared queries pin 16 blocks for DuckDB replay, so
+    // block SIZE grows with the corpus and within-block pair work grows
+    // with its square). The production dial is blocksFor(N, target):
+    // block count ∝ N bounds block size, making pair work ∝ N x target.
+    // Witness: run BOTH shapes at two corpus sizes — fixed-k wall should
+    // approach 4x for 2x data (quadratic), dialed-k 2x (linear) — on the
+    // same generator as the declared embeddings table (near-uniform
+    // hash-derived unit-scale vectors, ANN's worst case).
+    val tau = 0.35
+    for (nv <- Seq(100000L, 200000L)) {
+      val emb = spark.range(nv).select(col("id").as("vec_id"),
+        transform(sequence(lit(1), lit(64)), i =>
+          ((pmod(xxhash64(col("id") * lit(65L) + i), lit(2001L)) - lit(1000L))
+            .cast("double") / lit(1000.0)).cast("float")).as("embedding"))
+        .cache()
+      val nvReal = emb.count()
+      def timeS(label: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val rows = f
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[scale] $label%-26s rows=$rows%-9d ${sec}%6.1f s  ${nvReal / sec / 1e3}%6.1f k vecs/s")
+      }
+      val mod = math.max(1L, nv / 50000L)
+      val kDial = VectorOps.blocksFor(nv, 2048)
+      val fixed = VectorOps.kmeansCodebook(emb, 16, 4, sampleMod = mod)
+      val dialed = VectorOps.kmeansCodebook(emb, kDial, 4, sampleMod = mod)
+      timeS(s"semdrop-fixed16-${nv / 1000}k") {
+        VectorOps.semanticDropList(emb, fixed, tau).count()
+      }
+      timeS(s"semdrop-k$kDial-${nv / 1000}k") {
+        VectorOps.semanticDropList(emb, dialed, tau).count()
+      }
+      timeS(s"toppairs-k$kDial-${nv / 1000}k") {
+        VectorOps.blockedTopPairs(
+          VectorOps.ivfAssign(emb, dialed, 1)
+            .select(col("vec_id"), col("embedding"), col("cent_id")),
+          col("cent_id"), 50).count()
+      }
+      emb.unpersist()
+    }
+    }
     spark.stop()
   }
 }
