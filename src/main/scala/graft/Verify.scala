@@ -52,13 +52,28 @@ object Verify {
       case Some((i, n)) => math.floorMod(name.hashCode, n) == i
       case None => true
     }
+    // SPARK_GRAFT_VERIFY_ONLY="name,name": dump ONLY the named queries —
+    // the targeted-gate form (new queries at a big SF without re-running
+    // the whole suite). Unknown names fail loudly (a typo must not read as
+    // an empty-and-green run). A filtered run never writes queries.json:
+    // that manifest asserts full-suite coverage, which a filtered dump
+    // cannot, and the compare's completeness check would rightly flag it.
+    val onlyNames = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    onlyNames.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_VERIFY_ONLY names not in SparkEntry.queries: ${unknown.mkString(", ")}")
+    }
+    def selected(name: String): Boolean =
+      onlyNames.forall(_.contains(name)) && inShard(name)
     // A stale single-JVM manifest in a re-used outDir would be trusted by
     // consumers of the sharded run; any shard may delete it (idempotent).
     if (shard.isDefined)
       Files.deleteIfExists(Paths.get(s"$outDir/verify_errors.json"))
     var attempted = 0
     SparkEntry.queries.foreach { case (name, fn) =>
-      if (!inShard(name)) ()
+      if (!selected(name)) ()
       else
       // repartition(1), NOT coalesce(1): coalesce folds the query's
       // whole final stage into one task (a serialized window/join pass
@@ -115,9 +130,11 @@ object Verify {
       // Registry manifest: EVERY declared query name, so the compare can
       // prove coverage (output dir present or an error recorded) instead
       // of trusting whatever dirs happen to exist — the round-5 silent-
-      // all-pass hole, closed at the artifact level.
-      writeAtomic(s"$outDir/queries.json",
-        SparkEntry.queries.keys.map(q).mkString("[", ",", "]"))
+      // all-pass hole, closed at the artifact level. A filtered
+      // (VERIFY_ONLY) run must NOT write it — see the filter comment.
+      if (onlyNames.isEmpty)
+        writeAtomic(s"$outDir/queries.json",
+          SparkEntry.queries.keys.map(q).mkString("[", ",", "]"))
     }
     // Explicit failure manifest: {query: "ExceptionClass: msg"} for every
     // attempted query that threw, written even when empty so its absence

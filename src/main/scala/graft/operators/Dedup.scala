@@ -548,6 +548,71 @@ object Dedup {
   def jaccardPairsAtScale(df: DataFrame, text: Column, id: Column,
       minJaccard: Double, n: Int = 16, bands: Int = 4,
       rowsPerBand: Int = 4, broadcastClasses: Boolean = true): DataFrame = {
+    val (classes, classJ) =
+      classJaccard(df, text, id, minJaccard, n, bands, rowsPerBand,
+        broadcastClasses)
+    val cross = classJ
+      .select(explode(col("__ma")).as("__a"), col("__mb"),
+        col("n_inter"), col("n_union"), col("jaccard"))
+      .select(col("__a"), explode(col("__mb")).as("__b"),
+        col("n_inter"), col("n_union"), col("jaccard"))
+      .select(least(col("__a"), col("__b")).as("doc_id1"),
+        greatest(col("__a"), col("__b")).as("doc_id2"),
+        col("n_inter"), col("n_union"), col("jaccard"))
+    val intra = classes
+      .filter(size(col("__members")) > 1 && size(col("__ts")) > 0)
+      .select(size(col("__ts")).cast("long").as("__sz"),
+        explode(col("__members")).as("__a"), col("__members").as("__mb"))
+      .select(col("__a"), explode(col("__mb")).as("__b"), col("__sz"))
+      .filter(col("__a") < col("__b"))
+      .select(col("__a").as("doc_id1"), col("__b").as("doc_id2"),
+        col("__sz").as("n_inter"), col("__sz").as("n_union"),
+        lit(1.0).as("jaccard"))
+    if (minJaccard > 1.0) cross else cross.unionByName(intra)
+  }
+
+  /** D4c — the near-dup CENSUS: the aggregate a 100 TB corpus run actually
+    * wants from d4 — how MUCH near-duplication, at what similarity — with
+    * pair counts carried as CLASS-pair weights (|A|·|B| cross,
+    * C(|A|,2) intra), so NOTHING doc-level is ever materialized: d4's
+    * 281 M-pair sf10 output (306.7 s, output-bound — BASELINE.md) becomes
+    * a ~5-row histogram whose cost is the candidate generation alone.
+    * Buckets are floor(jaccard·20) (0.05-wide); `n_pairs` matches
+    * count(*) over [[jaccardPairsAtScale]]'s output exactly (the oracle
+    * aggregates the committed d4 oracle's doc pairs — same multiset).
+    */
+  def jaccardCensusAtScale(df: DataFrame, text: Column, id: Column,
+      minJaccard: Double, n: Int = 16, bands: Int = 4,
+      rowsPerBand: Int = 4, broadcastClasses: Boolean = true): DataFrame = {
+    val (classes, classJ) =
+      classJaccard(df, text, id, minJaccard, n, bands, rowsPerBand,
+        broadcastClasses)
+    val crossW = classJ.select(
+      (size(col("__ma")).cast("long") * size(col("__mb")).cast("long"))
+        .as("__w"),
+      col("jaccard"))
+    val m = size(col("__members")).cast("long")
+    val intraW = classes
+      .filter(size(col("__members")) > 1 && size(col("__ts")) > 0)
+      // `/` on Columns is DOUBLE division — exact here (pair counts are
+      // far below 2^53) but the census column is a COUNT: keep it integral
+      .select((m * (m - 1) / 2).cast("long").as("__w"),
+        lit(1.0).as("jaccard"))
+    (if (minJaccard > 1.0) crossW else crossW.unionByName(intraW))
+      .groupBy(floor(col("jaccard") * 20).cast("long").as("bucket"))
+      .agg(sum(col("__w")).as("n_pairs"),
+        min(col("jaccard")).as("min_jaccard"),
+        max(col("jaccard")).as("max_jaccard"))
+  }
+
+  /** Shared core of [[jaccardPairsAtScale]] / [[jaccardCensusAtScale]]:
+    * (classes, class-pair Jaccard rows ≥ minJaccard with both member
+    * lists). Kept private — callers choose expansion (doc pairs) or
+    * aggregation (census) over the SAME class-level relation.
+    */
+  private def classJaccard(df: DataFrame, text: Column, id: Column,
+      minJaccard: Double, n: Int, bands: Int, rowsPerBand: Int,
+      broadcastClasses: Boolean): (DataFrame, DataFrame) = {
     // 1. collapse to token-set classes; the smallest member id is the class
     //    key (unique, numeric — no hash-collision risk on the join key).
     //    The class table feeds four consumers (banding, both join sides,
@@ -603,24 +668,7 @@ object Dedup {
       .withColumn("jaccard",
         try_divide(col("n_inter").cast("double"), col("n_union").cast("double")))
       .filter(col("jaccard") >= minJaccard)
-    val cross = classJ
-      .select(explode(col("__ma")).as("__a"), col("__mb"),
-        col("n_inter"), col("n_union"), col("jaccard"))
-      .select(col("__a"), explode(col("__mb")).as("__b"),
-        col("n_inter"), col("n_union"), col("jaccard"))
-      .select(least(col("__a"), col("__b")).as("doc_id1"),
-        greatest(col("__a"), col("__b")).as("doc_id2"),
-        col("n_inter"), col("n_union"), col("jaccard"))
-    val intra = classes
-      .filter(size(col("__members")) > 1 && size(col("__ts")) > 0)
-      .select(size(col("__ts")).cast("long").as("__sz"),
-        explode(col("__members")).as("__a"), col("__members").as("__mb"))
-      .select(col("__a"), explode(col("__mb")).as("__b"), col("__sz"))
-      .filter(col("__a") < col("__b"))
-      .select(col("__a").as("doc_id1"), col("__b").as("doc_id2"),
-        col("__sz").as("n_inter"), col("__sz").as("n_union"),
-        lit(1.0).as("jaccard"))
-    if (minJaccard > 1.0) cross else cross.unionByName(intra)
+    (classes, classJ)
   }
 
   private val obsId = new java.util.concurrent.atomic.AtomicLong()

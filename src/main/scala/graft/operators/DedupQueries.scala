@@ -58,6 +58,13 @@ object DedupQueries {
       Dedup.jaccardPairsAtScaleGuarded(
         clusteredCorpus(Tables.documents(s, dir)),
         col("text"), col("doc_id"), 0.8, nHashes, bands, rows)),
+    // D4c — the near-dup CENSUS (VERDICT r8 #3): d4's similarity histogram
+    // with pair counts carried as class-pair WEIGHTS — the 281 M-pair sf10
+    // output that made d4 output-bound (306.7 s) never exists; candidates
+    // stay class-level and the result is ~5 rows at any corpus size.
+    "d4c_jaccard_census" -> ((s, dir) =>
+      Dedup.jaccardCensusAtScale(Tables.documents(s, dir),
+        col("text"), col("doc_id"), 0.8, nHashes, bands, rows)),
     // D6 at scale: signature-class collapse — the drop list is derived
     // from class adjacency + neighborhood minima, never doc pairs.
     "d6_drop_list" -> ((s, dir) =>
@@ -172,7 +179,7 @@ object DedupQueries {
     * candidate doc pairs (shared verbatim by d4 and d4b — only the
     * corpus CTE differs).
     */
-  private val d4TailSql =
+  private val d4TailCtes =
     """tsets AS (SELECT doc_id, list_distinct(tk) AS ts2 FROM toks),
       |j AS (
       |  SELECT doc_id1, doc_id2,
@@ -181,11 +188,29 @@ object DedupQueries {
       |  FROM pairs
       |  JOIN tsets a ON doc_id1 = a.doc_id
       |  JOIN tsets b ON doc_id2 = b.doc_id
-      |)
-      |SELECT doc_id1, doc_id2, n_inter, sz - n_inter AS n_union,
+      |)""".stripMargin
+
+  private val d4PairsSelect =
+    """SELECT doc_id1, doc_id2, n_inter, sz - n_inter AS n_union,
       |       CAST(n_inter AS DOUBLE) / CAST(sz - n_inter AS DOUBLE) AS jaccard
       |FROM j
       |WHERE CAST(n_inter AS DOUBLE) / CAST(sz - n_inter AS DOUBLE) >= CAST('0.8' AS DOUBLE)""".stripMargin
+
+  private val d4TailSql = d4TailCtes + "\n" + d4PairsSelect
+
+  /** d4c: the SAME committed d4 pair relation, aggregated — the oracle
+    * materializes the doc pairs (it is the independent engine; its cost is
+    * its own), the Spark side must reach the identical histogram from
+    * class-pair weights without ever expanding pairs.
+    */
+  private val d4CensusSql =
+    s"""dp AS (
+       |$d4PairsSelect
+       |)
+       |SELECT CAST(floor(jaccard * 20) AS BIGINT) AS bucket,
+       |       count(*) AS n_pairs,
+       |       min(jaccard) AS min_jaccard, max(jaccard) AS max_jaccard
+       |FROM dp GROUP BY 1""".stripMargin
 
   /** bandt/pairs CTE fragment over `sig`: documents agreeing on a full band. */
   private val bandPairsSql =
@@ -259,6 +284,8 @@ object DedupQueries {
     "d4_token_jaccard" -> (sigSqlFor(1) + ",\n" + bandPairsSql + ",\n" + d4TailSql),
     "d4b_jaccard_clustered" -> (sigSqlFor(1, clusteredCorpusSql + ",\n", "corpus2") +
       ",\n" + bandPairsSql + ",\n" + d4TailSql),
+    "d4c_jaccard_census" -> (sigSqlFor(1) + ",\n" + bandPairsSql + ",\n" +
+      d4TailCtes + ",\n" + d4CensusSql),
     "d9_incremental_drop" -> (sigSql + ",\n" + bandtSql + ",\n" + {
       val eq = (0 until nHashes)
         .map(i => f"CASE WHEN s1.mh$i%02d = s2.mh$i%02d THEN 1 ELSE 0 END")

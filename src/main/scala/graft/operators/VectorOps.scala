@@ -696,8 +696,9 @@ object VectorOps {
         col("x.__n2"), col("y.__n2")))
       .otherwise(raise_error(
         lit(s"blockedTopPairs: a block exceeds maxBlockRows=$maxBlockRows; " +
-          "pairs grow quadratically in block size — use finer blocks " +
-          "(more IVF centroids) or raise maxBlockRows deliberately"))
+          "pairs grow quadratically in block size — size the block count " +
+          "with VectorOps.blocksFor(corpusRows, targetBlockRows) (train " +
+          "that many IVF centroids) or raise maxBlockRows deliberately"))
         .cast("double"))
     e.as("x").join(e.as("y"),
         col("x.blk") === col("y.blk") && col("x.vec_id") < col("y.vec_id"))
@@ -706,6 +707,19 @@ object VectorOps {
       .orderBy(col("cosine").desc, col("vec_id1"), col("vec_id2"))
       .limit(topN)
   }
+
+  /** [[blockedTopPairs]] blocked by a coarse IVF codebook — the public
+    * dialed form (README example; oracle-gated as d5b): train the codebook
+    * with k = [[blocksFor]](corpus rows, target) and block size stays
+    * ~target at any corpus, keeping pair work linear.
+    */
+  def nearDupTopPairs(corpus: DataFrame,
+      coarse: Array[(Long, Array[Double])], topN: Int,
+      maxBlockRows: Long = 100000): DataFrame =
+    blockedTopPairs(
+      ivfAssign(corpus, coarse, 1)
+        .select(col("vec_id"), col("embedding"), col("cent_id")),
+      col("cent_id"), topN, maxBlockRows)
 
   /** Semantic near-dup drop list — the embedding-space analog of the
     * MinHash drop list ([[Dedup.dropListFromPairs]]): candidates are
@@ -746,7 +760,8 @@ object VectorOps {
         col("x.__n2"), col("y.__n2")))
       .otherwise(raise_error(
         lit(s"semanticDropList: a coarse list exceeds maxListRows=$maxListRows; " +
-          "pairs grow quadratically in list size — train more coarse " +
+          "pairs grow quadratically in list size — train " +
+          "VectorOps.blocksFor(corpusRows, targetBlockRows) coarse " +
           "centroids for this corpus or raise maxListRows deliberately"))
         .cast("double"))
     inv.as("x").join(inv.as("y"),

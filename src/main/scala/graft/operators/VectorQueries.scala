@@ -67,15 +67,47 @@ object VectorQueries {
       val emb = Tables.embeddings(s, dir)
       val coarse = VectorOps.kmeansCodebook(emb, nCentroids, kmIters, sampleMod)
       VectorOps.semanticDropList(emb, coarse, semanticTau)
+    }),
+    // d5/d7 AT SCALE — the production dial (VERDICT r8): block count =
+    // blocksFor(corpus, 2048), a pure function of the corpus count, so the
+    // DuckDB oracle replays the SAME dialed k from its own count(*). Block
+    // SIZE stays ~dialTarget at every SF, making pair work LINEAR in the
+    // corpus where the fixed-block d5/d7 above (kept: they pin the
+    // fixed-parameter API shape) grow quadratically (BENCH_sf10: 68.8x /
+    // 44.5x for 10x data vs 1.3x dialed — BASELINE.md round-8 table). At
+    // the small gate SFs the dial degenerates to k=1 (2 000 rows is one
+    // block); the sf1/sf10 gates pin k=10/98 — same query text, same dial.
+    "d5b_embedding_top_pairs_scale" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.nearDupTopPairs(emb, dialedCodebook(emb, dir), 50)
+    }),
+    "d7b_semantic_drop_list_scale" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.semanticDropList(emb, dialedCodebook(emb, dir), semanticTau)
     })
   )
+
+  /** The blocksFor-dialed coarse codebook shared by d5b/d7b (trained once
+    * per SF dir per JVM — both queries replay the identical centroids, as
+    * do the oracles from the same deterministic Lloyd spec).
+    */
+  private def dialedCodebook(emb: DataFrame,
+      dir: String): Array[(Long, Array[Double])] =
+    dialCache.computeIfAbsent(dir, _ =>
+      VectorOps.kmeansCodebook(emb,
+        VectorOps.blocksFor(emb.count(), dialTarget), kmIters, sampleMod))
 
   private val nCentroids = 16
   private val nProbe = 4
   private val kmIters = 4
   private val sampleMod = 3
+  // d5b/d7b blocking dial: expected rows per coarse block. 2048 matches
+  // the round-8 ScaleSmoke measurement (1.3x wall for 2x data at 100-200k)
+  private val dialTarget = 2048L
   private val indexCache =
     new java.util.concurrent.ConcurrentHashMap[String, VectorIndex.Index]()
+  private val dialCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[(Long, Array[Double])]]()
   // m=16 4-dim subspaces x 32 centroids: measured on the sf0.1 embeddings
   // (near-uniform unit vectors — ANN's worst case), ADC recall@10 = 0.45
   // and refine@100 = 0.95 vs brute force; finer m or larger ksub buys more
@@ -121,11 +153,18 @@ object VectorQueries {
     * seeded 0.0, members averaged in vec_id order, empty clusters carry
     * the previous centroid via the LEFT JOIN coalesce.
     */
-  private def kmeansCtes: String = {
+  private def kmeansCtes: String = kmeansCtesK(nCentroids.toString)
+
+  /** [[kmeansCtes]] with the centroid count as an arbitrary SQL scalar
+    * expression — `(SELECT k FROM kdial)` replays the blocksFor dial
+    * (d5b/d7b): only the INIT truncation depends on k; every later Lloyd
+    * CTE ranges over whatever cb0 holds.
+    */
+  private def kmeansCtesK(limitExpr: String): String = {
     val sb = new StringBuilder
     sb.append(s", samp AS (SELECT vec_id, v FROM e WHERE vec_id % $sampleMod = 0)")
     sb.append(s",\ncb0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, v AS cv " +
-      s"FROM (SELECT vec_id, v FROM samp ORDER BY vec_id LIMIT $nCentroids))")
+      s"FROM (SELECT vec_id, v FROM samp ORDER BY vec_id LIMIT $limitExpr))")
     for (i <- 1 to kmIters) {
       val prev = s"cb${i - 1}"
       sb.append(s""",
@@ -357,8 +396,42 @@ object VectorQueries {
          |inv AS (SELECT cid, vec_id, v FROM casgn WHERE rnk = 1)
          |SELECT DISTINCT y.vec_id AS drop_id
          |FROM inv x JOIN inv y ON x.cid = y.cid AND x.vec_id < y.vec_id
+         |WHERE ${cosineSql("x.v", "y.v")} >= CAST('0.35' AS DOUBLE)""".stripMargin),
+    "d5b_embedding_top_pairs_scale" -> (embSql + dialedKmeansCtes + dialedInvCtes +
+      s"""
+         |SELECT x.vec_id AS vec_id1, y.vec_id AS vec_id2,
+         |       ${cosineSql("x.v", "y.v")} AS cosine
+         |FROM inv x JOIN inv y ON x.cid = y.cid AND x.vec_id < y.vec_id
+         |ORDER BY cosine DESC, vec_id1, vec_id2
+         |LIMIT 50""".stripMargin),
+    "d7b_semantic_drop_list_scale" -> (embSql + dialedKmeansCtes + dialedInvCtes +
+      s"""
+         |SELECT DISTINCT y.vec_id AS drop_id
+         |FROM inv x JOIN inv y ON x.cid = y.cid AND x.vec_id < y.vec_id
          |WHERE ${cosineSql("x.v", "y.v")} >= CAST('0.35' AS DOUBLE)""".stripMargin)
   )
+
+  /** The dialed kmeans: k = blocksFor(count(e), dialTarget) computed by the
+    * oracle itself (same pure function of the corpus count the Spark side
+    * evaluates), feeding [[kmeansCtesK]] through a scalar-subquery LIMIT.
+    */
+  private def dialedKmeansCtes: String =
+    s", kdial AS (SELECT greatest(1, CAST(ceil(count(*) / $dialTarget.0) AS BIGINT)) AS k FROM e)" +
+      kmeansCtesK("(SELECT k FROM kdial)")
+
+  /** Coarse n=1 assignment of the whole corpus to the dialed centroids —
+    * the shared blocking CTE of d5b/d7b (mirrors VectorOps.ivfAssign).
+    */
+  private def dialedInvCtes: String =
+    s""",
+       |cents AS (SELECT cid, cv FROM cb$kmIters),
+       |casgn AS (
+       |  SELECT vec_id, v, cid,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rnk
+       |  FROM (SELECT e.vec_id, e.v, c.cid, ${cosineSql("e.v", "c.cv")} AS cos
+       |        FROM e CROSS JOIN cents c)
+       |),
+       |inv AS (SELECT cid, vec_id, v FROM casgn WHERE rnk = 1)""".stripMargin
 
   /** v8 shares v7's oracle verbatim: the persisted-index serve is the
     * same computation (same quantizers, same ADC, same refine) read from

@@ -70,6 +70,27 @@ class DedupSpec extends SparkSpec {
     assert(atScale.contains((4L, 5L, 15L, 15L, 1.0)))
   }
 
+  test("jaccardCensusAtScale equals the aggregated pair output, pairs never expanded") {
+    val d = docs.unionByName(Seq((5L, base)).toDF("doc_id", "text"))
+    // expected histogram: aggregate the oracle-pinned pair relation
+    val expected = Dedup.jaccardPairsAtScale(d, col("text"), col("doc_id"), 0.5)
+      .groupBy(floor(col("jaccard") * 20).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("jaccard")).as("min_jaccard"),
+        max(col("jaccard")).as("max_jaccard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    val census = Dedup.jaccardCensusAtScale(d, col("text"), col("doc_id"), 0.5)
+    val got = census.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    assert(got == expected)
+    // the census plan must carry pair COUNTS, never pair rows: no explode
+    // of the member lists (jaccardPairsAtScale's doc expansion is exactly
+    // that; the per-doc band-key explode is linear and allowed)
+    assert(!census.queryExecution.optimizedPlan.toString.contains("explode(__m"))
+    assert(Dedup.jaccardPairsAtScale(d, col("text"), col("doc_id"), 0.5)
+      .queryExecution.optimizedPlan.toString.contains("explode(__m")) // witness
+  }
+
   test("density guard: fires on a low-entropy word-salad corpus, silent on clusters") {
     // word salad: each doc draws a pseudo-random ~80% subset of a
     // 20-word universe — distinct classes whose pairwise Jaccard ≈ 0.67,

@@ -32,7 +32,31 @@ class VectorSpec extends SparkSpec {
     val e = intercept[Exception] {
       VectorOps.blockedTopPairs(vecs, lit("all"), 5, maxBlockRows = 10).collect()
     }
-    assert(e.getMessage != null || e.getCause != null) // raise_error surfaced
+    // the failure must TEACH the fix: the guard message names the
+    // blocksFor dial (the linear production shape — VERDICT r8 #8)
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("blocksFor")),
+      s"guard message should name blocksFor: ${messages(e).mkString(" | ")}")
+  }
+
+  test("nearDupTopPairs (dialed blocking) finds the planted near-dup pair") {
+    // 3 tight clusters of 4 + the planted near-identical pair in one of
+    // them; k = blocksFor(n, 4) = 4 blocks of ~4 — the pair must surface
+    // at rank 1 even though only within-block pairs are scored
+    val base = (0 until 64).map(i => math.sin(i + 1)).toArray
+    def jitter(eps: Double) = base.zipWithIndex.map { case (x, i) =>
+      if (i == 0) x + eps else x }
+    val corpus = (Seq(
+      (100L, base.map(_.toFloat)), (101L, jitter(0.001).map(_.toFloat))
+    ) ++ (0 until 12).map(j =>
+      (j.toLong, (0 until 64).map(i => math.cos(i * (j % 3 + 2)) + 0.05 * j).map(_.toFloat).toArray)
+    )).toDF("vec_id", "embedding")
+    val k = VectorOps.blocksFor(14, 4)
+    val coarse = VectorOps.kmeansCodebook(corpus, k, 4, sampleMod = 1)
+    val top = VectorOps.nearDupTopPairs(corpus, coarse, 3).collect()
+    assert(top.head.getLong(0) == 100L && top.head.getLong(1) == 101L)
+    assert(top.head.getDouble(2) > 0.999)
   }
 
   test("brute-force top-k finds a planted near-duplicate at rank 1") {
