@@ -701,6 +701,155 @@ object ScaleSmoke {
       emb.unpersist()
     }
     }
+    if (on("annrecall10")) {
+    // ---- ANN recall floors on the REAL sf10 embeddings (200k x 64-dim,
+    // near-uniform — ANN's worst case), VERDICT r8 #5: VectorSpec2's
+    // floors are clustered-fixture numbers at test scale; this measures
+    // recall@10 of every approximate path against the exact brute top-10
+    // at the falsifier's corpus size, with the SAME parameters the
+    // declared v4-v8 queries pin, and FAILS (require) below the floor so
+    // a recall regression at scale is loud. Results -> BASELINE.md.
+    val sfDir = sys.env.getOrElse("GRAFT_SF_DIR", "/root/repo/target/sf10")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+    val nEmb = emb.count()
+    val nQ = 64
+    val qs = emb.filter(col("vec_id") < nQ)
+    println(s"[scale] annrecall10: $nEmb vectors, $nQ queries (from $sfDir)")
+    val exact = VectorOps.bruteTopK(qs, emb, 10)
+      .select(col("query_id"), col("neighbor_id")).cache()
+    val nExact = exact.count()
+    def recall(label: String, floor: Double)(approx: org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val hit = approx.select(col("query_id"), col("neighbor_id"))
+        .join(exact, Seq("query_id", "neighbor_id")).count()
+      val r = hit.toDouble / nExact
+      println(f"[scale] recall@10 $label%-14s $r%6.3f  (floor $floor%4.2f)  ${(System.nanoTime() - t0) / 1e9}%6.1f s")
+      require(r >= floor,
+        f"$label recall@10 $r%.3f fell below the $floor%.2f floor at $nEmb vectors")
+    }
+    // same dials as the declared queries: 16 coarse lists / probe 4,
+    // PQ 16x32 subspaces (2 Lloyd iters), refine shortlist 100
+    val coarse = VectorOps.kmeansCodebook(emb, 16, 4, sampleMod = 3)
+    val cbs = VectorOps.pqCodebooks(emb, 16, 32, 2, sampleMod = 3)
+    recall("ivf-4/16", 0.55) {
+      VectorOps.ivfTopK(qs, emb, 10, 16, 4, Some(coarse)) }
+    recall("pq-adc", 0.20) { VectorOps.pqTopK(qs, emb, 10, cbs) }
+    recall("pq-refine", 0.55) { VectorOps.pqRefineTopK(qs, emb, 10, 100, cbs) }
+    recall("ivfpq-refine", 0.45) {
+      VectorOps.ivfPqTopK(qs, emb, 10, coarse, cbs, 4, 100) }
+    val idxDir = graft.TempDirs.create("smoke-annrecall-idx")
+    val tIdx = System.nanoTime()
+    val idx = VectorIndex.build(emb, idxDir, 16, 16, 32,
+      coarseIters = 4, pqIters = 2, sampleMod = 3)
+    println(f"[scale] index-build-200k      ${(System.nanoTime() - tIdx) / 1e9}%6.1f s")
+    recall("index-serve", 0.45) { VectorIndex.topK(qs, emb, idx, 10, 4, 100) }
+    exact.unpersist(); emb.unpersist()
+    }
+    if (on("lake10")) {
+    // ---- partitioned-lake lifecycle at sf10 derivation (VERDICT r8 #6):
+    // the reference's monthly archive tree -> archiveToLake migration ->
+    // month-pruned reads -> OPTIMIZE ZORDER on one partition -> box-pruned
+    // reads, with FILES-OPENED counts printed for each step (the number
+    // that bounds any reader's I/O at 100 TB). Tree = the first 24 months
+    // of the sf10 bars (~1M rows, 5 symbols x 24 months), one file per
+    // (month, symbol) in the reference
+    // {year}/{month}/{symbol}/{symbol}_{tf}_{yyyyMM}.parquet shape with
+    // one month per codec (zlib/xz/bz2) like the reference's mixed layout.
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    val sfDir = sys.env.getOrElse("GRAFT_SF_DIR", "/root/repo/target/sf10")
+    val arch = graft.TempDirs.create("smoke-lake10-arch")
+    val lake = graft.TempDirs.create("smoke-lake10-lake")
+    // partition columns are COPIES (y/m/sym) so the data files keep the
+    // full bar schema the reference archives carry (symbol/ts included)
+    val bars10 = graft.sources.Tables.bars(spark, sfDir)
+      .filter(col("ts") < lit("2026-01-01").cast("timestamp"))
+      .withColumn("y", year(col("ts"))).withColumn("m", month(col("ts")))
+      .withColumn("sym", col("symbol"))
+    // stage partitioned, then rename into the reference tree (driver-side
+    // listing-scale renames, one per (month, symbol) file)
+    val stage = graft.TempDirs.create("smoke-lake10-stage")
+    bars10.repartition(col("y"), col("m"), col("sym"))
+      .write.partitionBy("y", "m", "sym").mode("overwrite").parquet(stage)
+    val fs = FileSystem.get(new HPath(stage).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    var nArch = 0
+    val stageRe = ".*/y=(\\d+)/m=(\\d+)/sym=([^/]+)/.*\\.parquet".r
+    val it = fs.listFiles(new HPath(stage), true)
+    while (it.hasNext) {
+      val st = it.next()
+      st.getPath.toString match {
+        case stageRe(yy, mm, sym) if st.isFile =>
+          val mm2 = f"${mm.toInt}%02d"
+          val symDir = new HPath(s"$arch/$yy/$mm2/$sym")
+          fs.mkdirs(symDir)
+          require(fs.rename(st.getPath,
+            new HPath(symDir, s"${sym}_1m_$yy$mm2.parquet")))
+          nArch += 1
+        case _ =>
+      }
+    }
+    // one month per codec, like the reference's mixed tree (compress each
+    // symbol dir in place, then drop the plain payloads); the generator's
+    // months are sparse, so pick the first three that exist
+    val monthDirs = fs.listStatus(new HPath(s"$arch/2024"))
+      .filter(_.isDirectory).map(_.getPath).sortBy(_.getName).take(3)
+    for ((meth, mdir) <- graft.sources.Archive.methods.zip(monthDirs)) {
+      fs.listStatus(mdir).filter(_.isDirectory).foreach { sd =>
+        graft.sources.Archive.compressDirectory(spark,
+          sd.getPath.toString, sd.getPath.toString, method = meth)
+        fs.listStatus(sd.getPath)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .foreach(f => fs.delete(f.getPath, false))
+      }
+    }
+    println(s"[scale] lake10: archive tree $nArch files")
+    def timeL(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[scale] $label%-22s rows=$r%-10d ${(System.nanoTime() - t0) / 1e9}%6.1f s")
+    }
+    timeL("archive-to-lake") {
+      graft.pipeline.ArchiveMigration.archiveToLake(spark, arch, lake,
+        filesPerMonth = 4).filter(col("action") === "migrated").count()
+    }
+    def leafFiles(p: String): Int = {
+      val itf = fs.listFiles(new HPath(p), true)
+      var n = 0
+      while (itf.hasNext) { if (itf.next().getPath.getName.endsWith(".parquet")) n += 1 }
+      n
+    }
+    val totalFiles = leafFiles(lake)
+    val monthFiles = leafFiles(s"$lake/year=2025/month=6")
+    println(s"[scale] lake10-pruning        month query opens $monthFiles of $totalFiles files (" +
+      f"${monthFiles.toDouble / totalFiles * 100}%.1f%%)")
+    timeL("month-pruned-read") {
+      spark.read.parquet(lake)
+        .filter(col("year") === 2025 && col("month") === 6).count()
+    }
+    // OPTIMIZE ZORDER one partition on (open, volume), then the box query
+    // envelope: candidate files before vs after
+    import graft.sinks.Lake
+    // box = a selective slice of the actual (log-ish) value mass: open
+    // 100-200 is ~8% of rows, volume 20-40 ~20% — the 2-D envelope any
+    // pruning reader must bound
+    val part = Seq((2025, 6))
+    val box = Map("open" -> (100.0, 200.0), "volume" -> (20.0, 40.0))
+    val candBefore = Lake.candidateFiles(
+      Lake.fileStats(spark, s"$lake/year=2025/month=6", Seq("open", "volume")), box)
+    timeL("optimize-zorder-month") {
+      Lake.optimizeZOrder(spark, lake, Seq("open", "volume"), part,
+        filesPerPartition = 8); 1L
+    }
+    val candAfter = Lake.candidateFiles(
+      Lake.fileStats(spark, s"$lake/year=2025/month=6", Seq("open", "volume")), box)
+    println(s"[scale] lake10-zorder-box     candidates $candBefore -> $candAfter " +
+      s"of ${leafFiles(s"$lake/year=2025/month=6")} files after OPTIMIZE")
+    timeL("box-read-zordered") {
+      spark.read.parquet(s"$lake/year=2025/month=6")
+        .filter(col("open").between(100.0, 200.0) &&
+          col("volume").between(20.0, 40.0)).count()
+    }
+    }
     spark.stop()
   }
 }
