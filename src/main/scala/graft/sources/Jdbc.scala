@@ -15,25 +15,39 @@ import org.apache.spark.sql.functions._
   * (JDBCScan PushedFilters) and the scan parallelizes over
   * `partitionColumn` ranges instead of one connection.
   *
-  * No database ships in this container — this wrapper is exercised against
-  * the same option plumbing Spark's JDBC suite uses; the pushdown shape is
-  * asserted in PlanSpec on the parquet analog.
+  * Exercised end-to-end against a live PostgreSQL 15 server
+  * (PgIntegrationSpec via `tools/pg_sidecar.sh`): schema resolution,
+  * 2-cursor partitioned read, value round-trip. The pushdown shape is
+  * additionally asserted in PlanSpec on the parquet analog.
   */
 object Jdbc {
 
   /** Parallel range scan: `numPartitions` concurrent cursors splitting
     * [lower, upper) on `partitionColumn` (must be numeric/date — use epoch
     * seconds of ts, mirroring the hypertable chunk ranges).
+    *
+    * `partitionColumn` may be an EXPRESSION (`extract(epoch from ts)::bigint`),
+    * not just a column name: Spark's JDBC relation requires the partition
+    * column to exist in the resolved schema (found by the round-9 live-PG
+    * gate — the bare-expression form analyzed fine against option plumbing
+    * but threw `userDefinedPartitionNotFound` against a real server), so
+    * the scan wraps the table in a dbtable subquery projecting the
+    * expression as a named column, partitions on that, and drops it from
+    * the result. The WHERE ranges ship inside the subquery — the database
+    * still evaluates the expression, exactly like a hypertable chunk scan.
     */
   def readRanged(spark: SparkSession, url: String, table: String,
       partitionColumn: String, lower: Long, upper: Long, numPartitions: Int,
-      props: Properties = new Properties()): DataFrame =
+      props: Properties = new Properties()): DataFrame = {
+    val sub = s"(SELECT __t.*, ($partitionColumn) AS __graft_part FROM $table __t) __graft_ranged"
     spark.read
-      .option("partitionColumn", partitionColumn)
+      .option("partitionColumn", "__graft_part")
       .option("lowerBound", lower)
       .option("upperBound", upper)
       .option("numPartitions", numPartitions)
-      .jdbc(url, table, props)
+      .jdbc(url, sub, props)
+      .drop("__graft_part")
+  }
 
   /** The reference's point/range query, declaratively: filters/sort/limit
     * compose on the scan and push into the database.

@@ -11,13 +11,20 @@ import graft.sources.Jdbc
 
 /** Real-database integration for the JDBC surface (reference
   * tests/setup_test_db.py:9-56 runs against a live PostgreSQL/TimescaleDB).
-  * The container this engine is developed in has no database, so every test
-  * here is gated on `SPARK_GRAFT_PG_URL` — a full JDBC URL including
+  * Every test is gated on `SPARK_GRAFT_PG_URL` — a full JDBC URL including
   * credentials, e.g. `jdbc:postgresql://host:5432/graft?user=u&password=p`
   * — and cancels (not passes, not fails) when it is unset. The fake-endpoint
-  * unit specs in SinksSourcesSpec stay the always-on coverage; this spec is
-  * the switch that turns on end-to-end verification the moment an
-  * environment provides a server.
+  * unit specs in SinksSourcesSpec stay the always-on coverage.
+  *
+  * To RUN it in this container (round 9): `tools/pg_sidecar.sh` stands up
+  * the shipped PostgreSQL server (trust auth, localhost:5432), and the
+  * test-scope wire-protocol driver ([[graft.pgtest.MiniPgDriver]]) stands
+  * in for the absent pgjdbc jar:
+  * {{{
+  *   tools/pg_sidecar.sh
+  *   SPARK_GRAFT_PG_URL='jdbc:postgresql://localhost:5432/graft?user=graft' \
+  *     sbt "testOnly graft.PgIntegrationSpec"
+  * }}}
   */
 class PgIntegrationSpec extends SparkSpec {
 
@@ -26,6 +33,10 @@ class PgIntegrationSpec extends SparkSpec {
   private def withPg(testName: String)(body: (() => Connection) => Unit): Unit =
     test(testName) {
       assume(urlOpt.isDefined, "SPARK_GRAFT_PG_URL not set; skipping live-PG test")
+      // the container ships no pgjdbc jar (zero egress); the test-scope
+      // wire-protocol driver registers itself here (sbt's forked-test
+      // classloader is invisible to DriverManager's ServiceLoader scan)
+      graft.pgtest.MiniPgDriver.ensureRegistered()
       val url = urlOpt.get
       val connect: () => Connection = () => DriverManager.getConnection(url)
       body(connect)
