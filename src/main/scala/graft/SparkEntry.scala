@@ -34,7 +34,8 @@ object SparkEntry {
     graft.operators.CorpusQueries.queries ++
     graft.operators.VectorQueries.queries ++
     graft.operators.MultimodalQueries.queries ++
-    graft.operators.ScaleQueries.queries
+    graft.operators.ScaleQueries.queries ++
+    graft.operators.QualityQueries.queries
 
   private def base: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g1_synthetic_bars" -> ((s, _) =>
@@ -72,7 +73,8 @@ object SparkEntry {
     graft.operators.CorpusQueries.oracle ++
     graft.operators.VectorQueries.oracleAll ++
     graft.operators.MultimodalQueries.oracle ++
-    graft.operators.ScaleQueries.oracle
+    graft.operators.ScaleQueries.oracle ++
+    graft.operators.QualityQueries.oracle
 
   private def baseOracle: Map[String, String] = Map(
     "g1_synthetic_bars" -> (graft.sources.Generator.ohlcvSql(Seq("alpha", "beta"), 200) +

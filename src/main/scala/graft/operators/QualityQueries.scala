@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Oracle-gated query for the declarative data-quality suite: the full
+  * constraint catalog evaluated over the deliberately dirty `bars` table
+  * (null closes, negative volume, inverted OHLC — exactly the dirt the
+  * reference's cleaning stage targets), plus a referential-integrity check
+  * lineitem→orders. The DuckDB oracle recomputes every verdict from first
+  * principles, pinning the three-valued-logic edges (NULL predicates,
+  * any-null key tuples) as SEMANTICS rather than implementation accidents.
+  */
+object QualityQueries {
+  import DataQuality._
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq1_quality_suite" -> ((s, dir) => {
+      val verdicts = DataQuality.verify(Tables.bars(s, dir), Seq(
+        NotNull("symbol"),
+        NotNull("close"),
+        Completeness("close", 0.9),
+        NonNegative("volume"),
+        RowRule("high_ge_low", col("high") >= col("low")),
+        InRange("open", 0.0, 1e6),
+        UniqueKey(Seq("symbol", "ts")),
+        MinRows(100)))
+      verdicts.unionByName(DataQuality.referentialIntegrity(
+        Tables.lineitem(s, dir), "l_orderkey",
+        Tables.orders(s, dir), "o_orderkey"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "dq1_quality_suite" -> (Tables.barsSql +
+      s""", agg AS (
+         |  SELECT count(*) AS n,
+         |         sum(CASE WHEN symbol IS NULL THEN 1 ELSE 0 END) AS v_sym,
+         |         sum(CASE WHEN close IS NULL THEN 1 ELSE 0 END) AS v_close,
+         |         count(close) AS nn_close,
+         |         sum(CASE WHEN volume < 0 THEN 1 ELSE 0 END) AS v_vol,
+         |         sum(CASE WHEN NOT (high >= low) THEN 1 ELSE 0 END) AS v_hl,
+         |         sum(CASE WHEN open < 0.0 OR open > 1000000.0 THEN 1 ELSE 0 END) AS v_open,
+         |         sum(CASE WHEN symbol IS NOT NULL AND ts IS NOT NULL THEN 1 ELSE 0 END)
+         |           - count(DISTINCT (symbol, ts)) AS v_uk
+         |  FROM bars
+         |), ri AS (
+         |  SELECT count(*) AS orphans FROM (
+         |    SELECT DISTINCT l_orderkey FROM lineitem WHERE l_orderkey IS NOT NULL
+         |  ) f
+         |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = f.l_orderkey)
+         |)
+         |SELECT 'not_null' AS rule, 'symbol' AS target,
+         |       CAST(v_sym AS DOUBLE) AS value, 0.0 AS threshold, v_sym = 0 AS pass FROM agg
+         |UNION ALL SELECT 'not_null', 'close', CAST(v_close AS DOUBLE), 0.0, v_close = 0 FROM agg
+         |UNION ALL SELECT 'completeness', 'close',
+         |       CAST(nn_close AS DOUBLE) / CAST(n AS DOUBLE), 0.9,
+         |       CAST(nn_close AS DOUBLE) / CAST(n AS DOUBLE) >= 0.9 FROM agg
+         |UNION ALL SELECT 'non_negative', 'volume', CAST(v_vol AS DOUBLE), 0.0, v_vol = 0 FROM agg
+         |UNION ALL SELECT 'row_rule', 'high_ge_low', CAST(v_hl AS DOUBLE), 0.0, v_hl = 0 FROM agg
+         |UNION ALL SELECT 'in_range', 'open', CAST(v_open AS DOUBLE), 0.0, v_open = 0 FROM agg
+         |UNION ALL SELECT 'unique_key', 'symbol,ts', CAST(v_uk AS DOUBLE), 0.0, v_uk = 0 FROM agg
+         |UNION ALL SELECT 'min_rows', '*', CAST(n AS DOUBLE), 100.0, n >= 100 FROM agg
+         |UNION ALL SELECT 'referential_integrity', 'l_orderkey->o_orderkey',
+         |       CAST(orphans AS DOUBLE), 0.0, orphans = 0 FROM ri""".stripMargin)
+  )
+}

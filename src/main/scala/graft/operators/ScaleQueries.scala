@@ -69,6 +69,29 @@ object ScaleQueries {
           "volume")
     }),
 
+    // Snapshot-lake lifecycle (graft.sinks.SnapshotLake): bars appended in
+    // two batches, compacted, vacuumed to the latest version only, read
+    // back through the pinned-manifest plan. The oracle reads the ORIGINAL
+    // table — a hash match proves the full manifest protocol (stage, lock
+    // commit, CAS-merge, retention vacuum) is lossless end-to-end, and the
+    // mid-query time-travel asserts version pinning before vacuum.
+    "sn1_snapshot_lifecycle" -> ((s, dir) => {
+      import graft.sinks.SnapshotLake
+      val b = Tables.bars(s, dir).select("event_id", "symbol", "ts", "open",
+        "high", "low", "close", "volume")
+      val root = graft.TempDirs.create("graft-sn1") + "/lake"
+      val v1 = SnapshotLake.append(s, root, b.filter(col("event_id") % 2 === 0)
+        .repartition(3))
+      SnapshotLake.append(s, root, b.filter(col("event_id") % 2 =!= 0)
+        .repartition(3))
+      SnapshotLake.compact(s, root, targetBytes = 256L * 1024 * 1024)
+      // pre-vacuum: v1 must still be readable and hold exactly its batch
+      require(SnapshotLake.read(s, root, Some(v1))
+        .filter(col("event_id") % 2 =!= 0).isEmpty, "time travel leaked rows")
+      SnapshotLake.vacuum(s, root, retainLast = 1, staleStageMs = 0)
+      SnapshotLake.read(s, root)
+    }),
+
     // Lake-vs-DB coverage census: file side = actual per-symbol lake rows,
     // DB side = the simulated registration state above.
     "rec1_coverage" -> ((s, dir) => {
@@ -84,6 +107,11 @@ object ScaleQueries {
       s"""
          |SELECT event_id, symbol, ts, open, high, low, close, volume
          |FROM bars WHERE event_id % 7 = 0""".stripMargin),
+
+    "sn1_snapshot_lifecycle" -> (Tables.barsSql +
+      s"""
+         |SELECT event_id, symbol, ts, open, high, low, close, volume
+         |FROM bars""".stripMargin),
 
     "sk1_salted_stats" -> (Tables.barsSql +
       s"""

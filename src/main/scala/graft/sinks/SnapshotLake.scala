@@ -1,0 +1,563 @@
+package graft.sinks
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Manifest-pinned snapshot lake: serializable reads over plain parquet.
+  *
+  * WHY: [[Lake]]'s maintenance swaps (compact / OPTIMIZE ZORDER) rename
+  * partition directories in place, so a reader that planned before a swap
+  * and executes after it fails loudly with FileNotFound and must re-plan
+  * ([[Lake.retryingOnSwap]] documents why that is the only LOSSLESS
+  * contract *without a manifest layer*). This IS the manifest layer — the
+  * design Delta Lake / Iceberg published (log of immutable data files;
+  * readers pin a log version; writers commit new versions atomically;
+  * physical deletion deferred to an explicit retention-bounded vacuum),
+  * rebuilt minimally on plain parquet + atomic rename:
+  *
+  *   root/_manifests/v00000017.manifest   one text file per version
+  *   root/data/<token>-part-*.parquet     immutable data files (hive
+  *                                        partition subdirs preserved)
+  *   root/.stage-<token>/                 in-flight writes, never visible
+  *
+  * Contracts (all spec-pinned in SnapshotLakeSpec):
+  *  - readers resolve ONE manifest and read exactly its file list: a
+  *    concurrent append / compact / conflicting commit is invisible —
+  *    no FileNotFound, no torn half-compacted view, ever, as long as
+  *    vacuum retention covers the reader's runtime;
+  *  - commits serialize through a dense-version lock protocol (below);
+  *    losers recompute against the new head and retry, so appends and
+  *    compactions MERGE — a compact that races an append carries the
+  *    appended files forward, never drops them;
+  *  - data files are immutable and never overwritten; only `vacuum`
+  *    deletes, and only files unreferenced by every retained manifest;
+  *  - a crash anywhere leaves either a fully-visible version or no new
+  *    version — stage dirs and manifest tmp files are invisible garbage,
+  *    swept by vacuum.
+  *
+  * Commit protocol. A bare rename-if-absent is NOT a safe CAS on every
+  * FileSystem: the Hadoop contract leaves rename-onto-existing
+  * FS-specific (the local ChecksumFileSystem refuses — SnapshotLakeSpec
+  * pins that — but raw POSIX rename(2) silently replaces, and S3 has no
+  * atomic rename at all). What IS exclusive everywhere is
+  * create-if-absent (`FileSystem.createNewFile` = O_CREAT|O_EXCL locally,
+  * namenode-atomic on HDFS; conditional PUT on object stores). So
+  * versions are DENSE and each is guarded by a lock file:
+  *
+  *   1. head = latest manifest; next = head+1;
+  *   2. createNewFile(v<next>.lock) — lose ⇒ wait (the lock is broken if
+  *      its manifest already exists = owner crashed after publishing, or
+  *      its mtime exceeds `lockExpiryMs` = owner died mid-commit);
+  *   3. holding the lock, if v<next>.manifest exists ⇒ stale acquire,
+  *      release and retry; otherwise the head is FROZEN at `next-1`
+  *      (any other committer needs this very lock to publish next, and
+  *      density means nothing beyond next can publish first) — recompute
+  *      the file list against the frozen head, write the manifest body to
+  *      a tmp, rename it to v<next>.manifest (uncontended by
+  *      construction), delete the lock.
+  *
+  * The one residual hazard is an owner SLOWER than `lockExpiryMs` whose
+  * broken lock lets a rival publish the same version first (the classic
+  * lease caveat every lock-service design documents) — the expiry is
+  * 10 min against a millisecond critical section, and on a real cluster
+  * the primitive to swap in is the store's conditional PUT.
+  *
+  * At 100 TB the wins over directory-listing reads compound: planning
+  * reads ONE small manifest instead of listing O(100k) objects (on S3 a
+  * LIST-consistency + throttling hazard), the stored schema skips footer
+  * sniffing, and maintenance never blocks or breaks readers.
+  */
+object SnapshotLake {
+
+  /** One immutable data file: lake-relative path, size, and (optionally)
+    * per-column min/max envelopes lifted from the parquet footer at commit
+    * time — the data-skipping index a 100 TB reader consults BEFORE
+    * planning, so a selective box query opens a handful of files instead
+    * of listing and footer-probing the whole lake.
+    */
+  final case class FileEntry(rel: String, bytes: Long,
+      stats: Map[String, (Double, Double)])
+
+  final case class Manifest(version: Long, parent: Long, op: String,
+      schema: StructType, files: Seq[FileEntry]) {
+    def bytes: Long = files.map(_.bytes).sum
+  }
+
+  private val Header = "graft-snapshot-manifest v1"
+  private def manifestName(v: Long): String = f"v$v%08d.manifest"
+  private val ManifestRe = raw"v(\d{8})\.manifest".r
+
+  private def fsOf(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestDir(root: String) = new Path(root, "_manifests")
+  private def dataDir(root: String) = new Path(root, "data")
+
+  private def newToken(): String =
+    java.util.UUID.randomUUID.toString.replace("-", "").take(16)
+
+  // ---------------------------------------------------------------- encode
+
+  private def render(m: Manifest): Array[Byte] = {
+    val sb = new StringBuilder
+    sb.append(Header).append('\n')
+    sb.append("version=").append(m.version).append('\n')
+    sb.append("parent=").append(m.parent).append('\n')
+    sb.append("op=").append(m.op).append('\n')
+    sb.append("schema=").append(m.schema.json).append('\n')
+    sb.append("files=").append(m.files.size).append('\n')
+    m.files.foreach { f =>
+      sb.append(f.rel).append('\t').append(f.bytes)
+      if (f.stats.nonEmpty) {
+        // col=min..max;col2=min..max — doubles via Double.toString, exact
+        // round trip through parseDouble
+        sb.append('\t').append(f.stats.toSeq.sortBy(_._1).map {
+          case (c, (lo, hi)) => s"$c=$lo..$hi"
+        }.mkString(";"))
+      }
+      sb.append('\n')
+    }
+    sb.toString.getBytes(StandardCharsets.UTF_8)
+  }
+
+  private def parse(bytes: Array[Byte]): Manifest = {
+    val lines = new String(bytes, StandardCharsets.UTF_8).split("\n", -1)
+    require(lines.nonEmpty && lines(0) == Header,
+      s"not a snapshot manifest (header '${lines.headOption.getOrElse("")}')")
+    def field(i: Int, k: String): String = {
+      require(lines(i).startsWith(k + "="), s"manifest line $i: expected $k=")
+      lines(i).substring(k.length + 1)
+    }
+    val version = field(1, "version").toLong
+    val parent = field(2, "parent").toLong
+    val op = field(3, "op")
+    val schema = DataType.fromJson(field(4, "schema")).asInstanceOf[StructType]
+    val n = field(5, "files").toInt
+    val files = (0 until n).map { i =>
+      val cols = lines(6 + i).split('\t')
+      require(cols.length == 2 || cols.length == 3,
+        s"manifest file line ${6 + i} malformed")
+      val stats = if (cols.length < 3 || cols(2).isEmpty) Map.empty[String, (Double, Double)]
+      else cols(2).split(';').map { seg =>
+        val eq = seg.indexOf('=')
+        val dots = seg.indexOf("..", eq + 1)
+        require(eq > 0 && dots > eq, s"manifest stats segment malformed: $seg")
+        seg.substring(0, eq) ->
+          (seg.substring(eq + 1, dots).toDouble, seg.substring(dots + 2).toDouble)
+      }.toMap
+      FileEntry(cols(0), cols(1).toLong, stats)
+    }
+    Manifest(version, parent, op, schema, files)
+  }
+
+  // ------------------------------------------------------------- manifests
+
+  /** All committed versions, ascending. */
+  def versions(spark: SparkSession, root: String): Seq[Long] = {
+    val fs = fsOf(spark, root)
+    val dir = manifestDir(root)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).map(_.getPath.getName).collect {
+      case ManifestRe(v) => v.toLong
+    }.toSeq.sorted
+  }
+
+  def latestVersion(spark: SparkSession, root: String): Option[Long] =
+    versions(spark, root).lastOption
+
+  /** Load one manifest (latest when version is None). */
+  def manifest(spark: SparkSession, root: String,
+      version: Option[Long] = None): Manifest = {
+    val fs = fsOf(spark, root)
+    val v = version.orElse(latestVersion(spark, root)).getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot under $root"))
+    val p = new Path(manifestDir(root), manifestName(v))
+    require(fs.exists(p), s"snapshot version $v does not exist under $root " +
+      s"(committed: ${versions(spark, root).mkString(",")}) — vacuumed?")
+    val in = fs.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      Iterator.continually(in.read(buf)).takeWhile(_ > 0)
+        .foreach(out.write(buf, 0, _))
+      parse(out.toByteArray)
+    } finally in.close()
+  }
+
+  /** Dense-version lock commit (protocol in the object doc). `build` maps
+    * the frozen head manifest (None on the very first commit) to the full
+    * file list for the new version; it is (re)evaluated under the lock so
+    * a lost race can never drop a rival's files. Returns the version won.
+    */
+  private def commit(spark: SparkSession, root: String, op: String,
+      schema: StructType, build: Option[Manifest] => Seq[FileEntry],
+      lockExpiryMs: Long): Long = {
+    val fs = fsOf(spark, root)
+    fs.mkdirs(manifestDir(root))
+    val deadline = System.nanoTime + java.util.concurrent.TimeUnit.MILLISECONDS
+      .toNanos(math.max(lockExpiryMs * 3, 30000L))
+    var done = -1L
+    while (done < 0) {
+      require(System.nanoTime < deadline,
+        s"snapshot commit could not acquire a version lock under $root " +
+          s"within ${math.max(lockExpiryMs * 3, 30000L)} ms")
+      val head = latestVersion(spark, root)
+      val next = head.getOrElse(0L) + 1
+      val lock = new Path(manifestDir(root), f"v$next%08d.lock")
+      val target = new Path(manifestDir(root), manifestName(next))
+      if (fs.createNewFile(lock)) {
+        if (fs.exists(target)) {
+          // stale acquire: the previous owner published and released
+          // between our head read and our create — release and retry
+          fs.delete(lock, false)
+        } else {
+          try {
+            // head is frozen at next-1 while we hold the lock
+            val m = Manifest(next, head.getOrElse(0L), op, schema,
+              build(head.map(_ => manifest(spark, root, None))))
+            val tmp = new Path(manifestDir(root), s".tmp-${newToken()}")
+            val outS = fs.create(tmp, true)
+            try outS.write(render(m)) finally outS.close()
+            require(fs.rename(tmp, target), s"manifest publish failed: $target")
+            done = next
+          } finally fs.delete(lock, false)
+        }
+      } else {
+        // lock held by someone else: break it only if provably dead
+        val st = try Some(fs.getFileStatus(lock)) catch {
+          case _: java.io.FileNotFoundException => None
+        }
+        if (fs.exists(target)) fs.delete(lock, false) // owner crashed post-publish
+        else if (st.exists(s =>
+            System.currentTimeMillis - s.getModificationTime > lockExpiryMs))
+          fs.delete(lock, false) // owner died mid-commit; lease expired
+        else Thread.sleep(25)
+      }
+    }
+    done
+  }
+
+  private val DefaultLockExpiryMs = 10L * 60 * 1000
+
+  private def schemasCompatible(a: StructType, b: StructType): Boolean =
+    a.fields.map(f => (f.name, f.dataType)).sameElements(
+      b.fields.map(f => (f.name, f.dataType)))
+
+  // ----------------------------------------------------------------- write
+
+  /** Per-column (min, max) envelopes from one parquet footer — a
+    * metadata-only driver read (no row data), done once per file at
+    * commit time. Only columns whose physical stats convert cleanly to a
+    * double ordering (int32/int64/float/double — timestamps ride int64
+    * micros) are recorded; anything else is simply not prunable.
+    */
+  private def footerStats(spark: SparkSession, file: Path,
+      statsCols: Set[String]): Map[String, (Double, Double)] = {
+    if (statsCols.isEmpty) return Map.empty
+    import scala.jdk.CollectionConverters._
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(file, spark.sparkContext.hadoopConfiguration)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val acc = scala.collection.mutable.Map.empty[String, (Double, Double)]
+      reader.getFooter.getBlocks.asScala.foreach { block =>
+        block.getColumns.asScala.foreach { c =>
+          val name = c.getPath.toDotString
+          if (statsCols.contains(name)) {
+            val st = c.getStatistics
+            if (st != null && st.hasNonNullValue) {
+              val pair = (st.genericGetMin, st.genericGetMax) match {
+                case (lo: java.lang.Number, hi: java.lang.Number) =>
+                  Some((lo.doubleValue, hi.doubleValue))
+                case _ => None
+              }
+              pair.foreach { case (lo, hi) =>
+                val prev = acc.get(name)
+                acc(name) = (prev.fold(lo)(p => math.min(p._1, lo)),
+                  prev.fold(hi)(p => math.max(p._2, hi)))
+              }
+            }
+          }
+        }
+      }
+      acc.toMap
+    } finally reader.close()
+  }
+
+  /** Stage-write `df` and move its files (hive partition subdirs
+    * preserved) under data/ with a unique token prefix; returns a
+    * [[FileEntry]] (with footer stats for `statsCols`) per data file.
+    */
+  private def stageFiles(spark: SparkSession, root: String, df: DataFrame,
+      partitionCols: Seq[String], statsCols: Set[String]): Seq[FileEntry] = {
+    val fs = fsOf(spark, root)
+    val token = newToken()
+    val stage = new Path(root, s".stage-$token")
+    val w = df.write.mode("overwrite").option("compression", "zstd")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(stage.toString)
+    val staged = scala.collection.mutable.ArrayBuffer.empty[FileEntry]
+    def walk(dir: Path, rel: String): Unit =
+      fs.listStatus(dir).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory) walk(st.getPath, s"$rel$name/")
+        else if (!name.startsWith("_") && !name.startsWith(".")) {
+          val relOut = s"$rel$token-$name"
+          val target = new Path(dataDir(root), relOut)
+          fs.mkdirs(target.getParent)
+          val stats = footerStats(spark, st.getPath, statsCols)
+          require(fs.rename(st.getPath, target), s"stage move failed: $target")
+          staged += FileEntry(relOut, st.getLen, stats)
+        }
+      }
+    walk(stage, "")
+    fs.delete(stage, true)
+    staged.toSeq
+  }
+
+  /** Append `df` as a new snapshot version (creating the lake on first
+    * call). Data lands invisibly, then one manifest CAS makes the whole
+    * batch visible — concurrent appends both land, in some serial order.
+    */
+  def append(spark: SparkSession, root: String, df: DataFrame,
+      partitionCols: Seq[String] = Nil, statsCols: Seq[String] = Nil,
+      evolve: Boolean = false,
+      lockExpiryMs: Long = DefaultLockExpiryMs): Long =
+    appendOp(spark, root, df, partitionCols, statsCols, evolve, "append",
+      lockExpiryMs)
+
+  private def appendOp(spark: SparkSession, root: String, df: DataFrame,
+      partitionCols: Seq[String], statsCols: Seq[String], evolve: Boolean,
+      op: String, lockExpiryMs: Long): Long = {
+    val schema = latestVersion(spark, root) match {
+      case None => df.schema
+      case Some(_) =>
+        val cur = manifest(spark, root, None).schema
+        if (schemasCompatible(cur, df.schema)) cur
+        else if (evolve) unionSchema(cur, df.schema)
+        else throw new IllegalArgumentException(
+          s"append schema drift: lake has ${cur.simpleString}, " +
+            s"append has ${df.schema.simpleString} — pass evolve=true to " +
+            "widen (add columns), or migrate explicitly")
+    }
+    val added = stageFiles(spark, root, df, partitionCols, statsCols.toSet)
+    commit(spark, root, op, schema,
+      build = head => head.map(_.files).getOrElse(Nil) ++ added,
+      lockExpiryMs)
+  }
+
+  /** Schema evolution = widening only: every existing field keeps its
+    * name+type (any order), new fields are appended; old files read back
+    * with the widened schema fill the new columns with NULL (so evolution
+    * never rewrites a byte of data). Narrowing or retyping must be an
+    * explicit migration (rewrite) — silent narrowing loses data.
+    */
+  private def unionSchema(cur: StructType, next: StructType): StructType = {
+    val curTypes = cur.fields.map(f => f.name -> f.dataType).toMap
+    next.fields.foreach { f =>
+      curTypes.get(f.name).foreach { t =>
+        require(t == f.dataType,
+          s"schema evolution cannot retype ${f.name}: $t -> ${f.dataType}")
+      }
+    }
+    val newFields = next.fields.filterNot(f => curTypes.contains(f.name))
+    val nextNames = next.fields.map(_.name).toSet
+    require(cur.fields.forall(f => nextNames.contains(f.name)),
+      s"schema evolution cannot drop columns: missing " +
+        cur.fields.map(_.name).filterNot(nextNames.contains).mkString(", "))
+    StructType(cur.fields ++ newFields)
+  }
+
+  // ------------------------------------------------------------------ read
+
+  /** Read a pinned snapshot (latest when `version` is None). The plan
+    * embeds the manifest's exact file list and stored schema: no directory
+    * listing, no footer sniffing, immune to concurrent commits.
+    */
+  def read(spark: SparkSession, root: String,
+      version: Option[Long] = None): DataFrame = {
+    val m = manifest(spark, root, version)
+    if (m.files.isEmpty) {
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], m.schema)
+    } else {
+      val base = dataDir(root).toString
+      spark.read
+        .option("basePath", base)
+        .schema(m.schema)
+        .parquet(m.files.map(f => s"$base/${f.rel}"): _*)
+    }
+  }
+
+  /** Files a box predicate cannot skip, by manifest stats alone (no file
+    * opened): a file survives when every boxed column's [lo, hi] overlaps
+    * the file's recorded envelope; files with no envelope for a boxed
+    * column are conservatively kept.
+    */
+  def candidateEntries(spark: SparkSession, root: String,
+      box: Map[String, (Double, Double)],
+      version: Option[Long] = None): Seq[FileEntry] =
+    manifest(spark, root, version).files.filter { f =>
+      box.forall { case (c, (lo, hi)) =>
+        f.stats.get(c).forall { case (fLo, fHi) => fHi >= lo && fLo <= hi }
+      }
+    }
+
+  /** Stats-pruned box read: plan over only [[candidateEntries]] plus the
+    * residual predicate — the manifest-level analog of [[Lake.readBox]],
+    * with the candidate set decided from ONE manifest instead of a
+    * stats-collection job over the lake.
+    */
+  def readBox(spark: SparkSession, root: String,
+      box: Map[String, (Double, Double)],
+      version: Option[Long] = None): DataFrame = {
+    val m = manifest(spark, root, version)
+    val survivors = candidateEntries(spark, root, box, version)
+    val residual = box.map { case (c, (lo, hi)) =>
+      col(c) >= lo && col(c) <= hi
+    }.reduce(_ && _)
+    if (survivors.isEmpty) {
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], m.schema)
+    } else {
+      val base = dataDir(root).toString
+      spark.read.option("basePath", base).schema(m.schema)
+        .parquet(survivors.map(f => s"$base/${f.rel}"): _*)
+        .filter(residual)
+    }
+  }
+
+  /** Version history — (version, parent, op, n_files, bytes). */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    versions(spark, root)
+      .map(v => manifest(spark, root, Some(v)))
+      .map(m => (m.version, m.parent, m.op, m.files.size.toLong, m.bytes))
+      .toDF("version", "parent", "op", "n_files", "bytes")
+  }
+
+  // ----------------------------------------------------------- maintenance
+
+  /** Rewrite the current snapshot into ~targetBytes files and commit the
+    * result as a new version. NON-BLOCKING for readers: old files stay on
+    * disk (pinned readers keep working) until `vacuum`; a concurrent
+    * append is carried forward by the CAS-merge, never dropped. Returns
+    * (newVersion, filesBefore, filesAfter).
+    */
+  def compact(spark: SparkSession, root: String,
+      partitionCols: Seq[String] = Nil,
+      targetBytes: Long = 128L * 1024 * 1024,
+      lockExpiryMs: Long = DefaultLockExpiryMs): (Long, Int, Int) = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val base = manifest(spark, root, None)
+    val nOut = math.max(1,
+      ((base.bytes + targetBytes - 1) / targetBytes).toInt)
+    val rewritten = read(spark, root, Some(base.version)).repartition(nOut)
+    // carry the data-skipping index through: recompute whatever stat
+    // columns the base manifest tracked
+    val statsCols = base.files.flatMap(_.stats.keys).toSet
+    val newFiles = stageFiles(spark, root, rewritten, partitionCols, statsCols)
+    val baseSet = base.files.map(_.rel).toSet
+    val v = commit(spark, root, "compact", base.schema,
+      // lock-merge: files that appeared after our base (concurrent
+      // appends) ride along; only the files we actually rewrote drop out.
+      build = head => newFiles ++ head.map(_.files).getOrElse(Nil)
+        .filterNot(f => baseSet.contains(f.rel)),
+      lockExpiryMs)
+    (v, base.files.size, newFiles.size)
+  }
+
+  /** Delete data files unreferenced by the newest `retainLast` manifests,
+    * drop older manifests, and sweep dead stage dirs. After vacuum,
+    * reads pinned at dropped versions fail LOUDLY in [[manifest]]
+    * ("vacuumed?") — the retention contract every snapshot store has.
+    * Returns (dataFilesDeleted, manifestsDropped).
+    */
+  def vacuum(spark: SparkSession, root: String, retainLast: Int = 2,
+      staleStageMs: Long = 24L * 3600 * 1000): (Int, Int) = {
+    require(retainLast >= 1, s"retainLast must be >= 1, got $retainLast")
+    val fs = fsOf(spark, root)
+    val all = versions(spark, root)
+    require(all.nonEmpty, s"nothing to vacuum under $root")
+    val (drop, keep) = all.splitAt(math.max(0, all.size - retainLast))
+    val referenced = keep.flatMap(v =>
+      manifest(spark, root, Some(v)).files.map(_.rel)).toSet
+    val dd = dataDir(root)
+    var deleted = 0
+    def sweep(dir: Path, rel: String): Boolean = { // returns "now empty"
+      var empty = true
+      fs.listStatus(dir).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory) {
+          if (sweep(st.getPath, s"$rel$name/")) fs.delete(st.getPath, false)
+          else empty = false
+        } else if (!referenced.contains(s"$rel$name")) {
+          fs.delete(st.getPath, false); deleted += 1
+        } else empty = false
+      }
+      empty
+    }
+    if (fs.exists(dd)) sweep(dd, "")
+    drop.foreach(v =>
+      fs.delete(new Path(manifestDir(root), manifestName(v)), false))
+    // stage dirs old enough to be crashed writers (a LIVE append's stage
+    // is younger than staleStageMs — never touched), manifest tmp litter,
+    // and locks whose version already published or can never publish
+    // (<= head: density means that number is consumed)
+    fs.listStatus(new Path(root))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(".stage-") &&
+        System.currentTimeMillis - s.getModificationTime > staleStageMs)
+      .foreach(s => fs.delete(s.getPath, true))
+    val headV = keep.last
+    fs.listStatus(manifestDir(root)).foreach { s =>
+      val n = s.getPath.getName
+      if (n.startsWith(".tmp-")) fs.delete(s.getPath, false)
+      else if (n.endsWith(".lock") &&
+          n.stripPrefix("v").stripSuffix(".lock").toLong <= headV)
+        fs.delete(s.getPath, false)
+    }
+    (deleted, drop.size)
+  }
+
+  // ------------------------------------------------------------- streaming
+
+  private val StreamOpRe = raw"append:stream=([^,]*),batch=(\d+)".r
+
+  /** Highest micro-batch id `streamId` has committed (scans manifests
+    * newest-first, stops at the first match — replays only ever re-deliver
+    * the tail, so this is O(1) manifests in steady state).
+    */
+  def lastCommittedBatch(spark: SparkSession, root: String,
+      streamId: String): Option[Long] =
+    versions(spark, root).reverseIterator.map(v =>
+      manifest(spark, root, Some(v)).op).collectFirst {
+      case StreamOpRe(sid, bid) if sid == streamId => bid.toLong
+    }
+
+  /** Exactly-once streaming ingest: a `foreachBatch` handler that appends
+    * each micro-batch as a snapshot version with the (streamId, batchId)
+    * recorded in the manifest op. foreachBatch is at-least-once — after a
+    * crash between lake commit and checkpoint commit, Spark re-delivers
+    * the batch — so the handler SKIPS any batchId at or below the stream's
+    * last committed one, making lake contents exactly-once. Batch ids are
+    * consumed monotonically per stream (Structured Streaming's contract).
+    *
+    * Usage: `ds.writeStream.foreachBatch(SnapshotLake.appendStream(root)).
+    * ...start()`. Retention caveat: `vacuum` must retain at least the
+    * versions committed since the last checkpoint (retainLast >= 2 covers
+    * the standard one-batch replay window).
+    */
+  def appendStream(root: String, partitionCols: Seq[String] = Nil,
+      statsCols: Seq[String] = Nil, streamId: String = "s0",
+      lockExpiryMs: Long = DefaultLockExpiryMs)
+      : (DataFrame, Long) => Unit = { (df, batchId) =>
+    val spark = df.sparkSession
+    val replay = lastCommittedBatch(spark, root, streamId).exists(_ >= batchId)
+    if (!replay) {
+      appendOp(spark, root, df, partitionCols, statsCols, evolve = false,
+        op = s"append:stream=$streamId,batch=$batchId", lockExpiryMs)
+    }
+  }
+}

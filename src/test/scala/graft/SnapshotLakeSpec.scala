@@ -1,0 +1,291 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.sinks.SnapshotLake
+
+/** Manifest-pinned snapshot lake: serializable reads, lock-protocol
+  * commits, non-blocking compaction, retention-bounded vacuum.
+  */
+class SnapshotLakeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+  private def fs = new Path("/").getFileSystem(
+    spark.sparkContext.hadoopConfiguration)
+
+  private def bars(month: Int, n: Int, tag: Double) =
+    (1 to n).map(i => (s"sym${i % 3}", ts(f"2024-$month%02d-10 00:0${i % 6}:00"),
+      tag + i)).toDF("symbol", "ts", "close")
+
+  private def freshRoot(): String =
+    TempDirs.create("snap") + "/lake"
+
+  // ---------------------------------------------------------------- probes
+
+  test("platform probe: rename-onto-existing is FS-specific; " +
+      "createNewFile is the exclusive primitive the protocol rests on") {
+    val d = TempDirs.create("renprobe")
+    val src = new Path(d, "src"); val dst = new Path(d, "dst")
+    val o1 = fs.create(src); o1.write("SRC".getBytes); o1.close()
+    val o2 = fs.create(dst); o2.write("DST".getBytes); o2.close()
+    // Hadoop's ChecksumFileSystem wrapper happens to refuse here (false),
+    // but raw POSIX rename(2) clobbers and S3 has no rename — the commit
+    // protocol must not bet on either behavior, and doesn't: it only ever
+    // renames onto a name it exclusively owns via the lock.
+    val renamed = fs.rename(src, dst)
+    val in = fs.open(dst); val buf = new Array[Byte](8)
+    val n = in.read(buf); in.close()
+    assert(!renamed && new String(buf, 0, n) == "DST")
+    // createNewFile IS exclusive everywhere (O_CREAT|O_EXCL / namenode op)
+    val claim = new Path(d, "claim")
+    assert(fs.createNewFile(claim))
+    assert(!fs.createNewFile(claim))
+  }
+
+  // ------------------------------------------------------- core lifecycle
+
+  test("append/read/time-travel: latest is the union, old versions pinned") {
+    val root = freshRoot()
+    val v1 = SnapshotLake.append(spark, root, bars(1, 10, 100.0))
+    val v2 = SnapshotLake.append(spark, root, bars(2, 5, 200.0))
+    assert((v1, v2) == (1L, 2L))
+    assert(SnapshotLake.read(spark, root).count() == 15)
+    assert(SnapshotLake.read(spark, root, Some(1)).count() == 10)
+    val h = SnapshotLake.history(spark, root)
+      .select("version", "parent", "op").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(h == Seq((1L, 0L, "append"), (2L, 1L, "append")))
+    // the pinned plan reads EXACTLY the manifest's files — no listing
+    val m1 = SnapshotLake.manifest(spark, root, Some(1))
+    val planned = SnapshotLake.read(spark, root, Some(1)).inputFiles
+      .map(u => new Path(u).toUri.getPath.replaceFirst("^/+", "/")).toSet
+    assert(planned == m1.files.map(f => s"$root/data/${f.rel}").toSet)
+  }
+
+  test("schema drift on append fails loudly") {
+    val root = freshRoot()
+    SnapshotLake.append(spark, root, bars(1, 3, 0.0))
+    val drifted = bars(2, 3, 0.0).withColumn("extra", lit(1))
+    val e = intercept[IllegalArgumentException] {
+      SnapshotLake.append(spark, root, drifted)
+    }
+    assert(e.getMessage.contains("schema drift"))
+  }
+
+  test("hive-partitioned appends keep partition columns through the " +
+      "pinned read") {
+    val root = freshRoot()
+    val df = bars(1, 6, 0.0).unionByName(bars(2, 6, 50.0))
+      .withColumn("year", year(col("ts")))
+      .withColumn("month", month(col("ts")))
+    SnapshotLake.append(spark, root, df, partitionCols = Seq("year", "month"))
+    val m = SnapshotLake.manifest(spark, root)
+    assert(m.files.forall(_.rel.startsWith("year=2024/month=")))
+    val back = SnapshotLake.read(spark, root)
+    assert(back.columns.toSet == Set("symbol", "ts", "close", "year", "month"))
+    assert(back.filter(col("month") === 2).count() == 6)
+    // partition pruning still applies on the explicit file-list plan
+    val pruned = back.filter(col("month") === 2)
+    assert(pruned.count() == 6)
+  }
+
+  // --------------------------------------- maintenance vs readers contract
+
+  test("compact is invisible to a pinned reader; latest sees fewer files") {
+    val root = freshRoot()
+    (1 to 4).foreach(i => SnapshotLake.append(spark, root,
+      bars(i, 8, i * 10.0).repartition(3)))
+    val pinned = SnapshotLake.read(spark, root, Some(4)) // planned pre-compact
+    val filesBefore = SnapshotLake.manifest(spark, root).files.size
+    val (v, before, after) = SnapshotLake.compact(spark, root,
+      targetBytes = Long.MaxValue) // everything into one file
+    assert(v == 5 && before == filesBefore && after == 1)
+    // the pre-compact plan executes AFTER the compact without error or
+    // row loss — the contract Lake.retryingOnSwap can only approximate
+    assert(pinned.count() == 32)
+    assert(SnapshotLake.read(spark, root).count() == 32)
+    assert(SnapshotLake.manifest(spark, root).files.size == 1)
+    assert(SnapshotLake.read(spark, root).agg(sum("close")).head.getDouble(0)
+      == pinned.agg(sum("close")).head.getDouble(0))
+  }
+
+  test("racing appends all land; compact racing appends drops no rows") {
+    val root = freshRoot()
+    SnapshotLake.append(spark, root, bars(1, 4, 0.0))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // 4 concurrent appenders + 1 compactor, all through the lock protocol
+    val appends = (2 to 5).map(i => Future {
+      SnapshotLake.append(spark, root, bars(i, 4, i * 100.0))
+    })
+    val compaction = Future {
+      SnapshotLake.compact(spark, root, targetBytes = Long.MaxValue)
+    }
+    Await.result(Future.sequence(appends :+ compaction.map(_._1)), 120.seconds)
+    val finalDf = SnapshotLake.read(spark, root)
+    assert(finalDf.count() == 20) // nothing dropped, nothing doubled
+    assert(finalDf.select("symbol", "ts", "close").distinct().count() == 20)
+    // versions dense 1..6
+    assert(SnapshotLake.versions(spark, root) == (1L to 6L))
+  }
+
+  test("vacuum deletes only unreferenced files; dropped versions fail " +
+      "loudly; retained pinned reads keep working") {
+    val root = freshRoot()
+    (1 to 3).foreach(i => SnapshotLake.append(spark, root, bars(i, 6, 0.0)))
+    SnapshotLake.compact(spark, root, targetBytes = Long.MaxValue) // v4
+    val dataFiles = fs.listFiles(new Path(root, "data"), true)
+    def countData(): Int = {
+      val it = fs.listFiles(new Path(root, "data"), true)
+      var n = 0; while (it.hasNext) { it.next(); n += 1 }; n
+    }
+    val beforeVacuum = countData()
+    assert(beforeVacuum > 1) // pre-compact files still on disk
+    val (deleted, dropped) = SnapshotLake.vacuum(spark, root, retainLast = 1,
+      staleStageMs = 0)
+    assert(deleted == beforeVacuum - 1 && dropped == 3)
+    assert(countData() == 1)
+    assert(SnapshotLake.read(spark, root).count() == 18)
+    val e = intercept[IllegalArgumentException] {
+      SnapshotLake.read(spark, root, Some(2))
+    }
+    assert(e.getMessage.contains("vacuumed"))
+  }
+
+  // ------------------------------------------------------- crash recovery
+
+  test("crashed committer: stale lock is broken after expiry; lock with a " +
+      "published manifest is broken immediately") {
+    val root = freshRoot()
+    SnapshotLake.append(spark, root, bars(1, 3, 0.0))
+    val mdir = new Path(root, "_manifests")
+    // (a) owner died mid-commit: fresh lock for v2, no manifest — append
+    // with a short lease breaks it and proceeds
+    val lock2 = new Path(mdir, "v00000002.lock")
+    assert(fs.createNewFile(lock2))
+    val t0 = System.nanoTime
+    val v2 = SnapshotLake.append(spark, root, bars(2, 3, 0.0),
+      lockExpiryMs = 200)
+    assert(v2 == 2)
+    assert((System.nanoTime - t0) / 1e6 >= 200) // actually waited the lease out
+    // (b) owner died after publish, before releasing: lock v3 AND
+    // manifest v3 both exist — the version is consumed, so the dead lock
+    // never blocks anyone (head already includes v3); vacuum sweeps it
+    val m3bytes = {
+      val in = fs.open(new Path(mdir, "v00000002.manifest"))
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      Iterator.continually(in.read(buf)).takeWhile(_ > 0)
+        .foreach(out.write(buf, 0, _))
+      in.close(); out.toByteArray
+    }
+    val v3m = new String(m3bytes).replace("version=2", "version=3")
+      .replace("parent=1", "parent=2")
+    val o = fs.create(new Path(mdir, "v00000003.manifest"), true)
+    o.write(v3m.getBytes); o.close()
+    assert(fs.createNewFile(new Path(mdir, "v00000003.lock")))
+    val v4 = SnapshotLake.append(spark, root, bars(3, 3, 0.0),
+      lockExpiryMs = 60000) // long lease: must NOT wait — version consumed
+    assert(v4 == 4)
+    SnapshotLake.vacuum(spark, root, retainLast = 1, staleStageMs = 0)
+    assert(!fs.exists(new Path(mdir, "v00000003.lock")))
+  }
+
+  // ------------------------------------- stats skipping / evolution / stream
+
+  test("manifest footer stats prune box reads to the overlapping files " +
+      "only; row identity preserved") {
+    val root = freshRoot()
+    // three appends with disjoint close ranges -> three prunable envelopes
+    SnapshotLake.append(spark, root, bars(1, 10, 0.0),
+      statsCols = Seq("close"))    // close in [1, 10]
+    SnapshotLake.append(spark, root, bars(2, 10, 100.0),
+      statsCols = Seq("close"))    // close in [101, 110]
+    SnapshotLake.append(spark, root, bars(3, 10, 1000.0),
+      statsCols = Seq("close"))    // close in [1001, 1010]
+    val all = SnapshotLake.manifest(spark, root).files
+    assert(all.forall(_.stats.contains("close")))
+    val box = Map("close" -> (100.0, 200.0))
+    val cands = SnapshotLake.candidateEntries(spark, root, box)
+    assert(cands.size < all.size && cands.nonEmpty)
+    val pruned = SnapshotLake.readBox(spark, root, box)
+    val full = SnapshotLake.read(spark, root)
+      .filter(col("close") >= 100.0 && col("close") <= 200.0)
+    assert(pruned.count() == 10 && full.count() == 10)
+    assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty)
+    // compaction recomputes the envelopes on the rewritten files
+    SnapshotLake.compact(spark, root, targetBytes = Long.MaxValue)
+    val after = SnapshotLake.manifest(spark, root).files
+    assert(after.forall(_.stats.contains("close")))
+    assert(SnapshotLake.readBox(spark, root, box).count() == 10)
+  }
+
+  test("schema evolution widens with NULL backfill; retype and drop refuse") {
+    val root = freshRoot()
+    SnapshotLake.append(spark, root, bars(1, 4, 0.0))
+    val widened = bars(2, 4, 10.0).withColumn("source", lit("feed-b"))
+    SnapshotLake.append(spark, root, widened, evolve = true)
+    val back = SnapshotLake.read(spark, root)
+    assert(back.columns.toSeq == Seq("symbol", "ts", "close", "source"))
+    assert(back.filter(col("source").isNull).count() == 4)  // old files
+    assert(back.filter(col("source") === "feed-b").count() == 4)
+    // retype refused
+    val retyped = bars(3, 2, 0.0).withColumn("close", col("close").cast("int"))
+      .withColumn("source", lit("x"))
+    val e1 = intercept[IllegalArgumentException] {
+      SnapshotLake.append(spark, root, retyped, evolve = true)
+    }
+    assert(e1.getMessage.contains("cannot retype"))
+    // drop refused
+    val e2 = intercept[IllegalArgumentException] {
+      SnapshotLake.append(spark, root, bars(3, 2, 0.0), evolve = true)
+    }
+    assert(e2.getMessage.contains("cannot drop"))
+  }
+
+  test("exactly-once streaming ingest: replayed micro-batches are skipped, " +
+      "contents match the batch union") {
+    val root = freshRoot()
+    val handler = SnapshotLake.appendStream(root, streamId = "ingest")
+    handler(bars(1, 5, 0.0), 0L)
+    handler(bars(2, 5, 10.0), 1L)
+    assert(SnapshotLake.read(spark, root).count() == 10)
+    // crash-replay: Spark re-delivers batch 1 (checkpoint lagged the sink)
+    handler(bars(2, 5, 10.0), 1L)
+    assert(SnapshotLake.read(spark, root).count() == 10) // exactly-once
+    assert(SnapshotLake.lastCommittedBatch(spark, root, "ingest").contains(1L))
+    // a different stream's ids are independent
+    handler(bars(3, 5, 20.0), 2L)
+    SnapshotLake.appendStream(root, streamId = "backfill")(bars(4, 2, 30.0), 0L)
+    assert(SnapshotLake.read(spark, root).count() == 17)
+    // and the real plumbing end-to-end: a MemoryStream through foreachBatch
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ms = MemoryStream[(String, Double)](spark)
+    val stRoot = freshRoot()
+    val q = ms.toDF().toDF("symbol", "close").writeStream
+      .foreachBatch(SnapshotLake.appendStream(stRoot, streamId = "ms"))
+      .option("checkpointLocation", TempDirs.create("snap-ckpt"))
+      .start()
+    ms.addData(("a", 1.0), ("b", 2.0)); q.processAllAvailable()
+    ms.addData(("c", 3.0)); q.processAllAvailable()
+    q.stop()
+    assert(SnapshotLake.read(spark, stRoot).count() == 3)
+    assert(SnapshotLake.lastCommittedBatch(spark, stRoot, "ms").contains(1L))
+  }
+
+  test("crashed stage dir is invisible to readers and swept by vacuum") {
+    val root = freshRoot()
+    SnapshotLake.append(spark, root, bars(1, 5, 0.0))
+    val stage = new Path(root, ".stage-deadbeef")
+    fs.mkdirs(stage)
+    val o = fs.create(new Path(stage, "part-zombie.parquet")); o.close()
+    assert(SnapshotLake.read(spark, root).count() == 5) // unaffected
+    SnapshotLake.vacuum(spark, root, retainLast = 1, staleStageMs = 0)
+    assert(!fs.exists(stage))
+  }
+}
