@@ -392,10 +392,27 @@ object SnapshotLake {
     }
   }
 
+  /** A column expression in the same numeric domain as its parquet footer
+    * statistics: numerics as-is, timestamps as epoch MICROS (the int64 the
+    * footer stores — NTZ values are taken as-is, which matches footer
+    * stats exactly in a UTC session, the engine's standing config).
+    */
+  private def statsDomain(schema: StructType, c: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    schema.fields.find(_.name == c).map(_.dataType) match {
+      case Some(TimestampType) => org.apache.spark.sql.functions.unix_micros(col(c))
+      case Some(TimestampNTZType) =>
+        org.apache.spark.sql.functions.unix_micros(
+          col(c).cast(TimestampType))
+      case _ => col(c)
+    }
+  }
+
   /** Files a box predicate cannot skip, by manifest stats alone (no file
     * opened): a file survives when every boxed column's [lo, hi] overlaps
     * the file's recorded envelope; files with no envelope for a boxed
-    * column are conservatively kept.
+    * column are conservatively kept. Box bounds are in the column's stats
+    * domain (see [[statsDomain]]: timestamps in epoch micros).
     */
   def candidateEntries(spark: SparkSession, root: String,
       box: Map[String, (Double, Double)],
@@ -417,7 +434,8 @@ object SnapshotLake {
     val m = manifest(spark, root, version)
     val survivors = candidateEntries(spark, root, box, version)
     val residual = box.map { case (c, (lo, hi)) =>
-      col(c) >= lo && col(c) <= hi
+      val d = statsDomain(m.schema, c)
+      d >= lo && d <= hi
     }.reduce(_ && _)
     if (survivors.isEmpty) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], m.schema)

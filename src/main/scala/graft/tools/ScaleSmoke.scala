@@ -850,6 +850,71 @@ object ScaleSmoke {
           col("volume").between(20.0, 40.0)).count()
     }
     }
+
+    // ---- snapshot: manifest-pinned lake at ingest scale ----------------
+    // The SnapshotLake lifecycle priced on real volume: month-sliced
+    // appends with footer stats, manifest-pruned box reads vs full-scan
+    // filters, non-blocking compaction, retention vacuum. The headline
+    // ratio is files-opened: a ts-month box must plan only that month's
+    // files from the manifest alone (no stats job, no directory listing).
+    if (on("snapshot")) {
+      import graft.sinks.SnapshotLake
+      val root = graft.TempDirs.create("smoke-snap") + "/lake"
+      def timeN(label: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val r = f
+        println(f"[scale] $label%-22s rows=$r%-10d ${(System.nanoTime() - t0) / 1e9}%6.1f s")
+      }
+      // 12 monthly appends (bars ts starts 2025-01-01, 1-min cadence)
+      val withM = bars.withColumn("m", month(col("ts")))
+      val months = withM.select("m").distinct().collect().map(_.getInt(0))
+        .sorted.take(12)
+      timeN(s"snap-append-x${months.length}") {
+        months.foreach { m =>
+          SnapshotLake.append(spark, root, withM.filter(col("m") === m).drop("m")
+            .repartition(4), statsCols = Seq("ts", "open"))
+        }
+        SnapshotLake.read(spark, root).count()
+      }
+      val man = SnapshotLake.manifest(spark, root)
+      val mTarget = months(months.length / 2)
+      val (tsLo, tsHi) = {
+        val r = withM.filter(col("m") === mTarget)
+          .agg(min(unix_timestamp(col("ts"))) * 1000000L,
+            max(unix_timestamp(col("ts"))) * 1000000L).head
+        (r.getLong(0).toDouble, r.getLong(1).toDouble)
+      }
+      val box = Map("ts" -> (tsLo, tsHi))
+      val cand = SnapshotLake.candidateEntries(spark, root, box)
+      println(s"[scale] snap-prune            month box plans ${cand.size} of " +
+        s"${man.files.size} files (manifest stats only)")
+      timeN("snap-box-read") {
+        SnapshotLake.readBox(spark, root, box).count()
+      }
+      timeN("snap-full-filter") {
+        SnapshotLake.read(spark, root)
+          .filter(col("ts") >= java.sql.Timestamp.from(
+            java.time.Instant.ofEpochSecond((tsLo / 1e6).toLong)) &&
+            col("ts") <= java.sql.Timestamp.from(
+              java.time.Instant.ofEpochSecond((tsHi / 1e6).toLong))).count()
+      }
+      timeN("snap-compact") {
+        val (_, b, a) = SnapshotLake.compact(spark, root,
+          targetBytes = 512L * 1024 * 1024)
+        println(s"[scale] snap-compact-files    $b -> $a")
+        SnapshotLake.read(spark, root).count()
+      }
+      timeN("snap-vacuum") {
+        val (del, drop) = SnapshotLake.vacuum(spark, root, retainLast = 1,
+          staleStageMs = 0)
+        println(s"[scale] snap-vacuum-swept     $del files, $drop manifests")
+        del.toLong
+      }
+      // post-compact pruning: envelopes recomputed on the rewritten files
+      val cand2 = SnapshotLake.candidateEntries(spark, root, box)
+      println(s"[scale] snap-prune-compacted  month box plans ${cand2.size} of " +
+        s"${SnapshotLake.manifest(spark, root).files.size} files")
+    }
     spark.stop()
   }
 }
