@@ -97,6 +97,57 @@ object DataQuality {
       .select("verdict.*")
   }
 
+  /** TRUE iff the row violates the (row-local) check. Dataset-level
+    * checks (completeness/unique-key/min-rows) have no per-row meaning
+    * and are refused loudly.
+    */
+  private def rowViolation(check: Check): (String, Column) = check match {
+    case NotNull(c) => (s"not_null:$c", col(c).isNull)
+    case NonNegative(c) => (s"non_negative:$c", coalesce(col(c) < 0, lit(false)))
+    case InRange(c, lo, hi) =>
+      (s"in_range:$c", coalesce(col(c) < lo || col(c) > hi, lit(false)))
+    case RowRule(name, p) => (s"row_rule:$name", coalesce(!p, lit(false)))
+    case MatchesRegex(c, p) =>
+      (s"matches_regex:$c", col(c).isNotNull && !col(c).rlike(p))
+    case other => throw new IllegalArgumentException(
+      s"$other is dataset-level — it has no per-row verdict; use verify()")
+  }
+
+  /** One-projection row router: annotate every row with the names of the
+    * row-local rules it violates (`outCol`, empty array = clean). No
+    * extra scan, no shuffle, no job — compose
+    * `.filter(size(col(outCol)) === 0)` for the clean feed and its
+    * complement for the quarantine sink, and both sides share the single
+    * pass. The operational half of the DQ gate: verify() decides WHETHER
+    * the batch is usable, quarantine() routes WHICH rows poisoned it.
+    */
+  def quarantine(df: DataFrame, checks: Seq[Check],
+      outCol: String = "_violations"): DataFrame = {
+    require(checks.nonEmpty, "no checks given")
+    val tagged = checks.map(rowViolation).map { case (tag, cond) =>
+      when(cond, lit(tag)).otherwise(lit(null))
+    }
+    df.withColumn(outCol,
+      filter(array(tagged: _*), x => x.isNotNull))
+  }
+
+  /** The suite as zero-cost observed metrics: every row-local check (and
+    * row count) rides the frame's OWN pass as an `observe` aggregate — no
+    * second scan, and on a STREAM the violation counts surface per
+    * micro-batch in `StreamingQueryProgress.observedMetrics(name)`. This
+    * is how a 100 TB ingest watches its own quality without paying for a
+    * validation job: the metrics are free bytes on the pipeline it was
+    * already running.
+    */
+  def observed(df: DataFrame, checks: Seq[Check],
+      name: String = "dq"): DataFrame = {
+    val aggs = count(lit(1)).as("rows") +:
+      checks.map(rowViolation).map { case (tag, cond) =>
+        sum(when(cond, 1L).otherwise(0L)).as(tag)
+      }
+    df.observe(name, aggs.head, aggs.tail: _*)
+  }
+
   /** Referential integrity: every non-null `factCol` value exists in
     * `dim.dimCol`; `value` = number of DISTINCT orphan keys. Anti-join on
     * the DISTINCT fact keys — the shuffled side is the key set, not the

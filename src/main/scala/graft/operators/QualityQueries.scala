@@ -30,6 +30,19 @@ object QualityQueries {
       verdicts.unionByName(DataQuality.referentialIntegrity(
         Tables.lineitem(s, dir), "l_orderkey",
         Tables.orders(s, dir), "o_orderkey"))
+    }),
+
+    // Row-level quarantine routing: the violating rows with their rule
+    // tags, straight off the one-projection router (clean rows filtered
+    // by the shared pass). The oracle rebuilds every tag list in SQL.
+    "dq2_quarantine" -> ((s, dir) => {
+      val routed = DataQuality.quarantine(Tables.bars(s, dir), Seq(
+        NotNull("close"),
+        NonNegative("volume"),
+        RowRule("high_ge_low", col("high") >= col("low"))))
+      routed.filter(size(col("_violations")) > 0)
+        .select(col("event_id"),
+          array_join(col("_violations"), ",").as("viol"))
     })
   )
 
@@ -64,6 +77,16 @@ object QualityQueries {
          |UNION ALL SELECT 'unique_key', 'symbol,ts', CAST(v_uk AS DOUBLE), 0.0, v_uk = 0 FROM agg
          |UNION ALL SELECT 'min_rows', '*', CAST(n AS DOUBLE), 100.0, n >= 100 FROM agg
          |UNION ALL SELECT 'referential_integrity', 'l_orderkey->o_orderkey',
-         |       CAST(orphans AS DOUBLE), 0.0, orphans = 0 FROM ri""".stripMargin)
+         |       CAST(orphans AS DOUBLE), 0.0, orphans = 0 FROM ri""".stripMargin),
+
+    "dq2_quarantine" -> (Tables.barsSql +
+      s"""
+         |SELECT event_id, array_to_string(list_filter([
+         |         CASE WHEN close IS NULL THEN 'not_null:close' END,
+         |         CASE WHEN volume < 0 THEN 'non_negative:volume' END,
+         |         CASE WHEN NOT (high >= low) THEN 'row_rule:high_ge_low' END
+         |       ], x -> x IS NOT NULL), ',') AS viol
+         |FROM bars
+         |WHERE close IS NULL OR volume < 0 OR NOT (high >= low)""".stripMargin)
   )
 }

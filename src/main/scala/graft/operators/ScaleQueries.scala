@@ -92,6 +92,35 @@ object ScaleQueries {
       SnapshotLake.read(s, root)
     }),
 
+    // Snapshot-lake MERGE: bars land as the base version, an update batch
+    // (every 10th event_id, bumped close, version 2) plus an insert batch
+    // (brand-new ids) MERGEs in with file-level envelope pruning, the
+    // final pinned read must equal the declarative merge the oracle
+    // computes. Exercises footer-stats pruning + keep-latest-wins + the
+    // lock commit in one relational verdict.
+    "sn2_snapshot_merge" -> ((s, dir) => {
+      import graft.sinks.SnapshotLake
+      val b = Tables.bars(s, dir)
+        .select(col("event_id"), col("symbol"), col("ts"), col("close"))
+        .withColumn("ver", lit(1L))
+      val root = graft.TempDirs.create("graft-sn2") + "/lake"
+      // two appends split by id so the update batch prunes to one side
+      val mid = 500000000L
+      SnapshotLake.append(s, root, b.filter(col("event_id") < mid)
+        .repartition(2), statsCols = Seq("event_id"))
+      SnapshotLake.append(s, root, b.filter(col("event_id") >= mid)
+        .repartition(2), statsCols = Seq("event_id"))
+      val updates = b.filter(col("event_id") % 10 === 0)
+        .withColumn("close", col("close") + lit(1.0))
+        .withColumn("ver", lit(2L))
+        .unionByName(b.filter(col("event_id") % 1000 === 7)
+          .withColumn("event_id", col("event_id") + lit(1000000000000L))
+          .withColumn("ver", lit(2L)))
+      SnapshotLake.merge(s, root, updates, keyCols = Seq("event_id"),
+        versionCol = "ver", pruneKey = "event_id")
+      SnapshotLake.read(s, root)
+    }),
+
     // Lake-vs-DB coverage census: file side = actual per-symbol lake rows,
     // DB side = the simulated registration state above.
     "rec1_coverage" -> ((s, dir) => {
@@ -112,6 +141,16 @@ object ScaleQueries {
       s"""
          |SELECT event_id, symbol, ts, open, high, low, close, volume
          |FROM bars""".stripMargin),
+
+    "sn2_snapshot_merge" -> (Tables.barsSql +
+      s"""
+         |SELECT event_id, symbol, ts,
+         |       CASE WHEN event_id % 10 = 0 THEN close + 1.0 ELSE close END AS close,
+         |       CAST(CASE WHEN event_id % 10 = 0 THEN 2 ELSE 1 END AS BIGINT) AS ver
+         |FROM bars
+         |UNION ALL
+         |SELECT event_id + 1000000000000, symbol, ts, close, CAST(2 AS BIGINT) AS ver
+         |FROM bars WHERE event_id % 1000 = 7""".stripMargin),
 
     "sk1_salted_stats" -> (Tables.barsSql +
       s"""

@@ -487,6 +487,84 @@ object SnapshotLake {
     (v, base.files.size, newFiles.size)
   }
 
+  /** MERGE (upsert) into the snapshot lake with FILE-LEVEL pruning:
+    * keep-latest-wins on `versionCol` over full `keyCols` tuples, but only
+    * the data files whose `pruneKey` footer envelope overlaps the updates'
+    * range are read and rewritten — every other file survives by IDENTITY
+    * in the new manifest (not rewritten, not even opened). Sound because
+    * a file whose envelope misses the updates' [min, max] of `pruneKey`
+    * (one of the key columns) cannot contain any matching key; files with
+    * no recorded envelope are conservatively rewritten, so pass
+    * `statsCols = Seq(pruneKey, ...)` on appends.
+    *
+    * Same commit semantics as [[compact]]: the rewrite is staged
+    * invisibly, one lock commit publishes it, pinned readers never see a
+    * torn state, and concurrent appends ride through the lock-merge
+    * (they merge AGAINST the base version — a concurrent append carrying
+    * a matching key lands as its own later version, exactly the
+    * serialization an optimistic store gives). Returns
+    * (newVersion, filesRewritten, filesUntouched).
+    */
+  def merge(spark: SparkSession, root: String, updates: DataFrame,
+      keyCols: Seq[String], versionCol: String, pruneKey: String,
+      partitionCols: Seq[String] = Nil,
+      lockExpiryMs: Long = DefaultLockExpiryMs): (Long, Int, Int) = {
+    require(keyCols.contains(pruneKey),
+      s"pruneKey $pruneKey must be one of keyCols ${keyCols.mkString(",")}")
+    val base = manifest(spark, root, None)
+    require(schemasCompatible(base.schema, updates.schema),
+      s"merge schema drift: lake has ${base.schema.simpleString}, " +
+        s"updates have ${updates.schema.simpleString}")
+    val dom = statsDomain(base.schema, pruneKey)
+    val range = updates.agg(
+      org.apache.spark.sql.functions.min(dom),
+      org.apache.spark.sql.functions.max(dom)).head
+    if (range.isNullAt(0)) { // no non-null update keys: nothing to do
+      return (base.version, 0, base.files.size)
+    }
+    val (lo, hi) = (toDoubleStat(range.get(0)), toDoubleStat(range.get(1)))
+    val (rewrite, untouched) = base.files.partition(f =>
+      f.stats.get(pruneKey).forall { case (fLo, fHi) => fHi >= lo && fLo <= hi })
+    val cols = base.schema.fields.map(f => col(f.name))
+    val fns = org.apache.spark.sql.functions
+    val existing =
+      if (rewrite.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], base.schema)
+      else {
+        val dd = dataDir(root).toString
+        spark.read.option("basePath", dd).schema(base.schema)
+          .parquet(rewrite.map(f => s"$dd/${f.rel}"): _*)
+      }
+    // keep-latest-wins with the deterministic tie-break (version desc,
+    // updates beat lake at equal version, full-row hash stabilizes
+    // equal-version update pairs) — Lake.mergeArchive's contract
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col(versionCol).desc, col("__src").desc,
+        fns.xxhash64(cols.toIndexedSeq: _*).asc)
+    val winners = existing.withColumn("__src", fns.lit(0))
+      .unionByName(updates.select(cols.toIndexedSeq: _*)
+        .withColumn("__src", fns.lit(1)))
+      .withColumn("__rn", fns.row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(cols.toIndexedSeq: _*)
+    val statsCols = base.files.flatMap(_.stats.keys).toSet + pruneKey
+    val newFiles = stageFiles(spark, root, winners, partitionCols, statsCols)
+    val rewriteSet = rewrite.map(_.rel).toSet
+    val v = commit(spark, root, "merge", base.schema,
+      build = head => newFiles ++ head.map(_.files).getOrElse(Nil)
+        .filterNot(f => rewriteSet.contains(f.rel) ||
+          newFiles.exists(_.rel == f.rel)),
+      lockExpiryMs)
+    (v, rewrite.size, untouched.size)
+  }
+
+  private def toDoubleStat(v: Any): Double = v match {
+    case n: java.lang.Number => n.doubleValue
+    case other => throw new IllegalArgumentException(
+      s"pruneKey stats domain must be numeric, got $other")
+  }
+
   /** Delete data files unreferenced by the newest `retainLast` manifests,
     * drop older manifests, and sweep dead stage dirs. After vacuum,
     * reads pinned at dropped versions fail LOUDLY in [[manifest]]

@@ -80,6 +80,57 @@ class DataQualitySpec extends SparkSpec {
     assert(clean.getDouble(2) == 0.0 && clean.getBoolean(4))
   }
 
+  test("quarantine tags each row with exactly its violated rules, in " +
+      "check order, with no extra scan") {
+    val routed = DataQuality.quarantine(fixture, Seq(
+      NotNull("name"),
+      NonNegative("score"),
+      MatchesRegex("grade", "[A-F]")))
+    val tags = routed.collect().map { r =>
+      val idIdx = r.fieldIndex("id")
+      val k = if (r.isNullAt(idIdx)) None else Some(r.getLong(idIdx))
+      (k, r.getSeq[String](r.fieldIndex("_violations")))
+    }.toMap
+    assert(tags(Some(2L)) == Seq("non_negative:score"))
+    assert(tags(Some(3L)) == Seq("not_null:name"))
+    assert(tags(Some(4L)) == Seq("matches_regex:grade"))
+    assert(tags(Some(1L)).isEmpty && tags(None).isEmpty)
+    // clean/quarantine split shares the single pass — no shuffle, no agg
+    val plan = routed.filter(size(col("_violations")) === 0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Aggregate"))
+    // dataset-level checks refuse per-row routing
+    val e = intercept[IllegalArgumentException] {
+      DataQuality.quarantine(fixture, Seq(UniqueKey(Seq("id"))))
+    }
+    assert(e.getMessage.contains("dataset-level"))
+  }
+
+  test("observed metrics ride the frame's own pass — batch and per-batch " +
+      "on a stream") {
+    // batch: counts surface through the observation without a second job
+    val observed = DataQuality.observed(fixture, Seq(
+      NotNull("name"), NonNegative("score")), name = "dqb")
+    observed.collect()
+    val row = observed.queryExecution.observedMetrics("dqb")
+    assert(row.getAs[Long]("rows") == 6L)
+    assert(row.getAs[Long]("not_null:name") == 1L)
+    assert(row.getAs[Long]("non_negative:score") == 1L)
+    // stream: per-micro-batch violation counts in the progress events
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ms = MemoryStream[(String, Double)](spark)
+    val q = DataQuality.observed(
+        ms.toDF().toDF("name", "score"),
+        Seq(NonNegative("score")), name = "dqs")
+      .writeStream.format("noop").start()
+    ms.addData(("a", 1.0), ("b", -2.0), ("c", -3.0))
+    q.processAllAvailable()
+    val m = q.lastProgress.observedMetrics.get("dqs")
+    assert(m.getAs[Long]("rows") == 3L)
+    assert(m.getAs[Long]("non_negative:score") == 2L)
+    q.stop()
+  }
+
   test("verdict frame unions across datasets into one report") {
     val a = DataQuality.verify(fixture, Seq(MinRows(1)))
     val b = DataQuality.referentialIntegrity(

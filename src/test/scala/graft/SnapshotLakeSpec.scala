@@ -157,6 +157,50 @@ class SnapshotLakeSpec extends SparkSpec {
     assert(e.getMessage.contains("vacuumed"))
   }
 
+  test("merge rewrites only envelope-overlapping files; untouched files " +
+      "survive by identity; keep-latest-wins") {
+    val root = freshRoot()
+    def rows(ids: Range, v: Long, pay: Double) =
+      ids.map(i => (i.toLong, v, pay + i)).toDF("id", "v", "payload")
+    // three appends with disjoint id envelopes
+    SnapshotLake.append(spark, root, rows(1 to 100, 1L, 0.0),
+      statsCols = Seq("id"))
+    SnapshotLake.append(spark, root, rows(1001 to 1100, 1L, 0.0),
+      statsCols = Seq("id"))
+    SnapshotLake.append(spark, root, rows(5001 to 5100, 1L, 0.0),
+      statsCols = Seq("id"))
+    val before = SnapshotLake.manifest(spark, root).files
+    val pinned = SnapshotLake.read(spark, root, Some(3))
+    // updates hit only the middle envelope + one brand-new id; one stale
+    val updates = Seq(
+      (1001L, 2L, 777.0),   // wins (higher v)
+      (1050L, 0L, -1.0),    // stale — loses
+      (2000L, 1L, 42.0)     // insert (inside no existing envelope... gap)
+    ).toDF("id", "v", "payload")
+    val (v, rewritten, untouched) = SnapshotLake.merge(spark, root, updates,
+      keyCols = Seq("id"), versionCol = "v", pruneKey = "id")
+    // updates range [1001, 2000] overlaps ONLY the middle append's files
+    val midFiles = before.filter(f =>
+      f.stats("id")._2 >= 1001.0 && f.stats("id")._1 <= 2000.0)
+    assert(rewritten == midFiles.size &&
+      untouched == before.size - midFiles.size)
+    val after = SnapshotLake.manifest(spark, root).files.map(_.rel).toSet
+    // untouched files carried by identity (same rel path, not rewritten)
+    assert(before.filterNot(midFiles.contains).forall(f => after(f.rel)))
+    assert(midFiles.forall(f => !after(f.rel)))
+    val got = SnapshotLake.read(spark, root)
+    assert(got.count() == 301) // 300 base + 1 insert
+    assert(got.filter(col("id") === 1001).select("v", "payload").head
+      == org.apache.spark.sql.Row(2L, 777.0))     // update won
+    assert(got.filter(col("id") === 1050).select("v").head.getLong(0) == 1L) // stale lost
+    assert(got.filter(col("id") === 2000).count() == 1)                     // insert
+    // a reader pinned pre-merge still sees the pre-merge world
+    assert(pinned.count() == 300)
+    assert(pinned.filter(col("id") === 1001).select("payload").head
+      .getDouble(0) == 1001.0)
+    assert(v == 4)
+  }
+
   // ------------------------------------------------------- crash recovery
 
   test("crashed committer: stale lock is broken after expiry; lock with a " +
