@@ -565,6 +565,61 @@ object SnapshotLake {
       s"pruneKey stats domain must be numeric, got $other")
   }
 
+  /** DELETE rows matching `predicate`, with the same file-level pruning
+    * discipline as [[merge]] done from the predicate itself: only files
+    * whose `pruneBox` envelope overlaps (or that lack stats) are read and
+    * rewritten without the matching rows; every other file survives by
+    * identity — a GDPR-scale delete touches the files that CAN contain
+    * the subject, not the lake. Pass the tightest `pruneBox` implied by
+    * the predicate (callers know; an empty box rewrites everything that
+    * the predicate might touch = all files). Returns
+    * (newVersion, rowsDeleted, filesRewritten, filesUntouched).
+    */
+  def delete(spark: SparkSession, root: String,
+      predicate: org.apache.spark.sql.Column,
+      pruneBox: Map[String, (Double, Double)] = Map.empty,
+      partitionCols: Seq[String] = Nil,
+      lockExpiryMs: Long = DefaultLockExpiryMs): (Long, Long, Int, Int) = {
+    val base = manifest(spark, root, None)
+    val (rewrite, untouched) = base.files.partition(f =>
+      pruneBox.forall { case (c, (lo, hi)) =>
+        f.stats.get(c).forall { case (fLo, fHi) => fHi >= lo && fLo <= hi }
+      })
+    if (rewrite.isEmpty) return (base.version, 0L, 0, untouched.size)
+    val dd = dataDir(root).toString
+    val fns = org.apache.spark.sql.functions
+    val touched = spark.read.option("basePath", dd).schema(base.schema)
+      .parquet(rewrite.map(f => s"$dd/${f.rel}"): _*)
+    val hit = fns.coalesce(predicate, fns.lit(false)) // NULL pred = keep
+    val deleted = touched.filter(hit).count()
+    val keep = touched.filter(!hit)
+    val statsCols = base.files.flatMap(_.stats.keys).toSet
+    val newFiles =
+      if (deleted == 0) rewrite // nothing matched: keep files as-is
+      else stageFiles(spark, root, keep, partitionCols, statsCols)
+    val rewriteSet = rewrite.map(_.rel).toSet
+    val v =
+      if (deleted == 0) base.version // no-op: don't publish an empty diff
+      else commit(spark, root, "delete", base.schema,
+        build = head => newFiles ++ head.map(_.files).getOrElse(Nil)
+          .filterNot(f => rewriteSet.contains(f.rel)),
+        lockExpiryMs)
+    (v, deleted, if (deleted == 0) 0 else rewrite.size, untouched.size)
+  }
+
+  /** Roll the lake back: commit a new version whose file list is exactly
+    * `toVersion`'s — history is preserved (nothing rewritten, nothing
+    * deleted; the bad versions stay inspectable until vacuum), readers
+    * simply resume at the restored content. The snapshot-store answer to
+    * "the last three ingests were poison".
+    */
+  def restore(spark: SparkSession, root: String, toVersion: Long,
+      lockExpiryMs: Long = DefaultLockExpiryMs): Long = {
+    val target = manifest(spark, root, Some(toVersion))
+    commit(spark, root, s"restore:v$toVersion", target.schema,
+      build = _ => target.files, lockExpiryMs)
+  }
+
   /** Delete data files unreferenced by the newest `retainLast` manifests,
     * drop older manifests, and sweep dead stage dirs. After vacuum,
     * reads pinned at dropped versions fail LOUDLY in [[manifest]]

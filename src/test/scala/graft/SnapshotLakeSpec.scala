@@ -201,6 +201,38 @@ class SnapshotLakeSpec extends SparkSpec {
     assert(v == 4)
   }
 
+  test("delete prunes to the envelope, rewrites without matches, no-ops " +
+      "cleanly; restore rolls back by manifest alone") {
+    val root = freshRoot()
+    def rows(ids: Range) = ids.map(i => (i.toLong, s"u${i % 7}")).toDF("id", "user")
+    SnapshotLake.append(spark, root, rows(1 to 100), statsCols = Seq("id"))
+    SnapshotLake.append(spark, root, rows(1001 to 1100), statsCols = Seq("id"))
+    val before = SnapshotLake.manifest(spark, root).files
+    // GDPR-style: remove one id, prune by its value
+    val (v3, deleted, rewritten, untouched) = SnapshotLake.delete(spark, root,
+      col("id") === 1050, pruneBox = Map("id" -> (1050.0, 1050.0)))
+    assert(v3 == 3 && deleted == 1)
+    // pruning is per-FILE: only files whose envelope contains 1050 rewrite
+    val hit = before.filter(f =>
+      f.stats("id")._1 <= 1050.0 && f.stats("id")._2 >= 1050.0)
+    assert(rewritten == hit.size && untouched == before.size - hit.size)
+    val after = SnapshotLake.manifest(spark, root).files.map(_.rel).toSet
+    assert(before.filterNot(hit.contains).forall(f => after(f.rel))) // identity
+    assert(SnapshotLake.read(spark, root).count() == 199)
+    assert(SnapshotLake.read(spark, root).filter(col("id") === 1050).isEmpty)
+    // no-match delete publishes NO version (no empty diffs in history)
+    val (v4, d0, r0, _) = SnapshotLake.delete(spark, root,
+      col("id") === 99999, pruneBox = Map("id" -> (99999.0, 99999.0)))
+    assert(v4 == 3 && d0 == 0 && r0 == 0)
+    assert(SnapshotLake.latestVersion(spark, root).contains(3L))
+    // restore to pre-delete: metadata-only rollback, history preserved
+    val v5 = SnapshotLake.restore(spark, root, 2)
+    assert(v5 == 4)
+    assert(SnapshotLake.read(spark, root).count() == 200)
+    assert(SnapshotLake.read(spark, root, Some(3)).count() == 199) // still there
+    assert(SnapshotLake.manifest(spark, root).op == "restore:v2")
+  }
+
   // ------------------------------------------------------- crash recovery
 
   test("crashed committer: stale lock is broken after expiry; lock with a " +
