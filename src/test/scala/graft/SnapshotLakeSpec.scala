@@ -233,6 +233,52 @@ class SnapshotLakeSpec extends SparkSpec {
     assert(SnapshotLake.manifest(spark, root).op == "restore:v2")
   }
 
+  test("readPruned: ordinary filters prune files through the manifest " +
+      "stats at planning time — rows identical to the unpruned read") {
+    import graft.sinks.ManifestFileIndex
+    val root = freshRoot()
+    SnapshotLake.append(spark, root, bars(1, 10, 0.0), statsCols = Seq("close"))
+    SnapshotLake.append(spark, root, bars(2, 10, 100.0), statsCols = Seq("close"))
+    SnapshotLake.append(spark, root, bars(3, 10, 1000.0), statsCols = Seq("close"))
+    val nAll = SnapshotLake.manifest(spark, root).files.size
+    val pruned = ManifestFileIndex.readPruned(spark, root)
+      .filter(col("close") >= 100.0 && col("close") <= 200.0)
+    // end-to-end: the physical scan planned only the overlapping files
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val scans = pruned.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      assert(scans.size == 1)
+      assert(pruned.count() == 10)
+      val numFiles = scans.head.metrics("numFiles").value
+      assert(numFiles < nAll && numFiles > 0,
+        s"expected pruning: $numFiles of $nAll files")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // row identity vs the explicit-list read
+    val full = SnapshotLake.read(spark, root)
+      .filter(col("close") >= 100.0 && col("close") <= 200.0)
+    assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty)
+    // timestamp filters prune too (Catalyst literals arrive as micros)
+    val tsPruned = {
+      val r2 = freshRoot()
+      SnapshotLake.append(spark, r2, bars(1, 5, 0.0), statsCols = Seq("ts"))
+      SnapshotLake.append(spark, r2, bars(6, 5, 0.0), statsCols = Seq("ts"))
+      val df = ManifestFileIndex.readPruned(spark, r2)
+        .filter(col("ts") >= ts("2024-06-01 00:00:00"))
+      df.count() == 5 && df.inputFiles.nonEmpty
+    }
+    assert(tsPruned)
+    // partitioned lakes refuse loudly, naming the alternative
+    val r3 = freshRoot()
+    SnapshotLake.append(spark, r3, bars(1, 4, 0.0)
+      .withColumn("m", month(col("ts"))), partitionCols = Seq("m"))
+    val e = intercept[IllegalArgumentException] {
+      ManifestFileIndex.readPruned(spark, r3)
+    }
+    assert(e.getMessage.contains("readBox"))
+  }
+
   // ------------------------------------------------------- crash recovery
 
   test("crashed committer: stale lock is broken after expiry; lock with a " +
