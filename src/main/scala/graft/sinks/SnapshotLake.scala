@@ -672,6 +672,47 @@ object SnapshotLake {
     (deleted, drop.size)
   }
 
+  /** Incremental read: exactly the rows appended after `sinceVersion` —
+    * the manifest diff of each append against its parent, unioned. The
+    * feed a training pipeline tails ("process only the new documents")
+    * without any change-tracking column or full-lake diff: file lists ARE
+    * the change log for append-only lakes. Refuses loudly if a
+    * non-append op (compact/merge/delete/restore) intervened — those
+    * rewrite or remove rows, so file provenance no longer equals row
+    * provenance and the caller must fall back to a full read (or diff
+    * two pinned versions). A vacuumed `sinceVersion` also fails loudly
+    * in [[manifest]] — retention must cover the consumer's lag, the same
+    * contract every changelog store has.
+    */
+  def appendsSince(spark: SparkSession, root: String,
+      sinceVersion: Long): DataFrame = {
+    val head = latestVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot under $root"))
+    require(sinceVersion <= head,
+      s"sinceVersion $sinceVersion is ahead of the lake (latest $head)")
+    val newer = versions(spark, root).filter(_ > sinceVersion)
+      .map(v => manifest(spark, root, Some(v)))
+    val nonAppend = newer.filterNot(_.op.startsWith("append"))
+    require(nonAppend.isEmpty,
+      s"appendsSince($sinceVersion) crosses non-append versions " +
+        s"${nonAppend.map(m => s"v${m.version}=${m.op}").mkString(", ")} — " +
+        "file provenance no longer equals row provenance; read a pinned " +
+        "version instead")
+    val base = manifest(spark, root, Some(sinceVersion))
+    val since = base.files.map(_.rel).toSet
+    val added = newer.flatMap(_.files).filterNot(f => since(f.rel))
+      .distinctBy(_.rel)
+    if (added.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        newer.lastOption.map(_.schema).getOrElse(base.schema))
+    else {
+      val dd = dataDir(root).toString
+      spark.read.option("basePath", dd)
+        .schema(newer.last.schema)
+        .parquet(added.map(f => s"$dd/${f.rel}"): _*)
+    }
+  }
+
   // ------------------------------------------------------------- streaming
 
   private val StreamOpRe = raw"append:stream=([^,]*),batch=(\d+)".r

@@ -250,7 +250,9 @@ class SnapshotLakeSpec extends SparkSpec {
         case s: org.apache.spark.sql.execution.FileSourceScanExec => s
       }
       assert(scans.size == 1)
-      assert(pruned.count() == 10)
+      // collect() executes THIS dataset's plan (count() would build a new
+      // one and leave our scan node's metrics untouched)
+      assert(pruned.collect().length == 10)
       val numFiles = scans.head.metrics("numFiles").value
       assert(numFiles < nAll && numFiles > 0,
         s"expected pruning: $numFiles of $nAll files")
@@ -277,6 +279,33 @@ class SnapshotLakeSpec extends SparkSpec {
       ManifestFileIndex.readPruned(spark, r3)
     }
     assert(e.getMessage.contains("readBox"))
+  }
+
+  test("appendsSince tails exactly the new rows; refuses across rewrites") {
+    val root = freshRoot()
+    SnapshotLake.append(spark, root, bars(1, 5, 0.0))   // v1
+    SnapshotLake.append(spark, root, bars(2, 5, 10.0))  // v2
+    SnapshotLake.append(spark, root, bars(3, 5, 20.0))  // v3
+    val delta = SnapshotLake.appendsSince(spark, root, 1)
+    assert(delta.count() == 10)
+    val expect = bars(2, 5, 10.0).unionByName(bars(3, 5, 20.0))
+    assert(delta.exceptAll(expect).isEmpty && expect.exceptAll(delta).isEmpty)
+    assert(SnapshotLake.appendsSince(spark, root, 3).count() == 0)
+    // schema evolution mid-stream: the tail reads with the widened schema
+    SnapshotLake.append(spark, root,
+      bars(4, 2, 30.0).withColumn("src", lit("x")), evolve = true) // v4
+    val widened = SnapshotLake.appendsSince(spark, root, 3)
+    assert(widened.columns.contains("src") && widened.count() == 2)
+    // a compact breaks file provenance — loud refusal naming the version
+    SnapshotLake.compact(spark, root, targetBytes = Long.MaxValue) // v5
+    val e = intercept[IllegalArgumentException] {
+      SnapshotLake.appendsSince(spark, root, 3)
+    }
+    assert(e.getMessage.contains("v5=compact"))
+    // but tailing from AFTER the compact works again
+    SnapshotLake.append(spark, root,
+      bars(5, 3, 40.0).withColumn("src", lit("y"))) // v6
+    assert(SnapshotLake.appendsSince(spark, root, 5).count() == 3)
   }
 
   // ------------------------------------------------------- crash recovery
