@@ -865,10 +865,12 @@ object ScaleSmoke {
         val r = f
         println(f"[scale] $label%-22s rows=$r%-10d ${(System.nanoTime() - t0) / 1e9}%6.1f s")
       }
-      // 12 monthly appends (bars ts starts 2025-01-01, 1-min cadence)
-      val withM = bars.withColumn("m", month(col("ts")))
-      val months = withM.select("m").distinct().collect().map(_.getInt(0))
-        .sorted.take(12)
+      // 12 calendar-month appends (date_trunc, NOT month-of-year: the
+      // 1-min series spans years at large n, and month-of-year repeats —
+      // slices must be time-contiguous for the envelopes to be disjoint)
+      val withM = bars.withColumn("m", date_trunc("month", col("ts")))
+      val months = withM.select("m").distinct().orderBy("m").limit(12)
+        .collect().map(_.getTimestamp(0))
       timeN(s"snap-append-x${months.length}") {
         months.foreach { m =>
           SnapshotLake.append(spark, root, withM.filter(col("m") === m).drop("m")
