@@ -429,6 +429,32 @@ class SnapshotLakeSpec extends SparkSpec {
     assert(SnapshotLake.lastCommittedBatch(spark, stRoot, "ms").contains(1L))
   }
 
+  test("edges: empty append, stats-free readBox, 2-column manifest lines") {
+    val root = freshRoot()
+    SnapshotLake.append(spark, root, bars(1, 5, 0.0))
+    // zero-row append commits a version (an auditable no-op, not a crash)
+    val v2 = SnapshotLake.append(spark, root, bars(2, 5, 0.0).limit(0))
+    assert(v2 == 2 && SnapshotLake.read(spark, root).count() == 5)
+    // box on a column with NO recorded stats: conservative — all files kept
+    val cands = SnapshotLake.candidateEntries(spark, root,
+      Map("close" -> (0.0, 1.0)))
+    assert(cands.size == SnapshotLake.manifest(spark, root).files.size)
+    assert(SnapshotLake.readBox(spark, root, Map("close" -> (1.0, 3.0)))
+      .count() == 3)
+    // manifests written before the stats column existed (2-col file lines)
+    // still parse: strip the stats column from the latest manifest
+    val mdir = new Path(root, "_manifests")
+    val mPath = new Path(mdir, "v00000002.manifest")
+    val in = fs.open(mPath)
+    val raw = scala.io.Source.fromInputStream(in).mkString; in.close()
+    val legacy = raw.split("\n").map { l =>
+      val c = l.split('\t'); if (c.length == 3) s"${c(0)}\t${c(1)}" else l
+    }.mkString("\n")
+    val o = fs.create(mPath, true); o.write(legacy.getBytes); o.close()
+    assert(SnapshotLake.read(spark, root).count() == 5)
+    assert(SnapshotLake.manifest(spark, root).files.forall(_.stats.isEmpty))
+  }
+
   test("crashed stage dir is invisible to readers and swept by vacuum") {
     val root = freshRoot()
     SnapshotLake.append(spark, root, bars(1, 5, 0.0))
