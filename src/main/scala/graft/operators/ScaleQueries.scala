@@ -121,6 +121,79 @@ object ScaleQueries {
       SnapshotLake.read(s, root)
     }),
 
+    // Incrementally-maintained hourly OHLCV rollup (the reference's
+    // TimescaleDB continuous aggregate at lake scale): dbars appended to a
+    // base snapshot lake in three TIME slices; the aggregate lake is built
+    // from slice 1 and then REFRESHED twice, each refresh folding in only
+    // appendsSince(anchor) plus the aggregate files whose bucket envelopes
+    // overlap the delta. The oracle computes the full declarative rollup —
+    // a hash match proves incremental maintenance (associative decimal /
+    // arg-extreme state, manifest provenance, file-pruned combine) equals
+    // the one-shot GROUP BY bit-for-bit.
+    "mv1_incremental_rollup" -> ((s, dir) => {
+      import graft.sinks.{MaterializedRollup => MV, SnapshotLake}
+      import graft.functions.epochUs
+      val d = QueryFixtures.dbars(s, dir)
+        // cast back to NTZ: date_trunc coerces to LTZ, which writes INT96
+        // (no footer stats) and would defeat the refresh's file pruning
+        .withColumn("bucket_ts",
+          date_trunc("hour", col("ts")).cast("timestamp_ntz"))
+      val work = graft.TempDirs.create("graft-mv1")
+      val base = work + "/base"; val mv = work + "/mv"
+      val spec = MV.Spec(
+        keyCols = Seq("symbol", "bucket_ts"), pruneKey = "bucket_ts",
+        sumCols = Seq("volume"), minCols = Seq("low"), maxCols = Seq("high"),
+        orderCol = Some("ts"), firstCols = Seq("open"), lastCols = Seq("close"))
+      val r = d.agg(min(epochUs(col("ts"))), max(epochUs(col("ts")))).head
+      val (lo, hi) = (r.getLong(0), r.getLong(1))
+      val (t1, t2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+      val us = epochUs(col("ts"))
+      SnapshotLake.append(s, base, d.filter(us <= t1).repartition(2),
+        statsCols = Seq("bucket_ts"))
+      MV.init(s, base, mv, spec)
+      SnapshotLake.append(s, base, d.filter(us > t1 && us <= t2).repartition(2),
+        statsCols = Seq("bucket_ts"))
+      MV.refresh(s, base, mv, spec)
+      SnapshotLake.append(s, base, d.filter(us > t2).repartition(2),
+        statsCols = Seq("bucket_ts"))
+      MV.refresh(s, base, mv, spec)
+      MV.readFinal(s, mv, spec).select(
+        col("symbol"), col("bucket_ts"),
+        col("first_open").as("open"), col("max_high").as("high"),
+        col("min_low").as("low"), col("last_close").as("close"),
+        col("sum_volume").as("volume"), col("n_rows").as("n_bars"))
+    }),
+
+    // Manifest-powered CDC: bars land in two appends (ver 1), a MERGE
+    // upserts bumped-close updates + brand-new ids (ver 2), a DELETE
+    // removes every 97th key — then diff(pre-merge, head) classifies the
+    // row-level changes reading ONLY the files the two manifests don't
+    // share. The oracle derives insert/update/delete declaratively from
+    // the same deterministic predicates.
+    "cdc1_snapshot_diff" -> ((s, dir) => {
+      import graft.sinks.SnapshotLake
+      val b = Tables.bars(s, dir)
+        .select(col("event_id"), col("symbol"), col("ts"), col("close"))
+        .withColumn("ver", lit(1L))
+      val root = graft.TempDirs.create("graft-cdc1") + "/lake"
+      val mid = 500000000L
+      SnapshotLake.append(s, root, b.filter(col("event_id") < mid)
+        .repartition(2), statsCols = Seq("event_id"))
+      val vFrom = SnapshotLake.append(s, root, b.filter(col("event_id") >= mid)
+        .repartition(2), statsCols = Seq("event_id"))
+      val updates = b.filter(col("event_id") % 10 === 0)
+        .withColumn("close", col("close") + lit(1.0))
+        .withColumn("ver", lit(2L))
+        .unionByName(b.filter(col("event_id") % 1000 === 7)
+          .withColumn("event_id", col("event_id") + lit(1000000000000L))
+          .withColumn("ver", lit(2L)))
+      SnapshotLake.merge(s, root, updates, keyCols = Seq("event_id"),
+        versionCol = "ver", pruneKey = "event_id")
+      SnapshotLake.delete(s, root, col("event_id") % 97 === 3)
+      val vTo = SnapshotLake.latestVersion(s, root).get
+      SnapshotLake.diff(s, root, vFrom, vTo, keyCols = Seq("event_id"))
+    }),
+
     // Lake-vs-DB coverage census: file side = actual per-symbol lake rows,
     // DB side = the simulated registration state above.
     "rec1_coverage" -> ((s, dir) => {
@@ -151,6 +224,33 @@ object ScaleQueries {
          |UNION ALL
          |SELECT event_id + 1000000000000, symbol, ts, close, CAST(2 AS BIGINT) AS ver
          |FROM bars WHERE event_id % 1000 = 7""".stripMargin),
+
+    "mv1_incremental_rollup" -> (QueryFixtures.dbarsSql +
+      s""", agg AS (
+         |  SELECT symbol,
+         |         make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS bucket_ts,
+         |         arg_min(open, ts) AS open, max(high) AS high, min(low) AS low,
+         |         arg_max(close, ts) AS close,
+         |         CAST(sum(CAST(volume AS DECIMAL(38,10))) AS DOUBLE) AS volume,
+         |         count(*) AS n_bars
+         |  FROM dbars GROUP BY 1, 2
+         |)
+         |SELECT symbol, bucket_ts, open, high, low, close, volume, n_bars
+         |FROM agg""".stripMargin),
+
+    "cdc1_snapshot_diff" -> (Tables.barsSql +
+      s"""
+         |SELECT 'update' AS change, event_id, symbol, ts,
+         |       close + 1.0 AS close, CAST(2 AS BIGINT) AS ver
+         |FROM bars WHERE event_id % 10 = 0 AND event_id % 97 <> 3
+         |UNION ALL
+         |SELECT 'delete', event_id, symbol, ts, close, CAST(1 AS BIGINT)
+         |FROM bars WHERE event_id % 97 = 3
+         |UNION ALL
+         |SELECT 'insert', event_id + 1000000000000, symbol, ts, close,
+         |       CAST(2 AS BIGINT)
+         |FROM bars
+         |WHERE event_id % 1000 = 7 AND (event_id + 1000000000000) % 97 <> 3""".stripMargin),
 
     "sk1_salted_stats" -> (Tables.barsSql +
       s"""

@@ -1,0 +1,278 @@
+package graft.sinks
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+
+/** Incrementally-maintained rollup over a [[SnapshotLake]] — the
+  * reference's TimescaleDB continuous aggregate (timescaledb_schema.sql:
+  * 49-66, hourly OHLCV refreshed with a lag) re-expressed at lake scale:
+  * the aggregate TABLE is itself a snapshot lake, and each refresh folds in
+  * ONLY the rows appended to the base lake since the last refresh, touching
+  * only the aggregate files whose key envelopes overlap the delta.
+  *
+  * Why this shape at 100 TB: a full `GROUP BY` recompute re-reads the
+  * corpus every refresh (cost ∝ lake size); this refresh costs
+  * ∝ delta size + overlapping aggregate files. The two pieces that make it
+  * sound:
+  *
+  *  - **Associative state, not finals.** The aggregate lake stores
+  *    combinable partials — DECIMAL(38,10) sums (exact, order-independent —
+  *    the `exactSum` discipline), min/max, counts, and arg-extremes as
+  *    (order, value) pairs — so `combine(state ∪ lift(delta))` equals
+  *    `lift(base ∪ delta)` EXACTLY, not approximately. Finals (double sums,
+  *    averages) are derived at read time by [[finals]].
+  *  - **Provenance from the manifest log.** The delta is
+  *    [[SnapshotLake.appendsSince]] bounded at a pinned base head: file
+  *    lists are the change log, appends racing the refresh fall into the
+  *    next increment, and a non-append base op (compact/merge/delete)
+  *    fails the incremental path LOUDLY — [[fullRefresh]] is the documented
+  *    fallback (and re-anchors the incremental chain).
+  *
+  * Refresh bookkeeping rides the aggregate lake's own manifests (op field
+  * `mv:base=<v>`), so the MV needs no side-channel state and time travel /
+  * restore / vacuum apply to it unchanged. Concurrent refreshers are
+  * serialized by the commit lock; the loser detects the winner's newer
+  * base anchor under the lock and aborts instead of double-applying the
+  * delta.
+  */
+object MaterializedRollup {
+
+  /** Declarative aggregate spec. All state columns are combinable:
+    *
+    *  - `n_rows`             count(*)
+    *  - `sum_<c>`            DECIMAL(38,10) sum per `sumCols` (exact)
+    *  - `min_<c>` / `max_<c>` per `minCols` / `maxCols`
+    *  - `ord_min` / `first_<c>` and `ord_max` / `last_<c>` per
+    *    `firstCols` / `lastCols` — value at the extreme of `orderCol`
+    *    (epoch micros for timestamp orders). Deterministic when
+    *    (keyCols, orderCol) is unique in the base, the same contract the
+    *    A1 rollup's `min_by`/`max_by` rests on.
+    *
+    * `pruneKey` must be one of `keyCols` with a numeric/timestamp stats
+    * domain: refreshes prune aggregate files by its footer envelope, the
+    * same file-level discipline as [[SnapshotLake.merge]].
+    */
+  final case class Spec(
+      keyCols: Seq[String],
+      pruneKey: String,
+      sumCols: Seq[String] = Nil,
+      minCols: Seq[String] = Nil,
+      maxCols: Seq[String] = Nil,
+      orderCol: Option[String] = None,
+      firstCols: Seq[String] = Nil,
+      lastCols: Seq[String] = Nil,
+      targetRowsPerFile: Long = 4L * 1000 * 1000) {
+    require(keyCols.contains(pruneKey),
+      s"pruneKey $pruneKey must be one of keyCols ${keyCols.mkString(",")}")
+    require(orderCol.nonEmpty || (firstCols.isEmpty && lastCols.isEmpty),
+      "firstCols/lastCols need an orderCol")
+  }
+
+  private val Dec = "decimal(38,10)"
+
+  private def ordExpr(df: DataFrame, c: String): Column =
+    df.schema.fields.find(_.name == c).map(_.dataType) match {
+      case Some(TimestampType) | Some(TimestampNTZType) =>
+        unix_micros(col(c).cast(TimestampType))
+      case _ => col(c).cast("long")
+    }
+
+  /** State-grain column names, in output order. */
+  def stateCols(spec: Spec): Seq[String] =
+    spec.keyCols ++ Seq("n_rows") ++
+      spec.sumCols.map(c => s"sum_$c") ++
+      spec.minCols.map(c => s"min_$c") ++ spec.maxCols.map(c => s"max_$c") ++
+      (if (spec.firstCols.nonEmpty) Seq("ord_min") else Nil) ++
+      spec.firstCols.map(c => s"first_$c") ++
+      (if (spec.lastCols.nonEmpty) Seq("ord_max") else Nil) ++
+      spec.lastCols.map(c => s"last_$c")
+
+  /** Raw base rows → aggregate state at the key grain. */
+  def lift(df: DataFrame, spec: Spec): DataFrame = {
+    val ord = spec.orderCol.map(ordExpr(df, _))
+    val aggs: Seq[Column] =
+      Seq(count(lit(1)).as("n_rows")) ++
+        spec.sumCols.map(c => sum(col(c).cast(Dec)).as(s"sum_$c")) ++
+        spec.minCols.map(c => min(col(c)).as(s"min_$c")) ++
+        spec.maxCols.map(c => max(col(c)).as(s"max_$c")) ++
+        (if (spec.firstCols.nonEmpty) Seq(min(ord.get).as("ord_min")) else Nil) ++
+        spec.firstCols.map(c => min_by(col(c), ord.get).as(s"first_$c")) ++
+        (if (spec.lastCols.nonEmpty) Seq(max(ord.get).as("ord_max")) else Nil) ++
+        spec.lastCols.map(c => max_by(col(c), ord.get).as(s"last_$c"))
+    df.groupBy(spec.keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      .select(stateCols(spec).map(col): _*)
+  }
+
+  /** State rows → state rows at the same grain (associative fold: partials
+    * for the same key merge exactly — decimal sums add, extremes compare,
+    * arg-extremes ride their recorded order).
+    */
+  def combine(states: DataFrame, spec: Spec): DataFrame = {
+    val aggs: Seq[Column] =
+      Seq(sum(col("n_rows")).as("n_rows")) ++
+        spec.sumCols.map(c => sum(col(s"sum_$c")).as(s"sum_$c")) ++
+        spec.minCols.map(c => min(col(s"min_$c")).as(s"min_$c")) ++
+        spec.maxCols.map(c => max(col(s"max_$c")).as(s"max_$c")) ++
+        (if (spec.firstCols.nonEmpty) Seq(min(col("ord_min")).as("ord_min")) else Nil) ++
+        spec.firstCols.map(c =>
+          min_by(col(s"first_$c"), col("ord_min")).as(s"first_$c")) ++
+        (if (spec.lastCols.nonEmpty) Seq(max(col("ord_max")).as("ord_max")) else Nil) ++
+        spec.lastCols.map(c =>
+          max_by(col(s"last_$c"), col("ord_max")).as(s"last_$c"))
+    states.groupBy(spec.keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      .select(stateCols(spec).map(col): _*)
+  }
+
+  /** User-facing finals: decimal sums cast back to double, bookkeeping
+    * order columns dropped, `first_`/`last_` prefixes kept (callers alias).
+    */
+  def finals(state: DataFrame, spec: Spec): DataFrame = {
+    val out: Seq[Column] =
+      spec.keyCols.map(col) ++ Seq(col("n_rows")) ++
+        spec.sumCols.map(c => col(s"sum_$c").cast("double").as(s"sum_$c")) ++
+        spec.minCols.map(c => col(s"min_$c")) ++
+        spec.maxCols.map(c => col(s"max_$c")) ++
+        spec.firstCols.map(c => col(s"first_$c")) ++
+        spec.lastCols.map(c => col(s"last_$c"))
+    state.select(out: _*)
+  }
+
+  private val AnchorRe = raw"mv:base=(\d+).*".r
+
+  /** Base version the MV head reflects (None before [[init]]). */
+  def lastRefreshedBase(spark: SparkSession, mvRoot: String): Option[Long] =
+    SnapshotLake.latestVersion(spark, mvRoot).map { _ =>
+      SnapshotLake.manifest(spark, mvRoot, None).op match {
+        case AnchorRe(v) => v.toLong
+        case other => throw new IllegalStateException(
+          s"$mvRoot head is not a materialized-rollup commit (op=$other)")
+      }
+    }
+
+  final case class Refresh(mvVersion: Long, baseVersion: Long,
+      deltaRows: Long, filesCombined: Int, filesUntouched: Int)
+
+  /** Build the MV from the full base snapshot (first call), anchored at the
+    * base's current head. Also the fallback when the incremental chain is
+    * broken by a non-append base op — pass `replace=true` to rebuild over
+    * an existing MV (publishes one new version; history preserved).
+    */
+  def init(spark: SparkSession, baseRoot: String, mvRoot: String, spec: Spec,
+      replace: Boolean = false,
+      lockExpiryMs: Long = 10L * 60 * 1000): Refresh = {
+    require(replace || SnapshotLake.latestVersion(spark, mvRoot).isEmpty,
+      s"$mvRoot already has a materialized rollup — use refresh, or " +
+        "init(replace=true) to rebuild")
+    val baseHead = SnapshotLake.latestVersion(spark, baseRoot).getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot under $baseRoot"))
+    val state = lift(SnapshotLake.read(spark, baseRoot, Some(baseHead)), spec)
+      .cache()
+    try {
+      val files = SnapshotLake.stageFiles(spark, mvRoot, cluster(state, spec),
+        Nil, Set(spec.pruneKey))
+      val v = SnapshotLake.commit(spark, mvRoot, s"mv:base=$baseHead,init",
+        state.schema, build = _ => files, lockExpiryMs)
+      Refresh(v, baseHead, -1L, files.size, 0)
+    } finally state.unpersist()
+  }
+
+  def fullRefresh(spark: SparkSession, baseRoot: String, mvRoot: String,
+      spec: Spec): Refresh = init(spark, baseRoot, mvRoot, spec, replace = true)
+
+  /** Fold appends since the last refresh into the MV. Reads ONLY the delta
+    * rows plus the MV files whose `pruneKey` envelope overlaps the delta's
+    * key range; every other MV file survives by identity. No-op (publishes
+    * nothing) when the base head is unchanged. Fails loudly — with
+    * [[fullRefresh]] named — when a non-append base op intervened.
+    */
+  def refresh(spark: SparkSession, baseRoot: String, mvRoot: String,
+      spec: Spec, lockExpiryMs: Long = 10L * 60 * 1000): Refresh = {
+    val anchor = lastRefreshedBase(spark, mvRoot).getOrElse(
+      throw new IllegalStateException(s"no materialized rollup under $mvRoot — init first"))
+    val baseHead = SnapshotLake.latestVersion(spark, baseRoot).getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot under $baseRoot"))
+    val mvHead = SnapshotLake.manifest(spark, mvRoot, None)
+    if (baseHead == anchor)
+      return Refresh(mvHead.version, anchor, 0L, 0, mvHead.files.size)
+    val delta =
+      try SnapshotLake.appendsSince(spark, baseRoot, anchor, Some(baseHead))
+      catch {
+        case e: IllegalArgumentException => throw new IllegalStateException(
+          s"incremental refresh broken (${e.getMessage}) — run fullRefresh " +
+            "to re-anchor", e)
+      }
+    val deltaState = lift(delta, spec).cache()
+    try {
+      val dom = SnapshotLake.statsDomain(deltaState.schema, spec.pruneKey)
+      val range = deltaState.agg(min(dom), max(dom)).head
+      if (range.isNullAt(0)) { // zero-row appends: anchor-only bump
+        val v = SnapshotLake.commit(spark, mvRoot, s"mv:base=$baseHead",
+          mvHead.schema, build = head => {
+            guardAnchor(head, anchor, mvRoot)
+            head.map(_.files).getOrElse(Nil)
+          }, lockExpiryMs)
+        return Refresh(v, baseHead, 0L, 0, mvHead.files.size)
+      }
+      val (lo, hi) = (SnapshotLake.toDoubleStat(range.get(0)),
+        SnapshotLake.toDoubleStat(range.get(1)))
+      val (overlap, untouched) = mvHead.files.partition(f =>
+        f.stats.get(spec.pruneKey).forall { case (fLo, fHi) => fHi >= lo && fLo <= hi })
+      val existing =
+        if (overlap.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            mvHead.schema)
+        else {
+          val dd = new org.apache.hadoop.fs.Path(mvRoot, "data").toString
+          spark.read.option("basePath", dd).schema(mvHead.schema)
+            .parquet(overlap.map(f => s"$dd/${f.rel}"): _*)
+        }
+      val combined = combine(existing.unionByName(deltaState), spec).cache()
+      val newFiles =
+        try SnapshotLake.stageFiles(spark, mvRoot, cluster(combined, spec),
+          Nil, Set(spec.pruneKey))
+        finally combined.unpersist()
+      val overlapSet = overlap.map(_.rel).toSet
+      val nDelta = deltaState.agg(sum(col("n_rows"))).head.getLong(0)
+      val v = SnapshotLake.commit(spark, mvRoot, s"mv:base=$baseHead",
+        mvHead.schema, build = head => {
+          guardAnchor(head, anchor, mvRoot)
+          newFiles ++ head.map(_.files).getOrElse(Nil)
+            .filterNot(f => overlapSet.contains(f.rel))
+        }, lockExpiryMs)
+      Refresh(v, baseHead, nDelta, overlap.size, untouched.size)
+    } finally deltaState.unpersist()
+  }
+
+  /** Range-cluster MV state on the prune key before staging so each data
+    * file carries a TIGHT pruneKey footer envelope — that clustering is
+    * what lets a time-local delta refresh skip the rest of the aggregate
+    * lake entirely (the MV analog of Z-ordering the fact lake). File count
+    * is sized from the state's row count (`targetRowsPerFile`), not left
+    * to AQE, which would happily coalesce a small-but-growing MV into one
+    * file and erase the envelope index. Caller is expected to have the
+    * state cached (it is counted AND written).
+    */
+  private def cluster(state: DataFrame, spec: Spec): DataFrame = {
+    val n = math.max(1L,
+      (state.count() + spec.targetRowsPerFile - 1) / spec.targetRowsPerFile)
+    state.repartitionByRange(n.toInt, col(spec.pruneKey))
+  }
+
+  /** Under the commit lock: abort if a rival refresh advanced the anchor
+    * past ours — folding our delta over ITS files would double-count.
+    */
+  private def guardAnchor(head: Option[SnapshotLake.Manifest], anchor: Long,
+      mvRoot: String): Unit =
+    head.map(_.op).foreach {
+      case AnchorRe(v) => require(v.toLong == anchor,
+        s"concurrent refresh of $mvRoot won (anchor $v, ours $anchor) — retry")
+      case other => throw new IllegalStateException(
+        s"$mvRoot head is not a materialized-rollup commit (op=$other)")
+    }
+
+  /** The MV's finals at its current (or a pinned) version. */
+  def readFinal(spark: SparkSession, mvRoot: String, spec: Spec,
+      version: Option[Long] = None): DataFrame =
+    finals(SnapshotLake.read(spark, mvRoot, version), spec)
+}

@@ -193,7 +193,7 @@ object SnapshotLake {
     * file list for the new version; it is (re)evaluated under the lock so
     * a lost race can never drop a rival's files. Returns the version won.
     */
-  private def commit(spark: SparkSession, root: String, op: String,
+  private[sinks] def commit(spark: SparkSession, root: String, op: String,
       schema: StructType, build: Option[Manifest] => Seq[FileEntry],
       lockExpiryMs: Long): Long = {
     val fs = fsOf(spark, root)
@@ -253,7 +253,12 @@ object SnapshotLake {
     * metadata-only driver read (no row data), done once per file at
     * commit time. Only columns whose physical stats convert cleanly to a
     * double ordering (int32/int64/float/double — timestamps ride int64
-    * micros) are recorded; anything else is simply not prunable.
+    * micros) are recorded; anything else is simply not prunable. Note
+    * TIMESTAMP_NTZ (the engine's canonical ts type) writes as INT64 and
+    * prunes; plain LTZ TimestampType writes as INT96 under Spark's default
+    * `spark.sql.parquet.outputTimestampType`, which parquet records no
+    * min/max for — such a column silently yields no envelope and every
+    * reader falls back to the conservative (read-it) side.
     */
   private def footerStats(spark: SparkSession, file: Path,
       statsCols: Set[String]): Map[String, (Double, Double)] = {
@@ -292,7 +297,7 @@ object SnapshotLake {
     * preserved) under data/ with a unique token prefix; returns a
     * [[FileEntry]] (with footer stats for `statsCols`) per data file.
     */
-  private def stageFiles(spark: SparkSession, root: String, df: DataFrame,
+  private[sinks] def stageFiles(spark: SparkSession, root: String, df: DataFrame,
       partitionCols: Seq[String], statsCols: Set[String]): Seq[FileEntry] = {
     val fs = fsOf(spark, root)
     val token = newToken()
@@ -397,7 +402,7 @@ object SnapshotLake {
     * footer stores — NTZ values are taken as-is, which matches footer
     * stats exactly in a UTC session, the engine's standing config).
     */
-  private def statsDomain(schema: StructType, c: String): org.apache.spark.sql.Column = {
+  private[sinks] def statsDomain(schema: StructType, c: String): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
     schema.fields.find(_.name == c).map(_.dataType) match {
       case Some(TimestampType) => org.apache.spark.sql.functions.unix_micros(col(c))
@@ -559,7 +564,7 @@ object SnapshotLake {
     (v, rewrite.size, untouched.size)
   }
 
-  private def toDoubleStat(v: Any): Double = v match {
+  private[sinks] def toDoubleStat(v: Any): Double = v match {
     case n: java.lang.Number => n.doubleValue
     case other => throw new IllegalArgumentException(
       s"pruneKey stats domain must be numeric, got $other")
@@ -683,14 +688,22 @@ object SnapshotLake {
     * two pinned versions). A vacuumed `sinceVersion` also fails loudly
     * in [[manifest]] — retention must cover the consumer's lag, the same
     * contract every changelog store has.
+    *
+    * `toVersion` bounds the diff at a PINNED head (inclusive): a consumer
+    * that resolved the head version before computing the diff passes it so
+    * appends racing the read are excluded — they belong to the NEXT
+    * increment. Defaults to the current latest.
     */
   def appendsSince(spark: SparkSession, root: String,
-      sinceVersion: Long): DataFrame = {
+      sinceVersion: Long, toVersion: Option[Long] = None): DataFrame = {
     val head = latestVersion(spark, root).getOrElse(
       throw new IllegalArgumentException(s"no committed snapshot under $root"))
-    require(sinceVersion <= head,
-      s"sinceVersion $sinceVersion is ahead of the lake (latest $head)")
-    val newer = versions(spark, root).filter(_ > sinceVersion)
+    val hi = toVersion.getOrElse(head)
+    require(hi <= head,
+      s"toVersion $hi is ahead of the lake (latest $head)")
+    require(sinceVersion <= hi,
+      s"sinceVersion $sinceVersion is ahead of toVersion $hi")
+    val newer = versions(spark, root).filter(v => v > sinceVersion && v <= hi)
       .map(v => manifest(spark, root, Some(v)))
     val nonAppend = newer.filterNot(_.op.startsWith("append"))
     require(nonAppend.isEmpty,
@@ -711,6 +724,73 @@ object SnapshotLake {
         .schema(newer.last.schema)
         .parquet(added.map(f => s"$dd/${f.rel}"): _*)
     }
+  }
+
+  /** Row-level change feed between two pinned versions — CDC from the
+    * manifest, not from the data: files common to both manifests are
+    * IDENTICAL bytes on both sides, so only the files removed since
+    * `fromVersion` (old side) and added by `toVersion` (new side) are read
+    * and key-joined; a compact that rewrote 10 TB into the same rows still
+    * diffs as zero changes by reading just the rewritten slice, and an
+    * incremental merge diffs in time ∝ files it touched. This is the diff
+    * path [[appendsSince]] points non-append histories at.
+    *
+    * Soundness contract: `keyCols` must be unique per version (the
+    * [[merge]]/[[delete]] key discipline). Then a key living in a common
+    * file is bit-identical in both versions (no CDC row), and every other
+    * key appears on exactly the sides that changed it — the join of the
+    * two non-common slices classifies completely:
+    *
+    *   - `insert`: key only on the new side (row = new values)
+    *   - `delete`: key only on the old side (row = last values it had)
+    *   - `update`: key on both sides with any non-key difference
+    *     (row = new values); bit-identical rows produce NO change row
+    *     (they were merely rewritten into different files).
+    *
+    * Schema evolution is handled by reading the old side with the TO
+    * version's (widened) schema — added columns read as NULL on the old
+    * side, so a backfill shows up as updates, which it is.
+    */
+  def diff(spark: SparkSession, root: String, fromVersion: Long,
+      toVersion: Long, keyCols: Seq[String]): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"diff wants fromVersion <= toVersion, got $fromVersion > $toVersion")
+    val mF = manifest(spark, root, Some(fromVersion))
+    val mT = manifest(spark, root, Some(toVersion))
+    val fTypes = mF.schema.fields.map(f => f.name -> f.dataType).toMap
+    val tTypes = mT.schema.fields.map(f => f.name -> f.dataType).toMap
+    fTypes.foreach { case (n, t) =>
+      require(tTypes.get(n).contains(t),
+        s"diff across a non-widening schema change: $n is $t at v$fromVersion, " +
+          s"${tTypes.get(n).getOrElse("absent")} at v$toVersion")
+    }
+    keyCols.foreach(k => require(tTypes.contains(k),
+      s"key column $k not in snapshot schema ${mT.schema.simpleString}"))
+    val common = mF.files.map(_.rel).toSet intersect mT.files.map(_.rel).toSet
+    val dd = dataDir(root).toString
+    def side(files: Seq[FileEntry]): DataFrame =
+      if (files.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], mT.schema)
+      else spark.read.option("basePath", dd).schema(mT.schema)
+        .parquet(files.map(f => s"$dd/${f.rel}"): _*)
+    val oldSide = side(mF.files.filterNot(f => common(f.rel)))
+    val newSide = side(mT.files.filterNot(f => common(f.rel)))
+    val dataCols = mT.schema.fieldNames.filterNot(keyCols.contains).toSeq
+    val fns = org.apache.spark.sql.functions
+    val oldR = oldSide.select(keyCols.map(col) ++
+      dataCols.map(c => col(c).as(s"__old_$c")) :+
+      fns.lit(1).as("__in_old"): _*)
+    val newR = newSide.withColumn("__in_new", fns.lit(1))
+    val joined = newR.join(oldR, keyCols, "full_outer")
+    val changed = dataCols.map(c => !(col(c) <=> col(s"__old_$c")))
+      .reduceOption(_ || _).getOrElse(fns.lit(false))
+    val change = fns.when(col("__in_old").isNull, "insert")
+      .when(col("__in_new").isNull, "delete")
+      .when(changed, "update")
+    joined.withColumn("change", change).filter(col("change").isNotNull)
+      .select(col("change") +: keyCols.map(col) ++: dataCols.map(c =>
+        fns.when(col("change") === "delete", col(s"__old_$c"))
+          .otherwise(col(c)).as(c)): _*)
   }
 
   // ------------------------------------------------------------- streaming

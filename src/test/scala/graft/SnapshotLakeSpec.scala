@@ -455,6 +455,59 @@ class SnapshotLakeSpec extends SparkSpec {
     assert(SnapshotLake.manifest(spark, root).files.forall(_.stats.isEmpty))
   }
 
+  test("diff classifies insert/update/delete from non-common files only; " +
+      "a pure compact diffs to zero changes") {
+    val root = freshRoot()
+    def rows(ids: Range, v: Long, pay: Double) =
+      ids.map(i => (i.toLong, v, pay + i)).toDF("id", "v", "payload")
+    SnapshotLake.append(spark, root, rows(1 to 100, 1L, 0.0),
+      statsCols = Seq("id"))
+    val vFrom = SnapshotLake.append(spark, root, rows(1001 to 1100, 1L, 0.0),
+      statsCols = Seq("id"))
+    // merge: one real update, one stale (loses — must NOT diff), one insert
+    val updates = Seq(
+      (1001L, 2L, 777.0), (1050L, 0L, -1.0), (2000L, 1L, 42.0)
+    ).toDF("id", "v", "payload")
+    SnapshotLake.merge(spark, root, updates, keyCols = Seq("id"),
+      versionCol = "v", pruneKey = "id")
+    SnapshotLake.delete(spark, root, col("id") <= 3,
+      pruneBox = Map("id" -> (1.0, 3.0)))
+    val vTo = SnapshotLake.latestVersion(spark, root).get
+    val d = SnapshotLake.diff(spark, root, vFrom, vTo, Seq("id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(d == Set(
+      ("update", 1001L, 2L, 777.0),
+      ("insert", 2000L, 1L, 42.0),
+      ("delete", 1L, 1L, 1.0), ("delete", 2L, 1L, 2.0),
+      ("delete", 3L, 1L, 3.0)))
+    // the 1050 stale loser and every untouched row produce NO change row;
+    // rows rewritten bit-identically by maintenance don't either:
+    val (vc, _, _) = SnapshotLake.compact(spark, root)
+    assert(SnapshotLake.diff(spark, root, vTo, vc, Seq("id")).isEmpty)
+    // self-diff is trivially empty and reads nothing
+    assert(SnapshotLake.diff(spark, root, vc, vc, Seq("id")).isEmpty)
+  }
+
+  test("diff across widening evolution: appended rows are inserts; old " +
+      "rows read NULL for the new column; retype refuses") {
+    val root = freshRoot()
+    val a = Seq((1L, "x"), (2L, "y")).toDF("id", "s")
+    SnapshotLake.append(spark, root, a, statsCols = Seq("id"))
+    val wide = Seq((3L, "z", 9.0)).toDF("id", "s", "score")
+    SnapshotLake.append(spark, root, wide, evolve = true,
+      statsCols = Seq("id"))
+    val d = SnapshotLake.diff(spark, root, 1L, 2L, Seq("id")).collect()
+    assert(d.length == 1 && d.head.getString(0) == "insert" &&
+      d.head.getLong(1) == 3L && d.head.getDouble(3) == 9.0)
+    val bad = intercept[IllegalArgumentException] {
+      // fabricate a non-widening comparison by diffing backwards with a
+      // key that exists only widened — fromVersion > toVersion refuses
+      SnapshotLake.diff(spark, root, 2L, 1L, Seq("id"))
+    }
+    assert(bad.getMessage.contains("fromVersion"))
+  }
+
   test("crashed stage dir is invisible to readers and swept by vacuum") {
     val root = freshRoot()
     SnapshotLake.append(spark, root, bars(1, 5, 0.0))
