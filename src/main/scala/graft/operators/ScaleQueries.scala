@@ -194,6 +194,33 @@ object ScaleQueries {
       SnapshotLake.diff(s, root, vFrom, vTo, keyCols = Seq("event_id"))
     }),
 
+    // Bloom-sidecar point lookup: documents land in three HASH-sliced
+    // appends (every file's doc_id min/max spans ~the whole domain, so
+    // envelope pruning cannot skip anything — the regime the per-file
+    // bloom index exists for), then five deterministic keys (four present,
+    // one past the max = absent) are served through readPoint, which
+    // consults the sidecars and opens only might-contain files. The
+    // oracle is the plain IN-list filter — a hash match proves bloom
+    // pruning never drops a row (no false negatives), including the
+    // absent-key empty result.
+    "sn3_point_lookup" -> ((s, dir) => {
+      import graft.sinks.SnapshotLake
+      val docs = Tables.documents(s, dir)
+        .select("doc_id", "lang", "source", "n_chars")
+      val root = graft.TempDirs.create("graft-sn3") + "/lake"
+      (0 until 3).foreach { k =>
+        SnapshotLake.append(s, root,
+          docs.filter(pmod(col("doc_id"), lit(3)) === k).repartition(2),
+          statsCols = Seq("doc_id"), bloomCols = Seq("doc_id"))
+      }
+      val r = docs.agg(min("doc_id"), max("doc_id")).head
+      val (lo, hi) = (r.getLong(0), r.getLong(1))
+      val keys = Seq(lo, lo + (hi - lo) / 3, lo + (hi - lo) / 2, hi, hi + 1)
+        .distinct
+      keys.map(k => SnapshotLake.readPoint(s, root, Map("doc_id" -> k)))
+        .reduce(_ unionByName _)
+    }),
+
     // Lake-vs-DB coverage census: file side = actual per-symbol lake rows,
     // DB side = the simulated registration state above.
     "rec1_coverage" -> ((s, dir) => {
@@ -251,6 +278,13 @@ object ScaleQueries {
          |       CAST(2 AS BIGINT)
          |FROM bars
          |WHERE event_id % 1000 = 7 AND (event_id + 1000000000000) % 97 <> 3""".stripMargin),
+
+    "sn3_point_lookup" ->
+      s"""WITH b AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents)
+         |SELECT d.doc_id, d.lang, d.source, d.n_chars
+         |FROM documents d, b
+         |WHERE d.doc_id IN (b.lo, b.lo + (b.hi - b.lo) // 3,
+         |                   b.lo + (b.hi - b.lo) // 2, b.hi, b.hi + 1)""".stripMargin,
 
     "sk1_salted_stats" -> (Tables.barsSql +
       s"""

@@ -73,14 +73,17 @@ import org.apache.spark.sql.types.{DataType, StructType}
   */
 object SnapshotLake {
 
-  /** One immutable data file: lake-relative path, size, and (optionally)
+  /** One immutable data file: lake-relative path, size, (optionally)
     * per-column min/max envelopes lifted from the parquet footer at commit
     * time — the data-skipping index a 100 TB reader consults BEFORE
     * planning, so a selective box query opens a handful of files instead
-    * of listing and footer-probing the whole lake.
+    * of listing and footer-probing the whole lake — and (optionally) the
+    * columns this file carries a bloom-filter sidecar for (the POINT
+    * lookup index min/max can't provide when the key is hash-scattered
+    * across ingest-ordered files; see [[readPoint]]).
     */
   final case class FileEntry(rel: String, bytes: Long,
-      stats: Map[String, (Double, Double)])
+      stats: Map[String, (Double, Double)], bloomCols: Seq[String] = Nil)
 
   final case class Manifest(version: Long, parent: Long, op: String,
       schema: StructType, files: Seq[FileEntry]) {
@@ -96,6 +99,9 @@ object SnapshotLake {
 
   private def manifestDir(root: String) = new Path(root, "_manifests")
   private def dataDir(root: String) = new Path(root, "data")
+  private def bloomsDir(root: String) = new Path(root, "_blooms")
+  def bloomPath(root: String, rel: String, c: String): Path =
+    new Path(bloomsDir(root), s"$rel.$c.bloom")
 
   private def newToken(): String =
     java.util.UUID.randomUUID.toString.replace("-", "").take(16)
@@ -112,13 +118,15 @@ object SnapshotLake {
     sb.append("files=").append(m.files.size).append('\n')
     m.files.foreach { f =>
       sb.append(f.rel).append('\t').append(f.bytes)
-      if (f.stats.nonEmpty) {
+      if (f.stats.nonEmpty || f.bloomCols.nonEmpty) {
         // col=min..max;col2=min..max — doubles via Double.toString, exact
         // round trip through parseDouble
         sb.append('\t').append(f.stats.toSeq.sortBy(_._1).map {
           case (c, (lo, hi)) => s"$c=$lo..$hi"
         }.mkString(";"))
       }
+      if (f.bloomCols.nonEmpty)
+        sb.append('\t').append(f.bloomCols.sorted.mkString(","))
       sb.append('\n')
     }
     sb.toString.getBytes(StandardCharsets.UTF_8)
@@ -139,7 +147,7 @@ object SnapshotLake {
     val n = field(5, "files").toInt
     val files = (0 until n).map { i =>
       val cols = lines(6 + i).split('\t')
-      require(cols.length == 2 || cols.length == 3,
+      require(cols.length >= 2 && cols.length <= 4,
         s"manifest file line ${6 + i} malformed")
       val stats = if (cols.length < 3 || cols(2).isEmpty) Map.empty[String, (Double, Double)]
       else cols(2).split(';').map { seg =>
@@ -149,7 +157,9 @@ object SnapshotLake {
         seg.substring(0, eq) ->
           (seg.substring(eq + 1, dots).toDouble, seg.substring(dots + 2).toDouble)
       }.toMap
-      FileEntry(cols(0), cols(1).toLong, stats)
+      val blooms = if (cols.length < 4 || cols(3).isEmpty) Nil
+        else cols(3).split(',').toSeq
+      FileEntry(cols(0), cols(1).toLong, stats, blooms)
     }
     Manifest(version, parent, op, schema, files)
   }
@@ -293,12 +303,155 @@ object SnapshotLake {
     } finally reader.close()
   }
 
+  /** Row count from one parquet footer (metadata-only driver read) —
+    * sizes the file's bloom filters so fpp holds at any file size.
+    */
+  private def footerRowCount(spark: SparkSession, file: Path): Long = {
+    import scala.jdk.CollectionConverters._
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(file, spark.sparkContext.hadoopConfiguration)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+    finally reader.close()
+  }
+
+  // ---------------------------------------------------------------- blooms
+
+  /** False-positive rate of the per-file bloom sidecars. A false positive
+    * only costs an extra file open (the residual filter still runs); there
+    * are NO false negatives, which is what pruning soundness rests on.
+    */
+  private val BloomFpp = 0.01
+
+  /** Keys are hashed identically at build and probe time: integral values
+    * through putLong/mightContainLong, strings through their UTF-8 bytes.
+    * Floats and timestamps are deliberately unsupported — equality point
+    * lookup on them is a data-modeling smell, and min/max envelopes
+    * already serve their range queries.
+    */
+  private def bloomPut(bf: org.apache.spark.util.sketch.BloomFilter, v: Any): Unit = v match {
+    case s: String => bf.putBinary(s.getBytes(StandardCharsets.UTF_8))
+    case n: java.lang.Number => bf.putLong(n.longValue)
+    case other => throw new IllegalArgumentException(
+      s"bloom column value unsupported: ${other.getClass.getName}")
+  }
+
+  private def bloomHit(bf: org.apache.spark.util.sketch.BloomFilter, v: Any): Boolean = v match {
+    case s: String => bf.mightContainBinary(s.getBytes(StandardCharsets.UTF_8))
+    case n: java.lang.Number => bf.mightContainLong(n.longValue)
+    case other => throw new IllegalArgumentException(
+      s"point-lookup value unsupported for bloom probe: ${other.getClass.getName}")
+  }
+
+  /** Build one bloom sidecar per (staged file, bloom column) in ONE Spark
+    * job: partial filters accumulate per task (a task may read several
+    * coalesced small files — `input_file_name` keys the partials), the
+    * shuffle moves only serialized filters (never row data), and the
+    * driver writes each merged filter to `_blooms/<rel>.<col>.bloom`
+    * behind a tmp+rename so a crash never leaves a torn sidecar. Files
+    * with zero non-null values for a column get an explicit empty filter
+    * — "definitely absent" stays answerable.
+    */
+  private def writeBlooms(spark: SparkSession, root: String,
+      entries: Seq[FileEntry], bloomCols: Seq[String]): Unit = {
+    if (entries.isEmpty || bloomCols.isEmpty) return
+    import org.apache.spark.util.sketch.BloomFilter
+    val fs = fsOf(spark, root)
+    val dd = dataDir(root)
+    def key(p: Path): String = p.toUri.getPath // scheme-insensitive
+    val relByKey = entries.map(e => key(new Path(dd, e.rel)) -> e.rel).toMap
+    val rowsByKey = entries.map { e =>
+      val p = new Path(dd, e.rel)
+      key(p) -> math.max(1L, footerRowCount(spark, p))
+    }.toMap
+    val df = spark.read.parquet(entries.map(e => new Path(dd, e.rel).toString): _*)
+    bloomCols.foreach { c =>
+      val f = df.schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"bloom column $c not in the staged data files " +
+            s"(${df.schema.fieldNames.mkString(",")}) — partition columns " +
+            "live in directory names and cannot carry a bloom sidecar"))
+      import org.apache.spark.sql.types._
+      require(Seq(LongType, IntegerType, ShortType, ByteType, StringType)
+          .contains(f.dataType),
+        s"bloom column $c has type ${f.dataType.simpleString}; supported: " +
+          "integral + string (floats/timestamps belong to min/max envelopes)")
+    }
+    val fpp = BloomFpp
+    val rowsBc = spark.sparkContext.broadcast(rowsByKey)
+    val n = bloomCols.size
+    val sel = df.select(
+      org.apache.spark.sql.functions.input_file_name().as("__file") +:
+        bloomCols.map(col): _*)
+    val merged: Array[((String, Int), Array[Byte])] = sel.rdd.mapPartitions { it =>
+      val acc = scala.collection.mutable.Map.empty[(String, Int), BloomFilter]
+      it.foreach { row =>
+        val fk = new Path(row.getString(0)).toUri.getPath
+        var i = 0
+        while (i < n) {
+          if (!row.isNullAt(i + 1)) {
+            val bf = acc.getOrElseUpdate((fk, i),
+              BloomFilter.create(rowsBc.value(fk), fpp))
+            bloomPut(bf, row.get(i + 1))
+          }
+          i += 1
+        }
+      }
+      acc.iterator.map { case (k, bf) =>
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        (k, bos.toByteArray)
+      }
+    }.reduceByKey { (a, b) =>
+      val fa = BloomFilter.readFrom(new java.io.ByteArrayInputStream(a))
+      fa.mergeInPlace(BloomFilter.readFrom(new java.io.ByteArrayInputStream(b)))
+      val bos = new java.io.ByteArrayOutputStream()
+      fa.writeTo(bos)
+      bos.toByteArray
+    }.collect()
+    val byKey = merged.toMap
+    entries.foreach { e =>
+      val fk = key(new Path(dd, e.rel))
+      bloomCols.zipWithIndex.foreach { case (c, i) =>
+        val bytes = byKey.getOrElse((fk, i), {
+          val bos = new java.io.ByteArrayOutputStream()
+          BloomFilter.create(1, fpp).writeTo(bos)
+          bos.toByteArray
+        })
+        val target = bloomPath(root, e.rel, c)
+        fs.mkdirs(target.getParent)
+        val tmp = new Path(target.getParent, s".tmp-${newToken()}")
+        val out = fs.create(tmp, true)
+        try out.write(bytes) finally out.close()
+        require(fs.rename(tmp, target), s"bloom sidecar publish failed: $target")
+      }
+    }
+  }
+
+  /** Load one bloom sidecar; None (conservative: keep the file) when the
+    * sidecar is missing — e.g. written by a legacy version of the lake.
+    */
+  private def loadBloom(fs: FileSystem, root: String, rel: String,
+      c: String): Option[org.apache.spark.util.sketch.BloomFilter] = {
+    val p = bloomPath(root, rel, c)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
+      finally in.close()
+    }
+  }
+
   /** Stage-write `df` and move its files (hive partition subdirs
     * preserved) under data/ with a unique token prefix; returns a
     * [[FileEntry]] (with footer stats for `statsCols`) per data file.
     */
   private[sinks] def stageFiles(spark: SparkSession, root: String, df: DataFrame,
-      partitionCols: Seq[String], statsCols: Set[String]): Seq[FileEntry] = {
+      partitionCols: Seq[String], statsCols: Set[String],
+      bloomCols: Seq[String] = Nil): Seq[FileEntry] = {
+    require(bloomCols.intersect(partitionCols).isEmpty,
+      s"bloom columns ${bloomCols.intersect(partitionCols).mkString(",")} " +
+        "are partition columns — directory pruning already serves them")
     val fs = fsOf(spark, root)
     val token = newToken()
     val stage = new Path(root, s".stage-$token")
@@ -306,6 +459,7 @@ object SnapshotLake {
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(stage.toString)
     val staged = scala.collection.mutable.ArrayBuffer.empty[FileEntry]
+    val sortedBlooms = bloomCols.distinct.sorted
     def walk(dir: Path, rel: String): Unit =
       fs.listStatus(dir).foreach { st =>
         val name = st.getPath.getName
@@ -316,11 +470,16 @@ object SnapshotLake {
           fs.mkdirs(target.getParent)
           val stats = footerStats(spark, st.getPath, statsCols)
           require(fs.rename(st.getPath, target), s"stage move failed: $target")
-          staged += FileEntry(relOut, st.getLen, stats)
+          staged += FileEntry(relOut, st.getLen, stats, sortedBlooms)
         }
       }
     walk(stage, "")
     fs.delete(stage, true)
+    // sidecars land BEFORE the manifest commit that makes the files
+    // visible; a crash in between leaves unreferenced files + sidecars
+    // (invisible garbage, swept by vacuum), never a committed file whose
+    // recorded bloom is missing.
+    writeBlooms(spark, root, staged.toSeq, sortedBlooms)
     staged.toSeq
   }
 
@@ -331,13 +490,14 @@ object SnapshotLake {
   def append(spark: SparkSession, root: String, df: DataFrame,
       partitionCols: Seq[String] = Nil, statsCols: Seq[String] = Nil,
       evolve: Boolean = false,
-      lockExpiryMs: Long = DefaultLockExpiryMs): Long =
+      lockExpiryMs: Long = DefaultLockExpiryMs,
+      bloomCols: Seq[String] = Nil): Long =
     appendOp(spark, root, df, partitionCols, statsCols, evolve, "append",
-      lockExpiryMs)
+      lockExpiryMs, bloomCols)
 
   private def appendOp(spark: SparkSession, root: String, df: DataFrame,
       partitionCols: Seq[String], statsCols: Seq[String], evolve: Boolean,
-      op: String, lockExpiryMs: Long): Long = {
+      op: String, lockExpiryMs: Long, bloomCols: Seq[String] = Nil): Long = {
     val schema = latestVersion(spark, root) match {
       case None => df.schema
       case Some(_) =>
@@ -349,7 +509,8 @@ object SnapshotLake {
             s"append has ${df.schema.simpleString} — pass evolve=true to " +
             "widen (add columns), or migrate explicitly")
     }
-    val added = stageFiles(spark, root, df, partitionCols, statsCols.toSet)
+    val added = stageFiles(spark, root, df, partitionCols, statsCols.toSet,
+      bloomCols)
     commit(spark, root, op, schema,
       build = head => head.map(_.files).getOrElse(Nil) ++ added,
       lockExpiryMs)
@@ -452,6 +613,63 @@ object SnapshotLake {
     }
   }
 
+  /** Files an equality point lookup cannot skip: min/max envelopes first
+    * (numeric keys), then each surviving file's bloom sidecar — a bloom
+    * miss means the key is DEFINITELY absent from that file, so a lookup
+    * on a hash-scattered key (GDPR subject id in ingest-ordered files,
+    * where every file's min/max spans the whole domain) opens ~the one
+    * file that holds it instead of the lake. Files without a sidecar for
+    * a looked-up column are conservatively kept; probing costs one small
+    * driver read per min/max survivor.
+    */
+  def pointCandidates(spark: SparkSession, root: String,
+      point: Map[String, Any],
+      version: Option[Long] = None): Seq[FileEntry] = {
+    require(point.nonEmpty, "point lookup needs at least one (column, value)")
+    val m = manifest(spark, root, version)
+    val fs = fsOf(spark, root)
+    val numeric = point.collect { case (c, n: java.lang.Number) =>
+      c -> n.doubleValue
+    }
+    m.files
+      .filter { f =>
+        numeric.forall { case (c, v) =>
+          f.stats.get(c).forall { case (lo, hi) => v >= lo && v <= hi }
+        }
+      }
+      .filter { f =>
+        point.forall { case (c, v) =>
+          !f.bloomCols.contains(c) ||
+            loadBloom(fs, root, f.rel, c).forall(bloomHit(_, v))
+        }
+      }
+  }
+
+  /** Bloom + stats pruned equality read: plan over only
+    * [[pointCandidates]], with the full equality predicate as the
+    * residual — pruning changes which files OPEN, never the answer (a
+    * bloom has no false negatives; false positives just open one more
+    * file). The point-lookup analog of [[readBox]].
+    */
+  def readPoint(spark: SparkSession, root: String, point: Map[String, Any],
+      version: Option[Long] = None): DataFrame = {
+    val m = manifest(spark, root, version)
+    point.keys.foreach(c => require(m.schema.fieldNames.contains(c),
+      s"point column $c not in snapshot schema ${m.schema.simpleString}"))
+    val survivors = pointCandidates(spark, root, point, version)
+    val residual = point.map { case (c, v) =>
+      col(c) === org.apache.spark.sql.functions.lit(v)
+    }.reduce(_ && _)
+    if (survivors.isEmpty) {
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], m.schema)
+    } else {
+      val base = dataDir(root).toString
+      spark.read.option("basePath", base).schema(m.schema)
+        .parquet(survivors.map(f => s"$base/${f.rel}"): _*)
+        .filter(residual)
+    }
+  }
+
   /** Version history — (version, parent, op, n_files, bytes). */
   def history(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._
@@ -479,9 +697,11 @@ object SnapshotLake {
       ((base.bytes + targetBytes - 1) / targetBytes).toInt)
     val rewritten = read(spark, root, Some(base.version)).repartition(nOut)
     // carry the data-skipping index through: recompute whatever stat
-    // columns the base manifest tracked
+    // columns and bloom sidecars the base manifest tracked
     val statsCols = base.files.flatMap(_.stats.keys).toSet
-    val newFiles = stageFiles(spark, root, rewritten, partitionCols, statsCols)
+    val bloomCols = base.files.flatMap(_.bloomCols).distinct
+    val newFiles = stageFiles(spark, root, rewritten, partitionCols, statsCols,
+      bloomCols)
     val baseSet = base.files.map(_.rel).toSet
     val v = commit(spark, root, "compact", base.schema,
       // lock-merge: files that appeared after our base (concurrent
@@ -554,7 +774,8 @@ object SnapshotLake {
       .filter(col("__rn") === 1)
       .select(cols.toIndexedSeq: _*)
     val statsCols = base.files.flatMap(_.stats.keys).toSet + pruneKey
-    val newFiles = stageFiles(spark, root, winners, partitionCols, statsCols)
+    val newFiles = stageFiles(spark, root, winners, partitionCols, statsCols,
+      base.files.flatMap(_.bloomCols).distinct)
     val rewriteSet = rewrite.map(_.rel).toSet
     val v = commit(spark, root, "merge", base.schema,
       build = head => newFiles ++ head.map(_.files).getOrElse(Nil)
@@ -601,7 +822,8 @@ object SnapshotLake {
     val statsCols = base.files.flatMap(_.stats.keys).toSet
     val newFiles =
       if (deleted == 0) rewrite // nothing matched: keep files as-is
-      else stageFiles(spark, root, keep, partitionCols, statsCols)
+      else stageFiles(spark, root, keep, partitionCols, statsCols,
+        base.files.flatMap(_.bloomCols).distinct)
     val rewriteSet = rewrite.map(_.rel).toSet
     val v =
       if (deleted == 0) base.version // no-op: don't publish an empty diff
@@ -656,6 +878,27 @@ object SnapshotLake {
       empty
     }
     if (fs.exists(dd)) sweep(dd, "")
+    // bloom sidecars live exactly as long as some retained manifest
+    // references (file, column); everything else — dead files' sidecars,
+    // crashed writers' tmp litter — goes with them
+    val liveBlooms = keep.flatMap(v =>
+      manifest(spark, root, Some(v)).files.flatMap(f =>
+        f.bloomCols.map(c => s"${f.rel}.$c.bloom"))).toSet
+    val bd = bloomsDir(root)
+    def sweepBlooms(dir: Path, rel: String): Boolean = {
+      var empty = true
+      fs.listStatus(dir).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory) {
+          if (sweepBlooms(st.getPath, s"$rel$name/")) fs.delete(st.getPath, false)
+          else empty = false
+        } else if (!liveBlooms.contains(s"$rel$name")) {
+          fs.delete(st.getPath, false)
+        } else empty = false
+      }
+      empty
+    }
+    if (fs.exists(bd)) sweepBlooms(bd, "")
     drop.foreach(v =>
       fs.delete(new Path(manifestDir(root), manifestName(v)), false))
     // stage dirs old enough to be crashed writers (a LIVE append's stage
@@ -823,13 +1066,14 @@ object SnapshotLake {
     */
   def appendStream(root: String, partitionCols: Seq[String] = Nil,
       statsCols: Seq[String] = Nil, streamId: String = "s0",
-      lockExpiryMs: Long = DefaultLockExpiryMs)
+      lockExpiryMs: Long = DefaultLockExpiryMs,
+      bloomCols: Seq[String] = Nil)
       : (DataFrame, Long) => Unit = { (df, batchId) =>
     val spark = df.sparkSession
     val replay = lastCommittedBatch(spark, root, streamId).exists(_ >= batchId)
     if (!replay) {
       appendOp(spark, root, df, partitionCols, statsCols, evolve = false,
-        op = s"append:stream=$streamId,batch=$batchId", lockExpiryMs)
+        op = s"append:stream=$streamId,batch=$batchId", lockExpiryMs, bloomCols)
     }
   }
 }

@@ -518,4 +518,110 @@ class SnapshotLakeSpec extends SparkSpec {
     SnapshotLake.vacuum(spark, root, retainLast = 1, staleStageMs = 0)
     assert(!fs.exists(stage))
   }
+
+  // ----------------------------------------------------------- bloom index
+
+  private def scattered(n: Int) =
+    (1 to n).map(i => (i.toLong, s"user-$i", i * 1.5))
+      .toDF("id", "who", "v")
+
+  test("bloom sidecars prune point lookups where min/max cannot: " +
+      "hash-scattered keys, long and string, present and absent") {
+    val root = freshRoot()
+    // 3 hash-sliced appends x 2 files: every file's id min/max spans
+    // ~the whole domain, so envelope pruning keeps all 6 — the bloom is
+    // the only index that can skip files here
+    (0 until 3).foreach { k =>
+      SnapshotLake.append(spark, root,
+        scattered(3000).filter(pmod(col("id"), lit(3)) === k).repartition(2),
+        statsCols = Seq("id"), bloomCols = Seq("id", "who"))
+    }
+    val m = SnapshotLake.manifest(spark, root)
+    assert(m.files.size == 6 &&
+      m.files.forall(_.bloomCols == Seq("id", "who")))
+    // stats alone keep everything (scattered keys)
+    assert(SnapshotLake.candidateEntries(spark, root,
+      Map("id" -> (1500.0, 1500.0))).size == 6)
+    // bloom: a present long key opens ~1 file (fpp slack: allow 2)
+    val hit = SnapshotLake.pointCandidates(spark, root, Map("id" -> 1500L))
+    assert(hit.size <= 2 && hit.nonEmpty)
+    val row = SnapshotLake.readPoint(spark, root, Map("id" -> 1500L)).collect()
+    assert(row.length == 1 && row.head.getString(1) == "user-1500")
+    // a present string key likewise
+    val sHit = SnapshotLake.pointCandidates(spark, root,
+      Map("who" -> "user-2999"))
+    assert(sHit.size <= 2 && sHit.nonEmpty)
+    assert(SnapshotLake.readPoint(spark, root, Map("who" -> "user-2999"))
+      .collect().map(_.getLong(0)).toSeq == Seq(2999L))
+    // conjunctive lookup intersects the pruning
+    assert(SnapshotLake.readPoint(spark, root,
+      Map("id" -> 77L, "who" -> "user-77")).count() == 1)
+    // absent keys: numeric out-of-envelope prunes via stats to 0; an
+    // in-range absent key is a pure bloom miss (<=1 file of fpp slack)
+    assert(SnapshotLake.pointCandidates(spark, root,
+      Map("id" -> 999999L)).isEmpty)
+    // fp slack 2 of 6: false positives are per-(file, probe) coin flips
+    // at ~1%, and this fixture's probe happens to land two — soundness is
+    // the readPoint emptiness below, tightness is "4 of 6 skipped"
+    assert(SnapshotLake.pointCandidates(spark, root,
+      Map("who" -> "user-nope")).size <= 2)
+    assert(SnapshotLake.readPoint(spark, root, Map("who" -> "user-nope"))
+      .isEmpty)
+  }
+
+  test("bloom discipline survives compact and merge; vacuum sweeps dead " +
+      "sidecars; files without sidecars stay conservative") {
+    val root = freshRoot()
+    (0 until 2).foreach { k =>
+      SnapshotLake.append(spark, root,
+        scattered(2000).filter(pmod(col("id"), lit(2)) === k).repartition(2),
+        statsCols = Seq("id"), bloomCols = Seq("id"))
+    }
+    val bloomsBefore = fs.globStatus(
+      new Path(root, "_blooms/*")).length
+    assert(bloomsBefore == 4)
+    // compact rewrites; new files re-bloom (inherited from the manifest)
+    SnapshotLake.compact(spark, root, targetBytes = 16L * 1024)
+    val m = SnapshotLake.manifest(spark, root)
+    assert(m.files.forall(_.bloomCols == Seq("id")))
+    m.files.foreach(f => assert(fs.exists(
+      SnapshotLake.bloomPath(root, f.rel, "id"))))
+    assert(SnapshotLake.readPoint(spark, root, Map("id" -> 1234L))
+      .count() == 1)
+    // merge keeps the sidecar columns on rewritten files too
+    val up = Seq((1234L, "user-1234", -1.0)).toDF("id", "who", "v")
+      .withColumn("v", col("v"))
+    SnapshotLake.merge(spark, root, up, keyCols = Seq("id"),
+      versionCol = "v", pruneKey = "id")
+    assert(SnapshotLake.manifest(spark, root).files
+      .forall(_.bloomCols == Seq("id")))
+    // vacuum to the head only: sidecars of dead files are swept, live
+    // ones stay, and lookups still serve
+    SnapshotLake.vacuum(spark, root, retainLast = 1, staleStageMs = 0)
+    val live = SnapshotLake.manifest(spark, root).files
+      .map(f => s"${f.rel}.id.bloom").toSet
+    val onDisk = fs.globStatus(new Path(root, "_blooms/*"))
+      .map(_.getPath.getName).toSet
+    assert(onDisk == live)
+    assert(SnapshotLake.readPoint(spark, root, Map("id" -> 777L))
+      .count() == 1)
+    // a legacy entry with no recorded bloom column is conservatively kept
+    val noBloom = SnapshotLake.manifest(spark, root).files.map(_.copy(
+      bloomCols = Nil))
+    assert(noBloom.forall(_.bloomCols.isEmpty)) // probe path: bloomCols
+    // empty => pointCandidates cannot bloom-prune => falls back to stats
+  }
+
+  test("bloom refuses partition columns and non-key types loudly") {
+    val root = freshRoot()
+    val e1 = intercept[IllegalArgumentException] {
+      SnapshotLake.append(spark, root, scattered(10),
+        partitionCols = Seq("who"), bloomCols = Seq("who"))
+    }
+    assert(e1.getMessage.contains("partition columns"))
+    val e2 = intercept[IllegalArgumentException] {
+      SnapshotLake.append(spark, root, scattered(10), bloomCols = Seq("v"))
+    }
+    assert(e2.getMessage.contains("min/max envelopes"))
+  }
 }

@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryException
+
+import graft.sinks.SnapshotLake
+
+/** The snapshot lake as a streaming source: manifest versions are
+  * offsets, appends become micro-batches, checkpoint restart resumes
+  * exactly where the consumer stopped, and rewrite commits either fail
+  * loudly (strict default) or are skipped (`skipRewrites`, Delta's
+  * skipChangeCommits semantics).
+  */
+class SnapshotSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(lo: Int, hi: Int) =
+    (lo to hi).map(i => (i.toLong, s"d-$i")).toDF("id", "s")
+
+  private val Fmt = "graft.streaming.SnapshotSourceProvider"
+
+  test("earliest: first batch is the full snapshot, appends arrive as " +
+      "increments, checkpoint restart resumes exactly-once") {
+    val work = TempDirs.create("snapsrc")
+    val root = s"$work/lake"; val dst = s"$work/dst"
+    SnapshotLake.append(spark, root, rows(1, 10))
+    SnapshotLake.append(spark, root, rows(11, 15))
+    val ckpt = s"$work/ckpt"
+    // memory sinks refuse checkpoint recovery; the lake sink IS the
+    // recoverable end of this pipeline, so mirror into a second lake
+    def start() = spark.readStream.format(Fmt).load(root)
+      .writeStream
+      .foreachBatch(SnapshotLake.appendStream(dst, streamId = "t1"))
+      .option("checkpointLocation", ckpt).start()
+    val q = start()
+    try {
+      q.processAllAvailable()
+      // initial snapshot = full state at head (both appends)
+      assert(SnapshotLake.read(spark, dst).count() == 15)
+      // an append while running arrives as one increment
+      SnapshotLake.append(spark, root, rows(16, 18))
+      q.processAllAvailable()
+      assert(SnapshotLake.read(spark, dst).count() == 18)
+    } finally q.stop()
+    // offline appends + restart from checkpoint: ONLY the new rows land —
+    // 20 distinct ids total, no initial-snapshot re-delivery, no dups
+    SnapshotLake.append(spark, root, rows(19, 20))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val got = SnapshotLake.read(spark, dst).select("id").as[Long]
+        .collect().sorted
+      assert(got.toSeq == (1 to 20).map(_.toLong))
+    } finally q2.stop()
+  }
+
+  test("latest: history is skipped, only post-start appends stream") {
+    val work = TempDirs.create("snapsrc2")
+    val root = s"$work/lake"
+    SnapshotLake.append(spark, root, rows(1, 100))
+    val q = spark.readStream.format(Fmt)
+      .option("startingVersion", "latest").load(root)
+      .writeStream.format("memory").queryName("snap_latest_out")
+      .option("checkpointLocation", s"$work/ckpt").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("snap_latest_out").count() == 0)
+      SnapshotLake.append(spark, root, rows(101, 103))
+      q.processAllAvailable()
+      assert(spark.table("snap_latest_out").select("id").as[Long]
+        .collect().sorted.toSeq == Seq(101L, 102L, 103L))
+    } finally q.stop()
+  }
+
+  test("strict mode fails loudly on a rewrite commit; skipRewrites " +
+      "passes it over and keeps tailing appends") {
+    val work = TempDirs.create("snapsrc3")
+    val root = s"$work/lake"
+    SnapshotLake.append(spark, root, rows(1, 10))
+    val strict = spark.readStream.format(Fmt)
+      .option("startingVersion", "latest").load(root)
+      .writeStream.format("memory").queryName("snap_strict_out")
+      .option("checkpointLocation", s"$work/ckpt1").start()
+    try {
+      strict.processAllAvailable()
+      SnapshotLake.append(spark, root, rows(11, 12))
+      SnapshotLake.compact(spark, root, targetBytes = 1L << 30)
+      SnapshotLake.append(spark, root, rows(13, 14))
+      val e = intercept[StreamingQueryException] {
+        strict.processAllAvailable()
+      }
+      assert(e.getCause.getMessage.contains("compact"))
+    } finally strict.stop()
+    // same lake, same shape, skipRewrites: appends flow, compact ignored
+    val skip = spark.readStream.format(Fmt)
+      .option("startingVersion", "latest").option("skipRewrites", "true")
+      .load(root)
+      .writeStream.format("memory").queryName("snap_skip_out")
+      .option("checkpointLocation", s"$work/ckpt2").start()
+    try {
+      SnapshotLake.append(spark, root, rows(15, 16))
+      SnapshotLake.delete(spark, root, col("id") <= 2)
+      SnapshotLake.append(spark, root, rows(17, 17))
+      skip.processAllAvailable()
+      // only the appends since this consumer started; the delete's
+      // rewritten rows never re-emit
+      assert(spark.table("snap_skip_out").select("id").as[Long]
+        .collect().sorted.toSeq == Seq(15L, 16L, 17L))
+    } finally skip.stop()
+  }
+
+  test("lake-to-lake pipeline: source tail + appendStream sink compose " +
+      "into an exactly-once mirror with a transform in between") {
+    val work = TempDirs.create("snapsrc4")
+    val src = s"$work/src"; val dst = s"$work/dst"
+    SnapshotLake.append(spark, src, rows(1, 50))
+    val q = spark.readStream.format(Fmt).load(src)
+      .withColumn("id2", col("id") * 2)
+      .writeStream
+      .foreachBatch(SnapshotLake.appendStream(dst, streamId = "mirror"))
+      .option("checkpointLocation", s"$work/ckpt").start()
+    try {
+      q.processAllAvailable()
+      SnapshotLake.append(spark, src, rows(51, 60))
+      q.processAllAvailable()
+      val out = SnapshotLake.read(spark, dst)
+      assert(out.count() == 60)
+      assert(out.filter(col("id2") =!= col("id") * 2).isEmpty)
+      // replayed batch ids are skipped at the sink (exactly-once even if
+      // the handler re-fires): simulate by re-invoking batch 0's handler
+      val dup = SnapshotLake.read(spark, src, Some(1L)).withColumn("id2",
+        col("id") * 2)
+      SnapshotLake.appendStream(dst, streamId = "mirror")(dup, 0L)
+      assert(SnapshotLake.read(spark, dst).count() == 60)
+    } finally q.stop()
+  }
+
+  test("streaming from an empty path or with a user schema refuses " +
+      "loudly") {
+    val work = TempDirs.create("snapsrc5")
+    val e = intercept[Exception] {
+      spark.readStream.format(Fmt).load(s"$work/nope")
+        .writeStream.format("memory").queryName("snap_err_out")
+        .option("checkpointLocation", s"$work/ckpt").start()
+        .processAllAvailable()
+    }
+    assert(e.getMessage.contains("no committed snapshot") ||
+      Option(e.getCause).exists(_.getMessage.contains("no committed snapshot")))
+  }
+}
