@@ -631,18 +631,31 @@ object SnapshotLake {
     val numeric = point.collect { case (c, n: java.lang.Number) =>
       c -> n.doubleValue
     }
-    m.files
-      .filter { f =>
-        numeric.forall { case (c, v) =>
-          f.stats.get(c).forall { case (lo, hi) => v >= lo && v <= hi }
-        }
+    val statsKept = m.files.filter { f =>
+      numeric.forall { case (c, v) =>
+        f.stats.get(c).forall { case (lo, hi) => v >= lo && v <= hi }
       }
-      .filter { f =>
-        point.forall { case (c, v) =>
+    }
+    // sidecar probes are independent driver-side reads of a few MB each —
+    // overlap them (a 32-file survivor set probes in ~one sidecar's
+    // latency, which matters on object stores where each open is a round
+    // trip). A serving layer doing repeated lookups should additionally
+    // cache loaded filters per (file, column); one-shot queries get the
+    // parallel load.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val checks = statsKept.map { f =>
+      Future {
+        val keep = point.forall { case (c, v) =>
           !f.bloomCols.contains(c) ||
             loadBloom(fs, root, f.rel, c).forall(bloomHit(_, v))
         }
+        (f, keep)
       }
+    }
+    Await.result(Future.sequence(checks), Duration.Inf)
+      .collect { case (f, true) => f }
   }
 
   /** Bloom + stats pruned equality read: plan over only

@@ -917,6 +917,69 @@ object ScaleSmoke {
       println(s"[scale] snap-prune-compacted  month box plans ${cand2.size} of " +
         s"${SnapshotLake.manifest(spark, root).files.size} files")
     }
+    if (on("pointbloom")) {
+      // ---- bloom-sidecar point lookups at 10 M rows: ingest-ordered
+      // appends whose id domain is hash-scattered across every file, so
+      // min/max envelopes keep ALL files and the bloom is the only index
+      // that can skip. Measures build overhead (append with vs without
+      // sidecars), pruning ratio, and serve time vs the full-scan filter.
+      import graft.sinks.SnapshotLake
+      val rows10m = spark.range(total).select(
+        col("id"),
+        concat(lit("u-"), conv(pmod(xxhash64(col("id")), lit(100000000L))
+          .cast("string"), 10, 16)).as("who"),
+        (col("id") % 1000).cast("double").as("v")).cache()
+      val npb = rows10m.count()
+      println(s"[scale] pointbloom corpus: $npb rows")
+      def timeP(label: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val r = f
+        println(f"[scale] $label%-22s rows=$r%-10d ${(System.nanoTime() - t0) / 1e9}%6.1f s")
+      }
+      val plainRoot = graft.TempDirs.create("smoke-pb-plain") + "/lake"
+      val bloomRoot = graft.TempDirs.create("smoke-pb-bloom") + "/lake"
+      timeP("pb-append-plain") {
+        (0 until 8).foreach(k => SnapshotLake.append(spark, plainRoot,
+          rows10m.filter(pmod(col("id"), lit(8)) === k).repartition(4),
+          statsCols = Seq("id")))
+        npb
+      }
+      timeP("pb-append-bloomed") {
+        (0 until 8).foreach(k => SnapshotLake.append(spark, bloomRoot,
+          rows10m.filter(pmod(col("id"), lit(8)) === k).repartition(4),
+          statsCols = Seq("id"), bloomCols = Seq("id", "who")))
+        npb
+      }
+      val nFiles = SnapshotLake.manifest(spark, bloomRoot).files.size
+      val probeId = total / 3
+      val cand = SnapshotLake.pointCandidates(spark, bloomRoot,
+        Map("id" -> probeId))
+      val candStats = SnapshotLake.candidateEntries(spark, bloomRoot,
+        Map("id" -> (probeId.toDouble, probeId.toDouble)))
+      println(s"[scale] pb-prune              id=$probeId: stats keep " +
+        s"${candStats.size}/$nFiles, bloom keeps ${cand.size}/$nFiles")
+      timeP("pb-read-point") {
+        SnapshotLake.readPoint(spark, bloomRoot, Map("id" -> probeId)).count()
+      }
+      timeP("pb-full-filter") {
+        SnapshotLake.read(spark, plainRoot)
+          .filter(col("id") === probeId).count()
+      }
+      val whoProbe = rows10m.filter(col("id") === probeId)
+        .select("who").head.getString(0)
+      val candW = SnapshotLake.pointCandidates(spark, bloomRoot,
+        Map("who" -> whoProbe))
+      println(s"[scale] pb-prune-string       who=$whoProbe: bloom keeps " +
+        s"${candW.size}/$nFiles (string key: NO min/max envelope exists)")
+      timeP("pb-read-point-string") {
+        SnapshotLake.readPoint(spark, bloomRoot, Map("who" -> whoProbe)).count()
+      }
+      val candAbs = SnapshotLake.pointCandidates(spark, bloomRoot,
+        Map("who" -> "u-definitely-not"))
+      println(s"[scale] pb-prune-absent       absent key: bloom keeps " +
+        s"${candAbs.size}/$nFiles")
+      rows10m.unpersist()
+    }
     spark.stop()
   }
 }
