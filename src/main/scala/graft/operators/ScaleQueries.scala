@@ -221,6 +221,26 @@ object ScaleQueries {
         .reduce(_ unionByName _)
     }),
 
+    // Metadata-only aggregates: bars land as two snapshot appends with
+    // footer envelopes on (event_id, close); count(*)/min/max are then
+    // answered from the MANIFEST alone — summary() runs zero Spark jobs
+    // and opens zero data files (it is a driver-side fold over FileEntry
+    // rows + envelopes). The oracle computes the same aggregate the slow
+    // way, over the actual rows — a hash match proves the manifest's
+    // metadata path is exact, the Iceberg/Delta "stats-only scan".
+    "sn4_manifest_agg" -> ((s, dir) => {
+      import graft.sinks.SnapshotLake
+      val b = Tables.bars(s, dir).select("event_id", "symbol", "close")
+      val root = graft.TempDirs.create("graft-sn4") + "/lake"
+      SnapshotLake.append(s, root,
+        b.filter(col("event_id") % 2 === 0).repartition(3),
+        statsCols = Seq("event_id", "close"))
+      SnapshotLake.append(s, root,
+        b.filter(col("event_id") % 2 =!= 0).repartition(3),
+        statsCols = Seq("event_id", "close"))
+      SnapshotLake.summary(s, root, Seq("event_id", "close"))
+    }),
+
     // Lake-vs-DB coverage census: file side = actual per-symbol lake rows,
     // DB side = the simulated registration state above.
     "rec1_coverage" -> ((s, dir) => {
@@ -285,6 +305,15 @@ object ScaleQueries {
          |FROM documents d, b
          |WHERE d.doc_id IN (b.lo, b.lo + (b.hi - b.lo) // 3,
          |                   b.lo + (b.hi - b.lo) // 2, b.hi, b.hi + 1)""".stripMargin,
+
+    "sn4_manifest_agg" -> (Tables.barsSql +
+      s"""
+         |SELECT count(*) AS n_rows,
+         |       CAST(min(event_id) AS DOUBLE) AS min_event_id,
+         |       CAST(max(event_id) AS DOUBLE) AS max_event_id,
+         |       min(close) AS min_close,
+         |       max(close) AS max_close
+         |FROM bars""".stripMargin),
 
     "sk1_salted_stats" -> (Tables.barsSql +
       s"""

@@ -80,10 +80,14 @@ object SnapshotLake {
     * of listing and footer-probing the whole lake — and (optionally) the
     * columns this file carries a bloom-filter sidecar for (the POINT
     * lookup index min/max can't provide when the key is hash-scattered
-    * across ingest-ordered files; see [[readPoint]]).
+    * across ingest-ordered files; see [[readPoint]]). `rows` is the
+    * file's exact row count from the same footer probe (−1 on entries
+    * parsed from pre-rows manifests) — it lets [[summary]] answer
+    * count/min/max queries from the manifest alone, with zero data I/O.
     */
   final case class FileEntry(rel: String, bytes: Long,
-      stats: Map[String, (Double, Double)], bloomCols: Seq[String] = Nil)
+      stats: Map[String, (Double, Double)], bloomCols: Seq[String] = Nil,
+      rows: Long = -1L)
 
   final case class Manifest(version: Long, parent: Long, op: String,
       schema: StructType, files: Seq[FileEntry]) {
@@ -118,15 +122,15 @@ object SnapshotLake {
     sb.append("files=").append(m.files.size).append('\n')
     m.files.foreach { f =>
       sb.append(f.rel).append('\t').append(f.bytes)
-      if (f.stats.nonEmpty || f.bloomCols.nonEmpty) {
-        // col=min..max;col2=min..max — doubles via Double.toString, exact
-        // round trip through parseDouble
-        sb.append('\t').append(f.stats.toSeq.sortBy(_._1).map {
-          case (c, (lo, hi)) => s"$c=$lo..$hi"
-        }.mkString(";"))
-      }
-      if (f.bloomCols.nonEmpty)
-        sb.append('\t').append(f.bloomCols.sorted.mkString(","))
+      // col=min..max;col2=min..max — doubles via Double.toString, exact
+      // round trip through parseDouble. Stats/bloom columns are written
+      // even when empty so the trailing rows column keeps a fixed slot
+      // (parse accepts 2–5 columns, so legacy lines still load).
+      sb.append('\t').append(f.stats.toSeq.sortBy(_._1).map {
+        case (c, (lo, hi)) => s"$c=$lo..$hi"
+      }.mkString(";"))
+      sb.append('\t').append(f.bloomCols.sorted.mkString(","))
+      sb.append('\t').append(f.rows)
       sb.append('\n')
     }
     sb.toString.getBytes(StandardCharsets.UTF_8)
@@ -147,7 +151,7 @@ object SnapshotLake {
     val n = field(5, "files").toInt
     val files = (0 until n).map { i =>
       val cols = lines(6 + i).split('\t')
-      require(cols.length >= 2 && cols.length <= 4,
+      require(cols.length >= 2 && cols.length <= 5,
         s"manifest file line ${6 + i} malformed")
       val stats = if (cols.length < 3 || cols(2).isEmpty) Map.empty[String, (Double, Double)]
       else cols(2).split(';').map { seg =>
@@ -159,7 +163,8 @@ object SnapshotLake {
       }.toMap
       val blooms = if (cols.length < 4 || cols(3).isEmpty) Nil
         else cols(3).split(',').toSeq
-      FileEntry(cols(0), cols(1).toLong, stats, blooms)
+      val rows = if (cols.length < 5 || cols(4).isEmpty) -1L else cols(4).toLong
+      FileEntry(cols(0), cols(1).toLong, stats, blooms, rows)
     }
     Manifest(version, parent, op, schema, files)
   }
@@ -259,9 +264,9 @@ object SnapshotLake {
 
   // ----------------------------------------------------------------- write
 
-  /** Per-column (min, max) envelopes from one parquet footer — a
-    * metadata-only driver read (no row data), done once per file at
-    * commit time. Only columns whose physical stats convert cleanly to a
+  /** Per-column (min, max) envelopes plus the exact row count from one
+    * parquet footer — a metadata-only driver read (no row data), done
+    * once per file at commit time. Only columns whose physical stats convert cleanly to a
     * double ordering (int32/int64/float/double — timestamps ride int64
     * micros) are recorded; anything else is simply not prunable. Note
     * TIMESTAMP_NTZ (the engine's canonical ts type) writes as INT64 and
@@ -270,16 +275,17 @@ object SnapshotLake {
     * min/max for — such a column silently yields no envelope and every
     * reader falls back to the conservative (read-it) side.
     */
-  private def footerStats(spark: SparkSession, file: Path,
-      statsCols: Set[String]): Map[String, (Double, Double)] = {
-    if (statsCols.isEmpty) return Map.empty
+  private def footerProbe(spark: SparkSession, file: Path,
+      statsCols: Set[String]): (Map[String, (Double, Double)], Long) = {
     import scala.jdk.CollectionConverters._
     val in = org.apache.parquet.hadoop.util.HadoopInputFile
       .fromPath(file, spark.sparkContext.hadoopConfiguration)
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try {
+      var rowCount = 0L
       val acc = scala.collection.mutable.Map.empty[String, (Double, Double)]
       reader.getFooter.getBlocks.asScala.foreach { block =>
+        rowCount += block.getRowCount
         block.getColumns.asScala.foreach { c =>
           val name = c.getPath.toDotString
           if (statsCols.contains(name)) {
@@ -299,20 +305,8 @@ object SnapshotLake {
           }
         }
       }
-      acc.toMap
+      (acc.toMap, rowCount)
     } finally reader.close()
-  }
-
-  /** Row count from one parquet footer (metadata-only driver read) —
-    * sizes the file's bloom filters so fpp holds at any file size.
-    */
-  private def footerRowCount(spark: SparkSession, file: Path): Long = {
-    import scala.jdk.CollectionConverters._
-    val in = org.apache.parquet.hadoop.util.HadoopInputFile
-      .fromPath(file, spark.sparkContext.hadoopConfiguration)
-    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-    try reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
-    finally reader.close()
   }
 
   // ---------------------------------------------------------------- blooms
@@ -360,9 +354,10 @@ object SnapshotLake {
     val dd = dataDir(root)
     def key(p: Path): String = p.toUri.getPath // scheme-insensitive
     val relByKey = entries.map(e => key(new Path(dd, e.rel)) -> e.rel).toMap
+    // sole caller is stageFiles, whose entries carry the footer row count
+    // already — sizes each file's filter so fpp holds at any file size
     val rowsByKey = entries.map { e =>
-      val p = new Path(dd, e.rel)
-      key(p) -> math.max(1L, footerRowCount(spark, p))
+      key(new Path(dd, e.rel)) -> math.max(1L, e.rows)
     }.toMap
     val df = spark.read.parquet(entries.map(e => new Path(dd, e.rel).toString): _*)
     bloomCols.foreach { c =>
@@ -468,9 +463,9 @@ object SnapshotLake {
           val relOut = s"$rel$token-$name"
           val target = new Path(dataDir(root), relOut)
           fs.mkdirs(target.getParent)
-          val stats = footerStats(spark, st.getPath, statsCols)
+          val (stats, nRows) = footerProbe(spark, st.getPath, statsCols)
           require(fs.rename(st.getPath, target), s"stage move failed: $target")
-          staged += FileEntry(relOut, st.getLen, stats, sortedBlooms)
+          staged += FileEntry(relOut, st.getLen, stats, sortedBlooms, nRows)
         }
       }
     walk(stage, "")
@@ -681,6 +676,57 @@ object SnapshotLake {
         .parquet(survivors.map(f => s"$base/${f.rel}"): _*)
         .filter(residual)
     }
+  }
+
+  /** Metadata-only aggregates: exact COUNT(*) plus per-column MIN/MAX
+    * answered from the manifest ALONE — zero data files opened, zero
+    * Spark jobs — the snapshot-store answer to "how big is this table
+    * and what range does it span" that a directory-listing lake needs a
+    * full scan for. Sound because every committed file carries its
+    * footer row count and `statsCols` envelopes are TRUE per-file
+    * min/max lifted from the same footer, and every rewrite path
+    * (append/compact/merge/delete) restamps them via `stageFiles`.
+    *
+    * Refuses loudly when the pinned manifest predates per-file row
+    * counts (rewrite via [[compact]] to backfill) or when a requested
+    * column lacks an envelope on some non-empty file (pass it in
+    * `statsCols` at append time) — a metadata answer that MIGHT be
+    * wrong is worse than no answer. Min/max ride the envelopes' double
+    * domain (exact for doubles and for integers below 2^53; same
+    * contract as [[readBox]] pruning).
+    *
+    * Returns one row: `n_rows` plus `min_<c>`/`max_<c>` per requested
+    * column (NULL when the lake holds zero rows).
+    */
+  def summary(spark: SparkSession, root: String, cols: Seq[String] = Nil,
+      version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField}
+    val m = manifest(spark, root, version)
+    val legacy = m.files.filter(_.rows < 0)
+    require(legacy.isEmpty,
+      s"metadata-only summary needs per-file row counts; ${legacy.size} " +
+        s"file(s) predate them (e.g. ${legacy.take(3).map(_.rel).mkString(", ")})" +
+        " — one compact() rewrite backfills the counts")
+    cols.foreach(c => require(m.schema.fieldNames.contains(c),
+      s"summary column $c not in snapshot schema ${m.schema.simpleString}"))
+    val nonEmpty = m.files.filter(_.rows > 0)
+    val total = m.files.map(_.rows).sum
+    val mins = cols.map { c =>
+      val missing = nonEmpty.filterNot(_.stats.contains(c))
+      require(missing.isEmpty,
+        s"summary column $c has no min/max envelope on ${missing.size} " +
+          s"file(s) (e.g. ${missing.take(3).map(_.rel).mkString(", ")}) — " +
+          "append with statsCols including it, or compact() with stats")
+      if (nonEmpty.isEmpty) (null, null)
+      else (java.lang.Double.valueOf(nonEmpty.map(_.stats(c)._1).min),
+        java.lang.Double.valueOf(nonEmpty.map(_.stats(c)._2).max))
+    }
+    val schema = StructType(StructField("n_rows", LongType, nullable = false) +:
+      cols.flatMap(c => Seq(StructField(s"min_$c", DoubleType),
+        StructField(s"max_$c", DoubleType))).toArray)
+    val row = Row.fromSeq(total +: mins.flatMap { case (lo, hi) => Seq(lo, hi) })
+    spark.createDataFrame(
+      java.util.Collections.singletonList(row), schema)
   }
 
   /** Version history — (version, parent, op, n_files, bytes). */

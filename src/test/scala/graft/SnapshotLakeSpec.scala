@@ -448,11 +448,53 @@ class SnapshotLakeSpec extends SparkSpec {
     val in = fs.open(mPath)
     val raw = scala.io.Source.fromInputStream(in).mkString; in.close()
     val legacy = raw.split("\n").map { l =>
-      val c = l.split('\t'); if (c.length == 3) s"${c(0)}\t${c(1)}" else l
+      val c = l.split('\t'); if (c.length >= 3) s"${c(0)}\t${c(1)}" else l
     }.mkString("\n")
     val o = fs.create(mPath, true); o.write(legacy.getBytes); o.close()
     assert(SnapshotLake.read(spark, root).count() == 5)
     assert(SnapshotLake.manifest(spark, root).files.forall(_.stats.isEmpty))
+    // legacy entries carry no row counts: the metadata-only summary must
+    // refuse (not guess), and name the backfill path
+    val e = intercept[IllegalArgumentException](
+      SnapshotLake.summary(spark, root))
+    assert(e.getMessage.contains("compact"))
+  }
+
+  test("summary answers count/min/max from the manifest alone, stays " +
+      "exact through compact/merge/delete, refuses uncovered columns") {
+    val root = freshRoot()
+    val b = bars(1, 40, 10.0)
+    SnapshotLake.append(spark, root, b.filter($"close" <= 30).repartition(2),
+      statsCols = Seq("close"))
+    SnapshotLake.append(spark, root, b.filter($"close" > 30).repartition(2),
+      statsCols = Seq("close"))
+    def check(): Unit = {
+      val got = SnapshotLake.summary(spark, root, Seq("close")).head
+      val want = SnapshotLake.read(spark, root)
+        .agg(count("*"), min("close"), max("close")).head
+      assert(got.getLong(0) == want.getLong(0))
+      assert(got.getDouble(1) == want.getDouble(1))
+      assert(got.getDouble(2) == want.getDouble(2))
+    }
+    check()
+    SnapshotLake.compact(spark, root)
+    check()
+    SnapshotLake.merge(spark, root, bars(1, 10, 100.0),
+      keyCols = Seq("close"), versionCol = "close", pruneKey = "close")
+    check()
+    SnapshotLake.delete(spark, root, $"close" > 105.0,
+      pruneBox = Map("close" -> (105.0, 1e18)))
+    check()
+    // a zero-row lake answers 0 with NULL min/max, not a crash
+    val empty = freshRoot()
+    SnapshotLake.append(spark, empty, b.limit(0), statsCols = Seq("close"))
+    val z = SnapshotLake.summary(spark, empty, Seq("close")).head
+    assert(z.getLong(0) == 0L && z.isNullAt(1) && z.isNullAt(2))
+    // a column never given statsCols refuses loudly — a metadata answer
+    // that might be wrong is worse than none
+    val e = intercept[IllegalArgumentException](
+      SnapshotLake.summary(spark, root, Seq("symbol")))
+    assert(e.getMessage.contains("envelope"))
   }
 
   test("diff classifies insert/update/delete from non-common files only; " +
