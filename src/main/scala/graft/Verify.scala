@@ -12,6 +12,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the engine's own extensions: custom SQL functions + the rollup /
+      // manifest-agg rewrite rules (no-ops unless their relations appear)
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       // At 100x gate scales a driver full-GC can stall past the default
       // 120 s heartbeat horizon, and in local mode "removing" the one
       // executor kills the JVM mid-suite. These only widen tolerances —

@@ -241,6 +241,35 @@ object ScaleQueries {
       SnapshotLake.summary(s, root, Seq("event_id", "close"))
     }),
 
+    // TRANSPARENT metadata-only aggregates (graft.plans.ManifestAggRewrite,
+    // active via spark.sql.extensions in the Verify/Bench sessions): the
+    // user just writes agg(count/min/max) over a readPruned snapshot scan
+    // and the optimizer collapses it to a LocalRelation answered from the
+    // manifest — zero data files opened. The oracle computes the same
+    // aggregates over the actual rows; a hash match proves the metadata
+    // path exact, including the post-aggregate arithmetic (close_span)
+    // folded over the substituted literals. Correct with the rule OFF too
+    // (it falls back to the scan) — the plan shape itself is pinned in
+    // ManifestAggSpec.
+    "sn5_agg_rewrite" -> ((s, dir) => {
+      import graft.sinks.{ManifestFileIndex, SnapshotLake}
+      val b = Tables.bars(s, dir).select("event_id", "close")
+      val root = graft.TempDirs.create("graft-sn5") + "/lake"
+      SnapshotLake.append(s, root,
+        b.filter(col("event_id") % 3 === 0).repartition(2),
+        statsCols = Seq("event_id", "close"))
+      SnapshotLake.append(s, root,
+        b.filter(col("event_id") % 3 =!= 0).repartition(2),
+        statsCols = Seq("event_id", "close"))
+      ManifestFileIndex.readPruned(s, root)
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("event_id")).as("min_event_id"),
+          max(col("event_id")).as("max_event_id"),
+          min(col("close")).as("min_close"),
+          max(col("close")).as("max_close"),
+          (max(col("close")) - min(col("close"))).as("close_span"))
+    }),
+
     // Lake-vs-DB coverage census: file side = actual per-symbol lake rows,
     // DB side = the simulated registration state above.
     "rec1_coverage" -> ((s, dir) => {
@@ -313,6 +342,16 @@ object ScaleQueries {
          |       CAST(max(event_id) AS DOUBLE) AS max_event_id,
          |       min(close) AS min_close,
          |       max(close) AS max_close
+         |FROM bars""".stripMargin),
+
+    "sn5_agg_rewrite" -> (Tables.barsSql +
+      s"""
+         |SELECT count(*) AS n_rows,
+         |       min(event_id) AS min_event_id,
+         |       max(event_id) AS max_event_id,
+         |       min(close) AS min_close,
+         |       max(close) AS max_close,
+         |       max(close) - min(close) AS close_span
          |FROM bars""".stripMargin),
 
     "sk1_salted_stats" -> (Tables.barsSql +

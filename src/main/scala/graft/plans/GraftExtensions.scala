@@ -39,6 +39,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // registered raw source to scan its roll-up (RollupCatalog). For a
     // live session use spark.experimental.extraOptimizations instead.
     e.injectOptimizerRule(_ => RollupRewrite)
+    // metadata-only count/min/max over snapshot-lake reads — collapses
+    // to a LocalRelation from the manifest's row counts + envelopes
+    e.injectOptimizerRule(_ => ManifestAggRewrite)
   }
 }
 

@@ -78,7 +78,21 @@ object Lake {
     * Bucket count 2^bits per column; bits·|zCols| ≤ 62.
     */
   def writeZOrdered(df: DataFrame, path: String, zCols: Seq[String],
-      numFiles: Int, bits: Int = 12, mode: String = "overwrite"): Unit = {
+      numFiles: Int, bits: Int = 12, mode: String = "overwrite"): Unit =
+    zOrderShape(df, zCols, numFiles, bits)
+      .write.mode(mode)
+      .option("compression", "zstd")
+      .parquet(path)
+
+  /** The z-ordered LAYOUT without the write: `df` range-partitioned into
+    * `numFiles` slices of the interleaved z-value and sorted within each —
+    * one file per partition when written as-is. Shared by [[writeZOrdered]]
+    * (directory lake) and [[SnapshotLake.optimizeZOrder]] (manifest lake,
+    * which stages the shaped frame itself so the new layout and its
+    * per-file envelopes commit in one manifest version).
+    */
+  def zOrderShape(df: DataFrame, zCols: Seq[String],
+      numFiles: Int, bits: Int = 12): DataFrame = {
     require(zCols.nonEmpty, "zCols must be non-empty")
     require(bits >= 1 && bits * zCols.size <= 62,
       s"bits * zCols must fit a long, got $bits * ${zCols.size}")
@@ -104,9 +118,6 @@ object Lake {
       .repartitionByRange(numFiles, col("__zv"))
       .sortWithinPartitions("__zv")
       .select(df.columns.map(col): _*)
-      .write.mode(mode)
-      .option("compression", "zstd")
-      .parquet(path)
   }
 
   /** OPTIMIZE: rewrite chosen year/month partitions of the archive into

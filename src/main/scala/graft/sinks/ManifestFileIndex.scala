@@ -31,7 +31,7 @@ import org.apache.spark.sql.types.{DateType, StructType, TimestampNTZType, Times
 final class ManifestFileIndex(
     spark: SparkSession,
     dataDir: Path,
-    entries: Seq[SnapshotLake.FileEntry],
+    val entries: Seq[SnapshotLake.FileEntry],
     dataSchema: StructType) extends FileIndex {
 
   private val statuses: Seq[(SnapshotLake.FileEntry, FileStatus)] =

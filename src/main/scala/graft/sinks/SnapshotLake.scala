@@ -771,6 +771,51 @@ object SnapshotLake {
     (v, base.files.size, newFiles.size)
   }
 
+  /** OPTIMIZE ZORDER for the snapshot lake: rewrite the current snapshot
+    * into z-ordered files (quantile-rank bit-interleave over `zCols` —
+    * [[Lake.zOrderShape]]) and publish the result as ONE new manifest
+    * version with [[compact]]'s guarantees: non-blocking for pinned
+    * readers, concurrent appends carried forward by the lock-merge,
+    * crash leaves no torn state. The decisive difference from the
+    * directory lake's swap-based OPTIMIZE: the clustering and its
+    * data-skipping index move TOGETHER — `stageFiles` restamps every
+    * rewritten file's min/max envelopes (the z-dims are added to the
+    * tracked stat columns), so the next [[readBox]] /
+    * [[ManifestFileIndex.readPruned]] prunes against envelopes that are
+    * tight in every z dimension. A d-dim box query then opens
+    * ~∏ selectivityᵢ of the files where the ingest-ordered layout had
+    * near-full envelopes on every non-ingest dimension.
+    *
+    * Unpartitioned lakes only (a hive-partitioned snapshot's directory
+    * keys already cluster its partition dims; z-ordering WITHIN
+    * partitions is a compose-on-top maintenance job, not this rewrite).
+    * Returns (newVersion, filesBefore, filesAfter).
+    */
+  def optimizeZOrder(spark: SparkSession, root: String, zCols: Seq[String],
+      targetBytes: Long = 128L * 1024 * 1024, bits: Int = 12,
+      lockExpiryMs: Long = DefaultLockExpiryMs): (Long, Int, Int) = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val base = manifest(spark, root, None)
+    zCols.foreach(c => require(base.schema.fieldNames.contains(c),
+      s"z-order column $c not in snapshot schema ${base.schema.simpleString}"))
+    require(base.files.forall(!_.rel.contains("=")),
+      "optimizeZOrder supports unpartitioned snapshot lakes; z-order " +
+        "within hive partitions via Lake.optimizeZOrder on the data dirs")
+    val nOut = math.max(1,
+      ((base.bytes + targetBytes - 1) / targetBytes).toInt)
+    val shaped = Lake.zOrderShape(read(spark, root, Some(base.version)),
+      zCols, nOut, bits)
+    val statsCols = base.files.flatMap(_.stats.keys).toSet ++ zCols
+    val bloomCols = base.files.flatMap(_.bloomCols).distinct
+    val newFiles = stageFiles(spark, root, shaped, Nil, statsCols, bloomCols)
+    val baseSet = base.files.map(_.rel).toSet
+    val v = commit(spark, root, "zorder", base.schema,
+      build = head => newFiles ++ head.map(_.files).getOrElse(Nil)
+        .filterNot(f => baseSet.contains(f.rel)),
+      lockExpiryMs)
+    (v, base.files.size, newFiles.size)
+  }
+
   /** MERGE (upsert) into the snapshot lake with FILE-LEVEL pruning:
     * keep-latest-wins on `versionCol` over full `keyCols` tuples, but only
     * the data files whose `pruneKey` footer envelope overlaps the updates'
@@ -792,7 +837,14 @@ object SnapshotLake {
   def merge(spark: SparkSession, root: String, updates: DataFrame,
       keyCols: Seq[String], versionCol: String, pruneKey: String,
       partitionCols: Seq[String] = Nil,
-      lockExpiryMs: Long = DefaultLockExpiryMs): (Long, Int, Int) = {
+      lockExpiryMs: Long = DefaultLockExpiryMs): (Long, Int, Int) =
+    mergeOp(spark, root, updates, keyCols, versionCol, pruneKey,
+      partitionCols, lockExpiryMs, op = "merge")
+
+  private def mergeOp(spark: SparkSession, root: String, updates: DataFrame,
+      keyCols: Seq[String], versionCol: String, pruneKey: String,
+      partitionCols: Seq[String], lockExpiryMs: Long,
+      op: String): (Long, Int, Int) = {
     require(keyCols.contains(pruneKey),
       s"pruneKey $pruneKey must be one of keyCols ${keyCols.mkString(",")}")
     val base = manifest(spark, root, None)
@@ -836,7 +888,7 @@ object SnapshotLake {
     val newFiles = stageFiles(spark, root, winners, partitionCols, statsCols,
       base.files.flatMap(_.bloomCols).distinct)
     val rewriteSet = rewrite.map(_.rel).toSet
-    val v = commit(spark, root, "merge", base.schema,
+    val v = commit(spark, root, op, base.schema,
       build = head => newFiles ++ head.map(_.files).getOrElse(Nil)
         .filterNot(f => rewriteSet.contains(f.rel) ||
           newFiles.exists(_.rel == f.rel)),
@@ -1097,7 +1149,7 @@ object SnapshotLake {
 
   // ------------------------------------------------------------- streaming
 
-  private val StreamOpRe = raw"append:stream=([^,]*),batch=(\d+)".r
+  private val StreamOpRe = raw"(?:append|merge):stream=([^,]*),batch=(\d+)".r
 
   /** Highest micro-batch id `streamId` has committed (scans manifests
     * newest-first, stops at the first match — replays only ever re-deliver
@@ -1133,6 +1185,47 @@ object SnapshotLake {
     if (!replay) {
       appendOp(spark, root, df, partitionCols, statsCols, evolve = false,
         op = s"append:stream=$streamId,batch=$batchId", lockExpiryMs, bloomCols)
+    }
+  }
+
+  /** Exactly-once streaming UPSERT: a `foreachBatch` handler that MERGEs
+    * each micro-batch into the snapshot lake (keep-latest on `versionCol`
+    * over `keyCols`, file-level envelope pruning on `pruneKey` — the full
+    * [[merge]] semantics), idempotent across foreachBatch's at-least-once
+    * replays by the same (streamId, batchId) manifest-op discipline as
+    * [[appendStream]]. This is the CDC-consumer shape: a change stream
+    * (e.g. [[graft.streaming.StreamSnapshotSource]] tailing another lake,
+    * or a dedup'd kline feed) maintains a keyed MATERIALIZED table with
+    * exactly-once effects, while pinned readers of the target never see a
+    * torn batch.
+    *
+    * Each micro-batch is one merge commit: rows whose keys exist are
+    * replaced when the batch carries a >= `versionCol` (updates beat the
+    * lake at equal version), new keys insert, untouched files survive by
+    * identity. Late/duplicate rows WITHIN a batch collapse through
+    * merge's deterministic tie-break. Batch ids are consumed monotonically
+    * per stream; a replayed batch id is skipped whole.
+    */
+  def mergeStream(root: String, keyCols: Seq[String], versionCol: String,
+      pruneKey: String, partitionCols: Seq[String] = Nil,
+      streamId: String = "s0",
+      lockExpiryMs: Long = DefaultLockExpiryMs)
+      : (DataFrame, Long) => Unit = { (df, batchId) =>
+    val spark = df.sparkSession
+    val replay = lastCommittedBatch(spark, root, streamId).exists(_ >= batchId)
+    if (!replay) {
+      // first batch on a fresh root: commit an empty base version so the
+      // batch lands THROUGH merge (whose keep-latest window also collapses
+      // duplicate keys within the batch itself). Crash between the two
+      // commits re-runs both — the extra empty append is a harmless no-op
+      // version; only the merge commit carries the batch marker.
+      if (latestVersion(spark, root).isEmpty) {
+        appendOp(spark, root, df.limit(0), partitionCols,
+          statsCols = Seq(pruneKey), evolve = false, op = "append",
+          lockExpiryMs)
+      }
+      mergeOp(spark, root, df, keyCols, versionCol, pruneKey, partitionCols,
+        lockExpiryMs, op = s"merge:stream=$streamId,batch=$batchId")
     }
   }
 }

@@ -376,6 +376,48 @@ class SnapshotLakeSpec extends SparkSpec {
     assert(SnapshotLake.readBox(spark, root, box).count() == 10)
   }
 
+  test("optimizeZOrder: one commit swaps in the clustered layout with " +
+      "tight 2-D envelopes; box pruning improves, rows and pinned " +
+      "readers unaffected, appendsSince refuses across it") {
+    val root = freshRoot()
+    // hash-ordered ingest: every file's x AND y envelopes span ~the whole
+    // domain, so a 2-D box can prune nothing — the regime z-order fixes
+    val n = 4096
+    val grid = (0 until n)
+      .map(i => (((i * 2654435761L) % n) % 64, ((i * 2654435761L) % n) / 64,
+        i.toLong))
+      .toDF("x", "y", "id")
+    (0 until 4).foreach { k =>
+      SnapshotLake.append(spark, root,
+        grid.filter(pmod(col("id"), lit(4)) === k).repartition(1),
+        statsCols = Seq("x", "y"))
+    }
+    val before = SnapshotLake.manifest(spark, root)
+    val box = Map("x" -> (0.0, 7.0), "y" -> (0.0, 7.0)) // 1/64 of the grid
+    assert(SnapshotLake.candidateEntries(spark, root, box).size ==
+      before.files.size) // ingest layout: zero pruning
+    val want = SnapshotLake.readBox(spark, root, box).collect().toSet
+
+    val (v, nBefore, nAfter) = SnapshotLake.optimizeZOrder(spark, root,
+      Seq("x", "y"), targetBytes = math.max(1L, before.bytes / 8), bits = 6)
+    assert(nBefore == 4 && nAfter >= 8)
+    assert(SnapshotLake.manifest(spark, root).op == "zorder")
+    // the z-layout's envelopes prune the same box to a fraction of files
+    val cands = SnapshotLake.candidateEntries(spark, root, box)
+    assert(cands.size < nAfter / 2,
+      s"expected z-order pruning, got ${cands.size}/$nAfter candidates")
+    // identical rows through the pruned read and the full read
+    assert(SnapshotLake.readBox(spark, root, box).collect().toSet == want)
+    assert(SnapshotLake.read(spark, root).count() == n)
+    assert(SnapshotLake.read(spark, root).exceptAll(grid).isEmpty)
+    // pre-rewrite version stays pinned and readable
+    assert(SnapshotLake.read(spark, root, Some(v - 1)).count() == n)
+    // a rewrite is not an append: incremental tails refuse loudly
+    val e = intercept[IllegalArgumentException](
+      SnapshotLake.appendsSince(spark, root, v - 1).collect())
+    assert(e.getMessage.contains("zorder"))
+  }
+
   test("schema evolution widens with NULL backfill; retype and drop refuse") {
     val root = freshRoot()
     SnapshotLake.append(spark, root, bars(1, 4, 0.0))
@@ -427,6 +469,52 @@ class SnapshotLakeSpec extends SparkSpec {
     q.stop()
     assert(SnapshotLake.read(spark, stRoot).count() == 3)
     assert(SnapshotLake.lastCommittedBatch(spark, stRoot, "ms").contains(1L))
+  }
+
+  test("exactly-once streaming MERGE: each micro-batch upserts keyed " +
+      "state, replays are skipped whole, batch-internal duplicates " +
+      "collapse, the CDC mirror composes end-to-end") {
+    val root = freshRoot()
+    def kv(rows: (Long, String, Long)*) =
+      rows.toSeq.toDF("id", "v", "ver")
+    val handler = SnapshotLake.mergeStream(root, keyCols = Seq("id"),
+      versionCol = "ver", pruneKey = "id", streamId = "cdc")
+    // batch 0 on a FRESH root: bootstrap + merge; in-batch duplicate key
+    // (1) collapses to the higher ver
+    handler(kv((1L, "a", 1L), (1L, "a2", 2L), (2L, "b", 1L)), 0L)
+    def state(): Map[Long, (String, Long)] =
+      SnapshotLake.read(spark, root).collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(state() == Map(1L -> ("a2", 2L), 2L -> ("b", 1L)))
+    // batch 1 updates key 1, inserts key 3
+    handler(kv((1L, "a3", 3L), (3L, "c", 1L)), 1L)
+    assert(state() == Map(1L -> ("a3", 3L), 2L -> ("b", 1L), 3L -> ("c", 1L)))
+    // crash-replay of batch 1: skipped whole, state unchanged
+    handler(kv((1L, "a3", 3L), (3L, "c", 1L)), 1L)
+    assert(state() == Map(1L -> ("a3", 3L), 2L -> ("b", 1L), 3L -> ("c", 1L)))
+    assert(SnapshotLake.lastCommittedBatch(spark, root, "cdc").contains(1L))
+    // a STALE row (lower ver than the lake's) loses keep-latest
+    handler(kv((1L, "old", 1L)), 2L)
+    assert(state()(1L) == ("a3", 3L))
+    // real plumbing: source lake -> StreamSnapshotSource tail -> mergeStream
+    // mirror = the lake-to-lake CDC materialization
+    val src = freshRoot(); val dst = freshRoot()
+    SnapshotLake.append(spark, src, kv((10L, "x", 1L)), statsCols = Seq("id"))
+    val reader = spark.readStream
+      .format("graft.streaming.SnapshotSourceProvider").load(src)
+    val q = reader.writeStream
+      .foreachBatch(SnapshotLake.mergeStream(dst, keyCols = Seq("id"),
+        versionCol = "ver", pruneKey = "id", streamId = "mirror"))
+      .option("checkpointLocation", TempDirs.create("snap-merge-ckpt"))
+      .start()
+    q.processAllAvailable()
+    SnapshotLake.append(spark, src, kv((10L, "x2", 2L), (11L, "y", 1L)),
+      statsCols = Seq("id"))
+    q.processAllAvailable()
+    q.stop()
+    val mirrored = SnapshotLake.read(spark, dst).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(mirrored == Map(10L -> ("x2", 2L), 11L -> ("y", 1L)))
   }
 
   test("edges: empty append, stats-free readBox, 2-column manifest lines") {
