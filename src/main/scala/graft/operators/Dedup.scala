@@ -358,6 +358,86 @@ object Dedup {
     droppedAll.unionByName(keptIntra).select(col("doc_id").as("drop_id"))
   }
 
+  /** Connected components of a duplicate-pair graph — alternating
+    * large-star / small-star (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC 2014), the published at-scale answer
+    * for transitive dup-cluster labeling:
+    *
+    *  - converges in O(log n) alternations INDEPENDENT of component
+    *    diameter — plain min-label propagation needs diameter rounds, so
+    *    a long doc-similarity chain (boilerplate families at 100 TB)
+    *    would pay thousands of shuffles; this pays ~a dozen;
+    *  - each half-round is ONE window-min + projection over the current
+    *    edge set — no `collect_list` neighborhoods, so a hub node with
+    *    10^8 neighbors never assembles its adjacency on one executor;
+    *  - the edge set only shrinks toward the final star graphs, so later
+    *    rounds get cheaper, and each round is `localCheckpoint`'ed so
+    *    the plan never stacks round lineages.
+    *
+    * Input: one row per undirected edge (`id1`, `id2`); orientation,
+    * duplicates and self-loops are normalized away. Output: one row
+    * (`id`, `comp`) for every id that appears in an edge, `comp` = the
+    * component's minimum id. Edge-free singletons don't appear (callers
+    * union `(id, id)` for ids absent from the result when they need
+    * total coverage).
+    *
+    * vs [[dropListConnected]]: that computes the greedy KEEP policy
+    * (a maximal independent set — deliberately NOT the closure, see its
+    * doc); this labels the full equivalence closure, which is what
+    * cluster censuses, one-per-cluster sampling and cluster-level joins
+    * need.
+    */
+  def connectedComponents(pairs: DataFrame, id1: Column, id2: Column,
+      maxRounds: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // canonical (hi > lo); self-loops carry no connectivity
+    var edges = pairs
+      .select(greatest(id1, id2).as("hi"), least(id1, id2).as("lo"))
+      .filter(col("hi") =!= col("lo"))
+      .distinct().localCheckpoint()
+
+    // large-star: every node u attaches its STRICTLY LARGER neighbors to
+    // m = min(N(u) ∪ {u}) — long chains halve; emitted edges stay
+    // canonical because m <= u < v
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("hi").as("u"), col("lo").as("v"))
+        .unionByName(e.select(col("lo").as("u"), col("hi").as("v")))
+      sym.withColumn("m",
+          least(min(col("v")).over(Window.partitionBy("u")), col("u")))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .distinct()
+    }
+
+    // small-star: every node reattaches its smaller neighborhood (and
+    // itself) to that neighborhood's minimum — stars flatten
+    def smallStar(e: DataFrame): DataFrame = {
+      val withM = e.withColumn("m",
+        min(col("lo")).over(Window.partitionBy("hi")))
+      withM.filter(col("lo") =!= col("m"))
+        .select(col("lo").as("hi"), col("m").as("lo"))
+        .unionByName(withM.select(col("hi"), col("m").as("lo")))
+        .filter(col("hi") =!= col("lo"))
+        .distinct()
+    }
+
+    var rounds = 0
+    var converged = false
+    while (!converged) {
+      rounds += 1
+      require(rounds <= maxRounds,
+        s"connectedComponents did not converge in $maxRounds rounds")
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      converged = next.exceptAll(edges).isEmpty &&
+        edges.exceptAll(next).isEmpty
+      edges = next
+    }
+    // fixpoint = stars: (member -> center) edges; centers label themselves
+    edges.select(col("hi").as("id"), col("lo").as("comp"))
+      .unionByName(
+        edges.select(col("lo").as("id"), col("lo").as("comp")).distinct())
+  }
+
   /** Apply a drop list (anti-join — no payload from the drop side).
     *
     * Scale note: when the drop list fits a broadcast, Catalyst plans

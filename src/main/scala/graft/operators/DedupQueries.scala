@@ -90,6 +90,20 @@ object DedupQueries {
         sig.filter(col("doc_id") % 5 =!= 0),
         bands, rows, minAgree = 8)
     }),
+    // D10 (beyond-reference) — connected components over the near-dup
+    // pair graph (alternating large-star/small-star): every doc in the
+    // clustered fixture labeled with its dup-cluster's minimum id. The
+    // oracle computes the same labels as a recursive-CTE min-reachability
+    // closure over the identical pair relation — a hash match proves the
+    // O(log n)-round distributed algorithm reaches the exact equivalence
+    // closure a transitive-closure engine computes.
+    "d10_dup_components" -> ((s, dir) => {
+      val pairs = Dedup.jaccardPairsAtScaleGuarded(
+        clusteredCorpus(Tables.documents(s, dir)),
+        col("text"), col("doc_id"), 0.8, nHashes, bands, rows)
+      Dedup.connectedComponents(pairs, col("doc_id1"), col("doc_id2"))
+        .select(col("id").as("doc_id"), col("comp"))
+    }),
     // DC1 (beyond-reference) — benchmark decontamination: training docs
     // (doc_id % 97 != 0) sharing any word 3-gram with the benchmark
     // residue class (doc_id % 97 = 0). Broadcast bench grams; only
@@ -286,6 +300,24 @@ object DedupQueries {
       ",\n" + bandPairsSql + ",\n" + d4TailSql),
     "d4c_jaccard_census" -> (sigSqlFor(1) + ",\n" + bandPairsSql + ",\n" +
       d4TailCtes + ",\n" + d4CensusSql),
+    // the WITH is RECURSIVE for the final reach CTE (min-reachability
+    // closure); DuckDB scopes RECURSIVE to the whole clause
+    "d10_dup_components" -> (sigSqlFor(1,
+      "RECURSIVE " + clusteredCorpusSql + ",\n", "corpus2") +
+      ",\n" + bandPairsSql + ",\n" + d4TailCtes + ",\n" +
+      s"""dp AS (
+         |$d4PairsSelect
+         |),
+         |e AS (SELECT doc_id1 AS a, doc_id2 AS b FROM dp),
+         |sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+         |nodes AS (SELECT DISTINCT a AS id FROM sym),
+         |reach(src, dst) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a
+         |)
+         |SELECT src AS doc_id, min(dst) AS comp FROM reach GROUP BY src""".stripMargin),
+
     "d9_incremental_drop" -> (sigSql + ",\n" + bandtSql + ",\n" + {
       val eq = (0 until nHashes)
         .map(i => f"CASE WHEN s1.mh$i%02d = s2.mh$i%02d THEN 1 ELSE 0 END")

@@ -244,6 +244,85 @@ object TextOps {
   }
 
   // ------------------------------------------------------------------
+  // Character-bigram LM quality scoring
+
+  /** Character classes for the bigram LM: a-z → 1..26, 0-9 → 27..36,
+    * space → 37, anything else (incl. multi-byte) → 0. 38 classes keep
+    * the model at 38² = 1444 slots — a ~12 KB literal any plan can
+    * broadcast, the point of a CHARACTER model over a token model.
+    */
+  private val LmClasses = 38
+
+  private def charClasses(t: Column): Column =
+    transform(filter(split(lower(t), ""), c => c =!= ""), { c =>
+      val a = ascii(c)
+      when(a >= 97 && a <= 122, a - 96)
+        .when(a >= 48 && a <= 57, a - 21) // 27 + (a - 48)
+        .when(a === 32, lit(37))
+        .otherwise(lit(0))
+    })
+
+  /** Bigram slot ids (prev·38 + next) in document order; empty below 2
+    * chars.
+    */
+  private def lmSlots(t: Column): Column = {
+    val cls = charClasses(t)
+    when(size(cls) >= 2,
+      zip_with(slice(cls, lit(1), size(cls) - 1), slice(cls, lit(2), size(cls) - 1),
+        (x, y) => x * LmClasses + y))
+      .otherwise(array().cast("array<int>"))
+  }
+
+  /** X11 — language-model quality scoring, the perplexity-filter shape
+    * every LLM-corpus pipeline runs (CCNet/KenLM-style): train a smoothed
+    * character-bigram model on the corpus itself, then score every doc
+    * with its average negative log-likelihood — boilerplate and natural
+    * prose score low, mojibake/junk/generated noise scores high, and the
+    * nll column is the filter/stratification key downstream.
+    *
+    * Scale shape (two passes, both optimal):
+    *  - TRAIN: per-doc slot lists explode into a hash aggregate — the
+    *    partial combine collapses each task to ≤1444 (slot, count) rows
+    *    before the shuffle, so training a 100 TB corpus shuffles
+    *    kilobytes per task. The finished model is 1444 counts — a
+    *    bounded driver collect (the codebook discipline), add-one
+    *    smoothed per previous-class and folded into a log-prob literal.
+    *  - SCORE: map-only — each doc left-folds its slot list over the
+    *    broadcast literal (`aggregate` + `element_at`, all codegen'd
+    *    HOFs), no join, no second shuffle.
+    *
+    * Determinism is oracle-grade: counts are exact longs, the smoothed
+    * probability is one double division, the log is [[graft.functions
+    * .JavaLog]]'s libm (DuckDB-identical), and the per-doc fold adds in
+    * DOCUMENT ORDER — DuckDB's `list_reduce` replays the same left fold
+    * bit-for-bit. Output: (doc_id, n_bigrams, nll); nll NULL below 2
+    * chars.
+    */
+  def charLmScores(df: DataFrame, text: Column, id: Column): DataFrame = {
+    val nSlots = LmClasses * LmClasses
+    val counts = df.select(explode(lmSlots(text)).as("slot"))
+      .groupBy("slot").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val full = Array.tabulate(nSlots)(s => counts.getOrElse(s, 0L))
+    val prevTot = Array.tabulate(LmClasses)(a =>
+      (0 until LmClasses).map(b => full(a * LmClasses + b)).sum)
+    // add-one smoothing over the 38 next-classes; java.lang.Math.log is
+    // the same libm JavaLog pins for the column path
+    val logp = Array.tabulate(nSlots) { s =>
+      java.lang.Math.log(
+        (full(s) + 1.0) / (prevTot(s / LmClasses) + LmClasses.toDouble))
+    }
+    val lp = typedlit(logp.toSeq)
+    val scored = df.select(id.as("doc_id"), lmSlots(text).as("__sl"))
+    val sum = aggregate(col("__sl"), lit(0.0),
+      (acc, s) => acc + element_at(lp, s + 1))
+    scored.select(col("doc_id"),
+      size(col("__sl")).cast("long").as("n_bigrams"),
+      when(size(col("__sl")) > 0,
+        -sum / size(col("__sl"))).as("nll"))
+  }
+
+  // ------------------------------------------------------------------
   // PII scrubbing
 
   /** Conservative ASCII patterns; RE2 ∩ java.util.regex syntax so the

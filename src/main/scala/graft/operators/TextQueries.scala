@@ -112,7 +112,15 @@ object TextQueries {
         TextOps.langIdMulti(col("text")).as("lang_pred"))),
     "cw1_chunk_documents" -> ((s, dir) =>
       TextOps.chunkByTokens(Tables.documents(s, dir), col("text"),
-        col("doc_id"), maxTokens = 40, overlap = 8))
+        col("doc_id"), maxTokens = 40, overlap = 8)),
+    // X11 — char-bigram LM perplexity scoring (the CCNet/KenLM quality
+    // filter shape): model trained on the corpus itself (exact counts,
+    // add-one smoothing, libm log), every doc scored with its avg
+    // negative log-likelihood. The oracle retrains the identical model
+    // in SQL and replays the per-doc fold in document order — bit-exact.
+    "x11_charlm_nll" -> ((s, dir) =>
+      TextOps.charLmScores(Tables.documents(s, dir), col("text"),
+        col("doc_id")))
   )
 
   private[operators] val Bm25Terms = Seq("vector", "join", "spark")
@@ -257,7 +265,54 @@ object TextQueries {
        |WHERE nc > 0""".stripMargin
   }
 
+  /** x11's DuckDB mirror: identical classification, counts, smoothing and
+    * fold order (list_reduce's left fold == Spark aggregate's, and the
+    * 0.0-init difference is exact because no log-prob is ±0.0).
+    */
+  private val charLmSql = {
+    val cls = (v: String) =>
+      s"""CASE WHEN $v BETWEEN 97 AND 122 THEN $v - 96
+         |     WHEN $v BETWEEN 48 AND 57 THEN $v - 21
+         |     WHEN $v = 32 THEN 37 ELSE 0 END""".stripMargin.replace("\n", " ")
+    s"""WITH base AS (SELECT doc_id, lower(text) AS t FROM documents),
+       |cl AS (
+       |  SELECT doc_id, list_transform(generate_series(1, length(t)),
+       |    i -> ${cls("ascii(substring(t, i, 1))")}) AS cl
+       |  FROM base
+       |),
+       |sl AS (
+       |  SELECT doc_id, CASE WHEN len(cl) >= 2
+       |    THEN list_transform(generate_series(1, len(cl) - 1),
+       |           i -> cl[i] * 38 + cl[i + 1])
+       |    ELSE [] END AS sl
+       |  FROM cl
+       |),
+       |cnts AS (
+       |  SELECT s AS slot, count(*) AS cnt
+       |  FROM (SELECT unnest(sl) AS s FROM sl) GROUP BY 1
+       |),
+       |lattice AS (SELECT unnest(generate_series(0, 1443)) AS slot),
+       |fullc AS (
+       |  SELECT l.slot, coalesce(c.cnt, 0) AS cnt
+       |  FROM lattice l LEFT JOIN cnts c USING (slot)
+       |),
+       |prevs AS (SELECT slot // 38 AS prev, sum(cnt) AS ptot FROM fullc GROUP BY 1),
+       |model AS (
+       |  SELECT f.slot,
+       |         ln((CAST(f.cnt AS DOUBLE) + 1) / (CAST(p.ptot AS DOUBLE) + 38)) AS lpv
+       |  FROM fullc f JOIN prevs p ON f.slot // 38 = p.prev
+       |),
+       |lparr AS (SELECT list(lpv ORDER BY slot) AS lps FROM model)
+       |SELECT doc_id, CAST(len(sl) AS BIGINT) AS n_bigrams,
+       |       CASE WHEN len(sl) > 0
+       |            THEN -list_reduce(list_transform(sl, s -> lps[s + 1]),
+       |                              (a, b) -> a + b) / len(sl)
+       |       END AS nll
+       |FROM sl CROSS JOIN lparr""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "x11_charlm_nll" -> charLmSql,
     "cw1_chunk_documents" -> chunkSql(40, 8),
     "x10_lang_multi" -> langMultiSql,
     "bm1_bm25_topk" -> bm25Sql(Bm25Terms, 25),

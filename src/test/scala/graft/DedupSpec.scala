@@ -357,4 +357,85 @@ class DedupSpec extends SparkSpec {
     // within-doc repetition alone (n_docs = 1) is NOT boilerplate
     assert(out(40L) === ((3L, 3L, "repeated inside\nrepeated inside\nonly in this doc")))
   }
+
+  test("charLmScores: repeated-pattern text scores lower nll than noise; " +
+      "model math matches a by-hand fold; short docs go NULL") {
+    val d = Seq(
+      (1L, "ababababababababab"),   // one dominant bigram pattern
+      (2L, "qzx7kv jw9 tq zz pqx"), // junk: rare transitions
+      (3L, "a"),                    // 1 char -> no bigrams
+      (4L, "ab")                    // single bigram
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextOps
+      .charLmScores(d, col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(out(3L) == ((0L, None)))
+    assert(out(4L)._1 == 1L && out(4L)._2.isDefined)
+    val (nPat, Some(nllPat)) = out(1L)
+    val (nJunk, Some(nllJunk)) = out(2L)
+    assert(nPat == 17L && nJunk == 19L)
+    // the self-trained model assigns the dominant pattern lower nll
+    assert(nllPat < nllJunk)
+    // by-hand replication of doc 4's single bigram 'ab' = slot 1*38+2
+    // over the corpus-trained counts
+    val slots = Map[Int, Long]().withDefaultValue(0L)
+    def cls(c: Char): Int =
+      if (c >= 'a' && c <= 'z') c - 'a' + 1
+      else if (c >= '0' && c <= '9') c - '0' + 27
+      else if (c == ' ') 37 else 0
+    val counts = scala.collection.mutable.Map[Int, Long]().withDefaultValue(0L)
+    Seq("ababababababababab", "qzx7kv jw9 tq zz pqx", "a", "ab").foreach { t =>
+      t.sliding(2).foreach(p =>
+        if (p.length == 2) counts(cls(p(0)) * 38 + cls(p(1))) += 1)
+    }
+    val prevTot = (0 until 38).map(a =>
+      (0 until 38).map(b => counts(a * 38 + b)).sum)
+    val slotAb = cls('a') * 38 + cls('b')
+    val want = -java.lang.Math.log(
+      (counts(slotAb) + 1.0) / (prevTot(cls('a')) + 38.0))
+    assert(out(4L)._2.get == want)
+  }
+
+  test("connectedComponents labels the full closure: chains collapse " +
+      "transitively, orientation/dups/self-loops normalize, edge-free " +
+      "nodes stay out") {
+    // chain 5-3-9 (no direct 5-9 edge), clique {1,2,7}, pair {20,30} given
+    // reversed + duplicated + self-looped — the closure must see through
+    val edges = Seq((5L, 3L), (9L, 3L), (1L, 2L), (2L, 7L), (7L, 1L),
+      (30L, 20L), (20L, 30L), (20L, 20L)).toDF("a", "b")
+    val got = Dedup.connectedComponents(edges, col("a"), col("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(3L -> 3L, 5L -> 3L, 9L -> 3L,
+      1L -> 1L, 2L -> 1L, 7L -> 1L, 20L -> 20L, 30L -> 20L))
+  }
+
+  test("connectedComponents == brute-force closure on a pseudo-random " +
+      "graph (long path + random extra edges)") {
+    // deterministic graph: a 60-node path (worst diameter for label
+    // propagation — the case large/small-star exists for) + hash edges
+    val n = 60
+    val path = (1 until n).map(i => (i.toLong, i.toLong + 1))
+    val extra = (0 until 25).map { k =>
+      val u = ((k * 2654435761L) % 997) % n + 1
+      val v = ((k * 40503L + 7) % 991) % n + 1
+      (u, v)
+    }.filter { case (u, v) => u != v }
+    val all = path ++ extra ++ Seq((100L, 101L)) // a far-away island
+    val got = Dedup.connectedComponents(all.toDF("a", "b"),
+      col("a"), col("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // driver-side union-find as the oracle
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    all.foreach { case (u, v) =>
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+    }
+    val want = parent.keys.map(x => x -> find(x)).toMap
+    assert(got == want)
+  }
 }
