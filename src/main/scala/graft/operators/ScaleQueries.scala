@@ -270,6 +270,16 @@ object ScaleQueries {
           (max(col("close")) - min(col("close"))).as("close_span"))
     }),
 
+    // HLL1 — mergeable approximate COUNT DISTINCT (graft.operators.Hll):
+    // per-event-type distinct users via 512-register HyperLogLog whose
+    // register table merges by max (the incremental/rollup-able sketch).
+    // The oracle rebuilds the identical registers from the same md5 hash
+    // and replays the exact scaled harmonic sum + estimator branches —
+    // a hash match proves the sketch math end to end, not just "close".
+    "hll1_approx_distinct" -> ((s, dir) =>
+      Hll.approxDistinct(Tables.events(s, dir), Seq("event_type"),
+        col("user_id"), p = 9)),
+
     // Lake-vs-DB coverage census: file side = actual per-symbol lake rows,
     // DB side = the simulated registration state above.
     "rec1_coverage" -> ((s, dir) => {
@@ -353,6 +363,9 @@ object ScaleQueries {
          |       max(close) AS max_close,
          |       max(close) - min(close) AS close_span
          |FROM bars""".stripMargin),
+
+    "hll1_approx_distinct" -> ("WITH " + Hll.approxDistinctSql(
+      "events", Seq("event_type"), "CAST(user_id AS VARCHAR)", p = 9)),
 
     "sk1_salted_stats" -> (Tables.barsSql +
       s"""
