@@ -980,6 +980,82 @@ object ScaleSmoke {
         s"${candAbs.size}/$nFiles")
       rows10m.unpersist()
     }
+    if (on("cc")) {
+      // connectedComponents at the shape that kills label propagation:
+      // 2 M nodes in 1000-long CHAINS (diameter 1000 ⇒ ~1000 propagation
+      // rounds; alternating large/small-star needs ~log n). Verifies every
+      // node labels to its chain head, then times the clique-heavy regime
+      // (10-cliques — real dup graphs — converging in ~2 rounds).
+      import graft.operators.Dedup
+      val chainLen = 1000L
+      val nNodes = 2000000L
+      val chainEdges = spark.range(nNodes)
+        .filter(col("id") % chainLen =!= (chainLen - 1))
+        .select(col("id").as("a"), (col("id") + 1).as("b"))
+        .cache()
+      chainEdges.count()
+      def timeS(label: String)(f: => String): Unit = {
+        val t0 = System.nanoTime()
+        val out = f
+        println(f"[scale] $label%-22s ${(System.nanoTime() - t0) / 1e9}%6.1f s  $out")
+      }
+      timeS("cc-chains-2M") {
+        val labels = Dedup.connectedComponents(chainEdges, col("a"), col("b"))
+          .cache()
+        val bad = labels
+          .filter(col("comp") =!= col("id") - pmod(col("id"), lit(chainLen)))
+          .count()
+        val nComp = labels.select("comp").distinct().count()
+        labels.unpersist()
+        require(bad == 0, s"$bad nodes mislabeled")
+        require(nComp == nNodes / chainLen, s"got $nComp components")
+        s"labels=${nNodes} comps=$nComp mislabeled=$bad (diameter $chainLen)"
+      }
+      chainEdges.unpersist()
+      val cliqueEdges = spark.range(nNodes)
+        .filter(col("id") % 10 =!= 0)
+        .select(col("id").as("a"), (col("id") - col("id") % 10).as("b"))
+        .cache()
+      cliqueEdges.count()
+      timeS("cc-cliques-2M") {
+        val labels = Dedup.connectedComponents(cliqueEdges, col("a"), col("b"))
+        val nComp = labels.select("comp").distinct().count()
+        require(nComp == nNodes / 10, s"got $nComp components")
+        s"comps=$nComp (10-cliques)"
+      }
+      cliqueEdges.unpersist()
+    }
+
+    if (on("hll")) {
+      // mergeable-HLL at 20 M rows / 3 M distinct over 100 groups: the
+      // sketch vs the exact countDistinct Expand, plus measured error.
+      import graft.operators.Hll
+      val nRows = 20000000L
+      val card = 3000000L
+      val d = spark.range(nRows)
+        .select((col("id") % 100).cast("string").as("g"),
+          (col("id") % card).as("v"))
+        .cache()
+      d.count()
+      def timeS(label: String)(f: => String): Unit = {
+        val t0 = System.nanoTime()
+        val out = f
+        println(f"[scale] $label%-22s ${(System.nanoTime() - t0) / 1e9}%6.1f s  $out")
+      }
+      var exact: Map[String, Long] = Map.empty
+      timeS("hll-exact-distinct") {
+        exact = d.groupBy("g").agg(countDistinct(col("v")).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        s"groups=${exact.size}"
+      }
+      timeS("hll-sketch-p12") {
+        val est = Hll.approxDistinct(d, Seq("g"), col("v"), p = 12)
+          .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+        val errs = exact.map { case (g, n) => math.abs(est(g) - n) / n }
+        f"maxRelErr=${errs.max}%.4f meanRelErr=${errs.sum / errs.size}%.4f"
+      }
+      d.unpersist()
+    }
     spark.stop()
   }
 }
