@@ -123,6 +123,30 @@ object Hll {
       p: Int = 12): DataFrame =
     estimate(registers(df, groupCols, value, p), groupCols, p)
 
+  /** STREAMING distinct-count sketch: a `foreachBatch` handler that folds
+    * each micro-batch's registers into a snapshot-lake register table.
+    * The fold is [[graft.sinks.SnapshotLake.merge]] with `versionCol = r`
+    * — keep-latest-by-r over (group, slot) keys IS elementwise max — so
+    * the lake converges to the union sketch with the manifest's
+    * torn-free commit guarantees, and because max-merge is IDEMPOTENT, a
+    * replayed micro-batch re-merges to the identical state: exactly-once
+    * EFFECTS without any batch-id bookkeeping (a property the
+    * append-shaped sinks need the (streamId, batchId) discipline for).
+    * `estimate(SnapshotLake.read(root))` serves the live distinct count
+    * at any moment; pinned versions give the count as-of any commit.
+    */
+  def registerStream(root: String, groupCols: Seq[String], value: Column,
+      p: Int = 12): (DataFrame, Long) => Unit = { (df, _) =>
+    import graft.sinks.SnapshotLake
+    val spark = df.sparkSession
+    val regs = registers(df, groupCols, value, p)
+    if (SnapshotLake.latestVersion(spark, root).isEmpty)
+      SnapshotLake.append(spark, root, regs, statsCols = Seq("slot"))
+    else
+      SnapshotLake.merge(spark, root, regs,
+        keyCols = groupCols :+ "slot", versionCol = "r", pruneKey = "slot")
+  }
+
   /** The full DuckDB mirror for `approxDistinct(src, groupCols, value, p)`
     * — registers, exact scaled harmonic sum, same estimator branches.
     * `valueSql` must be the value's string form (e.g.

@@ -280,6 +280,18 @@ object ScaleQueries {
       Hll.approxDistinct(Tables.events(s, dir), Seq("event_type"),
         col("user_id"), p = 9)),
 
+    // QS1 — mergeable bottom-k sample quantiles (graft.operators.Sketch):
+    // per-symbol close percentiles estimated from a deterministic
+    // 2048-row KMV sample keyed by event_id hash. The oracle rebuilds
+    // the IDENTICAL sample membership (one ROW_NUMBER window over the
+    // same md5 order — the salted two-phase Spark trim is provably the
+    // same set) and takes quantile_cont over it — bit-exact, proving
+    // sample + estimator end to end.
+    "qs1_quantile_sketch" -> ((s, dir) =>
+      Sketch.approxQuantiles(Tables.bars(s, dir), Seq("symbol"),
+        col("event_id"), col("close"), k = 2048,
+        qs = Seq(0.25, 0.5, 0.9))),
+
     // Lake-vs-DB coverage census: file side = actual per-symbol lake rows,
     // DB side = the simulated registration state above.
     "rec1_coverage" -> ((s, dir) => {
@@ -366,6 +378,10 @@ object ScaleQueries {
 
     "hll1_approx_distinct" -> ("WITH " + Hll.approxDistinctSql(
       "events", Seq("event_type"), "CAST(user_id AS VARCHAR)", p = 9)),
+
+    "qs1_quantile_sketch" -> (Tables.barsSql + ",\n" +
+      Sketch.approxQuantilesSql("bars", Seq("symbol"), "event_id", "close",
+        k = 2048, qs = Seq(0.25, 0.5, 0.9))),
 
     "sk1_salted_stats" -> (Tables.barsSql +
       s"""

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextHash
+
+/** Mergeable bottom-k hash samples (the KMV idea row-wise) — a UNIFORM
+  * sample per group that composes the way sketches must at 100 TB:
+  * merge(sample(A), sample(B)) == sample(A ∪ B) EXACTLY, because
+  * membership is a pure function of each row's key hash (the k smallest
+  * hashes win, ties broken by the key string) — no RNG, no seed
+  * coordination, bit-identical on every engine that can md5. That makes
+  * the sample INCREMENTAL (re-trim yesterday's sample + today's batch),
+  * ROLLUP-ABLE (fine-group samples re-trim into coarse groups), and
+  * oracle-replayable (a ROW_NUMBER window in SQL).
+  *
+  * The quantile estimator is then just the exact `percentile` over the
+  * sample — rank error is the classic O(1/√k) (k=4096 ⇒ ~1.6 % rank
+  * error), asserted as floors in SketchSpec. This complements [[Hll]]:
+  * HLL answers "how many distinct", the bottom-k sample answers "what
+  * does the distribution look like" — the two sketch classes a
+  * pre-aggregated rollup cannot serve exactly.
+  *
+  * Scale shape: trimming is TWO salted windows, not one — a single
+  * `row_number over (partition by group)` sends every hot group to one
+  * reducer; phase 1 trims to k within each of 256 hash salts (parallel
+  * across salt × group), phase 2 trims the ≤256·k survivors per group.
+  * Phase 1 can only keep a superset of the global bottom-k, so the
+  * result is IDENTICAL to the one-window form (SketchSpec asserts it).
+  */
+object Sketch {
+
+  private val Salts = 256
+
+  /** The deterministic sample key: hash + the key's string form as the
+    * total-order tie-break (md5 collisions exist in principle; the pair
+    * is a total order on distinct keys).
+    */
+  private def keyed(df: DataFrame, key: Column): DataFrame =
+    df.withColumn("__ks", key.cast("string"))
+      .withColumn("__hk", TextHash.tokenHash(col("__ks")))
+
+  private def trim(df: DataFrame, groupCols: Seq[String], k: Int): DataFrame = {
+    val g = groupCols.map(col)
+    val w1 = Window.partitionBy(g :+ pmod(col("__hk"), lit(Salts)): _*)
+      .orderBy(col("__hk"), col("__ks"))
+    val w2 = Window.partitionBy(g: _*).orderBy(col("__hk"), col("__ks"))
+    df.withColumn("__rn", row_number().over(w1)).filter(col("__rn") <= k)
+      .withColumn("__rn", row_number().over(w2)).filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** Per-group bottom-k sample: all original columns plus the sample key
+    * (`__hk`, `__ks` — kept so merges re-trim without recomputing).
+    * `key` must be unique per row within its group (a row id); NULL keys
+    * are excluded.
+    */
+  def sampleBottomK(df: DataFrame, groupCols: Seq[String], key: Column,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    trim(keyed(df.filter(key.isNotNull), key), groupCols, k)
+  }
+
+  /** Merge two samples of the SAME k: union, dedup re-delivered rows (a
+    * replayed batch contributes identical rows — idempotent), re-trim.
+    * merge(sample(A), sample(B)) == sample(A ∪ B) exactly.
+    */
+  def mergeSamples(a: DataFrame, b: DataFrame, groupCols: Seq[String],
+      k: Int): DataFrame =
+    trim(a.unionByName(b).dropDuplicates(groupCols :+ "__ks"),
+      groupCols, k)
+
+  /** Exact percentiles OF THE SAMPLE per group (the estimator): one row
+    * per group with `q_<idx>` columns in `qs` order. Spark `percentile`
+    * == DuckDB `quantile_cont` bit-for-bit (the o1/o2 gate parity).
+    */
+  def quantiles(sample: DataFrame, groupCols: Seq[String], value: Column,
+      qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1),
+      s"quantiles must be in [0,1], got $qs")
+    val aggs = qs.zipWithIndex.map { case (q, i) =>
+      percentile(value, lit(q)).as(s"q_$i")
+    }
+    sample.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** One-shot grouped sample quantiles. */
+  def approxQuantiles(df: DataFrame, groupCols: Seq[String], key: Column,
+      value: Column, k: Int, qs: Seq[Double]): DataFrame =
+    quantiles(sampleBottomK(df, groupCols, key, k), groupCols, value, qs)
+
+  /** DuckDB mirror for `approxQuantiles(src, groupCols, keySql, valueSql,
+    * k, qs)` — the equivalent ONE-window trim (identical membership) +
+    * quantile_cont.
+    */
+  def approxQuantilesSql(src: String, groupCols: Seq[String],
+      keySql: String, valueSql: String, k: Int, qs: Seq[Double]): String = {
+    val g = groupCols.mkString(", ")
+    val h = graft.functions.OracleSql.tokenHash(s"CAST($keySql AS VARCHAR)")
+    val qcols = qs.zipWithIndex.map { case (q, i) =>
+      s"quantile_cont($valueSql, $q) AS q_$i"
+    }.mkString(",\n       ")
+    s"""keyed AS (
+       |  SELECT *, CAST($keySql AS VARCHAR) AS ks, $h AS hk
+       |  FROM $src WHERE $keySql IS NOT NULL
+       |),
+       |trimmed AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY $g ORDER BY hk, ks) AS rn
+       |    FROM keyed
+       |  ) WHERE rn <= $k
+       |)
+       |SELECT $g,
+       |       $qcols
+       |FROM trimmed GROUP BY $g""".stripMargin
+  }
+}

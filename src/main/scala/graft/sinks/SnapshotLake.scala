@@ -771,6 +771,46 @@ object SnapshotLake {
     (v, base.files.size, newFiles.size)
   }
 
+  /** METADATA-ONLY stats backfill: enrich the current snapshot's
+    * manifest with min/max envelopes (and exact row counts, for
+    * pre-`rows` legacy entries) for `cols`, by footer-probing the
+    * EXISTING immutable data files — no data is rewritten, no byte of
+    * parquet moves. This is the right tool when a lake was appended
+    * without `statsCols` (or before per-file row counts existed) and
+    * [[readBox]] / [[summary]] / the [[graft.plans.ManifestAggRewrite]]
+    * metadata path now want envelopes: a [[compact]] would rewrite the
+    * whole lake to learn numbers that already sit in every footer.
+    *
+    * Cost: one driver-side footer read per CURRENT file (the same probe
+    * `stageFiles` pays at commit time), one lock commit. Existing
+    * envelopes are kept and extended (probing is per-column additive);
+    * files whose footer has no usable stats for a column (all-null,
+    * INT96, non-numeric) simply stay envelope-free for it — conservative
+    * readers keep them. Concurrent appends ride the lock-merge
+    * untouched (their files keep their own stats). Returns the new
+    * version.
+    */
+  def addStats(spark: SparkSession, root: String, cols: Seq[String],
+      lockExpiryMs: Long = DefaultLockExpiryMs): Long = {
+    require(cols.nonEmpty, "addStats needs at least one column")
+    val base = manifest(spark, root, None)
+    cols.foreach(c => require(base.schema.fieldNames.contains(c),
+      s"stats column $c not in snapshot schema ${base.schema.simpleString}"))
+    val dd = dataDir(root)
+    val enriched: Map[String, FileEntry] = base.files.map { f =>
+      val (stats, nRows) = footerProbe(spark, new Path(dd, f.rel), cols.toSet)
+      f.rel -> f.copy(stats = f.stats ++ stats,
+        rows = if (f.rows >= 0) f.rows else nRows)
+    }.toMap
+    commit(spark, root, "restat", base.schema,
+      // files that appeared after our base keep their own entries; files
+      // we probed publish enriched; files REMOVED since base (concurrent
+      // rewrite won the lock first) stay removed
+      build = head => head.map(_.files).getOrElse(Nil).map(f =>
+        enriched.getOrElse(f.rel, f)),
+      lockExpiryMs)
+  }
+
   /** OPTIMIZE ZORDER for the snapshot lake: rewrite the current snapshot
     * into z-ordered files (quantile-rank bit-interleave over `zCols` —
     * [[Lake.zOrderShape]]) and publish the result as ONE new manifest
@@ -1059,7 +1099,10 @@ object SnapshotLake {
       s"sinceVersion $sinceVersion is ahead of toVersion $hi")
     val newer = versions(spark, root).filter(v => v > sinceVersion && v <= hi)
       .map(v => manifest(spark, root, Some(v)))
-    val nonAppend = newer.filterNot(_.op.startsWith("append"))
+    // restat is metadata-only (identical file set, enriched entries):
+    // file provenance still equals row provenance across it
+    val nonAppend = newer.filterNot(m =>
+      m.op.startsWith("append") || m.op == "restat")
     require(nonAppend.isEmpty,
       s"appendsSince($sinceVersion) crosses non-append versions " +
         s"${nonAppend.map(m => s"v${m.version}=${m.op}").mkString(", ")} — " +

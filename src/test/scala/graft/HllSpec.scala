@@ -49,6 +49,33 @@ class HllSpec extends SparkSpec {
     assert(estC == estD)
   }
 
+  test("registerStream folds micro-batches into a snapshot register " +
+      "lake; replays re-merge to the identical state; live estimate == " +
+      "one-shot batch sketch") {
+    val root = TempDirs.create("hllstream") + "/lake"
+    val all = (0 until 3000)
+      .map(i => (s"t${i % 2}", ((i * 7919L) % 1000).toString))
+      .toDF("g", "v")
+    def regSet(df: org.apache.spark.sql.DataFrame): Set[(String, Long, Int)] =
+      df.select("g", "slot", "r").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val h = Hll.registerStream(root, Seq("g"), col("v"), p = 9)
+    h(all.filter($"v".cast("long") < 300), 0L)
+    h(all.filter($"v".cast("long") >= 300), 1L)
+    val afterBoth = regSet(graft.sinks.SnapshotLake.read(spark, root))
+    // replayed batch: max-merge is idempotent — state unchanged
+    h(all.filter($"v".cast("long") >= 300), 1L)
+    assert(regSet(graft.sinks.SnapshotLake.read(spark, root)) == afterBoth)
+    // streamed register lake == the one-shot batch sketch, register for
+    // register, so the estimates are identical doubles
+    assert(afterBoth == regSet(Hll.registers(all, Seq("g"), col("v"), 9)))
+    val live = Hll.estimate(graft.sinks.SnapshotLake.read(spark, root),
+      Seq("g"), 9).collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val batch = Hll.approxDistinct(all, Seq("g"), col("v"), 9)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(live == batch)
+  }
+
   test("NULLs are skipped (COUNT DISTINCT semantics); tiny cardinalities " +
       "land in the near-exact linear-counting branch") {
     val d = Seq(("a", Some(1L)), ("a", Some(2L)), ("a", Some(3L)),

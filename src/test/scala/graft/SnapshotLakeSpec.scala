@@ -418,6 +418,47 @@ class SnapshotLakeSpec extends SparkSpec {
     assert(e.getMessage.contains("zorder"))
   }
 
+  test("addStats backfills envelopes and legacy row counts metadata-only: " +
+      "no data rewritten, pruning/summary turn on, appendsSince crosses " +
+      "the restat") {
+    val root = freshRoot()
+    // appended WITHOUT statsCols: no envelopes, no pruning
+    val v1 = SnapshotLake.append(spark, root, bars(1, 10, 0.0).repartition(2))
+    SnapshotLake.append(spark, root, bars(2, 10, 100.0).repartition(2))
+    val before = SnapshotLake.manifest(spark, root)
+    assert(before.files.forall(_.stats.isEmpty))
+    val box = Map("close" -> (0.0, 50.0))
+    assert(SnapshotLake.candidateEntries(spark, root, box).size ==
+      before.files.size)
+    val relsBefore = before.files.map(_.rel).toSet
+    val v = SnapshotLake.addStats(spark, root, Seq("close"))
+    val after = SnapshotLake.manifest(spark, root)
+    // identical file set — nothing rewritten — but envelopes exist now
+    assert(after.files.map(_.rel).toSet == relsBefore && after.op == "restat")
+    assert(after.files.forall(_.stats.contains("close")))
+    assert(SnapshotLake.candidateEntries(spark, root, box).size <
+      after.files.size)
+    assert(SnapshotLake.readBox(spark, root, box).count() == 10)
+    // summary serves from the enriched manifest
+    val s = SnapshotLake.summary(spark, root, Seq("close")).head
+    assert(s.getLong(0) == 20 && s.getDouble(1) == 1.0 && s.getDouble(2) == 110.0)
+    // a metadata-only restat does NOT break the incremental tail
+    assert(SnapshotLake.appendsSince(spark, root, v1).count() == 10)
+    // legacy pre-rows entries: strip stats+rows, then restat backfills
+    val fs2 = new Path("/").getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mPath = new Path(new Path(root, "_manifests"), f"v$v%08d.manifest")
+    val in = fs2.open(mPath)
+    val raw = scala.io.Source.fromInputStream(in).mkString; in.close()
+    val legacy = raw.split("\n").map { l =>
+      val c = l.split('\t'); if (c.length >= 3) s"${c(0)}\t${c(1)}" else l
+    }.mkString("\n")
+    val o = fs2.create(mPath, true); o.write(legacy.getBytes); o.close()
+    intercept[IllegalArgumentException](SnapshotLake.summary(spark, root))
+    SnapshotLake.addStats(spark, root, Seq("close"))
+    assert(SnapshotLake.summary(spark, root, Seq("close"))
+      .head.getLong(0) == 20)
+  }
+
   test("schema evolution widens with NULL backfill; retype and drop refuse") {
     val root = freshRoot()
     SnapshotLake.append(spark, root, bars(1, 4, 0.0))
