@@ -292,6 +292,20 @@ object ScaleQueries {
         col("event_id"), col("close"), k = 2048,
         qs = Seq(0.25, 0.5, 0.9))),
 
+    // HH1 — heavy hitters by sample-then-verify: the value distribution
+    // floor(sqrt(event_id % 10000)) is deterministically SKEWED (share of
+    // v is ~(2v+1)/10000), so the 1.5% threshold cuts mid-distribution.
+    // Candidates come from the deterministic bottom-k sample; the
+    // reported counts are EXACT (a broadcast-filtered aggregate over just
+    // the candidates), so the result is a pure function of the data and
+    // the oracle replays it bit-for-bit.
+    "hh1_heavy_hitters" -> ((s, dir) =>
+      Sketch.heavyHitters(
+        Tables.events(s, dir).withColumn("v",
+          floor(sqrt(col("event_id") % 10000)).cast("long")),
+        Seq("event_type"), col("event_id"), col("v"),
+        k = 4096, minShare = 0.015)),
+
     // Lake-vs-DB coverage census: file side = actual per-symbol lake rows,
     // DB side = the simulated registration state above.
     "rec1_coverage" -> ((s, dir) => {
@@ -382,6 +396,11 @@ object ScaleQueries {
     "qs1_quantile_sketch" -> (Tables.barsSql + ",\n" +
       Sketch.approxQuantilesSql("bars", Seq("symbol"), "event_id", "close",
         k = 2048, qs = Seq(0.25, 0.5, 0.9))),
+
+    "hh1_heavy_hitters" -> ("WITH ev AS (SELECT event_type, event_id, " +
+      "CAST(floor(sqrt(event_id % 10000)) AS BIGINT) AS v FROM events),\n" +
+      Sketch.heavyHittersSql("ev", Seq("event_type"), "event_id", "v",
+        k = 4096, minShare = 0.015)),
 
     "sk1_salted_stats" -> (Tables.barsSql +
       s"""

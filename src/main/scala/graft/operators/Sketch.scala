@@ -91,6 +91,73 @@ object Sketch {
       value: Column, k: Int, qs: Seq[Double]): DataFrame =
     quantiles(sampleBottomK(df, groupCols, key, k), groupCols, value, qs)
 
+  /** Heavy hitters by SAMPLE-THEN-VERIFY — deterministic two-pass
+    * frequent-items: candidates = the distinct values present in the
+    * bottom-k row sample (an item with share ≥ `minShare` misses a
+    * k-row uniform sample with probability ≤ e^(−k·minShare) — at
+    * k=4096, minShare=0.01 that is e^(−41) ≈ 10^(−18); the bound is the
+    * only approximation), then EXACT counts of just those ≤k candidate
+    * values via a broadcast semi-filtered aggregate, thresholded on
+    * share. Unlike CMS/SpaceSaving the reported counts are exact and
+    * the whole computation is a pure function of the data (bit-exact
+    * oracle replay); unlike a full groupBy(value) the verify pass
+    * aggregates only candidate rows — at 100 TB the heavy tail of
+    * billions of near-unique values never reaches the shuffle.
+    *
+    * Returns (groupCols..., item, n, share) for items with
+    * share ≥ minShare, where share = n / group row count.
+    */
+  def heavyHitters(df: DataFrame, groupCols: Seq[String], key: Column,
+      value: Column, k: Int = 4096, minShare: Double = 0.01): DataFrame = {
+    require(minShare > 0 && minShare <= 1,
+      s"minShare must be in (0,1], got $minShare")
+    val g = groupCols.map(col)
+    val totals = df.groupBy(g: _*).agg(count(lit(1)).as("__tot"))
+    val cands = sampleBottomK(df.select(g :+ key.as("__key") :+
+        value.as("item"): _*), groupCols, col("__key"), k)
+      .select(g :+ col("item"): _*).distinct()
+    df.select(g :+ value.as("item"): _*)
+      .join(broadcast(cands), groupCols :+ "item")
+      .groupBy(g :+ col("item"): _*).agg(count(lit(1)).as("n"))
+      .join(totals, groupCols)
+      .withColumn("share", col("n").cast("double") / col("__tot").cast("double"))
+      .filter(col("share") >= minShare)
+      .select(g ++ Seq(col("item"), col("n"), col("share")): _*)
+  }
+
+  /** DuckDB mirror for `heavyHitters` — identical sample membership,
+    * exact candidate counts, same share threshold.
+    */
+  def heavyHittersSql(src: String, groupCols: Seq[String], keySql: String,
+      valueSql: String, k: Int, minShare: Double): String = {
+    val g = groupCols.mkString(", ")
+    val gq = groupCols.map(c => s"t.$c").mkString(", ")
+    val h = graft.functions.OracleSql.tokenHash(s"CAST($keySql AS VARCHAR)")
+    s"""keyed AS (
+       |  SELECT $g, $valueSql AS item, CAST($keySql AS VARCHAR) AS ks, $h AS hk
+       |  FROM $src WHERE $keySql IS NOT NULL
+       |),
+       |cands AS (
+       |  SELECT DISTINCT $g, item FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY $g ORDER BY hk, ks) AS rn
+       |    FROM keyed
+       |  ) WHERE rn <= $k
+       |),
+       |totals AS (SELECT $g, count(*) AS tot FROM $src GROUP BY $g),
+       |counted AS (
+       |  SELECT ${groupCols.map(c => s"k.$c").mkString(", ")}, k.item,
+       |         count(*) AS n
+       |  FROM (SELECT $g, $valueSql AS item FROM $src) k JOIN cands c
+       |    ON ${(groupCols.map(c => s"k.$c = c.$c") :+ "k.item = c.item").mkString(" AND ")}
+       |  GROUP BY ${groupCols.map(c => s"k.$c").mkString(", ")}, k.item
+       |)
+       |SELECT $gq, t.item, t.n,
+       |       CAST(t.n AS DOUBLE) / CAST(x.tot AS DOUBLE) AS share
+       |FROM counted t JOIN totals x
+       |  ON ${groupCols.map(c => s"t.$c = x.$c").mkString(" AND ")}
+       |WHERE CAST(t.n AS DOUBLE) / CAST(x.tot AS DOUBLE) >= $minShare""".stripMargin
+  }
+
   /** DuckDB mirror for `approxQuantiles(src, groupCols, keySql, valueSql,
     * k, qs)` — the equivalent ONE-window trim (identical membership) +
     * quantile_cont.

@@ -57,6 +57,27 @@ class SketchSpec extends SparkSpec {
     assert(rows(coarse) == rows(direct))
   }
 
+  test("heavyHitters == brute-force threshold counts: exact n/share, " +
+      "full recall at e^(-k*minShare) miss odds, light tail excluded") {
+    // zipf-ish: value v = floor(sqrt(i % 4096)) — share(v) ~ (2v+1)/4096
+    val d = (0 until 40960)
+      .map(i => (s"g${i % 2}", i.toLong, math.sqrt(i % 4096).toLong))
+      .toDF("g", "id", "v")
+    val got = Sketch.heavyHitters(d, Seq("g"), col("id"), col("v"),
+      k = 2048, minShare = 0.02)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val want = d.groupBy("g", "v").agg(count(lit(1)).as("n"))
+      .withColumn("share", col("n") / lit(20480.0))
+      .filter(col("share") >= 0.02)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(want.nonEmpty && got == want)
+    // the heaviest item's exact count survives verbatim
+    val top = want.maxBy(_._2._1)
+    assert(got(top._1) == top._2)
+  }
+
   test("sample quantiles track exact quantiles within O(1/sqrt(k)) rank " +
       "error") {
     val n = 100000
