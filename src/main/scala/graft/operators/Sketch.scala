@@ -91,6 +91,32 @@ object Sketch {
       value: Column, k: Int, qs: Seq[Double]): DataFrame =
     quantiles(sampleBottomK(df, groupCols, key, k), groupCols, value, qs)
 
+  /** STREAMING sample maintenance: a `foreachBatch` handler that folds
+    * each micro-batch into a snapshot-lake bottom-k sample per group.
+    * Like [[graft.operators.Hll.registerStream]], the fold is naturally
+    * IDEMPOTENT — membership is a pure hash function and
+    * [[mergeSamples]] dedups re-delivered rows before re-trimming — so
+    * replayed batches converge to the identical sample with zero
+    * batch-id bookkeeping. The lake then serves [[quantiles]] (or any
+    * profiling read) live or time-traveled; the stored sample is ≤ k
+    * rows per group regardless of stream volume.
+    */
+  def sampleStream(root: String, groupCols: Seq[String], key: Column,
+      k: Int): (DataFrame, Long) => Unit = { (df, _) =>
+    import graft.sinks.SnapshotLake
+    val spark = df.sparkSession
+    val batch = sampleBottomK(df, groupCols, key, k)
+    if (SnapshotLake.latestVersion(spark, root).isEmpty)
+      SnapshotLake.append(spark, root, batch)
+    else
+      // the maintained state is ≤ k rows/group: recompute the whole
+      // sample (old state ∪ batch, re-trimmed) and swap it in with ONE
+      // atomic replace commit — no delete+append torn window, and a
+      // replayed batch re-derives the identical sample
+      SnapshotLake.replace(spark, root,
+        mergeSamples(SnapshotLake.read(spark, root), batch, groupCols, k))
+  }
+
   /** Heavy hitters by SAMPLE-THEN-VERIFY — deterministic two-pass
     * frequent-items: candidates = the distinct values present in the
     * bottom-k row sample (an item with share ≥ `minShare` misses a

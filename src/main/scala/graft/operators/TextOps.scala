@@ -298,7 +298,17 @@ object TextOps {
     * bit-for-bit. Output: (doc_id, n_bigrams, nll); nll NULL below 2
     * chars.
     */
-  def charLmScores(df: DataFrame, text: Column, id: Column): DataFrame = {
+  def charLmScores(df: DataFrame, text: Column, id: Column): DataFrame =
+    scoreCharLm(df, text, id, trainCharLm(df, text))
+
+  /** TRAIN the char-bigram model: the 1444-slot log-prob table (see
+    * [[charLmScores]] for the shape). A separate entry point so the
+    * model can be FROZEN and shipped — trained once on a reference
+    * corpus, then applied to any batch or STREAM (scoring is a
+    * stateless map, so `scoreCharLm` drops straight into a streaming
+    * select with no state store).
+    */
+  def trainCharLm(df: DataFrame, text: Column): Array[Double] = {
     val nSlots = LmClasses * LmClasses
     val counts = df.select(explode(lmSlots(text)).as("slot"))
       .groupBy("slot").agg(count(lit(1)).as("cnt"))
@@ -308,11 +318,20 @@ object TextOps {
       (0 until LmClasses).map(b => full(a * LmClasses + b)).sum)
     // add-one smoothing over the 38 next-classes; java.lang.Math.log is
     // the same libm JavaLog pins for the column path
-    val logp = Array.tabulate(nSlots) { s =>
+    Array.tabulate(nSlots) { s =>
       java.lang.Math.log(
         (full(s) + 1.0) / (prevTot(s / LmClasses) + LmClasses.toDouble))
     }
-    val lp = typedlit(logp.toSeq)
+  }
+
+  /** SCORE against a frozen model (map-only; the ~12 KB table rides the
+    * plan as a literal).
+    */
+  def scoreCharLm(df: DataFrame, text: Column, id: Column,
+      model: Array[Double]): DataFrame = {
+    require(model.length == LmClasses * LmClasses,
+      s"char-LM model must have ${LmClasses * LmClasses} slots, got ${model.length}")
+    val lp = typedlit(model.toSeq)
     val scored = df.select(id.as("doc_id"), lmSlots(text).as("__sl"))
     val sum = aggregate(col("__sl"), lit(0.0),
       (acc, s) => acc + element_at(lp, s + 1))

@@ -771,6 +771,34 @@ object SnapshotLake {
     (v, base.files.size, newFiles.size)
   }
 
+  /** REPLACE the snapshot's contents wholesale in ONE atomic commit:
+    * stage `df`, publish a manifest whose file list is exactly the new
+    * files — every current file drops out (still on disk for pinned
+    * readers until vacuum, like any rewrite). The dimension-refresh /
+    * derived-state shape: small tables that are recomputed rather than
+    * merged (sketch samples, codebooks, lookup dims) get torn-free
+    * replacement without a delete+append window. Unlike [[compact]],
+    * concurrent appends do NOT ride through — replace semantics is
+    * "the table IS this frame now"; racing writers' files drop with the
+    * rest (their commits still serialized and visible in history).
+    */
+  def replace(spark: SparkSession, root: String, df: DataFrame,
+      partitionCols: Seq[String] = Nil, statsCols: Seq[String] = Nil,
+      lockExpiryMs: Long = DefaultLockExpiryMs): Long = {
+    val schema = latestVersion(spark, root) match {
+      case None => df.schema
+      case Some(_) =>
+        val cur = manifest(spark, root, None).schema
+        require(schemasCompatible(cur, df.schema),
+          s"replace schema drift: lake has ${cur.simpleString}, " +
+            s"replacement has ${df.schema.simpleString}")
+        cur
+    }
+    val newFiles = stageFiles(spark, root, df, partitionCols, statsCols.toSet)
+    commit(spark, root, "replace", schema, build = _ => newFiles,
+      lockExpiryMs)
+  }
+
   /** METADATA-ONLY stats backfill: enrich the current snapshot's
     * manifest with min/max envelopes (and exact row counts, for
     * pre-`rows` legacy entries) for `cols`, by footer-probing the

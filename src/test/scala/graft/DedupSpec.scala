@@ -397,6 +397,33 @@ class DedupSpec extends SparkSpec {
     assert(out(4L)._2.get == want)
   }
 
+  test("frozen char-LM model scores a STREAM identically to the batch " +
+      "path (stateless map, no state store)") {
+    val corpus = Seq((1L, "the quick brown fox jumps"),
+      (2L, "pack my box with five dozen jugs"),
+      (3L, "zzzz qqqq xxxx glyph")).toDF("doc_id", "text")
+    val model = graft.operators.TextOps.trainCharLm(corpus, col("text"))
+    val want = graft.operators.TextOps
+      .scoreCharLm(corpus, col("text"), col("doc_id"), model)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val ms = MemoryStream[(Long, String)](spark)
+    val scored = graft.operators.TextOps.scoreCharLm(
+      ms.toDF().toDF("doc_id", "text"), col("text"), col("doc_id"), model)
+    val q = scored.writeStream.format("memory").queryName("charlm_stream")
+      .start()
+    ms.addData((1L, "the quick brown fox jumps"),
+      (2L, "pack my box with five dozen jugs"))
+    q.processAllAvailable()
+    ms.addData((3L, "zzzz qqqq xxxx glyph"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("charlm_stream").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got == want)
+  }
+
   test("connectedComponents labels the full closure: chains collapse " +
       "transitively, orientation/dups/self-loops normalize, edge-free " +
       "nodes stay out") {

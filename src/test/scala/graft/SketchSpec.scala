@@ -57,6 +57,32 @@ class SketchSpec extends SparkSpec {
     assert(rows(coarse) == rows(direct))
   }
 
+  test("sampleStream maintains the bottom-k sample in a snapshot lake: " +
+      "batches fold in via atomic replace, replays converge, live " +
+      "sample == one-shot batch sample") {
+    val root = TempDirs.create("sketchstream") + "/lake"
+    val d = data(9000, 2)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(String, Long)] =
+      df.select("g", "id").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+    val h = Sketch.sampleStream(root, Seq("g"), col("id"), k = 150)
+    h(d.filter($"id" % 3 === 0), 0L)
+    h(d.filter($"id" % 3 === 1), 1L)
+    h(d.filter($"id" % 3 === 2), 2L)
+    val live = graft.sinks.SnapshotLake.read(spark, root)
+    assert(rows(live) == rows(Sketch.sampleBottomK(d, Seq("g"), col("id"), 150)))
+    // replayed batch: same sample re-derived, state unchanged
+    h(d.filter($"id" % 3 === 2), 2L)
+    assert(rows(graft.sinks.SnapshotLake.read(spark, root)) == rows(live))
+    // history shows append + replace commits; quantiles serve off the lake
+    val ops = graft.sinks.SnapshotLake.history(spark, root)
+      .select("op").collect().map(_.getString(0)).toSet
+    assert(ops == Set("append", "replace"))
+    val q = Sketch.quantiles(graft.sinks.SnapshotLake.read(spark, root),
+      Seq("g"), col("v"), Seq(0.5)).collect()
+    assert(q.length == 2 && q.forall(r => !r.isNullAt(1)))
+  }
+
   test("heavyHitters == brute-force threshold counts: exact n/share, " +
       "full recall at e^(-k*minShare) miss odds, light tail excluded") {
     // zipf-ish: value v = floor(sqrt(i % 4096)) — share(v) ~ (2v+1)/4096
