@@ -729,3 +729,136 @@ case class MinhashFromHashes(child: Expression, nHashes: Int)
   override protected def withNewChildInternal(newChild: Expression): MinhashFromHashes =
     copy(child = newChild)
 }
+
+/** One-pass char-bigram LM scorer — the native kernel behind
+  * [[graft.operators.TextOps.scoreCharLm]]: a single code-point walk per
+  * document (lowercase once, classify, accumulate the model's log-prob
+  * in DOCUMENT ORDER — the same left fold the HOF witness and the DuckDB
+  * oracle run), replacing the split("")→transform→slice→zip_with→
+  * aggregate chain whose per-character array allocations dominated at
+  * scale (48.9 s → see BASELINE round-9 for the measured win at sf1).
+  * The 1444-slot model lives in the expression object (addReferenceObj
+  * — a pointer in the plan, not a 12 KB literal). Returns
+  * struct(n_bigrams BIGINT, nll DOUBLE — null below 2 chars).
+  */
+case class CharLmScore(child: Expression, model: Array[Double])
+    extends UnaryExpression {
+
+  override def prettyName: String = "charlm_score"
+
+  override def dataType: DataType = CharLmScore.schema
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"charlm_score needs string, got $other")
+  }
+
+  require(model.length == 38 * 38,
+    s"charlm_score model must have 1444 slots, got ${model.length}")
+
+  def compute(input: UTF8String): InternalRow = {
+    // UTF8String.toLowerCase == the column path's lower(); iterate code
+    // points like the HOF's split("") does — non-ASCII lands in class 0
+    // on both paths (codepoint >= 128 here, negative first byte there)
+    val text = input.toLowerCase.toString
+    var prev = -1
+    var n = 0L
+    var acc = 0.0
+    var ci = 0
+    while (ci < text.length) {
+      val cp = text.codePointAt(ci)
+      val cls =
+        if (cp >= 'a' && cp <= 'z') cp - 'a' + 1
+        else if (cp >= '0' && cp <= '9') cp - '0' + 27
+        else if (cp == ' ') 37
+        else 0
+      if (prev >= 0) { acc += model(prev * 38 + cls); n += 1 }
+      prev = cls
+      ci += Character.charCount(cp)
+    }
+    if (n == 0L) new GenericInternalRow(Array[Any](0L, null))
+    else new GenericInternalRow(Array[Any](n, -acc / n))
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, input => {
+      val ref = ctx.addReferenceObj("charLmScore", this,
+        classOf[CharLmScore].getName)
+      s"${ev.value} = $ref.compute($input);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): CharLmScore =
+    copy(child = newChild)
+
+  // Array fields break case-class equality (reference compare) — spell
+  // out value semantics so expression canonicalization/dedup still works
+  override def equals(other: Any): Boolean = other match {
+    case c: CharLmScore =>
+      child == c.child && java.util.Arrays.equals(model, c.model)
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(model)
+}
+
+object CharLmScore {
+  val schema: StructType = StructType(Seq(
+    StructField("n_bigrams", LongType, nullable = false),
+    StructField("nll", DoubleType, nullable = true)))
+}
+
+/** The training-side companion of [[CharLmScore]]: the document's bigram
+  * slot ids (prev·38 + next) in document order, from the same one-pass
+  * code-point walk — feeds the char-LM training explode without the
+  * split("")→transform→slice→zip_with chain. Bit-equal to
+  * `TextOps.lmSlots` (witnessed in DedupSpec).
+  */
+case class CharLmSlots(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "charlm_slots"
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"charlm_slots needs string, got $other")
+  }
+
+  def compute(input: UTF8String): ArrayData = {
+    val text = input.toLowerCase.toString
+    val out = new scala.collection.mutable.ArrayBuilder.ofInt
+    var prev = -1
+    var ci = 0
+    while (ci < text.length) {
+      val cp = text.codePointAt(ci)
+      val cls =
+        if (cp >= 'a' && cp <= 'z') cp - 'a' + 1
+        else if (cp >= '0' && cp <= '9') cp - '0' + 27
+        else if (cp == ' ') 37
+        else 0
+      if (prev >= 0) out += prev * 38 + cls
+      prev = cls
+      ci += Character.charCount(cp)
+    }
+    ArrayData.toArrayData(out.result())
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, input => {
+      val ref = ctx.addReferenceObj("charLmSlots", this,
+        classOf[CharLmSlots].getName)
+      s"${ev.value} = $ref.compute($input);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): CharLmSlots =
+    copy(child = newChild)
+}

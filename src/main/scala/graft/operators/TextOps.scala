@@ -265,7 +265,7 @@ object TextOps {
   /** Bigram slot ids (prev·38 + next) in document order; empty below 2
     * chars.
     */
-  private def lmSlots(t: Column): Column = {
+  private[operators] def lmSlots(t: Column): Column = {
     val cls = charClasses(t)
     when(size(cls) >= 2,
       zip_with(slice(cls, lit(1), size(cls) - 1), slice(cls, lit(2), size(cls) - 1),
@@ -309,8 +309,12 @@ object TextOps {
     * select with no state store).
     */
   def trainCharLm(df: DataFrame, text: Column): Array[Double] = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
     val nSlots = LmClasses * LmClasses
-    val counts = df.select(explode(lmSlots(text)).as("slot"))
+    // native one-pass slot walk (CharLmSlots, witnessed == lmSlots)
+    val slots = ColumnBridge.column(graft.functions.CharLmSlots(
+      ColumnBridge.expression(coalesce(text.cast("string"), lit("")))))
+    val counts = df.select(explode(slots).as("slot"))
       .groupBy("slot").agg(count(lit(1)).as("cnt"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val full = Array.tabulate(nSlots)(s => counts.getOrElse(s, 0L))
@@ -324,21 +328,22 @@ object TextOps {
     }
   }
 
-  /** SCORE against a frozen model (map-only; the ~12 KB table rides the
-    * plan as a literal).
+  /** SCORE against a frozen model: ONE native code-point pass per doc
+    * ([[graft.functions.CharLmScore]] — model in the expression object,
+    * left fold in document order), bit-equal to [[TextWitness
+    * .scoreCharLm]]'s HOF formulation, which the DuckDB oracle mirrors.
     */
   def scoreCharLm(df: DataFrame, text: Column, id: Column,
       model: Array[Double]): DataFrame = {
-    require(model.length == LmClasses * LmClasses,
-      s"char-LM model must have ${LmClasses * LmClasses} slots, got ${model.length}")
-    val lp = typedlit(model.toSeq)
-    val scored = df.select(id.as("doc_id"), lmSlots(text).as("__sl"))
-    val sum = aggregate(col("__sl"), lit(0.0),
-      (acc, s) => acc + element_at(lp, s + 1))
-    scored.select(col("doc_id"),
-      size(col("__sl")).cast("long").as("n_bigrams"),
-      when(size(col("__sl")) > 0,
-        -sum / size(col("__sl"))).as("nll"))
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    // NULL text scores like empty text ((0, null)) — the HOF witness's
+    // when() semantics — rather than null-propagating the whole struct
+    val s = ColumnBridge.column(graft.functions.CharLmScore(
+      ColumnBridge.expression(coalesce(text.cast("string"), lit(""))), model))
+    df.select(id.as("doc_id"), s.as("__s"))
+      .select(col("doc_id"),
+        col("__s.n_bigrams").as("n_bigrams"),
+        col("__s.nll").as("nll"))
   }
 
   // ------------------------------------------------------------------
@@ -377,6 +382,30 @@ object TextOps {
   * paths.
   */
 object TextWitness {
+
+  /** The HOF slot chain (split→classify→zip), the shape the DuckDB
+    * oracle mirrors — witness for the native
+    * [[graft.functions.CharLmSlots]].
+    */
+  def lmSlots(t: Column): Column = TextOps.lmSlots(t)
+
+  /** The HOF formulation of frozen-model char-LM scoring (the shape the
+    * DuckDB oracle mirrors) — kept VERBATIM as the bit-equality witness
+    * for the native [[graft.functions.CharLmScore]] kernel.
+    */
+  def scoreCharLm(df: DataFrame, text: Column, id: Column,
+      model: Array[Double]): DataFrame = {
+    require(model.length == 38 * 38,
+      s"char-LM model must have 1444 slots, got ${model.length}")
+    val lp = typedlit(model.toSeq)
+    val scored = df.select(id.as("doc_id"), TextOps.lmSlots(text).as("__sl"))
+    val sum = aggregate(col("__sl"), lit(0.0),
+      (acc, s) => acc + element_at(lp, s + 1))
+    scored.select(col("doc_id"),
+      size(col("__sl")).cast("long").as("n_bigrams"),
+      when(size(col("__sl")) > 0,
+        -sum / size(col("__sl"))).as("nll"))
+  }
 
   def tokenCount(text: Column): Column = size(TextHash.tokens(text))
 

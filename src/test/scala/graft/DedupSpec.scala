@@ -397,6 +397,35 @@ class DedupSpec extends SparkSpec {
     assert(out(4L)._2.get == want)
   }
 
+  test("native CharLmScore kernel == the HOF witness bit-for-bit on the " +
+      "real corpus (incl. empty/short/non-ascii edges)") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq((900001L, ""), (900002L, "x"),
+        (900003L, "café über znak 42"), (900004L, "AB 12 cd"))
+        .toDF("doc_id", "text"))
+    val model = graft.operators.TextOps.trainCharLm(docs, col("text"))
+    val native = graft.operators.TextOps
+      .scoreCharLm(docs, col("text"), col("doc_id"), model)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    val witness = graft.operators.TextWitness
+      .scoreCharLm(docs, col("text"), col("doc_id"), model)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(native == witness && native.size == docs.count())
+    assert(native(900001L) == ((0L, None)) && native(900002L) == ((0L, None)))
+    // the training-side slots kernel is bit-equal to the HOF slot chain
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val nativeSlots = ColumnBridge.column(graft.functions.CharLmSlots(
+      ColumnBridge.expression(col("text"))))
+    val diff = docs.select(
+      nativeSlots.as("a"),
+      graft.operators.TextWitness.lmSlots(col("text")).as("b"))
+      .filter(not(col("a") <=> col("b"))).count()
+    assert(diff == 0)
+  }
+
   test("frozen char-LM model scores a STREAM identically to the batch " +
       "path (stateless map, no state store)") {
     val corpus = Seq((1L, "the quick brown fox jumps"),
