@@ -306,6 +306,16 @@ object ScaleQueries {
         Seq("event_type"), col("event_id"), col("v"),
         k = 4096, minShare = 0.015)),
 
+    // PR1 — one-stop dataset profiling (graft.operators.Profile): the
+    // ANALYZE/profile report over bars as the tall (column, metric,
+    // value) frame — exact count/nulls/min/max, HLL distincts for
+    // string/integral columns, sample quantiles for numerics — three
+    // bounded passes at any width; every value a pure function of the
+    // data, so the oracle replays the whole report bit-for-bit.
+    "pr1_profile" -> ((s, dir) =>
+      Profile.dataset(Tables.bars(s, dir), keyCol = "event_id",
+        cols = Seq("event_id", "symbol", "close", "volume"))),
+
     // Lake-vs-DB coverage census: file side = actual per-symbol lake rows,
     // DB side = the simulated registration state above.
     "rec1_coverage" -> ((s, dir) => {
@@ -401,6 +411,12 @@ object ScaleQueries {
       "CAST(floor(sqrt(event_id % 10000)) AS BIGINT) AS v FROM events),\n" +
       Sketch.heavyHittersSql("ev", Seq("event_type"), "event_id", "v",
         k = 4096, minShare = 0.015)),
+
+    "pr1_profile" -> (Tables.barsSql + "\n" +
+      Profile.datasetSql("bars", "event_id",
+        target = Seq("event_id", "symbol", "close", "volume"),
+        numeric = Seq("event_id", "close", "volume"),
+        hllable = Seq("event_id", "symbol"))),
 
     "sk1_salted_stats" -> (Tables.barsSql +
       s"""
