@@ -157,4 +157,145 @@ object Profile {
       }
     (censusSelects ++ hllBlocks ++ qBlocks).mkString("\nUNION ALL\n")
   }
+
+  /** Population-stability-index drift between two slices of a dataset —
+    * the feature-drift monitor a training pipeline runs between corpus
+    * versions. Per numeric column:
+    *
+    *  1. bucket edges = the `buckets-1` interior sample quantiles of the
+    *     BASELINE slice ([[Sketch.sampleBottomK]] + exact `percentile`,
+    *     so edges are a pure function of the baseline data);
+    *  2. one aggregate pass per side counts rows into the edge buckets
+    *     (bucket(v) = #edges ≤ v) — exact counts, single scan each, one
+    *     row out regardless of data size;
+    *  3. smoothed shares s = (n + 0.5) / (N + buckets/2) and the PSI
+    *     contribution (s_base − s_cur) · ln(s_base / s_cur) per bucket,
+    *     computed on the driver with `java.lang.Math.log` (libm — the
+    *     [[graft.functions.JavaLog]] contract), so the DuckDB mirror
+    *     replays every double bit-for-bit.
+    *
+    * Output: one row per (column, bucket) with counts, shares and the
+    * PSI contribution, plus a `bucket = -1` summary row per column
+    * carrying the non-null totals and the column's total PSI (the
+    * bucket contributions summed in bucket order). PSI > 0.2 is the
+    * conventional "significant drift" alarm.
+    */
+  def drift(base: DataFrame, cur: DataFrame, keyCol: String,
+      cols: Seq[String], k: Int = 4096, buckets: Int = 10): DataFrame = {
+    require(cols.nonEmpty, "drift needs at least one column")
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    cols.foreach { c =>
+      require(base.columns.contains(c) && cur.columns.contains(c),
+        s"drift column $c missing from an input")
+      require(NumericTypes(base.schema(c).dataType),
+        s"drift column $c is not numeric")
+    }
+    val spark = base.sparkSession
+
+    // 1 — edges from the baseline sample (collect: one row, cols×(b-1) values)
+    val sample = Sketch.sampleBottomK(base, Nil, col(keyCol), k)
+    val eAggs = cols.flatMap(c => (1 until buckets).map(j =>
+      percentile(col(c), lit(j.toDouble / buckets)).as(s"__e_${c}_$j")))
+    val eRow = sample.agg(eAggs.head, eAggs.tail: _*).head
+    val edges: Map[String, Seq[Double]] = cols.map { c =>
+      c -> (1 until buckets).map(j =>
+        eRow.getDouble(eRow.fieldIndex(s"__e_${c}_$j")))
+    }.toMap
+
+    // 2 — exact bucket counts, ONE aggregate scan per side
+    def bucketExpr(c: String) =
+      edges(c).map(e => when(col(c) >= lit(e), 1).otherwise(0))
+        .reduce(_ + _)
+    def countsRow(df: DataFrame): Row = {
+      val aggs = cols.flatMap { c =>
+        sum(when(col(c).isNotNull, 1).otherwise(0)).cast("double")
+          .as(s"__n_$c") +:
+          (0 until buckets).map(j =>
+            sum(when(col(c).isNotNull && bucketExpr(c) === j, 1)
+              .otherwise(0)).cast("double").as(s"__b_${c}_$j"))
+      }
+      df.agg(aggs.head, aggs.tail: _*).head
+    }
+    val (bRow, cRow) = (countsRow(base), countsRow(cur))
+
+    // 3 — shares + PSI on the driver (libm log == DuckDB ln)
+    val out = cols.flatMap { c =>
+      val nB = bRow.getDouble(bRow.fieldIndex(s"__n_$c"))
+      val nC = cRow.getDouble(cRow.fieldIndex(s"__n_$c"))
+      val rows = (0 until buckets).map { j =>
+        val cb = bRow.getDouble(bRow.fieldIndex(s"__b_${c}_$j"))
+        val cc = cRow.getDouble(cRow.fieldIndex(s"__b_${c}_$j"))
+        val sB = (cb + 0.5) / (nB + buckets / 2.0)
+        val sC = (cc + 0.5) / (nC + buckets / 2.0)
+        val contrib = (sB - sC) * java.lang.Math.log(sB / sC)
+        Row(c, j, cb, cc, sB, sC, contrib)
+      }
+      val psi = rows.map(_.getDouble(6)).foldLeft(0.0)(_ + _)
+      rows :+ Row(c, -1, nB, nC, null, null, psi)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out, 1),
+      StructType(Seq(
+        StructField("column", StringType, nullable = false),
+        StructField("bucket", IntegerType, nullable = false),
+        StructField("n_base", DoubleType, nullable = true),
+        StructField("n_cur", DoubleType, nullable = true),
+        StructField("base_share", DoubleType, nullable = true),
+        StructField("cur_share", DoubleType, nullable = true),
+        StructField("psi", DoubleType, nullable = true))))
+  }
+
+  /** DuckDB mirror of [[drift]] as a CTE fragment (prepend `WITH ` or
+    * compose after other CTEs): `baseSrc`/`curSrc` are relations or named
+    * CTEs already in scope for the two slices.
+    */
+  def driftSql(baseSrc: String, curSrc: String, keySql: String,
+      cols: Seq[String], k: Int = 4096, buckets: Int = 10): String = {
+    val h = graft.functions.OracleSql.tokenHash(s"CAST($keySql AS VARCHAR)")
+    val eSel = cols.flatMap(c => (1 until buckets).map(j =>
+      s"quantile_cont($c, ${j.toDouble / buckets}) AS e_${c}_$j"))
+    def bucketSql(c: String) =
+      (1 until buckets).map(j =>
+        s"(CASE WHEN $c >= e.e_${c}_$j THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+    def countsSel(src: String) = cols.flatMap { c =>
+      s"CAST(sum(CASE WHEN $c IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) AS n_$c" +:
+        (0 until buckets).map(j =>
+          s"CAST(sum(CASE WHEN $c IS NOT NULL AND (${bucketSql(c)}) = $j THEN 1 ELSE 0 END) AS DOUBLE) AS b_${c}_$j")
+    }.mkString(",\n         ")
+    val half = buckets / 2.0
+    def share(side: String, c: String, j: Int) =
+      s"(($side.b_${c}_$j + 0.5) / ($side.n_$c + $half))"
+    val rowSelects = cols.flatMap { c =>
+      val bucketRows = (0 until buckets).map { j =>
+        val (sB, sC) = (share("cb", c, j), share("cc", c, j))
+        s"""SELECT '$c' AS "column", $j AS bucket,
+           |       cb.b_${c}_$j AS n_base, cc.b_${c}_$j AS n_cur,
+           |       $sB AS base_share, $sC AS cur_share,
+           |       ($sB - $sC) * ln($sB / $sC) AS psi
+           |FROM cb, cc""".stripMargin
+      }
+      // summary: contributions summed in bucket order (left fold, matching
+      // the driver-side foldLeft exactly)
+      val total = (0 until buckets).map { j =>
+        val (sB, sC) = (share("cb", c, j), share("cc", c, j))
+        s"(($sB - $sC) * ln($sB / $sC))"
+      }.foldLeft("CAST(0.0 AS DOUBLE)")((acc, t) => s"($acc + $t)")
+      bucketRows :+
+        s"""SELECT '$c', -1, cb.n_$c, cc.n_$c,
+           |       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), $total
+           |FROM cb, cc""".stripMargin
+    }
+    s"""samp AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (
+       |      ORDER BY $h, CAST($keySql AS VARCHAR)) AS rn
+       |    FROM $baseSrc WHERE $keySql IS NOT NULL
+       |  ) WHERE rn <= $k
+       |),
+       |e AS (SELECT ${eSel.mkString(",\n             ")} FROM samp),
+       |cb AS (SELECT ${countsSel(baseSrc)} FROM $baseSrc, e),
+       |cc AS (SELECT ${countsSel(curSrc)} FROM $curSrc, e)
+       |${rowSelects.mkString("\nUNION ALL\n")}""".stripMargin
+  }
 }

@@ -316,6 +316,20 @@ object ScaleQueries {
       Profile.dataset(Tables.bars(s, dir), keyCol = "event_id",
         cols = Seq("event_id", "symbol", "close", "volume"))),
 
+    // PR2 — PSI feature drift between two slices (graft.operators
+    // .Profile.drift): edges from the baseline sample's deciles, exact
+    // bucket counts (one scan per side), smoothed shares and libm-ln PSI
+    // contributions — the corpus-version drift monitor. The even/odd
+    // event_id slices of bars genuinely differ (close's null/perturbation
+    // pattern is event_id-modular), so the PSI is non-trivial.
+    "pr2_profile_drift" -> ((s, dir) => {
+      val b = Tables.bars(s, dir)
+      Profile.drift(
+        b.filter(col("event_id") % 2 === 0),
+        b.filter(col("event_id") % 2 === 1),
+        keyCol = "event_id", cols = Seq("close", "volume"))
+    }),
+
     // Lake-vs-DB coverage census: file side = actual per-symbol lake rows,
     // DB side = the simulated registration state above.
     "rec1_coverage" -> ((s, dir) => {
@@ -411,6 +425,12 @@ object ScaleQueries {
       "CAST(floor(sqrt(event_id % 10000)) AS BIGINT) AS v FROM events),\n" +
       Sketch.heavyHittersSql("ev", Seq("event_type"), "event_id", "v",
         k = 4096, minShare = 0.015)),
+
+    "pr2_profile_drift" -> (Tables.barsSql + ",\n" +
+      "drift_base AS (SELECT * FROM bars WHERE event_id % 2 = 0),\n" +
+      "drift_cur AS (SELECT * FROM bars WHERE event_id % 2 = 1),\n" +
+      Profile.driftSql("drift_base", "drift_cur", "event_id",
+        Seq("close", "volume"))),
 
     "pr1_profile" -> (Tables.barsSql + "\n" +
       Profile.datasetSql("bars", "event_id",

@@ -70,4 +70,54 @@ class ProfileSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("nope"))
   }
+
+  // --- drift (PSI) ---
+
+  private def driftOf(shift: Double, n: Int = 4000) = {
+    val base = (1 to n).map(i => (i.toLong, (i % 100).toDouble))
+      .toDF("id", "v")
+    val cur = (1 to n).map(i => (i.toLong + n, (i % 100).toDouble + shift))
+      .toDF("id", "v")
+    Profile.drift(base, cur, keyCol = "id", cols = Seq("v"), k = 512)
+  }
+
+  test("identical distributions -> PSI ~ 0; shifted -> large PSI; " +
+    "summary row = fold of contributions") {
+    val same = driftOf(0.0).collect()
+    val sameSummary = same.find(_.getInt(1) == -1).get
+    assert(math.abs(sameSummary.getDouble(6)) < 1e-3)
+
+    val rows = driftOf(60.0).collect()
+    val summary = rows.find(_.getInt(1) == -1).get
+    assert(summary.getDouble(6) > 0.5, s"expected drift, got $summary")
+    // summary psi == left fold of the 10 bucket contributions
+    val contribs = rows.filter(_.getInt(1) >= 0).sortBy(_.getInt(1))
+      .map(_.getDouble(6))
+    assert(contribs.length == 10)
+    assert(summary.getDouble(6) == contribs.foldLeft(0.0)(_ + _))
+    // totals on the summary row are the exact non-null counts
+    assert(summary.getDouble(2) == 4000.0 && summary.getDouble(3) == 4000.0)
+    // shares are smoothed probabilities: each side sums to ~1
+    val baseShares = rows.filter(_.getInt(1) >= 0).map(_.getDouble(4)).sum
+    assert(math.abs(baseShares - 1.0) < 1e-9)
+  }
+
+  test("nulls are excluded from buckets but counted in totals; " +
+    "non-numeric drift column refused") {
+    val base = Seq((1L, Some(1.0)), (2L, Some(2.0)), (3L, None))
+      .toDF("id", "v")
+    val cur = Seq((4L, Some(1.0)), (5L, None), (6L, None))
+      .toDF("id", "v")
+    val rows = Profile.drift(base, cur, "id", Seq("v"), k = 16).collect()
+    val s = rows.find(_.getInt(1) == -1).get
+    assert(s.getDouble(2) == 2.0 && s.getDouble(3) == 1.0)
+    val bucketed = rows.filter(_.getInt(1) >= 0)
+    assert(bucketed.map(_.getDouble(2)).sum == 2.0)
+    assert(bucketed.map(_.getDouble(3)).sum == 1.0)
+
+    val e = intercept[IllegalArgumentException] {
+      Profile.drift(df, df, "id", Seq("s"))
+    }
+    assert(e.getMessage.contains("not numeric"))
+  }
 }
