@@ -316,6 +316,20 @@ object ScaleQueries {
       Profile.dataset(Tables.bars(s, dir), keyCol = "event_id",
         cols = Seq("event_id", "symbol", "close", "volume"))),
 
+    // TS1 — theta/KMV distinct-set overlap (graft.operators.Sketch
+    // .thetaOverlap): which customers ordered in BOTH year-parities,
+    // estimated from two 4096-hash sketches instead of a distinct-join
+    // of the full key sets — the snapshot-overlap / retention question
+    // at 100 TB. Pure hash membership ⇒ the oracle replays the row
+    // bit-for-bit.
+    "ts1_theta_overlap" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      Sketch.thetaOverlap(
+        o.filter(year(col("o_orderdate")) % 2 === 0),
+        o.filter(year(col("o_orderdate")) % 2 === 1),
+        col("o_custkey"), col("o_custkey"))
+    }),
+
     // PR2 — PSI feature drift between two slices (graft.operators
     // .Profile.drift): edges from the baseline sample's deciles, exact
     // bucket counts (one scan per side), smoothed shares and libm-ln PSI
@@ -425,6 +439,12 @@ object ScaleQueries {
       "CAST(floor(sqrt(event_id % 10000)) AS BIGINT) AS v FROM events),\n" +
       Sketch.heavyHittersSql("ev", Seq("event_type"), "event_id", "v",
         k = 4096, minShare = 0.015)),
+
+    "ts1_theta_overlap" -> (
+      "WITH theta_oa AS (SELECT * FROM orders WHERE year(o_orderdate) % 2 = 0),\n" +
+      "theta_ob AS (SELECT * FROM orders WHERE year(o_orderdate) % 2 = 1),\n" +
+      Sketch.thetaOverlapSql("theta_oa", "theta_ob",
+        "o_custkey", "o_custkey")),
 
     "pr2_profile_drift" -> (Tables.barsSql + ",\n" +
       "drift_base AS (SELECT * FROM bars WHERE event_id % 2 = 0),\n" +

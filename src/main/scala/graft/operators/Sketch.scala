@@ -184,6 +184,105 @@ object Sketch {
        |WHERE CAST(t.n AS DOUBLE) / CAST(x.tot AS DOUBLE) >= $minShare""".stripMargin
   }
 
+  /** Hash-space size of [[TextHash.tokenHash]]: 60 bits. */
+  private val HashSpace: Long = 1L << 60
+
+  /** KMV / theta sketch of a VALUE SET: the k smallest distinct 60-bit
+    * hashes. Distinct-count estimate = |{h < θ}| · M/θ with θ = the k-th
+    * smallest hash (M when fewer than k distinct values exist — then the
+    * sketch is the whole set and every estimate is exact). `orderBy.limit`
+    * plans as TakeOrdered: a bounded per-partition heap + driver merge,
+    * never a global sort.
+    */
+  def kmvSketch(df: DataFrame, value: Column, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    df.filter(value.isNotNull)
+      .select(TextHash.tokenHash(value.cast("string")).as("h"))
+      .distinct().orderBy("h").limit(k)
+  }
+
+  /** Distinct-set overlap between two datasets WITHOUT a join of the
+    * datasets themselves — the snapshot-overlap / retention question at
+    * 100 TB: each side is reduced to its k-hash KMV sketch (one
+    * map-side-combined distinct + a bounded TakeOrdered each), and the
+    * theta-sketch set algebra runs on ≤2k driver-side longs. With
+    * θ = min(θ_a, θ_b) and X' = {h ∈ sketch_X : h < θ}:
+    * |A∪B| ≈ |A'∪B'|·M/θ, |A∩B| ≈ |A'∩B'|·M/θ, J ≈ |A'∩B'|/|A'∪B'|
+    * (rel. std. error ~1/√k). Everything is a pure function of the data
+    * (md5 hashes, exact counts, one double multiply in a fixed shape),
+    * so the DuckDB oracle replays the row bit-for-bit.
+    *
+    * Returns ONE row: (n_a, n_b, n_union, n_intersect, jaccard).
+    */
+  def thetaOverlap(a: DataFrame, b: DataFrame, valueA: Column,
+      valueB: Column, k: Int = 4096): DataFrame = {
+    val spark = a.sparkSession
+    // bounded collects: each sketch is ≤ k longs by construction
+    val ha = kmvSketch(a, valueA, k).collect().map(_.getLong(0))
+    val hb = kmvSketch(b, valueB, k).collect().map(_.getLong(0))
+    def thetaOf(s: Array[Long]) = if (s.length < k) HashSpace else s.max
+    val theta = math.min(thetaOf(ha), thetaOf(hb))
+    val aP = ha.filter(_ < theta)
+    val bP = hb.filter(_ < theta)
+    val bSet = bP.toSet
+    val nInter = aP.count(bSet.contains)
+    val nUnion = (aP.toSet ++ bSet).size
+    val scale = HashSpace.toDouble / theta.toDouble
+    val jac: Any =
+      if (nUnion == 0) null else nInter.toDouble / nUnion.toDouble
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(
+        aP.length.toDouble * scale, bP.length.toDouble * scale,
+        nUnion.toDouble * scale, nInter.toDouble * scale, jac)), 1),
+      StructType(Seq(
+        StructField("n_a", DoubleType, nullable = false),
+        StructField("n_b", DoubleType, nullable = false),
+        StructField("n_union", DoubleType, nullable = false),
+        StructField("n_intersect", DoubleType, nullable = false),
+        StructField("jaccard", DoubleType, nullable = true))))
+  }
+
+  /** DuckDB mirror of [[thetaOverlap]] as a CTE fragment: identical
+    * sketches, trim, and double arithmetic shape.
+    */
+  def thetaOverlapSql(aSrc: String, bSrc: String, valueASql: String,
+      valueBSql: String, k: Int = 4096): String = {
+    def hash(v: String) =
+      graft.functions.OracleSql.tokenHash(s"CAST($v AS VARCHAR)")
+    val m = HashSpace
+    s"""theta_ska AS (
+       |  SELECT DISTINCT ${hash(valueASql)} AS h FROM $aSrc
+       |  WHERE $valueASql IS NOT NULL ORDER BY h LIMIT $k
+       |),
+       |theta_skb AS (
+       |  SELECT DISTINCT ${hash(valueBSql)} AS h FROM $bSrc
+       |  WHERE $valueBSql IS NOT NULL ORDER BY h LIMIT $k
+       |),
+       |theta_t AS (
+       |  SELECT least(
+       |    (SELECT CASE WHEN count(*) < $k THEN $m ELSE max(h) END FROM theta_ska),
+       |    (SELECT CASE WHEN count(*) < $k THEN $m ELSE max(h) END FROM theta_skb)) AS t
+       |),
+       |theta_ap AS (SELECT h FROM theta_ska, theta_t WHERE h < t),
+       |theta_bp AS (SELECT h FROM theta_skb, theta_t WHERE h < t),
+       |theta_u AS (SELECT count(*) AS c FROM
+       |  (SELECT h FROM theta_ap UNION SELECT h FROM theta_bp)),
+       |theta_i AS (SELECT count(*) AS c FROM theta_ap
+       |  WHERE h IN (SELECT h FROM theta_bp)),
+       |theta_ca AS (SELECT count(*) AS c FROM theta_ap),
+       |theta_cb AS (SELECT count(*) AS c FROM theta_bp)
+       |SELECT CAST(theta_ca.c AS DOUBLE) * (CAST($m AS DOUBLE) / CAST(theta_t.t AS DOUBLE)) AS n_a,
+       |       CAST(theta_cb.c AS DOUBLE) * (CAST($m AS DOUBLE) / CAST(theta_t.t AS DOUBLE)) AS n_b,
+       |       CAST(theta_u.c AS DOUBLE) * (CAST($m AS DOUBLE) / CAST(theta_t.t AS DOUBLE)) AS n_union,
+       |       CAST(theta_i.c AS DOUBLE) * (CAST($m AS DOUBLE) / CAST(theta_t.t AS DOUBLE)) AS n_intersect,
+       |       CASE WHEN theta_u.c = 0 THEN CAST(NULL AS DOUBLE)
+       |            ELSE CAST(theta_i.c AS DOUBLE) / CAST(theta_u.c AS DOUBLE)
+       |       END AS jaccard
+       |FROM theta_ca, theta_cb, theta_u, theta_i, theta_t""".stripMargin
+  }
+
   /** DuckDB mirror for `approxQuantiles(src, groupCols, keySql, valueSql,
     * k, qs)` — the equivalent ONE-window trim (identical membership) +
     * quantile_cont.

@@ -1056,6 +1056,51 @@ object ScaleSmoke {
       }
       d.unpersist()
     }
+    if (on("profile")) {
+      // dataset profiler + PSI drift at 50 M rows x 4 columns: the claim
+      // under test is BOUNDED passes — profile cost must look like ~3
+      // column-pruned scans regardless of cardinality, vs the exact
+      // countDistinct + global-percentile formulation whose Expand and
+      // single-reducer percentile blow up with rows.
+      import graft.operators.Profile
+      val nRows = 50000000L
+      val d = spark.range(nRows).select(
+        col("id"),
+        (col("id") % 1000000).cast("string").as("s"),
+        when(col("id") % 17 === 0, lit(null).cast("double"))
+          .otherwise(sin(col("id").cast("double")) * 100).as("v"),
+        (col("id") % 97).cast("double").as("w"))
+        .cache()
+      d.count()
+      def timeS(label: String)(f: => String): Unit = {
+        val t0 = System.nanoTime()
+        val out = f
+        println(f"[scale] $label%-22s ${(System.nanoTime() - t0) / 1e9}%6.1f s  $out")
+      }
+      timeS("profile-sketched") {
+        val rows = Profile.dataset(d, keyCol = "id").collect()
+        s"metrics=${rows.length}"
+      }
+      timeS("profile-exact-ref") {
+        // what the profiler replaces: exact distincts (Expand) + exact
+        // global percentiles (single partition after shuffle)
+        val r = d.agg(
+          countDistinct(col("s")).as("ds"),
+          countDistinct(col("id")).as("di"),
+          percentile(col("v"), lit(0.5)).as("qv"),
+          percentile(col("w"), lit(0.5)).as("qw")).head
+        s"ds=${r.getLong(0)} qv=${r.getDouble(2)}%.3f"
+      }
+      timeS("drift-psi") {
+        val rows = Profile.drift(
+          d.filter(col("id") % 2 === 0), d.filter(col("id") % 2 === 1),
+          keyCol = "id", cols = Seq("v", "w")).collect()
+        val psi = rows.filter(_.getInt(1) == -1)
+          .map(r => f"${r.getString(0)}=${r.getDouble(6)}%.5f").mkString(" ")
+        s"psi: $psi"
+      }
+      d.unpersist()
+    }
     spark.stop()
   }
 }

@@ -120,4 +120,47 @@ class ProfileSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("not numeric"))
   }
+
+  // --- theta/KMV set overlap ---
+
+  test("theta overlap is EXACT below k, and symmetric") {
+    val a = (1 to 300).map(i => Tuple1(i.toLong)).toDF("v")
+    val b = (201 to 500).map(i => Tuple1(i.toLong)).toDF("v")
+    val r = Sketch.thetaOverlap(a, b, col("v"), col("v"), k = 4096).head
+    assert(r.getDouble(0) == 300.0 && r.getDouble(1) == 300.0)
+    assert(r.getDouble(2) == 500.0 && r.getDouble(3) == 100.0)
+    assert(r.getDouble(4) == 100.0 / 500.0)
+    val rev = Sketch.thetaOverlap(b, a, col("v"), col("v"), k = 4096).head
+    assert(rev.getDouble(3) == r.getDouble(3) &&
+      rev.getDouble(2) == r.getDouble(2))
+  }
+
+  test("theta overlap estimates track exact overlap at 200k keys " +
+    "(rel err within ~3/sqrt(k))") {
+    val n = 200000
+    val a = (1 to n).map(i => Tuple1(i.toLong)).toDF("v")
+    val b = ((n / 2 + 1) to (n + n / 2)).map(i => Tuple1(i.toLong)).toDF("v")
+    val k = 2048
+    val r = Sketch.thetaOverlap(a, b, col("v"), col("v"), k = k).head
+    val tol = 3.0 / math.sqrt(k) // ~6.6%
+    assert(math.abs(r.getDouble(0) - n) / n < tol, s"n_a=${r.getDouble(0)}")
+    assert(math.abs(r.getDouble(2) - 1.5 * n) / (1.5 * n) < tol,
+      s"n_union=${r.getDouble(2)}")
+    assert(math.abs(r.getDouble(3) - 0.5 * n) / (0.5 * n) < 2 * tol,
+      s"n_intersect=${r.getDouble(3)}")
+    assert(math.abs(r.getDouble(4) - 1.0 / 3.0) < 2 * tol,
+      s"jaccard=${r.getDouble(4)}")
+  }
+
+  test("theta overlap: disjoint sets and empty side") {
+    val a = (1 to 100).map(i => Tuple1(i.toLong)).toDF("v")
+    val b = (1000 to 1100).map(i => Tuple1(i.toLong)).toDF("v")
+    val r = Sketch.thetaOverlap(a, b, col("v"), col("v")).head
+    assert(r.getDouble(3) == 0.0 && r.getDouble(4) == 0.0)
+    val empty = a.filter(col("v") < 0)
+    val re = Sketch.thetaOverlap(a, empty, col("v"), col("v")).head
+    assert(re.getDouble(1) == 0.0 && re.getDouble(2) == 100.0)
+    val rb = Sketch.thetaOverlap(empty, empty, col("v"), col("v")).head
+    assert(rb.isNullAt(4)) // jaccard of two empty sets is undefined
+  }
 }
