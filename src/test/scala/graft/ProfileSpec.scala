@@ -152,6 +152,15 @@ class ProfileSpec extends SparkSpec {
       s"jaccard=${r.getDouble(4)}")
   }
 
+  test("kmv sketch plans as TakeOrdered (bounded per-partition heap), " +
+    "never a global sort") {
+    val df = spark.range(100000).selectExpr("id AS v")
+    val plan = Sketch.kmvSketch(df, col("v"), 4096)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("\nSort "), plan)
+  }
+
   test("theta overlap: disjoint sets and empty side") {
     val a = (1 to 100).map(i => Tuple1(i.toLong)).toDF("v")
     val b = (1000 to 1100).map(i => Tuple1(i.toLong)).toDF("v")
