@@ -158,6 +158,133 @@ object Profile {
     (censusSelects ++ hllBlocks ++ qBlocks).mkString("\nUNION ALL\n")
   }
 
+  /** Incrementally-maintained profile: a `foreachBatch` handler that
+    * folds each micro-batch into three snapshot-lake states under `root`
+    * — so ANALYZE over a 100 TB ingest costs per-batch work only, never
+    * a full rescan:
+    *
+    *  - `root/census`: tall per-batch partials (column, n, nulls, min,
+    *    max) appended exactly-once ([[graft.sinks.SnapshotLake
+    *    .appendStream]] batch-id dedup — counts are NOT naturally
+    *    idempotent, so replays must skip); totals fold associatively
+    *    (long sums, min-of-mins) to the one-shot census exactly;
+    *  - `root/hll`: per-column HLL registers via [[Hll.registerStream]]
+    *    (max-merge — naturally idempotent);
+    *  - `root/sample`: the global bottom-k sample via
+    *    [[Sketch.sampleStream]] (hash-pure membership — naturally
+    *    idempotent).
+    *
+    * [[assemble]] reads the three states back into the SAME tall report
+    * [[dataset]] computes one-shot — bit-for-bit, because every estimator
+    * is mergeable-exact (ProfileSpec witnesses the equality across
+    * batches including a replayed one).
+    */
+  def profileStream(root: String, keyCol: String, cols: Seq[String] = Nil,
+      p: Int = 12, k: Int = 4096): (DataFrame, Long) => Unit = {
+    (df, batchId) =>
+      import graft.sinks.SnapshotLake
+      val spark = df.sparkSession
+      val target = if (cols.nonEmpty) cols else df.columns.toSeq
+      val numeric = target.filter(c => NumericTypes(df.schema(c).dataType))
+      val hllable = target.filter(c => HllTypes(df.schema(c).dataType))
+
+      // census partial: one agg row → tall rows, with the column-class
+      // flags stored IN the state so assemble() needs no type re-declaration
+      val aggs =
+        Seq(count(lit(1)).as("__n")) ++
+          target.map(c => (count(lit(1)) - count(col(c))).as(s"__nulls_$c")) ++
+          numeric.flatMap(c => Seq(
+            min(col(c)).cast("double").as(s"__min_$c"),
+            max(col(c)).cast("double").as(s"__max_$c")))
+      val row = df.agg(aggs.head, aggs.tail: _*).head
+      val partials = target.map { c =>
+        val (mn, mx) =
+          if (numeric.contains(c))
+            (row.get(row.fieldIndex(s"__min_$c")),
+              row.get(row.fieldIndex(s"__max_$c")))
+          else (null, null)
+        Row(c, row.getLong(0), row.getLong(row.fieldIndex(s"__nulls_$c")),
+          mn, mx, numeric.contains(c), hllable.contains(c))
+      }
+      val censusPartial = spark.createDataFrame(
+        spark.sparkContext.parallelize(partials, 1),
+        StructType(Seq(
+          StructField("column", StringType, nullable = false),
+          StructField("n", LongType, nullable = false),
+          StructField("nulls", LongType, nullable = false),
+          StructField("mn", DoubleType, nullable = true),
+          StructField("mx", DoubleType, nullable = true),
+          StructField("is_numeric", BooleanType, nullable = false),
+          StructField("is_hll", BooleanType, nullable = false))))
+      SnapshotLake.appendStream(s"$root/census")(censusPartial, batchId)
+
+      if (hllable.nonEmpty) {
+        val entries = df.select(explode(array(hllable.map(c =>
+          struct(lit(c).as("column"),
+            col(c).cast("string").as("v"))): _*)).as("e"))
+          .select(col("e.column").as("column"), col("e.v").as("v"))
+          .filter(col("v").isNotNull)
+        Hll.registerStream(s"$root/hll", Seq("column"), col("v"), p)(
+          entries, batchId)
+      }
+      Sketch.sampleStream(s"$root/sample", Nil, col(keyCol), k)(df, batchId)
+  }
+
+  /** Assemble the maintained states under `root` into the same tall
+    * (column, metric, value) report [[dataset]] computes one-shot over
+    * the union of every ingested batch — exactly (see [[profileStream]]).
+    */
+  def assemble(spark: SparkSession, root: String, p: Int = 12): DataFrame = {
+    import graft.sinks.SnapshotLake
+    val census = SnapshotLake.read(spark, s"$root/census")
+      .groupBy("column").agg(
+        sum("n").cast("double").as("n"),
+        sum("nulls").cast("double").as("nulls"),
+        min("mn").as("mn"), max("mx").as("mx"),
+        max("is_numeric").as("is_numeric"), max("is_hll").as("is_hll"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val target = census.keys.toSeq.sorted
+    val numeric = target.filter(c => census(c).getBoolean(5))
+    val hllable = target.filter(c => census(c).getBoolean(6))
+
+    val distincts: Map[String, Double] =
+      if (hllable.isEmpty) Map.empty
+      else Hll.estimate(SnapshotLake.read(spark, s"$root/hll"),
+        Seq("column"), p)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+    val sample = SnapshotLake.read(spark, s"$root/sample")
+    val qAggs = numeric.flatMap(c => Seq(
+      percentile(col(c), lit(0.25)).as(s"__q25_$c"),
+      percentile(col(c), lit(0.5)).as(s"__q50_$c"),
+      percentile(col(c), lit(0.75)).as(s"__q75_$c")))
+    val qRow = if (numeric.isEmpty) null
+      else sample.agg(qAggs.head, qAggs.tail: _*).head
+
+    val out = target.flatMap { c =>
+      val cr = census(c)
+      val base = Seq(
+        (c, "count", cr.get(1)),
+        (c, "n_nulls", cr.get(2))) ++
+        (if (hllable.contains(c))
+          Seq((c, "approx_distinct", distincts.getOrElse(c, null)))
+        else Nil)
+      val num = if (!numeric.contains(c)) Nil else Seq(
+        (c, "min", cr.get(3)),
+        (c, "max", cr.get(4)),
+        (c, "q25", qRow.get(qRow.fieldIndex(s"__q25_$c"))),
+        (c, "q50", qRow.get(qRow.fieldIndex(s"__q50_$c"))),
+        (c, "q75", qRow.get(qRow.fieldIndex(s"__q75_$c"))))
+      base ++ num
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out.map(t =>
+        Row(t._1, t._2, t._3)), 1),
+      StructType(Seq(StructField("column", StringType, nullable = false),
+        StructField("metric", StringType, nullable = false),
+        StructField("value", DoubleType, nullable = true))))
+  }
+
   /** Population-stability-index drift between two slices of a dataset —
     * the feature-drift monitor a training pipeline runs between corpus
     * versions. Per numeric column:

@@ -1089,7 +1089,7 @@ object ScaleSmoke {
           countDistinct(col("id")).as("di"),
           percentile(col("v"), lit(0.5)).as("qv"),
           percentile(col("w"), lit(0.5)).as("qw")).head
-        s"ds=${r.getLong(0)} qv=${r.getDouble(2)}%.3f"
+        f"ds=${r.getLong(0)} qv=${r.getDouble(2)}%.6f"
       }
       timeS("drift-psi") {
         val rows = Profile.drift(

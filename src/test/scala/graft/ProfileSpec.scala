@@ -121,6 +121,29 @@ class ProfileSpec extends SparkSpec {
     assert(e.getMessage.contains("not numeric"))
   }
 
+  test("incrementally maintained profile == one-shot dataset report, " +
+    "bit-for-bit, across batches incl. a replayed one") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-profstream").toString
+    val all = (1 to 3000).map(i =>
+      (i.toLong, s"s${i % 70}",
+        if (i % 13 == 0) None else Some((i % 997).toDouble)))
+    val dfs = all.grouped(1000).map(_.toDF("id", "s", "v")).toSeq
+    val handler = Profile.profileStream(root, keyCol = "id", k = 256)
+    handler(dfs(0), 0L)
+    handler(dfs(1), 1L)
+    handler(dfs(1), 1L) // at-least-once replay: census must not double-count
+    handler(dfs(2), 2L)
+    val inc = Profile.assemble(spark, root).collect()
+      .map(r => (r.getString(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getDouble(2))).toSet
+    val one = Profile.dataset(all.toDF("id", "s", "v"), "id", k = 256)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getDouble(2))).toSet
+    assert(inc == one)
+  }
+
   // --- theta/KMV set overlap ---
 
   test("theta overlap is EXACT below k, and symmetric") {
