@@ -425,4 +425,130 @@ object Profile {
        |cc AS (SELECT ${countsSel(curSrc)} FROM $curSrc, e)
        |${rowSelects.mkString("\nUNION ALL\n")}""".stripMargin
   }
+
+  /** PSI drift PER GROUP, fully distributed — [[drift]] assembles on the
+    * driver (the right shape for ONE dataset report); this is the form
+    * for unbounded group counts (per-source, per-domain, per-tenant
+    * drift over a 100 TB corpus): nothing ever leaves the plan.
+    *
+    *  - per-group decile edges: the per-group bottom-k baseline sample
+    *    aggregated to one edges row per group;
+    *  - each side joins its rows to the edges (plain equi-join — AQE
+    *    broadcasts when the group count is small, shuffles when it
+    *    isn't) and folds to ONE counts row per group;
+    *  - shares, `jlog` (libm, codegen — [[graft.functions.JavaLog]])
+    *    contributions and the bucket-order summary fold are column
+    *    expressions, so the whole thing is two scans + two aggregates
+    *    at any group cardinality — and still replays bit-for-bit in
+    *    DuckDB.
+    *
+    * Groups absent from `base` have no baseline to drift against and are
+    * excluded; groups absent from `cur` report with zero current counts.
+    * Returns one row per group: (groupCols..., n_base, n_cur, psi).
+    */
+  def driftByGroup(base: DataFrame, cur: DataFrame, groupCols: Seq[String],
+      keyCol: String, valueCol: String, k: Int = 4096,
+      buckets: Int = 10): DataFrame = {
+    require(groupCols.nonEmpty, "driftByGroup needs group columns")
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    Seq(base, cur).foreach(df => require(
+      NumericTypes(df.schema(valueCol).dataType),
+      s"drift column $valueCol is not numeric"))
+    val g = groupCols.map(col)
+
+    val sample = Sketch.sampleBottomK(base, groupCols, col(keyCol), k)
+    val eAggs = (1 until buckets).map(j =>
+      percentile(col(valueCol), lit(j.toDouble / buckets)).as(s"__e_$j"))
+    val edges = sample.groupBy(g: _*).agg(eAggs.head, eAggs.tail: _*)
+
+    def counts(df: DataFrame, side: String): DataFrame = {
+      val v = col(valueCol)
+      val bucket = (1 until buckets).map(j =>
+        when(v >= col(s"__e_$j"), 1).otherwise(0)).reduce(_ + _)
+      val aggs =
+        sum(when(v.isNotNull, 1).otherwise(0)).as(s"__n_$side") +:
+          (0 until buckets).map(j =>
+            sum(when(v.isNotNull && bucket === j, 1).otherwise(0))
+              .as(s"__b_${side}_$j"))
+      df.join(edges, groupCols).groupBy(g: _*).agg(aggs.head, aggs.tail: _*)
+    }
+    val cb = counts(base, "b")
+    val cc = counts(cur, "c")
+    // cur-side counts default to 0 for base groups with no current rows
+    val curCols = s"__n_c" +: (0 until buckets).map(j => s"__b_c_$j")
+    val joined = curCols.foldLeft(
+      cb.join(cc, groupCols, "left")) { (df, c) =>
+      df.withColumn(c, coalesce(col(c), lit(0L)))
+    }
+
+    import graft.functions.JavaMath.jlog
+    val half = buckets / 2.0
+    def share(side: String, j: Int) =
+      (col(s"__b_${side}_$j").cast("double") + lit(0.5)) /
+        (col(s"__n_$side").cast("double") + lit(half))
+    val psi = (0 until buckets).map { j =>
+      val (sB, sC) = (share("b", j), share("c", j))
+      (sB - sC) * jlog(sB / sC)
+    }.foldLeft(lit(0.0).cast("double"))(_ + _)
+    joined.select(g ++ Seq(
+      col("__n_b").cast("double").as("n_base"),
+      col("__n_c").cast("double").as("n_cur"),
+      psi.as("psi")): _*)
+  }
+
+  /** DuckDB mirror of [[driftByGroup]] as a CTE fragment. */
+  def driftByGroupSql(baseSrc: String, curSrc: String,
+      groupCols: Seq[String], keySql: String, valueSql: String,
+      k: Int = 4096, buckets: Int = 10): String = {
+    val gl = groupCols.mkString(", ")
+    val h = graft.functions.OracleSql.tokenHash(s"CAST($keySql AS VARCHAR)")
+    val eSel = (1 until buckets).map(j =>
+      s"quantile_cont($valueSql, ${j.toDouble / buckets}) AS e_$j")
+      .mkString(", ")
+    val bucketSql = (1 until buckets).map(j =>
+      s"(CASE WHEN t.$valueSql >= e.e_$j THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    def countsSql(src: String, side: String) = {
+      val sel =
+        s"sum(CASE WHEN t.$valueSql IS NOT NULL THEN 1 ELSE 0 END) AS n_$side" +:
+          (0 until buckets).map(j =>
+            s"sum(CASE WHEN t.$valueSql IS NOT NULL AND ($bucketSql) = $j THEN 1 ELSE 0 END) AS b_${side}_$j")
+      s"""SELECT ${groupCols.map(c => s"t.$c").mkString(", ")},
+         |       ${sel.mkString(",\n       ")}
+         |FROM $src t JOIN gd_edges e
+         |  ON ${groupCols.map(c => s"t.$c = e.$c").mkString(" AND ")}
+         |GROUP BY ${groupCols.map(c => s"t.$c").mkString(", ")}""".stripMargin
+    }
+    val half = buckets / 2.0
+    def share(side: String, j: Int) =
+      s"((CAST(b_${side}_$j AS DOUBLE) + 0.5) / (CAST(n_$side AS DOUBLE) + $half))"
+    val psi = (0 until buckets).map { j =>
+      val (sB, sC) = (share("b", j), share("c", j))
+      s"(($sB - $sC) * ln($sB / $sC))"
+    }.foldLeft("CAST(0.0 AS DOUBLE)")((acc, t) => s"($acc + $t)")
+    s"""gd_samp AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY $gl
+       |      ORDER BY $h, CAST($keySql AS VARCHAR)) AS rn
+       |    FROM $baseSrc WHERE $keySql IS NOT NULL
+       |  ) WHERE rn <= $k
+       |),
+       |gd_edges AS (SELECT $gl, $eSel FROM gd_samp GROUP BY $gl),
+       |gd_cb AS (${countsSql(baseSrc, "b")}),
+       |gd_cc AS (${countsSql(curSrc, "c")}),
+       |gd_joined AS (
+       |  SELECT ${groupCols.map(c => s"gd_cb.$c").mkString(", ")},
+       |         n_b,
+       |         COALESCE(n_c, 0) AS n_c,
+       |         ${(0 until buckets).map(j =>
+              s"b_b_$j, COALESCE(b_c_$j, 0) AS b_c_$j").mkString(",\n         ")}
+       |  FROM gd_cb LEFT JOIN gd_cc
+       |    ON ${groupCols.map(c => s"gd_cb.$c = gd_cc.$c").mkString(" AND ")}
+       |)
+       |SELECT $gl,
+       |       CAST(n_b AS DOUBLE) AS n_base,
+       |       CAST(n_c AS DOUBLE) AS n_cur,
+       |       $psi AS psi
+       |FROM gd_joined""".stripMargin
+  }
 }

@@ -344,6 +344,19 @@ object ScaleQueries {
         keyCol = "event_id", cols = Seq("close", "volume"))
     }),
 
+    // PR3 — per-group PSI drift, fully distributed (Profile.driftByGroup):
+    // the unbounded-group form of pr2 — per-symbol decile edges from the
+    // grouped baseline sample, one counts row per (group, side), shares /
+    // jlog contributions / the summary fold all in-plan (libm JavaLog ==
+    // DuckDB ln bit-for-bit). Nothing collects; group cardinality is free.
+    "pr3_group_drift" -> ((s, dir) => {
+      val b = Tables.bars(s, dir)
+      Profile.driftByGroup(
+        b.filter(col("event_id") % 2 === 0),
+        b.filter(col("event_id") % 2 === 1),
+        Seq("symbol"), keyCol = "event_id", valueCol = "close")
+    }),
+
     // Lake-vs-DB coverage census: file side = actual per-symbol lake rows,
     // DB side = the simulated registration state above.
     "rec1_coverage" -> ((s, dir) => {
@@ -451,6 +464,12 @@ object ScaleQueries {
       "drift_cur AS (SELECT * FROM bars WHERE event_id % 2 = 1),\n" +
       Profile.driftSql("drift_base", "drift_cur", "event_id",
         Seq("close", "volume"))),
+
+    "pr3_group_drift" -> (Tables.barsSql + ",\n" +
+      "drift_base AS (SELECT * FROM bars WHERE event_id % 2 = 0),\n" +
+      "drift_cur AS (SELECT * FROM bars WHERE event_id % 2 = 1),\n" +
+      Profile.driftByGroupSql("drift_base", "drift_cur", Seq("symbol"),
+        "event_id", "close")),
 
     "pr1_profile" -> (Tables.barsSql + "\n" +
       Profile.datasetSql("bars", "event_id",

@@ -121,6 +121,40 @@ class ProfileSpec extends SparkSpec {
     assert(e.getMessage.contains("not numeric"))
   }
 
+  test("per-group drift: shifted group flags, stable group ~0, " +
+    "cur-only group excluded, base-only group reports n_cur=0") {
+    val base = (1 to 6000).map { i =>
+      val g = Seq("stable", "shifty", "gone")(i % 3)
+      (g, i.toLong, (i % 100).toDouble)
+    }.toDF("g", "id", "v")
+    val cur = (1 to 6000).flatMap { i =>
+      i % 3 match {
+        case 0 => Some(("stable", i.toLong + 10000, (i % 100).toDouble))
+        case 1 => Some(("shifty", i.toLong + 10000, (i % 100).toDouble + 55))
+        case _ => Some(("brandnew", i.toLong + 10000, (i % 100).toDouble))
+      }
+    }.toDF("g", "id", "v")
+    val rows = Profile.driftByGroup(base, cur, Seq("g"), "id", "v", k = 512)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("stable", "shifty", "gone"))
+    assert(math.abs(rows("stable").getDouble(3)) < 0.01)
+    assert(rows("shifty").getDouble(3) > 0.5)
+    assert(rows("gone").getDouble(2) == 0.0) // n_cur
+    assert(rows("gone").getDouble(3) > 0.0)  // max-drift vs empty current
+  }
+
+  test("per-group drift on ONE group == the global drift's summary PSI") {
+    val base = (1 to 3000).map(i => ("g", i.toLong, (i % 83).toDouble))
+      .toDF("g", "id", "v")
+    val cur = (1 to 3000).map(i => ("g", i.toLong + 5000, (i % 83) + 7.0))
+      .toDF("g", "id", "v")
+    val grouped = Profile.driftByGroup(base, cur, Seq("g"), "id", "v",
+      k = 512).head
+    val global = Profile.drift(base, cur, "id", Seq("v"), k = 512)
+      .collect().find(_.getInt(1) == -1).get
+    assert(grouped.getDouble(3) == global.getDouble(6))
+  }
+
   test("incrementally maintained profile == one-shot dataset report, " +
     "bit-for-bit, across batches incl. a replayed one") {
     val root = java.nio.file.Files
