@@ -71,6 +71,24 @@ class ProfileSpec extends SparkSpec {
     assert(e.getMessage.contains("nope"))
   }
 
+  test("profile of an empty frame and an all-null column degrade to " +
+    "nulls, not errors") {
+    val empty = df.filter(col("id") < 0)
+    val er = Profile.dataset(empty, "id").collect()
+    assert(er.nonEmpty)
+    assert(er.filter(_.getString(1) == "count").forall(_.getDouble(2) == 0.0))
+    assert(er.filter(r => Set("min", "max", "q50")(r.getString(1)))
+      .forall(_.isNullAt(2)))
+
+    val allNull = Seq((1L, None: Option[Double]), (2L, None))
+      .toDF("id", "v")
+    val nr = Profile.dataset(allNull, "id").collect()
+    assert(nr.find(r => r.getString(0) == "v" && r.getString(1) == "n_nulls")
+      .get.getDouble(2) == 2.0)
+    assert(nr.find(r => r.getString(0) == "v" && r.getString(1) == "min")
+      .get.isNullAt(2))
+  }
+
   // --- drift (PSI) ---
 
   private def driftOf(shift: Double, n: Int = 4000) = {
