@@ -344,6 +344,19 @@ object ScaleQueries {
         keyCol = "event_id", cols = Seq("close", "volume"))
     }),
 
+    // TS2 — per-group theta overlap (Sketch.thetaOverlapByGroup): the
+    // distinct-user overlap per event_type between the even/odd event_id
+    // halves of events — ts1's algebra with every step per-group and
+    // in-plan (salted per-group KMV trim, full-outer theta resolution,
+    // trimmed-set counts); group cardinality never touches the driver.
+    "ts2_theta_overlap_group" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      Sketch.thetaOverlapByGroup(
+        e.filter(col("event_id") % 2 === 0),
+        e.filter(col("event_id") % 2 === 1),
+        Seq("event_type"), col("user_id"), col("user_id"), k = 1024)
+    }),
+
     // PR3 — per-group PSI drift, fully distributed (Profile.driftByGroup):
     // the unbounded-group form of pr2 — per-symbol decile edges from the
     // grouped baseline sample, one counts row per (group, side), shares /
@@ -464,6 +477,12 @@ object ScaleQueries {
       "drift_cur AS (SELECT * FROM bars WHERE event_id % 2 = 1),\n" +
       Profile.driftSql("drift_base", "drift_cur", "event_id",
         Seq("close", "volume"))),
+
+    "ts2_theta_overlap_group" -> (
+      "WITH theta_ea AS (SELECT * FROM events WHERE event_id % 2 = 0),\n" +
+      "theta_eb AS (SELECT * FROM events WHERE event_id % 2 = 1),\n" +
+      Sketch.thetaOverlapByGroupSql("theta_ea", "theta_eb",
+        Seq("event_type"), "user_id", "user_id", k = 1024)),
 
     "pr3_group_drift" -> (Tables.barsSql + ",\n" +
       "drift_base AS (SELECT * FROM bars WHERE event_id % 2 = 0),\n" +

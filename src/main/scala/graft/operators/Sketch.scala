@@ -244,6 +244,134 @@ object Sketch {
         StructField("jaccard", DoubleType, nullable = true))))
   }
 
+  /** Per-group KMV sketch: the k smallest distinct hashes PER GROUP,
+    * trimmed with the same salted two-phase window as [[sampleBottomK]]
+    * (no hot-group single reducer; phase 1 keeps a superset of each
+    * group's bottom-k, so the result equals the one-window form).
+    */
+  def kmvSketchByGroup(df: DataFrame, groupCols: Seq[String],
+      value: Column, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val g = groupCols.map(col)
+    val hashed = df.filter(value.isNotNull)
+      .select(g :+ TextHash.tokenHash(value.cast("string")).as("h"): _*)
+      .distinct()
+    val w1 = Window.partitionBy(g :+ pmod(col("h"), lit(Salts)): _*)
+      .orderBy("h")
+    val w2 = Window.partitionBy(g: _*).orderBy("h")
+    hashed.withColumn("__rn", row_number().over(w1)).filter(col("__rn") <= k)
+      .withColumn("__rn", row_number().over(w2)).filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** [[thetaOverlap]] PER GROUP, fully distributed — per-source /
+    * per-tenant distinct-key overlap between two snapshots with nothing
+    * on the driver: both sides sketch per group (bounded ≤k hashes each),
+    * θ = min of the per-group thetas (M for a side with <k distinct
+    * values, including groups the side lacks entirely), and the trimmed
+    * union/intersection counts aggregate per group. Groups present in
+    * EITHER side report; a side with no rows reports 0 with the other
+    * side's counts exact-or-estimated as usual. Same estimator row per
+    * group as [[thetaOverlap]]: (groupCols..., n_a, n_b, n_union,
+    * n_intersect, jaccard).
+    */
+  def thetaOverlapByGroup(a: DataFrame, b: DataFrame,
+      groupCols: Seq[String], valueA: Column, valueB: Column,
+      k: Int = 4096): DataFrame = {
+    val g = groupCols.map(col)
+    val ska = kmvSketchByGroup(a, groupCols, valueA, k)
+    val skb = kmvSketchByGroup(b, groupCols, valueB, k)
+    def thetaSide(sk: DataFrame, name: String) =
+      sk.groupBy(g: _*).agg(
+        when(count(lit(1)) < k, lit(HashSpace)).otherwise(max(col("h")))
+          .as(name))
+    val thetas = thetaSide(ska, "__ta").join(thetaSide(skb, "__tb"),
+        groupCols, "full_outer")
+      .select(g :+ least(coalesce(col("__ta"), lit(HashSpace)),
+        coalesce(col("__tb"), lit(HashSpace))).as("__t"): _*)
+    def trimmed(sk: DataFrame) =
+      sk.join(thetas, groupCols).filter(col("h") < col("__t"))
+    val aP = trimmed(ska)
+    val bP = trimmed(skb)
+    val cnts = Seq(
+      aP.groupBy(g: _*).agg(count(lit(1)).as("__ca")),
+      bP.groupBy(g: _*).agg(count(lit(1)).as("__cb")),
+      aP.select(g :+ col("h"): _*).unionByName(bP.select(g :+ col("h"): _*))
+        .distinct().groupBy(g: _*).agg(count(lit(1)).as("__cu")),
+      aP.join(bP.select(g :+ col("h"): _*), groupCols :+ "h")
+        .groupBy(g: _*).agg(count(lit(1)).as("__ci")))
+      .reduce((x, y) => x.join(y, groupCols, "full_outer"))
+    val filled = Seq("__ca", "__cb", "__cu", "__ci").foldLeft(cnts) {
+      (df, c) => df.withColumn(c, coalesce(col(c), lit(0L)))
+    }.join(thetas, groupCols)
+    val scale = lit(HashSpace.toDouble) / col("__t").cast("double")
+    filled.select(g ++ Seq(
+      (col("__ca").cast("double") * scale).as("n_a"),
+      (col("__cb").cast("double") * scale).as("n_b"),
+      (col("__cu").cast("double") * scale).as("n_union"),
+      (col("__ci").cast("double") * scale).as("n_intersect"),
+      when(col("__cu") === 0, lit(null).cast("double"))
+        .otherwise(col("__ci").cast("double") / col("__cu").cast("double"))
+        .as("jaccard")): _*)
+  }
+
+  /** DuckDB mirror of [[thetaOverlapByGroup]] as a CTE fragment — the
+    * one-window per-group trim (identical membership to the salted
+    * two-phase form) + the same full-outer theta/count algebra.
+    */
+  def thetaOverlapByGroupSql(aSrc: String, bSrc: String,
+      groupCols: Seq[String], valueASql: String, valueBSql: String,
+      k: Int = 4096): String = {
+    val gl = groupCols.mkString(", ")
+    def on(l: String, r: String) =
+      groupCols.map(c => s"$l.$c = $r.$c").mkString(" AND ")
+    def gq(t: String) = groupCols.map(c => s"$t.$c").mkString(", ")
+    def hash(v: String) =
+      graft.functions.OracleSql.tokenHash(s"CAST($v AS VARCHAR)")
+    val m = HashSpace
+    def sketch(src: String, v: String) =
+      s"""SELECT $gl, h FROM (
+         |  SELECT $gl, h, row_number() OVER (PARTITION BY $gl ORDER BY h) AS rn
+         |  FROM (SELECT DISTINCT $gl, ${hash(v)} AS h FROM $src
+         |        WHERE $v IS NOT NULL)
+         |) WHERE rn <= $k""".stripMargin
+    s"""tg_ska AS (${sketch(aSrc, valueASql)}),
+       |tg_skb AS (${sketch(bSrc, valueBSql)}),
+       |tg_ta AS (SELECT $gl, CASE WHEN count(*) < $k THEN $m ELSE max(h) END AS ta
+       |          FROM tg_ska GROUP BY $gl),
+       |tg_tb AS (SELECT $gl, CASE WHEN count(*) < $k THEN $m ELSE max(h) END AS tb
+       |          FROM tg_skb GROUP BY $gl),
+       |tg_t AS (
+       |  SELECT ${groupCols.map(c => s"COALESCE(tg_ta.$c, tg_tb.$c) AS $c").mkString(", ")},
+       |         least(COALESCE(ta, $m), COALESCE(tb, $m)) AS t
+       |  FROM tg_ta FULL OUTER JOIN tg_tb ON ${on("tg_ta", "tg_tb")}
+       |),
+       |tg_ap AS (SELECT ${gq("s")}, s.h FROM tg_ska s JOIN tg_t
+       |          ON ${on("s", "tg_t")} WHERE s.h < tg_t.t),
+       |tg_bp AS (SELECT ${gq("s")}, s.h FROM tg_skb s JOIN tg_t
+       |          ON ${on("s", "tg_t")} WHERE s.h < tg_t.t),
+       |tg_ca AS (SELECT $gl, count(*) AS ca FROM tg_ap GROUP BY $gl),
+       |tg_cb AS (SELECT $gl, count(*) AS cb FROM tg_bp GROUP BY $gl),
+       |tg_cu AS (SELECT $gl, count(*) AS cu FROM
+       |  (SELECT $gl, h FROM tg_ap UNION SELECT $gl, h FROM tg_bp)
+       |  GROUP BY $gl),
+       |tg_ci AS (SELECT ${gq("x")}, count(*) AS ci FROM tg_ap x JOIN tg_bp y
+       |          ON ${on("x", "y")} AND x.h = y.h GROUP BY ${gq("x")})
+       |SELECT ${gq("tg_t")},
+       |       CAST(COALESCE(ca, 0) AS DOUBLE) * (CAST($m AS DOUBLE) / CAST(t AS DOUBLE)) AS n_a,
+       |       CAST(COALESCE(cb, 0) AS DOUBLE) * (CAST($m AS DOUBLE) / CAST(t AS DOUBLE)) AS n_b,
+       |       CAST(COALESCE(cu, 0) AS DOUBLE) * (CAST($m AS DOUBLE) / CAST(t AS DOUBLE)) AS n_union,
+       |       CAST(COALESCE(ci, 0) AS DOUBLE) * (CAST($m AS DOUBLE) / CAST(t AS DOUBLE)) AS n_intersect,
+       |       CASE WHEN COALESCE(cu, 0) = 0 THEN CAST(NULL AS DOUBLE)
+       |            ELSE CAST(COALESCE(ci, 0) AS DOUBLE) / CAST(cu AS DOUBLE)
+       |       END AS jaccard
+       |FROM tg_t
+       |LEFT JOIN tg_ca ON ${on("tg_t", "tg_ca")}
+       |LEFT JOIN tg_cb ON ${on("tg_t", "tg_cb")}
+       |LEFT JOIN tg_cu ON ${on("tg_t", "tg_cu")}
+       |LEFT JOIN tg_ci ON ${on("tg_t", "tg_ci")}""".stripMargin
+  }
+
   /** DuckDB mirror of [[thetaOverlap]] as a CTE fragment: identical
     * sketches, trim, and double arithmetic shape.
     */

@@ -236,6 +236,38 @@ class ProfileSpec extends SparkSpec {
     assert(!plan.contains("\nSort "), plan)
   }
 
+  test("per-group theta overlap == the global form per group; groups " +
+    "on one side only report zero for the missing side") {
+    val a = (1 to 2000).flatMap(i => Seq(
+      ("x", i.toLong), ("y", i.toLong), ("only_a", i.toLong)))
+      .toDF("g", "v")
+    val b = (1 to 2000).flatMap(i => Seq(
+      ("x", i.toLong + 1000),  // x: half overlap
+      ("y", i.toLong + 50000), // y: disjoint
+      ("only_b", i.toLong))).toDF("g", "v")
+    val k = 512
+    val grouped = Sketch.thetaOverlapByGroup(a, b, Seq("g"),
+      col("v"), col("v"), k = k)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(grouped.keySet == Set("x", "y", "only_a", "only_b"))
+    for (g <- Seq("x", "y")) {
+      val solo = Sketch.thetaOverlap(
+        a.filter(col("g") === g), b.filter(col("g") === g),
+        col("v"), col("v"), k = k).head
+      val gr = grouped(g)
+      for (i <- 1 to 4)
+        assert(gr.getDouble(i) == solo.getDouble(i - 1),
+          s"$g col $i: ${gr.getDouble(i)} vs ${solo.getDouble(i - 1)}")
+      assert(gr.getDouble(5) == solo.getDouble(4))
+    }
+    assert(grouped("y").getDouble(4) == 0.0) // disjoint: no intersection
+    val tol = 3.0 / math.sqrt(512) // ~13% — counts above k are estimates
+    assert(grouped("only_a").getDouble(2) == 0.0)
+    assert(math.abs(grouped("only_a").getDouble(1) - 2000.0) < 2000 * tol)
+    assert(grouped("only_b").getDouble(1) == 0.0)
+    assert(math.abs(grouped("only_b").getDouble(2) - 2000.0) < 2000 * tol)
+  }
+
   test("theta overlap: disjoint sets and empty side") {
     val a = (1 to 100).map(i => Tuple1(i.toLong)).toDF("v")
     val b = (1000 to 1100).map(i => Tuple1(i.toLong)).toDF("v")
