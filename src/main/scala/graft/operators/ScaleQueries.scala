@@ -344,6 +344,17 @@ object ScaleQueries {
         keyCol = "event_id", cols = Seq("close", "volume"))
     }),
 
+    // WS1 — exact-k weighted sampling without replacement (Sketch
+    // .weightedSampleBottomK, Efraimidis–Spirakis): inclusion ∝ weight,
+    // membership a pure hash+libm function of the data — the importance-
+    // sampling prep step (weight = quality/recency score) with a
+    // bit-exact oracle. Weight here is a deterministic 1..7 score.
+    "ws1_weighted_sample" -> ((s, dir) =>
+      Sketch.weightedSampleBottomK(
+        Tables.events(s, dir), Seq("event_type"), col("event_id"),
+        (col("event_id") % 7 + 1).cast("double"), k = 2048)
+        .select("event_type", "event_id", "user_id")),
+
     // TS2 — per-group theta overlap (Sketch.thetaOverlapByGroup): the
     // distinct-user overlap per event_type between the even/odd event_id
     // halves of events — ts1's algebra with every step per-group and
@@ -477,6 +488,10 @@ object ScaleQueries {
       "drift_cur AS (SELECT * FROM bars WHERE event_id % 2 = 1),\n" +
       Profile.driftSql("drift_base", "drift_cur", "event_id",
         Seq("close", "volume"))),
+
+    "ws1_weighted_sample" -> ("WITH " + Sketch.weightedSampleSql(
+      "events", Seq("event_type"), "event_id", "(event_id % 7 + 1)",
+      k = 2048, outCols = Seq("event_type", "event_id", "user_id"))),
 
     "ts2_theta_overlap_group" -> (
       "WITH theta_ea AS (SELECT * FROM events WHERE event_id % 2 = 0),\n" +

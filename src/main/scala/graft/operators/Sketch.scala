@@ -187,6 +187,71 @@ object Sketch {
   /** Hash-space size of [[TextHash.tokenHash]]: 60 bits. */
   private val HashSpace: Long = 1L << 60
 
+  /** WEIGHTED sample without replacement, exact k per group — the
+    * Efraimidis–Spirakis (IPL 2006) one-pass scheme: each row draws
+    * u = (hash+1)/2^60 ∈ (0,1] from its key's md5 hash and ranks by
+    * jump key `-ln(u)/w`; the k SMALLEST ranks are exactly a weighted
+    * sample without replacement (inclusion odds ∝ weight). Every step
+    * is one IEEE operation (cast, add, divide, libm `ln` — the
+    * [[graft.functions.JavaLog]] contract, divide, negate — each
+    * rounding identically on both engines), so
+    * membership is a pure, DuckDB-replayable function of the data —
+    * and therefore mergeable exactly like [[sampleBottomK]]:
+    * merge(sample(A), sample(B)) == sample(A ∪ B).
+    *
+    * Rows with NULL keys, or NULL/non-positive weights, are excluded.
+    * Trimming is the same salted two-phase window (no hot-group
+    * reducer), ordered by (rank key, key string) — a total order on
+    * distinct keys. Returns the sampled rows plus `__wk`/`__ks` (kept
+    * so merges re-trim without recomputing).
+    */
+  def weightedSampleBottomK(df: DataFrame, groupCols: Seq[String],
+      key: Column, weight: Column, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val g = groupCols.map(col)
+    val keyed = df.filter(key.isNotNull && weight.isNotNull &&
+        weight.cast("double") > 0.0)
+      .withColumn("__ks", key.cast("string"))
+      .withColumn("__wk", -(graft.functions.JavaMath.jlog(
+        (TextHash.tokenHash(col("__ks")).cast("double") + lit(1.0)) /
+          lit(HashSpace.toDouble)) / weight.cast("double")))
+    val w1 = Window.partitionBy(g :+ pmod(
+        TextHash.tokenHash(col("__ks")), lit(Salts)): _*)
+      .orderBy(col("__wk"), col("__ks"))
+    val w2 = Window.partitionBy(g: _*).orderBy(col("__wk"), col("__ks"))
+    keyed.withColumn("__rn", row_number().over(w1)).filter(col("__rn") <= k)
+      .withColumn("__rn", row_number().over(w2)).filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** DuckDB mirror of [[weightedSampleBottomK]] as a CTE fragment whose
+    * final SELECT projects `outCols` of the sampled rows — the
+    * equivalent one-window trim (identical membership).
+    */
+  def weightedSampleSql(src: String, groupCols: Seq[String],
+      keySql: String, weightSql: String, k: Int,
+      outCols: Seq[String]): String = {
+    val gl = (groupCols :+ "").mkString(", ").stripSuffix(", ")
+    val h = graft.functions.OracleSql.tokenHash(s"CAST($keySql AS VARCHAR)")
+    val part = if (groupCols.isEmpty) "" else s"PARTITION BY $gl "
+    s"""ws_keyed AS (
+       |  SELECT *,
+       |         CAST($keySql AS VARCHAR) AS ks,
+       |         -(ln((CAST($h AS DOUBLE) + 1.0) / ${HashSpace.toDouble})
+       |           / CAST($weightSql AS DOUBLE)) AS wk
+       |  FROM $src
+       |  WHERE $keySql IS NOT NULL AND $weightSql IS NOT NULL
+       |    AND CAST($weightSql AS DOUBLE) > 0.0
+       |),
+       |ws_trimmed AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (${part}ORDER BY wk, ks) AS rn
+       |    FROM ws_keyed
+       |  ) WHERE rn <= $k
+       |)
+       |SELECT ${outCols.mkString(", ")} FROM ws_trimmed""".stripMargin
+  }
+
   /** KMV / theta sketch of a VALUE SET: the k smallest distinct 60-bit
     * hashes. Distinct-count estimate = |{h < θ}| · M/θ with θ = the k-th
     * smallest hash (M when fewer than k distinct values exist — then the

@@ -196,6 +196,39 @@ class ProfileSpec extends SparkSpec {
     assert(inc == one)
   }
 
+  // --- weighted sampling (Efraimidis–Spirakis) ---
+
+  test("weighted sample: inclusion tracks weight, exact k, merge == " +
+    "one-shot, invalid weights excluded") {
+    val n = 20000
+    // weight 9 for ids divisible by 10 (10% of rows), weight 1 otherwise:
+    // heavy rows hold 50% of total weight, so a k-sample should include
+    // heavy ids at ~9x the rate of light ones
+    val d = (1 to n).map(i =>
+      (i.toLong, if (i % 10 == 0) 9.0 else 1.0)).toDF("id", "w")
+    val k = 2000
+    val s = Sketch.weightedSampleBottomK(d, Nil, col("id"), col("w"), k)
+    assert(s.count() == k)
+    val heavy = s.filter(col("w") === 9.0).count().toDouble
+    val heavyRate = heavy / (n / 10)          // of 2000 heavy rows
+    val lightRate = (k - heavy) / (n * 0.9)   // of 18000 light rows
+    assert(heavyRate / lightRate > 5.0 && heavyRate / lightRate < 14.0,
+      s"heavyRate=$heavyRate lightRate=$lightRate")
+
+    // mergeable: sample(A) ∪ sample(B) re-trimmed == sample(A ∪ B)
+    val (a, b) = (d.filter(col("id") <= n / 2), d.filter(col("id") > n / 2))
+    val merged = Sketch.weightedSampleBottomK(a, Nil, col("id"), col("w"), k)
+      .unionByName(Sketch.weightedSampleBottomK(b, Nil, col("id"), col("w"), k))
+      .orderBy("__wk", "__ks").limit(k)
+    assert(merged.select("id").exceptAll(s.select("id")).isEmpty)
+
+    // null / non-positive weights never sample
+    val bad = Seq((1L, Some(0.0)), (2L, Some(-1.0)), (3L, None),
+      (4L, Some(2.0))).toDF("id", "w")
+    val sb = Sketch.weightedSampleBottomK(bad, Nil, col("id"), col("w"), 10)
+    assert(sb.select("id").as[Long].collect().toSeq == Seq(4L))
+  }
+
   // --- theta/KMV set overlap ---
 
   test("theta overlap is EXACT below k, and symmetric") {
