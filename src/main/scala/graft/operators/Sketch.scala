@@ -208,20 +208,55 @@ object Sketch {
   def weightedSampleBottomK(df: DataFrame, groupCols: Seq[String],
       key: Column, weight: Column, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val g = groupCols.map(col)
     val keyed = df.filter(key.isNotNull && weight.isNotNull &&
         weight.cast("double") > 0.0)
       .withColumn("__ks", key.cast("string"))
       .withColumn("__wk", -(graft.functions.JavaMath.jlog(
         (TextHash.tokenHash(col("__ks")).cast("double") + lit(1.0)) /
           lit(HashSpace.toDouble)) / weight.cast("double")))
+    trimByRank(keyed, groupCols, k)
+  }
+
+  /** The weighted trim: salted two-phase bottom-k ordered by the A-ES
+    * rank key (same superset argument as [[trim]]).
+    */
+  private def trimByRank(df: DataFrame, groupCols: Seq[String],
+      k: Int): DataFrame = {
+    val g = groupCols.map(col)
     val w1 = Window.partitionBy(g :+ pmod(
         TextHash.tokenHash(col("__ks")), lit(Salts)): _*)
       .orderBy(col("__wk"), col("__ks"))
     val w2 = Window.partitionBy(g: _*).orderBy(col("__wk"), col("__ks"))
-    keyed.withColumn("__rn", row_number().over(w1)).filter(col("__rn") <= k)
+    df.withColumn("__rn", row_number().over(w1)).filter(col("__rn") <= k)
       .withColumn("__rn", row_number().over(w2)).filter(col("__rn") <= k)
       .drop("__rn")
+  }
+
+  /** Merge two weighted samples of the same k (dedup re-delivered rows,
+    * re-trim on the stored rank key): merge == one-shot exactly, by the
+    * same pure-membership argument as [[mergeSamples]].
+    */
+  def mergeWeightedSamples(a: DataFrame, b: DataFrame,
+      groupCols: Seq[String], k: Int): DataFrame =
+    trimByRank(a.unionByName(b).dropDuplicates(groupCols :+ "__ks"),
+      groupCols, k)
+
+  /** Streaming maintenance of a weighted sample in a snapshot lake —
+    * the [[sampleStream]] pattern with the weighted trim: recompute
+    * old-state ∪ batch, swap in with one atomic replace; replays
+    * converge with zero bookkeeping because membership is pure.
+    */
+  def weightedSampleStream(root: String, groupCols: Seq[String],
+      key: Column, weight: Column, k: Int): (DataFrame, Long) => Unit = {
+    (df, _) =>
+      import graft.sinks.SnapshotLake
+      val spark = df.sparkSession
+      val batch = weightedSampleBottomK(df, groupCols, key, weight, k)
+      if (SnapshotLake.latestVersion(spark, root).isEmpty)
+        SnapshotLake.append(spark, root, batch)
+      else
+        SnapshotLake.replace(spark, root, mergeWeightedSamples(
+          SnapshotLake.read(spark, root), batch, groupCols, k))
   }
 
   /** DuckDB mirror of [[weightedSampleBottomK]] as a CTE fragment whose

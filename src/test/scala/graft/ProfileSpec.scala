@@ -227,6 +227,40 @@ class ProfileSpec extends SparkSpec {
       (4L, Some(2.0))).toDF("id", "w")
     val sb = Sketch.weightedSampleBottomK(bad, Nil, col("id"), col("w"), 10)
     assert(sb.select("id").as[Long].collect().toSeq == Seq(4L))
+
+    // the operator's own merge (dedup + rank re-trim) == one-shot EXACTLY,
+    // including under a replayed batch
+    val sa = Sketch.weightedSampleBottomK(a, Nil, col("id"), col("w"), k)
+    // replay: batch A delivered twice (fresh attribute ids so the
+    // self-union binds cleanly)
+    val saReplay = spark.createDataFrame(sa.rdd, sa.schema)
+    val viaMerge = Sketch.mergeWeightedSamples(
+      sa.unionByName(saReplay),
+      Sketch.weightedSampleBottomK(b, Nil, col("id"), col("w"), k),
+      Nil, k)
+    val mids = viaMerge.select("id").as[Long].collect()
+    assert(mids.length == k)
+    assert(mids.toSet == s.select("id").as[Long].collect().toSet)
+  }
+
+  test("streaming weighted-sample maintenance converges to the one-shot " +
+    "sample across batches and replays") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-wsstream").toString
+    val all = (1 to 9000).map(i =>
+      (i.toLong, if (i % 10 == 0) 9.0 else 1.0))
+    val dfs = all.grouped(3000).map(_.toDF("id", "w")).toSeq
+    val handler = Sketch.weightedSampleStream(root, Nil, col("id"),
+      col("w"), k = 512)
+    handler(dfs(0), 0L)
+    handler(dfs(1), 1L)
+    handler(dfs(1), 1L) // replay
+    handler(dfs(2), 2L)
+    val live = graft.sinks.SnapshotLake.read(spark, root).select("id")
+    val one = Sketch.weightedSampleBottomK(all.toDF("id", "w"), Nil,
+      col("id"), col("w"), 512).select("id")
+    assert(live.count() == 512)
+    assert(live.exceptAll(one).isEmpty && one.exceptAll(live).isEmpty)
   }
 
   // --- theta/KMV set overlap ---
