@@ -1099,6 +1099,12 @@ object ScaleSmoke {
           .map(r => f"${r.getString(0)}=${r.getDouble(6)}%.5f").mkString(" ")
         s"psi: $psi"
       }
+      timeS("weighted-sample") {
+        // 50 M rows, weight ∝ 1..97 — exact-k importance sample
+        val sm = graft.operators.Sketch.weightedSampleBottomK(
+          d, Nil, col("id"), col("w") + lit(1.0), k = 100000)
+        s"rows=${sm.count()}"
+      }
       d.unpersist()
     }
     spark.stop()
