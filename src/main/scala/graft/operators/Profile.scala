@@ -128,13 +128,17 @@ object Profile {
         else Nil)
     }
     val hllBlocks = hllable.map { c =>
-      // a constant group key keeps the shared Hll mirror's GROUP BY shape
+      // a constant group key keeps the shared Hll mirror's GROUP BY shape;
+      // the SCALAR subquery (not a bare FROM) matters for an all-null
+      // column: the constant-group CTE is then empty, and a scalar
+      // subquery yields NULL — matching the Spark side's
+      // (c, approx_distinct, NULL) row instead of emitting zero rows
       val inner = Hll.approxDistinctSql(
         s"(SELECT 'x' AS pg, CAST($c AS VARCHAR) AS pv FROM $src) t_$c",
         Seq("pg"), "pv", p)
-      s"""SELECT '$c', 'approx_distinct', approx_distinct FROM (
+      s"""SELECT '$c', 'approx_distinct', (SELECT approx_distinct FROM (
          |WITH $inner
-         |)""".stripMargin
+         |))""".stripMargin
     }
     val h = graft.functions.OracleSql.tokenHash(s"CAST($keySql AS VARCHAR)")
     val qBlocks =
@@ -324,6 +328,12 @@ object Profile {
     val eAggs = cols.flatMap(c => (1 until buckets).map(j =>
       percentile(col(c), lit(j.toDouble / buckets)).as(s"__e_${c}_$j")))
     val eRow = sample.agg(eAggs.head, eAggs.tail: _*).head
+    cols.foreach { c =>
+      require(!eRow.isNullAt(eRow.fieldIndex(s"__e_${c}_1")),
+        s"drift: baseline sample has no non-null values for column $c — " +
+          s"the base frame is empty, or keyCol '$keyCol' / column '$c' is " +
+          "all-null; drift needs a non-empty baseline with non-null keyCol")
+    }
     val edges: Map[String, Seq[Double]] = cols.map { c =>
       c -> (1 until buckets).map(j =>
         eRow.getDouble(eRow.fieldIndex(s"__e_${c}_$j")))

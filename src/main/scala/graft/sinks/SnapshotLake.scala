@@ -258,6 +258,62 @@ object SnapshotLake {
 
   private val DefaultLockExpiryMs = 10L * 60 * 1000
 
+  /** Thrown from a rewrite's build callback (under the commit lock) when a
+    * file the op read-and-rewrote is no longer in the head manifest: a
+    * rival merge/delete/compact replaced it mid-flight, so publishing
+    * would resurrect its old rows alongside the rival's replacement.
+    * Carries the staged files so the retry loop can drop them.
+    */
+  private final class ConflictingRewriteException(
+      val staged: Seq[FileEntry], msg: String) extends RuntimeException(msg)
+
+  /** Build-callback guard for every rewrite op: the files this op read
+    * (and is about to supersede) must ALL still be present in the frozen
+    * head — concurrent appends ride through, but a concurrent rewrite of
+    * any read file aborts the commit. The lock-merge alone only protects
+    * against appends; without this check a compact racing a merge would
+    * publish the merged-away rows back into the lake (silent duplication).
+    * Returns the head file list for the caller's merge arithmetic.
+    */
+  private def requireReadSetIntact(readSet: Set[String],
+      head: Option[Manifest], staged: Seq[FileEntry], op: String,
+      root: String): Seq[FileEntry] = {
+    val files = head.map(_.files).getOrElse(Nil)
+    val gone = readSet.diff(files.map(_.rel).toSet)
+    if (gone.nonEmpty) throw new ConflictingRewriteException(staged,
+      s"$op under $root: ${gone.size} of ${readSet.size} base file(s) " +
+        s"were rewritten concurrently (e.g. ${gone.head}); aborting this " +
+        "commit and recomputing from the new head")
+    files
+  }
+
+  /** Run a whole rewrite attempt (read head → stage → commit); on a
+    * detected conflicting rewrite, delete the attempt's orphaned staged
+    * files (+ bloom sidecars) and re-run from the new head. Bounded so a
+    * pathological rewrite storm fails loudly instead of spinning.
+    */
+  private def retryOnConflict[A](spark: SparkSession, root: String,
+      op: String, maxAttempts: Int = 5)(body: () => A): A = {
+    val fs = fsOf(spark, root)
+    val dd = dataDir(root)
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      try return body()
+      catch {
+        case e: ConflictingRewriteException =>
+          e.staged.foreach { f =>
+            fs.delete(new Path(dd, f.rel), false)
+            f.bloomCols.foreach(c => fs.delete(bloomPath(root, f.rel, c), false))
+          }
+          require(attempt < maxAttempts,
+            s"$op under $root lost to concurrent rewrites $maxAttempts " +
+              s"times; last conflict: ${e.getMessage}")
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   private def schemasCompatible(a: StructType, b: StructType): Boolean =
     a.fields.map(f => (f.name, f.dataType)).sameElements(
       b.fields.map(f => (f.name, f.dataType)))
@@ -749,26 +805,42 @@ object SnapshotLake {
   def compact(spark: SparkSession, root: String,
       partitionCols: Seq[String] = Nil,
       targetBytes: Long = 128L * 1024 * 1024,
-      lockExpiryMs: Long = DefaultLockExpiryMs): (Long, Int, Int) = {
+      lockExpiryMs: Long = DefaultLockExpiryMs): (Long, Int, Int) =
+    compactPinned(spark, root, partitionCols, targetBytes, lockExpiryMs, None)
+
+  /** [[compact]] with the FIRST attempt's base pinned at `pinFirstBase` —
+    * the deterministic replay of the race the conflict check exists for
+    * (a rival rewrite landing between compact's base read and its
+    * commit). Test seam only; retries always re-read the live head.
+    */
+  private[graft] def compactPinned(spark: SparkSession, root: String,
+      partitionCols: Seq[String], targetBytes: Long, lockExpiryMs: Long,
+      pinFirstBase: Option[Long]): (Long, Int, Int) = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
-    val base = manifest(spark, root, None)
-    val nOut = math.max(1,
-      ((base.bytes + targetBytes - 1) / targetBytes).toInt)
-    val rewritten = read(spark, root, Some(base.version)).repartition(nOut)
-    // carry the data-skipping index through: recompute whatever stat
-    // columns and bloom sidecars the base manifest tracked
-    val statsCols = base.files.flatMap(_.stats.keys).toSet
-    val bloomCols = base.files.flatMap(_.bloomCols).distinct
-    val newFiles = stageFiles(spark, root, rewritten, partitionCols, statsCols,
-      bloomCols)
-    val baseSet = base.files.map(_.rel).toSet
-    val v = commit(spark, root, "compact", base.schema,
-      // lock-merge: files that appeared after our base (concurrent
-      // appends) ride along; only the files we actually rewrote drop out.
-      build = head => newFiles ++ head.map(_.files).getOrElse(Nil)
-        .filterNot(f => baseSet.contains(f.rel)),
-      lockExpiryMs)
-    (v, base.files.size, newFiles.size)
+    val pin = new java.util.concurrent.atomic.AtomicReference(pinFirstBase)
+    retryOnConflict(spark, root, "compact") { () =>
+      val base = manifest(spark, root, pin.getAndSet(None))
+      val nOut = math.max(1,
+        ((base.bytes + targetBytes - 1) / targetBytes).toInt)
+      val rewritten = read(spark, root, Some(base.version)).repartition(nOut)
+      // carry the data-skipping index through: recompute whatever stat
+      // columns and bloom sidecars the base manifest tracked
+      val statsCols = base.files.flatMap(_.stats.keys).toSet
+      val bloomCols = base.files.flatMap(_.bloomCols).distinct
+      val newFiles = stageFiles(spark, root, rewritten, partitionCols,
+        statsCols, bloomCols)
+      val baseSet = base.files.map(_.rel).toSet
+      val v = commit(spark, root, "compact", base.schema,
+        // lock-merge: files that appeared after our base (concurrent
+        // appends) ride along; only the files we actually rewrote drop
+        // out — and every rewritten file must still be in head, else a
+        // rival rewrite intervened and we abort + retry.
+        build = head => newFiles ++
+          requireReadSetIntact(baseSet, head, newFiles, "compact", root)
+            .filterNot(f => baseSet.contains(f.rel)),
+        lockExpiryMs)
+      (v, base.files.size, newFiles.size)
+    }
   }
 
   /** REPLACE the snapshot's contents wholesale in ONE atomic commit:
@@ -863,25 +935,28 @@ object SnapshotLake {
       targetBytes: Long = 128L * 1024 * 1024, bits: Int = 12,
       lockExpiryMs: Long = DefaultLockExpiryMs): (Long, Int, Int) = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
-    val base = manifest(spark, root, None)
-    zCols.foreach(c => require(base.schema.fieldNames.contains(c),
-      s"z-order column $c not in snapshot schema ${base.schema.simpleString}"))
-    require(base.files.forall(!_.rel.contains("=")),
-      "optimizeZOrder supports unpartitioned snapshot lakes; z-order " +
-        "within hive partitions via Lake.optimizeZOrder on the data dirs")
-    val nOut = math.max(1,
-      ((base.bytes + targetBytes - 1) / targetBytes).toInt)
-    val shaped = Lake.zOrderShape(read(spark, root, Some(base.version)),
-      zCols, nOut, bits)
-    val statsCols = base.files.flatMap(_.stats.keys).toSet ++ zCols
-    val bloomCols = base.files.flatMap(_.bloomCols).distinct
-    val newFiles = stageFiles(spark, root, shaped, Nil, statsCols, bloomCols)
-    val baseSet = base.files.map(_.rel).toSet
-    val v = commit(spark, root, "zorder", base.schema,
-      build = head => newFiles ++ head.map(_.files).getOrElse(Nil)
-        .filterNot(f => baseSet.contains(f.rel)),
-      lockExpiryMs)
-    (v, base.files.size, newFiles.size)
+    retryOnConflict(spark, root, "zorder") { () =>
+      val base = manifest(spark, root, None)
+      zCols.foreach(c => require(base.schema.fieldNames.contains(c),
+        s"z-order column $c not in snapshot schema ${base.schema.simpleString}"))
+      require(base.files.forall(!_.rel.contains("=")),
+        "optimizeZOrder supports unpartitioned snapshot lakes; z-order " +
+          "within hive partitions via Lake.optimizeZOrder on the data dirs")
+      val nOut = math.max(1,
+        ((base.bytes + targetBytes - 1) / targetBytes).toInt)
+      val shaped = Lake.zOrderShape(read(spark, root, Some(base.version)),
+        zCols, nOut, bits)
+      val statsCols = base.files.flatMap(_.stats.keys).toSet ++ zCols
+      val bloomCols = base.files.flatMap(_.bloomCols).distinct
+      val newFiles = stageFiles(spark, root, shaped, Nil, statsCols, bloomCols)
+      val baseSet = base.files.map(_.rel).toSet
+      val v = commit(spark, root, "zorder", base.schema,
+        build = head => newFiles ++
+          requireReadSetIntact(baseSet, head, newFiles, "zorder", root)
+            .filterNot(f => baseSet.contains(f.rel)),
+        lockExpiryMs)
+      (v, base.files.size, newFiles.size)
+    }
   }
 
   /** MERGE (upsert) into the snapshot lake with FILE-LEVEL pruning:
@@ -915,53 +990,58 @@ object SnapshotLake {
       op: String): (Long, Int, Int) = {
     require(keyCols.contains(pruneKey),
       s"pruneKey $pruneKey must be one of keyCols ${keyCols.mkString(",")}")
-    val base = manifest(spark, root, None)
-    require(schemasCompatible(base.schema, updates.schema),
-      s"merge schema drift: lake has ${base.schema.simpleString}, " +
-        s"updates have ${updates.schema.simpleString}")
-    val dom = statsDomain(base.schema, pruneKey)
-    val range = updates.agg(
-      org.apache.spark.sql.functions.min(dom),
-      org.apache.spark.sql.functions.max(dom)).head
-    if (range.isNullAt(0)) { // no non-null update keys: nothing to do
-      return (base.version, 0, base.files.size)
-    }
-    val (lo, hi) = (toDoubleStat(range.get(0)), toDoubleStat(range.get(1)))
-    val (rewrite, untouched) = base.files.partition(f =>
-      f.stats.get(pruneKey).forall { case (fLo, fHi) => fHi >= lo && fLo <= hi })
-    val cols = base.schema.fields.map(f => col(f.name))
-    val fns = org.apache.spark.sql.functions
-    val existing =
-      if (rewrite.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], base.schema)
-      else {
-        val dd = dataDir(root).toString
-        spark.read.option("basePath", dd).schema(base.schema)
-          .parquet(rewrite.map(f => s"$dd/${f.rel}"): _*)
+    retryOnConflict(spark, root, op) { () =>
+      val base = manifest(spark, root, None)
+      require(schemasCompatible(base.schema, updates.schema),
+        s"merge schema drift: lake has ${base.schema.simpleString}, " +
+          s"updates have ${updates.schema.simpleString}")
+      val dom = statsDomain(base.schema, pruneKey)
+      val range = updates.agg(
+        org.apache.spark.sql.functions.min(dom),
+        org.apache.spark.sql.functions.max(dom)).head
+      if (range.isNullAt(0)) { // no non-null update keys: nothing to do
+        (base.version, 0, base.files.size)
+      } else {
+        val (lo, hi) = (toDoubleStat(range.get(0)), toDoubleStat(range.get(1)))
+        val (rewrite, untouched) = base.files.partition(f =>
+          f.stats.get(pruneKey).forall { case (fLo, fHi) =>
+            fHi >= lo && fLo <= hi })
+        val cols = base.schema.fields.map(f => col(f.name))
+        val fns = org.apache.spark.sql.functions
+        val existing =
+          if (rewrite.isEmpty)
+            spark.createDataFrame(spark.sparkContext.emptyRDD[Row], base.schema)
+          else {
+            val dd = dataDir(root).toString
+            spark.read.option("basePath", dd).schema(base.schema)
+              .parquet(rewrite.map(f => s"$dd/${f.rel}"): _*)
+          }
+        // keep-latest-wins with the deterministic tie-break (version desc,
+        // updates beat lake at equal version, full-row hash stabilizes
+        // equal-version update pairs) — Lake.mergeArchive's contract
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keyCols.map(col): _*)
+          .orderBy(col(versionCol).desc, col("__src").desc,
+            fns.xxhash64(cols.toIndexedSeq: _*).asc)
+        val winners = existing.withColumn("__src", fns.lit(0))
+          .unionByName(updates.select(cols.toIndexedSeq: _*)
+            .withColumn("__src", fns.lit(1)))
+          .withColumn("__rn", fns.row_number().over(w))
+          .filter(col("__rn") === 1)
+          .select(cols.toIndexedSeq: _*)
+        val statsCols = base.files.flatMap(_.stats.keys).toSet + pruneKey
+        val newFiles = stageFiles(spark, root, winners, partitionCols,
+          statsCols, base.files.flatMap(_.bloomCols).distinct)
+        val rewriteSet = rewrite.map(_.rel).toSet
+        val v = commit(spark, root, op, base.schema,
+          build = head => newFiles ++
+            requireReadSetIntact(rewriteSet, head, newFiles, op, root)
+              .filterNot(f => rewriteSet.contains(f.rel) ||
+                newFiles.exists(_.rel == f.rel)),
+          lockExpiryMs)
+        (v, rewrite.size, untouched.size)
       }
-    // keep-latest-wins with the deterministic tie-break (version desc,
-    // updates beat lake at equal version, full-row hash stabilizes
-    // equal-version update pairs) — Lake.mergeArchive's contract
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keyCols.map(col): _*)
-      .orderBy(col(versionCol).desc, col("__src").desc,
-        fns.xxhash64(cols.toIndexedSeq: _*).asc)
-    val winners = existing.withColumn("__src", fns.lit(0))
-      .unionByName(updates.select(cols.toIndexedSeq: _*)
-        .withColumn("__src", fns.lit(1)))
-      .withColumn("__rn", fns.row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(cols.toIndexedSeq: _*)
-    val statsCols = base.files.flatMap(_.stats.keys).toSet + pruneKey
-    val newFiles = stageFiles(spark, root, winners, partitionCols, statsCols,
-      base.files.flatMap(_.bloomCols).distinct)
-    val rewriteSet = rewrite.map(_.rel).toSet
-    val v = commit(spark, root, op, base.schema,
-      build = head => newFiles ++ head.map(_.files).getOrElse(Nil)
-        .filterNot(f => rewriteSet.contains(f.rel) ||
-          newFiles.exists(_.rel == f.rel)),
-      lockExpiryMs)
-    (v, rewrite.size, untouched.size)
+    }
   }
 
   private[sinks] def toDoubleStat(v: Any): Double = v match {
@@ -984,34 +1064,42 @@ object SnapshotLake {
       predicate: org.apache.spark.sql.Column,
       pruneBox: Map[String, (Double, Double)] = Map.empty,
       partitionCols: Seq[String] = Nil,
-      lockExpiryMs: Long = DefaultLockExpiryMs): (Long, Long, Int, Int) = {
-    val base = manifest(spark, root, None)
-    val (rewrite, untouched) = base.files.partition(f =>
-      pruneBox.forall { case (c, (lo, hi)) =>
-        f.stats.get(c).forall { case (fLo, fHi) => fHi >= lo && fLo <= hi }
-      })
-    if (rewrite.isEmpty) return (base.version, 0L, 0, untouched.size)
-    val dd = dataDir(root).toString
-    val fns = org.apache.spark.sql.functions
-    val touched = spark.read.option("basePath", dd).schema(base.schema)
-      .parquet(rewrite.map(f => s"$dd/${f.rel}"): _*)
-    val hit = fns.coalesce(predicate, fns.lit(false)) // NULL pred = keep
-    val deleted = touched.filter(hit).count()
-    val keep = touched.filter(!hit)
-    val statsCols = base.files.flatMap(_.stats.keys).toSet
-    val newFiles =
-      if (deleted == 0) rewrite // nothing matched: keep files as-is
-      else stageFiles(spark, root, keep, partitionCols, statsCols,
-        base.files.flatMap(_.bloomCols).distinct)
-    val rewriteSet = rewrite.map(_.rel).toSet
-    val v =
-      if (deleted == 0) base.version // no-op: don't publish an empty diff
-      else commit(spark, root, "delete", base.schema,
-        build = head => newFiles ++ head.map(_.files).getOrElse(Nil)
-          .filterNot(f => rewriteSet.contains(f.rel)),
-        lockExpiryMs)
-    (v, deleted, if (deleted == 0) 0 else rewrite.size, untouched.size)
-  }
+      lockExpiryMs: Long = DefaultLockExpiryMs): (Long, Long, Int, Int) =
+    retryOnConflict(spark, root, "delete") { () =>
+      val base = manifest(spark, root, None)
+      val (rewrite, untouched) = base.files.partition(f =>
+        pruneBox.forall { case (c, (lo, hi)) =>
+          f.stats.get(c).forall { case (fLo, fHi) => fHi >= lo && fLo <= hi }
+        })
+      if (rewrite.isEmpty) (base.version, 0L, 0, untouched.size)
+      else {
+        val dd = dataDir(root).toString
+        val fns = org.apache.spark.sql.functions
+        val touched = spark.read.option("basePath", dd).schema(base.schema)
+          .parquet(rewrite.map(f => s"$dd/${f.rel}"): _*)
+        val hit = fns.coalesce(predicate, fns.lit(false)) // NULL pred = keep
+        val deleted = touched.filter(hit).count()
+        val keep = touched.filter(!hit)
+        val statsCols = base.files.flatMap(_.stats.keys).toSet
+        val newFiles =
+          if (deleted == 0) rewrite // nothing matched: keep files as-is
+          else stageFiles(spark, root, keep, partitionCols, statsCols,
+            base.files.flatMap(_.bloomCols).distinct)
+        val rewriteSet = rewrite.map(_.rel).toSet
+        val v =
+          if (deleted == 0) base.version // no-op: no empty diff published
+          else commit(spark, root, "delete", base.schema,
+            build = head => newFiles ++
+              requireReadSetIntact(rewriteSet, head,
+                // on conflict, drop only the freshly staged files — the
+                // deleted==0 branch never reaches commit, so newFiles
+                // here is always the staged list
+                newFiles, "delete", root)
+                .filterNot(f => rewriteSet.contains(f.rel)),
+            lockExpiryMs)
+        (v, deleted, if (deleted == 0) 0 else rewrite.size, untouched.size)
+      }
+    }
 
   /** Roll the lake back: commit a new version whose file list is exactly
     * `toVersion`'s — history is preserved (nothing rewritten, nothing

@@ -139,6 +139,21 @@ class ProfileSpec extends SparkSpec {
     assert(e.getMessage.contains("not numeric"))
   }
 
+  test("drift on an empty/all-null baseline fails loudly, naming the " +
+      "column, instead of NPEing on a null percentile") {
+    val base = Seq((1L, 1.0), (2L, 2.0)).toDF("id", "x")
+    val cur = Seq((1L, 1.0)).toDF("id", "x")
+    val e1 = intercept[IllegalArgumentException] {
+      Profile.drift(base.filter(col("id") < 0), cur, "id", Seq("x"))
+    }
+    assert(e1.getMessage.contains("x") && e1.getMessage.contains("keyCol"))
+    val allNull = Seq((1L, None: Option[Double]), (2L, None)).toDF("id", "x")
+    val e2 = intercept[IllegalArgumentException] {
+      Profile.drift(allNull, cur, "id", Seq("x"))
+    }
+    assert(e2.getMessage.contains("x"))
+  }
+
   test("per-group drift: shifted group flags, stable group ~0, " +
     "cur-only group excluded, base-only group reports n_cur=0") {
     val base = (1 to 6000).map { i =>

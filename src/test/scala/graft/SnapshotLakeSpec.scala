@@ -201,6 +201,47 @@ class SnapshotLakeSpec extends SparkSpec {
     assert(v == 4)
   }
 
+  test("conflicting rewrite detected: a merge landing between compact's " +
+      "base read and its commit aborts the stale commit, retries from the " +
+      "new head, and leaves no duplicated rows and no orphaned files") {
+    val root = freshRoot()
+    def rows(ids: Range, v: Long, pay: Double) =
+      ids.map(i => (i.toLong, v, pay + i)).toDF("id", "v", "payload")
+    SnapshotLake.append(spark, root, rows(1 to 100, 1L, 0.0),
+      statsCols = Seq("id"))                                   // v1
+    SnapshotLake.append(spark, root, rows(1001 to 1100, 1L, 0.0),
+      statsCols = Seq("id"))                                   // v2
+    // the rival: rewrites the second append's files (id 1001 updated)
+    val (v3, _, _) = SnapshotLake.merge(spark, root,
+      Seq((1001L, 2L, 777.0)).toDF("id", "v", "payload"),
+      keyCols = Seq("id"), versionCol = "v", pruneKey = "id")
+    assert(v3 == 3)
+    // compact whose FIRST attempt read the PRE-merge head (v2) — the
+    // exact interleaving where the old build published the merged-away
+    // row 1001 back into the lake next to the merge's replacement file.
+    val (v4, _, _) = SnapshotLake.compactPinned(spark, root, Nil,
+      128L * 1024 * 1024, 60000L, pinFirstBase = Some(2))
+    assert(v4 == 4)
+    val got = SnapshotLake.read(spark, root)
+    assert(got.count() == 200)                        // no resurrection
+    val r1001 = got.filter(col("id") === 1001).collect()
+    assert(r1001.length == 1 && r1001.head.getLong(1) == 2L &&
+      r1001.head.getDouble(2) == 777.0)               // merge result intact
+    // the aborted attempt's staged files were deleted: every data file
+    // is referenced by some retained manifest
+    val referenced = (1L to 4L).flatMap(v =>
+      SnapshotLake.manifest(spark, root, Some(v)).files.map(_.rel)).toSet
+    val dd = new Path(root, "data")
+    def walk(p: Path, rel: String): Seq[String] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        if (st.isDirectory) walk(st.getPath, s"$rel${st.getPath.getName}/")
+        else Seq(s"$rel${st.getPath.getName}")
+      }
+    val onDisk = walk(dd, "").toSet
+    assert(onDisk.subsetOf(referenced),
+      s"orphaned staged files survived: ${onDisk.diff(referenced)}")
+  }
+
   test("delete prunes to the envelope, rewrites without matches, no-ops " +
       "cleanly; restore rolls back by manifest alone") {
     val root = freshRoot()
