@@ -421,6 +421,22 @@ object Dedup {
         .distinct()
     }
 
+    // Fixpoint test discipline: a full set-equality check (exceptAll) is
+    // a shuffle of the whole edge set, and the naive two-sided form runs
+    // it twice per round × log(n) rounds. Instead each round pays ONE
+    // cheap aggregate — (count, bit_xor(hash)) over the checkpointed
+    // edges, a scan + 1-row reduction, no data shuffle — and only when
+    // the signature repeats do we CONFIRM with a single one-sided
+    // exceptAll. Sound, not probabilistic: both frames are distinct
+    // sets, so |A| = |B| ∧ A∖B = ∅ ⟹ A = B; a hash collision merely
+    // costs one extra confirm pass that returns non-empty. Net: the
+    // shrinking rounds pay no exceptAll at all, the true fixpoint pays
+    // exactly one.
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(hi, lo))")).head
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var edgeSig = signature(edges)
     var rounds = 0
     var converged = false
     while (!converged) {
@@ -428,9 +444,10 @@ object Dedup {
       require(rounds <= maxRounds,
         s"connectedComponents did not converge in $maxRounds rounds")
       val next = smallStar(largeStar(edges)).localCheckpoint()
-      converged = next.exceptAll(edges).isEmpty &&
-        edges.exceptAll(next).isEmpty
+      val nextSig = signature(next)
+      converged = nextSig == edgeSig && next.exceptAll(edges).isEmpty
       edges = next
+      edgeSig = nextSig
     }
     // fixpoint = stars: (member -> center) edges; centers label themselves
     edges.select(col("hi").as("id"), col("lo").as("comp"))

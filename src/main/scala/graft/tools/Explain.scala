@@ -22,12 +22,16 @@ object Explain {
       if (names == "all") graft.SparkEntry.queries.keys.toSeq.sorted
       else names.split(',').toSeq
     targets.foreach { name =>
+      // t0 BEFORE construction: iterative operators (connected components,
+      // ANN index builds) do their heavy work eagerly via localCheckpoint
+      // while the frame is being built — counting only the result would
+      // time a cache read
+      val t0 = System.nanoTime()
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       if (names != "all") {
         println(s"===== $name =====")
         df.explain("formatted")
       }
-      val t0 = System.nanoTime()
       val n = df.count()
       println(f"$name%-28s rows=$n%-10d ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
