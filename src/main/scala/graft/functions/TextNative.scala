@@ -68,6 +68,9 @@ object TextNative {
 
   def docTermFreqs(text: Column): Column =
     ColumnBridge.column(DocTermFreqs(ColumnBridge.expression(text)))
+
+  def normalizeFp(text: Column): Column =
+    ColumnBridge.column(NormalizeFp(ColumnBridge.expression(text)))
 }
 
 /** Per-document term frequencies in ONE pass: struct(dl, tfs) where `tfs`
@@ -291,6 +294,21 @@ object TextKernel {
     val d = md.get()
     d.reset()
     val h = d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val top =
+      ((h(0) & 0xffL) << 56) | ((h(1) & 0xffL) << 48) | ((h(2) & 0xffL) << 40) |
+        ((h(3) & 0xffL) << 32) | ((h(4) & 0xffL) << 24) | ((h(5) & 0xffL) << 16) |
+        ((h(6) & 0xffL) << 8) | (h(7) & 0xffL)
+    top >>> 4
+  }
+
+  /** [[hash60]] over a byte slice that is already valid UTF-8 (callers
+    * pass pure-ASCII token bytes) — skips the String round-trip.
+    */
+  def hash60Bytes(arr: Array[Byte], off: Int, len: Int): Long = {
+    val d = md.get()
+    d.reset()
+    d.update(arr, off, len)
+    val h = d.digest()
     val top =
       ((h(0) & 0xffL) << 56) | ((h(1) & 0xffL) << 48) | ((h(2) & 0xffL) << 40) |
         ((h(3) & 0xffL) << 32) | ((h(4) & 0xffL) << 24) | ((h(5) & 0xffL) << 16) |
@@ -861,4 +879,95 @@ case class CharLmSlots(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): CharLmSlots =
     copy(child = newChild)
+}
+
+/** One-walk normalized fingerprint: struct(norm_text, fp) where
+  * `norm_text` == `trim(regexp_replace(regexp_replace(lower(text),
+  * '[^a-z0-9 ]', ' '), ' +', ' '))` and `fp` is the rolling token-hash
+  * fingerprint of that normalized text ([[TextStats]]'s fold: h :=
+  * (h*31 + hash60(tok) mod P) mod P).
+  *
+  * Why: the x5 shape paid TWO regex passes over every document (java
+  * regex allocates a fresh string per pass) plus a FULL [[TextStats]]
+  * walk over the normalized copy — simhash votes, n-gram sets and a
+  * distinct set per token — to extract one long. This kernel does
+  * lowercase + strip + collapse + tokenize + hash in a single byte walk
+  * with one output buffer (measured 4.2x on the sf10 corpus).
+  *
+  * Byte-walk equivalence to the regex chain (bit-exact, witnessed in
+  * TextNativeSpec): both start from the SAME `UTF8String.toLowerCase`
+  * (the `lower()` expression's own kernel). After lowercasing, a kept
+  * character is exactly ASCII [a-z0-9] — one byte in UTF-8, one code
+  * unit in UTF-16 — and EVERY other character (however many bytes) is
+  * replaced by a space, after which ' +'-collapse merges adjacent
+  * spaces and trim drops the ends. So "each non-kept CHAR becomes one
+  * space, runs collapse" and "each non-kept BYTE is a separator, runs
+  * collapse" produce identical strings: any run of non-kept bytes —
+  * whether one multi-byte char or many chars — yields exactly one
+  * inter-token space, none leading or trailing.
+  */
+case class NormalizeFp(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "normalize_fp"
+
+  override def dataType: DataType = NormalizeFp.schema
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"normalize_fp needs string, got $other")
+  }
+
+  def compute(input: UTF8String): InternalRow = {
+    val lower = input.toLowerCase
+    val b = lower.getBytes
+    val nb = b.length
+    val out = new Array[Byte](nb)
+    var o = 0
+    var fp = 0L
+    var tokStart = -1      // start of the open token in `out`, -1 = none
+    var pendingSep = false // a token has closed; next token gets ' ' first
+    var i = 0
+    while (i < nb) {
+      val c = b(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        if (tokStart < 0) {
+          if (pendingSep) { out(o) = ' '; o += 1 }
+          tokStart = o
+        }
+        out(o) = c; o += 1
+      } else if (tokStart >= 0) {
+        val h = TextKernel.hash60Bytes(out, tokStart, o - tokStart)
+        fp = (fp * 31L + h % TextKernel.P) % TextKernel.P
+        tokStart = -1
+        pendingSep = true
+      }
+      i += 1
+    }
+    if (tokStart >= 0) {
+      val h = TextKernel.hash60Bytes(out, tokStart, o - tokStart)
+      fp = (fp * 31L + h % TextKernel.P) % TextKernel.P
+    }
+    new GenericInternalRow(
+      Array[Any](UTF8String.fromBytes(out, 0, o), fp))
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, input => {
+      val ref = ctx.addReferenceObj("normalizeFp", this,
+        classOf[NormalizeFp].getName)
+      s"${ev.value} = $ref.compute($input);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NormalizeFp =
+    copy(child = newChild)
+}
+
+object NormalizeFp {
+  val schema: StructType = StructType(Seq(
+    StructField("norm_text", StringType, nullable = false),
+    StructField("fp", LongType, nullable = false)))
 }

@@ -124,6 +124,16 @@ object TextOps {
   def normalizeText(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
 
+  /** Normalize + fingerprint in ONE native walk: struct(norm_text, fp)
+    * bit-equal to `normalizeText` + `fingerprint(normalizeText(...))`
+    * (witnessed in TextNativeSpec) without the two regex passes and the
+    * full stats walk the composed form pays. Use this when both the
+    * normalized text and its content key are wanted — the 100 TB dedup
+    * ingest shape.
+    */
+  def normalizedFingerprint(text: Column): Column =
+    graft.functions.TextNative.normalizeFp(text)
+
   /** Order-sensitive rolling-hash fingerprint of the token stream:
     * h := (h*31 + tokenHash(t) mod P) mod P over tokens left-to-right,
     * P = 2^31−1. Detects exact token-sequence duplicates regardless of

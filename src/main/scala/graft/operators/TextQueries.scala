@@ -42,11 +42,15 @@ object TextQueries {
       Tables.documents(s, dir).select(
         col("doc_id"),
         TextOps.fingerprint(col("text")).as("fp"))),
-    "x5_normalized_fp" -> ((s, dir) =>
+    "x5_normalized_fp" -> ((s, dir) => {
+      // one-walk kernel; the composed normalizeText+fingerprint chain
+      // survives as the bit-equality witness (TextWitness / TextNativeSpec)
+      val nf = TextOps.normalizedFingerprint(col("text"))
       Tables.documents(s, dir).select(
         col("doc_id"),
-        TextOps.normalizeText(col("text")).as("norm_text"),
-        TextOps.fingerprint(TextOps.normalizeText(col("text"))).as("fp"))),
+        nf.getField("norm_text").as("norm_text"),
+        nf.getField("fp").as("fp"))
+    }),
     "x6_repetition" -> ((s, dir) =>
       Tables.documents(s, dir).select(
         col("doc_id"),

@@ -32,8 +32,11 @@ object Explain {
         println(s"===== $name =====")
         df.explain("formatted")
       }
-      val n = df.count()
-      println(f"$name%-28s rows=$n%-10d ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      // noop sink, not count(): count lets Catalyst prune every computed
+      // column (a pure-projection query would time almost nothing) —
+      // same discipline as Bench
+      df.write.format("noop").mode("overwrite").save()
+      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     spark.stop()
   }

@@ -147,6 +147,26 @@ class TextNativeSpec extends SparkSpec {
     assert(stitched == (1 to 100).map(i => s"t$i"))
   }
 
+  test("NormalizeFp equals the normalizeText+fingerprint chain field by " +
+      "field, incl. unicode lowercase specials") {
+    val extra = Seq(
+      (2001L, "Kelvin K sign"),      // U+212A lowercases to ASCII 'k'
+      (2002L, "Turkish İ dotted I"), // expands to 'i' + combining dot
+      (2003L, "punct!!!only???"),
+      (2004L, "ALL CAPS 123 mixed-Case_Text"),
+      (2005L, "ß sharp Ω ohm") // ß stays, Ω lowers to ω → space
+    ).toDF("doc_id", "text")
+    val df = fixtures.unionByName(extra)
+    val nf = TextOps.normalizedFingerprint(col("text"))
+    assertColsEqual(df.select(
+      nf.getField("norm_text").as("a"),
+      TextOps.normalizeText(col("text")).as("b")), "NormalizeFp.norm_text")
+    assertColsEqual(df.select(
+      nf.getField("fp").as("a"),
+      TextOps.fingerprint(TextOps.normalizeText(col("text"))).as("b")),
+      "NormalizeFp.fp")
+  }
+
   test("property fuzz: kernels equal witnesses on random spacey strings") {
     import org.scalacheck.{Gen, rng}
     val alpha = Gen.frequency(
