@@ -205,8 +205,11 @@ object MaterializedRollup {
     val deltaState = lift(delta, spec).cache()
     try {
       val dom = SnapshotLake.statsDomain(deltaState.schema, spec.pruneKey)
-      val range = deltaState.agg(min(dom), max(dom)).head
-      if (range.isNullAt(0)) { // zero-row appends: anchor-only bump
+      // one aggregate serves the prune range AND the delta row count
+      val range = deltaState.agg(min(dom), max(dom), sum(col("n_rows"))).head
+      if (range.isNullAt(0)) { // zero-row appends: anchor-only bump, so
+        // steady-state refreshes take the baseHead==anchor fast path
+        // instead of re-walking the empty versions forever
         val v = SnapshotLake.commit(spark, mvRoot, s"mv:base=$baseHead",
           mvHead.schema, build = head => {
             guardAnchor(head, anchor, mvRoot)
@@ -233,7 +236,7 @@ object MaterializedRollup {
           Nil, Set(spec.pruneKey))
         finally combined.unpersist()
       val overlapSet = overlap.map(_.rel).toSet
-      val nDelta = deltaState.agg(sum(col("n_rows"))).head.getLong(0)
+      val nDelta = range.getLong(2)
       val v = SnapshotLake.commit(spark, mvRoot, s"mv:base=$baseHead",
         mvHead.schema, build = head => {
           guardAnchor(head, anchor, mvRoot)

@@ -509,22 +509,50 @@ object SnapshotLake {
     val w = df.write.mode("overwrite").option("compression", "zstd")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(stage.toString)
-    val staged = scala.collection.mutable.ArrayBuffer.empty[FileEntry]
     val sortedBlooms = bloomCols.distinct.sorted
+    // pass 1: collect the staged part files (walk order = deterministic)
+    val parts = scala.collection.mutable.ArrayBuffer
+      .empty[(Path, String, Long)]
     def walk(dir: Path, rel: String): Unit =
       fs.listStatus(dir).foreach { st =>
         val name = st.getPath.getName
         if (st.isDirectory) walk(st.getPath, s"$rel$name/")
-        else if (!name.startsWith("_") && !name.startsWith(".")) {
-          val relOut = s"$rel$token-$name"
-          val target = new Path(dataDir(root), relOut)
-          fs.mkdirs(target.getParent)
-          val (stats, nRows) = footerProbe(spark, st.getPath, statsCols)
-          require(fs.rename(st.getPath, target), s"stage move failed: $target")
-          staged += FileEntry(relOut, st.getLen, stats, sortedBlooms, nRows)
-        }
+        else if (!name.startsWith("_") && !name.startsWith("."))
+          parts += ((st.getPath, s"$rel$token-$name", st.getLen))
       }
     walk(stage, "")
+    // pass 2: footer probes are independent driver-side reads — run them
+    // on a bounded pool instead of serially (a refresh that stages N
+    // files pays one footer open each; serial probes were the dominant
+    // commit constant in the incremental-rollup loop)
+    val probed: Map[String, (Map[String, (Double, Double)], Long)] =
+      if (parts.size <= 1)
+        parts.map { case (p, rel, _) =>
+          rel -> footerProbe(spark, p, statsCols) }.toMap
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(16, parts.size))
+        try {
+          import scala.jdk.CollectionConverters._
+          val tasks: Seq[java.util.concurrent.Callable[
+            (String, (Map[String, (Double, Double)], Long))]] =
+            parts.toSeq.map { case (p, rel, _) =>
+              new java.util.concurrent.Callable[
+                (String, (Map[String, (Double, Double)], Long))] {
+                override def call() = rel -> footerProbe(spark, p, statsCols)
+              }
+            }
+          pool.invokeAll(tasks.asJava).asScala.map(_.get()).toMap
+        } finally pool.shutdown()
+      }
+    // pass 3: publish moves in walk order
+    val staged = parts.map { case (p, relOut, len) =>
+      val target = new Path(dataDir(root), relOut)
+      fs.mkdirs(target.getParent)
+      val (stats, nRows) = probed(relOut)
+      require(fs.rename(p, target), s"stage move failed: $target")
+      FileEntry(relOut, len, stats, sortedBlooms, nRows)
+    }
     fs.delete(stage, true)
     // sidecars land BEFORE the manifest commit that makes the files
     // visible; a crash in between leaves unreferenced files + sidecars
