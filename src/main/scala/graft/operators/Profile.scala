@@ -162,6 +162,60 @@ object Profile {
     (censusSelects ++ hllBlocks ++ qBlocks).mkString("\nUNION ALL\n")
   }
 
+  /** Per-column frequent values — the ANALYZE "top values" field the
+    * census/HLL/quantile report doesn't carry: for every target column,
+    * the values whose share of the column's NON-NULL rows is ≥
+    * `minShare`, with EXACT counts. One composite pass: rows explode
+    * into (column, value) entries (same shape as [[dataset]]'s HLL
+    * pass), then [[Sketch.heavyHitters]] grouped by column —
+    * sample-then-verify, so the heavy tail of near-unique values never
+    * reaches a shuffle, and the result is a pure function of the data
+    * (bit-exact oracle replay). Columns must have canonical
+    * cross-engine string forms (same discipline as the HLL metric);
+    * floats/timestamps are refused.
+    *
+    * Returns (col_name, item, n, share) — `item` is the value's canonical
+    * string, `share` its fraction of the column's non-null rows.
+    */
+  def frequentValues(df: DataFrame, keyCol: String, cols: Seq[String],
+      k: Int = 4096, minShare: Double = 0.01): DataFrame = {
+    require(cols.nonEmpty, "frequentValues needs at least one column")
+    cols.foreach { c =>
+      require(df.columns.contains(c),
+        s"frequent-values column $c not in ${df.columns.mkString(",")}")
+      require(HllTypes(df.schema(c).dataType),
+        s"frequent-values column $c (${df.schema(c).dataType.simpleString}) " +
+          "has no canonical cross-engine string form — cast or bucket it " +
+          "first (floats/timestamps format differently per engine)")
+    }
+    // "col_name", not "column": the group label must survive UNQUOTED in
+    // the DuckDB mirror's generated SQL, and `column` is reserved there
+    val entries = df.select(col(keyCol).as("__fk"),
+        explode(array(cols.map(c => struct(lit(c).as("col_name"),
+          col(c).cast("string").as("item"))): _*)).as("e"))
+      .select(col("__fk"), col("e.col_name").as("col_name"),
+        col("e.item").as("item"))
+      .filter(col("item").isNotNull)
+    Sketch.heavyHitters(entries, Seq("col_name"), col("__fk"), col("item"),
+      k, minShare)
+  }
+
+  /** DuckDB mirror of [[frequentValues]]: identical exploded entries
+    * (UNION ALL per column), identical sample membership and exact
+    * verify counts via [[Sketch.heavyHittersSql]].
+    */
+  def frequentValuesSql(src: String, keySql: String, cols: Seq[String],
+      k: Int = 4096, minShare: Double = 0.01): String = {
+    val entrySelects = cols.map(c =>
+      s"SELECT $keySql AS __fk, '$c' AS col_name, CAST($c AS VARCHAR) AS item " +
+        s"FROM $src WHERE $c IS NOT NULL")
+    s"""fv_entries AS (
+       |${entrySelects.mkString("\nUNION ALL\n")}
+       |),
+       |${Sketch.heavyHittersSql("fv_entries", Seq("col_name"), "__fk",
+            "item", k, minShare)}""".stripMargin
+  }
+
   /** Incrementally-maintained profile: a `foreachBatch` handler that
     * folds each micro-batch into three snapshot-lake states under `root`
     * — so ANALYZE over a 100 TB ingest costs per-batch work only, never

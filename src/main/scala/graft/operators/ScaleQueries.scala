@@ -316,6 +316,17 @@ object ScaleQueries {
       Profile.dataset(Tables.bars(s, dir), keyCol = "event_id",
         cols = Seq("event_id", "symbol", "close", "volume"))),
 
+    // PR4 — the profiler's "top values" field (graft.operators.Profile
+    // .frequentValues): per-column frequent values with EXACT counts
+    // over the documents corpus's categorical columns, via one exploded
+    // (column, value) pass + sample-then-verify heavy hitters — the
+    // ANALYZE most_common_vals analog at 100 TB (the near-unique tail
+    // never reaches a shuffle). Pure hash membership + exact verify
+    // counts ⇒ bit-exact oracle replay.
+    "pr4_frequent_values" -> ((s, dir) =>
+      Profile.frequentValues(Tables.documents(s, dir), keyCol = "doc_id",
+        cols = Seq("lang", "source"), k = 2048, minShare = 0.02)),
+
     // TS1 — theta/KMV distinct-set overlap (graft.operators.Sketch
     // .thetaOverlap): which customers ordered in BOTH year-parities,
     // estimated from two 4096-hash sketches instead of a distinct-join
@@ -476,6 +487,10 @@ object ScaleQueries {
       "CAST(floor(sqrt(event_id % 10000)) AS BIGINT) AS v FROM events),\n" +
       Sketch.heavyHittersSql("ev", Seq("event_type"), "event_id", "v",
         k = 4096, minShare = 0.015)),
+
+    "pr4_frequent_values" -> ("WITH " +
+      Profile.frequentValuesSql("documents", "doc_id",
+        Seq("lang", "source"), k = 2048, minShare = 0.02)),
 
     "ts1_theta_overlap" -> (
       "WITH theta_oa AS (SELECT * FROM orders WHERE year(o_orderdate) % 2 = 0),\n" +

@@ -89,6 +89,33 @@ class ProfileSpec extends SparkSpec {
       .get.isNullAt(2))
   }
 
+  test("frequentValues == brute-force share filter (sample covers all " +
+      "rows); nulls excluded from shares; non-canonical types refused") {
+    val df = (1 to 1000).map(i => (i.toLong,
+        if (i % 2 == 0) "even" else if (i % 3 == 0) "odd3" else s"rare$i",
+        if (i % 10 == 0) null else (i % 5).toString))
+      .toDF("id", "a", "b")
+    val got = Profile.frequentValues(df, "id", Seq("a", "b"),
+      k = 2048, minShare = 0.05)
+      .select("col_name", "item", "n", "share").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    // brute force: per column, exact counts over non-null values
+    val brute = Seq("a", "b").flatMap { c =>
+      val nn = df.filter(col(c).isNotNull)
+      val tot = nn.count().toDouble
+      nn.groupBy(col(c).as("item")).count().collect()
+        .map(r => (c, r.getString(0), r.getLong(1), r.getLong(1) / tot))
+        .filter(_._4 >= 0.05)
+    }.toSet
+    assert(got == brute, s"got ${got.diff(brute)} missing ${brute.diff(got)}")
+    val e = intercept[IllegalArgumentException] {
+      Profile.frequentValues(
+        df.withColumn("f", col("id").cast("double")), "id", Seq("f"))
+    }
+    assert(e.getMessage.contains("canonical"))
+  }
+
   // --- drift (PSI) ---
 
   private def driftOf(shift: Double, n: Int = 4000) = {
