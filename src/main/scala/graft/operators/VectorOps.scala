@@ -681,8 +681,16 @@ object VectorOps {
     * job with an explicit message instead of silently running for days.
     * Raise it deliberately, or use more/finer blocks (IVF centroids).
     */
+  @deprecated("a caller-fixed block column makes pair work QUADRATIC in " +
+    "the corpus (BENCH_sf10: 68.8x for 10x data); use nearDupTopPairs " +
+    "with a blocksFor(corpusRows, target)-sized codebook — the linear " +
+    "dial", since = "round 10")
   def blockedTopPairs(df: DataFrame, block: Column, topN: Int,
-      maxBlockRows: Long = 100000): DataFrame = {
+      maxBlockRows: Long = 100000): DataFrame = blockedTopPairsImpl(
+    df, block, topN, maxBlockRows)
+
+  private[graft] def blockedTopPairsImpl(df: DataFrame, block: Column,
+      topN: Int, maxBlockRows: Long): DataFrame = {
     val bn = count(lit(1)).over(
       org.apache.spark.sql.expressions.Window.partitionBy(col("blk")))
     val e = df.select(block.as("blk"), col("vec_id"), col("embedding"),
@@ -716,7 +724,7 @@ object VectorOps {
   def nearDupTopPairs(corpus: DataFrame,
       coarse: Array[(Long, Array[Double])], topN: Int,
       maxBlockRows: Long = 100000): DataFrame =
-    blockedTopPairs(
+    blockedTopPairsImpl(
       ivfAssign(corpus, coarse, 1)
         .select(col("vec_id"), col("embedding"), col("cent_id")),
       col("cent_id"), topN, maxBlockRows)
