@@ -314,6 +314,70 @@ class StreamingSpec extends SparkSpec {
     assert(out.head.getAs[Double]("volume") == 12.0)
   }
 
+  test("StreamingDemo lifecycle: clean -> rollup -> snapshot lake + " +
+      "incremental profile, exactly-once across a checkpoint restart") {
+    import graft.pipeline.StreamingDemo
+    import graft.sinks.SnapshotLake
+    import graft.operators.Profile
+    import org.apache.spark.sql.functions.concat_ws
+    val base = java.nio.file.Files.createTempDirectory("graft-demo").toString
+    val input = MemoryStream[InBar](spark)
+    def start() = StreamingDemo.start(input.toDF(),
+      s"$base/lake", s"$base/profile", s"$base/ckpt")
+    val wave1 = Seq(
+      bar("aaa", "2024-01-01 10:00:00", 100.0, 5.0),
+      bar("aaa", "2024-01-01 10:30:00", 102.0, 7.0),
+      bar("aaa", "2024-01-01 10:30:00", 102.0, 7.0), // retransmission: dedup
+      InBar("aaa", t("2024-01-01 10:40:00"), 100.0, 90.0, 101.0, 95.0, 2.0), // broken envelope: repaired
+      InBar("bbb", t("2024-01-01 10:10:00"), 50.0, 51.0, 49.0, 50.0, -3.0)) // negative volume: dropped
+    val q = start()
+    try {
+      input.addData(wave1: _*)
+      q.processAllAvailable()
+      input.addData(bar("aaa", "2024-01-01 12:30:00", 110.0)) // finalizes hour 10
+      q.processAllAvailable()
+    } finally q.stop()
+    // restart from the checkpoint: the second wave lands exactly-once
+    val wave2 = Seq(bar("bbb", "2024-01-01 12:45:00", 55.0, 4.0))
+    val sentinel = bar("zzz", "2024-06-01 00:00:00", 1.0)
+    val q2 = start()
+    try {
+      input.addData(wave2: _*)
+      q2.processAllAvailable()
+      input.addData(sentinel) // watermark jump finalizes everything else
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val lake = SnapshotLake.read(spark, s"$base/lake")
+    // batch one-shot over the SAME cleaned input; the sentinel's own
+    // bucket never finalizes, so it stays out of the streaming lake
+    val raw = (wave1 ++ wave2 ++ Seq(
+      bar("aaa", "2024-01-01 12:30:00", 110.0), sentinel)).toDF()
+    val expect = StreamRollup.ohlcvTumbling(
+      StreamingDemo.cleanStream(raw).dropDuplicates("symbol", "ts"),
+      "1 hour", "1 hour", dedupReplay = false)
+      .filter($"bucket_ts" < t("2024-06-01 00:00:00"))
+    assert(lake.collect().toSet == expect.collect().toSet)
+    // the repaired envelope made it through repaired, not dropped:
+    // low := min(open, close, low) = min(100, 95, 101) = 95, below the
+    // clean bars' 99/101
+    assert(lake.filter($"symbol" === "aaa" &&
+      $"bucket_ts" === t("2024-01-01 10:00:00")).head
+      .getAs[Double]("low") == 95.0)
+    // dropped negative-volume row: bbb has no hour-10 bucket
+    assert(lake.filter($"symbol" === "bbb").count() == 1)
+    // maintained profile == one-shot ANALYZE of the lake contents,
+    // bit-for-bit, across the restart
+    val report = StreamingDemo.report(spark, s"$base/profile")
+    val oneShot = Profile.dataset(
+      lake.withColumn("__pk", concat_ws("|", $"symbol",
+        $"bucket_ts".cast("string"))),
+      keyCol = "__pk",
+      cols = Seq("symbol", "open", "high", "low", "close", "volume",
+        "n_bars"))
+    assert(report.collect().toSet == oneShot.collect().toSet)
+  }
+
   test("streaming doc ingest scores, quality-filters, and dedups within watermark") {
     val input = MemoryStream[(Long, Timestamp, String)](spark)
     val docs = input.toDF().toDF("doc_id", "ts", "text")
