@@ -1,0 +1,84 @@
+#!/bin/bash
+# One-command round gate: run EVERY per-round check and write the committed
+# artifacts in a single pass, so end-of-round artifacts cannot drift from
+# the repo's claims (the class of finding rounds 7-9 kept relitigating).
+#
+#   1. sbt compile + full sbt test (live-PG spec included via the sidecar;
+#      if the sidecar cannot start, the spec cancels rather than fails and
+#      the gate records that)
+#   2. graft.Verify at sf0.01  -> /tmp/gate_verify_out
+#   3. tools/check_oracle.py   -> the DuckDB hash-compare (all declared
+#      queries must PASS)
+#   4. graft.Bench at sf0.1    -> BENCH.json (canary-adjudicated)
+#
+# Usage: tools/gate.sh [--skip-tests]
+# Exit 0 iff every stage passed. Transcript -> target/gate_<ts>.log,
+# summary line -> stdout and target/gate_summary.json.
+set -uo pipefail
+cd /root/repo
+
+SKIP_TESTS=0
+[[ "${1:-}" == "--skip-tests" ]] && SKIP_TESTS=1
+
+TS=$(date -u +%Y%m%dT%H%M%SZ)
+LOG="target/gate_${TS}.log"
+mkdir -p target
+: > "$LOG"
+echo "[gate] transcript: $LOG"
+
+fail=0
+note() { echo "[gate] $*" | tee -a "$LOG"; }
+
+# --- 1. build + tests -------------------------------------------------
+note "sbt compile"
+if ! sbt -batch compile >> "$LOG" 2>&1; then
+  note "COMPILE FAILED"; exit 2
+fi
+
+TESTS="skipped"
+if [[ $SKIP_TESTS -eq 0 ]]; then
+  note "starting PG sidecar (best effort)"
+  tools/pg_sidecar.sh >> "$LOG" 2>&1 || note "pg sidecar unavailable (live-PG spec will cancel, not fail)"
+  note "sbt test (full suite)"
+  if SPARK_GRAFT_PG_URL="${SPARK_GRAFT_PG_URL:-jdbc:postgresql://localhost:5432/graft?user=graft}" \
+      sbt -batch test >> "$LOG" 2>&1; then
+    TESTS=$(grep -Eo "Tests: succeeded [0-9]+, failed [0-9]+, canceled [0-9]+" "$LOG" | tail -1)
+    note "tests green: $TESTS"
+  else
+    TESTS=$(grep -Eo "Tests: succeeded [0-9]+, failed [0-9]+, canceled [0-9]+" "$LOG" | tail -1)
+    note "TESTS FAILED: $TESTS"; fail=1
+  fi
+fi
+
+# --- 2+3. correctness surface ----------------------------------------
+note "graft.Verify at sf0.01"
+VOUT=/tmp/gate_verify_out
+rm -rf "$VOUT"
+if ! sbt -batch "runMain graft.Verify /root/testdata/sf0.01 $VOUT" >> "$LOG" 2>&1; then
+  note "VERIFY FAILED"; fail=1
+fi
+note "DuckDB oracle compare"
+ORACLE=$(python3 tools/check_oracle.py /root/testdata/sf0.01 "$VOUT" 2>&1 | tee -a "$LOG" | tail -1)
+note "oracle: $ORACLE"
+echo "$ORACLE" | grep -q ", 0 fail," || { note "ORACLE COMPARE FAILED"; fail=1; }
+
+# --- 4. bench artifact ------------------------------------------------
+note "graft.Bench at sf0.1 -> BENCH.json"
+if SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_BENCH_OUT=BENCH.json \
+    sbt -batch "runMain graft.Bench" >> "$LOG" 2>&1; then
+  BENCH=$(python3 -c "import json;d=json.load(open('BENCH.json'));print(f\"total={d['value']:.1f}s n={len(d['queries'])} canary={d['canary_sec']:.3f} normalized={d['normalized_total']:.1f}s failed={len(d['failed'])}\")")
+  note "bench: $BENCH"
+else
+  note "BENCH FAILED"; BENCH="FAILED"; fail=1
+fi
+
+# --- summary ----------------------------------------------------------
+python3 - "$TS" "$fail" "$ORACLE" "${TESTS:-unknown}" "${BENCH:-unknown}" <<'EOF'
+import json, sys
+ts, fail, oracle, tests, bench = sys.argv[1:6]
+json.dump({"ts": ts, "pass": fail == "0", "tests": tests,
+           "oracle": oracle, "bench": bench},
+          open("target/gate_summary.json", "w"), indent=1)
+EOF
+note "summary -> target/gate_summary.json (pass=$((1-fail)))"
+exit $fail
