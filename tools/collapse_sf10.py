@@ -1,0 +1,113 @@
+#!/usr/bin/env python3
+"""Collapse CORRECTNESS_SF10.md's accreted session sections into ONE
+per-query table (dev tool). Parses the committed file's tables and
+PASS-lines, merges in any round-10 re-verdicts passed as a results file
+(lines like 'PASS-EXACT name: rows=N [duckdb Ns]'), and rewrites the
+file as a single 143-row table with provenance.
+
+Usage: python3 tools/collapse_sf10.py [r10_results.txt]
+"""
+import json
+import re
+import sys
+
+SRC = "/root/repo/CORRECTNESS_SF10.md"
+
+entries = {}  # name -> dict(verdict, rows, log, note)
+
+def put(name, verdict, rows, log, note=""):
+    entries[name] = {"verdict": verdict, "rows": rows, "log": log,
+                     "note": note.strip()}
+
+text = open(SRC).read()
+
+# 1. markdown table rows: | `name` | VERDICT | rows | log | note |
+for m in re.finditer(
+        r"^\| `([a-z0-9_]+)` \| (PASS-[A-Z]+) \| ([0-9]+) \| ([^|]*) \|"
+        r" ?([^|]*)\|", text, re.M):
+    name, verdict, rows, log, note = m.groups()
+    put(name, verdict, int(rows), log.strip(), note)
+
+# 2. plain result lines: PASS-EXACT name: rows=N [duckdb Ns]
+for m in re.finditer(
+        r"^(PASS-[A-Z]+) ([a-z0-9_]+): rows=([0-9]+)(?: \[duckdb ([0-9]+)s\])?",
+        text, re.M):
+    verdict, name, rows, dt = m.groups()
+    note = f"oracle {dt}s" if dt else ""
+    put(name, verdict, int(rows), "r9 session logs (see git history)", note)
+
+# 3. prose verdicts (pr1/pr2/ts1/pr3/ts2/ws1 style):
+#    `name`: PASS-EXACT rows=N  /  PASS-EXACT name: rows=N
+for m in re.finditer(
+        r"`([a-z0-9_]+)`: (PASS-[A-Z]+) rows=([0-9]+)", text):
+    name, verdict, rows = m.groups()
+    put(name, verdict, int(rows), "r9 session logs (see git history)")
+
+# 4. round-10 re-verdicts (authoritative for changed/new queries)
+if len(sys.argv) > 1:
+    r10 = open(sys.argv[1]).read()
+    for m in re.finditer(
+            r"^(PASS-[A-Z]+|FAIL)\s+([a-z0-9_]+): rows=([0-9]+)"
+            r"(?: \[duckdb ([0-9]+)s\])?", r10, re.M):
+        verdict, name, rows, dt = m.groups()
+        note = f"round-10 re-verdict; oracle {dt}s" if dt else "round-10 re-verdict"
+        put(name, verdict, int(rows), "target/check_sf10_r10.log", note)
+
+declared = sorted(json.load(open("/root/repo/CORRECTNESS_r09.json")).keys())
+
+missing = [q for q in declared if q not in entries]
+extra = sorted(set(entries) - set(declared))
+print(f"parsed {len(entries)} verdicts; declared r09 {len(declared)}; "
+      f"missing {missing}; beyond-r09 {extra}")
+
+n_exact = sum(1 for e in entries.values() if e["verdict"] == "PASS-EXACT")
+n_tol = sum(1 for e in entries.values() if e["verdict"] == "PASS-TOL")
+n_hash = sum(1 for e in entries.values() if e["verdict"] == "PASS-HASH")
+n_fail = sum(1 for e in entries.values() if e["verdict"] == "FAIL")
+
+hdr = f"""# CORRECTNESS_SF10 — full oracle gate at sf10 (100× bench scale)
+
+**{len(entries)} pass / {n_fail} fail** — {n_exact} bit-exact (PASS-EXACT),
+{n_tol} at the documented ≤1-ulp oracle rounding (PASS-TOL), {n_hash}
+hash-verified (PASS-HASH). One row per declared query; collapsed from the
+round-8/9 session sections in round 10 (provenance per row; the underlying
+transcripts are gitignored build artifacts under `target/` — this file is
+the committed record, and git history holds the original session sections).
+
+Data: `tools/make_sf1.py <sf0.1> target/sf10 100` — 60 M lineitem / 10 M
+events / 500 k documents / 200 k embeddings, same per-copy isometries as
+sf1. Engine: `graft.Verify` over `target/sf10` (sharded local[12]×2 in
+round 8; `SPARK_GRAFT_VERIFY_ONLY` targeted runs for later additions),
+zero engine errors in every run. Oracle: `tools/check_sf1.py` — the
+COMMITTED oracle SQL verbatim, with the five EMA-family fold oracles
+evaluated as the equivalent O(n) running recurrence (proven bit-identical
+to the committed SQL at sf0.01) — plus `tools/check_staged.py` for
+v6/v7/v8, whose ~300-CTE monolithic replays exceed DuckDB's memory budget
+(the staged form materializes the SAME committed CTEs sequentially;
+proven identical at sf0.01 before use).
+
+Notes carried from the session records:
+
+- PASS-TOL rows are the sf1-documented DOUBLE-ROUNDING artifact in the
+  ORACLE's decimal→double cast (DuckDB rounds int128→double→10^-scale
+  twice where Spark's Decimal.toDouble rounds once, correctly); every
+  mismatch is exactly 1 ulp on a decimal-backed aggregate column.
+- `d4_token_jaccard` (282.8 M output pairs) is verified by the
+  order-independent streaming hash compare computed inside DuckDB on
+  both sides (a 282 M-row frame cannot be sorted in pandas).
+- `v6`/`v7`/`v8`: staged replay PASS-EXACT in 892/756/781 s; v8 runs the
+  SAME oracle text as v7 from the persisted-index codes.
+- Round-10 re-verdicts (`target/check_sf10_r10.log`) re-ran every query
+  whose engine path changed this round plus the round-9 late additions
+  whose evidence rows were prose-only.
+
+| query | verdict | rows | provenance | note |
+|---|---|---|---|---|
+"""
+
+rows_md = "".join(
+    f"| `{q}` | {e['verdict']} | {e['rows']} | {e['log']} | {e['note']} |\n"
+    for q, e in sorted(entries.items()))
+
+open(SRC, "w").write(hdr + rows_md)
+print(f"wrote {SRC}: {len(entries)} rows")
