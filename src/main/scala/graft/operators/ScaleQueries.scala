@@ -164,6 +164,44 @@ object ScaleQueries {
         col("sum_volume").as("volume"), col("n_rows").as("n_bars"))
     }),
 
+    // MV2 — the distinct-count continuous aggregate (TimescaleDB's
+    // hyperloglog column at lake scale): per-(symbol, hour) row counts,
+    // exact decimal volume sums AND approx-distinct uid, maintained
+    // incrementally — each refresh folds only the delta's HLL registers
+    // into per-column companion lakes (elementwise max = idempotent +
+    // associative, so incremental == one-shot EXACTLY and replays
+    // converge). The oracle computes the full GROUP BY + register
+    // replay; a hash match proves the whole maintenance chain.
+    "mv2_distinct_rollup" -> ((s, dir) => {
+      import graft.sinks.{MaterializedRollup => MV, SnapshotLake}
+      import graft.functions.epochUs
+      val d = Tables.bars(s, dir)
+        .withColumn("bucket_ts",
+          date_trunc("hour", col("ts")).cast("timestamp_ntz"))
+        .withColumn("uid", col("volume").cast("long"))
+      val work = graft.TempDirs.create("graft-mv2")
+      val base = work + "/base"; val mv = work + "/mv"
+      val spec = MV.Spec(
+        keyCols = Seq("symbol", "bucket_ts"), pruneKey = "bucket_ts",
+        sumCols = Seq("volume"), distinctCols = Seq("uid"))
+      val r = d.agg(min(epochUs(col("ts"))), max(epochUs(col("ts")))).head
+      val (lo, hi) = (r.getLong(0), r.getLong(1))
+      val (t1, t2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+      val us = epochUs(col("ts"))
+      SnapshotLake.append(s, base, d.filter(us <= t1).repartition(2),
+        statsCols = Seq("bucket_ts"))
+      MV.init(s, base, mv, spec)
+      SnapshotLake.append(s, base, d.filter(us > t1 && us <= t2).repartition(2),
+        statsCols = Seq("bucket_ts"))
+      MV.refresh(s, base, mv, spec)
+      SnapshotLake.append(s, base, d.filter(us > t2).repartition(2),
+        statsCols = Seq("bucket_ts"))
+      MV.refresh(s, base, mv, spec)
+      MV.readFinal(s, mv, spec).select(
+        col("symbol"), col("bucket_ts"), col("n_rows"),
+        col("sum_volume"), col("approx_distinct_uid"))
+    }),
+
     // Manifest-powered CDC: bars land in two appends (ver 1), a MERGE
     // upserts bumped-close updates + brand-new ids (ver 2), a DELETE
     // removes every 97th key — then diff(pre-merge, head) classifies the
@@ -422,6 +460,27 @@ object ScaleQueries {
          |UNION ALL
          |SELECT event_id + 1000000000000, symbol, ts, close, CAST(2 AS BIGINT) AS ver
          |FROM bars WHERE event_id % 1000 = 7""".stripMargin),
+
+    "mv2_distinct_rollup" -> (Tables.barsSql +
+      s""", mvb AS (
+         |  SELECT symbol,
+         |         make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS bucket_ts,
+         |         volume, CAST(volume AS BIGINT) AS uid
+         |  FROM bars
+         |), mvagg AS (
+         |  SELECT symbol, bucket_ts, count(*) AS n_rows,
+         |         CAST(sum(CAST(volume AS DECIMAL(38,10))) AS DOUBLE) AS sum_volume
+         |  FROM mvb GROUP BY 1, 2
+         |), mvhll AS (
+         |  SELECT * FROM (
+         |    WITH ${graft.operators.Hll.approxDistinctSql("mvb",
+                Seq("symbol", "bucket_ts"), "CAST(uid AS VARCHAR)")}
+         |  )
+         |)
+         |SELECT a.symbol, a.bucket_ts, a.n_rows, a.sum_volume,
+         |       h.approx_distinct AS approx_distinct_uid
+         |FROM mvagg a LEFT JOIN mvhll h
+         |  ON a.symbol = h.symbol AND a.bucket_ts = h.bucket_ts""".stripMargin),
 
     "mv1_incremental_rollup" -> (QueryFixtures.dbarsSql +
       s""", agg AS (

@@ -62,7 +62,9 @@ object MaterializedRollup {
       orderCol: Option[String] = None,
       firstCols: Seq[String] = Nil,
       lastCols: Seq[String] = Nil,
-      targetRowsPerFile: Long = 4L * 1000 * 1000) {
+      targetRowsPerFile: Long = 4L * 1000 * 1000,
+      distinctCols: Seq[String] = Nil,
+      hllP: Int = 12) {
     require(keyCols.contains(pruneKey),
       s"pruneKey $pruneKey must be one of keyCols ${keyCols.mkString(",")}")
     require(orderCol.nonEmpty || (firstCols.isEmpty && lastCols.isEmpty),
@@ -138,6 +140,64 @@ object MaterializedRollup {
     state.select(out: _*)
   }
 
+  // ------------------------------------------------- distinct (HLL) state
+
+  /** Per-group APPROX DISTINCT state — the TimescaleDB continuous
+    * aggregate's hyperloglog column at lake scale. Each `distinctCols`
+    * entry keeps a companion register lake under the MV root keyed by
+    * (keyCols..., slot): registers fold by elementwise max, which is
+    * idempotent AND associative, so incremental folds equal the one-shot
+    * sketch EXACTLY and at-least-once replays converge with zero
+    * bookkeeping. The fold runs BEFORE the anchor-advancing rollup
+    * commit: a crash between the two re-folds the same delta (a no-op)
+    * on retry, so the register lake can never end up permanently behind
+    * a committed anchor.
+    */
+  private def hllRoot(mvRoot: String, c: String): String = s"$mvRoot/_hll/$c"
+
+  private val CanonicalDistinctTypes: Set[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    Set(StringType, ByteType, ShortType, IntegerType, LongType, BooleanType)
+  }
+
+  private def checkDistinctCols(df: DataFrame, spec: Spec): Unit =
+    spec.distinctCols.foreach { c =>
+      require(df.columns.contains(c),
+        s"distinct column $c not in ${df.columns.mkString(",")}")
+      require(CanonicalDistinctTypes(df.schema(c).dataType),
+        s"distinct column $c (${df.schema(c).dataType.simpleString}) has " +
+          "no canonical cross-engine string form — cast or bucket it " +
+          "first (same discipline as the profiler's HLL metric)")
+    }
+
+  /** Fold `rows`' registers for every distinct column into the companion
+    * lakes (append on first contact, else keep-latest-by-r merge — which
+    * IS elementwise max). Idempotent: re-folding the same rows is a
+    * no-op state change.
+    */
+  private def foldDistinct(spark: SparkSession, mvRoot: String,
+      rows: DataFrame, spec: Spec): Unit =
+    spec.distinctCols.foreach { c =>
+      val root = hllRoot(mvRoot, c)
+      val regs = graft.operators.Hll.registers(rows, spec.keyCols, col(c),
+        spec.hllP)
+      if (SnapshotLake.latestVersion(spark, root).isEmpty)
+        SnapshotLake.append(spark, root, regs, statsCols = Seq("slot"))
+      else
+        SnapshotLake.merge(spark, root, regs,
+          keyCols = spec.keyCols :+ "slot", versionCol = "r",
+          pruneKey = "slot")
+    }
+
+  /** REPLACE the register lakes from a full base read (init/fullRefresh). */
+  private def replaceDistinct(spark: SparkSession, mvRoot: String,
+      base: DataFrame, spec: Spec): Unit =
+    spec.distinctCols.foreach { c =>
+      SnapshotLake.replace(spark, hllRoot(mvRoot, c),
+        graft.operators.Hll.registers(base, spec.keyCols, col(c), spec.hllP),
+        statsCols = Seq("slot"))
+    }
+
   private val AnchorRe = raw"mv:base=(\d+).*".r
 
   /** Base version the MV head reflects (None before [[init]]). */
@@ -166,9 +226,14 @@ object MaterializedRollup {
         "init(replace=true) to rebuild")
     val baseHead = SnapshotLake.latestVersion(spark, baseRoot).getOrElse(
       throw new IllegalArgumentException(s"no committed snapshot under $baseRoot"))
-    val state = lift(SnapshotLake.read(spark, baseRoot, Some(baseHead)), spec)
-      .cache()
+    val baseRead = SnapshotLake.read(spark, baseRoot, Some(baseHead))
+    checkDistinctCols(baseRead, spec)
+    val state = lift(baseRead, spec).cache()
     try {
+      // distinct registers first (atomic replace per column); the rollup
+      // commit below is what advances the anchor, so a crash in between
+      // just re-replaces on retry
+      replaceDistinct(spark, mvRoot, baseRead, spec)
       val files = SnapshotLake.stageFiles(spark, mvRoot, cluster(state, spec),
         Nil, Set(spec.pruneKey))
       val v = SnapshotLake.commit(spark, mvRoot, s"mv:base=$baseHead,init",
@@ -237,6 +302,10 @@ object MaterializedRollup {
         finally combined.unpersist()
       val overlapSet = overlap.map(_.rel).toSet
       val nDelta = range.getLong(2)
+      // distinct registers BEFORE the anchor-advancing commit (idempotent
+      // max-merge: a crash in between re-folds the same delta on retry)
+      checkDistinctCols(delta, spec)
+      foldDistinct(spark, mvRoot, delta, spec)
       val v = SnapshotLake.commit(spark, mvRoot, s"mv:base=$baseHead",
         mvHead.schema, build = head => {
           guardAnchor(head, anchor, mvRoot)
@@ -274,8 +343,23 @@ object MaterializedRollup {
         s"$mvRoot head is not a materialized-rollup commit (op=$other)")
     }
 
-  /** The MV's finals at its current (or a pinned) version. */
+  /** The MV's finals at its current (or a pinned) version, with one
+    * `approx_distinct_<c>` DOUBLE column per `distinctCols` entry —
+    * estimated from the companion register lakes ([[graft.operators.Hll
+    * .estimate]]); groups the registers never saw read NULL. Note the
+    * distinct columns always reflect the register lakes' CURRENT state
+    * (registers are monotone; pinning them to an MV version would need a
+    * version map the monotone merge makes unnecessary for the
+    * grows-by-append use).
+    */
   def readFinal(spark: SparkSession, mvRoot: String, spec: Spec,
-      version: Option[Long] = None): DataFrame =
-    finals(SnapshotLake.read(spark, mvRoot, version), spec)
+      version: Option[Long] = None): DataFrame = {
+    val base = finals(SnapshotLake.read(spark, mvRoot, version), spec)
+    spec.distinctCols.foldLeft(base) { (acc, c) =>
+      val est = graft.operators.Hll.estimate(
+        SnapshotLake.read(spark, hllRoot(mvRoot, c)), spec.keyCols, spec.hllP)
+        .withColumnRenamed("approx_distinct", s"approx_distinct_$c")
+      acc.join(est, spec.keyCols, "left")
+    }
+  }
 }

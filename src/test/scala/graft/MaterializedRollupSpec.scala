@@ -99,6 +99,41 @@ class MaterializedRollupSpec extends SparkSpec {
     assertMatchesFull(base, mv)
   }
 
+  test("distinct (HLL) state: incremental register folds across slices == " +
+      "one-shot approxDistinct bit-for-bit; replayed fold converges; " +
+      "non-canonical distinct type refused") {
+    val (base, mv) = roots()
+    def withUid(df: DataFrame) =
+      df.withColumn("uid", (col("close") % 13).cast("long"))
+    val dspec = spec.copy(distinctCols = Seq("uid"), hllP = 8)
+    SnapshotLake.append(spark, base, withUid(bars(1, 200, 100.0)),
+      statsCols = Seq("bucket_ts"))
+    MV.init(spark, base, mv, dspec)
+    SnapshotLake.append(spark, base, withUid(bars(2, 150, 500.0)),
+      statsCols = Seq("bucket_ts"))
+    MV.refresh(spark, base, mv, dspec)
+    SnapshotLake.append(spark, base, withUid(bars(1, 100, 250.0)),
+      statsCols = Seq("bucket_ts")) // overlaps slice 1's buckets
+    MV.refresh(spark, base, mv, dspec)
+    MV.refresh(spark, base, mv, dspec) // no-op replay: must not change state
+    val got = MV.readFinal(spark, mv, dspec)
+      .select("symbol", "bucket_ts", "approx_distinct_uid")
+    val oneShot = graft.operators.Hll.approxDistinct(
+      withUid(SnapshotLake.read(spark, base)),
+      Seq("symbol", "bucket_ts"), col("uid"), p = 8)
+      .withColumnRenamed("approx_distinct", "approx_distinct_uid")
+    assert(got.except(oneShot).isEmpty && oneShot.except(got).isEmpty,
+      "incremental distinct state diverged from the one-shot sketch")
+    // every group has a non-null estimate (uid never null here)
+    assert(got.filter(col("approx_distinct_uid").isNull).count() == 0)
+    // refusal: a double distinct column has no canonical string form
+    val e = intercept[IllegalArgumentException] {
+      MV.init(spark, base, TempDirs.create("mvbad") + "/mv",
+        spec.copy(distinctCols = Seq("close")), replace = false)
+    }
+    assert(e.getMessage.contains("canonical"))
+  }
+
   test("no-op refresh publishes nothing; zero-row append bumps only the " +
       "anchor; init-over-existing refuses without replace") {
     val (base, mv) = roots()
