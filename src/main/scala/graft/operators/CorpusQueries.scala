@@ -40,6 +40,30 @@ object CorpusQueries {
                   slice(col("__tk"), i * lit(8) + lit(1), lit(8)), " ")),
               "\n")).as("mtext"))
       Dedup.lineDedup(lined, col("mtext"), col("doc_id"), minDocs = 2)
+    }),
+    // C3 — incremental exact-dedup ingest against a persisted corpus
+    // lake (Dedup.ingestDedup): three ascending-id slices land in turn —
+    // originals, then TWO planted shifted-id copy waves in ONE slice
+    // (within-slice keep-first fires, then the history anti-join drops
+    // the survivor too), then a replayed subset of the originals (must
+    // append nothing — natural idempotence). First-arrival-wins over
+    // ascending slices == global min-id-per-normalized-fingerprint,
+    // which is exactly what the oracle computes over the same union.
+    "c3_incremental_ingest" -> ((s, dir) => {
+      import graft.sinks.SnapshotLake
+      val raw = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val off = raw.agg(max(col("doc_id"))).head.getLong(0) + 1
+      val copies = raw.filter(col("doc_id") % 3 === 0)
+      val root = graft.TempDirs.create("graft-c3") + "/corpus"
+      Dedup.ingestDedup(s, root, raw, "doc_id", "text")
+      Dedup.ingestDedup(s, root,
+        copies.withColumn("doc_id", col("doc_id") + lit(off))
+          .unionByName(copies.withColumn("doc_id",
+            col("doc_id") + lit(2 * off))),
+        "doc_id", "text")
+      Dedup.ingestDedup(s, root, raw.filter(col("doc_id") % 5 === 1),
+        "doc_id", "text")
+      SnapshotLake.read(s, root).select(col("doc_id"), col("fp"))
     })
   )
 
@@ -115,6 +139,35 @@ object CorpusQueries {
          |SELECT b.doc_id, CAST(len(string_split(b.mtext, chr(10))) AS BIGINT) AS n_lines,
          |       CAST(coalesce(a.kept_n, 0) AS BIGINT) AS n_lines_kept,
          |       coalesce(a.text_clean, '') AS text_clean
-         |FROM lined b LEFT JOIN agg a USING (doc_id)""".stripMargin
+         |FROM lined b LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    "c3_incremental_ingest" ->
+      s"""WITH mx AS (SELECT max(doc_id) + 1 AS off FROM documents),
+         |all_docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + (SELECT off FROM mx), text FROM documents
+         |  WHERE doc_id % 3 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 2 * (SELECT off FROM mx), text FROM documents
+         |  WHERE doc_id % 3 = 0
+         |), c3norm AS (
+         |  SELECT doc_id,
+         |         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text
+         |  FROM all_docs
+         |), c3toks AS (
+         |  SELECT doc_id, ${O.tokens("norm_text")} AS tk FROM c3norm
+         |), c3fps AS (
+         |  SELECT doc_id,
+         |         list_reduce(
+         |           list_prepend(CAST(0 AS BIGINT),
+         |             list_transform(tk, t -> ${O.tokenHash("t")} % 2147483647)),
+         |           (a, b) -> (a * 31 + b) % 2147483647) AS fp
+         |  FROM c3toks
+         |)
+         |SELECT doc_id, fp FROM (
+         |  SELECT doc_id, fp, min(doc_id) OVER (PARTITION BY fp) AS m
+         |  FROM c3fps
+         |) WHERE doc_id = m""".stripMargin
   )
 }

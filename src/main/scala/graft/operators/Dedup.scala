@@ -953,4 +953,81 @@ object Dedup {
         coalesce(col("__kept"), lit(0L)).as("n_lines_kept"),
         coalesce(col("__clean"), lit("")).as("text_clean"))
   }
+
+  // ----------------------------------------------- incremental ingest
+
+  /** Incremental EXACT-dedup ingest against a persisted corpus lake —
+    * the continuous corpus-building shape: each arriving slice is
+    * fingerprinted in one native walk ([[graft.operators.TextOps
+    * .normalizedFingerprint]] — formatting variants collapse), deduped
+    * WITHIN the slice (keep-first by id, the reference's F4 rule), then
+    * anti-joined against the fingerprints already IN the lake, and only
+    * the survivors are appended (carrying their `fp` so they become the
+    * next slice's history — no separate fingerprint store to keep in
+    * sync). Precedence is first-ARRIVAL-wins; when slices arrive in
+    * ascending id order this equals the global min-id-per-fingerprint
+    * dedup (the oracle-pinned case).
+    *
+    * Scale: the history side is a single-column `fp` scan (column
+    * pruning reaches the parquet footers through the manifest read);
+    * Catalyst broadcasts it while it fits and AQE takes over beyond —
+    * for drop-lists past broadcast range compose [[pruneDuplicatesBloom]]
+    * on the same column. Naturally idempotent: re-ingesting a slice
+    * finds every fingerprint already in history and appends nothing.
+    *
+    * Returns (lake version after the append, rows kept from this slice).
+    */
+  def ingestDedup(spark: org.apache.spark.sql.SparkSession, root: String,
+      batch: DataFrame, idCol: String, textCol: String): (Long, Long) = {
+    import graft.sinks.SnapshotLake
+    import org.apache.spark.sql.expressions.Window
+    val nf = TextOps.normalizedFingerprint(col(textCol))
+    val withFp = batch.withColumn("fp", nf.getField("fp"))
+    val first = withFp
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("fp").orderBy(col(idCol))))
+      .filter(col("__rn") === 1).drop("__rn")
+    val survivors =
+      (if (SnapshotLake.latestVersion(spark, root).isEmpty) first
+       // re-select in `first`'s order: the join hoists its key column to
+       // the front, and lake appends are schema-ORDER strict
+       else first.join(SnapshotLake.read(spark, root).select(col("fp")),
+         Seq("fp"), "left_anti").select(first.columns.map(col): _*))
+        .persist()
+    try {
+      val kept = survivors.count()
+      val v = SnapshotLake.append(spark, root, survivors,
+        statsCols = Seq(idCol))
+      (v, kept)
+    } finally survivors.unpersist()
+  }
+
+  /** Streaming form of [[ingestDedup]]: a `foreachBatch` handler with
+    * [[graft.sinks.SnapshotLake.appendStream]]'s batch-id exactly-once
+    * discipline (a replayed micro-batch is skipped whole; even without
+    * the marker the ingest converges, since a replay finds its own
+    * fingerprints in history).
+    */
+  def ingestDedupStream(root: String, idCol: String, textCol: String,
+      streamId: String = "s0"): (DataFrame, Long) => Unit = { (df, batchId) =>
+    import graft.sinks.SnapshotLake
+    val spark = df.sparkSession
+    val replay = SnapshotLake.lastCommittedBatch(spark, root, streamId)
+      .exists(_ >= batchId)
+    if (!replay) {
+      import org.apache.spark.sql.expressions.Window
+      val nf = TextOps.normalizedFingerprint(col(textCol))
+      val withFp = df.withColumn("fp", nf.getField("fp"))
+      val first = withFp
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy("fp").orderBy(col(idCol))))
+        .filter(col("__rn") === 1).drop("__rn")
+      val survivors =
+        if (SnapshotLake.latestVersion(spark, root).isEmpty) first
+        else first.join(SnapshotLake.read(spark, root).select(col("fp")),
+          Seq("fp"), "left_anti").select(first.columns.map(col): _*)
+      SnapshotLake.appendStream(root, statsCols = Seq(idCol),
+        streamId = streamId)(survivors, batchId)
+    }
+  }
 }

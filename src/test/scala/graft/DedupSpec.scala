@@ -494,4 +494,34 @@ class DedupSpec extends SparkSpec {
     val want = parent.keys.map(x => x -> find(x)).toMap
     assert(got == want)
   }
+
+  test("ingestDedup: within-slice keep-first, cross-history drops, replay " +
+      "appends nothing; streaming form skips a replayed batch whole") {
+    import graft.sinks.SnapshotLake
+    val root = TempDirs.create("ingest") + "/corpus"
+    val s1 = Seq((1L, "alpha beta"), (2L, "ALPHA   beta!"), (3L, "gamma"))
+      .toDF("doc_id", "text") // 2 normalizes to 1's fingerprint
+    val (v1, k1) = Dedup.ingestDedup(spark, root, s1, "doc_id", "text")
+    assert(k1 == 2) // within-slice keep-first: ids 1 and 3 survive
+    val s2 = Seq((10L, "alpha beta"), (11L, "delta"), (12L, "Delta."))
+      .toDF("doc_id", "text")
+    val (v2, k2) = Dedup.ingestDedup(spark, root, s2, "doc_id", "text")
+    assert(k2 == 1 && v2 > v1) // 10 drops vs history; 11 beats 12 in-slice
+    // replay of slice 2: every fingerprint already in history
+    val (_, k3) = Dedup.ingestDedup(spark, root, s2, "doc_id", "text")
+    assert(k3 == 0)
+    val ids = SnapshotLake.read(spark, root).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 3L, 11L))
+    // streaming handler: a replayed batchId is skipped whole even with
+    // brand-new content (the batch-id marker, not just the fp check)
+    val sroot = TempDirs.create("ingest-s") + "/corpus"
+    val h = Dedup.ingestDedupStream(sroot, "doc_id", "text")
+    h(s1, 0L)
+    h(s2, 1L)
+    h(Seq((99L, "totally fresh row")).toDF("doc_id", "text"), 1L) // replayed id
+    val sids = SnapshotLake.read(spark, sroot).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(sids == Set(1L, 3L, 11L), s"streaming ingest state: $sids")
+  }
 }
