@@ -972,27 +972,86 @@ object Dedup {
     * pruning reaches the parquet footers through the manifest read);
     * Catalyst broadcasts it while it fits and AQE takes over beyond —
     * for drop-lists past broadcast range compose [[pruneDuplicatesBloom]]
-    * on the same column. Naturally idempotent: re-ingesting a slice
-    * finds every fingerprint already in history and appends nothing.
+    * on the same column ([[ingestDedupBloom]] is exactly that
+    * composition, pre-wired). Naturally idempotent: re-ingesting a
+    * slice finds every fingerprint already in history and appends
+    * nothing.
+    *
+    * NULL text is NOT a document: rows whose `textCol` is null carry no
+    * fingerprint, so no dedup semantics can apply to them — they are
+    * DROPPED, within-slice and cross-slice alike (the same "NULLs are
+    * skipped" rule as SQL COUNT DISTINCT and [[Hll.registers]]). This
+    * is also what keeps the ingest idempotent: any pass-through choice
+    * would re-append the null rows on every replay. Route null-text
+    * rows to a quarantine upstream if they matter.
     *
     * Returns (lake version after the append, rows kept from this slice).
     */
   def ingestDedup(spark: org.apache.spark.sql.SparkSession, root: String,
       batch: DataFrame, idCol: String, textCol: String): (Long, Long) = {
     import graft.sinks.SnapshotLake
-    import org.apache.spark.sql.expressions.Window
-    val nf = TextOps.normalizedFingerprint(col(textCol))
-    val withFp = batch.withColumn("fp", nf.getField("fp"))
-    val first = withFp
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy("fp").orderBy(col(idCol))))
-      .filter(col("__rn") === 1).drop("__rn")
+    val first = sliceFirst(batch, idCol, textCol)
     val survivors =
       (if (SnapshotLake.latestVersion(spark, root).isEmpty) first
        // re-select in `first`'s order: the join hoists its key column to
        // the front, and lake appends are schema-ORDER strict
        else first.join(SnapshotLake.read(spark, root).select(col("fp")),
          Seq("fp"), "left_anti").select(first.columns.map(col): _*))
+        .persist()
+    try {
+      val kept = survivors.count()
+      val v = SnapshotLake.append(spark, root, survivors,
+        statsCols = Seq(idCol))
+      (v, kept)
+    } finally survivors.unpersist()
+  }
+
+  /** Fingerprint a slice and keep the first arrival per fingerprint
+    * within it (null text dropped — see [[ingestDedup]]'s contract).
+    */
+  private def sliceFirst(batch: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nf = TextOps.normalizedFingerprint(col(textCol))
+    batch.filter(col(textCol).isNotNull)
+      .withColumn("fp", nf.getField("fp"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("fp").orderBy(col(idCol))))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** [[ingestDedup]] for a history past broadcast range: the cross-slice
+    * anti-join is pre-filtered through a bloom filter of the lake's own
+    * fp column ([[pruneDuplicatesBloom]] — maybe-hits go through the
+    * exact anti-join, definite-misses never reach the shuffle), so the
+    * shuffled volume is ~|history ∩ slice| + fpp·|slice| instead of the
+    * full slice with payload. Bit-equal to [[ingestDedup]] by
+    * construction (a bloom has no false negatives; false positives
+    * still anti-join exactly), so both share one oracle.
+    *
+    * The filter is sized from the manifest's exact per-file row counts
+    * ([[graft.sinks.SnapshotLake.summary]]'s discipline) — ZERO data
+    * I/O to learn |history|. At the default fpp 3% that is ~0.9 MB per
+    * million history docs; past ~100 M docs shard the history by fp
+    * range (the [[pruneDuplicatesBloom]] doc's dial) or accept the
+    * plain AQE anti-join. Same null-text and idempotence contract as
+    * [[ingestDedup]].
+    */
+  def ingestDedupBloom(spark: org.apache.spark.sql.SparkSession, root: String,
+      batch: DataFrame, idCol: String, textCol: String,
+      fpp: Double = 0.03): (Long, Long) = {
+    import graft.sinks.SnapshotLake
+    val first = sliceFirst(batch, idCol, textCol)
+    val histRows = SnapshotLake.latestVersion(spark, root)
+      .map(v => SnapshotLake.manifest(spark, root, Some(v))
+        .files.map(f => math.max(0L, f.rows)).sum)
+      .getOrElse(0L)
+    val survivors =
+      (if (histRows == 0L) first
+       else pruneDuplicatesBloom(first, col("fp"),
+         SnapshotLake.read(spark, root).select(col("fp").as("drop_id")),
+         expectedDrops = histRows, fpp = fpp)
+         .select(first.columns.map(col): _*))
         .persist()
     try {
       val kept = survivors.count()
@@ -1015,13 +1074,8 @@ object Dedup {
     val replay = SnapshotLake.lastCommittedBatch(spark, root, streamId)
       .exists(_ >= batchId)
     if (!replay) {
-      import org.apache.spark.sql.expressions.Window
-      val nf = TextOps.normalizedFingerprint(col(textCol))
-      val withFp = df.withColumn("fp", nf.getField("fp"))
-      val first = withFp
-        .withColumn("__rn", row_number().over(
-          Window.partitionBy("fp").orderBy(col(idCol))))
-        .filter(col("__rn") === 1).drop("__rn")
+      // same null-text rule as ingestDedup: no fingerprint, no document
+      val first = sliceFirst(df, idCol, textCol)
       val survivors =
         if (SnapshotLake.latestVersion(spark, root).isEmpty) first
         else first.join(SnapshotLake.read(spark, root).select(col("fp")),

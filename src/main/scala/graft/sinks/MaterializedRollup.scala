@@ -250,6 +250,18 @@ object MaterializedRollup {
     * key range; every other MV file survives by identity. No-op (publishes
     * nothing) when the base head is unchanged. Fails loudly — with
     * [[fullRefresh]] named — when a non-append base op intervened.
+    *
+    * Distinct-register lead window: the register fold runs BEFORE the
+    * anchor-advancing rollup commit (crash-safety: a retry re-folds the
+    * same delta, a no-op under max-merge). The asymmetric consequence is
+    * that when the rollup commit then ABORTS — `guardAnchor` losing to a
+    * rival refresh anchored at an older baseHead, or any later failure —
+    * the registers keep the fold and permanently run AHEAD of the MV
+    * anchor: until the next successful refresh, [[readFinal]]'s
+    * `approx_distinct_*` columns may already include delta rows the
+    * `n_rows`/`sum_*` columns do not. Registers can lead the anchor,
+    * never trail it; both sides converge at the next refresh that
+    * commits (max-merge idempotence makes the early fold harmless).
     */
   def refresh(spark: SparkSession, baseRoot: String, mvRoot: String,
       spec: Spec, lockExpiryMs: Long = 10L * 60 * 1000): Refresh = {
@@ -350,7 +362,9 @@ object MaterializedRollup {
     * distinct columns always reflect the register lakes' CURRENT state
     * (registers are monotone; pinning them to an MV version would need a
     * version map the monotone merge makes unnecessary for the
-    * grows-by-append use).
+    * grows-by-append use) — and that state may LEAD the MV anchor after
+    * an aborted refresh (see [[refresh]]'s lead-window note), so a
+    * distinct estimate can briefly cover rows the row/sum columns don't.
     */
   def readFinal(spark: SparkSession, mvRoot: String, spec: Spec,
       version: Option[Long] = None): DataFrame = {

@@ -542,7 +542,18 @@ object SnapshotLake {
                 override def call() = rel -> footerProbe(spark, p, statsCols)
               }
             }
-          pool.invokeAll(tasks.asJava).asScala.map(_.get()).toMap
+          // unwrap ExecutionException so a probe failure surfaces as the
+          // SAME exception type/message the serial single-file path throws
+          pool.invokeAll(tasks.asJava).asScala.map { f =>
+            try f.get()
+            catch {
+              case e: java.util.concurrent.ExecutionException =>
+                throw e.getCause match {
+                  case null => e
+                  case c => c
+                }
+            }
+          }.toMap
         } finally pool.shutdown()
       }
     // pass 3: publish moves in walk order

@@ -524,4 +524,38 @@ class DedupSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(sids == Set(1L, 3L, 11L), s"streaming ingest state: $sids")
   }
+
+  test("ingestDedup: null text is not a document — dropped within-slice " +
+      "and cross-slice, so the ingest stays idempotent") {
+    import graft.sinks.SnapshotLake
+    val root = TempDirs.create("ingest-null") + "/corpus"
+    val s1 = Seq((1L, "alpha"), (2L, null.asInstanceOf[String]),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val (_, k1) = Dedup.ingestDedup(spark, root, s1, "doc_id", "text")
+    assert(k1 == 1, s"null-text rows must drop, kept $k1")
+    val (_, k2) = Dedup.ingestDedup(spark, root, s1, "doc_id", "text")
+    assert(k2 == 0, "replay appended rows — null handling broke idempotence")
+    assert(SnapshotLake.read(spark, root).count() == 1)
+  }
+
+  test("ingestDedupBloom: bit-equal to the plain anti-join ingest, " +
+      "history sized from the manifest alone, replay idempotent") {
+    import graft.sinks.SnapshotLake
+    val rootA = TempDirs.create("ingest-a") + "/corpus"
+    val rootB = TempDirs.create("ingest-b") + "/corpus"
+    val s1 = Seq((1L, "alpha beta"), (2L, "ALPHA   beta!"), (3L, "gamma"))
+      .toDF("doc_id", "text")
+    val s2 = Seq((10L, "alpha beta"), (11L, "delta"), (12L, "Delta."))
+      .toDF("doc_id", "text")
+    Dedup.ingestDedup(spark, rootA, s1, "doc_id", "text")
+    Dedup.ingestDedup(spark, rootA, s2, "doc_id", "text")
+    val (_, kb1) = Dedup.ingestDedupBloom(spark, rootB, s1, "doc_id", "text")
+    val (_, kb2) = Dedup.ingestDedupBloom(spark, rootB, s2, "doc_id", "text")
+    assert(kb1 == 2 && kb2 == 1, s"bloom ingest kept ($kb1, $kb2)")
+    val a = SnapshotLake.read(spark, rootA).collect().toSet
+    val b = SnapshotLake.read(spark, rootB).collect().toSet
+    assert(a == b, "bloom ingest diverged from the plain anti-join ingest")
+    val (_, kb3) = Dedup.ingestDedupBloom(spark, rootB, s2, "doc_id", "text")
+    assert(kb3 == 0, "bloom-path replay appended rows")
+  }
 }

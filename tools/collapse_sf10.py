@@ -3,7 +3,7 @@
 per-query table (dev tool). Parses the committed file's tables and
 PASS-lines, merges in any round-10 re-verdicts passed as a results file
 (lines like 'PASS-EXACT name: rows=N [duckdb Ns]'), and rewrites the
-file as a single 143-row table with provenance.
+file as a single table with one row per declared query, with provenance.
 
 Usage: python3 tools/collapse_sf10.py [r10_results.txt]
 """
