@@ -138,6 +138,9 @@ object ScaleQueries {
         // (no footer stats) and would defeat the refresh's file pruning
         .withColumn("bucket_ts",
           date_trunc("hour", col("ts")).cast("timestamp_ntz"))
+        // the fixture feeds 1 range agg + 3 slice appends: cache the
+        // window-heavy dbars pipeline instead of recomputing it 4x
+        .persist()
       val work = graft.TempDirs.create("graft-mv1")
       val base = work + "/base"; val mv = work + "/mv"
       val spec = MV.Spec(
@@ -157,6 +160,7 @@ object ScaleQueries {
       SnapshotLake.append(s, base, d.filter(us > t2).repartition(2),
         statsCols = Seq("bucket_ts"))
       MV.refresh(s, base, mv, spec)
+      d.unpersist()
       MV.readFinal(s, mv, spec).select(
         col("symbol"), col("bucket_ts"),
         col("first_open").as("open"), col("max_high").as("high"),
@@ -179,6 +183,7 @@ object ScaleQueries {
         .withColumn("bucket_ts",
           date_trunc("hour", col("ts")).cast("timestamp_ntz"))
         .withColumn("uid", col("volume").cast("long"))
+        .persist() // 1 range agg + 3 slice appends read it
       val work = graft.TempDirs.create("graft-mv2")
       val base = work + "/base"; val mv = work + "/mv"
       val spec = MV.Spec(
@@ -197,6 +202,7 @@ object ScaleQueries {
       SnapshotLake.append(s, base, d.filter(us > t2).repartition(2),
         statsCols = Seq("bucket_ts"))
       MV.refresh(s, base, mv, spec)
+      d.unpersist()
       MV.readFinal(s, mv, spec).select(
         col("symbol"), col("bucket_ts"), col("n_rows"),
         col("sum_volume"), col("approx_distinct_uid"))

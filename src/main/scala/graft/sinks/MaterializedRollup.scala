@@ -143,17 +143,39 @@ object MaterializedRollup {
   // ------------------------------------------------- distinct (HLL) state
 
   /** Per-group APPROX DISTINCT state — the TimescaleDB continuous
-    * aggregate's hyperloglog column at lake scale. Each `distinctCols`
-    * entry keeps a companion register lake under the MV root keyed by
-    * (keyCols..., slot): registers fold by elementwise max, which is
-    * idempotent AND associative, so incremental folds equal the one-shot
-    * sketch EXACTLY and at-least-once replays converge with zero
-    * bookkeeping. The fold runs BEFORE the anchor-advancing rollup
+    * aggregate's hyperloglog column at lake scale. ONE companion register
+    * lake under the MV root holds ALL `distinctCols`, keyed by
+    * (`__col`, keyCols..., slot): registers fold by elementwise max,
+    * which is idempotent AND associative, so incremental folds equal the
+    * one-shot sketch EXACTLY and at-least-once replays converge with
+    * zero bookkeeping. The fold runs BEFORE the anchor-advancing rollup
     * commit: a crash between the two re-folds the same delta (a no-op)
     * on retry, so the register lake can never end up permanently behind
     * a committed anchor.
+    *
+    * Two scale properties the combined lake buys over the earlier
+    * one-lake-per-column layout:
+    *  - ONE lock commit per refresh regardless of how many distinct
+    *    columns the spec carries (commit constants stop multiplying);
+    *  - register files are range-clustered on the MV's own `pruneKey`
+    *    (a keyCol the registers carry through), so a time-local delta
+    *    folds into ONLY the register files whose envelopes overlap it —
+    *    the same file discipline as the rollup itself. The old layout
+    *    merged on `slot`, whose [0, 2^p) envelope spans every file by
+    *    construction, so every refresh rewrote the WHOLE register lake —
+    *    that rewrite was the measured superlinearity at sf10.
     */
-  private def hllRoot(mvRoot: String, c: String): String = s"$mvRoot/_hll/$c"
+  private def hllRegsRoot(mvRoot: String): String = s"$mvRoot/_hll_regs"
+  private def legacyHllRoot(mvRoot: String, c: String): String =
+    s"$mvRoot/_hll/$c"
+
+  /** Lifted registers for every distinct column, tagged by `__col`. */
+  private def registersAll(rows: DataFrame, spec: Spec): DataFrame =
+    spec.distinctCols.map { c =>
+      graft.operators.Hll.registers(rows, spec.keyCols, col(c), spec.hllP)
+        .select(lit(c).as("__col") +:
+          (spec.keyCols :+ "slot" :+ "r").map(col): _*)
+    }.reduce(_ unionByName _)
 
   private val CanonicalDistinctTypes: Set[org.apache.spark.sql.types.DataType] = {
     import org.apache.spark.sql.types._
@@ -162,6 +184,8 @@ object MaterializedRollup {
 
   private def checkDistinctCols(df: DataFrame, spec: Spec): Unit =
     spec.distinctCols.foreach { c =>
+      require(c != "__col" && !spec.keyCols.contains("__col"),
+        "__col is the register lake's own tag column — rename yours")
       require(df.columns.contains(c),
         s"distinct column $c not in ${df.columns.mkString(",")}")
       require(CanonicalDistinctTypes(df.schema(c).dataType),
@@ -170,33 +194,80 @@ object MaterializedRollup {
           "first (same discipline as the profiler's HLL metric)")
     }
 
-  /** Fold `rows`' registers for every distinct column into the companion
-    * lakes (append on first contact, else keep-latest-by-r merge — which
-    * IS elementwise max). Idempotent: re-folding the same rows is a
-    * no-op state change.
+  /** Fold `rows`' registers (all distinct columns) into the combined
+    * register lake in ONE commit: read only the register files whose
+    * `pruneKey` envelope overlaps the delta's [lo, hi] (sound — a
+    * register row's group key is the delta row's group key, so a
+    * non-overlapping file cannot hold any folded-into group), max-merge
+    * against the delta registers, publish behind the read-set-intact
+    * guard so racing refreshers never resurrect superseded register
+    * files (duplicate (group, slot) rows would double-count in the
+    * harmonic sum). Idempotent: re-folding the same rows is a no-op
+    * state change.
     */
   private def foldDistinct(spark: SparkSession, mvRoot: String,
-      rows: DataFrame, spec: Spec): Unit =
-    spec.distinctCols.foreach { c =>
-      val root = hllRoot(mvRoot, c)
-      val regs = graft.operators.Hll.registers(rows, spec.keyCols, col(c),
-        spec.hllP)
-      if (SnapshotLake.latestVersion(spark, root).isEmpty)
-        SnapshotLake.append(spark, root, regs, statsCols = Seq("slot"))
-      else
-        SnapshotLake.merge(spark, root, regs,
-          keyCols = spec.keyCols :+ "slot", versionCol = "r",
-          pruneKey = "slot")
+      rows: DataFrame, spec: Spec, lo: Double, hi: Double): Unit = {
+    if (spec.distinctCols.isEmpty) return
+    val root = hllRegsRoot(mvRoot)
+    if (SnapshotLake.latestVersion(spark, root).isEmpty) {
+      spec.distinctCols.find(c =>
+        SnapshotLake.latestVersion(spark, legacyHllRoot(mvRoot, c)).nonEmpty)
+        .foreach(c => throw new IllegalStateException(
+          s"$mvRoot carries the legacy one-lake-per-column register " +
+            s"layout (_hll/$c) — run fullRefresh to rebuild the combined " +
+            "_hll_regs lake"))
+      throw new IllegalStateException(
+        s"no register lake under $mvRoot — init/fullRefresh creates it")
     }
+    val delta = registersAll(rows, spec).persist()
+    try {
+      val nDelta = delta.count()
+      if (nDelta == 0) return // all distinct values null in this delta
+      SnapshotLake.retryOnConflict(spark, root, "hll-fold") { () =>
+        val m = SnapshotLake.manifest(spark, root, None)
+        val (overlap, untouched) = m.files.partition(f =>
+          f.stats.get(spec.pruneKey).forall { case (fLo, fHi) =>
+            fHi >= lo && fLo <= hi })
+        val existing =
+          if (overlap.isEmpty)
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
+          else {
+            val dd = new org.apache.hadoop.fs.Path(root, "data").toString
+            spark.read.option("basePath", dd).schema(m.schema)
+              .parquet(overlap.map(f => s"$dd/${f.rel}"): _*)
+          }
+        val folded = graft.operators.Hll.mergeRegisters(existing, delta,
+          "__col" +: spec.keyCols)
+        val boundRows = overlap.map(f => math.max(0L, f.rows)).sum + nDelta
+        val newFiles = SnapshotLake.stageFiles(spark, root,
+          cluster(folded, spec, boundRows), Nil, Set(spec.pruneKey))
+        val overlapSet = overlap.map(_.rel).toSet
+        SnapshotLake.commit(spark, root, "merge:hll-fold", m.schema,
+          build = head => newFiles ++
+            SnapshotLake.requireReadSetIntact(overlapSet, head, newFiles,
+              "hll-fold", root)
+              .filterNot(f => overlapSet.contains(f.rel)),
+          lockExpiryMs = 10L * 60 * 1000)
+        untouched.size // for the compiler; callers don't consume it
+      }
+    } finally delta.unpersist()
+  }
 
-  /** REPLACE the register lakes from a full base read (init/fullRefresh). */
+  /** REPLACE the combined register lake from a full base read
+    * (init/fullRefresh). A legacy per-column `_hll/<c>` tree, if present,
+    * is simply orphaned (the new layout reads only `_hll_regs`).
+    */
   private def replaceDistinct(spark: SparkSession, mvRoot: String,
-      base: DataFrame, spec: Spec): Unit =
-    spec.distinctCols.foreach { c =>
-      SnapshotLake.replace(spark, hllRoot(mvRoot, c),
-        graft.operators.Hll.registers(base, spec.keyCols, col(c), spec.hllP),
-        statsCols = Seq("slot"))
-    }
+      base: DataFrame, spec: Spec): Unit = {
+    if (spec.distinctCols.isEmpty) return
+    val regs = registersAll(base, spec).persist()
+    try {
+      val n = regs.count()
+      SnapshotLake.replace(spark, hllRegsRoot(mvRoot),
+        cluster(regs, spec, n), statsCols = Seq(spec.pruneKey))
+    } finally regs.unpersist()
+  }
 
   private val AnchorRe = raw"mv:base=(\d+).*".r
 
@@ -234,8 +305,8 @@ object MaterializedRollup {
       // commit below is what advances the anchor, so a crash in between
       // just re-replaces on retry
       replaceDistinct(spark, mvRoot, baseRead, spec)
-      val files = SnapshotLake.stageFiles(spark, mvRoot, cluster(state, spec),
-        Nil, Set(spec.pruneKey))
+      val files = SnapshotLake.stageFiles(spark, mvRoot,
+        cluster(state, spec, state.count()), Nil, Set(spec.pruneKey))
       val v = SnapshotLake.commit(spark, mvRoot, s"mv:base=$baseHead,init",
         state.schema, build = _ => files, lockExpiryMs)
       Refresh(v, baseHead, -1L, files.size, 0)
@@ -282,8 +353,10 @@ object MaterializedRollup {
     val deltaState = lift(delta, spec).cache()
     try {
       val dom = SnapshotLake.statsDomain(deltaState.schema, spec.pruneKey)
-      // one aggregate serves the prune range AND the delta row count
-      val range = deltaState.agg(min(dom), max(dom), sum(col("n_rows"))).head
+      // one aggregate serves the prune range, the delta row count AND the
+      // delta group count (for output-file sizing — no later count job)
+      val range = deltaState.agg(min(dom), max(dom), sum(col("n_rows")),
+        count(lit(1))).head
       if (range.isNullAt(0)) { // zero-row appends: anchor-only bump, so
         // steady-state refreshes take the baseHead==anchor fast path
         // instead of re-walking the empty versions forever
@@ -307,17 +380,23 @@ object MaterializedRollup {
           spark.read.option("basePath", dd).schema(mvHead.schema)
             .parquet(overlap.map(f => s"$dd/${f.rel}"): _*)
         }
-      val combined = combine(existing.unionByName(deltaState), spec).cache()
-      val newFiles =
-        try SnapshotLake.stageFiles(spark, mvRoot, cluster(combined, spec),
-          Nil, Set(spec.pruneKey))
-        finally combined.unpersist()
+      val combined = combine(existing.unionByName(deltaState), spec)
+      // combined's row count is bounded by overlap-state rows (exact, from
+      // the manifest's footer counts) + delta groups (from the one agg
+      // above) — keys on both sides merge, so this only ever OVER-sizes
+      // the range partitioning, and empty ranges write no file. Sizing
+      // from metadata saves the count job (and the cache the count needed)
+      // that used to materialize `combined` twice per refresh.
+      val boundRows = overlap.map(f => math.max(0L, f.rows)).sum +
+        range.getLong(3)
+      val newFiles = SnapshotLake.stageFiles(spark, mvRoot,
+        cluster(combined, spec, boundRows), Nil, Set(spec.pruneKey))
       val overlapSet = overlap.map(_.rel).toSet
       val nDelta = range.getLong(2)
       // distinct registers BEFORE the anchor-advancing commit (idempotent
       // max-merge: a crash in between re-folds the same delta on retry)
       checkDistinctCols(delta, spec)
-      foldDistinct(spark, mvRoot, delta, spec)
+      foldDistinct(spark, mvRoot, delta, spec, lo, hi)
       val v = SnapshotLake.commit(spark, mvRoot, s"mv:base=$baseHead",
         mvHead.schema, build = head => {
           guardAnchor(head, anchor, mvRoot)
@@ -332,14 +411,14 @@ object MaterializedRollup {
     * file carries a TIGHT pruneKey footer envelope — that clustering is
     * what lets a time-local delta refresh skip the rest of the aggregate
     * lake entirely (the MV analog of Z-ordering the fact lake). File count
-    * is sized from the state's row count (`targetRowsPerFile`), not left
-    * to AQE, which would happily coalesce a small-but-growing MV into one
-    * file and erase the envelope index. Caller is expected to have the
-    * state cached (it is counted AND written).
+    * is sized from `rows` (`targetRowsPerFile`), not left to AQE, which
+    * would happily coalesce a small-but-growing MV into one file and
+    * erase the envelope index; an upper-bound `rows` merely over-splits
+    * (empty ranges write nothing).
     */
-  private def cluster(state: DataFrame, spec: Spec): DataFrame = {
+  private def cluster(state: DataFrame, spec: Spec, rows: Long): DataFrame = {
     val n = math.max(1L,
-      (state.count() + spec.targetRowsPerFile - 1) / spec.targetRowsPerFile)
+      (rows + spec.targetRowsPerFile - 1) / spec.targetRowsPerFile)
     state.repartitionByRange(n.toInt, col(spec.pruneKey))
   }
 
@@ -369,11 +448,16 @@ object MaterializedRollup {
   def readFinal(spark: SparkSession, mvRoot: String, spec: Spec,
       version: Option[Long] = None): DataFrame = {
     val base = finals(SnapshotLake.read(spark, mvRoot, version), spec)
-    spec.distinctCols.foldLeft(base) { (acc, c) =>
-      val est = graft.operators.Hll.estimate(
-        SnapshotLake.read(spark, hllRoot(mvRoot, c)), spec.keyCols, spec.hllP)
-        .withColumnRenamed("approx_distinct", s"approx_distinct_$c")
-      acc.join(est, spec.keyCols, "left")
+    if (spec.distinctCols.isEmpty) base
+    else {
+      val regs = SnapshotLake.read(spark, hllRegsRoot(mvRoot))
+      spec.distinctCols.foldLeft(base) { (acc, c) =>
+        val est = graft.operators.Hll.estimate(
+          regs.filter(col("__col") === c).drop("__col"),
+          spec.keyCols, spec.hllP)
+          .withColumnRenamed("approx_distinct", s"approx_distinct_$c")
+        acc.join(est, spec.keyCols, "left")
+      }
     }
   }
 }

@@ -184,23 +184,64 @@ object SnapshotLake {
   def latestVersion(spark: SparkSession, root: String): Option[Long] =
     versions(spark, root).lastOption
 
+  /** Driver-side cache of PARSED manifests, keyed by (manifest dir,
+    * version). Sound because a committed manifest is IMMUTABLE — the
+    * commit protocol only ever creates `v<next>.manifest` files, never
+    * rewrites one; the single mutation in the design is [[vacuum]]
+    * dropping old versions, which invalidates the root's entries here so
+    * the in-JVM "vacuumed?" refusal stays loud. (A vacuum run from a
+    * DIFFERENT JVM can leave a stale entry — the subsequent scan fails
+    * on the deleted data files, the same outcome one RPC later.) Why it
+    * matters: one incremental-rollup refresh re-resolves the head and
+    * walks `appendsSince` manifests several times, and on an object
+    * store each of those is a round trip; head RESOLUTION still lists
+    * the directory every time (freshness), only the immutable content
+    * read is cached. Bounded LRU so a long-lived driver touching many
+    * lakes cannot grow without limit.
+    */
+  private val ManifestCacheMax = 256
+  private val manifestCache =
+    new java.util.LinkedHashMap[(String, Long), Manifest](64, 0.75f, true) {
+      override protected def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long), Manifest]): Boolean =
+        size > ManifestCacheMax
+    }
+  private def cacheKey(root: String, v: Long): (String, Long) =
+    (manifestDir(root).toString, v)
+  private def cachePut(root: String, m: Manifest): Unit =
+    manifestCache.synchronized { manifestCache.put(cacheKey(root, m.version), m) }
+  /** Drop a root's cached manifests — vacuum path, plus a test seam for
+    * specs that rewrite a published manifest in place to simulate legacy
+    * formats (a thing no production writer does).
+    */
+  private[graft] def invalidateManifestCache(root: String): Unit =
+    manifestCache.synchronized {
+      val dir = manifestDir(root).toString
+      manifestCache.keySet.removeIf(_._1 == dir)
+    }
+
   /** Load one manifest (latest when version is None). */
   def manifest(spark: SparkSession, root: String,
       version: Option[Long] = None): Manifest = {
-    val fs = fsOf(spark, root)
     val v = version.orElse(latestVersion(spark, root)).getOrElse(
       throw new IllegalArgumentException(s"no committed snapshot under $root"))
-    val p = new Path(manifestDir(root), manifestName(v))
-    require(fs.exists(p), s"snapshot version $v does not exist under $root " +
-      s"(committed: ${versions(spark, root).mkString(",")}) — vacuumed?")
-    val in = fs.open(p)
-    try {
-      val out = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](8192)
-      Iterator.continually(in.read(buf)).takeWhile(_ > 0)
-        .foreach(out.write(buf, 0, _))
-      parse(out.toByteArray)
-    } finally in.close()
+    manifestCache.synchronized(Option(manifestCache.get(cacheKey(root, v))))
+      .getOrElse {
+        val fs = fsOf(spark, root)
+        val p = new Path(manifestDir(root), manifestName(v))
+        require(fs.exists(p), s"snapshot version $v does not exist under $root " +
+          s"(committed: ${versions(spark, root).mkString(",")}) — vacuumed?")
+        val in = fs.open(p)
+        val m = try {
+          val out = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](8192)
+          Iterator.continually(in.read(buf)).takeWhile(_ > 0)
+            .foreach(out.write(buf, 0, _))
+          parse(out.toByteArray)
+        } finally in.close()
+        cachePut(root, m)
+        m
+      }
   }
 
   /** Dense-version lock commit (protocol in the object doc). `build` maps
@@ -238,6 +279,7 @@ object SnapshotLake {
             val outS = fs.create(tmp, true)
             try outS.write(render(m)) finally outS.close()
             require(fs.rename(tmp, target), s"manifest publish failed: $target")
+            cachePut(root, m) // prime: the refresh loop re-reads it next
             done = next
           } finally fs.delete(lock, false)
         }
@@ -264,7 +306,7 @@ object SnapshotLake {
     * would resurrect its old rows alongside the rival's replacement.
     * Carries the staged files so the retry loop can drop them.
     */
-  private final class ConflictingRewriteException(
+  private[sinks] final class ConflictingRewriteException(
       val staged: Seq[FileEntry], msg: String) extends RuntimeException(msg)
 
   /** Build-callback guard for every rewrite op: the files this op read
@@ -275,7 +317,7 @@ object SnapshotLake {
     * publish the merged-away rows back into the lake (silent duplication).
     * Returns the head file list for the caller's merge arithmetic.
     */
-  private def requireReadSetIntact(readSet: Set[String],
+  private[sinks] def requireReadSetIntact(readSet: Set[String],
       head: Option[Manifest], staged: Seq[FileEntry], op: String,
       root: String): Seq[FileEntry] = {
     val files = head.map(_.files).getOrElse(Nil)
@@ -292,7 +334,7 @@ object SnapshotLake {
     * files (+ bloom sidecars) and re-run from the new head. Bounded so a
     * pathological rewrite storm fails loudly instead of spinning.
     */
-  private def retryOnConflict[A](spark: SparkSession, root: String,
+  private[sinks] def retryOnConflict[A](spark: SparkSession, root: String,
       op: String, maxAttempts: Int = 5)(body: () => A): A = {
     val fs = fsOf(spark, root)
     val dd = dataDir(root)
@@ -1207,6 +1249,10 @@ object SnapshotLake {
     if (fs.exists(bd)) sweepBlooms(bd, "")
     drop.foreach(v =>
       fs.delete(new Path(manifestDir(root), manifestName(v)), false))
+    // cached parses of the dropped versions must go with them so pinned
+    // reads keep failing loudly ("vacuumed?") instead of silently serving
+    // a manifest whose data files are gone
+    invalidateManifestCache(root)
     // stage dirs old enough to be crashed writers (a LIVE append's stage
     // is younger than staleStageMs — never touched), manifest tmp litter,
     // and locks whose version already published or can never publish

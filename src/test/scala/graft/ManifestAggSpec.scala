@@ -163,6 +163,7 @@ class ManifestAggSpec extends SparkSpec {
       val c = l.split('\t'); if (c.length >= 3) s"${c(0)}\t${c(1)}" else l
     }.mkString("\n")
     val o = fs.create(mPath, true); o.write(legacy.getBytes); o.close()
+    SnapshotLake.invalidateManifestCache(root) // rewrote a published manifest
     withRule {
       val df = ManifestFileIndex.readPruned(spark, root)
         .agg(count(lit(1)).as("n"))

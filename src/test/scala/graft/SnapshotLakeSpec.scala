@@ -494,6 +494,7 @@ class SnapshotLakeSpec extends SparkSpec {
       val c = l.split('\t'); if (c.length >= 3) s"${c(0)}\t${c(1)}" else l
     }.mkString("\n")
     val o = fs2.create(mPath, true); o.write(legacy.getBytes); o.close()
+    SnapshotLake.invalidateManifestCache(root) // rewrote a published manifest
     intercept[IllegalArgumentException](SnapshotLake.summary(spark, root))
     SnapshotLake.addStats(spark, root, Seq("close"))
     assert(SnapshotLake.summary(spark, root, Seq("close"))
@@ -621,6 +622,7 @@ class SnapshotLakeSpec extends SparkSpec {
       val c = l.split('\t'); if (c.length >= 3) s"${c(0)}\t${c(1)}" else l
     }.mkString("\n")
     val o = fs.create(mPath, true); o.write(legacy.getBytes); o.close()
+    SnapshotLake.invalidateManifestCache(root) // rewrote a published manifest
     assert(SnapshotLake.read(spark, root).count() == 5)
     assert(SnapshotLake.manifest(spark, root).files.forall(_.stats.isEmpty))
     // legacy entries carry no row counts: the metadata-only summary must
