@@ -64,6 +64,29 @@ object CorpusQueries {
       Dedup.ingestDedup(s, root, raw.filter(col("doc_id") % 5 === 1),
         "doc_id", "text")
       SnapshotLake.read(s, root).select(col("doc_id"), col("fp"))
+    }),
+    // C3b — the SAME ingest through the bloom-pruned history path
+    // (Dedup.ingestDedupBloom): definite non-duplicates never reach the
+    // anti-join shuffle, maybe-hits still anti-join exactly, the filter
+    // sized from the manifest's row counts with zero data I/O. Declared
+    // separately so the at-scale cutover (history past broadcast range)
+    // is oracle-pinned like d5b/d7b — bit-equal to c3 by construction,
+    // so both share one oracle.
+    "c3b_incremental_ingest_bloom" -> ((s, dir) => {
+      import graft.sinks.SnapshotLake
+      val raw = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val off = raw.agg(max(col("doc_id"))).head.getLong(0) + 1
+      val copies = raw.filter(col("doc_id") % 3 === 0)
+      val root = graft.TempDirs.create("graft-c3b") + "/corpus"
+      Dedup.ingestDedupBloom(s, root, raw, "doc_id", "text")
+      Dedup.ingestDedupBloom(s, root,
+        copies.withColumn("doc_id", col("doc_id") + lit(off))
+          .unionByName(copies.withColumn("doc_id",
+            col("doc_id") + lit(2 * off))),
+        "doc_id", "text")
+      Dedup.ingestDedupBloom(s, root, raw.filter(col("doc_id") % 5 === 1),
+        "doc_id", "text")
+      SnapshotLake.read(s, root).select(col("doc_id"), col("fp"))
     })
   )
 
@@ -141,8 +164,14 @@ object CorpusQueries {
          |       coalesce(a.text_clean, '') AS text_clean
          |FROM lined b LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
-    "c3_incremental_ingest" ->
-      s"""WITH mx AS (SELECT max(doc_id) + 1 AS off FROM documents),
+    "c3_incremental_ingest" -> C3OracleSql,
+    // bit-equal to c3 by construction (bloom pre-filter has no false
+    // negatives; maybe-hits anti-join exactly) — one oracle, two paths
+    "c3b_incremental_ingest_bloom" -> C3OracleSql
+  )
+
+  private lazy val C3OracleSql: String =
+    s"""WITH mx AS (SELECT max(doc_id) + 1 AS off FROM documents),
          |all_docs AS (
          |  SELECT doc_id, text FROM documents
          |  UNION ALL
@@ -169,5 +198,4 @@ object CorpusQueries {
          |  SELECT doc_id, fp, min(doc_id) OVER (PARTITION BY fp) AS m
          |  FROM c3fps
          |) WHERE doc_id = m""".stripMargin
-  )
 }

@@ -208,6 +208,32 @@ object ScaleQueries {
         col("sum_volume"), col("approx_distinct_uid"))
     }),
 
+    // SN6 — the lake's SQL doorway: bars land through the REGISTERED
+    // batch format (df.write.format("graft-snapshot"), two id-ranged
+    // appends with footer envelopes), and the result is read back with
+    // plain spark.sql over a view of spark.read.format(...) — no
+    // library call anywhere on the read path. The WHERE prunes data
+    // files through ManifestFileIndex at planning time (plan shape
+    // pinned in SnapshotFormatSpec; CREATE TABLE ... USING pinned
+    // there too). The oracle computes the same split + filter
+    // declaratively — a hash match proves the whole doorway lossless.
+    "sn6_sql_format" -> ((s, dir) => {
+      val b = Tables.bars(s, dir).select("event_id", "symbol", "ts", "close")
+      val root = graft.TempDirs.create("graft-sn6") + "/lake"
+      val r = b.agg(min("event_id"), max("event_id")).head
+      val mid = (r.getLong(0) + r.getLong(1)) / 2
+      b.filter(col("event_id") < mid).repartition(2)
+        .write.format("graft-snapshot").option("statsCols", "event_id")
+        .save(root)
+      b.filter(col("event_id") >= mid).repartition(2)
+        .write.format("graft-snapshot").mode("append")
+        .option("statsCols", "event_id").save(root)
+      s.read.format("graft-snapshot").load(root)
+        .createOrReplaceTempView("sn6_lake")
+      s.sql(s"SELECT event_id, symbol, ts, close FROM sn6_lake " +
+        s"WHERE event_id < $mid")
+    }),
+
     // Manifest-powered CDC: bars land in two appends (ver 1), a MERGE
     // upserts bumped-close updates + brand-new ids (ver 2), a DELETE
     // removes every 97th key — then diff(pre-merge, head) classifies the
@@ -500,6 +526,13 @@ object ScaleQueries {
          |)
          |SELECT symbol, bucket_ts, open, high, low, close, volume, n_bars
          |FROM agg""".stripMargin),
+
+    "sn6_sql_format" -> (Tables.barsSql +
+      s"""
+         |SELECT event_id, symbol, ts, close
+         |FROM bars
+         |WHERE event_id <
+         |  (SELECT (min(event_id) + max(event_id)) // 2 FROM bars)""".stripMargin),
 
     "cdc1_snapshot_diff" -> (Tables.barsSql +
       s"""

@@ -129,24 +129,37 @@ object ManifestFileIndex {
     }
   }
 
-  /** An auto-pruning DataFrame over a snapshot version (latest when
-    * None): filters you write prune files through the manifest stats at
-    * planning time. Unpartitioned lakes only — hive partition values live
-    * in paths, not files, so a partitioned snapshot must use
-    * `SnapshotLake.read`/`readBox` (whose explicit-schema path resolves
-    * them); with stats-pruning on the partition-deriving columns there is
-    * nothing a directory layout would add.
+  /** The auto-pruning relation over a snapshot version (latest when
+    * None) — the seam both [[readPruned]] and the registered
+    * `graft-snapshot` batch format ([[graft.streaming
+    * .SnapshotSourceProvider]]) plan through: a `HadoopFsRelation` whose
+    * FileIndex is the manifest, so pushed-down filters prune files at
+    * planning time and the scan itself is Spark's own vectorized
+    * parquet reader inside whole-stage codegen. Unpartitioned lakes
+    * only — hive partition values live in paths, not files, so a
+    * partitioned snapshot must use `SnapshotLake.read`/`readBox` (whose
+    * explicit-schema path resolves them); with stats-pruning on the
+    * partition-deriving columns there is nothing a directory layout
+    * would add.
     */
-  def readPruned(spark: SparkSession, root: String,
-      version: Option[Long] = None): DataFrame = {
+  def relation(spark: SparkSession, root: String,
+      version: Option[Long] = None): HadoopFsRelation = {
     val m = SnapshotLake.manifest(spark, root, version)
     require(m.files.forall(!_.rel.contains("=")),
-      "readPruned supports unpartitioned snapshot lakes; this lake has " +
-        "hive partition dirs — use SnapshotLake.read/readBox")
+      "the pruned snapshot relation supports unpartitioned snapshot " +
+        "lakes; this lake has hive partition dirs — use " +
+        "SnapshotLake.read/readBox")
     val dd = new Path(root, "data")
     val index = new ManifestFileIndex(spark, dd, m.files, m.schema)
-    val relation = HadoopFsRelation(index, StructType(Nil), m.schema, None,
+    HadoopFsRelation(index, StructType(Nil), m.schema, None,
       new ParquetFileFormat, Map.empty[String, String])(spark)
-    spark.baseRelationToDataFrame(relation)
   }
+
+  /** An auto-pruning DataFrame over a snapshot version (latest when
+    * None): filters you write prune files through the manifest stats at
+    * planning time. See [[relation]] for the contract.
+    */
+  def readPruned(spark: SparkSession, root: String,
+      version: Option[Long] = None): DataFrame =
+    spark.baseRelationToDataFrame(relation(spark, root, version))
 }

@@ -1,14 +1,14 @@
 package graft.streaming
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SaveMode, SparkSession}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 import org.apache.spark.sql.graftbridge.StreamBridge
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
 
-import graft.sinks.SnapshotLake
+import graft.sinks.{ManifestFileIndex, SnapshotLake}
 
 /** The snapshot lake as a Structured Streaming SOURCE — the read half of
   * the symmetry whose write half is [[SnapshotLake.appendStream]]: the
@@ -48,16 +48,40 @@ import graft.sinks.SnapshotLake
   * too-aggressive vacuum fails the pinned read loudly ("vacuumed?"), the
   * standard changelog-retention contract.
   *
-  * Usage:
+  * This class is also the lake's BATCH DataSource — the one registered
+  * name (`graft-snapshot`, via META-INF/services, the Kafka-provider
+  * pattern of a single class carrying every personality) serves all
+  * four doorways:
+  *
   * {{{
+  *   // batch read: manifest-pruned, envelope-skipping — plain SQL users
+  *   // get the same file pruning as ManifestFileIndex.readPruned
+  *   spark.read.format("graft-snapshot")
+  *     .option("versionAsOf", "3")            // optional time travel
+  *     .load(root)
+  *   // ...including through the catalog:
+  *   //   CREATE TABLE bars USING `graft-snapshot` OPTIONS (path '<root>')
+  *   //   SELECT ... FROM bars WHERE ts >= ...   -- prunes files
+  *
+  *   // batch write: append (default semantics of the snapshot lake),
+  *   // overwrite = atomic REPLACE; options statsCols/bloomCols/
+  *   // partitionCols are comma-separated column lists
+  *   df.write.format("graft-snapshot").mode("append")
+  *     .option("statsCols", "ts,event_id").save(root)
+  *
+  *   // streaming read (this file's original personality):
   *   spark.readStream
-  *     .format("graft.streaming.SnapshotSourceProvider")
+  *     .format("graft-snapshot")
   *     .option("startingVersion", "latest")   // or "earliest" (default)
   *     .option("skipRewrites", "true")        // default false = strict
   *     .load(root)
+  *
+  *   // streaming write: SnapshotLake.appendStream/mergeStream via
+  *   // foreachBatch (exactly-once by (streamId, batchId) manifest ops).
   * }}}
   */
-class SnapshotSourceProvider extends StreamSourceProvider with DataSourceRegister {
+class SnapshotSourceProvider extends StreamSourceProvider with DataSourceRegister
+    with RelationProvider with CreatableRelationProvider {
 
   override def shortName(): String = "graft-snapshot"
 
@@ -65,6 +89,64 @@ class SnapshotSourceProvider extends StreamSourceProvider with DataSourceRegiste
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft-snapshot source needs the lake root: .load(<root>) or " +
         ".option(\"path\", <root>)"))
+
+  private def cols(parameters: Map[String, String], k: String): Seq[String] =
+    parameters.get(k).toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+
+  /** Batch read: the manifest-pruned relation. Filters pushed into the
+    * scan prune data files through the manifest's footer envelopes at
+    * planning time ([[graft.sinks.ManifestFileIndex]]); the scan is
+    * Spark's vectorized parquet reader. `versionAsOf` pins a snapshot
+    * version (time travel); default is the latest.
+    */
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation =
+    ManifestFileIndex.relation(sqlContext.sparkSession, rootOf(parameters),
+      parameters.get("versionAsOf").map(_.toLong))
+
+  /** Batch write, with the snapshot lake's commit semantics per mode:
+    * Append = [[SnapshotLake.append]] (one atomic manifest version;
+    * creates the lake on first contact), Overwrite =
+    * [[SnapshotLake.replace]] (torn-free wholesale replacement),
+    * ErrorIfExists/Ignore behave per their contracts against "a lake
+    * exists here". Options: `statsCols` (footer min/max envelopes —
+    * pass the prune columns!), `bloomCols` (point-lookup sidecars),
+    * `partitionCols` (hive layout), `evolve` (widen-only schema
+    * evolution on append) — all comma-separated lists but `evolve`.
+    */
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val root = rootOf(parameters)
+    val (stats, blooms, parts) = (cols(parameters, "statsCols"),
+      cols(parameters, "bloomCols"), cols(parameters, "partitionCols"))
+    val exists = SnapshotLake.latestVersion(spark, root).nonEmpty
+    def append(): Unit = SnapshotLake.append(spark, root, data, parts, stats,
+      evolve = parameters.get("evolve").exists(_.toBoolean),
+      bloomCols = blooms)
+    mode match {
+      case SaveMode.Append => append()
+      case SaveMode.Overwrite =>
+        if (exists) SnapshotLake.replace(spark, root, data, parts, stats)
+        else append()
+      case SaveMode.ErrorIfExists =>
+        if (exists) throw new IllegalArgumentException(
+          s"a graft-snapshot lake already exists under $root " +
+            "(mode=ErrorIfExists) — use append or overwrite")
+        else append()
+      case SaveMode.Ignore => if (!exists) append()
+    }
+    // Spark discards this relation (SaveIntoDataSourceCommand returns no
+    // rows); a schema-only stub avoids planning a read of a lake the
+    // caller may have written hive-partitioned (which the pruned batch
+    // relation refuses — partitioned lakes read via SnapshotLake.read).
+    val ctx = sqlContext
+    new BaseRelation {
+      override def sqlContext: SQLContext = ctx
+      override def schema: StructType = data.schema
+    }
+  }
 
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
