@@ -66,6 +66,22 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
+    // Memory-BANDWIDTH canary: a constant ~512 MB full-shuffle
+    // materialization (cheap rpad payload, so the time is serialization +
+    // shuffle write/read memory traffic, not arithmetic). Exists because
+    // the CPU canary cannot adjudicate output-bound queries: round 10's
+    // d4 read 228 s vs a prior 74.5 s artifact on a SAME-CPU-speed window
+    // — the swing was co-tenant memory-bandwidth pressure the hash-agg
+    // canary is blind to. Recorded next to canary_sec so output-bound
+    // rows in cross-round comparisons divide by the right probe.
+    def canaryMem(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0, 4000000L, 1, 32)
+        .selectExpr("id", "rpad(cast(id AS string), 128, 'x') AS payload")
+        .repartition(32, org.apache.spark.sql.functions.col("id"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
     // Round-7 lesson: both sweeps used to traverse the suite in the SAME
     // alphabetical order at similar pace, so one sustained host-steal
     // burst sat on the same contiguous block in both passes and the
@@ -86,11 +102,12 @@ object Bench {
           name -> None
         }
       }
-    val canary1 = canary()
+    val canary1 = canary(); val canaryMem1 = canaryMem()
     val first = sweep(seed = 1).sortBy(_._1)
-    val canary2 = canary()
+    val canary2 = canary(); val canaryMem2 = canaryMem()
     val second = sweep(seed = 2).toMap
     val canarySec = math.min(canary1, canary2)
+    val canaryMemSec = math.min(canaryMem1, canaryMem2)
     // min of the two sweeps; a query that failed in EITHER sweep is failed.
     val results = first.map { case (name, t) =>
       name -> (for (a <- t; b <- second(name)) yield math.min(a, b))
@@ -109,9 +126,14 @@ object Bench {
     // is the ESTIMATE of what this sweep would cost on that reference host;
     // raw `value` + `canary_sec` stay primary for anyone re-deriving it.
     val canaryRef = 0.487
+    // canary_mem_ref: measured in round 11 via CanaryProbe on a host
+    // window whose CPU canary sat AT the reference (0.40-0.54 vs 0.487):
+    // mem probe 1.80-1.89 s steady. First round the probe exists, so this
+    // IS the reference by definition (BASELINE.md round-11 section).
+    val canaryMemRef = 1.80
     val normTotal = total * (canaryRef / canarySec)
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"canary_sec":$canarySec,"canary_ref":$canaryRef,"normalized_total":$normTotal,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"canary_sec":$canarySec,"canary_ref":$canaryRef,"canary_mem_sec":$canaryMemSec,"canary_mem_ref":$canaryMemRef,"normalized_total":$normTotal,"sf":"$sfDir"}"""
     Files.writeString(Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")), json + "\n")
     spark.stop()
