@@ -44,9 +44,12 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * FS-specific (the local ChecksumFileSystem refuses — SnapshotLakeSpec
   * pins that — but raw POSIX rename(2) silently replaces, and S3 has no
   * atomic rename at all). What IS exclusive everywhere is
-  * create-if-absent (`FileSystem.createNewFile` = O_CREAT|O_EXCL locally,
-  * namenode-atomic on HDFS; conditional PUT on object stores). So
-  * versions are DENSE and each is guarded by a lock file:
+  * create-if-absent — with the footgun that Hadoop's LOCAL
+  * `FileSystem.createNewFile` is itself check-then-act, so the file
+  * scheme drops to `java.io.File.createNewFile` (true O_CREAT|O_EXCL;
+  * see `tryLock`), HDFS's create(false) is namenode-atomic, and object
+  * stores swap in a conditional PUT. So versions are DENSE and each is
+  * guarded by a lock file:
   *
   *   1. head = latest manifest; next = head+1;
   *   2. createNewFile(v<next>.lock) — lose ⇒ wait (the lock is broken if
@@ -265,7 +268,8 @@ object SnapshotLake {
       val next = head.getOrElse(0L) + 1
       val lock = new Path(manifestDir(root), f"v$next%08d.lock")
       val target = new Path(manifestDir(root), manifestName(next))
-      if (fs.createNewFile(lock)) {
+      val acquired = tryLock(fs, lock)
+      if (acquired) {
         if (fs.exists(target)) {
           // stale acquire: the previous owner published and released
           // between our head read and our create — release and retry
@@ -278,9 +282,25 @@ object SnapshotLake {
             val tmp = new Path(manifestDir(root), s".tmp-${newToken()}")
             val outS = fs.create(tmp, true)
             try outS.write(render(m)) finally outS.close()
-            require(fs.rename(tmp, target), s"manifest publish failed: $target")
-            cachePut(root, m) // prime: the refresh loop re-reads it next
-            done = next
+            // The publish rename is the TRUE CAS, not the lock: local
+            // FileSystems implement create(f, overwrite=false) as
+            // exists()+open (no O_EXCL), so two committers CAN slip the
+            // lock's check-then-act window and both reach here (lockbench
+            // reproduces it at 8 writers). Rename-onto-existing REFUSES
+            // on ChecksumFileSystem (spec-pinned) and HDFS, so exactly
+            // one publish wins; the loser sees the target in place,
+            // discards its tmp, and retries against the new head —
+            // build() re-evaluates there, so no rival's files are ever
+            // dropped. (On an object store the primitive to swap in is
+            // the conditional PUT, as the protocol doc says.)
+            if (fs.rename(tmp, target)) {
+              cachePut(root, m) // prime: the refresh loop re-reads it next
+              done = next
+            } else {
+              fs.delete(tmp, false)
+              require(fs.exists(target),
+                s"manifest publish failed with no rival in place: $target")
+            }
           } finally fs.delete(lock, false)
         }
       } else {
@@ -292,13 +312,44 @@ object SnapshotLake {
         else if (st.exists(s =>
             System.currentTimeMillis - s.getModificationTime > lockExpiryMs))
           fs.delete(lock, false) // owner died mid-commit; lease expired
-        else Thread.sleep(25)
+        else { lockWaits.incrementAndGet(); Thread.sleep(25) }
       }
     }
     done
   }
 
   private val DefaultLockExpiryMs = 10L * 60 * 1000
+
+  /** Observability seam: cumulative 25 ms waits spent behind a LIVE
+    * rival's lock (not expiry breaks). The lockbench tool reads the
+    * delta to price commit contention under N racing writers.
+    */
+  private[graft] val lockWaits = new java.util.concurrent.atomic.AtomicLong
+
+  /** Exclusive lock-file creation. The protocol needs a TRUE atomic
+    * create-if-absent, and Hadoop's `FileSystem.createNewFile` on the
+    * LOCAL filesystem is not one: it is exists()-then-create, and the
+    * create itself is multi-step (open, then a shell chmod) — the
+    * 8-writer lockbench reproduced every failure shape: two racers both
+    * "winning" (then silently losing a manifest to POSIX rename-replace),
+    * FileAlreadyExistsException from the slipped exists() window, and
+    * ExitCodeException when a rival's lock-break deleted the
+    * half-created file before its chmod. On file:// we therefore go
+    * straight to `java.io.File.createNewFile` — a single
+    * open(O_CREAT|O_EXCL) syscall, atomic on POSIX. Elsewhere the Hadoop
+    * call stands (HDFS create(false) is namenode-atomic; object stores
+    * swap in a conditional PUT per the protocol doc), with any
+    * acquisition exception meaning "did not acquire" — loop and
+    * re-examine; a real persistent FS failure keeps failing and
+    * surfaces through the commit deadline, loudly.
+    */
+  private def tryLock(fs: FileSystem, lock: Path): Boolean =
+    try {
+      val uri = lock.toUri
+      if (uri.getScheme == null || uri.getScheme == "file")
+        new java.io.File(uri.getPath).createNewFile()
+      else fs.createNewFile(lock)
+    } catch { case _: java.io.IOException => false }
 
   /** Thrown from a rewrite's build callback (under the commit lock) when a
     * file the op read-and-rewrote is no longer in the head manifest: a

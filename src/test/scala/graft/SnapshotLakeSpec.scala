@@ -134,6 +134,30 @@ class SnapshotLakeSpec extends SparkSpec {
     assert(SnapshotLake.versions(spark, root) == (1L to 6L))
   }
 
+  test("8-writer commit storm: versions stay dense, rows exactly-once — " +
+      "covers the local-FS lock TOCTOU (createNewFile is exists+create, " +
+      "so the publish rename is the real CAS)") {
+    val root = freshRoot()
+    val (writers, perWriter) = (8, 4)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(Future.sequence((0 until writers).map(w => Future {
+      (0 until perWriter).foreach { i =>
+        val base = w * 1000000L + i * 1000L
+        SnapshotLake.append(spark, root,
+          spark.range(base, base + 50L, 1, 1).toDF("id"),
+          statsCols = Seq("id"))
+      }
+    })), 300.seconds)
+    // density: every commit won exactly one version, none double-numbered
+    assert(SnapshotLake.versions(spark, root) ==
+      (1L to writers.toLong * perWriter))
+    val df = SnapshotLake.read(spark, root)
+    assert(df.count() == writers.toLong * perWriter * 50)
+    assert(df.distinct().count() == writers.toLong * perWriter * 50)
+  }
+
   test("vacuum deletes only unreferenced files; dropped versions fail " +
       "loudly; retained pinned reads keep working") {
     val root = freshRoot()
