@@ -72,6 +72,26 @@ else
   note "BENCH FAILED"; BENCH="FAILED"; fail=1
 fi
 
+# --- 5. BASELINE.md measurement record ---------------------------------
+# The per-round record lapsed once (rounds 10-11 had to be backfilled);
+# the gate now appends its own bench row so the one-file history cannot
+# lapse again.
+if [[ -f BENCH.json ]]; then
+  python3 - "$TS" <<'EOF'
+import json, sys
+d = json.load(open("BENCH.json"))
+rec = (f"\n## Gate record — {sys.argv[1]}\n\n"
+       f"`tools/gate.sh` bench at sf0.1: **{d['value']:.1f} s raw / "
+       f"{len(d['queries'])} queries**, canary {d['canary_sec']:.3f} s"
+       f" (ref {d['canary_ref']}), canary_mem "
+       f"{d.get('canary_mem_sec', 0):.3f} s (ref {d.get('canary_mem_ref')}), "
+       f"normalized {d['normalized_total']:.1f} s, "
+       f"failed: {len(d['failed'])}.\n")
+open("BASELINE.md", "a").write(rec)
+EOF
+  note "BASELINE.md gate record appended"
+fi
+
 # --- summary ----------------------------------------------------------
 python3 - "$TS" "$fail" "$ORACLE" "${TESTS:-unknown}" "${BENCH:-unknown}" <<'EOF'
 import json, sys
