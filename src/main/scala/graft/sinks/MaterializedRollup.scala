@@ -64,7 +64,13 @@ object MaterializedRollup {
       lastCols: Seq[String] = Nil,
       targetRowsPerFile: Long = 4L * 1000 * 1000,
       distinctCols: Seq[String] = Nil,
-      hllP: Int = 12) {
+      hllP: Int = 12,
+      // register-lake files are kept SMALLER than rollup files: register
+      // rows ≈ min(per-group distinct, 2^p) per group, so the lake can
+      // rival the data in row count, and a refresh whose delta overlaps
+      // one boundary bucket still reads a whole file — finer files keep
+      // that boundary read proportional to the boundary, not the slice
+      regRowsPerFile: Long = 1L * 1000 * 1000) {
     require(keyCols.contains(pruneKey),
       s"pruneKey $pruneKey must be one of keyCols ${keyCols.mkString(",")}")
     require(orderCol.nonEmpty || (firstCols.isEmpty && lastCols.isEmpty),
@@ -237,11 +243,18 @@ object MaterializedRollup {
             spark.read.option("basePath", dd).schema(m.schema)
               .parquet(overlap.map(f => s"$dd/${f.rel}"): _*)
           }
+        // persist: cluster()'s repartitionByRange SAMPLES its input, so an
+        // uncached fold would re-read the overlap register files and
+        // re-run the max-merge a second time for the write (measured
+        // +~16 s at sf10 before this cache)
         val folded = graft.operators.Hll.mergeRegisters(existing, delta,
-          "__col" +: spec.keyCols)
+          "__col" +: spec.keyCols).persist()
         val boundRows = overlap.map(f => math.max(0L, f.rows)).sum + nDelta
-        val newFiles = SnapshotLake.stageFiles(spark, root,
-          cluster(folded, spec, boundRows), Nil, Set(spec.pruneKey))
+        val newFiles =
+          try SnapshotLake.stageFiles(spark, root,
+            cluster(folded, spec, boundRows, spec.regRowsPerFile),
+            Nil, Set(spec.pruneKey))
+          finally folded.unpersist()
         val overlapSet = overlap.map(_.rel).toSet
         SnapshotLake.commit(spark, root, "merge:hll-fold", m.schema,
           build = head => newFiles ++
@@ -265,7 +278,8 @@ object MaterializedRollup {
     try {
       val n = regs.count()
       SnapshotLake.replace(spark, hllRegsRoot(mvRoot),
-        cluster(regs, spec, n), statsCols = Seq(spec.pruneKey))
+        cluster(regs, spec, n, spec.regRowsPerFile),
+        statsCols = Seq(spec.pruneKey))
     } finally regs.unpersist()
   }
 
@@ -343,13 +357,17 @@ object MaterializedRollup {
     val mvHead = SnapshotLake.manifest(spark, mvRoot, None)
     if (baseHead == anchor)
       return Refresh(mvHead.version, anchor, 0L, 0, mvHead.files.size)
-    val delta =
+    val delta0 =
       try SnapshotLake.appendsSince(spark, baseRoot, anchor, Some(baseHead))
       catch {
         case e: IllegalArgumentException => throw new IllegalStateException(
           s"incremental refresh broken (${e.getMessage}) — run fullRefresh " +
             "to re-anchor", e)
       }
+    // with distinct columns the delta is read TWICE (rollup lift +
+    // register lift) — cache the parquet read; without them it's one pass
+    val delta =
+      if (spec.distinctCols.nonEmpty) delta0.persist() else delta0
     val deltaState = lift(delta, spec).cache()
     try {
       val dom = SnapshotLake.statsDomain(deltaState.schema, spec.pruneKey)
@@ -404,7 +422,10 @@ object MaterializedRollup {
             .filterNot(f => overlapSet.contains(f.rel))
         }, lockExpiryMs)
       Refresh(v, baseHead, nDelta, overlap.size, untouched.size)
-    } finally deltaState.unpersist()
+    } finally {
+      deltaState.unpersist()
+      if (spec.distinctCols.nonEmpty) delta.unpersist()
+    }
   }
 
   /** Range-cluster MV state on the prune key before staging so each data
@@ -416,9 +437,10 @@ object MaterializedRollup {
     * erase the envelope index; an upper-bound `rows` merely over-splits
     * (empty ranges write nothing).
     */
-  private def cluster(state: DataFrame, spec: Spec, rows: Long): DataFrame = {
-    val n = math.max(1L,
-      (rows + spec.targetRowsPerFile - 1) / spec.targetRowsPerFile)
+  private def cluster(state: DataFrame, spec: Spec, rows: Long,
+      perFile: Long = 0L): DataFrame = {
+    val target = if (perFile > 0) perFile else spec.targetRowsPerFile
+    val n = math.max(1L, (rows + target - 1) / target)
     state.repartitionByRange(n.toInt, col(spec.pruneKey))
   }
 
