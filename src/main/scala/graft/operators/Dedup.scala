@@ -1043,8 +1043,19 @@ object Dedup {
     import graft.sinks.SnapshotLake
     val first = sliceFirst(batch, idCol, textCol)
     val histRows = SnapshotLake.latestVersion(spark, root)
-      .map(v => SnapshotLake.manifest(spark, root, Some(v))
-        .files.map(f => math.max(0L, f.rows)).sum)
+      .map { v =>
+        val files = SnapshotLake.manifest(spark, root, Some(v)).files
+        // a pre-row-counts manifest would read as an EMPTY history and
+        // silently skip the dedup — refuse instead (addStats backfills)
+        val legacy = files.filter(_.rows < 0)
+        require(legacy.isEmpty,
+          s"ingestDedupBloom sizes its filter from the manifest's row " +
+            s"counts; ${legacy.size} file(s) predate them (e.g. " +
+            s"${legacy.take(2).map(_.rel).mkString(", ")}) — run " +
+            "SnapshotLake.addStats (or compact) to backfill, or use " +
+            "ingestDedup")
+        files.map(_.rows).sum
+      }
       .getOrElse(0L)
     val survivors =
       (if (histRows == 0L) first

@@ -1108,6 +1108,58 @@ object ScaleSmoke {
       d.unpersist()
     }
 
+    // ---- ingest: the c3/c3b history-path crossover ---------------------
+    // Prices the incremental-dedup history anti-join against its bloom
+    // twin as the history grows past broadcast range: ONE history lake
+    // (2 M / 10 M fingerprinted docs), one 1 M-doc slice (half already in
+    // history, half new), and the SURVIVOR computation timed through both
+    // paths against the same lake — the append is common cost and
+    // excluded, so the number is exactly what ingestDedup vs
+    // ingestDedupBloom trade. Bit-equality of the survivor sets is
+    // asserted, not assumed.
+    if (on("ingest")) {
+      import graft.operators.{Dedup, TextOps}
+      import org.apache.spark.sql.expressions.Window
+      for (histN <- Seq(2000000L, 10000000L)) {
+        val root = graft.TempDirs.create(s"smoke-ingest$histN") + "/corpus"
+        def docs(lo: Long, hi: Long) =
+          spark.range(lo, hi, 1, 32).selectExpr("id AS doc_id",
+            "concat('document body ', id, ' variant ', id % 13) AS text")
+        val t0 = System.nanoTime()
+        Dedup.ingestDedup(spark, root, docs(0, histN), "doc_id", "text")
+        println(f"[scale] ingest-hist-$histN%-8d build ${(System.nanoTime() - t0) / 1e9}%6.1f s")
+        // slice: 500 k dupes (ids inside history, shifted ids so the
+        // within-slice step keeps them) + 500 k new
+        val slice = docs(histN / 2, histN / 2 + 500000L)
+          .unionByName(docs(histN, histN + 500000L))
+          .withColumn("doc_id", col("doc_id") + lit(3000000000L))
+        val nf = TextOps.normalizedFingerprint(col("text"))
+        val first = slice.withColumn("fp", nf.getField("fp"))
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy("fp").orderBy(col("doc_id"))))
+          .filter(col("__rn") === 1).drop("__rn")
+          .persist()
+        first.count()
+        import graft.sinks.SnapshotLake
+        val hist = SnapshotLake.read(spark, root)
+        def timeI(label: String)(f: => Long): Long = {
+          val t = System.nanoTime()
+          val rows = f
+          println(f"[scale] $label%-22s rows=$rows%-9d ${(System.nanoTime() - t) / 1e9}%6.1f s")
+          rows
+        }
+        val a = timeI(s"ingest-anti-$histN") {
+          first.join(hist.select(col("fp")), Seq("fp"), "left_anti").count()
+        }
+        val b = timeI(s"ingest-bloom-$histN") {
+          Dedup.pruneDuplicatesBloom(first, col("fp"),
+            hist.select(col("fp").as("drop_id")), expectedDrops = histN).count()
+        }
+        require(a == b, s"bloom path diverged: $a vs $b survivors")
+        first.unpersist()
+      }
+    }
+
     // ---- lockbench: concurrent-writer commit throughput ----------------
     // Prices the dense-version lock protocol under N racing appenders
     // into ONE lake: each commit carries a tiny 100-row frame, so the

@@ -558,4 +558,31 @@ class DedupSpec extends SparkSpec {
     val (_, kb3) = Dedup.ingestDedupBloom(spark, rootB, s2, "doc_id", "text")
     assert(kb3 == 0, "bloom-path replay appended rows")
   }
+
+  test("ingestDedupBloom refuses a pre-row-counts history manifest " +
+      "loudly (an empty-looking history would silently skip the dedup)") {
+    import graft.sinks.SnapshotLake
+    import org.apache.hadoop.fs.Path
+    val root = TempDirs.create("ingest-legacy") + "/corpus"
+    val s1 = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    Dedup.ingestDedup(spark, root, s1, "doc_id", "text")
+    // strip stats+rows columns from the head manifest (2-col legacy lines)
+    val fs = new Path("/").getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mPath = new Path(new Path(root, "_manifests"), "v00000001.manifest")
+    val in = fs.open(mPath)
+    val raw = scala.io.Source.fromInputStream(in).mkString; in.close()
+    val legacy = raw.split("\n").map { l =>
+      val c = l.split('\t'); if (c.length >= 3) s"${c(0)}\t${c(1)}" else l
+    }.mkString("\n")
+    val o = fs.create(mPath, true); o.write(legacy.getBytes); o.close()
+    SnapshotLake.invalidateManifestCache(root)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.ingestDedupBloom(spark, root, s1, "doc_id", "text")
+    }
+    assert(e.getMessage.contains("addStats"))
+    // addStats backfills the counts and the bloom path works again
+    SnapshotLake.addStats(spark, root, Seq("doc_id"))
+    val (_, k) = Dedup.ingestDedupBloom(spark, root, s1, "doc_id", "text")
+    assert(k == 0, "replay after backfill must append nothing")
+  }
 }
