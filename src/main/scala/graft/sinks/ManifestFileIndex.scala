@@ -40,7 +40,20 @@ final class ManifestFileIndex(
         new Path(dataDir, e.rel)))
     }
 
-  override def rootPaths: Seq[Path] = Seq(dataDir)
+  /** DELIBERATELY two paths. `rootPaths` feeds exactly one write-side
+    * consumer: `InsertIntoHadoopFsRelationCommand`, which refuses any
+    * relation whose location has ≠ 1 root path BEFORE planning the
+    * write — and that refusal is the only extension-free way to stop
+    * SQL `INSERT INTO` / `INSERT OVERWRITE` from landing (or, for
+    * static overwrite, DELETING) parquet files directly under data/,
+    * bypassing the manifest commit protocol and corrupting the lake.
+    * Writes go through `df.write.format("graft-snapshot")` (the
+    * registered CreatableRelationProvider) or the SnapshotLake API,
+    * both of which commit manifests. Read-side consumers of rootPaths
+    * are cosmetic (plan Location strings); file listing goes through
+    * [[listFiles]]/[[inputFiles]], which are unaffected.
+    */
+  override def rootPaths: Seq[Path] = Seq(dataDir, new Path(dataDir, "_manifest_guard"))
 
   override def partitionSchema: StructType = StructType(Nil)
 

@@ -62,6 +62,10 @@ import graft.sinks.{ManifestFileIndex, SnapshotLake}
   *   // ...including through the catalog:
   *   //   CREATE TABLE bars USING `graft-snapshot` OPTIONS (path '<root>')
   *   //   SELECT ... FROM bars WHERE ts >= ...   -- prunes files
+  *   //   REFRESH TABLE bars  -- after out-of-band lake commits (the
+  *   //     catalog caches the resolved relation, standard V1 semantics);
+  *   //   SQL INSERT INTO/OVERWRITE are REFUSED up front — they would
+  *   //     bypass the manifest commit (see ManifestFileIndex.rootPaths)
   *
   *   // batch write: append (default semantics of the snapshot lake),
   *   // overwrite = atomic REPLACE; options statsCols/bloomCols/

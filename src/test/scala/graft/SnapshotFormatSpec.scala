@@ -111,6 +111,39 @@ class SnapshotFormatSpec extends SparkSpec {
     assert(spark.read.format("graft-snapshot").load(root2).count() == 4)
   }
 
+  test("SQL INSERT INTO / INSERT OVERWRITE cannot bypass the manifest: " +
+      "both refuse before touching a file, and the lake is unchanged") {
+    val root = freshRoot()
+    bars(1, 10, 0.0).write.format("graft-snapshot")
+      .option("statsCols", "close").save(root)
+    val before = SnapshotLake.manifest(spark, root)
+    spark.sql(s"CREATE TABLE snapfmt_ins USING `graft-snapshot` " +
+      s"OPTIONS (path '$root')")
+    try {
+      // a direct INSERT would write parquet under data/ with no manifest
+      // commit (invisible rows); INSERT OVERWRITE would DELETE data files
+      // a pinned manifest still references. Both must fail up front.
+      intercept[Exception] {
+        spark.sql("INSERT INTO snapfmt_ins SELECT * FROM snapfmt_ins")
+      }
+      intercept[Exception] {
+        spark.sql("INSERT OVERWRITE snapfmt_ins SELECT * FROM snapfmt_ins")
+      }
+      val after = SnapshotLake.manifest(spark, root)
+      assert(after.version == before.version &&
+        after.files.map(_.rel) == before.files.map(_.rel),
+        "INSERT must not have changed the lake")
+      assert(SnapshotLake.read(spark, root).count() == 10)
+      // the supported write path still lands as a manifest commit; the
+      // catalog caches the resolved relation (standard V1 semantics, same
+      // as a parquet table), so out-of-band commits need REFRESH TABLE
+      bars(2, 5, 100.0).write.format("graft-snapshot")
+        .mode(SaveMode.Append).save(root)
+      spark.sql("REFRESH TABLE snapfmt_ins")
+      assert(spark.sql("SELECT * FROM snapfmt_ins").count() == 15)
+    } finally spark.sql("DROP TABLE snapfmt_ins")
+  }
+
   test("a hive-partitioned lake refuses the pruned batch relation loudly") {
     val root = freshRoot()
     bars(1, 12, 0.0).write.format("graft-snapshot")
