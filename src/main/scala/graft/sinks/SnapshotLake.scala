@@ -282,17 +282,21 @@ object SnapshotLake {
             val tmp = new Path(manifestDir(root), s".tmp-${newToken()}")
             val outS = fs.create(tmp, true)
             try outS.write(render(m)) finally outS.close()
-            // The publish rename is the TRUE CAS, not the lock: local
-            // FileSystems implement create(f, overwrite=false) as
-            // exists()+open (no O_EXCL), so two committers CAN slip the
-            // lock's check-then-act window and both reach here (lockbench
-            // reproduces it at 8 writers). Rename-onto-existing REFUSES
-            // on ChecksumFileSystem (spec-pinned) and HDFS, so exactly
-            // one publish wins; the loser sees the target in place,
-            // discards its tmp, and retries against the new head —
-            // build() re-evaluates there, so no rival's files are ever
-            // dropped. (On an object store the primitive to swap in is
-            // the conditional PUT, as the protocol doc says.)
+            // The publish rename is the SECOND line of defense behind the
+            // lock: before tryLock went O_EXCL on file://, Hadoop's
+            // check-then-act createNewFile let two committers both "win"
+            // and POSIX rename-replace silently swallowed a manifest
+            // (lockbench reproduced it at 8 writers — 32 appends, 30
+            // versions). With the exclusive lock that window is closed
+            // locally; this branch remains the backstop for the residual
+            // double-holders the protocol doc names — a lease-expiry
+            // break racing a slow owner, or a scheme whose create is not
+            // exclusive. Rename-onto-existing REFUSES on
+            // ChecksumFileSystem (spec-pinned) and HDFS, so exactly one
+            // publish wins; the loser discards its tmp and retries
+            // against the new head — build() re-evaluates there, so no
+            // rival's files are ever dropped. (On an object store the
+            // primitive to swap in is the conditional PUT.)
             if (fs.rename(tmp, target)) {
               cachePut(root, m) // prime: the refresh loop re-reads it next
               done = next
