@@ -234,6 +234,37 @@ object ScaleQueries {
         s"WHERE event_id < $mid")
     }),
 
+    // SN7 — the round-12 DSv2 doorway end-to-end: a hive-PARTITIONED
+    // lake (first half, format write with partitionCols + envelopes),
+    // then the second half landed through the SQL WRITE surface —
+    // `INSERT INTO` a catalog table is ONE manifest append commit via
+    // SnapshotTable's V1Write (footer stats inherited from the head,
+    // spec-pinned in SnapshotFormatSpec) — and read back with plain SQL
+    // whose symbol predicate prunes partition DIRECTORIES through
+    // Spark's own partition pruning (the V1 relation refused
+    // partitioned lakes outright). The oracle recomputes declaratively;
+    // a hash match proves the partitioned write → SQL insert → SQL
+    // read loop lossless.
+    "sn7_sql_insert_partitioned" -> ((s, dir) => {
+      val b = Tables.bars(s, dir).select("event_id", "symbol", "ts", "close")
+      val root = graft.TempDirs.create("graft-sn7") + "/lake"
+      val r = b.agg(min("event_id"), max("event_id")).head
+      val mid = (r.getLong(0) + r.getLong(1)) / 2
+      b.filter(col("event_id") < mid).repartition(2)
+        .write.format("graft-snapshot")
+        .option("partitionCols", "symbol").option("statsCols", "event_id")
+        .save(root)
+      s.sql("DROP TABLE IF EXISTS sn7_lake")
+      s.sql(s"CREATE TABLE sn7_lake USING `graft-snapshot` " +
+        s"OPTIONS (path '$root')")
+      b.filter(col("event_id") >= mid).repartition(2)
+        .createOrReplaceTempView("sn7_src")
+      s.sql("INSERT INTO sn7_lake " +
+        "SELECT event_id, symbol, ts, close FROM sn7_src")
+      s.sql("SELECT event_id, symbol, ts, close FROM sn7_lake " +
+        "WHERE symbol = (SELECT min(symbol) FROM sn7_lake)")
+    }),
+
     // Manifest-powered CDC: bars land in two appends (ver 1), a MERGE
     // upserts bumped-close updates + brand-new ids (ver 2), a DELETE
     // removes every 97th key — then diff(pre-merge, head) classifies the
@@ -533,6 +564,12 @@ object ScaleQueries {
          |FROM bars
          |WHERE event_id <
          |  (SELECT (min(event_id) + max(event_id)) // 2 FROM bars)""".stripMargin),
+
+    "sn7_sql_insert_partitioned" -> (Tables.barsSql +
+      s"""
+         |SELECT event_id, symbol, ts, close
+         |FROM bars
+         |WHERE symbol = (SELECT min(symbol) FROM bars)""".stripMargin),
 
     "cdc1_snapshot_diff" -> (Tables.barsSql +
       s"""

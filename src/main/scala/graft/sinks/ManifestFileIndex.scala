@@ -43,14 +43,16 @@ final class ManifestFileIndex(
   /** DELIBERATELY two paths. `rootPaths` feeds exactly one write-side
     * consumer: `InsertIntoHadoopFsRelationCommand`, which refuses any
     * relation whose location has ≠ 1 root path BEFORE planning the
-    * write — and that refusal is the only extension-free way to stop
-    * SQL `INSERT INTO` / `INSERT OVERWRITE` from landing (or, for
-    * static overwrite, DELETING) parquet files directly under data/,
-    * bypassing the manifest commit protocol and corrupting the lake.
-    * Writes go through `df.write.format("graft-snapshot")` (the
-    * registered CreatableRelationProvider) or the SnapshotLake API,
-    * both of which commit manifests. Read-side consumers of rootPaths
-    * are cosmetic (plan Location strings); file listing goes through
+    * write — stopping SQL `INSERT INTO` / `INSERT OVERWRITE` from
+    * landing (or, for static overwrite, DELETING) parquet files
+    * directly under data/, bypassing the manifest commit protocol and
+    * corrupting the lake. Since round 12 this guard is
+    * DEFENSE-IN-DEPTH, not the doorway's contract: SQL INSERT resolves
+    * through the DSv2 [[SnapshotTable]] (whose V1Write lands it as a
+    * manifest commit), and this V1 relation is reachable only via
+    * [[readPruned]] or `spark.sql.sources.useV1SourceList` — where an
+    * INSERT must still refuse. Read-side consumers of rootPaths are
+    * cosmetic (plan Location strings); file listing goes through
     * [[listFiles]]/[[inputFiles]], which are unaffected.
     */
   override def rootPaths: Seq[Path] = Seq(dataDir, new Path(dataDir, "_manifest_guard"))
@@ -66,17 +68,34 @@ final class ManifestFileIndex(
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val box = dataFilters.foldLeft(Map.empty[String, (Double, Double)]) {
-      (acc, f) => intersect(acc, ManifestFileIndex.bounds(f))
-    }
+    val box = ManifestFileIndex.boxOf(dataFilters)
     val kept = statuses.filter { case (e, _) =>
-      box.forall { case (c, (lo, hi)) =>
-        e.stats.get(c).forall { case (fLo, fHi) => fHi >= lo && fLo <= hi }
-      }
+      ManifestFileIndex.surviving(e.stats, box)
     }
     Seq(PartitionDirectory(InternalRow.empty,
       kept.map(s => FileStatusWithMetadata(s._2, Map.empty))))
   }
+}
+
+object ManifestFileIndex {
+
+  /** The intersected per-column [lo, hi] box a conjunction of pushed-down
+    * data filters implies — the shared pruning predicate of this V1 index
+    * and the DSv2 [[SnapshotPartitioningIndex]].
+    */
+  private[sinks] def boxOf(dataFilters: Seq[Expression]): Map[String, (Double, Double)] =
+    dataFilters.foldLeft(Map.empty[String, (Double, Double)]) { (acc, f) =>
+      intersect(acc, bounds(f))
+    }
+
+  /** Does a file with these envelopes survive the box? Sound, not
+    * complete: a column with no recorded envelope keeps the file.
+    */
+  private[sinks] def surviving(stats: Map[String, (Double, Double)],
+      box: Map[String, (Double, Double)]): Boolean =
+    box.forall { case (c, (lo, hi)) =>
+      stats.get(c).forall { case (fLo, fHi) => fHi >= lo && fLo <= hi }
+    }
 
   private def intersect(a: Map[String, (Double, Double)],
       b: Map[String, (Double, Double)]): Map[String, (Double, Double)] =
@@ -88,9 +107,6 @@ final class ManifestFileIndex(
         case (None, v) => k -> v.get
       }
     }.toMap
-}
-
-object ManifestFileIndex {
 
   /** The [lo, hi] interval a predicate implies per column, in the footer
     * stats domain (timestamps already arrive as micros literals from

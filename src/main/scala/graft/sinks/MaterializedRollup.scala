@@ -407,8 +407,15 @@ object MaterializedRollup {
       // that used to materialize `combined` twice per refresh.
       val boundRows = overlap.map(f => math.max(0L, f.rows)).sum +
         range.getLong(3)
-      val newFiles = SnapshotLake.stageFiles(spark, mvRoot,
-        cluster(combined, spec, boundRows), Nil, Set(spec.pruneKey))
+      // cluster()'s repartitionByRange SAMPLES its input before the write
+      // consumes it, so without a persist the union+combine aggregate runs
+      // twice per refresh — the same double-compute foldDistinct persists
+      // `folded` to avoid (its comment cites +16 s measured at sf10).
+      val combinedP = combined.persist()
+      val newFiles = try {
+        SnapshotLake.stageFiles(spark, mvRoot,
+          cluster(combinedP, spec, boundRows), Nil, Set(spec.pruneKey))
+      } finally combinedP.unpersist()
       val overlapSet = overlap.map(_.rel).toSet
       val nDelta = range.getLong(2)
       // distinct registers BEFORE the anchor-advancing commit (idempotent

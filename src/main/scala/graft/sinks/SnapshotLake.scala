@@ -213,11 +213,17 @@ object SnapshotLake {
     (manifestDir(root).toString, v)
   private def cachePut(root: String, m: Manifest): Unit =
     manifestCache.synchronized { manifestCache.put(cacheKey(root, m.version), m) }
-  /** Drop a root's cached manifests — vacuum path, plus a test seam for
-    * specs that rewrite a published manifest in place to simulate legacy
-    * formats (a thing no production writer does).
+  /** Drop a root's cached manifests. Called by [[vacuum]] (so in-JVM
+    * pinned reads of dropped versions keep failing loudly), and PUBLIC
+    * for admin flows the cache cannot see: a vacuum run from a DIFFERENT
+    * JVM, or deleting and recreating a lake at the same path within one
+    * long-lived driver — without the invalidate, a hit for a pinned
+    * version serves the stale parsed manifest and the eventual scan
+    * failure on missing data files is loud but misattributed. Also a
+    * test seam for specs that rewrite a published manifest in place to
+    * simulate legacy formats (a thing no production writer does).
     */
-  private[graft] def invalidateManifestCache(root: String): Unit =
+  def invalidateManifestCache(root: String): Unit =
     manifestCache.synchronized {
       val dir = manifestDir(root).toString
       manifestCache.keySet.removeIf(_._1 == dir)
@@ -992,7 +998,8 @@ object SnapshotLake {
     */
   def replace(spark: SparkSession, root: String, df: DataFrame,
       partitionCols: Seq[String] = Nil, statsCols: Seq[String] = Nil,
-      lockExpiryMs: Long = DefaultLockExpiryMs): Long = {
+      lockExpiryMs: Long = DefaultLockExpiryMs,
+      bloomCols: Seq[String] = Nil): Long = {
     val schema = latestVersion(spark, root) match {
       case None => df.schema
       case Some(_) =>
@@ -1002,7 +1009,8 @@ object SnapshotLake {
             s"replacement has ${df.schema.simpleString}")
         cur
     }
-    val newFiles = stageFiles(spark, root, df, partitionCols, statsCols.toSet)
+    val newFiles = stageFiles(spark, root, df, partitionCols, statsCols.toSet,
+      bloomCols)
     commit(spark, root, "replace", schema, build = _ => newFiles,
       lockExpiryMs)
   }

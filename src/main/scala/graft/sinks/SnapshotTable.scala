@@ -1,0 +1,282 @@
+package graft.sinks
+
+import java.util.{Map => JMap}
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.execution.datasources.{PartitionDirectory, PartitioningAwareFileIndex, PartitionSpec}
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
+import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** The snapshot lake as a DataSource V2 [[Table]] — the doorway that
+  * makes the lake a FIRST-CLASS SQL table instead of a read-mostly
+  * relation with refused writes:
+  *
+  *   - `SELECT` plans a [[SnapshotPartitioningIndex]] scan: ONE manifest
+  *     read on the driver resolves the pinned file list, hive partition
+  *     directories prune through Spark's own partition-pruning machinery,
+  *     per-file min/max envelopes prune data files (the same soundness
+  *     contract as [[ManifestFileIndex]]), and the physical scan is
+  *     Spark's vectorized parquet `BatchScanExec` inside whole-stage
+  *     codegen — including for hive-partitioned lakes, which the V1
+  *     relation refuses;
+  *   - `INSERT INTO` lands as an ordinary manifest APPEND commit (one
+  *     atomic version, footer stats + bloom sidecars restamped exactly
+  *     like a library `SnapshotLake.append`), via the public
+  *     [[org.apache.spark.sql.connector.write.V1Write]] fallback — the
+  *     same seam early Delta Lake shipped on. The round-11 `rootPaths`
+  *     refusal in [[ManifestFileIndex]] is thereby demoted from the only
+  *     line of defense to defense-in-depth for the V1 relation;
+  *   - `INSERT OVERWRITE` (unpartitioned truncate form) is an atomic
+  *     REPLACE — the torn-free wholesale swap, pinned readers unaffected;
+  *   - every query re-resolves the table through
+  *     `TableProvider.getTable`, so a fresh manifest head is picked up
+  *     per statement — the V1 catalog's stale-relation-cache
+  *     `REFRESH TABLE` footgun is gone by construction;
+  *   - `versionAsOf` pins time travel; a pinned table refuses writes.
+  *
+  * What stays deliberately unsupported (loud analysis errors, not silent
+  * misbehavior): filtered / partition-static `INSERT OVERWRITE`
+  * (`OVERWRITE_BY_FILTER` undeclared — use [[SnapshotLake.delete]] +
+  * append, or full truncate), dynamic partition overwrite
+  * (`OVERWRITE_DYNAMIC` undeclared), and streaming V2 scans (the V1
+  * [[graft.streaming.SnapshotSource]] personality serves `readStream`
+  * through Spark's built-in fallback).
+  *
+  * Schema source of truth is the MANIFEST (Delta semantics): a catalog
+  * table created before a widen-only evolution keeps working — the
+  * catalog's stored schema must be a name+type SUBSET of the manifest's;
+  * anything else fails loudly.
+  */
+final class SnapshotTable(
+    spark: SparkSession,
+    root: String,
+    version: Option[Long],
+    declaredSchema: Option[StructType],
+    declaredPartitioning: Seq[String],
+    tableOptions: CaseInsensitiveStringMap) extends Table
+    with SupportsRead with SupportsWrite {
+
+  import SnapshotLake.{FileEntry, Manifest}
+
+  /** The manifest this table instance is pinned at — resolved ONCE per
+    * table resolution (i.e. per statement), None when the lake does not
+    * exist yet (a `CREATE TABLE`-declared lake awaiting its first
+    * INSERT). Readers of this instance see exactly this snapshot; the
+    * NEXT statement re-resolves and sees new commits.
+    */
+  private lazy val pinned: Option[Manifest] =
+    version match {
+      case Some(v) => Some(SnapshotLake.manifest(spark, root, Some(v)))
+      case None => SnapshotLake.latestVersion(spark, root)
+        .map(v => SnapshotLake.manifest(spark, root, Some(v)))
+    }
+
+  /** Catalog/user schema must be a name+type subset of the manifest's —
+    * equality for fresh catalogs, strict subset after a widen-only
+    * `evolve` (the catalog entry is then stale but still sound).
+    */
+  private def validateDeclared(m: Manifest): Unit = declaredSchema.foreach { s =>
+    val have = m.schema.fields.map(f => f.name -> f.dataType).toMap
+    val bad = s.fields.filterNot(f => have.get(f.name).contains(f.dataType))
+    require(bad.isEmpty,
+      s"declared schema drifts from the snapshot manifest under $root: " +
+        s"${bad.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", ")} " +
+        s"not in ${m.schema.simpleString} — the manifest is the source of truth")
+  }
+
+  override def name(): String =
+    s"graft-snapshot.`$root`" + version.map(v => s"@v$v").getOrElse("")
+
+  override def schema(): StructType = pinned match {
+    case Some(m) => validateDeclared(m); m.schema
+    case None => declaredSchema.getOrElse(throw new IllegalArgumentException(
+      s"no committed snapshot under $root and no declared schema — " +
+        "append once (library or format write) or CREATE TABLE with columns"))
+  }
+
+  /** Partition columns: from the manifest's hive directory layout when
+    * the lake exists, else from the CREATE TABLE declaration.
+    */
+  private def partCols: Seq[String] = pinned match {
+    case Some(m) => SnapshotTable.partColsOf(m)
+    case None => declaredPartitioning
+  }
+
+  override def partitioning(): Array[Transform] =
+    partCols.map(Expressions.identity).toArray
+
+  override def properties(): JMap[String, String] = tableOptions.asCaseSensitiveMap()
+
+  /** No BATCH_WRITE: `df.write.format(...)` then falls back to the V1
+    * `CreatableRelationProvider` (all four save modes, bit-identical to
+    * round 11), while SQL INSERT — which only checks
+    * BATCH_WRITE ∨ V1_BATCH_WRITE — plans through [[newWriteBuilder]]'s
+    * V1Write. TRUNCATE unlocks the full-table `INSERT OVERWRITE` form.
+    */
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val m = pinned.getOrElse(Manifest(0L, 0L, "empty", schema(), Nil))
+    validateDeclared(m)
+    val index = new SnapshotPartitioningIndex(spark, root, m)
+    val dataSchema = StructType(
+      m.schema.fields.filterNot(f => partCols.contains(f.name)))
+    ParquetScanBuilder(spark, index, m.schema, dataSchema, options)
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(version.isEmpty,
+      s"cannot write to a version-pinned snapshot table (versionAsOf=" +
+        s"${version.get}) — writes go to the lake head")
+    new WriteBuilder with SupportsTruncate {
+      private var truncating = false
+      override def truncate(): WriteBuilder = { truncating = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit =
+              SnapshotTable.insertInto(data.sparkSession, root, data,
+                truncating || overwrite, declaredPartitioning, tableOptions)
+          }
+      }
+    }
+  }
+}
+
+object SnapshotTable {
+
+  private def csv(o: CaseInsensitiveStringMap, k: String): Seq[String] =
+    Option(o.get(k)).toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+
+  /** Partition column names in directory order, from the manifest's own
+    * relative paths (`sym=a/month=1/<file>` → sym, month). The first
+    * file is authoritative; [[SnapshotPartitioningIndex]]'s partition
+    * inference fails loudly on an inconsistent layout.
+    */
+  private[sinks] def partColsOf(m: SnapshotLake.Manifest): Seq[String] =
+    m.files.headOption.toSeq.flatMap(_.rel.split('/').dropRight(1).toSeq
+      .takeWhile(_.contains('='))
+      .map(seg => seg.substring(0, seg.indexOf('='))))
+
+  /** The SQL INSERT landing: one ordinary manifest commit, with the
+    * data-skipping index maintained exactly like a library append —
+    * stats/bloom columns come from the table options when given
+    * (`statsCols`/`bloomCols` in CREATE TABLE OPTIONS or read options)
+    * and are otherwise INHERITED from the head manifest's tracked
+    * columns, so INSERT can never silently degrade a lake's pruning.
+    * `overwrite = true` (full-table `INSERT OVERWRITE`) is an atomic
+    * REPLACE.
+    */
+  private[sinks] def insertInto(spark: SparkSession, root: String,
+      data: DataFrame, overwrite: Boolean, declaredPartitioning: Seq[String],
+      options: CaseInsensitiveStringMap): Unit = {
+    val head = SnapshotLake.latestVersion(spark, root)
+      .map(v => SnapshotLake.manifest(spark, root, Some(v)))
+    val parts = head.map(partColsOf).getOrElse(declaredPartitioning)
+    val stats = {
+      val opt = csv(options, "statsCols")
+      if (opt.nonEmpty) opt
+      else head.toSeq.flatMap(_.files.flatMap(_.stats.keys)).distinct.sorted
+    }
+    val blooms = {
+      val opt = csv(options, "bloomCols")
+      if (opt.nonEmpty) opt
+      else head.toSeq.flatMap(_.files.flatMap(_.bloomCols)).distinct.sorted
+    }
+    if (overwrite && head.nonEmpty)
+      SnapshotLake.replace(spark, root, data, parts, stats, bloomCols = blooms)
+    else
+      SnapshotLake.append(spark, root, data, parts, stats, bloomCols = blooms)
+  }
+}
+
+/** Manifest-backed [[PartitioningAwareFileIndex]]: the DSv2 read seam.
+  * `leafFiles` IS the pinned manifest's file list (zero directory
+  * listings, zero footer probes at planning time — the 100 TB planning
+  * contract of [[SnapshotLake]]); hive partition values are parsed from
+  * the manifest's relative paths by Spark's own partition inference,
+  * TYPED by the manifest schema (`userSpecifiedSchema`), so partition
+  * pruning is the stock `prunePartitions` machinery; and [[listFiles]]
+  * layers the manifest's min/max envelope skipping on top, sharing
+  * [[ManifestFileIndex]]'s conservative bounds translation — pruning
+  * changes which files OPEN, never the answer.
+  */
+final class SnapshotPartitioningIndex(
+    spark: SparkSession,
+    root: String,
+    m: SnapshotLake.Manifest)
+  extends PartitioningAwareFileIndex(
+    spark,
+    // basePath anchors partition-dir parsing at data/; omitted for an
+    // empty (pre-first-commit) lake, whose data/ may not exist on disk
+    if (m.files.isEmpty) Map.empty[String, String]
+    else Map("basePath" -> SnapshotPartitioningIndex.qualifiedDataDir(spark, root).toString),
+    Some(m.schema)) {
+
+  private val dataDir = SnapshotPartitioningIndex.qualifiedDataDir(spark, root)
+
+  private val entriesByPath: Seq[(Path, SnapshotLake.FileEntry)] =
+    m.files.map(e => (new Path(dataDir, e.rel), e))
+
+  private val statsByPath: Map[Path, Map[String, (Double, Double)]] =
+    entriesByPath.map { case (p, e) => p -> e.stats }.toMap
+
+  override val rootPaths: Seq[Path] = Seq(dataDir)
+
+  override val leafFiles: mutable.LinkedHashMap[Path, FileStatus] = {
+    val lf = mutable.LinkedHashMap.empty[Path, FileStatus]
+    entriesByPath.foreach { case (p, e) =>
+      lf.put(p, new FileStatus(e.bytes, false, 1, 128L * 1024 * 1024, 0L, p))
+    }
+    lf
+  }
+
+  override val leafDirToChildrenFiles: Map[Path, Array[FileStatus]] =
+    leafFiles.values.toSeq.groupBy(_.getPath.getParent)
+      .map { case (d, fs) => d -> fs.toArray }
+
+  override def partitionSpec(): PartitionSpec = cachedPartitionSpec
+
+  private lazy val cachedPartitionSpec: PartitionSpec = inferPartitioning()
+
+  override def refresh(): Unit = ()
+
+  override def sizeInBytes: Long = m.files.map(_.bytes).sum
+
+  /** Stock behavior first (partition pruning + metadata filters), then
+    * manifest envelope skipping per surviving file.
+    */
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val dirs = super.listFiles(partitionFilters, dataFilters)
+    val box = ManifestFileIndex.boxOf(dataFilters)
+    if (box.isEmpty) dirs
+    else dirs.map { pd =>
+      pd.copy(files = pd.files.filter { f =>
+        statsByPath.get(f.getPath)
+          .forall(st => ManifestFileIndex.surviving(st, box))
+      })
+    }
+  }
+}
+
+private object SnapshotPartitioningIndex {
+  def qualifiedDataDir(spark: SparkSession, root: String): Path = {
+    val dd = new Path(root, "data")
+    dd.getFileSystem(spark.sparkContext.hadoopConfiguration).makeQualified(dd)
+  }
+}

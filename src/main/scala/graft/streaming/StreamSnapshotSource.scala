@@ -2,13 +2,17 @@ package graft.streaming
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SQLContext, SaveMode, SparkSession}
-import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.connector.catalog.{Table, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 import org.apache.spark.sql.graftbridge.StreamBridge
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.sinks.{ManifestFileIndex, SnapshotLake}
+import graft.sinks.{ManifestFileIndex, SnapshotLake, SnapshotTable}
 
 /** The snapshot lake as a Structured Streaming SOURCE — the read half of
   * the symmetry whose write half is [[SnapshotLake.appendStream]]: the
@@ -48,28 +52,32 @@ import graft.sinks.{ManifestFileIndex, SnapshotLake}
   * too-aggressive vacuum fails the pinned read loudly ("vacuumed?"), the
   * standard changelog-retention contract.
   *
-  * This class is also the lake's BATCH DataSource — the one registered
-  * name (`graft-snapshot`, via META-INF/services, the Kafka-provider
-  * pattern of a single class carrying every personality) serves all
-  * four doorways:
+  * This class is also the lake's BATCH DataSource and DSv2
+  * [[org.apache.spark.sql.connector.catalog.TableProvider]] — the one
+  * registered name (`graft-snapshot`, via META-INF/services, the
+  * Kafka-provider pattern of a single class carrying every personality)
+  * serves all four doorways:
   *
   * {{{
-  *   // batch read: manifest-pruned, envelope-skipping — plain SQL users
-  *   // get the same file pruning as ManifestFileIndex.readPruned
+  *   // batch read (DSv2 SnapshotTable): manifest-pruned,
+  *   // envelope-skipping, partition-pruned — including hive-partitioned
+  *   // lakes, which the V1 relation refuses
   *   spark.read.format("graft-snapshot")
   *     .option("versionAsOf", "3")            // optional time travel
   *     .load(root)
   *   // ...including through the catalog:
   *   //   CREATE TABLE bars USING `graft-snapshot` OPTIONS (path '<root>')
   *   //   SELECT ... FROM bars WHERE ts >= ...   -- prunes files
-  *   //   REFRESH TABLE bars  -- after out-of-band lake commits (the
-  *   //     catalog caches the resolved relation, standard V1 semantics);
-  *   //   SQL INSERT INTO/OVERWRITE are REFUSED up front — they would
-  *   //     bypass the manifest commit (see ManifestFileIndex.rootPaths)
+  *   //   INSERT INTO bars SELECT ...            -- ONE manifest commit,
+  *   //     footer stats + bloom sidecars inherited from the lake head;
+  *   //   INSERT OVERWRITE bars SELECT ...       -- atomic REPLACE
+  *   //   (no REFRESH TABLE needed: DSv2 re-resolves the manifest per
+  *   //   statement, so out-of-band commits are visible immediately)
   *
-  *   // batch write: append (default semantics of the snapshot lake),
-  *   // overwrite = atomic REPLACE; options statsCols/bloomCols/
-  *   // partitionCols are comma-separated column lists
+  *   // batch write (V1 CreatableRelationProvider — SnapshotTable
+  *   // declares no BATCH_WRITE so all four SaveModes keep their
+  *   // contracts): append, overwrite = atomic REPLACE; options
+  *   // statsCols/bloomCols/partitionCols are comma-separated lists
   *   df.write.format("graft-snapshot").mode("append")
   *     .option("statsCols", "ts,event_id").save(root)
   *
@@ -80,12 +88,19 @@ import graft.sinks.{ManifestFileIndex, SnapshotLake}
   *     .option("skipRewrites", "true")        // default false = strict
   *     .load(root)
   *
-  *   // streaming write: SnapshotLake.appendStream/mergeStream via
-  *   // foreachBatch (exactly-once by (streamId, batchId) manifest ops).
+  *   // streaming write: each micro-batch is one manifest commit with
+  *   // the exactly-once (streamId, batchId) discipline — append by
+  *   // default, upsert with mergeKeys/versionCol/pruneKey
+  *   df.writeStream.format("graft-snapshot")
+  *     .option("streamId", "ingest1").option("statsCols", "ts")
+  *     .option("checkpointLocation", ckpt).start(root)
+  *   // (foreachBatch(SnapshotLake.appendStream/mergeStream) remains the
+  *   // library seam for custom batch logic.)
   * }}}
   */
 class SnapshotSourceProvider extends StreamSourceProvider with DataSourceRegister
-    with RelationProvider with CreatableRelationProvider {
+    with RelationProvider with CreatableRelationProvider
+    with StreamSinkProvider with TableProvider {
 
   override def shortName(): String = "graft-snapshot"
 
@@ -93,6 +108,46 @@ class SnapshotSourceProvider extends StreamSourceProvider with DataSourceRegiste
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft-snapshot source needs the lake root: .load(<root>) or " +
         ".option(\"path\", <root>)"))
+
+  // ------------------------------------------------ DSv2 TableProvider
+  // The batch personalities now resolve through DataSource V2:
+  // `spark.read.format(...)` and catalog tables plan a SnapshotTable
+  // (manifest-pinned, partition- AND envelope-pruned vectorized scan),
+  // SQL INSERT INTO/OVERWRITE land as manifest commits through its
+  // V1Write. `df.write.format(...)` still falls back to the V1
+  // CreatableRelationProvider below (SnapshotTable declares no
+  // BATCH_WRITE — deliberately, so all four save modes keep their
+  // contracts), and streaming read/write fall back to the V1
+  // Source/Sink personalities (no MICRO_BATCH_READ / STREAMING_WRITE).
+  // `spark.sql.sources.useV1SourceList=graft-snapshot` restores the
+  // round-11 V1-only behavior wholesale.
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  private def csvOpt(o: CaseInsensitiveStringMap, k: String): Seq[String] =
+    Option(o.get(k)).toSeq.flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+
+  private def rootOpt(o: CaseInsensitiveStringMap): String =
+    Option(o.get("path")).getOrElse(throw new IllegalArgumentException(
+      "graft-snapshot needs the lake root: .load(<root>) / " +
+        "OPTIONS (path '<root>')"))
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SnapshotLake.manifest(SparkSession.active, rootOpt(options),
+      Option(options.get("versionAsOf")).map(_.toLong)).schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    val declaredParts = (partitioning.toSeq.map { t =>
+      require(t.name == "identity",
+        s"graft-snapshot supports identity partitioning only, got $t")
+      t.references()(0).fieldNames().mkString(".")
+    } ++ csvOpt(opts, "partitionCols")).distinct
+    new SnapshotTable(SparkSession.active, rootOpt(opts),
+      Option(opts.get("versionAsOf")).map(_.toLong),
+      Option(schema).filter(_.nonEmpty), declaredParts, opts)
+  }
 
   private def cols(parameters: Map[String, String], k: String): Seq[String] =
     parameters.get(k).toSeq
@@ -132,7 +187,15 @@ class SnapshotSourceProvider extends StreamSourceProvider with DataSourceRegiste
     mode match {
       case SaveMode.Append => append()
       case SaveMode.Overwrite =>
-        if (exists) SnapshotLake.replace(spark, root, data, parts, stats)
+        // replace() takes no evolve (schema must match exactly — replace
+        // IS the explicit migration path); refusing up front beats
+        // silently dropping the option
+        require(!parameters.contains("evolve"),
+          "graft-snapshot overwrite does not take evolve: a REPLACE " +
+            "commits the frame's own schema when the lake is fresh and " +
+            "requires an exact schema match otherwise")
+        if (exists) SnapshotLake.replace(spark, root, data, parts, stats,
+          bloomCols = blooms)
         else append()
       case SaveMode.ErrorIfExists =>
         if (exists) throw new IllegalArgumentException(
@@ -169,6 +232,64 @@ class SnapshotSourceProvider extends StreamSourceProvider with DataSourceRegiste
     new SnapshotSource(sqlContext.sparkSession, rootOf(parameters),
       parameters.getOrElse("startingVersion", "earliest"),
       parameters.get("skipRewrites").exists(_.toBoolean))
+
+  /** Streaming WRITE personality: `df.writeStream.format("graft-snapshot")
+    * .option("streamId", ...).start(<root>)` — each micro-batch lands as
+    * one manifest commit with [[SnapshotLake.appendStream]]'s
+    * exactly-once (streamId, batchId) discipline, or as an upsert via
+    * [[SnapshotLake.mergeStream]] when `mergeKeys` (+ `versionCol`,
+    * `pruneKey`) are set. Same options as the batch write personality
+    * (`statsCols`/`bloomCols`/`partitionCols`); `.partitionBy(...)` on
+    * the writer composes with `partitionCols`. Append output mode for
+    * plain appends; Append or Update for the merge personality (an
+    * upsert sink IS the update-mode contract).
+    */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink = {
+    val root = rootOf(parameters)
+    val mergeKeys = cols(parameters, "mergeKeys")
+    if (mergeKeys.isEmpty)
+      require(outputMode == OutputMode.Append(),
+        s"graft-snapshot append sink supports Append output mode, got " +
+          s"$outputMode — aggregating streams upsert via mergeKeys, or " +
+          "land through foreachBatch(SnapshotLake.mergeStream(...))")
+    else require(outputMode == OutputMode.Append() ||
+        outputMode == OutputMode.Update(),
+      s"graft-snapshot merge sink supports Append|Update output modes, " +
+        s"got $outputMode")
+    val parts = (partitionColumns ++ cols(parameters, "partitionCols")).distinct
+    val streamId = parameters.getOrElse("streamId", "s0")
+    val handler: (DataFrame, Long) => Unit =
+      if (mergeKeys.nonEmpty) {
+        val versionCol = parameters.getOrElse("versionCol",
+          throw new IllegalArgumentException(
+            "graft-snapshot merge sink needs versionCol (keep-latest order)"))
+        val pruneKey = parameters.getOrElse("pruneKey",
+          throw new IllegalArgumentException(
+            "graft-snapshot merge sink needs pruneKey (one of mergeKeys)"))
+        SnapshotLake.mergeStream(root, mergeKeys, versionCol, pruneKey,
+          parts, streamId)
+      } else {
+        SnapshotLake.appendStream(root, parts, cols(parameters, "statsCols"),
+          streamId, bloomCols = cols(parameters, "bloomCols"))
+      }
+    new SnapshotSink(root, streamId, handler)
+  }
+}
+
+/** V1 streaming sink wrapper: re-wraps the micro-batch as a BATCH frame
+  * (the plan arrives with the streaming bit set, which `df.write` inside
+  * the lake's stage step would refuse) and hands it to the exactly-once
+  * (streamId, batchId) handler — the same code path `foreachBatch(
+  * SnapshotLake.appendStream(...))` users run, now behind the registered
+  * format name.
+  */
+class SnapshotSink(root: String, streamId: String,
+    handler: (DataFrame, Long) => Unit) extends Sink {
+  override def addBatch(batchId: Long, data: DataFrame): Unit =
+    handler(StreamBridge.asBatch(data), batchId)
+  override def toString: String = s"SnapshotSink[$root, stream=$streamId]"
 }
 
 class SnapshotSource(spark: SparkSession, root: String,

@@ -1,0 +1,37 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: time ONE declared query under the exact Bench session shape
+  * (local[32], 32 shuffle partitions, noop sink, min over reps) —
+  * `runMain graft.tools.QBench <name>[,<name>...] [reps]`. For iterating
+  * on a single query's constant without paying a full 148-query sweep;
+  * the committed artifact is still Bench/gate.sh.
+  */
+object QBench {
+  def main(args: Array[String]): Unit = {
+    val names = args.headOption.getOrElse("q1_agg").split(',').toSeq
+    val reps = args.lift(1).map(_.toInt).getOrElse(3)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(50000000L).selectExpr("count(xxhash64(id))").collect() // warm
+    names.foreach { name =>
+      val fn = graft.SparkEntry.queries.getOrElse(name,
+        throw new IllegalArgumentException(s"unknown query $name"))
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[qbench] $name%-28s min=${times.min}%6.2f s  " +
+        f"runs=${times.map(t => f"$t%.2f").mkString(",")}")
+    }
+    spark.stop()
+  }
+}

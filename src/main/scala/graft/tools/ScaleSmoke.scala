@@ -1215,6 +1215,56 @@ object ScaleSmoke {
           f"lockWaits=$waits")
       }
     }
+    // ---- insertbench: the SQL INSERT doorway vs the library append -----
+    // Prices the round-12 DSv2 write surface: the SAME frames land once
+    // through `SnapshotLake.append` and once through a catalog-table
+    // `INSERT INTO` (SnapshotTable's V1Write → append), so the delta is
+    // exactly the doorway's constant (analysis + V1-fallback plumbing) on
+    // top of the shared commit cost (stage write + footer probe + lock +
+    // publish). Asserted, not assumed: the INSERT commits carry the same
+    // footer envelopes as library appends (inherited from the lake head),
+    // so SQL ingest can never silently shed the data-skipping index.
+    if (on("insertbench")) {
+      import graft.sinks.SnapshotLake
+      val perMode = 8
+      val rowsPer = 2000000L
+      val results = Seq("library", "sql").map { mode =>
+        val root = graft.TempDirs.create(s"smoke-ins-$mode") + "/lake"
+        // seed v1 WITH envelopes: the SQL path gets no statsCols option,
+        // so its stats discipline must come from head-manifest inheritance
+        SnapshotLake.append(spark, root,
+          spark.range(0L, 1000L, 1, 1).toDF("id"), statsCols = Seq("id"))
+        if (mode == "sql") {
+          spark.sql("DROP TABLE IF EXISTS insbench")
+          spark.sql(
+            s"CREATE TABLE insbench USING `graft-snapshot` OPTIONS (path '$root')")
+        }
+        val lats = (0 until perMode).map { i =>
+          val base = 1000L + i * rowsPer
+          val df = spark.range(base, base + rowsPer, 1, 4).toDF("id")
+          val t0 = System.nanoTime()
+          if (mode == "sql") {
+            df.createOrReplaceTempView("insbench_src")
+            spark.sql("INSERT INTO insbench SELECT id FROM insbench_src")
+          } else {
+            SnapshotLake.append(spark, root, df, statsCols = Seq("id"))
+          }
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        val m = SnapshotLake.manifest(spark, root)
+        require(m.version == 1L + perMode, s"$mode: lost commit (${m.version})")
+        require(m.files.forall(_.stats.contains("id")),
+          s"$mode: a commit shed its footer envelopes")
+        require(SnapshotLake.read(spark, root).count() ==
+          1000L + perMode * rowsPer, s"$mode: rows lost or duplicated")
+        println(f"[scale] insertbench $mode%-8s commits=$perMode " +
+          f"p50=${lats(perMode / 2)}%.2f s max=${lats.last}%.2f s " +
+          f"(${rowsPer / 1e6}%.0f M rows/commit)")
+        lats(perMode / 2)
+      }
+      println(f"[scale] insertbench doorway constant (sql p50 - library " +
+        f"p50): ${results(1) - results(0)}%+.2f s/commit")
+    }
     spark.stop()
   }
 }

@@ -24,4 +24,17 @@ object StreamBridge {
     spark.internalCreateDataFrame(df.queryExecution.toRdd, df.schema,
       isStreaming = true)
   }
+
+  /** The inverse door, for a V1 streaming `Sink`: `addBatch` receives a
+    * DataFrame whose plan still carries `isStreaming = true`, which any
+    * batch write (`df.write...`) refuses — re-wrap the micro-batch's
+    * physical rows as a plain batch frame. This is exactly what Spark's
+    * own `ForeachBatchSink` does before invoking the user handler.
+    */
+  def asBatch(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    spark.internalCreateDataFrame(df.queryExecution.toRdd, df.schema,
+      isStreaming = false)
+  }
 }

@@ -7,12 +7,14 @@ import org.apache.spark.sql.functions._
 
 import graft.sinks.SnapshotLake
 
-/** The snapshot lake's registered BATCH DataSource (`graft-snapshot`):
-  * plain `spark.read.format(...)` / `CREATE TABLE ... USING` reads must
-  * plan through ManifestFileIndex — manifest-pruned, envelope-skipping —
-  * and `df.write.format(...)` must land as ordinary lake commits. This is
-  * the no-library-call doorway SQL users get; the spec pins the PLAN
-  * (numFiles pruned), not just the rows.
+/** The snapshot lake's registered DataSource (`graft-snapshot`), now a
+  * DSv2 TableProvider: `spark.read.format(...)` / `CREATE TABLE ...
+  * USING` plan a manifest-pinned SnapshotTable scan (partition- and
+  * envelope-pruned, vectorized parquet), SQL `INSERT INTO/OVERWRITE`
+  * land as manifest commits, and `df.write.format(...)` keeps the V1
+  * save-mode contracts. The spec pins the PLAN (files pruned), not just
+  * the rows, and pins the V1 INSERT refusal as the mandatory
+  * defense-in-depth tripwire behind the DSv2 doorway.
   */
 class SnapshotFormatSpec extends SparkSpec {
   import spark.implicits._
@@ -27,15 +29,32 @@ class SnapshotFormatSpec extends SparkSpec {
 
   private def freshRoot(): String = TempDirs.create("snapfmt") + "/lake"
 
+  /** (distinct files the scan will open, rows) — V2 BatchScanExec
+    * (static: the planned FilePartitions) or V1 FileSourceScanExec
+    * (executed numFiles metric), whichever the plan holds.
+    */
   private def prunedScanFiles(df: DataFrame): (Long, Long) = {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      val scans = df.queryExecution.executedPlan.collect {
-        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      val plan = df.queryExecution.executedPlan
+      val v2 = plan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.toBatch.planInputPartitions().flatMap {
+            case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+              fp.files.map(_.filePath.toString)
+          }.distinct.length.toLong
       }
-      assert(scans.size == 1, s"expected one file scan, got ${scans.size}")
       val rows = df.collect().length.toLong
-      (scans.head.metrics("numFiles").value, rows)
+      if (v2.nonEmpty) {
+        assert(v2.size == 1, s"expected one v2 scan, got ${v2.size}")
+        (v2.head, rows)
+      } else {
+        val scans = plan.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+        }
+        assert(scans.size == 1, s"expected one file scan, got ${scans.size}")
+        (scans.head.metrics("numFiles").value, rows)
+      }
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
@@ -111,8 +130,9 @@ class SnapshotFormatSpec extends SparkSpec {
     assert(spark.read.format("graft-snapshot").load(root2).count() == 4)
   }
 
-  test("SQL INSERT INTO / INSERT OVERWRITE cannot bypass the manifest: " +
-      "both refuse before touching a file, and the lake is unchanged") {
+  test("SQL INSERT INTO lands as ONE manifest append commit — footer " +
+      "stats inherited, pinned readers unaffected, no REFRESH needed — " +
+      "and INSERT OVERWRITE is an atomic REPLACE") {
     val root = freshRoot()
     bars(1, 10, 0.0).write.format("graft-snapshot")
       .option("statsCols", "close").save(root)
@@ -120,39 +140,200 @@ class SnapshotFormatSpec extends SparkSpec {
     spark.sql(s"CREATE TABLE snapfmt_ins USING `graft-snapshot` " +
       s"OPTIONS (path '$root')")
     try {
+      spark.sql("INSERT INTO snapfmt_ins " +
+        "SELECT symbol, ts, close + 5000.0, event_id + 100 FROM snapfmt_ins")
+      val after = SnapshotLake.manifest(spark, root)
+      assert(after.version == before.version + 1 && after.op == "append",
+        s"INSERT must land as one append commit, got v${after.version} ${after.op}")
+      // the added files carry the lake's tracked footer envelopes — the
+      // data-skipping index survives SQL ingest (round-12 task 8 pin)
+      val added = after.files.filterNot(f =>
+        before.files.map(_.rel).contains(f.rel))
+      assert(added.nonEmpty && added.forall(_.stats.contains("close")),
+        s"INSERT-added files must inherit close envelopes: $added")
+      // rows visible IMMEDIATELY — DSv2 re-resolves the manifest per
+      // statement; the V1 REFRESH TABLE footgun is gone
+      assert(spark.sql("SELECT * FROM snapfmt_ins").count() == 20)
+      assert(spark.sql(
+        "SELECT * FROM snapfmt_ins WHERE close >= 5000.0").count() == 10)
+      // pinned readers are unaffected by the commit
+      assert(spark.read.format("graft-snapshot")
+        .option("versionAsOf", before.version.toString).load(root)
+        .count() == 10)
+      // INSERT OVERWRITE = torn-free wholesale REPLACE
+      spark.sql("INSERT OVERWRITE snapfmt_ins " +
+        "SELECT symbol, ts, close, event_id FROM snapfmt_ins " +
+        "WHERE close >= 5000.0")
+      val m2 = SnapshotLake.manifest(spark, root)
+      assert(m2.op == "replace" && m2.version == after.version + 1)
+      assert(spark.sql("SELECT * FROM snapfmt_ins").count() == 10)
+      // history intact under the replace
+      assert(spark.read.format("graft-snapshot")
+        .option("versionAsOf", after.version.toString).load(root)
+        .count() == 20)
+    } finally spark.sql("DROP TABLE snapfmt_ins")
+  }
+
+  test("V1 relation INSERT refusal stays as defense-in-depth: with the " +
+      "DSv2 path disabled, INSERT INTO/OVERWRITE refuse before touching " +
+      "a file (MANDATORY tripwire on dependency bumps)") {
+    val root = freshRoot()
+    bars(1, 10, 0.0).write.format("graft-snapshot")
+      .option("statsCols", "close").save(root)
+    val before = SnapshotLake.manifest(spark, root)
+    // append to the DEFAULT v1 list — overwriting it would silently flip
+    // parquet/csv/... to V2 for every later suite on the shared session
+    val v1ListBefore = spark.conf.get("spark.sql.sources.useV1SourceList")
+    spark.conf.set("spark.sql.sources.useV1SourceList",
+      s"$v1ListBefore,graft-snapshot")
+    spark.sql(s"CREATE TABLE snapfmt_v1ins USING `graft-snapshot` " +
+      s"OPTIONS (path '$root')")
+    try {
       // a direct INSERT would write parquet under data/ with no manifest
       // commit (invisible rows); INSERT OVERWRITE would DELETE data files
       // a pinned manifest still references. Both must fail up front.
       intercept[Exception] {
-        spark.sql("INSERT INTO snapfmt_ins SELECT * FROM snapfmt_ins")
+        spark.sql("INSERT INTO snapfmt_v1ins SELECT * FROM snapfmt_v1ins")
       }
       intercept[Exception] {
-        spark.sql("INSERT OVERWRITE snapfmt_ins SELECT * FROM snapfmt_ins")
+        spark.sql("INSERT OVERWRITE snapfmt_v1ins SELECT * FROM snapfmt_v1ins")
       }
       val after = SnapshotLake.manifest(spark, root)
       assert(after.version == before.version &&
         after.files.map(_.rel) == before.files.map(_.rel),
         "INSERT must not have changed the lake")
       assert(SnapshotLake.read(spark, root).count() == 10)
-      // the supported write path still lands as a manifest commit; the
-      // catalog caches the resolved relation (standard V1 semantics, same
-      // as a parquet table), so out-of-band commits need REFRESH TABLE
-      bars(2, 5, 100.0).write.format("graft-snapshot")
-        .mode(SaveMode.Append).save(root)
-      spark.sql("REFRESH TABLE snapfmt_ins")
-      assert(spark.sql("SELECT * FROM snapfmt_ins").count() == 15)
-    } finally spark.sql("DROP TABLE snapfmt_ins")
+    } finally {
+      spark.sql("DROP TABLE snapfmt_v1ins")
+      spark.conf.set("spark.sql.sources.useV1SourceList", v1ListBefore)
+    }
   }
 
-  test("a hive-partitioned lake refuses the pruned batch relation loudly") {
+  test("a hive-partitioned lake is SQL-readable through the DSv2 path: " +
+      "partition dirs prune through Spark's partition pruning, manifest " +
+      "envelopes prune within partitions, rows match the library read") {
     val root = freshRoot()
-    bars(1, 12, 0.0).write.format("graft-snapshot")
-      .option("partitionCols", "symbol").save(root)
-    // the write itself landed partitioned
-    assert(SnapshotLake.read(spark, root).count() == 12)
+    bars(1, 30, 0.0).write.format("graft-snapshot")
+      .option("partitionCols", "symbol").option("statsCols", "close")
+      .save(root)
+    bars(2, 30, 1000.0).write.format("graft-snapshot")
+      .mode(SaveMode.Append).option("partitionCols", "symbol")
+      .option("statsCols", "close").save(root)
+    val nAll = SnapshotLake.manifest(spark, root).files.size
+    val df = spark.read.format("graft-snapshot").load(root)
+    assert(df.schema.fieldNames.toSet ==
+      Set("symbol", "ts", "close", "event_id"))
+    // partition pruning: only symbol=sym0 dirs planned
+    val one = df.filter(col("symbol") === "sym0")
+    val (pFiles, pRows) = prunedScanFiles(one)
+    assert(pRows == 20)
+    assert(pFiles > 0 && pFiles < nAll,
+      s"expected partition pruning: $pFiles of $nAll")
+    // envelope pruning composes on top within surviving partitions
+    val (bFiles, bRows) = prunedScanFiles(
+      df.filter(col("symbol") === "sym0" && col("close") >= 1000.0))
+    assert(bRows == 10 && bFiles < pFiles,
+      s"expected envelope pruning within partitions: $bFiles of $pFiles")
+    // row identity vs the library read (partition values resolved)
+    val full = SnapshotLake.read(spark, root)
+      .select("symbol", "ts", "close", "event_id")
+    val v2 = df.select("symbol", "ts", "close", "event_id")
+    assert(v2.exceptAll(full).isEmpty && full.exceptAll(v2).isEmpty)
+  }
+
+  test("CREATE TABLE with declared columns on a fresh root: the first " +
+      "INSERT INTO creates the (partitioned) lake; SELECT before it " +
+      "sees an empty table") {
+    val root = freshRoot()
+    spark.sql("CREATE TABLE snapfmt_fresh " +
+      "(symbol STRING, ts TIMESTAMP_NTZ, close DOUBLE, event_id BIGINT) " +
+      s"USING `graft-snapshot` PARTITIONED BY (symbol) " +
+      s"OPTIONS (path '$root', statsCols 'close')")
+    try {
+      assert(spark.sql("SELECT * FROM snapfmt_fresh").count() == 0)
+      bars(1, 12, 0.0).createOrReplaceTempView("snapfmt_fresh_src")
+      spark.sql("INSERT INTO snapfmt_fresh " +
+        "SELECT symbol, ts, close, event_id FROM snapfmt_fresh_src")
+      val m = SnapshotLake.manifest(spark, root)
+      assert(m.version == 1 && m.op == "append")
+      // landed hive-partitioned per the declared transform, with stats
+      assert(m.files.forall(_.rel.startsWith("symbol=")))
+      assert(m.files.forall(_.stats.contains("close")))
+      assert(spark.sql("SELECT * FROM snapfmt_fresh").count() == 12)
+      assert(spark.sql(
+        "SELECT * FROM snapfmt_fresh WHERE symbol = 'sym1'").count() == 4)
+    } finally spark.sql("DROP TABLE snapfmt_fresh")
+  }
+
+  test("streaming write personality: writeStream.format lands each " +
+      "micro-batch as one manifest commit with footer stats, " +
+      "exactly-once across a checkpoint restart; mergeKeys selects the " +
+      "upsert sink") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = freshRoot()
+    val ckpt = TempDirs.create("snapfmt-ckpt")
+    val ms = MemoryStream[(String, Double, Long)](spark)
+    def start() = ms.toDF().toDF("symbol", "close", "event_id").writeStream
+      .format("graft-snapshot")
+      .option("streamId", "fmt").option("statsCols", "event_id")
+      .option("checkpointLocation", ckpt)
+      .start(root)
+    val q = start()
+    ms.addData(("a", 1.0, 1L), ("b", 2.0, 2L)); q.processAllAvailable()
+    ms.addData(("c", 3.0, 3L)); q.processAllAvailable()
+    q.stop()
+    assert(SnapshotLake.read(spark, root).count() == 3)
+    assert(SnapshotLake.lastCommittedBatch(spark, root, "fmt").contains(1L))
+    assert(SnapshotLake.manifest(spark, root).files
+      .forall(_.stats.contains("event_id")))
+    // restart on the same checkpoint: no duplicates, ingestion continues
+    val q2 = start()
+    ms.addData(("d", 4.0, 4L)); q2.processAllAvailable()
+    q2.stop()
+    assert(SnapshotLake.read(spark, root).count() == 4)
+    // and the stream-landed lake serves the SQL doorway
+    assert(spark.read.format("graft-snapshot").load(root).count() == 4)
+
+    // merge personality: keyed upsert per micro-batch, update mode
+    val root2 = freshRoot()
+    val ms2 = MemoryStream[(Long, String, Long)](spark)
+    val q3 = ms2.toDF().toDF("id", "v", "ver").writeStream
+      .format("graft-snapshot")
+      .option("streamId", "cdc").option("mergeKeys", "id")
+      .option("versionCol", "ver").option("pruneKey", "id")
+      .outputMode("update")
+      .option("checkpointLocation", TempDirs.create("snapfmt-ckpt2"))
+      .start(root2)
+    ms2.addData((1L, "a", 1L), (2L, "b", 1L)); q3.processAllAvailable()
+    ms2.addData((1L, "a2", 2L), (3L, "c", 1L)); q3.processAllAvailable()
+    q3.stop()
+    val st = SnapshotLake.read(spark, root2).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(st == Map(1L -> "a2", 2L -> "b", 3L -> "c"))
+    // the append personality refuses non-append output modes loudly
     val e = intercept[Exception] {
-      spark.read.format("graft-snapshot").load(root).collect()
+      ms.toDF().toDF("symbol", "close", "event_id").writeStream
+        .format("graft-snapshot").outputMode("update")
+        .option("checkpointLocation", TempDirs.create("snapfmt-ckpt3"))
+        .start(freshRoot())
     }
-    assert(e.getMessage.contains("unpartitioned"))
+    assert(e.getMessage.contains("Append output mode"))
+  }
+
+  test("writes to a version-pinned table are refused") {
+    val root = freshRoot()
+    bars(1, 6, 0.0).write.format("graft-snapshot").save(root)
+    bars(2, 6, 10.0).write.format("graft-snapshot")
+      .mode(SaveMode.Append).save(root)
+    spark.sql(s"CREATE TABLE snapfmt_pin USING `graft-snapshot` " +
+      s"OPTIONS (path '$root', versionAsOf '1')")
+    try {
+      assert(spark.sql("SELECT * FROM snapfmt_pin").count() == 6)
+      val e = intercept[Exception] {
+        spark.sql("INSERT INTO snapfmt_pin SELECT * FROM snapfmt_pin")
+      }
+      assert(e.getMessage.contains("version-pinned"))
+      assert(SnapshotLake.manifest(spark, root).version == 2)
+    } finally spark.sql("DROP TABLE snapfmt_pin")
   }
 }

@@ -76,7 +76,9 @@ fi
 # The per-round record lapsed once (rounds 10-11 had to be backfilled);
 # the gate now appends its own bench row so the one-file history cannot
 # lapse again.
-if [[ -f BENCH.json ]]; then
+# Guarded on THIS run's bench having succeeded — a failed bench step must
+# not append a row derived from a previous run's stale BENCH.json.
+if [[ -f BENCH.json && "$BENCH" != "FAILED" ]]; then
   python3 - "$TS" <<'EOF'
 import json, sys
 d = json.load(open("BENCH.json"))
