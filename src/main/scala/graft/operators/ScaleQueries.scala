@@ -265,6 +265,35 @@ object ScaleQueries {
         "WHERE symbol = (SELECT min(symbol) FROM sn7_lake)")
     }),
 
+    // SN8 — SQL `DELETE FROM` through the DSv2 doorway: bars land as two
+    // id-ranged format appends (disjoint event_id envelopes), then a
+    // ranged+keyed DELETE runs as ONE atomic delete commit whose prune
+    // box — derived from the SQL predicate itself — rewrites only the
+    // envelope-overlapping files (file-identity survival spec-pinned in
+    // SnapshotFormatSpec; untranslatable predicates refuse loudly there
+    // too). The oracle applies NOT(predicate) declaratively; a hash
+    // match proves the doorway's delete semantics row-exact.
+    "sn8_sql_delete" -> ((s, dir) => {
+      val b = Tables.bars(s, dir).select("event_id", "symbol", "ts", "close")
+      val root = graft.TempDirs.create("graft-sn8") + "/lake"
+      val r = b.agg(min("event_id"), max("event_id"), min("symbol")).head
+      val (lo, hi, sym) = (r.getLong(0), r.getLong(1), r.getString(2))
+      val mid = (lo + hi) / 2
+      val (q1, q3) = (lo + (hi - lo) / 4, lo + 3 * ((hi - lo) / 4))
+      b.filter(col("event_id") < mid).repartition(2)
+        .write.format("graft-snapshot").option("statsCols", "event_id")
+        .save(root)
+      b.filter(col("event_id") >= mid).repartition(2)
+        .write.format("graft-snapshot").mode("append")
+        .option("statsCols", "event_id").save(root)
+      s.sql("DROP TABLE IF EXISTS sn8_lake")
+      s.sql(s"CREATE TABLE sn8_lake USING `graft-snapshot` " +
+        s"OPTIONS (path '$root')")
+      s.sql(s"DELETE FROM sn8_lake WHERE event_id >= $q1 " +
+        s"AND event_id < $q3 AND symbol = '$sym'")
+      s.sql("SELECT event_id, symbol, ts, close FROM sn8_lake")
+    }),
+
     // Manifest-powered CDC: bars land in two appends (ver 1), a MERGE
     // upserts bumped-close updates + brand-new ids (ver 2), a DELETE
     // removes every 97th key — then diff(pre-merge, head) classifies the
@@ -570,6 +599,15 @@ object ScaleQueries {
          |SELECT event_id, symbol, ts, close
          |FROM bars
          |WHERE symbol = (SELECT min(symbol) FROM bars)""".stripMargin),
+
+    "sn8_sql_delete" -> (Tables.barsSql +
+      s"""
+         |SELECT event_id, symbol, ts, close
+         |FROM bars
+         |WHERE NOT (
+         |  event_id >= (SELECT min(event_id) + (max(event_id) - min(event_id)) // 4 FROM bars)
+         |  AND event_id < (SELECT min(event_id) + 3 * ((max(event_id) - min(event_id)) // 4) FROM bars)
+         |  AND symbol = (SELECT min(symbol) FROM bars))""".stripMargin),
 
     "cdc1_snapshot_diff" -> (Tables.barsSql +
       s"""

@@ -1245,6 +1245,88 @@ object SnapshotLake {
       }
     }
 
+  /** Hive partition values of a lake-relative file path, unescaped the
+    * way Spark escapes them at write time (`sym=a%2Fb/part-...`).
+    */
+  private def partitionValuesOf(rel: String): Map[String, String] =
+    rel.split('/').dropRight(1).takeWhile(_.contains('=')).map { seg =>
+      val i = seg.indexOf('=')
+      seg.take(i) -> org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(seg.drop(i + 1))
+    }.toMap
+
+  /** ATOMIC filtered overwrite — Delta's `replaceWhere`, and the landing
+    * for SQL static-partition / filtered `INSERT OVERWRITE`: in ONE
+    * commit, every current row matching `predicate` is removed and `df`'s
+    * rows are added; a crash leaves either the old or the new state,
+    * never a deleted-but-not-yet-inserted window (the two-commit
+    * delete+append shape this replaces). File-level pruning composes two
+    * SOUND skips: files whose `pruneBox` envelope misses the predicate's
+    * range cannot contain matches, and files whose hive partition values
+    * are excluded by `partitionValues` (column → admitted values, e.g.
+    * from a static `PARTITION (sym='a')` clause) cannot either — every
+    * skipped file survives by IDENTITY, unread and unwritten.
+    *
+    * `validate = true` (one extra job) refuses a frame carrying rows the
+    * predicate does NOT match — such rows would land OUTSIDE the
+    * overwritten region, the classic silent replaceWhere corruption
+    * Delta also refuses. Returns (version, rowsDeleted, filesRewritten,
+    * filesUntouched).
+    */
+  def replaceWhere(spark: SparkSession, root: String, df: DataFrame,
+      predicate: org.apache.spark.sql.Column,
+      pruneBox: Map[String, (Double, Double)] = Map.empty,
+      partitionValues: Map[String, Set[String]] = Map.empty,
+      partitionCols: Seq[String] = Nil, statsCols: Seq[String] = Nil,
+      validate: Boolean = true,
+      lockExpiryMs: Long = DefaultLockExpiryMs): (Long, Long, Int, Int) =
+    retryOnConflict(spark, root, "replacewhere") { () =>
+      val base = manifest(spark, root, None)
+      require(schemasCompatible(base.schema, df.schema),
+        s"replaceWhere schema drift: lake has ${base.schema.simpleString}, " +
+          s"frame has ${df.schema.simpleString}")
+      val fns = org.apache.spark.sql.functions
+      val hit = fns.coalesce(predicate, fns.lit(false)) // NULL pred = keep
+      if (validate) {
+        val stray = df.filter(!hit).limit(1).count()
+        require(stray == 0,
+          "replaceWhere: the incoming frame has rows the overwrite " +
+            "predicate does not match — they would land OUTSIDE the " +
+            "overwritten region; fix the predicate or the frame " +
+            "(validate=false to override)")
+      }
+      val (rewrite, untouched) = base.files.partition { f =>
+        pruneBox.forall { case (c, (lo, hi)) =>
+          f.stats.get(c).forall { case (fLo, fHi) => fHi >= lo && fLo <= hi }
+        } && {
+          val pv = partitionValuesOf(f.rel)
+          partitionValues.forall { case (c, allowed) =>
+            pv.get(c).forall(allowed.contains)
+          }
+        }
+      }
+      val dd = dataDir(root).toString
+      val (keep, deleted) =
+        if (rewrite.isEmpty)
+          (spark.createDataFrame(spark.sparkContext.emptyRDD[Row], base.schema), 0L)
+        else {
+          val touched = spark.read.option("basePath", dd).schema(base.schema)
+            .parquet(rewrite.map(f => s"$dd/${f.rel}"): _*)
+          (touched.filter(!hit), touched.filter(hit).count())
+        }
+      val allStats = base.files.flatMap(_.stats.keys).toSet ++ statsCols
+      val newFiles = stageFiles(spark, root,
+        keep.unionByName(df.select(base.schema.fieldNames.map(col): _*)),
+        partitionCols, allStats, base.files.flatMap(_.bloomCols).distinct)
+      val rewriteSet = rewrite.map(_.rel).toSet
+      val v = commit(spark, root, "replacewhere", base.schema,
+        build = head => newFiles ++
+          requireReadSetIntact(rewriteSet, head, newFiles, "replacewhere", root)
+            .filterNot(f => rewriteSet.contains(f.rel)),
+        lockExpiryMs)
+      (v, deleted, rewrite.size, untouched.size)
+    }
+
   /** Roll the lake back: commit a new version whose file list is exactly
     * `toVersion`'s — history is preserved (nothing rewritten, nothing
     * deleted; the bad versions stay inspectable until vacuum), readers

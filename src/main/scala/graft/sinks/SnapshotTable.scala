@@ -6,15 +6,17 @@ import scala.collection.mutable
 import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.fs.{FileStatus, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability}
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.read.ScanBuilder
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.{PartitionDirectory, PartitioningAwareFileIndex, PartitionSpec}
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
-import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.functions.{col, lit, not}
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{Filter, InsertableRelation}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -37,8 +39,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *     same seam early Delta Lake shipped on. The round-11 `rootPaths`
   *     refusal in [[ManifestFileIndex]] is thereby demoted from the only
   *     line of defense to defense-in-depth for the V1 relation;
-  *   - `INSERT OVERWRITE` (unpartitioned truncate form) is an atomic
-  *     REPLACE — the torn-free wholesale swap, pinned readers unaffected;
+  *   - `INSERT OVERWRITE` (truncate form) is an atomic REPLACE — the
+  *     torn-free wholesale swap, pinned readers unaffected — and the
+  *     static-partition / filtered forms (`PARTITION (sym='a')`,
+  *     `DataFrameWriterV2.overwrite(cond)`) land as ONE
+  *     [[SnapshotLake.replaceWhere]] commit that rewrites only the
+  *     files the condition can touch (partition dirs + envelopes);
   *   - every query re-resolves the table through
   *     `TableProvider.getTable`, so a fresh manifest head is picked up
   *     per statement — the V1 catalog's stale-relation-cache
@@ -46,10 +52,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *   - `versionAsOf` pins time travel; a pinned table refuses writes.
   *
   * What stays deliberately unsupported (loud analysis errors, not silent
-  * misbehavior): filtered / partition-static `INSERT OVERWRITE`
-  * (`OVERWRITE_BY_FILTER` undeclared — use [[SnapshotLake.delete]] +
-  * append, or full truncate), dynamic partition overwrite
-  * (`OVERWRITE_DYNAMIC` undeclared), and streaming V2 scans (the V1
+  * misbehavior): dynamic partition overwrite (`OVERWRITE_DYNAMIC`
+  * undeclared — use static partitions or `replaceWhere`), overwrite /
+  * delete conditions with no `sources.Filter` translation (refused, never
+  * weakened), and streaming V2 scans (the V1
   * [[graft.streaming.SnapshotSource]] personality serves `readStream`
   * through Spark's built-in fallback).
   *
@@ -65,7 +71,7 @@ final class SnapshotTable(
     declaredSchema: Option[StructType],
     declaredPartitioning: Seq[String],
     tableOptions: CaseInsensitiveStringMap) extends Table
-    with SupportsRead with SupportsWrite {
+    with SupportsRead with SupportsWrite with SupportsDelete {
 
   import SnapshotLake.{FileEntry, Manifest}
 
@@ -126,7 +132,8 @@ final class SnapshotTable(
     */
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val m = pinned.getOrElse(Manifest(0L, 0L, "empty", schema(), Nil))
@@ -137,19 +144,77 @@ final class SnapshotTable(
     ParquetScanBuilder(spark, index, m.schema, dataSchema, options)
   }
 
+  /** SQL `DELETE FROM ... WHERE ...` → [[SnapshotLake.delete]] with the
+    * same FILE-LEVEL pruning discipline as the library call: the prune
+    * box is derived from the delete filters themselves (sound — only
+    * AND-composed envelope-expressible shapes contribute), so a
+    * time-ranged or key-ranged GDPR delete rewrites only the files that
+    * CAN contain matches; every other file survives by identity in one
+    * atomic commit. Filters Spark cannot hand down as `sources.Filter`
+    * (or that this translator does not cover) make `canDeleteWhere`
+    * false, which fails the statement loudly instead of deleting wrong.
+    */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    version.isEmpty &&
+      filters.forall(f => SnapshotTable.toPredicate(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(version.isEmpty,
+      "cannot DELETE from a version-pinned snapshot table")
+    val m = pinned.getOrElse(throw new IllegalArgumentException(
+      s"no committed snapshot under $root — nothing to delete from"))
+    val pred = filters.flatMap(SnapshotTable.toPredicate)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val box = SnapshotTable.pruneBoxOf(filters)
+    SnapshotLake.delete(spark, root, pred, box, SnapshotTable.partColsOf(m))
+  }
+
+  /** SQL `TRUNCATE TABLE` → one atomic REPLACE with the empty frame:
+    * pinned readers keep their versions, history stays inspectable
+    * until vacuum — the snapshot-store truncate semantics.
+    */
+  override def truncateTable(): Boolean = {
+    require(version.isEmpty,
+      "cannot TRUNCATE a version-pinned snapshot table")
+    val m = pinned.getOrElse(throw new IllegalArgumentException(
+      s"no committed snapshot under $root — nothing to truncate"))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], m.schema)
+    SnapshotLake.replace(spark, root, empty, SnapshotTable.partColsOf(m))
+    true
+  }
+
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(version.isEmpty,
       s"cannot write to a version-pinned snapshot table (versionAsOf=" +
         s"${version.get}) — writes go to the lake head")
-    new WriteBuilder with SupportsTruncate {
-      private var truncating = false
-      override def truncate(): WriteBuilder = { truncating = true; this }
+    new WriteBuilder with SupportsOverwrite {
+      // None = plain append; Some(AlwaysTrue-only) = full truncate (an
+      // atomic REPLACE; SupportsOverwrite's default truncate() routes
+      // here); Some(filters) = ATOMIC filtered overwrite — SQL
+      // static-partition INSERT OVERWRITE and DataFrameWriterV2
+      // .overwrite(cond) land as ONE replaceWhere commit
+      private var overwriteFilters: Option[Array[Filter]] = None
+      override def canOverwrite(filters: Array[Filter]): Boolean =
+        filters.forall(f => SnapshotTable.toPredicate(f).isDefined)
+      override def overwrite(filters: Array[Filter]): WriteBuilder = {
+        overwriteFilters = Some(filters); this
+      }
       override def build(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: DataFrame, overwrite: Boolean): Unit =
-              SnapshotTable.insertInto(data.sparkSession, root, data,
-                truncating || overwrite, declaredPartitioning, tableOptions)
+              overwriteFilters match {
+                case Some(fs) if fs.exists(_ != sources.AlwaysTrue()) =>
+                  SnapshotTable.overwriteWhere(data.sparkSession, root,
+                    data, fs, declaredPartitioning, tableOptions)
+                case Some(_) =>
+                  SnapshotTable.insertInto(data.sparkSession, root, data,
+                    overwrite = true, declaredPartitioning, tableOptions)
+                case None =>
+                  SnapshotTable.insertInto(data.sparkSession, root, data,
+                    overwrite, declaredPartitioning, tableOptions)
+              }
           }
       }
     }
@@ -172,6 +237,108 @@ object SnapshotTable {
       .takeWhile(_.contains('='))
       .map(seg => seg.substring(0, seg.indexOf('='))))
 
+  /** `sources.Filter` → Column, for the DELETE doorway. Total over the
+    * shapes SQL DELETE predicates translate to; None (⇒ `canDeleteWhere`
+    * false ⇒ loud statement failure) for anything uncovered — a delete
+    * must never run against a WEAKER predicate than the user wrote.
+    * Column names pass through backticks: lake schemas are flat, so a
+    * dotted name is a literal column, not a struct path.
+    */
+  private[sinks] def toPredicate(f: Filter): Option[Column] = {
+    def c(n: String) = col(s"`$n`")
+    f match {
+      case sources.AlwaysTrue() => Some(lit(true))
+      case sources.AlwaysFalse() => Some(lit(false))
+      case sources.EqualTo(a, v) => Some(c(a) === lit(v))
+      case sources.EqualNullSafe(a, v) => Some(c(a) <=> lit(v))
+      case sources.GreaterThan(a, v) => Some(c(a) > lit(v))
+      case sources.GreaterThanOrEqual(a, v) => Some(c(a) >= lit(v))
+      case sources.LessThan(a, v) => Some(c(a) < lit(v))
+      case sources.LessThanOrEqual(a, v) => Some(c(a) <= lit(v))
+      case sources.In(a, vs) => Some(c(a).isin(vs.toIndexedSeq: _*))
+      case sources.IsNull(a) => Some(c(a).isNull)
+      case sources.IsNotNull(a) => Some(c(a).isNotNull)
+      case sources.StringStartsWith(a, v) => Some(c(a).startsWith(v))
+      case sources.StringEndsWith(a, v) => Some(c(a).endsWith(v))
+      case sources.StringContains(a, v) => Some(c(a).contains(v))
+      case sources.And(l, r) =>
+        for (lc <- toPredicate(l); rc <- toPredicate(r)) yield lc && rc
+      case sources.Or(l, r) =>
+        for (lc <- toPredicate(l); rc <- toPredicate(r)) yield lc || rc
+      case sources.Not(inner) => toPredicate(inner).map(not)
+      case _ => None
+    }
+  }
+
+  /** The stats-domain value of a delete-filter literal: numerics as-is,
+    * date/time external types as the epoch micros/days their footer
+    * envelopes store (UTC session — the engine's standing config). None
+    * for non-orderable types: they contribute no prune bound.
+    */
+  private def statsValue(v: Any): Option[Double] = v match {
+    case n: java.lang.Number => Some(n.doubleValue)
+    case t: java.sql.Timestamp =>
+      Some(t.getTime * 1000.0 + (t.getNanos % 1000000) / 1000.0)
+    case i: java.time.Instant =>
+      Some(i.getEpochSecond * 1e6 + i.getNano / 1000.0)
+    case l: java.time.LocalDateTime =>
+      statsValue(java.time.Instant.from(l.atZone(java.time.ZoneOffset.UTC)))
+    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay.toDouble)
+    case d: java.time.LocalDate => Some(d.toEpochDay.toDouble)
+    case _ => None
+  }
+
+  /** Sound per-column prune box implied by an (implicitly ANDed) delete
+    * filter array: a file whose envelope misses the box cannot contain a
+    * matching row, so [[SnapshotLake.delete]] skips rewriting it. Only
+    * top-level AND-composed range/equality shapes contribute; Or/Not/
+    * string shapes contribute nothing (conservative = rewrite-if-unsure,
+    * never skip-if-unsure).
+    */
+  private[sinks] def pruneBoxOf(filters: Array[Filter]): Map[String, (Double, Double)] = {
+    def boundsOf(f: Filter): Map[String, (Double, Double)] = f match {
+      case sources.EqualTo(a, v) =>
+        statsValue(v).map(d => Map(a -> (d, d))).getOrElse(Map.empty)
+      // null-safe equality with a NON-NULL literal matches only a = v
+      // rows, so the same point box is sound (all-null files carry no
+      // envelope and stay conservatively kept)
+      case sources.EqualNullSafe(a, v) if v != null =>
+        statsValue(v).map(d => Map(a -> (d, d))).getOrElse(Map.empty)
+      case sources.GreaterThan(a, v) =>
+        statsValue(v).map(d => Map(a -> (d, Double.PositiveInfinity))).getOrElse(Map.empty)
+      case sources.GreaterThanOrEqual(a, v) =>
+        statsValue(v).map(d => Map(a -> (d, Double.PositiveInfinity))).getOrElse(Map.empty)
+      case sources.LessThan(a, v) =>
+        statsValue(v).map(d => Map(a -> (Double.NegativeInfinity, d))).getOrElse(Map.empty)
+      case sources.LessThanOrEqual(a, v) =>
+        statsValue(v).map(d => Map(a -> (Double.NegativeInfinity, d))).getOrElse(Map.empty)
+      case sources.In(a, vs) =>
+        val ds = vs.flatMap(statsValue)
+        if (ds.isEmpty || ds.length != vs.length) Map.empty
+        else Map(a -> (ds.min, ds.max))
+      case sources.And(l, r) =>
+        val (bl, br) = (boundsOf(l), boundsOf(r))
+        (bl.keySet ++ br.keySet).map { k =>
+          (bl.get(k), br.get(k)) match {
+            case (Some((l1, h1)), Some((l2, h2))) =>
+              k -> (math.max(l1, l2), math.min(h1, h2))
+            case (a, b) => k -> a.orElse(b).get
+          }
+        }.toMap
+      case _ => Map.empty
+    }
+    filters.map(boundsOf).foldLeft(Map.empty[String, (Double, Double)]) {
+      (acc, b) =>
+        (acc.keySet ++ b.keySet).map { k =>
+          (acc.get(k), b.get(k)) match {
+            case (Some((l1, h1)), Some((l2, h2))) =>
+              k -> (math.max(l1, l2), math.min(h1, h2))
+            case (a, bb) => k -> a.orElse(bb).get
+          }
+        }.toMap
+    }
+  }
+
   /** The SQL INSERT landing: one ordinary manifest commit, with the
     * data-skipping index maintained exactly like a library append —
     * stats/bloom columns come from the table options when given
@@ -181,9 +348,14 @@ object SnapshotTable {
     * `overwrite = true` (full-table `INSERT OVERWRITE`) is an atomic
     * REPLACE.
     */
-  private[sinks] def insertInto(spark: SparkSession, root: String,
-      data: DataFrame, overwrite: Boolean, declaredPartitioning: Seq[String],
-      options: CaseInsensitiveStringMap): Unit = {
+  /** (head manifest, partition cols, stats cols, bloom cols) for a write
+    * landing now: stats/bloom columns come from the table options when
+    * given and are otherwise INHERITED from the head manifest's tracked
+    * columns, so SQL writes can never silently degrade a lake's pruning.
+    */
+  private def writeShape(spark: SparkSession, root: String,
+      declaredPartitioning: Seq[String], options: CaseInsensitiveStringMap)
+      : (Option[SnapshotLake.Manifest], Seq[String], Seq[String], Seq[String]) = {
     val head = SnapshotLake.latestVersion(spark, root)
       .map(v => SnapshotLake.manifest(spark, root, Some(v)))
     val parts = head.map(partColsOf).getOrElse(declaredPartitioning)
@@ -197,10 +369,54 @@ object SnapshotTable {
       if (opt.nonEmpty) opt
       else head.toSeq.flatMap(_.files.flatMap(_.bloomCols)).distinct.sorted
     }
+    (head, parts, stats, blooms)
+  }
+
+  private[sinks] def insertInto(spark: SparkSession, root: String,
+      data: DataFrame, overwrite: Boolean, declaredPartitioning: Seq[String],
+      options: CaseInsensitiveStringMap): Unit = {
+    val (head, parts, stats, blooms) =
+      writeShape(spark, root, declaredPartitioning, options)
     if (overwrite && head.nonEmpty)
       SnapshotLake.replace(spark, root, data, parts, stats, bloomCols = blooms)
     else
       SnapshotLake.append(spark, root, data, parts, stats, bloomCols = blooms)
+  }
+
+  /** The ATOMIC filtered-overwrite landing (SQL static-partition
+    * `INSERT OVERWRITE`, `DataFrameWriterV2.overwrite(cond)`): one
+    * [[SnapshotLake.replaceWhere]] commit whose prune box AND admitted
+    * partition values both derive from the overwrite filters — a
+    * `PARTITION (sym='a')` overwrite rewrites only `sym=a` files, a
+    * range-conditioned overwrite only envelope-overlapping files.
+    */
+  private[sinks] def overwriteWhere(spark: SparkSession, root: String,
+      data: DataFrame, filters: Array[Filter],
+      declaredPartitioning: Seq[String],
+      options: CaseInsensitiveStringMap): Unit = {
+    val (head, parts, stats, blooms) =
+      writeShape(spark, root, declaredPartitioning, options)
+    if (head.isEmpty) { // fresh lake: nothing to overwrite, just land
+      SnapshotLake.append(spark, root, data, parts, stats, bloomCols = blooms)
+      return
+    }
+    val pred = filters.flatMap(toPredicate).reduceOption(_ && _)
+      .getOrElse(lit(true))
+    val partVals = filters.flatMap {
+      case sources.EqualTo(a, v) if parts.contains(a) && v != null =>
+        Some(a -> Set(String.valueOf(v)))
+      // static PARTITION (k=v) clauses arrive as null-safe equality
+      case sources.EqualNullSafe(a, v) if parts.contains(a) && v != null =>
+        Some(a -> Set(String.valueOf(v)))
+      case sources.In(a, vs) if parts.contains(a) && vs.nonEmpty &&
+          vs.forall(_ != null) =>
+        Some(a -> vs.map(String.valueOf).toSet)
+      case _ => None
+    }.toMap // same-col duplicates keep one: a SUPERSET of the true
+    //         intersection, so pruning stays sound (fewer skips)
+    SnapshotLake.replaceWhere(spark, root, data, pred,
+      pruneBox = pruneBoxOf(filters), partitionValues = partVals,
+      partitionCols = parts, statsCols = stats)
   }
 }
 

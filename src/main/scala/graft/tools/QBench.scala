@@ -21,6 +21,17 @@ object QBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(50000000L).selectExpr("count(xxhash64(id))").collect() // warm
+    // Bench's CPU canary, verbatim, so qbench numbers normalize the same
+    // way the committed artifacts do (min of before/after)
+    def canary(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0, 50000000L, 1, 32)
+        .selectExpr("id", "rpad(cast(id AS string), 128, 'x') AS payload")
+        .repartition(32, org.apache.spark.sql.functions.col("id"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val c1 = canary()
     names.foreach { name =>
       val fn = graft.SparkEntry.queries.getOrElse(name,
         throw new IllegalArgumentException(s"unknown query $name"))
@@ -32,6 +43,9 @@ object QBench {
       println(f"[qbench] $name%-28s min=${times.min}%6.2f s  " +
         f"runs=${times.map(t => f"$t%.2f").mkString(",")}")
     }
+    val c = math.min(c1, canary())
+    println(f"[qbench] canary_sec=$c%.3f (ref 0.487; normalized = " +
+      "min * 0.487 / canary_sec)")
     spark.stop()
   }
 }

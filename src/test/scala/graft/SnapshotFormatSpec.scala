@@ -320,6 +320,106 @@ class SnapshotFormatSpec extends SparkSpec {
     assert(e.getMessage.contains("Append output mode"))
   }
 
+  test("SQL DELETE FROM rewrites only envelope-overlapping files (one " +
+      "atomic delete commit, untouched files survive by identity); " +
+      "untranslatable predicates refuse loudly; TRUNCATE TABLE is an " +
+      "atomic empty REPLACE with history intact") {
+    val root = freshRoot()
+    // two id-ranged appends: event_id envelopes disjoint across them
+    bars(1, 20, 0.0).repartition(2).write.format("graft-snapshot")
+      .option("statsCols", "event_id").save(root)
+    bars(2, 20, 1000.0)
+      .withColumn("event_id", col("event_id") + 1000L).repartition(2)
+      .write.format("graft-snapshot").mode(SaveMode.Append)
+      .option("statsCols", "event_id").save(root)
+    val before = SnapshotLake.manifest(spark, root)
+    val low = before.files.filter(_.stats("event_id")._2 < 1000)
+    assert(low.nonEmpty && low.size < before.files.size)
+    spark.sql(s"CREATE TABLE snapfmt_del USING `graft-snapshot` " +
+      s"OPTIONS (path '$root')")
+    try {
+      // modulo predicates have no sources.Filter form: the doorway must
+      // refuse rather than delete against a weaker predicate
+      intercept[Exception] {
+        spark.sql("DELETE FROM snapfmt_del WHERE event_id % 2 = 0")
+      }
+      assert(SnapshotLake.manifest(spark, root).version == before.version)
+      // ranged delete: only the low-envelope files can contain matches
+      // (bound 100 sits strictly between the two appends' envelopes —
+      // the conservative box keeps boundary-touching files, so an exact
+      // boundary would rewrite the first high file too)
+      spark.sql("DELETE FROM snapfmt_del " +
+        "WHERE event_id < 100 AND symbol = 'sym0'")
+      val after = SnapshotLake.manifest(spark, root)
+      assert(after.op == "delete" && after.version == before.version + 1)
+      // the high-envelope files survived BY IDENTITY (same rel paths)
+      val highBefore = before.files.map(_.rel).toSet -- low.map(_.rel)
+      assert(highBefore.subsetOf(after.files.map(_.rel).toSet),
+        "delete must not rewrite files its prune box excludes")
+      assert(spark.sql("SELECT * FROM snapfmt_del").count() == 40 - 7)
+      assert(spark.sql(
+        "SELECT * FROM snapfmt_del WHERE symbol = 'sym0' AND event_id < 1000")
+        .count() == 0)
+      // TRUNCATE: atomic replace with the empty frame; history intact
+      spark.sql("TRUNCATE TABLE snapfmt_del")
+      assert(spark.sql("SELECT * FROM snapfmt_del").count() == 0)
+      val m2 = SnapshotLake.manifest(spark, root)
+      // the staged empty frame may land as one zero-row part file
+      assert(m2.op == "replace" && m2.files.forall(_.rows == 0))
+      assert(spark.read.format("graft-snapshot")
+        .option("versionAsOf", after.version.toString).load(root)
+        .count() == 33)
+    } finally spark.sql("DROP TABLE snapfmt_del")
+  }
+
+  test("static-partition INSERT OVERWRITE and writeTo().overwrite(cond) " +
+      "land as ONE atomic replaceWhere commit: only condition-reachable " +
+      "files rewritten, stray-row frames refused") {
+    val root = freshRoot()
+    bars(1, 30, 0.0).write.format("graft-snapshot")
+      .option("partitionCols", "symbol").option("statsCols", "event_id")
+      .save(root)
+    val before = SnapshotLake.manifest(spark, root)
+    spark.sql(s"CREATE TABLE snapfmt_rw USING `graft-snapshot` " +
+      s"OPTIONS (path '$root')")
+    try {
+      // static partition overwrite: ONE commit, only symbol=sym1 files
+      // rewritten — the others survive by identity
+      bars(2, 3, 500.0).createOrReplaceTempView("snapfmt_rw_src")
+      spark.sql("INSERT OVERWRITE snapfmt_rw PARTITION (symbol='sym1') " +
+        "SELECT ts, close, event_id FROM snapfmt_rw_src")
+      val after = SnapshotLake.manifest(spark, root)
+      assert(after.op == "replacewhere" &&
+        after.version == before.version + 1)
+      val othersBefore = before.files
+        .filterNot(_.rel.startsWith("symbol=sym1/")).map(_.rel).toSet
+      assert(othersBefore.subsetOf(after.files.map(_.rel).toSet),
+        "a PARTITION (symbol='sym1') overwrite must not rewrite other partitions")
+      assert(spark.sql("SELECT * FROM snapfmt_rw").count() == 30 - 10 + 3)
+      assert(spark.sql(
+        "SELECT * FROM snapfmt_rw WHERE symbol = 'sym1'").count() == 3)
+      // filtered overwrite via DataFrameWriterV2: atomic replaceWhere
+      val total = spark.sql("SELECT * FROM snapfmt_rw").count()
+      val oldIn = spark.sql(
+        "SELECT * FROM snapfmt_rw WHERE event_id < 5").count()
+      bars(3, 5, 900.0).writeTo("snapfmt_rw")
+        .overwrite(col("event_id") < 5)
+      assert(spark.sql("SELECT * FROM snapfmt_rw").count() ==
+        total - oldIn + 5)
+      assert(spark.sql("SELECT * FROM snapfmt_rw WHERE event_id < 5")
+        .collect().forall(_.getAs[Double]("close") >= 900.0))
+      // a frame carrying rows the condition does NOT match is refused —
+      // those rows would land OUTSIDE the overwritten region
+      val v = SnapshotLake.manifest(spark, root).version
+      intercept[Exception] {
+        bars(4, 8, 0.0).writeTo("snapfmt_rw")
+          .overwrite(col("event_id") < 3)
+      }
+      assert(SnapshotLake.manifest(spark, root).version == v,
+        "a refused overwrite must not have committed")
+    } finally spark.sql("DROP TABLE snapfmt_rw")
+  }
+
   test("writes to a version-pinned table are refused") {
     val root = freshRoot()
     bars(1, 6, 0.0).write.format("graft-snapshot").save(root)
