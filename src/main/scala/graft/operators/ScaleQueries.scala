@@ -294,6 +294,37 @@ object ScaleQueries {
       s.sql("SELECT event_id, symbol, ts, close FROM sn8_lake")
     }),
 
+    // SN9 — the CATALOG lifecycle end-to-end (GraftCatalog, the
+    // Delta/Iceberg catalog-plugin pattern): CTAS creates a managed lake
+    // under the warehouse with no path options, `ALTER TABLE ADD
+    // COLUMNS` widens it as ONE metadata-only evolve commit (old files
+    // read the new column as NULL — no byte rewritten), and a
+    // post-evolve INSERT lands against the widened schema. The oracle
+    // replays the widen declaratively: first half NULL-src, second half
+    // tagged — a hash match proves CTAS + evolve + insert lossless.
+    // Catalog instances cache per session with their first options, so
+    // the warehouse is fixed per JVM and the query is made idempotent
+    // with DROP IF EXISTS (Bench runs it twice in one session).
+    "sn9_catalog_lifecycle" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graft", "graft.sinks.GraftCatalog")
+      if (s.conf.getOption("spark.sql.catalog.graft.warehouse").isEmpty)
+        s.conf.set("spark.sql.catalog.graft.warehouse",
+          graft.TempDirs.create("graft-sn9-wh"))
+      val b = Tables.bars(s, dir).select("event_id", "symbol", "ts", "close")
+      val r = b.agg(min("event_id"), max("event_id")).head
+      val mid = (r.getLong(0) + r.getLong(1)) / 2
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.sn9")
+      s.sql("DROP TABLE IF EXISTS graft.sn9.t")
+      b.filter(col("event_id") < mid).createOrReplaceTempView("sn9_lo")
+      b.filter(col("event_id") >= mid).createOrReplaceTempView("sn9_hi")
+      s.sql("CREATE TABLE graft.sn9.t USING `graft-snapshot` AS " +
+        "SELECT event_id, symbol, ts, close FROM sn9_lo")
+      s.sql("ALTER TABLE graft.sn9.t ADD COLUMNS (src STRING)")
+      s.sql("INSERT INTO graft.sn9.t " +
+        "SELECT event_id, symbol, ts, close, 'late' FROM sn9_hi")
+      s.sql("SELECT event_id, symbol, ts, close, src FROM graft.sn9.t")
+    }),
+
     // Manifest-powered CDC: bars land in two appends (ver 1), a MERGE
     // upserts bumped-close updates + brand-new ids (ver 2), a DELETE
     // removes every 97th key — then diff(pre-merge, head) classifies the
@@ -608,6 +639,16 @@ object ScaleQueries {
          |  event_id >= (SELECT min(event_id) + (max(event_id) - min(event_id)) // 4 FROM bars)
          |  AND event_id < (SELECT min(event_id) + 3 * ((max(event_id) - min(event_id)) // 4) FROM bars)
          |  AND symbol = (SELECT min(symbol) FROM bars))""".stripMargin),
+
+    "sn9_catalog_lifecycle" -> (Tables.barsSql +
+      s"""
+         |SELECT event_id, symbol, ts, close, CAST(NULL AS VARCHAR) AS src
+         |FROM bars
+         |WHERE event_id < (SELECT (min(event_id) + max(event_id)) // 2 FROM bars)
+         |UNION ALL
+         |SELECT event_id, symbol, ts, close, 'late' AS src
+         |FROM bars
+         |WHERE event_id >= (SELECT (min(event_id) + max(event_id)) // 2 FROM bars)""".stripMargin),
 
     "cdc1_snapshot_diff" -> (Tables.barsSql +
       s"""

@@ -92,8 +92,15 @@ object SnapshotLake {
       stats: Map[String, (Double, Double)], bloomCols: Seq[String] = Nil,
       rows: Long = -1L)
 
+  /** `props`: lake-level metadata that PERSISTS across commits (every
+    * commit inherits its parent's unless it explicitly overrides) —
+    * today the declared partition columns of a catalog-created lake,
+    * which files cannot carry before the first row lands. Absent from
+    * pre-round-12 manifests; parse treats them as empty.
+    */
   final case class Manifest(version: Long, parent: Long, op: String,
-      schema: StructType, files: Seq[FileEntry]) {
+      schema: StructType, files: Seq[FileEntry],
+      props: Map[String, String] = Map.empty) {
     def bytes: Long = files.map(_.bytes).sum
   }
 
@@ -121,6 +128,16 @@ object SnapshotLake {
     sb.append("version=").append(m.version).append('\n')
     sb.append("parent=").append(m.parent).append('\n')
     sb.append("op=").append(m.op).append('\n')
+    // optional, URL-encoded k=v pairs tab-joined — only written when
+    // nonempty, so pre-props manifests and props-free lakes render
+    // byte-identically to round 11
+    if (m.props.nonEmpty) {
+      sb.append("props=").append(m.props.toSeq.sortBy(_._1).map {
+        case (k, v) =>
+          java.net.URLEncoder.encode(k, "UTF-8") + "=" +
+            java.net.URLEncoder.encode(v, "UTF-8")
+      }.mkString("\t")).append('\n')
+    }
     sb.append("schema=").append(m.schema.json).append('\n')
     sb.append("files=").append(m.files.size).append('\n')
     m.files.foreach { f =>
@@ -150,12 +167,24 @@ object SnapshotLake {
     val version = field(1, "version").toLong
     val parent = field(2, "parent").toLong
     val op = field(3, "op")
-    val schema = DataType.fromJson(field(4, "schema")).asInstanceOf[StructType]
-    val n = field(5, "files").toInt
+    // optional props line (round 12+) shifts schema/files down by one
+    val hasProps = lines(4).startsWith("props=")
+    val props: Map[String, String] =
+      if (!hasProps) Map.empty
+      else lines(4).substring("props=".length).split('\t')
+        .filter(_.nonEmpty).map { seg =>
+          val eq = seg.indexOf('=')
+          require(eq > 0, s"manifest props segment malformed: $seg")
+          java.net.URLDecoder.decode(seg.take(eq), "UTF-8") ->
+            java.net.URLDecoder.decode(seg.drop(eq + 1), "UTF-8")
+        }.toMap
+    val off = if (hasProps) 1 else 0
+    val schema = DataType.fromJson(field(4 + off, "schema")).asInstanceOf[StructType]
+    val n = field(5 + off, "files").toInt
     val files = (0 until n).map { i =>
-      val cols = lines(6 + i).split('\t')
+      val cols = lines(6 + off + i).split('\t')
       require(cols.length >= 2 && cols.length <= 5,
-        s"manifest file line ${6 + i} malformed")
+        s"manifest file line ${6 + off + i} malformed")
       val stats = if (cols.length < 3 || cols(2).isEmpty) Map.empty[String, (Double, Double)]
       else cols(2).split(';').map { seg =>
         val eq = seg.indexOf('=')
@@ -169,7 +198,7 @@ object SnapshotLake {
       val rows = if (cols.length < 5 || cols(4).isEmpty) -1L else cols(4).toLong
       FileEntry(cols(0), cols(1).toLong, stats, blooms, rows)
     }
-    Manifest(version, parent, op, schema, files)
+    Manifest(version, parent, op, schema, files, props)
   }
 
   // ------------------------------------------------------------- manifests
@@ -260,7 +289,8 @@ object SnapshotLake {
     */
   private[sinks] def commit(spark: SparkSession, root: String, op: String,
       schema: StructType, build: Option[Manifest] => Seq[FileEntry],
-      lockExpiryMs: Long): Long = {
+      lockExpiryMs: Long,
+      props: Option[Map[String, String]] = None): Long = {
     val fs = fsOf(spark, root)
     fs.mkdirs(manifestDir(root))
     val deadline = System.nanoTime + java.util.concurrent.TimeUnit.MILLISECONDS
@@ -283,8 +313,12 @@ object SnapshotLake {
         } else {
           try {
             // head is frozen at next-1 while we hold the lock
+            val headM = head.map(_ => manifest(spark, root, None))
+            // lake props persist: every commit inherits its parent's
+            // unless the caller overrides them explicitly
             val m = Manifest(next, head.getOrElse(0L), op, schema,
-              build(head.map(_ => manifest(spark, root, None))))
+              build(headM),
+              props.orElse(headM.map(_.props)).getOrElse(Map.empty))
             val tmp = new Path(manifestDir(root), s".tmp-${newToken()}")
             val outS = fs.create(tmp, true)
             try outS.write(render(m)) finally outS.close()
@@ -674,6 +708,58 @@ object SnapshotLake {
     // recorded bloom is missing.
     writeBlooms(spark, root, staged.toSeq, sortedBlooms)
     staged.toSeq
+  }
+
+  /** Create an EMPTY lake: a schema-only v1 manifest with zero files —
+    * the `CREATE TABLE` landing for catalog-managed lakes. Declared
+    * partition columns persist as lake props (files cannot carry them
+    * before the first row lands); subsequent appends validate against
+    * the stored schema like any append. Refuses an existing lake.
+    */
+  def create(spark: SparkSession, root: String, schema: StructType,
+      partitionCols: Seq[String] = Nil,
+      lockExpiryMs: Long = DefaultLockExpiryMs): Long = {
+    require(latestVersion(spark, root).isEmpty,
+      s"a snapshot lake already exists under $root")
+    partitionCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"partition column $c not in schema ${schema.simpleString}"))
+    val props =
+      if (partitionCols.isEmpty) Map.empty[String, String]
+      else Map("partitionCols" -> partitionCols.mkString(","))
+    commit(spark, root, "create", schema, build = _ => Nil, lockExpiryMs,
+      props = Some(props))
+  }
+
+  /** METADATA-ONLY widening: commit a new version whose schema appends
+    * `cols` (same file list — old files read the new columns as NULL,
+    * the [[unionSchema]] evolution contract) — the `ALTER TABLE ADD
+    * COLUMNS` landing. Duplicate names and empty adds refuse.
+    */
+  def addColumns(spark: SparkSession, root: String, cols: StructType,
+      lockExpiryMs: Long = DefaultLockExpiryMs): Long = {
+    require(cols.fields.nonEmpty, "addColumns needs at least one column")
+    val cur = manifest(spark, root, None).schema
+    val dup = cols.fieldNames.filter(cur.fieldNames.contains)
+    require(dup.isEmpty,
+      s"addColumns: column(s) already exist: ${dup.mkString(", ")}")
+    val widened = StructType(cur.fields ++ cols.fields)
+    commit(spark, root, "evolve", widened,
+      build = head => head.map(_.files).getOrElse(Nil), lockExpiryMs)
+  }
+
+  /** Largest committed version whose manifest was PUBLISHED at or before
+    * `tsMicros` (epoch micros) — the `TIMESTAMP AS OF` resolution.
+    * Publish time is the manifest file's modification time (the rename
+    * that made the commit visible), so the answer is as precise as the
+    * store's mtime clock — document-grade time travel; pin a VERSION
+    * for bit-exact replays.
+    */
+  def versionAt(spark: SparkSession, root: String, tsMicros: Long): Option[Long] = {
+    val fs = fsOf(spark, root)
+    versions(spark, root).filter { v =>
+      fs.getFileStatus(new Path(manifestDir(root), manifestName(v)))
+        .getModificationTime * 1000L <= tsMicros
+    }.lastOption
   }
 
   /** Append `df` as a new snapshot version (creating the lake on first
@@ -1445,10 +1531,12 @@ object SnapshotLake {
       s"sinceVersion $sinceVersion is ahead of toVersion $hi")
     val newer = versions(spark, root).filter(v => v > sinceVersion && v <= hi)
       .map(v => manifest(spark, root, Some(v)))
-    // restat is metadata-only (identical file set, enriched entries):
-    // file provenance still equals row provenance across it
+    // restat/evolve are metadata-only (identical file set; enriched
+    // entries / widened schema) and create adds no files: file
+    // provenance still equals row provenance across all three
     val nonAppend = newer.filterNot(m =>
-      m.op.startsWith("append") || m.op == "restat")
+      m.op.startsWith("append") || m.op == "restat" || m.op == "evolve" ||
+        m.op == "create")
     require(nonAppend.isEmpty,
       s"appendsSince($sinceVersion) crosses non-append versions " +
         s"${nonAppend.map(m => s"v${m.version}=${m.op}").mkString(", ")} — " +

@@ -227,15 +227,21 @@ object SnapshotTable {
     Option(o.get(k)).toSeq
       .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
 
-  /** Partition column names in directory order, from the manifest's own
-    * relative paths (`sym=a/month=1/<file>` → sym, month). The first
-    * file is authoritative; [[SnapshotPartitioningIndex]]'s partition
-    * inference fails loudly on an inconsistent layout.
+  /** Partition column names: the lake's declared `partitionCols` prop
+    * when present (catalog-created lakes carry it from CREATE TABLE,
+    * before any file exists), else derived in directory order from the
+    * manifest's own relative paths (`sym=a/month=1/<file>` → sym,
+    * month). The first file is authoritative;
+    * [[SnapshotPartitioningIndex]]'s partition inference fails loudly
+    * on an inconsistent layout.
     */
   private[sinks] def partColsOf(m: SnapshotLake.Manifest): Seq[String] =
-    m.files.headOption.toSeq.flatMap(_.rel.split('/').dropRight(1).toSeq
-      .takeWhile(_.contains('='))
-      .map(seg => seg.substring(0, seg.indexOf('='))))
+    m.props.get("partitionCols")
+      .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(m.files.headOption.toSeq
+        .flatMap(_.rel.split('/').dropRight(1).toSeq
+          .takeWhile(_.contains('='))
+          .map(seg => seg.substring(0, seg.indexOf('=')))))
 
   /** `sources.Filter` → Column, for the DELETE doorway. Total over the
     * shapes SQL DELETE predicates translate to; None (⇒ `canDeleteWhere`

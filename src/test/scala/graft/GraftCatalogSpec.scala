@@ -1,0 +1,150 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sinks.SnapshotLake
+
+/** The snapshot lake as a catalog plugin (`graft.sinks.GraftCatalog`):
+  * the full SQL table lifecycle — CREATE/CTAS/INSERT/SELECT with
+  * VERSION/TIMESTAMP AS OF/ALTER ADD COLUMNS/RENAME/DROP — against a
+  * warehouse directory, with no path options anywhere and no metastore
+  * beside the filesystem.
+  */
+class GraftCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Catalog plugins resolve lazily and are then CACHED per session with
+  // the conf they first saw — another suite (DriverContractSpec's sn9
+  // query) may have initialized `graft` already, so ADOPT its warehouse
+  // instead of setting a fresh one the cached instance would ignore.
+  // Namespaces keep the suites disjoint.
+  private val warehouse =
+    spark.conf.getOption("spark.sql.catalog.graft.warehouse").getOrElse {
+      val wh = TempDirs.create("graft-catalog-wh")
+      spark.conf.set("spark.sql.catalog.graft", "graft.sinks.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      wh
+    }
+
+  private def bars(n: Int, tag: Double): DataFrame =
+    (0 until n).map { i =>
+      (s"sym${i % 3}",
+        Timestamp.valueOf(f"2024-01-10 00:${i % 60}%02d:00"), tag + i,
+        i.toLong)
+    }.toDF("symbol", "ts", "close", "event_id")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+
+  test("namespace + partitioned CREATE TABLE + INSERT + SELECT: the " +
+      "catalog carries the whole lifecycle with no path options") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.prod")
+    spark.sql("CREATE TABLE graft.prod.bars (symbol STRING, " +
+      "ts TIMESTAMP_NTZ, close DOUBLE, event_id BIGINT) " +
+      "USING `graft-snapshot` PARTITIONED BY (symbol)")
+    val root = s"$warehouse/prod/bars"
+    // CREATE TABLE committed an EMPTY v1 manifest carrying the declared
+    // partitioning as a lake prop
+    val m1 = SnapshotLake.manifest(spark, root)
+    assert(m1.version == 1 && m1.op == "create" && m1.files.isEmpty)
+    assert(m1.props("partitionCols") == "symbol")
+    assert(spark.sql("SELECT * FROM graft.prod.bars").count() == 0)
+    bars(12, 0.0).createOrReplaceTempView("gc_src")
+    spark.sql("INSERT INTO graft.prod.bars " +
+      "SELECT symbol, ts, close, event_id FROM gc_src")
+    // landed hive-partitioned per the declared (prop-carried) transform
+    val m2 = SnapshotLake.manifest(spark, root)
+    assert(m2.op == "append" && m2.files.forall(_.rel.startsWith("symbol=")))
+    assert(m2.props("partitionCols") == "symbol") // props persist
+    assert(spark.sql("SELECT * FROM graft.prod.bars").count() == 12)
+    assert(spark.sql(
+      "SELECT * FROM graft.prod.bars WHERE symbol = 'sym1'").count() == 4)
+    assert(spark.sql("SHOW TABLES IN graft.prod").collect()
+      .map(_.getString(1)).contains("bars"))
+  }
+
+  test("SQL time travel: VERSION AS OF pins a manifest, TIMESTAMP AS OF " +
+      "resolves via manifest publish time") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.tt")
+    spark.sql("CREATE TABLE graft.tt.t (symbol STRING, ts TIMESTAMP_NTZ, " +
+      "close DOUBLE, event_id BIGINT) USING `graft-snapshot`")
+    bars(5, 0.0).createOrReplaceTempView("gc_tt_src1")
+    spark.sql("INSERT INTO graft.tt.t SELECT * FROM gc_tt_src1") // v2
+    Thread.sleep(1200) // mtime granularity on local FS is 1 s
+    val between = java.time.Instant.now()
+    Thread.sleep(1200)
+    bars(3, 100.0).createOrReplaceTempView("gc_tt_src2")
+    spark.sql("INSERT INTO graft.tt.t SELECT * FROM gc_tt_src2") // v3
+    assert(spark.sql("SELECT * FROM graft.tt.t").count() == 8)
+    assert(spark.sql("SELECT * FROM graft.tt.t VERSION AS OF 2").count() == 5)
+    assert(spark.sql("SELECT * FROM graft.tt.t VERSION AS OF 1").count() == 0)
+    val ts = java.sql.Timestamp.from(between)
+    assert(spark.sql(
+      s"SELECT * FROM graft.tt.t TIMESTAMP AS OF '$ts'").count() == 5)
+    // a pinned read cannot be written
+    intercept[Exception] {
+      spark.sql("INSERT INTO graft.tt.t VERSION AS OF 2 SELECT * FROM gc_tt_src1")
+    }
+  }
+
+  test("CTAS, ALTER TABLE ADD COLUMNS as a metadata-only evolve commit, " +
+      "RENAME as a directory move, managed DROP") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ddl")
+    bars(6, 0.0).createOrReplaceTempView("gc_ddl_src")
+    spark.sql("CREATE TABLE graft.ddl.ctas USING `graft-snapshot` AS " +
+      "SELECT symbol, ts, close, event_id FROM gc_ddl_src")
+    assert(spark.sql("SELECT * FROM graft.ddl.ctas").count() == 6)
+    val root = s"$warehouse/ddl/ctas"
+    val vBefore = SnapshotLake.manifest(spark, root).version
+    val filesBefore = SnapshotLake.manifest(spark, root).files.map(_.rel)
+    // widen: ONE evolve commit, same files, old rows read NULL
+    spark.sql("ALTER TABLE graft.ddl.ctas ADD COLUMNS (venue STRING)")
+    val m = SnapshotLake.manifest(spark, root)
+    assert(m.op == "evolve" && m.version == vBefore + 1 &&
+      m.files.map(_.rel) == filesBefore,
+      "ADD COLUMNS must be metadata-only")
+    assert(spark.sql(
+      "SELECT * FROM graft.ddl.ctas WHERE venue IS NULL").count() == 6)
+    // inserts against the widened schema land; narrowing ALTERs refuse
+    spark.sql("INSERT INTO graft.ddl.ctas SELECT symbol, ts, close, " +
+      "event_id, 'nyse' FROM gc_ddl_src LIMIT 2")
+    assert(spark.sql(
+      "SELECT * FROM graft.ddl.ctas WHERE venue = 'nyse'").count() == 2)
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.ddl.ctas DROP COLUMN venue")
+    }
+    // rename: directory move; old name gone, data + history intact
+    // (the target name is CATALOG-RELATIVE — `ddl.ctas2`, not
+    // `graft.ddl.ctas2`: Spark resolves RENAME TO within the source's
+    // catalog, so a catalog prefix would become a namespace segment)
+    spark.sql("ALTER TABLE graft.ddl.ctas RENAME TO ddl.ctas2")
+    assert(spark.sql("SELECT * FROM graft.ddl.ctas2").count() == 8)
+    assert(!spark.catalog.tableExists("graft.ddl.ctas"))
+    // CTAS history: v1 = the empty create, v2 = the data append
+    assert(spark.sql("SELECT * FROM graft.ddl.ctas2 VERSION AS OF 1")
+      .count() == 0)
+    assert(spark.sql("SELECT * FROM graft.ddl.ctas2 VERSION AS OF 2")
+      .count() == 6)
+    // managed drop deletes the lake
+    spark.sql("DROP TABLE graft.ddl.ctas2")
+    assert(spark.sql("SHOW TABLES IN graft.ddl").isEmpty)
+    assert(!new java.io.File(s"$warehouse/ddl/ctas2").exists())
+  }
+
+  test("DML through the catalog: DELETE FROM and INSERT OVERWRITE " +
+      "carry the doorway's commit semantics") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dml")
+    bars(10, 0.0).createOrReplaceTempView("gc_dml_src")
+    spark.sql("CREATE TABLE graft.dml.t USING `graft-snapshot` AS " +
+      "SELECT symbol, ts, close, event_id FROM gc_dml_src")
+    spark.sql("DELETE FROM graft.dml.t WHERE event_id >= 7")
+    assert(spark.sql("SELECT * FROM graft.dml.t").count() == 7)
+    assert(SnapshotLake.manifest(spark,
+      s"$warehouse/dml/t").op == "delete")
+    spark.sql("INSERT OVERWRITE graft.dml.t " +
+      "SELECT symbol, ts, close, event_id FROM gc_dml_src WHERE event_id < 3")
+    assert(spark.sql("SELECT * FROM graft.dml.t").count() == 3)
+    spark.sql("DROP TABLE graft.dml.t")
+  }
+}
