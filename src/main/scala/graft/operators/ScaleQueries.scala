@@ -325,6 +325,34 @@ object ScaleQueries {
       s.sql("SELECT event_id, symbol, ts, close, src FROM graft.sn9.t")
     }),
 
+    // SN10 — SQL `MERGE INTO` through the row-level doorway
+    // (SnapshotRowLevelOperation, the group-based copy-on-write seam):
+    // matched keys update in place, unmatched source keys insert, ONE
+    // atomic commit, the distributed write through the DSv2 BatchWrite
+    // into the lake's stage convention. The oracle replays the upsert
+    // declaratively (CASE for updates, UNION for inserts) — a hash
+    // match proves the whole MERGE rewrite row-exact, NULL closes and
+    // all.
+    "sn10_sql_merge" -> ((s, dir) => {
+      val b = Tables.bars(s, dir).select("event_id", "symbol", "ts", "close")
+      val root = graft.TempDirs.create("graft-sn10") + "/lake"
+      b.repartition(4).write.format("graft-snapshot")
+        .option("statsCols", "event_id").save(root)
+      s.sql("DROP TABLE IF EXISTS sn10_lake")
+      s.sql(s"CREATE TABLE sn10_lake USING `graft-snapshot` " +
+        s"OPTIONS (path '$root')")
+      b.filter(col("event_id") % 10 === 0)
+        .unionByName(b.filter(col("event_id") % 1000 === 7)
+          .withColumn("event_id", col("event_id") + lit(1000000000000L)))
+        .withColumn("close", col("close") + lit(1000.0))
+        .createOrReplaceTempView("sn10_src")
+      s.sql("""MERGE INTO sn10_lake t USING sn10_src s
+               ON t.event_id = s.event_id
+               WHEN MATCHED THEN UPDATE SET close = s.close
+               WHEN NOT MATCHED THEN INSERT *""")
+      s.sql("SELECT event_id, symbol, ts, close FROM sn10_lake")
+    }),
+
     // Manifest-powered CDC: bars land in two appends (ver 1), a MERGE
     // upserts bumped-close updates + brand-new ids (ver 2), a DELETE
     // removes every 97th key — then diff(pre-merge, head) classifies the
@@ -649,6 +677,16 @@ object ScaleQueries {
          |SELECT event_id, symbol, ts, close, 'late' AS src
          |FROM bars
          |WHERE event_id >= (SELECT (min(event_id) + max(event_id)) // 2 FROM bars)""".stripMargin),
+
+    "sn10_sql_merge" -> (Tables.barsSql +
+      s"""
+         |SELECT event_id, symbol, ts,
+         |       CASE WHEN event_id % 10 = 0 THEN close + 1000.0
+         |            ELSE close END AS close
+         |FROM bars
+         |UNION ALL
+         |SELECT event_id + 1000000000000, symbol, ts, close + 1000.0
+         |FROM bars WHERE event_id % 1000 = 7""".stripMargin),
 
     "cdc1_snapshot_diff" -> (Tables.barsSql +
       s"""

@@ -658,7 +658,24 @@ object SnapshotLake {
           parts += ((st.getPath, s"$rel$token-$name", st.getLen))
       }
     walk(stage, "")
-    // pass 2: footer probes are independent driver-side reads — run them
+    val staged = publishStaged(spark, root, parts.toSeq, statsCols,
+      sortedBlooms)
+    fs.delete(stage, true)
+    staged
+  }
+
+  /** Pass 2+3 of a stage: footer-probe, move under data/, build the
+    * bloom sidecars — shared by [[stageFiles]] (whose parts come from a
+    * Spark write into a stage dir) and the SQL row-level-operation
+    * BatchWrite (whose parts come from executor-side DataWriters).
+    * `parts` = (current path, final data/-relative name, byte length).
+    */
+  private[sinks] def publishStaged(spark: SparkSession, root: String,
+      parts: Seq[(Path, String, Long)], statsCols: Set[String],
+      bloomCols: Seq[String]): Seq[FileEntry] = {
+    val fs = fsOf(spark, root)
+    val sortedBlooms = bloomCols.distinct.sorted
+    // footer probes are independent driver-side reads — run them
     // on a bounded pool instead of serially (a refresh that stages N
     // files pays one footer open each; serial probes were the dominant
     // commit constant in the incremental-rollup loop)
@@ -701,7 +718,6 @@ object SnapshotLake {
       require(fs.rename(p, target), s"stage move failed: $target")
       FileEntry(relOut, len, stats, sortedBlooms, nRows)
     }
-    fs.delete(stage, true)
     // sidecars land BEFORE the manifest commit that makes the files
     // visible; a crash in between leaves unreferenced files + sidecars
     // (invisible garbage, swept by vacuum), never a committed file whose

@@ -8,7 +8,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability}
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, V1Write, Write, WriteBuilder}
@@ -71,7 +71,8 @@ final class SnapshotTable(
     declaredSchema: Option[StructType],
     declaredPartitioning: Seq[String],
     tableOptions: CaseInsensitiveStringMap) extends Table
-    with SupportsRead with SupportsWrite with SupportsDelete {
+    with SupportsRead with SupportsWrite with SupportsDelete
+    with SupportsRowLevelOperations {
 
   import SnapshotLake.{FileEntry, Manifest}
 
@@ -182,6 +183,23 @@ final class SnapshotTable(
       spark.sparkContext.emptyRDD[Row], m.schema)
     SnapshotLake.replace(spark, root, empty, SnapshotTable.partColsOf(m))
     true
+  }
+
+  /** SQL `MERGE INTO` / `UPDATE` (and untranslatable-predicate DELETE):
+    * Spark's group-based copy-on-write rewrite over the pinned manifest
+    * — see [[SnapshotRowLevelOperation]]. Translatable DELETEs still
+    * take the metadata path above (Spark's own
+    * OptimizeMetadataOnlyDeleteFromTable converts back when it can).
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(version.isEmpty,
+      s"cannot run DML against a version-pinned snapshot table " +
+        s"(versionAsOf=${version.get})")
+    val m = pinned.getOrElse(throw new IllegalArgumentException(
+      s"no committed snapshot under $root — nothing to modify"))
+    new SnapshotRowLevelOperationBuilder(spark, root, m, info)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {

@@ -322,8 +322,7 @@ class SnapshotFormatSpec extends SparkSpec {
 
   test("SQL DELETE FROM rewrites only envelope-overlapping files (one " +
       "atomic delete commit, untouched files survive by identity); " +
-      "untranslatable predicates refuse loudly; TRUNCATE TABLE is an " +
-      "atomic empty REPLACE with history intact") {
+      "TRUNCATE TABLE is an atomic empty REPLACE with history intact") {
     val root = freshRoot()
     // two id-ranged appends: event_id envelopes disjoint across them
     bars(1, 20, 0.0).repartition(2).write.format("graft-snapshot")
@@ -338,12 +337,6 @@ class SnapshotFormatSpec extends SparkSpec {
     spark.sql(s"CREATE TABLE snapfmt_del USING `graft-snapshot` " +
       s"OPTIONS (path '$root')")
     try {
-      // modulo predicates have no sources.Filter form: the doorway must
-      // refuse rather than delete against a weaker predicate
-      intercept[Exception] {
-        spark.sql("DELETE FROM snapfmt_del WHERE event_id % 2 = 0")
-      }
-      assert(SnapshotLake.manifest(spark, root).version == before.version)
       // ranged delete: only the low-envelope files can contain matches
       // (bound 100 sits strictly between the two appends' envelopes —
       // the conservative box keeps boundary-touching files, so an exact
