@@ -132,20 +132,48 @@ class SnapshotSourceProvider extends StreamSourceProvider with DataSourceRegiste
       "graft-snapshot needs the lake root: .load(<root>) / " +
         "OPTIONS (path '<root>')"))
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    SnapshotLake.manifest(SparkSession.active, rootOpt(options),
-      Option(options.get("versionAsOf")).map(_.toLong)).schema
+  /** `versionAsOf` pins a manifest version; `timestampAsOf` (an ISO
+    * timestamp or epoch micros, UTC) resolves one via the manifests'
+    * publish mtimes — the path-based twins of the catalog's SQL
+    * `VERSION AS OF` / `TIMESTAMP AS OF`. Mutually exclusive.
+    */
+  private def pinnedVersion(spark: SparkSession, root: String,
+      opts: CaseInsensitiveStringMap): Option[Long] = {
+    val v = Option(opts.get("versionAsOf")).map(_.toLong)
+    val t = Option(opts.get("timestampAsOf")).map { s =>
+      val micros = scala.util.Try(s.toLong).getOrElse {
+        val i = java.time.Instant.parse(
+          if (s.contains("T")) s else s.replace(" ", "T") + "Z")
+        i.getEpochSecond * 1000000L + i.getNano / 1000L
+      }
+      SnapshotLake.versionAt(spark, root, micros).getOrElse(
+        throw new IllegalArgumentException(
+          s"no snapshot under $root existed at timestampAsOf=$s — the " +
+            "first commit is later (or the version was vacuumed)"))
+    }
+    require(v.isEmpty || t.isEmpty,
+      "versionAsOf and timestampAsOf are mutually exclusive")
+    v.orElse(t)
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val spark = SparkSession.active
+    val root = rootOpt(options)
+    SnapshotLake.manifest(spark, root,
+      pinnedVersion(spark, root, options)).schema
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
+    val spark = SparkSession.active
+    val root = rootOpt(opts)
     val declaredParts = (partitioning.toSeq.map { t =>
       require(t.name == "identity",
         s"graft-snapshot supports identity partitioning only, got $t")
       t.references()(0).fieldNames().mkString(".")
     } ++ csvOpt(opts, "partitionCols")).distinct
-    new SnapshotTable(SparkSession.active, rootOpt(opts),
-      Option(opts.get("versionAsOf")).map(_.toLong),
+    new SnapshotTable(spark, root, pinnedVersion(spark, root, opts),
       Option(schema).filter(_.nonEmpty), declaredParts, opts)
   }
 

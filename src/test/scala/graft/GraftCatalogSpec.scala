@@ -82,6 +82,19 @@ class GraftCatalogSpec extends SparkSpec {
     val ts = java.sql.Timestamp.from(between)
     assert(spark.sql(
       s"SELECT * FROM graft.tt.t TIMESTAMP AS OF '$ts'").count() == 5)
+    // the path-based reader has the same twin options
+    val root = s"$warehouse/tt/t"
+    assert(spark.read.format("graft-snapshot")
+      .option("timestampAsOf", between.toString).load(root).count() == 5)
+    intercept[Exception] {
+      spark.read.format("graft-snapshot")
+        .option("timestampAsOf", "2001-01-01 00:00:00")
+        .load(root).count()
+    }
+    intercept[Exception] {
+      spark.read.format("graft-snapshot").option("versionAsOf", "2")
+        .option("timestampAsOf", between.toString).load(root).count()
+    }
     // a pinned read cannot be written
     intercept[Exception] {
       spark.sql("INSERT INTO graft.tt.t VERSION AS OF 2 SELECT * FROM gc_tt_src1")
