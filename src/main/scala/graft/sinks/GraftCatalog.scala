@@ -120,7 +120,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         s"graft catalog supports identity partitioning only, got $t")
       t.references()(0).fieldNames().mkString(".")
     }
-    SnapshotLake.create(spark, rootOf(ident).toString, schema, partCols)
+    // `statsCols`/`bloomCols` from OPTIONS (landed under "option.") or
+    // TBLPROPERTIES persist into the manifest props, so the lake's FIRST
+    // insert already maintains the data-skipping index — without this,
+    // writeShape's head-file inheritance sees an empty create commit and
+    // the index silently never materializes (round-12 defect 2)
+    val declared = properties.asScala
+    val indexProps = Seq("statsCols", "bloomCols").flatMap { k =>
+      declared.get(k).orElse(declared.get(s"option.$k")).map(k -> _)
+    }.toMap
+    indexProps.foreach { case (k, v) =>
+      v.split(',').map(_.trim).filter(_.nonEmpty).foreach(c =>
+        require(schema.fieldNames.contains(c),
+          s"$k column $c not in schema ${schema.simpleString}"))
+    }
+    SnapshotLake.create(spark, rootOf(ident).toString, schema, partCols,
+      tableProps = indexProps)
     table(ident, None)
   }
 
@@ -142,6 +157,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       require(a.isNullable,
         s"added column ${a.fieldNames.head} must be nullable: existing " +
           "rows read it as NULL")
+      // the evolve commit always APPENDS; a positioned add (FIRST /
+      // AFTER x) landing at the end would silently disobey the user
+      require(a.position() == null,
+        s"added column ${a.fieldNames.head} specifies a position " +
+          "(FIRST/AFTER) — graft ADD COLUMNS appends at the end only")
     }
     SnapshotLake.addColumns(spark, rootOf(ident).toString,
       StructType(adds.map(a =>
@@ -150,8 +170,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     table(ident, None)
   }
 
-  override def dropTable(ident: Identifier): Boolean =
-    isLake(rootOf(ident)) && fs.delete(rootOf(ident), true)
+  override def dropTable(ident: Identifier): Boolean = {
+    val dropped = isLake(rootOf(ident)) && fs.delete(rootOf(ident), true)
+    // DROP then re-CREATE at the same path in one long-lived driver must
+    // not serve the dropped lake's parsed manifests to pinned/time-travel
+    // reads (the exact hazard invalidateManifestCache documents)
+    if (dropped) SnapshotLake.invalidateManifestCache(rootOf(ident).toString)
+    dropped
+  }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     if (!tableExists(oldIdent))
@@ -167,6 +193,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     require(fs.rename(rootOf(oldIdent), target),
       s"rename failed: ${rootOf(oldIdent)} -> $target")
     SnapshotLake.invalidateManifestCache(rootOf(oldIdent).toString)
+    // the target path may carry stale entries from a previously dropped
+    // lake that lived there before this JVM renamed one onto it
+    SnapshotLake.invalidateManifestCache(target.toString)
   }
 
   // ------------------------------------------------------------ namespaces

@@ -315,10 +315,20 @@ object SnapshotLake {
             // head is frozen at next-1 while we hold the lock
             val headM = head.map(_ => manifest(spark, root, None))
             // lake props persist: every commit inherits its parent's
-            // unless the caller overrides them explicitly
+            // unless the caller overrides them explicitly — EXCEPT the
+            // commit timestamp, stamped fresh per commit (and clamped
+            // monotonic past the parent's, so TIMESTAMP AS OF stays
+            // well-ordered under multi-writer clock skew). A DURABLE
+            // epoch-micros record: unlike the manifest file's mtime, it
+            // survives an rsync/copy of the lake.
+            val inherited = props.orElse(headM.map(_.props)).getOrElse(Map.empty)
+            val commitUs = math.max(System.currentTimeMillis * 1000L,
+              headM.flatMap(_.props.get(CommitTimeProp))
+                .flatMap(s => scala.util.Try(s.toLong).toOption)
+                .map(_ + 1L).getOrElse(Long.MinValue))
             val m = Manifest(next, head.getOrElse(0L), op, schema,
               build(headM),
-              props.orElse(headM.map(_.props)).getOrElse(Map.empty))
+              inherited + (CommitTimeProp -> commitUs.toString))
             val tmp = new Path(manifestDir(root), s".tmp-${newToken()}")
             val outS = fs.create(tmp, true)
             try outS.write(render(m)) finally outS.close()
@@ -729,19 +739,25 @@ object SnapshotLake {
   /** Create an EMPTY lake: a schema-only v1 manifest with zero files —
     * the `CREATE TABLE` landing for catalog-managed lakes. Declared
     * partition columns persist as lake props (files cannot carry them
-    * before the first row lands); subsequent appends validate against
+    * before the first row lands), as do declared `statsCols`/`bloomCols`
+    * (via `tableProps`) — so the FIRST insert into a catalog-created lake
+    * already stamps footer envelopes and bloom sidecars, instead of the
+    * data-skipping index silently never materializing (the round-12
+    * defect: `writeShape` inherited from the head manifest's FILES, and a
+    * created lake's head has none). Subsequent appends validate against
     * the stored schema like any append. Refuses an existing lake.
     */
   def create(spark: SparkSession, root: String, schema: StructType,
       partitionCols: Seq[String] = Nil,
-      lockExpiryMs: Long = DefaultLockExpiryMs): Long = {
+      lockExpiryMs: Long = DefaultLockExpiryMs,
+      tableProps: Map[String, String] = Map.empty): Long = {
     require(latestVersion(spark, root).isEmpty,
       s"a snapshot lake already exists under $root")
     partitionCols.foreach(c => require(schema.fieldNames.contains(c),
       s"partition column $c not in schema ${schema.simpleString}"))
-    val props =
-      if (partitionCols.isEmpty) Map.empty[String, String]
-      else Map("partitionCols" -> partitionCols.mkString(","))
+    val props = tableProps ++
+      (if (partitionCols.isEmpty) Map.empty[String, String]
+       else Map("partitionCols" -> partitionCols.mkString(",")))
     commit(spark, root, "create", schema, build = _ => Nil, lockExpiryMs,
       props = Some(props))
   }
@@ -763,18 +779,27 @@ object SnapshotLake {
       build = head => head.map(_.files).getOrElse(Nil), lockExpiryMs)
   }
 
-  /** Largest committed version whose manifest was PUBLISHED at or before
-    * `tsMicros` (epoch micros) — the `TIMESTAMP AS OF` resolution.
-    * Publish time is the manifest file's modification time (the rename
-    * that made the commit visible), so the answer is as precise as the
-    * store's mtime clock — document-grade time travel; pin a VERSION
-    * for bit-exact replays.
+  /** The per-commit epoch-micros stamp every round-13+ commit writes into
+    * its manifest props (monotonic within a lake). */
+  private[sinks] val CommitTimeProp = "commitTimeUs"
+
+  /** Largest committed version published at or before `tsMicros` (epoch
+    * micros) — the `TIMESTAMP AS OF` resolution. Round-13+ manifests
+    * carry a DURABLE `commitTimeUs` prop (stamped under the commit lock,
+    * clamped monotonic), so the answer survives an rsync/copy of the
+    * lake that re-stamps file mtimes; pre-prop manifests fall back to
+    * the manifest file's modification time (the rename that made the
+    * commit visible) — document-grade there; pin a VERSION for bit-exact
+    * replays.
     */
   def versionAt(spark: SparkSession, root: String, tsMicros: Long): Option[Long] = {
     val fs = fsOf(spark, root)
     versions(spark, root).filter { v =>
-      fs.getFileStatus(new Path(manifestDir(root), manifestName(v)))
-        .getModificationTime * 1000L <= tsMicros
+      manifest(spark, root, Some(v)).props.get(CommitTimeProp)
+        .flatMap(s => scala.util.Try(s.toLong).toOption)
+        .getOrElse(fs.getFileStatus(
+          new Path(manifestDir(root), manifestName(v)))
+          .getModificationTime * 1000L) <= tsMicros
     }.lastOption
   }
 

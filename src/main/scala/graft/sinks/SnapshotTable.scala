@@ -162,12 +162,14 @@ final class SnapshotTable(
   override def deleteWhere(filters: Array[Filter]): Unit = {
     require(version.isEmpty,
       "cannot DELETE from a version-pinned snapshot table")
-    val m = pinned.getOrElse(throw new IllegalArgumentException(
-      s"no committed snapshot under $root — nothing to delete from"))
-    val pred = filters.flatMap(SnapshotTable.toPredicate)
-      .reduceOption(_ && _).getOrElse(lit(true))
-    val box = SnapshotTable.pruneBoxOf(filters)
-    SnapshotLake.delete(spark, root, pred, box, SnapshotTable.partColsOf(m))
+    // a declared-but-never-written lake (pinned=None) is an EMPTY table:
+    // DELETE is a zero-row no-op, not an error
+    pinned.foreach { m =>
+      val pred = filters.flatMap(SnapshotTable.toPredicate)
+        .reduceOption(_ && _).getOrElse(lit(true))
+      val box = SnapshotTable.pruneBoxOf(filters)
+      SnapshotLake.delete(spark, root, pred, box, SnapshotTable.partColsOf(m))
+    }
   }
 
   /** SQL `TRUNCATE TABLE` → one atomic REPLACE with the empty frame:
@@ -177,11 +179,12 @@ final class SnapshotTable(
   override def truncateTable(): Boolean = {
     require(version.isEmpty,
       "cannot TRUNCATE a version-pinned snapshot table")
-    val m = pinned.getOrElse(throw new IllegalArgumentException(
-      s"no committed snapshot under $root — nothing to truncate"))
-    val empty = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[Row], m.schema)
-    SnapshotLake.replace(spark, root, empty, SnapshotTable.partColsOf(m))
+    // an empty declared lake truncates to itself — a no-op, not an error
+    pinned.foreach { m =>
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], m.schema)
+      SnapshotLake.replace(spark, root, empty, SnapshotTable.partColsOf(m))
+    }
     true
   }
 
@@ -374,8 +377,11 @@ object SnapshotTable {
     */
   /** (head manifest, partition cols, stats cols, bloom cols) for a write
     * landing now: stats/bloom columns come from the table options when
-    * given and are otherwise INHERITED from the head manifest's tracked
-    * columns, so SQL writes can never silently degrade a lake's pruning.
+    * given, else from the lake's declared manifest PROPS (a catalog
+    * `CREATE TABLE ... 'statsCols'` persists there before any file
+    * exists), else INHERITED from the head manifest's tracked columns —
+    * so SQL writes can never silently degrade a lake's pruning, and a
+    * catalog-created lake's FIRST insert already stamps the index.
     */
   private def writeShape(spark: SparkSession, root: String,
       declaredPartitioning: Seq[String], options: CaseInsensitiveStringMap)
@@ -383,15 +389,26 @@ object SnapshotTable {
     val head = SnapshotLake.latestVersion(spark, root)
       .map(v => SnapshotLake.manifest(spark, root, Some(v)))
     val parts = head.map(partColsOf).getOrElse(declaredPartitioning)
+    def declared(k: String): Seq[String] = head.toSeq
+      .flatMap(_.props.get(k).toSeq)
+      .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
     val stats = {
       val opt = csv(options, "statsCols")
       if (opt.nonEmpty) opt
-      else head.toSeq.flatMap(_.files.flatMap(_.stats.keys)).distinct.sorted
+      else {
+        val p = declared("statsCols")
+        if (p.nonEmpty) p
+        else head.toSeq.flatMap(_.files.flatMap(_.stats.keys)).distinct.sorted
+      }
     }
     val blooms = {
       val opt = csv(options, "bloomCols")
       if (opt.nonEmpty) opt
-      else head.toSeq.flatMap(_.files.flatMap(_.bloomCols)).distinct.sorted
+      else {
+        val p = declared("bloomCols")
+        if (p.nonEmpty) p
+        else head.toSeq.flatMap(_.files.flatMap(_.bloomCols)).distinct.sorted
+      }
     }
     (head, parts, stats, blooms)
   }

@@ -142,8 +142,11 @@ class SnapshotSourceProvider extends StreamSourceProvider with DataSourceRegiste
     val v = Option(opts.get("versionAsOf")).map(_.toLong)
     val t = Option(opts.get("timestampAsOf")).map { s =>
       val micros = scala.util.Try(s.toLong).getOrElse {
-        val i = java.time.Instant.parse(
-          if (s.contains("T")) s else s.replace(" ", "T") + "Z")
+        // normalize both the space- and the 'T'-separated form: a
+        // zoneless ISO string gets UTC appended regardless of separator
+        val iso = s.trim.replace(" ", "T")
+        val i = scala.util.Try(java.time.Instant.parse(iso))
+          .getOrElse(java.time.Instant.parse(iso + "Z"))
         i.getEpochSecond * 1000000L + i.getNano / 1000L
       }
       SnapshotLake.versionAt(spark, root, micros).getOrElse(

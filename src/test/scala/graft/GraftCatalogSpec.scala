@@ -145,6 +145,105 @@ class GraftCatalogSpec extends SparkSpec {
     assert(!new java.io.File(s"$warehouse/ddl/ctas2").exists())
   }
 
+  test("CREATE TABLE statsCols/bloomCols persist as manifest props: the " +
+      "FIRST insert into a catalog-created lake stamps the data-skipping " +
+      "index") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.idx")
+    spark.sql("CREATE TABLE graft.idx.t (symbol STRING, ts TIMESTAMP_NTZ, " +
+      "close DOUBLE, event_id BIGINT) USING `graft-snapshot` " +
+      "TBLPROPERTIES ('statsCols' 'event_id,close', 'bloomCols' 'symbol')")
+    val root = s"$warehouse/idx/t"
+    val m1 = SnapshotLake.manifest(spark, root)
+    assert(m1.props("statsCols") == "event_id,close" &&
+      m1.props("bloomCols") == "symbol")
+    bars(8, 0.0).createOrReplaceTempView("gc_idx_src")
+    spark.sql("INSERT INTO graft.idx.t SELECT * FROM gc_idx_src")
+    val m2 = SnapshotLake.manifest(spark, root)
+    assert(m2.files.nonEmpty &&
+      m2.files.forall(f => f.stats.contains("event_id") &&
+        f.stats.contains("close") && f.bloomCols == Seq("symbol")),
+      s"first insert must carry declared envelopes+blooms, got ${m2.files}")
+    // a declared column missing from the schema refuses at CREATE
+    intercept[Exception] {
+      spark.sql("CREATE TABLE graft.idx.bad (a INT) USING `graft-snapshot` " +
+        "TBLPROPERTIES ('statsCols' 'nope')")
+    }
+    spark.sql("DROP TABLE graft.idx.t")
+  }
+
+  test("DROP then re-CREATE at the same identifier: pinned reads of the " +
+      "new lake never serve the dropped lake's cached manifests") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.redo")
+    bars(9, 0.0).createOrReplaceTempView("gc_redo_src")
+    spark.sql("CREATE TABLE graft.redo.t USING `graft-snapshot` AS " +
+      "SELECT symbol, ts, close, event_id FROM gc_redo_src") // v1+v2
+    // warm the manifest cache with the OLD lake's v2
+    assert(spark.sql("SELECT * FROM graft.redo.t VERSION AS OF 2").count() == 9)
+    spark.sql("DROP TABLE graft.redo.t")
+    bars(4, 500.0).createOrReplaceTempView("gc_redo_src2")
+    spark.sql("CREATE TABLE graft.redo.t USING `graft-snapshot` AS " +
+      "SELECT symbol, ts, close, event_id FROM gc_redo_src2")
+    // without the drop-side invalidate this served the OLD 9-row manifest
+    assert(spark.sql("SELECT * FROM graft.redo.t VERSION AS OF 2").count() == 4)
+    spark.sql("DROP TABLE graft.redo.t")
+  }
+
+  test("positioned ADD COLUMNS (FIRST/AFTER) refuses loudly instead of " +
+      "appending at the wrong place") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.pos")
+    spark.sql("CREATE TABLE graft.pos.t (a INT, b INT) USING `graft-snapshot`")
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.pos.t ADD COLUMNS (z INT FIRST)")
+    }
+    assert(e.getMessage.contains("position") ||
+      e.getMessage.contains("FIRST"), e.getMessage)
+    spark.sql("DROP TABLE graft.pos.t")
+  }
+
+  test("TIMESTAMP AS OF survives a lake copy: commit times are durable " +
+      "manifest props, not file mtimes") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dur")
+    spark.sql("CREATE TABLE graft.dur.t (symbol STRING, ts TIMESTAMP_NTZ, " +
+      "close DOUBLE, event_id BIGINT) USING `graft-snapshot`")
+    bars(5, 0.0).createOrReplaceTempView("gc_dur_src1")
+    spark.sql("INSERT INTO graft.dur.t SELECT * FROM gc_dur_src1") // v2
+    Thread.sleep(5)
+    val between = java.time.Instant.now()
+    Thread.sleep(5)
+    bars(3, 100.0).createOrReplaceTempView("gc_dur_src2")
+    spark.sql("INSERT INTO graft.dur.t SELECT * FROM gc_dur_src2") // v3
+    val root = s"$warehouse/dur/t"
+    // rsync-style copy: fresh mtimes everywhere, manifests byte-identical
+    val copy = TempDirs.create("gc-dur-copy") + "/lake"
+    val src = java.nio.file.Paths.get(root)
+    val dst = java.nio.file.Paths.get(copy)
+    java.nio.file.Files.walk(src).forEach { p =>
+      val t = dst.resolve(src.relativize(p))
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t)
+    }
+    // mtime-based resolution would put EVERY version after `between`;
+    // the durable commitTimeUs prop keeps v2 resolvable
+    assert(spark.read.format("graft-snapshot")
+      .option("timestampAsOf", between.toString).load(copy).count() == 5)
+    // sub-second precision now works too (no 1 s mtime granularity)
+    assert(SnapshotLake.versionAt(spark, copy,
+      between.toEpochMilli * 1000L).contains(2L))
+    spark.sql("DROP TABLE graft.dur.t")
+  }
+
+  test("DELETE/TRUNCATE on a declared-but-empty table are zero-row " +
+      "no-ops, not errors") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mt")
+    spark.sql("CREATE TABLE graft.mt.t (a INT, b STRING) " +
+      "USING `graft-snapshot`")
+    spark.sql("DELETE FROM graft.mt.t WHERE a > 3")
+    spark.sql("TRUNCATE TABLE graft.mt.t")
+    assert(spark.sql("SELECT * FROM graft.mt.t").count() == 0)
+    spark.sql("DROP TABLE graft.mt.t")
+  }
+
   test("DML through the catalog: DELETE FROM and INSERT OVERWRITE " +
       "carry the doorway's commit semantics") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dml")
