@@ -353,6 +353,73 @@ object ScaleQueries {
       s.sql("SELECT event_id, symbol, ts, close FROM sn10_lake")
     }),
 
+    // SN11 — SQL MERGE INTO on a HIVE-PARTITIONED lake through the
+    // row-level doorway (round 13): executors route every surviving row
+    // to its symbol= directory (partition columns live in the path, not
+    // the file, exactly like a library append), runtime group filtering
+    // narrows the copy-on-write to the files the join matched, and the
+    // untouched partitions ride through by identity — file-identity
+    // pinned in SnapshotDmlSpec; here the oracle replays the one-symbol
+    // upsert declaratively and the hash match proves the partitioned
+    // rewrite row-exact.
+    "sn11_sql_merge_partitioned" -> ((s, dir) => {
+      val b = Tables.bars(s, dir).select("event_id", "symbol", "ts", "close")
+      val root = graft.TempDirs.create("graft-sn11") + "/lake"
+      b.repartition(2).write.format("graft-snapshot")
+        .option("partitionCols", "symbol").option("statsCols", "event_id")
+        .save(root)
+      s.sql("DROP TABLE IF EXISTS sn11_lake")
+      s.sql(s"CREATE TABLE sn11_lake USING `graft-snapshot` " +
+        s"OPTIONS (path '$root')")
+      val sym = b.agg(min("symbol")).head.getString(0)
+      b.filter(col("symbol") === sym && col("event_id") % 10 === 0)
+        .withColumn("close", col("close") + lit(1000.0))
+        .unionByName(b.filter(col("symbol") === sym &&
+            col("event_id") % 1000 === 7)
+          .withColumn("event_id", col("event_id") + lit(1000000000000L))
+          .withColumn("close", col("close") + lit(1000.0)))
+        .createOrReplaceTempView("sn11_src")
+      s.sql("""MERGE INTO sn11_lake t USING sn11_src s
+               ON t.event_id = s.event_id
+               WHEN MATCHED THEN UPDATE SET close = s.close
+               WHEN NOT MATCHED THEN INSERT *""")
+      s.sql("SELECT event_id, symbol, ts, close FROM sn11_lake")
+    }),
+
+    // SN12 — dynamic partition overwrite (round 13): under
+    // partitionOverwriteMode=dynamic, `INSERT OVERWRITE` on a
+    // catalog-managed partitioned lake replaces EXACTLY the partitions
+    // present in the incoming frame in ONE atomic commit (the
+    // nightly-reload idiom — replaceWhere derived from the data itself,
+    // stray rows impossible by construction). The frame rewrites one
+    // symbol with doubled closes; the oracle stitches untouched symbols
+    // to the rewritten one declaratively.
+    "sn12_dynamic_overwrite" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graft", "graft.sinks.GraftCatalog")
+      if (s.conf.getOption("spark.sql.catalog.graft.warehouse").isEmpty)
+        s.conf.set("spark.sql.catalog.graft.warehouse",
+          graft.TempDirs.create("graft-sn12-wh"))
+      val b = Tables.bars(s, dir).select("event_id", "symbol", "ts", "close")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.sn12")
+      s.sql("DROP TABLE IF EXISTS graft.sn12.t")
+      b.createOrReplaceTempView("sn12_seed")
+      s.sql("CREATE TABLE graft.sn12.t (event_id BIGINT, ts TIMESTAMP_NTZ, " +
+        "close DOUBLE, symbol STRING) USING `graft-snapshot` " +
+        "PARTITIONED BY (symbol) TBLPROPERTIES ('statsCols' 'event_id')")
+      s.sql("INSERT INTO graft.sn12.t " +
+        "SELECT event_id, ts, close, symbol FROM sn12_seed")
+      val sym = b.agg(min("symbol")).head.getString(0)
+      val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode")
+      try {
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        s.sql("INSERT OVERWRITE graft.sn12.t " +
+          s"SELECT event_id, ts, close * 2 AS close, symbol FROM sn12_seed " +
+          s"WHERE symbol = '$sym'")
+      } finally
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+      s.sql("SELECT event_id, ts, close, symbol FROM graft.sn12.t")
+    }),
+
     // Manifest-powered CDC: bars land in two appends (ver 1), a MERGE
     // upserts bumped-close updates + brand-new ids (ver 2), a DELETE
     // removes every 97th key — then diff(pre-merge, head) classifies the
@@ -687,6 +754,27 @@ object ScaleQueries {
          |UNION ALL
          |SELECT event_id + 1000000000000, symbol, ts, close + 1000.0
          |FROM bars WHERE event_id % 1000 = 7""".stripMargin),
+
+    "sn11_sql_merge_partitioned" -> (Tables.barsSql +
+      s"""
+         |SELECT event_id, symbol, ts,
+         |       CASE WHEN symbol = (SELECT min(symbol) FROM bars)
+         |             AND event_id % 10 = 0 THEN close + 1000.0
+         |            ELSE close END AS close
+         |FROM bars
+         |UNION ALL
+         |SELECT event_id + 1000000000000, symbol, ts, close + 1000.0
+         |FROM bars
+         |WHERE event_id % 1000 = 7
+         |  AND symbol = (SELECT min(symbol) FROM bars)""".stripMargin),
+
+    "sn12_dynamic_overwrite" -> (Tables.barsSql +
+      s"""
+         |SELECT event_id, ts,
+         |       CASE WHEN symbol = (SELECT min(symbol) FROM bars)
+         |            THEN close * 2 ELSE close END AS close,
+         |       symbol
+         |FROM bars""".stripMargin),
 
     "cdc1_snapshot_diff" -> (Tables.barsSql +
       s"""

@@ -7,7 +7,8 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{CatalogPlugin, Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{CatalogPlugin, Identifier, NamespaceChange, ProcedureCatalog, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -46,7 +47,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * under the warehouse this catalog owns); RENAME is a directory move,
   * refused onto an existing target.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: Path = _
@@ -69,6 +71,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private def rootOf(ident: Identifier): Path =
     new Path(nsPath(ident.namespace), ident.name)
 
+  /** Lake root for a table identifier — the procedure seam. */
+  private[sinks] def rootFor(ident: Identifier): String =
+    rootOf(ident).toString
+
+  // ------------------------------------------------------------ procedures
+
+  /** `CALL graft.system.<verb>(...)` — SQL table maintenance
+    * ([[GraftProcedures]]): optimize / zorder / add_stats / vacuum /
+    * restore, each ONE library call with the library's lock semantics.
+    */
+  override def loadProcedure(ident: Identifier): UnboundProcedure =
+    GraftProcedures.load(this, ident)
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.names.map(n => Identifier.of(Array("system"), n)).toArray
+
   private def isLake(p: Path): Boolean =
     fs.exists(new Path(p, "_manifests"))
 
@@ -89,7 +107,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       throw new NoSuchTableException(name() +: ident.namespace :+ ident.name)
     new SnapshotTable(spark, root.toString, version, None, Nil,
       new CaseInsensitiveStringMap(
-        java.util.Collections.singletonMap("path", root.toString)))
+        java.util.Collections.singletonMap("path", root.toString)),
+      catalogManaged = true)
   }
 
   override def loadTable(ident: Identifier): Table = table(ident, None)

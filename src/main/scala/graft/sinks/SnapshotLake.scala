@@ -1375,7 +1375,7 @@ object SnapshotLake {
   /** Hive partition values of a lake-relative file path, unescaped the
     * way Spark escapes them at write time (`sym=a%2Fb/part-...`).
     */
-  private def partitionValuesOf(rel: String): Map[String, String] =
+  private[sinks] def partitionValuesOf(rel: String): Map[String, String] =
     rel.split('/').dropRight(1).takeWhile(_.contains('=')).map { seg =>
       val i = seg.indexOf('=')
       seg.take(i) -> org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils

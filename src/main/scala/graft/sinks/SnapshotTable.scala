@@ -7,8 +7,9 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, BoundReference, Expression, GenericInternalRow, Predicate => CatalystPredicate}
+import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsDelete, SupportsMetadataColumns, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability}
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, V1Write, Write, WriteBuilder}
@@ -17,8 +18,9 @@ import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
 import org.apache.spark.sql.functions.{col, lit, not}
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{Filter, InsertableRelation}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
 
 /** The snapshot lake as a DataSource V2 [[Table]] — the doorway that
   * makes the lake a FIRST-CLASS SQL table instead of a read-mostly
@@ -70,9 +72,10 @@ final class SnapshotTable(
     version: Option[Long],
     declaredSchema: Option[StructType],
     declaredPartitioning: Seq[String],
-    tableOptions: CaseInsensitiveStringMap) extends Table
+    tableOptions: CaseInsensitiveStringMap,
+    catalogManaged: Boolean = false) extends Table
     with SupportsRead with SupportsWrite with SupportsDelete
-    with SupportsRowLevelOperations {
+    with SupportsRowLevelOperations with SupportsMetadataColumns {
 
   import SnapshotLake.{FileEntry, Manifest}
 
@@ -125,16 +128,52 @@ final class SnapshotTable(
 
   override def properties(): JMap[String, String] = tableOptions.asCaseSensitiveMap()
 
-  /** No BATCH_WRITE: `df.write.format(...)` then falls back to the V1
-    * `CreatableRelationProvider` (all four save modes, bit-identical to
-    * round 11), while SQL INSERT — which only checks
-    * BATCH_WRITE ∨ V1_BATCH_WRITE — plans through [[newWriteBuilder]]'s
-    * V1Write. TRUNCATE unlocks the full-table `INSERT OVERWRITE` form.
+  /** `_file` — the data/-relative path of the file each row came from,
+    * served as a per-file partition value by [[SnapshotPartitioningIndex]]
+    * (zero data I/O). Useful for provenance queries in its own right, and
+    * the attribute Spark's runtime group filtering keys row-level DML on
+    * (see [[SnapshotRowLevelOperation]]). Suppressed (empty) when the
+    * lake has a real `_file` data column — that column wins, and DML
+    * falls back to static pruning only.
     */
-  override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ,
+  override def metadataColumns(): Array[MetadataColumn] =
+    if (schema().fieldNames.contains(SnapshotTable.FileMetaCol)) Array.empty
+    else Array(new MetadataColumn {
+      override def name(): String = SnapshotTable.FileMetaCol
+      override def dataType(): DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "data/-relative path of the snapshot file this row came from"
+    })
+
+  /** Provider-path tables declare NO BATCH_WRITE: `df.write.format(...)`
+    * then falls back to the V1 `CreatableRelationProvider` (all four
+    * save modes, bit-identical to round 11), while SQL INSERT — which
+    * only checks BATCH_WRITE ∨ V1_BATCH_WRITE — plans through
+    * [[newWriteBuilder]]'s V1Write. TRUNCATE unlocks the full-table
+    * `INSERT OVERWRITE` form.
+    *
+    * CATALOG-managed tables (never reachable from `df.write.format`, so
+    * the V1 save-mode contract cannot be hurt) additionally declare
+    * BATCH_WRITE + OVERWRITE_DYNAMIC: `INSERT OVERWRITE` under
+    * `spark.sql.sources.partitionOverwriteMode=dynamic` replaces exactly
+    * the partitions present in the incoming frame, one atomic commit —
+    * that plan has no V1 fallback (Spark's capability check demands
+    * strict BATCH_WRITE), so it runs the REAL distributed
+    * [[SnapshotDynamicOverwriteWrite]]; plain INSERTs still build a
+    * V1Write and take the V1 exec. Delta/Iceberg draw the same line:
+    * dynamic overwrite is a catalog-table feature.
+    */
+  override def capabilities(): java.util.Set[TableCapability] = {
+    val base = java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_BY_FILTER)
+    if (catalogManaged) {
+      base.add(TableCapability.BATCH_WRITE)
+      base.add(TableCapability.OVERWRITE_DYNAMIC)
+    }
+    base
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val m = pinned.getOrElse(Manifest(0L, 0L, "empty", schema(), Nil))
@@ -209,40 +248,82 @@ final class SnapshotTable(
     require(version.isEmpty,
       s"cannot write to a version-pinned snapshot table (versionAsOf=" +
         s"${version.get}) — writes go to the lake head")
-    new WriteBuilder with SupportsOverwrite {
+    new WriteBuilder with SupportsOverwrite
+        with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
       // None = plain append; Some(AlwaysTrue-only) = full truncate (an
       // atomic REPLACE; SupportsOverwrite's default truncate() routes
       // here); Some(filters) = ATOMIC filtered overwrite — SQL
       // static-partition INSERT OVERWRITE and DataFrameWriterV2
       // .overwrite(cond) land as ONE replaceWhere commit
       private var overwriteFilters: Option[Array[Filter]] = None
+      private var dynamic = false
       override def canOverwrite(filters: Array[Filter]): Boolean =
         filters.forall(f => SnapshotTable.toPredicate(f).isDefined)
       override def overwrite(filters: Array[Filter]): WriteBuilder = {
         overwriteFilters = Some(filters); this
       }
-      override def build(): Write = new V1Write {
-        override def toInsertableRelation: InsertableRelation =
-          new InsertableRelation {
-            override def insert(data: DataFrame, overwrite: Boolean): Unit =
-              overwriteFilters match {
-                case Some(fs) if fs.exists(_ != sources.AlwaysTrue()) =>
-                  SnapshotTable.overwriteWhere(data.sparkSession, root,
-                    data, fs, declaredPartitioning, tableOptions)
-                case Some(_) =>
-                  SnapshotTable.insertInto(data.sparkSession, root, data,
-                    overwrite = true, declaredPartitioning, tableOptions)
-                case None =>
-                  SnapshotTable.insertInto(data.sparkSession, root, data,
-                    overwrite, declaredPartitioning, tableOptions)
-              }
-          }
+      override def overwriteDynamicPartitions(): WriteBuilder = {
+        dynamic = true; this
       }
+      override def build(): Write =
+        if (dynamic) {
+          // by-position resolution makes this structural; the check is a
+          // tripwire against a framework contract change
+          require(info.schema.fields.map(f => (f.name, f.dataType))
+            .sameElements(schema().fields.map(f => (f.name, f.dataType))),
+            s"dynamic overwrite schema ${info.schema.simpleString} != " +
+              s"table schema ${schema().simpleString}")
+          new Write {
+            override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+              new SnapshotDynamicOverwriteWrite(spark, root,
+                schema(), partCols, declaredPartitioning, tableOptions)
+          }
+        }
+        else new V1Write {
+          override def toInsertableRelation: InsertableRelation =
+            new InsertableRelation {
+              override def insert(data: DataFrame, overwrite: Boolean): Unit =
+                overwriteFilters match {
+                  case Some(fs) if fs.exists(_ != sources.AlwaysTrue()) =>
+                    SnapshotTable.overwriteWhere(data.sparkSession, root,
+                      data, fs, declaredPartitioning, tableOptions)
+                  case Some(_) =>
+                    SnapshotTable.insertInto(data.sparkSession, root, data,
+                      overwrite = true, declaredPartitioning, tableOptions)
+                  case None =>
+                    SnapshotTable.insertInto(data.sparkSession, root, data,
+                      overwrite, declaredPartitioning, tableOptions)
+                }
+            }
+        }
     }
   }
 }
 
 object SnapshotTable {
+
+  /** Name of the file-provenance metadata column (Iceberg's `_file`). */
+  val FileMetaCol = "_file"
+
+  /** Admitted hive-partition values implied by (implicitly ANDed)
+    * filters: equality / null-safe equality / IN on a partition column.
+    * Same-col duplicates keep one — a SUPERSET of the true intersection,
+    * so pruning stays sound (fewer skips). Shared by the filtered
+    * INSERT OVERWRITE landing and the row-level candidate pruning.
+    */
+  private[sinks] def partitionValuesFrom(filters: Array[Filter],
+      parts: Seq[String]): Map[String, Set[String]] =
+    filters.flatMap {
+      case sources.EqualTo(a, v) if parts.contains(a) && v != null =>
+        Some(a -> Set(String.valueOf(v)))
+      // static PARTITION (k=v) clauses arrive as null-safe equality
+      case sources.EqualNullSafe(a, v) if parts.contains(a) && v != null =>
+        Some(a -> Set(String.valueOf(v)))
+      case sources.In(a, vs) if parts.contains(a) && vs.nonEmpty &&
+          vs.forall(_ != null) =>
+        Some(a -> vs.map(String.valueOf).toSet)
+      case _ => None
+    }.toMap
 
   private def csv(o: CaseInsensitiveStringMap, k: String): Seq[String] =
     Option(o.get(k)).toSeq
@@ -383,7 +464,7 @@ object SnapshotTable {
     * so SQL writes can never silently degrade a lake's pruning, and a
     * catalog-created lake's FIRST insert already stamps the index.
     */
-  private def writeShape(spark: SparkSession, root: String,
+  private[sinks] def writeShape(spark: SparkSession, root: String,
       declaredPartitioning: Seq[String], options: CaseInsensitiveStringMap)
       : (Option[SnapshotLake.Manifest], Seq[String], Seq[String], Seq[String]) = {
     val head = SnapshotLake.latestVersion(spark, root)
@@ -443,18 +524,7 @@ object SnapshotTable {
     }
     val pred = filters.flatMap(toPredicate).reduceOption(_ && _)
       .getOrElse(lit(true))
-    val partVals = filters.flatMap {
-      case sources.EqualTo(a, v) if parts.contains(a) && v != null =>
-        Some(a -> Set(String.valueOf(v)))
-      // static PARTITION (k=v) clauses arrive as null-safe equality
-      case sources.EqualNullSafe(a, v) if parts.contains(a) && v != null =>
-        Some(a -> Set(String.valueOf(v)))
-      case sources.In(a, vs) if parts.contains(a) && vs.nonEmpty &&
-          vs.forall(_ != null) =>
-        Some(a -> vs.map(String.valueOf).toSet)
-      case _ => None
-    }.toMap // same-col duplicates keep one: a SUPERSET of the true
-    //         intersection, so pruning stays sound (fewer skips)
+    val partVals = partitionValuesFrom(filters, parts)
     SnapshotLake.replaceWhere(spark, root, data, pred,
       pruneBox = pruneBoxOf(filters), partitionValues = partVals,
       partitionCols = parts, statsCols = stats)
@@ -492,6 +562,16 @@ final class SnapshotPartitioningIndex(
   private val statsByPath: Map[Path, Map[String, (Double, Double)]] =
     entriesByPath.map { case (p, e) => p -> e.stats }.toMap
 
+  private val relByPath: Map[Path, String] =
+    entriesByPath.map { case (p, e) => p -> e.rel }.toMap
+
+  /** Serve `_file` unless the lake has a REAL `_file` data column (then
+    * the data column wins and the synthetic one disappears, matching
+    * [[SnapshotTable.metadataColumns]]).
+    */
+  private val tagFiles: Boolean =
+    !m.schema.fieldNames.contains(SnapshotTable.FileMetaCol)
+
   override val rootPaths: Seq[Path] = Seq(dataDir)
 
   override val leafFiles: mutable.LinkedHashMap[Path, FileStatus] = {
@@ -510,23 +590,67 @@ final class SnapshotPartitioningIndex(
 
   private lazy val cachedPartitionSpec: PartitionSpec = inferPartitioning()
 
+  /** The hive partition columns PLUS the synthetic `_file` provenance
+    * column ([[SnapshotTable.FileMetaCol]]) — a per-file constant served
+    * from the manifest with zero data I/O. `partitionSpec()` stays
+    * hive-only (it types the per-DIRECTORY values stock pruning
+    * evaluates); [[listFiles]] appends the per-file value.
+    */
+  override def partitionSchema: StructType =
+    if (!tagFiles) partitionSpec().partitionColumns
+    else StructType(partitionSpec().partitionColumns.fields :+
+      StructField(SnapshotTable.FileMetaCol, StringType, nullable = false))
+
   override def refresh(): Unit = ()
 
   override def sizeInBytes: Long = m.files.map(_.bytes).sum
 
-  /** Stock behavior first (partition pruning + metadata filters), then
-    * manifest envelope skipping per surviving file.
+  /** Stock behavior first (hive partition pruning + metadata filters),
+    * then manifest envelope skipping per surviving file, then the
+    * per-file `_file` tag: each surviving file becomes its own
+    * [[PartitionDirectory]] whose values row appends its manifest rel
+    * path (filters on `_file` — rare, but legal — evaluate per file).
     */
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val dirs = super.listFiles(partitionFilters, dataFilters)
+    val (fileFilters, hiveFilters) =
+      partitionFilters.partition(_.references.exists(
+        _.name == SnapshotTable.FileMetaCol))
+    val dirs = super.listFiles(if (tagFiles) hiveFilters else partitionFilters,
+      dataFilters)
     val box = ManifestFileIndex.boxOf(dataFilters)
-    if (box.isEmpty) dirs
-    else dirs.map { pd =>
-      pd.copy(files = pd.files.filter { f =>
-        statsByPath.get(f.getPath)
-          .forall(st => ManifestFileIndex.surviving(st, box))
+    val skipped =
+      if (box.isEmpty) dirs
+      else dirs.map { pd =>
+        pd.copy(files = pd.files.filter { f =>
+          statsByPath.get(f.getPath)
+            .forall(st => ManifestFileIndex.surviving(st, box))
+        })
+      }
+    if (!tagFiles) return skipped
+    val nHive = partitionSpec().partitionColumns.length
+    val filePred = fileFilters.reduceOption(
+      org.apache.spark.sql.catalyst.expressions.And).map { e =>
+      val full = partitionSchema
+      CatalystPredicate.create(e.transform {
+        case a: AttributeReference =>
+          val i = full.fieldIndex(a.name)
+          BoundReference(i, full(i).dataType, full(i).nullable)
       })
+    }
+    skipped.flatMap { pd =>
+      pd.files.flatMap { f =>
+        val rel = relByPath.getOrElse(f.getPath,
+          throw new IllegalStateException(
+            s"file ${f.getPath} not in manifest v${m.version} under $root"))
+        val vals = new GenericInternalRow(nHive + 1)
+        (0 until nHive).foreach(i => vals.update(i,
+          pd.values.get(i, partitionSpec().partitionColumns(i).dataType)))
+        vals.update(nHive, UTF8String.fromString(rel))
+        if (filePred.forall(_.eval(vals)))
+          Some(PartitionDirectory(vals.asInstanceOf[InternalRow], Seq(f)))
+        else None
+      }
     }
   }
 }

@@ -244,6 +244,122 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.mt.t")
   }
 
+  test("dynamic partition overwrite on a catalog table: INSERT OVERWRITE " +
+      "under partitionOverwriteMode=dynamic replaces exactly the frame's " +
+      "own partitions in ONE commit; untouched partitions survive by " +
+      "identity") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dyn")
+    spark.sql("CREATE TABLE graft.dyn.t (symbol STRING, ts TIMESTAMP_NTZ, " +
+      "close DOUBLE, event_id BIGINT) USING `graft-snapshot` " +
+      "PARTITIONED BY (symbol) TBLPROPERTIES ('statsCols' 'event_id')")
+    bars(30, 0.0).createOrReplaceTempView("gc_dyn_seed")
+    spark.sql("INSERT INTO graft.dyn.t SELECT * FROM gc_dyn_seed")
+    val root = s"$warehouse/dyn/t"
+    val before = SnapshotLake.manifest(spark, root)
+    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      // the frame carries only sym1/sym2 rows — exactly those partitions
+      // get replaced, derived from the data itself (no static clause)
+      bars(5, 500.0).filter(col("symbol") =!= "sym0")
+        .createOrReplaceTempView("gc_dyn_src")
+      spark.sql("INSERT OVERWRITE graft.dyn.t SELECT * FROM gc_dyn_src")
+      val after = SnapshotLake.manifest(spark, root)
+      assert(after.op == "overwrite-dynamic" &&
+        after.version == before.version + 1,
+        s"one atomic commit expected, got ${after.op}@v${after.version}")
+      val sym0Before = before.files
+        .filter(_.rel.startsWith("symbol=sym0/")).map(_.rel).toSet
+      assert(sym0Before.nonEmpty &&
+        sym0Before.subsetOf(after.files.map(_.rel).toSet),
+        "partitions absent from the frame must survive by identity")
+      assert(!after.files.exists(f => before.files.exists(b =>
+        b.rel == f.rel && b.rel.startsWith("symbol=sym1/"))),
+        "frame-carried partitions must have been replaced")
+      assert(spark.sql("SELECT * FROM graft.dyn.t").count() == 10 + 3)
+      assert(spark.sql(
+        "SELECT * FROM graft.dyn.t WHERE symbol = 'sym0'").count() == 10)
+      assert(spark.sql("SELECT * FROM graft.dyn.t WHERE close >= 500")
+        .count() == 3)
+      // footer envelopes inherited through the options→props→files chain
+      assert(after.files.filter(_.rel.startsWith("symbol=sym1"))
+        .forall(_.stats.contains("event_id")),
+        s"dynamic-overwrite files must carry envelopes: ${after.files}")
+      // an EMPTY frame replaces nothing and publishes nothing
+      spark.sql("INSERT OVERWRITE graft.dyn.t " +
+        "SELECT * FROM gc_dyn_src WHERE 1=0")
+      assert(SnapshotLake.manifest(spark, root).version == after.version,
+        "empty dynamic overwrite must be a commit no-op")
+      // plain INSERT under dynamic conf still appends through V1Write
+      spark.sql("INSERT INTO graft.dyn.t SELECT * FROM gc_dyn_src")
+      assert(SnapshotLake.manifest(spark, root).op == "append")
+      // an UNPARTITIONED table under dynamic conf routes to the plain
+      // full overwrite (Spark only picks the dynamic plan for
+      // partitioned tables) — an atomic REPLACE, not an error
+      spark.sql("CREATE TABLE graft.dyn.flat (symbol STRING, close DOUBLE) " +
+        "USING `graft-snapshot`")
+      spark.sql("INSERT OVERWRITE graft.dyn.flat " +
+        "SELECT symbol, close FROM gc_dyn_src")
+      spark.sql("INSERT OVERWRITE graft.dyn.flat " +
+        "SELECT symbol, close FROM gc_dyn_src WHERE symbol = 'sym1'")
+      assert(spark.sql("SELECT * FROM graft.dyn.flat").count() == 2)
+      spark.sql("DROP TABLE graft.dyn.flat")
+    } finally {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+      spark.sql("DROP TABLE graft.dyn.t")
+    }
+  }
+
+  test("SQL maintenance verbs: CALL graft.system.optimize / add_stats / " +
+      "zorder / restore / vacuum run the library calls with the " +
+      "library's one-commit semantics and return summary rows") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.maint")
+    spark.sql("DROP TABLE IF EXISTS graft.maint.t")
+    spark.sql("CREATE TABLE graft.maint.t (symbol STRING, ts TIMESTAMP_NTZ, " +
+      "close DOUBLE, event_id BIGINT) USING `graft-snapshot`")
+    bars(12, 0.0).createOrReplaceTempView("gc_maint_src")
+    (1 to 3).foreach(_ =>
+      spark.sql("INSERT INTO graft.maint.t SELECT * FROM gc_maint_src"))
+    val root = s"$warehouse/maint/t"
+    val beforeFiles = SnapshotLake.manifest(spark, root).files.size
+    // optimize: files shrink, rows intact, ONE commit, summary row back
+    val opt = spark.sql(
+      "CALL graft.system.optimize(`table` => 'maint.t', target_mb => 64)")
+      .collect().head
+    assert(opt.getLong(1) == beforeFiles && opt.getLong(2) < beforeFiles,
+      s"optimize must report the shrink, got $opt")
+    assert(SnapshotLake.manifest(spark, root).op == "compact")
+    assert(spark.sql("SELECT * FROM graft.maint.t").count() == 36)
+    // add_stats: metadata-only envelope backfill
+    spark.sql("CALL graft.system.add_stats(`table` => 'maint.t', " +
+      "cols => 'event_id')")
+    val st = SnapshotLake.manifest(spark, root)
+    assert(st.op == "restat", s"expected a restat commit, got ${st.op}")
+    assert(st.files.forall(_.stats.contains("event_id")))
+    // zorder: clustered rewrite, rows intact
+    val z = spark.sql("CALL graft.system.zorder(`table` => 'maint.t', " +
+      "cols => 'event_id,close')").collect().head
+    assert(z.getLong(0) == st.version + 1)
+    assert(spark.sql("SELECT * FROM graft.maint.t").count() == 36)
+    // restore: roll back to the single-insert version (v1=create, v2=first)
+    spark.sql("CALL graft.system.restore(`table` => 'maint.t', version => 2)")
+    assert(spark.sql("SELECT * FROM graft.maint.t").count() == 12)
+    // vacuum: retention drop; pinned reads of dropped versions refuse
+    val vac = spark.sql("CALL graft.system.vacuum(`table` => 'maint.t', " +
+      "retain_last => 1)").collect().head
+    assert(vac.getLong(1) > 0, s"vacuum must drop manifests, got $vac")
+    assert(spark.sql("SELECT * FROM graft.maint.t").count() == 12)
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graft.maint.t VERSION AS OF 2").count()
+    }
+    // unknown verbs refuse loudly (Spark wraps the load failure)
+    val e = intercept[Exception] {
+      spark.sql("CALL graft.system.shrink_ray(`table` => 'maint.t')")
+    }
+    assert(e.getMessage.contains("shrink_ray"), e.getMessage)
+    spark.sql("DROP TABLE graft.maint.t")
+  }
+
   test("DML through the catalog: DELETE FROM and INSERT OVERWRITE " +
       "carry the doorway's commit semantics") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dml")

@@ -413,6 +413,29 @@ class SnapshotFormatSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE snapfmt_rw")
   }
 
+  test("dynamic partition overwrite on a provider-path table refuses at " +
+      "analysis (a catalog-table feature — the V1 save-mode contract " +
+      "forbids BATCH_WRITE here)") {
+    val root = freshRoot()
+    bars(1, 12, 0.0).write.format("graft-snapshot")
+      .option("partitionCols", "symbol").save(root)
+    spark.sql(s"CREATE TABLE snapfmt_dynref USING `graft-snapshot` " +
+      s"OPTIONS (path '$root')")
+    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      bars(2, 3, 500.0).createOrReplaceTempView("snapfmt_dynref_src")
+      val e = intercept[Exception] {
+        spark.sql("INSERT OVERWRITE snapfmt_dynref " +
+          "SELECT symbol, ts, close, event_id FROM snapfmt_dynref_src")
+      }
+      assert(e.getMessage.contains("dynamic overwrite"), e.getMessage)
+    } finally {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+      spark.sql("DROP TABLE snapfmt_dynref")
+    }
+  }
+
   test("writes to a version-pinned table are refused") {
     val root = freshRoot()
     bars(1, 6, 0.0).write.format("graft-snapshot").save(root)
