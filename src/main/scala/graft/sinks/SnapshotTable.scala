@@ -54,12 +54,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - `versionAsOf` pins time travel; a pinned table refuses writes.
   *
   * What stays deliberately unsupported (loud analysis errors, not silent
-  * misbehavior): dynamic partition overwrite (`OVERWRITE_DYNAMIC`
-  * undeclared — use static partitions or `replaceWhere`), overwrite /
-  * delete conditions with no `sources.Filter` translation (refused, never
-  * weakened), and streaming V2 scans (the V1
-  * [[graft.streaming.SnapshotSource]] personality serves `readStream`
-  * through Spark's built-in fallback).
+  * misbehavior): dynamic partition overwrite on PROVIDER-PATH tables
+  * (`OVERWRITE_DYNAMIC` needs strict `BATCH_WRITE`, which would break
+  * the V1 save-mode contract of `df.write.format` — catalog-managed
+  * tables support it; path users have static partitions or
+  * `replaceWhere`), overwrite / delete conditions with no
+  * `sources.Filter` translation (refused, never weakened), and
+  * streaming V2 scans (the V1 [[graft.streaming.SnapshotSource]]
+  * personality serves `readStream` through Spark's built-in fallback).
   *
   * Schema source of truth is the MANIFEST (Delta semantics): a catalog
   * table created before a widen-only evolution keeps working — the

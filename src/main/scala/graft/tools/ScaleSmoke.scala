@@ -1265,6 +1265,57 @@ object ScaleSmoke {
       println(f"[scale] insertbench doorway constant (sql p50 - library " +
         f"p50): ${results(1) - results(0)}%+.2f s/commit")
     }
+
+    // ---- mergebench: small SQL MERGE vs lake size (round 13) ------------
+    // The falsifier for runtime group filtering: the SAME 1000-key MERGE
+    // runs against a small lake and a 10x lake. Before round 13 the SQL
+    // path was a full-snapshot copy-on-write, so the 10x statement cost
+    // ~10x; with the `_file` runtime group filter the rewrite is bounded
+    // by the files holding the keys, so the ratio should collapse toward
+    // the (shared) matching-subquery scan cost, and the rewritten-file
+    // count should stay flat. Keys are time-clustered and the lake is
+    // range-partitioned on event_id, the realistic layout for a keyed
+    // upsert target.
+    if (on("mergebench")) {
+      import graft.sinks.SnapshotLake
+      val results = Seq(10L, 1L).map { frac =>
+        val rows = math.max(total / frac, 1000L)
+        val root = graft.TempDirs.create(s"smoke-mrg-$frac") + "/lake"
+        val keyed = bars.limit(rows.toInt)
+          .withColumn("event_id", // unique: 8*ts + dense symbol index
+            unix_timestamp(col("ts")) * 8 +
+              array_position(array(symbols.map(lit): _*), col("symbol")))
+          .select("event_id", "symbol", "ts", "close")
+        keyed.repartitionByRange(32, col("event_id"))
+          .sortWithinPartitions("event_id")
+          .write.format("graft-snapshot").option("statsCols", "event_id")
+          .save(root)
+        spark.sql("DROP TABLE IF EXISTS mrgbench")
+        spark.sql(
+          s"CREATE TABLE mrgbench USING `graft-snapshot` OPTIONS (path '$root')")
+        val before = SnapshotLake.manifest(spark, root)
+        keyed.orderBy("event_id").limit(1000)
+          .withColumn("close", col("close") + lit(1.0))
+          .createOrReplaceTempView("mrgbench_src")
+        val t0 = System.nanoTime()
+        spark.sql("""MERGE INTO mrgbench t USING mrgbench_src s
+                     ON t.event_id = s.event_id
+                     WHEN MATCHED THEN UPDATE SET close = s.close""")
+        val sec = (System.nanoTime() - t0) / 1e9
+        val after = SnapshotLake.manifest(spark, root)
+        val carried = before.files.map(_.rel).toSet
+          .intersect(after.files.map(_.rel).toSet).size
+        val rewritten = before.files.size - carried
+        println(f"[scale] mergebench lake=$rows%-9d files=${before.files.size}%3d " +
+          f"merge_keys=1000 rewritten=$rewritten%3d carried=$carried%3d " +
+          f"${sec}%6.1f s")
+        (rows, sec, rewritten)
+      }
+      val ratio = results(1)._2 / results(0)._2
+      println(f"[scale] mergebench 10x-lake cost ratio: ${ratio}%.2f x " +
+        f"(full-rewrite would be ~10x; rewritten files " +
+        f"${results(0)._3} -> ${results(1)._3})")
+    }
     spark.stop()
   }
 }

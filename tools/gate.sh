@@ -62,6 +62,17 @@ ORACLE=$(python3 tools/check_oracle.py /root/testdata/sf0.01 "$VOUT" 2>&1 | tee 
 note "oracle: $ORACLE"
 echo "$ORACLE" | grep -q ", 0 fail," || { note "ORACLE COMPARE FAILED"; fail=1; }
 
+# --- 3b. docs drift check ----------------------------------------------
+# COVERAGE.md's closing claim must state the ACTUAL oracle surface size
+# (the footer lapsed at 147 while the surface was 151 — a round-12
+# finding; the gate now fails on any recurrence).
+N=$(echo "$ORACLE" | grep -oE "^[0-9]+" | head -1)
+if grep -q "All $N declared queries" COVERAGE.md; then
+  note "docs: COVERAGE.md footer matches the oracle surface ($N)"
+else
+  note "DOCS DRIFT: COVERAGE.md footer must say 'All $N declared queries'"; fail=1
+fi
+
 # --- 4. bench artifact ------------------------------------------------
 note "graft.Bench at sf0.1 -> BENCH.json"
 if SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_BENCH_OUT=BENCH.json \
