@@ -142,6 +142,39 @@ private[sinks] object GraftProcedures {
           Seq(SnapshotLake.restore(spark, rootOf(catalog, str(a, 0)),
             a.getLong(1)))
       }
+      case "history" => new GraftProcedure("history",
+        Seq(param("table", StringType)),
+        StructType(Seq(StructField("version", LongType),
+          StructField("parent", LongType),
+          StructField("op", StringType),
+          StructField("n_files", LongType),
+          StructField("bytes", LongType),
+          StructField("commit_time_us", LongType)))) {
+        // multi-row result: one line per committed version, straight off
+        // the manifests (no data I/O) — the SQL twin of SnapshotLake.history
+        override def run(a: InternalRow): Seq[Any] = Seq.empty
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val root = rootOf(catalog, str(input, 0))
+          val out: Array[InternalRow] =
+            SnapshotLake.versions(spark, root).map { v =>
+              val m = SnapshotLake.manifest(spark, root, Some(v))
+              new GenericInternalRow(Array[Any](m.version, m.parent,
+                org.apache.spark.unsafe.types.UTF8String.fromString(m.op),
+                m.files.size.toLong, m.bytes,
+                m.props.get("commitTimeUs")
+                  .flatMap(s => scala.util.Try(s.toLong).toOption)
+                  .map(Long.box).orNull)): InternalRow
+            }.toArray
+          val schema = StructType(Seq(StructField("version", LongType),
+            StructField("parent", LongType), StructField("op", StringType),
+            StructField("n_files", LongType), StructField("bytes", LongType),
+            StructField("commit_time_us", LongType)))
+          java.util.Collections.singletonList[Scan](new LocalScan {
+            override def rows(): Array[InternalRow] = out
+            override def readSchema(): StructType = schema
+          }).iterator()
+        }
+      }
       case other => throw new IllegalArgumentException(
         s"unknown graft procedure `$other` — available: " +
           GraftProcedures.names.mkString(", "))
@@ -149,5 +182,5 @@ private[sinks] object GraftProcedures {
   }
 
   val names: Seq[String] =
-    Seq("optimize", "zorder", "add_stats", "vacuum", "restore")
+    Seq("optimize", "zorder", "add_stats", "vacuum", "restore", "history")
 }

@@ -352,6 +352,13 @@ class GraftCatalogSpec extends SparkSpec {
     intercept[Exception] {
       spark.sql("SELECT * FROM graft.maint.t VERSION AS OF 2").count()
     }
+    // history: one row per surviving version, manifests only
+    val hist = spark.sql(
+      "CALL graft.system.history(`table` => 'maint.t')").collect()
+    assert(hist.length == 1 && hist.head.getString(2).startsWith("restore"),
+      s"post-vacuum history must be the one restored version, got " +
+        hist.map(_.toString).mkString("; "))
+    assert(!hist.head.isNullAt(5), "round-13 commits carry commit_time_us")
     // unknown verbs refuse loudly (Spark wraps the load failure)
     val e = intercept[Exception] {
       spark.sql("CALL graft.system.shrink_ray(`table` => 'maint.t')")
