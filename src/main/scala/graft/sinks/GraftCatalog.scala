@@ -84,8 +84,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def loadProcedure(ident: Identifier): UnboundProcedure =
     GraftProcedures.load(this, ident)
 
+  /** The verbs live ONLY in the `system` namespace — listing any other
+    * namespace must not advertise them as living there (SHOW PROCEDURES
+    * against `graft.prod` would otherwise print phantom entries).
+    * An empty namespace lists the whole catalog's procedures.
+    */
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
-    GraftProcedures.names.map(n => Identifier.of(Array("system"), n)).toArray
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      GraftProcedures.names.map(n => Identifier.of(Array("system"), n)).toArray
+    else Array.empty
 
   private def isLake(p: Path): Boolean =
     fs.exists(new Path(p, "_manifests"))

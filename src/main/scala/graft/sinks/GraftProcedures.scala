@@ -39,7 +39,10 @@ private[sinks] object GraftProcedures {
     */
   private def rootOf(catalog: GraftCatalog, table: String): String = {
     val parts = table.split('.')
-    require(parts.nonEmpty && parts.forall(_.nonEmpty),
+    // the arity check must match the error text: a bare 'tbl' would
+    // otherwise resolve silently against the warehouse root, where no
+    // table can live (tables are <warehouse>/<ns...>/<name>)
+    require(parts.length >= 2 && parts.forall(_.nonEmpty),
       s"procedure table argument must be 'namespace.table', got '$table'")
     val ident = Identifier.of(parts.dropRight(1), parts.last)
     require(catalog.tableExists(ident),

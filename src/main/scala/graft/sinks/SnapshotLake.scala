@@ -43,13 +43,18 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * FileSystem: the Hadoop contract leaves rename-onto-existing
   * FS-specific (the local ChecksumFileSystem refuses — SnapshotLakeSpec
   * pins that — but raw POSIX rename(2) silently replaces, and S3 has no
-  * atomic rename at all). What IS exclusive everywhere is
-  * create-if-absent — with the footgun that Hadoop's LOCAL
-  * `FileSystem.createNewFile` is itself check-then-act, so the file
-  * scheme drops to `java.io.File.createNewFile` (true O_CREAT|O_EXCL;
-  * see `tryLock`), HDFS's create(false) is namenode-atomic, and object
-  * stores swap in a conditional PUT. So versions are DENSE and each is
-  * guarded by a lock file:
+  * atomic rename at all). What IS achievable everywhere is an atomic
+  * create-if-absent — but the right PRIMITIVE is substrate-specific, so
+  * it lives behind the [[LockProvider]] seam: file:// uses
+  * `java.io.File.createNewFile` (one open(O_CREAT|O_EXCL) syscall —
+  * Hadoop's LOCAL `createNewFile` is itself check-then-act), the HDFS
+  * family uses namenode-atomic `create(overwrite=false)`, object stores
+  * must REGISTER their conditional-PUT (or external-lock) provider via
+  * `LockProvider.register`, and an UNREGISTERED scheme refuses loudly
+  * before any data stages (LockProviderSpec proves exactly-once commits
+  * under an 8-writer storm on a deliberately non-atomic fake object
+  * store, through a registered CAS provider). So versions are DENSE and
+  * each is guarded by a lock file:
   *
   *   1. head = latest manifest; next = head+1;
   *   2. createNewFile(v<next>.lock) — lose ⇒ wait (the lock is broken if
@@ -66,8 +71,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * The one residual hazard is an owner SLOWER than `lockExpiryMs` whose
   * broken lock lets a rival publish the same version first (the classic
   * lease caveat every lock-service design documents) — the expiry is
-  * 10 min against a millisecond critical section, and on a real cluster
-  * the primitive to swap in is the store's conditional PUT.
+  * 10 min against a millisecond critical section.
   *
   * At 100 TB the wins over directory-listing reads compound: planning
   * reads ONE small manifest instead of listing O(100k) objects (on S3 a
@@ -304,12 +308,13 @@ object SnapshotLake {
       val next = head.getOrElse(0L) + 1
       val lock = new Path(manifestDir(root), f"v$next%08d.lock")
       val target = new Path(manifestDir(root), manifestName(next))
-      val acquired = tryLock(fs, lock)
+      val lockProvider = LockProvider.forPath(fs.makeQualified(lock))
+      val acquired = lockProvider.tryLock(fs, lock)
       if (acquired) {
         if (fs.exists(target)) {
           // stale acquire: the previous owner published and released
           // between our head read and our create — release and retry
-          fs.delete(lock, false)
+          lockProvider.unlock(fs, lock)
         } else {
           try {
             // head is frozen at next-1 while we hold the lock
@@ -333,20 +338,21 @@ object SnapshotLake {
             val outS = fs.create(tmp, true)
             try outS.write(render(m)) finally outS.close()
             // The publish rename is the SECOND line of defense behind the
-            // lock: before tryLock went O_EXCL on file://, Hadoop's
-            // check-then-act createNewFile let two committers both "win"
-            // and POSIX rename-replace silently swallowed a manifest
-            // (lockbench reproduced it at 8 writers — 32 appends, 30
-            // versions). With the exclusive lock that window is closed
-            // locally; this branch remains the backstop for the residual
-            // double-holders the protocol doc names — a lease-expiry
-            // break racing a slow owner, or a scheme whose create is not
-            // exclusive. Rename-onto-existing REFUSES on
-            // ChecksumFileSystem (spec-pinned) and HDFS, so exactly one
-            // publish wins; the loser discards its tmp and retries
-            // against the new head — build() re-evaluates there, so no
-            // rival's files are ever dropped. (On an object store the
-            // primitive to swap in is the conditional PUT.)
+            // lock: before the lock went through LockProvider (O_EXCL on
+            // file://), Hadoop's check-then-act createNewFile let two
+            // committers both "win" and POSIX rename-replace silently
+            // swallowed a manifest (lockbench reproduced it at 8 writers
+            // — 32 appends, 30 versions). With an atomic provider that
+            // window is closed; this branch remains the backstop for the
+            // residual double-holders the protocol doc names — a
+            // lease-expiry break racing a slow owner. Rename-onto-existing
+            // REFUSES on ChecksumFileSystem (spec-pinned) and HDFS, so
+            // there exactly one publish wins; the loser discards its tmp
+            // and retries against the new head — build() re-evaluates
+            // there, so no rival's files are ever dropped. Object stores
+            // have NO such rename backstop (PUT replaces), which is why
+            // LockProvider.forPath REFUSES unregistered schemes instead
+            // of hoping.
             if (fs.rename(tmp, target)) {
               cachePut(root, m) // prime: the refresh loop re-reads it next
               done = next
@@ -355,17 +361,17 @@ object SnapshotLake {
               require(fs.exists(target),
                 s"manifest publish failed with no rival in place: $target")
             }
-          } finally fs.delete(lock, false)
+          } finally lockProvider.unlock(fs, lock)
         }
       } else {
         // lock held by someone else: break it only if provably dead
         val st = try Some(fs.getFileStatus(lock)) catch {
           case _: java.io.FileNotFoundException => None
         }
-        if (fs.exists(target)) fs.delete(lock, false) // owner crashed post-publish
+        if (fs.exists(target)) lockProvider.unlock(fs, lock) // owner crashed post-publish
         else if (st.exists(s =>
             System.currentTimeMillis - s.getModificationTime > lockExpiryMs))
-          fs.delete(lock, false) // owner died mid-commit; lease expired
+          lockProvider.unlock(fs, lock) // owner died mid-commit; lease expired
         else { lockWaits.incrementAndGet(); Thread.sleep(25) }
       }
     }
@@ -379,31 +385,6 @@ object SnapshotLake {
     * delta to price commit contention under N racing writers.
     */
   private[graft] val lockWaits = new java.util.concurrent.atomic.AtomicLong
-
-  /** Exclusive lock-file creation. The protocol needs a TRUE atomic
-    * create-if-absent, and Hadoop's `FileSystem.createNewFile` on the
-    * LOCAL filesystem is not one: it is exists()-then-create, and the
-    * create itself is multi-step (open, then a shell chmod) — the
-    * 8-writer lockbench reproduced every failure shape: two racers both
-    * "winning" (then silently losing a manifest to POSIX rename-replace),
-    * FileAlreadyExistsException from the slipped exists() window, and
-    * ExitCodeException when a rival's lock-break deleted the
-    * half-created file before its chmod. On file:// we therefore go
-    * straight to `java.io.File.createNewFile` — a single
-    * open(O_CREAT|O_EXCL) syscall, atomic on POSIX. Elsewhere the Hadoop
-    * call stands (HDFS create(false) is namenode-atomic; object stores
-    * swap in a conditional PUT per the protocol doc), with any
-    * acquisition exception meaning "did not acquire" — loop and
-    * re-examine; a real persistent FS failure keeps failing and
-    * surfaces through the commit deadline, loudly.
-    */
-  private def tryLock(fs: FileSystem, lock: Path): Boolean =
-    try {
-      val uri = lock.toUri
-      if (uri.getScheme == null || uri.getScheme == "file")
-        new java.io.File(uri.getPath).createNewFile()
-      else fs.createNewFile(lock)
-    } catch { case _: java.io.IOException => false }
 
   /** Thrown from a rewrite's build callback (under the commit lock) when a
     * file the op read-and-rewrote is no longer in the head manifest: a

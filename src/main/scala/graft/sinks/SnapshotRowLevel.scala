@@ -159,7 +159,8 @@ final class SnapshotRowLevelScanBuilder(
 
   override def build(): Scan = {
     val box = SnapshotTable.pruneBoxOf(pushed)
-    val partVals = SnapshotTable.partitionValuesFrom(pushed, op.partCols)
+    val partVals = SnapshotTable.partitionValuesFrom(pushed, op.partCols,
+      spark.sessionState.conf.sessionLocalTimeZone)
     val candidates = base.files.filter { f =>
       box.forall { case (c, (lo, hi)) =>
         f.stats.get(c).forall { case (fLo, fHi) => fHi >= lo && fLo <= hi }
@@ -397,10 +398,21 @@ final class SnapshotReplaceDataWrite(
   * UNPARTITIONED lake lands here too — there the whole table is the one
   * "partition" and the commit is a full atomic REPLACE, exactly what the
   * plain `INSERT OVERWRITE` form does (Hive's dynamic-mode semantics).
+  *
+  * Concurrency contract (WriteSerializable, Delta's line): every head
+  * file this commit DROPS must have been in the statement-start manifest
+  * (`base`). A racing append/rewrite that landed a file into a touched
+  * partition (or anywhere, on an unpartitioned lake) between statement
+  * start and commit would otherwise be SILENTLY dropped with the
+  * partition — that is data loss of a committed write, not overwrite
+  * semantics, so the statement aborts loudly and the user re-runs it
+  * against the new head (the row-level paths' `requireReadSetIntact`
+  * discipline, applied to the dynamically-derived drop set).
   */
 final class SnapshotDynamicOverwriteWrite(
     spark: SparkSession,
     root: String,
+    base: Option[SnapshotLake.Manifest],
     tableSchema: StructType,
     partCols: Seq[String],
     declaredPartitioning: Seq[String],
@@ -449,12 +461,41 @@ final class SnapshotDynamicOverwriteWrite(
       // "partition" — a full atomic replace
       def dirOf(rel: String): String = rel.take(math.max(rel.lastIndexOf('/'), 0))
       val touched = newFiles.map(f => dirOf(f.rel)).toSet
-      SnapshotLake.commit(spark, root, "overwrite-dynamic", tableSchema,
-        build = head => newFiles ++ (
-          if (partCols.isEmpty) Nil
-          else head.map(_.files).getOrElse(Nil)
-            .filterNot(f => touched.contains(dirOf(f.rel)))),
-        lockExpiryMs = 10L * 60 * 1000)
+      val baseSet = base.map(_.files.map(_.rel).toSet).getOrElse(Set.empty)
+      SnapshotDynamicOverwriteWrite.beforeCommit()
+      try {
+        SnapshotLake.commit(spark, root, "overwrite-dynamic", tableSchema,
+          build = head => {
+            val headFiles = head.map(_.files).getOrElse(Nil)
+            val (dropped, carried) =
+              if (partCols.isEmpty) (headFiles, Nil)
+              else headFiles.partition(f => touched.contains(dirOf(f.rel)))
+            // WriteSerializable guard: a file we are about to drop that
+            // was NOT in the statement-start manifest is a rival's
+            // committed write — dropping it is silent data loss
+            val racing = dropped.filterNot(f => baseSet.contains(f.rel))
+            if (racing.nonEmpty)
+              throw new SnapshotLake.ConflictingRewriteException(newFiles,
+                s"dynamic overwrite under $root would drop ${racing.size} " +
+                  s"file(s) committed concurrently into overwritten " +
+                  s"partition(s) (e.g. ${racing.head.rel})")
+            newFiles ++ carried
+          },
+          lockExpiryMs = 10L * 60 * 1000)
+      } catch {
+        case e: SnapshotLake.ConflictingRewriteException =>
+          // a SQL statement's committer cannot silently re-run the
+          // query: clean the orphans and surface the statement contract
+          e.staged.foreach { f =>
+            fs.delete(new Path(root, s"data/${f.rel}"), false)
+            f.bloomCols.foreach(c =>
+              fs.delete(SnapshotLake.bloomPath(root, f.rel, c), false))
+          }
+          throw new IllegalStateException(
+            s"INSERT OVERWRITE (dynamic) lost to a concurrent write into " +
+              s"an overwritten partition — re-run the statement against " +
+              s"the new head (${e.getMessage})")
+      }
     } finally fs.delete(stageDir, true)
   }
 
@@ -462,6 +503,15 @@ final class SnapshotDynamicOverwriteWrite(
     val fs = stageDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(stageDir, true)
   }
+}
+
+object SnapshotDynamicOverwriteWrite {
+  /** Test seam: runs after the frame is staged, immediately before the
+    * manifest commit — the deterministic replay point for the
+    * racing-append guard (a spec injects a concurrent append into a
+    * touched partition here; production value is a no-op).
+    */
+  @volatile private[graft] var beforeCommit: () => Unit = () => ()
 }
 
 final class SnapshotDataWriterFactory(

@@ -277,7 +277,7 @@ final class SnapshotTable(
               s"table schema ${schema().simpleString}")
           new Write {
             override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
-              new SnapshotDynamicOverwriteWrite(spark, root,
+              new SnapshotDynamicOverwriteWrite(spark, root, pinned,
                 schema(), partCols, declaredPartitioning, tableOptions)
           }
         }
@@ -307,23 +307,46 @@ object SnapshotTable {
   /** Name of the file-provenance metadata column (Iceberg's `_file`). */
   val FileMetaCol = "_file"
 
+  /** Render one filter literal EXACTLY the way the partition-directory
+    * writer rendered it: Spark's own Cast-to-string in the session time
+    * zone (the `partStrings` projection in [[SnapshotDataWriterFactory]]
+    * and `df.write.partitionBy` both go through Cast). `String.valueOf`
+    * is NOT that function for date/time external types —
+    * `java.sql.Timestamp.toString` prints a trailing `.0` that the
+    * directory name never carries, so a timestamp-partitioned prune
+    * would wrongly EXCLUDE every file and the DML would silently skip
+    * its matched rows. None (= no constraint from this literal, prune
+    * stays conservative) when the external type has no Catalyst literal.
+    */
+  private def hiveRendered(v: Any, timeZoneId: String): Option[String] =
+    scala.util.Try {
+      val lit = org.apache.spark.sql.catalyst.expressions.Literal(v)
+      Option(org.apache.spark.sql.catalyst.expressions
+        .Cast(lit, StringType, Some(timeZoneId)).eval(null)).map(_.toString)
+    }.toOption.flatten
+
   /** Admitted hive-partition values implied by (implicitly ANDed)
     * filters: equality / null-safe equality / IN on a partition column.
     * Same-col duplicates keep one — a SUPERSET of the true intersection,
     * so pruning stays sound (fewer skips). Shared by the filtered
     * INSERT OVERWRITE landing and the row-level candidate pruning.
+    * Literals render through [[hiveRendered]]; a literal that cannot be
+    * rendered contributes NO constraint (an IN with any unrenderable
+    * member drops the whole column's constraint — admitting a superset
+    * is sound, admitting a subset is not).
     */
   private[sinks] def partitionValuesFrom(filters: Array[Filter],
-      parts: Seq[String]): Map[String, Set[String]] =
+      parts: Seq[String], timeZoneId: String): Map[String, Set[String]] =
     filters.flatMap {
       case sources.EqualTo(a, v) if parts.contains(a) && v != null =>
-        Some(a -> Set(String.valueOf(v)))
+        hiveRendered(v, timeZoneId).map(s => a -> Set(s))
       // static PARTITION (k=v) clauses arrive as null-safe equality
       case sources.EqualNullSafe(a, v) if parts.contains(a) && v != null =>
-        Some(a -> Set(String.valueOf(v)))
+        hiveRendered(v, timeZoneId).map(s => a -> Set(s))
       case sources.In(a, vs) if parts.contains(a) && vs.nonEmpty &&
           vs.forall(_ != null) =>
-        Some(a -> vs.map(String.valueOf).toSet)
+        val rendered = vs.flatMap(hiveRendered(_, timeZoneId))
+        if (rendered.length == vs.length) Some(a -> rendered.toSet) else None
       case _ => None
     }.toMap
 
@@ -526,7 +549,8 @@ object SnapshotTable {
     }
     val pred = filters.flatMap(toPredicate).reduceOption(_ && _)
       .getOrElse(lit(true))
-    val partVals = partitionValuesFrom(filters, parts)
+    val partVals = partitionValuesFrom(filters, parts,
+      spark.sessionState.conf.sessionLocalTimeZone)
     SnapshotLake.replaceWhere(spark, root, data, pred,
       pruneBox = pruneBoxOf(filters), partitionValues = partVals,
       partitionCols = parts, statsCols = stats)

@@ -310,6 +310,88 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("dynamic overwrite racing-append guard: a concurrent append into " +
+      "a touched partition aborts the statement loudly and survives; " +
+      "an append into an UNTOUCHED partition rides through") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dynrace")
+    spark.sql("CREATE TABLE graft.dynrace.t (symbol STRING, " +
+      "ts TIMESTAMP_NTZ, close DOUBLE, event_id BIGINT) " +
+      "USING `graft-snapshot` PARTITIONED BY (symbol)")
+    bars(30, 0.0).createOrReplaceTempView("gc_dynrace_seed")
+    spark.sql("INSERT INTO graft.dynrace.t SELECT * FROM gc_dynrace_seed")
+    val root = s"$warehouse/dynrace/t"
+    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      bars(6, 500.0).filter(col("symbol") === "sym1")
+        .createOrReplaceTempView("gc_dynrace_src")
+      // deterministic race replay: between the statement's staging and
+      // its commit, a rival append lands one row INTO the partition the
+      // overwrite is about to replace — dropping it with the partition
+      // would silently lose a committed write
+      val racing = bars(3, 900.0).filter(col("symbol") === "sym1")
+      graft.sinks.SnapshotDynamicOverwriteWrite.beforeCommit = () =>
+        SnapshotLake.append(spark, root, racing,
+          partitionCols = Seq("symbol"))
+      val before = SnapshotLake.manifest(spark, root)
+      val e = intercept[Exception] {
+        spark.sql("INSERT OVERWRITE graft.dynrace.t " +
+          "SELECT * FROM gc_dynrace_src")
+      }
+      def chain(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => x.getMessage +: chain(x.getCause))
+      assert(chain(e).exists(m => m != null && m.contains("concurrent")),
+        s"expected the loud racing-write abort, got: ${chain(e)}")
+      // the racing append SURVIVED; the overwrite published nothing
+      val after = SnapshotLake.manifest(spark, root)
+      assert(after.op.startsWith("append") &&
+        after.version == before.version + 1,
+        s"head should be the rival append only, got ${after.op}")
+      assert(spark.sql("SELECT * FROM graft.dynrace.t " +
+        "WHERE close >= 900").count() == 1)
+      assert(spark.sql("SELECT * FROM graft.dynrace.t " +
+        "WHERE close >= 500 AND close < 900").count() == 0)
+      // a rival append into an UNTOUCHED partition is no conflict: the
+      // overwrite drops only statement-start files of its own partitions
+      val riding = bars(3, 900.0).filter(col("symbol") === "sym0")
+      graft.sinks.SnapshotDynamicOverwriteWrite.beforeCommit = () =>
+        SnapshotLake.append(spark, root, riding,
+          partitionCols = Seq("symbol"))
+      spark.sql("INSERT OVERWRITE graft.dynrace.t " +
+        "SELECT * FROM gc_dynrace_src")
+      graft.sinks.SnapshotDynamicOverwriteWrite.beforeCommit = () => ()
+      assert(SnapshotLake.manifest(spark, root).op == "overwrite-dynamic")
+      assert(spark.sql("SELECT * FROM graft.dynrace.t " +
+        "WHERE symbol = 'sym0' AND close >= 900").count() == 1)
+      assert(spark.sql("SELECT * FROM graft.dynrace.t " +
+        "WHERE symbol = 'sym1'").count() == 2) // the frame's rows only
+    } finally {
+      graft.sinks.SnapshotDynamicOverwriteWrite.beforeCommit = () => ()
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+      spark.sql("DROP TABLE graft.dynrace.t")
+    }
+  }
+
+  test("SHOW PROCEDURES hygiene: the system verbs are listed only under " +
+      "the `system` namespace, and a bare table argument refuses") {
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.sinks.GraftCatalog]
+    assert(cat.listProcedures(Array("system")).map(_.name()).toSet
+      .contains("optimize"))
+    assert(cat.listProcedures(Array.empty[String]).nonEmpty)
+    // any OTHER namespace must not advertise phantom procedures
+    assert(cat.listProcedures(Array("prod")).isEmpty)
+    assert(cat.listProcedures(Array("system", "sub")).isEmpty)
+    // a bare 'tbl' (no namespace) must refuse with the contract message,
+    // not resolve silently against the warehouse root
+    val e = intercept[Exception] {
+      spark.sql("CALL graft.system.optimize(`table` => 'bars')").collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: chain(x.getCause))
+    assert(chain(e).exists(m => m != null && m.contains("namespace.table")))
+  }
+
   test("SQL maintenance verbs: CALL graft.system.optimize / add_stats / " +
       "zorder / restore / vacuum run the library calls with the " +
       "library's one-commit semantics and return summary rows") {

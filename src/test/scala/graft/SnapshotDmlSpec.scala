@@ -224,6 +224,45 @@ class SnapshotDmlSpec extends SparkSpec {
     spark.sql("DROP TABLE snapdml_part")
   }
 
+  test("TIMESTAMP-typed partition columns prune DML candidates through " +
+      "the writer's own Cast-to-string rendering — the matched partition " +
+      "is rewritten, the others survive by identity") {
+    // the round-13 hazard: filter literals rendered via String.valueOf
+    // ('2024-01-10 00:01:00.0' for java.sql.Timestamp, '2024-01-10T00:01'
+    // for LocalDateTime) never equal the directory value Cast rendered
+    // ('2024-01-10 00:01:00'), so the static prune would wrongly exclude
+    // EVERY file and the UPDATE silently skipped its matched rows
+    val root = TempDirs.create("snapdml-tspart") + "/lake"
+    (0 until 9).map { i =>
+      (Timestamp.valueOf(f"2024-01-10 00:0${i % 3}%01d:00"), 0.0 + i,
+        i.toLong)
+    }.toDF("day", "close", "event_id")
+      .withColumn("day", col("day").cast("timestamp_ntz"))
+      .write.format("graft-snapshot").option("partitionCols", "day")
+      .save(root)
+    spark.sql("DROP TABLE IF EXISTS snapdml_tspart")
+    spark.sql(s"CREATE TABLE snapdml_tspart USING `graft-snapshot` " +
+      s"OPTIONS (path '$root')")
+    val before = SnapshotLake.manifest(spark, root)
+    val otherRels = before.files
+      .filterNot(_.rel.contains("00%3A01%3A00")).map(_.rel).toSet
+    assert(otherRels.nonEmpty && otherRels.size < before.files.size,
+      s"fixture must be partitioned by the escaped timestamp: " +
+        before.files.map(_.rel))
+    spark.sql("UPDATE snapdml_tspart SET close = close + 1000 " +
+      "WHERE day = TIMESTAMP_NTZ'2024-01-10 00:01:00'")
+    // the matched rows actually updated (no silent skip)...
+    assert(spark.sql(
+      "SELECT * FROM snapdml_tspart WHERE close >= 1000").count() == 3)
+    assert(spark.sql("SELECT * FROM snapdml_tspart").count() == 9)
+    // ...and the prune was real: every other partition's file survived
+    // by identity
+    val after = SnapshotLake.manifest(spark, root)
+    assert(otherRels.subsetOf(after.files.map(_.rel).toSet),
+      "non-matching timestamp partitions must survive by identity")
+    spark.sql("DROP TABLE snapdml_tspart")
+  }
+
   test("the _file metadata column serves file provenance on plain reads " +
       "with zero data I/O") {
     val root = freshTable("snapdml_file", 12)
