@@ -420,6 +420,53 @@ object ScaleQueries {
       s.sql("SELECT event_id, ts, close, symbol FROM graft.sn12.t")
     }),
 
+    // SN13 — merge-on-read SQL MERGE (round 14): dmlMode=mor routes the
+    // statement through Spark's SupportsDelta seam — matched rows land
+    // as position-delete sidecars stacked onto the manifest entries
+    // they cover, new row versions and inserts as ordinary appends, and
+    // NO data file is rewritten. The fixture is COW's worst case: every
+    // 10th key matches, so EVERY seed file holds matched rows and a
+    // copy-on-write MERGE would rewrite the whole lake; here the seed
+    // files all survive by identity (asserted in-query against the
+    // manifest). The oracle replays the upsert declaratively — the hash
+    // match proves the sidecar write plus the read-side position
+    // anti-join row-exact.
+    "sn13_mor_merge" -> ((s, dir) => {
+      import graft.sinks.SnapshotLake
+      s.conf.set("spark.sql.catalog.graft", "graft.sinks.GraftCatalog")
+      if (s.conf.getOption("spark.sql.catalog.graft.warehouse").isEmpty)
+        s.conf.set("spark.sql.catalog.graft.warehouse",
+          graft.TempDirs.create("graft-sn13-wh"))
+      val b = Tables.bars(s, dir).select("event_id", "symbol", "ts", "close")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.sn13")
+      s.sql("DROP TABLE IF EXISTS graft.sn13.t")
+      s.sql("CREATE TABLE graft.sn13.t (event_id BIGINT, symbol STRING, " +
+        "ts TIMESTAMP_NTZ, close DOUBLE) USING `graft-snapshot` " +
+        "TBLPROPERTIES ('dmlMode' 'mor', 'statsCols' 'event_id')")
+      b.repartition(8).createOrReplaceTempView("sn13_seed")
+      s.sql("INSERT INTO graft.sn13.t " +
+        "SELECT event_id, symbol, ts, close FROM sn13_seed")
+      val root = s.conf.get("spark.sql.catalog.graft.warehouse") + "/sn13/t"
+      val seedRels = SnapshotLake.manifest(s, root).files.map(_.rel).toSet
+      b.filter(col("event_id") % 10 === 0)
+        .unionByName(b.filter(col("event_id") % 1000 === 7)
+          .withColumn("event_id", col("event_id") + lit(1000000000000L)))
+        .withColumn("close", col("close") + lit(1000.0))
+        .createOrReplaceTempView("sn13_src")
+      s.sql("""MERGE INTO graft.sn13.t t USING sn13_src s
+               ON t.event_id = s.event_id
+               WHEN MATCHED THEN UPDATE SET close = s.close
+               WHEN NOT MATCHED THEN INSERT *""")
+      val head = SnapshotLake.manifest(s, root)
+      require(head.op == "merge:sql-mor",
+        s"sn13 must take the merge-on-read path, got ${head.op}")
+      require(seedRels.subsetOf(head.files.map(_.rel).toSet),
+        "sn13: merge-on-read must not rewrite any seed data file")
+      require(head.files.exists(_.deletes.nonEmpty),
+        "sn13: matched files must carry position-delete sidecars")
+      s.sql("SELECT event_id, symbol, ts, close FROM graft.sn13.t")
+    }),
+
     // Manifest-powered CDC: bars land in two appends (ver 1), a MERGE
     // upserts bumped-close updates + brand-new ids (ver 2), a DELETE
     // removes every 97th key — then diff(pre-merge, head) classifies the
@@ -448,6 +495,45 @@ object ScaleQueries {
       SnapshotLake.delete(s, root, col("event_id") % 97 === 3)
       val vTo = SnapshotLake.latestVersion(s, root).get
       SnapshotLake.diff(s, root, vFrom, vTo, keyCols = Seq("event_id"))
+    }),
+
+    // CDC as SQL (round 14): `startingVersion`/`endingVersion` read
+    // options on the graft-snapshot format select exactly the rows
+    // APPENDED in that version window — the SQL twin of the library's
+    // appendsSince, same changelog contract (a rewrite inside the window
+    // refuses loudly; one AFTER it is invisible — asserted in-query).
+    // Bars land in three deterministic appends; the window [2,3] must
+    // return appends 2+3 and exclude both append 1 and the post-window
+    // merge. The oracle derives the same slice declaratively.
+    "cdc2_sql_changes" -> ((s, dir) => {
+      import graft.sinks.SnapshotLake
+      val b = Tables.bars(s, dir)
+        .select(col("event_id"), col("symbol"), col("ts"), col("close"))
+      val root = graft.TempDirs.create("graft-cdc2") + "/lake"
+      val r = b.agg(min("event_id"), max("event_id")).head
+      val (lo, hi) = (r.getLong(0), r.getLong(1))
+      val t1 = lo + (hi - lo) / 3
+      val t2 = lo + 2 * (hi - lo) / 3
+      SnapshotLake.append(s, root, b.filter(col("event_id") < t1)
+        .repartition(2), statsCols = Seq("event_id")) // v1
+      SnapshotLake.append(s, root, b.filter(col("event_id") >= t1 &&
+        col("event_id") < t2).repartition(2),
+        statsCols = Seq("event_id")) // v2
+      SnapshotLake.append(s, root, b.filter(col("event_id") >= t2)
+        .repartition(2), statsCols = Seq("event_id")) // v3
+      // a post-window rewrite must be INVISIBLE to [2,3] (and the same
+      // options across it would refuse — the library contract)
+      SnapshotLake.merge(s, root,
+        b.filter(col("event_id") % 1000 === 7)
+          .withColumn("close", col("close") + lit(9999.0)),
+        keyCols = Seq("event_id"), versionCol = "close",
+        pruneKey = "event_id") // v4
+      require(SnapshotLake.latestVersion(s, root).contains(4L),
+        "cdc2 fixture expects versions 1..4")
+      s.read.format("graft-snapshot")
+        .option("startingVersion", "2").option("endingVersion", "3")
+        .load(root)
+        .select("event_id", "symbol", "ts", "close")
     }),
 
     // Bloom-sidecar point lookup: documents land in three HASH-sliced
@@ -776,6 +862,17 @@ object ScaleQueries {
          |       symbol
          |FROM bars""".stripMargin),
 
+    // same upsert as sn10 — the MOR path must be row-identical to COW
+    "sn13_mor_merge" -> (Tables.barsSql +
+      s"""
+         |SELECT event_id, symbol, ts,
+         |       CASE WHEN event_id % 10 = 0 THEN close + 1000.0
+         |            ELSE close END AS close
+         |FROM bars
+         |UNION ALL
+         |SELECT event_id + 1000000000000, symbol, ts, close + 1000.0
+         |FROM bars WHERE event_id % 1000 = 7""".stripMargin),
+
     "cdc1_snapshot_diff" -> (Tables.barsSql +
       s"""
          |SELECT 'update' AS change, event_id, symbol, ts,
@@ -789,6 +886,14 @@ object ScaleQueries {
          |       CAST(2 AS BIGINT)
          |FROM bars
          |WHERE event_id % 1000 = 7 AND (event_id + 1000000000000) % 97 <> 3""".stripMargin),
+
+    "cdc2_sql_changes" -> (Tables.barsSql +
+      s"""
+         |SELECT event_id, symbol, ts, close
+         |FROM bars,
+         |     (SELECT min(event_id) AS lo, max(event_id) AS hi
+         |      FROM bars) bnd
+         |WHERE event_id >= bnd.lo + (bnd.hi - bnd.lo) // 3""".stripMargin),
 
     "sn3_point_lookup" ->
       s"""WITH b AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents)

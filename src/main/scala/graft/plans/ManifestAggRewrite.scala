@@ -92,6 +92,10 @@ object ManifestAggRewrite extends Rule[LogicalPlan] {
       nameOf: Map[ExprId, String]): Option[LogicalPlan] = {
     val entries = mfi.entries
     if (entries.exists(_.rows < 0)) return None // pre-rows manifest: no exact counts
+    // position deletes make physical row counts an overcount and
+    // envelopes a superset: no metadata answer (defense-in-depth — the
+    // V1 relation already refuses delete-carrying manifests outright)
+    if (entries.exists(_.deletes.nonEmpty)) return None
     val total = entries.map(_.rows).sum
     val nonEmpty = entries.filter(_.rows > 0)
 

@@ -160,39 +160,71 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(schema.fieldNames.contains(c),
           s"$k column $c not in schema ${schema.simpleString}"))
     }
+    // `dmlMode = 'mor'` opts the lake into merge-on-read row-level DML
+    // (position-delete sidecars); default is copy-on-write
+    val dmlMode = declared.get("dmlMode").orElse(declared.get("option.dmlMode"))
+    dmlMode.foreach(v => require(v == "cow" || v == "mor",
+      s"dmlMode must be 'cow' or 'mor', got '$v'"))
     SnapshotLake.create(spark, rootOf(ident).toString, schema, partCols,
-      tableProps = indexProps)
+      tableProps = indexProps ++ dmlMode.map("dmlMode" -> _))
     table(ident, None)
   }
 
   /** `ALTER TABLE ADD COLUMNS` lands as ONE metadata-only `evolve`
     * commit (widening contract: old files read the new columns as
-    * NULL). Everything else — drops, retypes, renames, properties — is
-    * refused loudly: narrowing is an explicit migration, not an ALTER.
+    * NULL); `RENAME COLUMN` / `DROP COLUMN` land as metadata-only
+    * field-id commits ([[SnapshotLake.renameColumn]] /
+    * [[SnapshotLake.dropColumn]] — id-resolved, so old files read
+    * correctly and dropped data never resurrects). Retypes and
+    * properties are refused loudly: narrowing is an explicit migration,
+    * not an ALTER.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    require(changes.nonEmpty, "ALTER TABLE: nothing to change")
+    val root = rootOf(ident).toString
     val adds = changes.collect { case a: TableChange.AddColumn => a }
-    require(adds.size == changes.size,
-      s"graft catalog supports ALTER TABLE ADD COLUMNS only; got " +
-        changes.filterNot(_.isInstanceOf[TableChange.AddColumn]).mkString(", "))
-    require(adds.nonEmpty, "ALTER TABLE: nothing to change")
-    adds.foreach { a =>
-      require(a.fieldNames.length == 1,
-        s"ADD COLUMNS supports top-level columns only, got " +
-          a.fieldNames.mkString("."))
-      require(a.isNullable,
-        s"added column ${a.fieldNames.head} must be nullable: existing " +
-          "rows read it as NULL")
-      // the evolve commit always APPENDS; a positioned add (FIRST /
-      // AFTER x) landing at the end would silently disobey the user
-      require(a.position() == null,
-        s"added column ${a.fieldNames.head} specifies a position " +
-          "(FIRST/AFTER) — graft ADD COLUMNS appends at the end only")
+    val renames = changes.collect { case r: TableChange.RenameColumn => r }
+    val drops = changes.collect { case d: TableChange.DeleteColumn => d }
+    require(adds.size + renames.size + drops.size == changes.size,
+      s"graft catalog supports ALTER TABLE ADD/RENAME/DROP COLUMN only; " +
+        s"got " + changes.filterNot(c => c.isInstanceOf[TableChange.AddColumn]
+          || c.isInstanceOf[TableChange.RenameColumn]
+          || c.isInstanceOf[TableChange.DeleteColumn]).mkString(", "))
+    require(Seq(adds, renames, drops).count(_.nonEmpty) == 1,
+      "ALTER TABLE: one change kind per statement")
+    if (renames.nonEmpty) {
+      renames.foreach { r =>
+        require(r.fieldNames.length == 1,
+          s"RENAME COLUMN supports top-level columns only, got " +
+            r.fieldNames.mkString("."))
+        SnapshotLake.renameColumn(spark, root, r.fieldNames.head, r.newName)
+      }
+    } else if (drops.nonEmpty) {
+      drops.foreach { d =>
+        require(d.fieldNames.length == 1,
+          s"DROP COLUMN supports top-level columns only, got " +
+            d.fieldNames.mkString("."))
+        SnapshotLake.dropColumn(spark, root, d.fieldNames.head)
+      }
+    } else {
+      adds.foreach { a =>
+        require(a.fieldNames.length == 1,
+          s"ADD COLUMNS supports top-level columns only, got " +
+            a.fieldNames.mkString("."))
+        require(a.isNullable,
+          s"added column ${a.fieldNames.head} must be nullable: existing " +
+            "rows read it as NULL")
+        // the evolve commit always APPENDS; a positioned add (FIRST /
+        // AFTER x) landing at the end would silently disobey the user
+        require(a.position() == null,
+          s"added column ${a.fieldNames.head} specifies a position " +
+            "(FIRST/AFTER) — graft ADD COLUMNS appends at the end only")
+      }
+      SnapshotLake.addColumns(spark, root,
+        StructType(adds.map(a =>
+          org.apache.spark.sql.types.StructField(a.fieldNames.head,
+            a.dataType, nullable = true))))
     }
-    SnapshotLake.addColumns(spark, rootOf(ident).toString,
-      StructType(adds.map(a =>
-        org.apache.spark.sql.types.StructField(a.fieldNames.head,
-          a.dataType, nullable = true))))
     table(ident, None)
   }
 

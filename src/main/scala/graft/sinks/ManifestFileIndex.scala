@@ -178,6 +178,15 @@ object ManifestFileIndex {
       "the pruned snapshot relation supports unpartitioned snapshot " +
         "lakes; this lake has hive partition dirs — use " +
         "SnapshotLake.read/readBox")
+    // a bare HadoopFsRelation cannot anti-join position deletes into its
+    // own scan; serving it would RESURRECT rows a merge-on-read DML
+    // removed — refuse loudly (the V2 table scan and every library read
+    // apply them; one compact() absorbs them and restores this path)
+    require(m.files.forall(_.deletes.isEmpty),
+      "the V1 snapshot relation cannot apply merge-on-read position " +
+        "deletes; read through SnapshotLake.read / the V2 table, or " +
+        "compact() to absorb the deletes")
+    SnapshotLake.requireFieldIdReads(spark, m)
     val dd = new Path(root, "data")
     val index = new ManifestFileIndex(spark, dd, m.files, m.schema)
     HadoopFsRelation(index, StructType(Nil), m.schema, None,

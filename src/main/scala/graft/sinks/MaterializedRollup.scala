@@ -255,7 +255,7 @@ object MaterializedRollup {
             cluster(folded, spec, boundRows, spec.regRowsPerFile),
             Nil, Set(spec.pruneKey))
           finally folded.unpersist()
-        val overlapSet = overlap.map(_.rel).toSet
+        val overlapSet = SnapshotLake.readSetOf(overlap)
         SnapshotLake.commit(spark, root, "merge:hll-fold", m.schema,
           build = head => newFiles ++
             SnapshotLake.requireReadSetIntact(overlapSet, head, newFiles,

@@ -91,10 +91,20 @@ object SnapshotLake {
     * file's exact row count from the same footer probe (−1 on entries
     * parsed from pre-rows manifests) — it lets [[summary]] answer
     * count/min/max queries from the manifest alone, with zero data I/O.
+    *
+    * `deletes` (round 14, merge-on-read): the POSITION-DELETE sidecars
+    * that apply to this file — `_deletes/`-relative parquet files of
+    * (file, pos) rows written by delta-mode SQL DML. A reader of this
+    * entry must drop every row whose (rel, row index) appears in them;
+    * every rewrite that reads-and-replaces the file absorbs them (the
+    * fresh entry starts delete-free). The file's BYTES and `rows` stay
+    * PHYSICAL — the data file is untouched; min/max envelopes and bloom
+    * sidecars remain sound SUPERSETS (deletes only remove rows), so all
+    * file-level pruning keeps working unchanged.
     */
   final case class FileEntry(rel: String, bytes: Long,
       stats: Map[String, (Double, Double)], bloomCols: Seq[String] = Nil,
-      rows: Long = -1L)
+      rows: Long = -1L, deletes: Seq[String] = Nil)
 
   /** `props`: lake-level metadata that PERSISTS across commits (every
     * commit inherits its parent's unless it explicitly overrides) —
@@ -118,6 +128,7 @@ object SnapshotLake {
   private def manifestDir(root: String) = new Path(root, "_manifests")
   private def dataDir(root: String) = new Path(root, "data")
   private def bloomsDir(root: String) = new Path(root, "_blooms")
+  private[sinks] def deletesDir(root: String) = new Path(root, "_deletes")
   def bloomPath(root: String, rel: String, c: String): Path =
     new Path(bloomsDir(root), s"$rel.$c.bloom")
 
@@ -149,12 +160,16 @@ object SnapshotLake {
       // col=min..max;col2=min..max — doubles via Double.toString, exact
       // round trip through parseDouble. Stats/bloom columns are written
       // even when empty so the trailing rows column keeps a fixed slot
-      // (parse accepts 2–5 columns, so legacy lines still load).
+      // (parse accepts 2–6 columns, so legacy lines still load). The
+      // position-delete column is written ONLY when nonempty, so
+      // delete-free lakes keep rendering byte-identically to round 13.
       sb.append('\t').append(f.stats.toSeq.sortBy(_._1).map {
         case (c, (lo, hi)) => s"$c=$lo..$hi"
       }.mkString(";"))
       sb.append('\t').append(f.bloomCols.sorted.mkString(","))
       sb.append('\t').append(f.rows)
+      if (f.deletes.nonEmpty)
+        sb.append('\t').append(f.deletes.sorted.mkString(","))
       sb.append('\n')
     }
     sb.toString.getBytes(StandardCharsets.UTF_8)
@@ -187,7 +202,7 @@ object SnapshotLake {
     val n = field(5 + off, "files").toInt
     val files = (0 until n).map { i =>
       val cols = lines(6 + off + i).split('\t')
-      require(cols.length >= 2 && cols.length <= 5,
+      require(cols.length >= 2 && cols.length <= 6,
         s"manifest file line ${6 + off + i} malformed")
       val stats = if (cols.length < 3 || cols(2).isEmpty) Map.empty[String, (Double, Double)]
       else cols(2).split(';').map { seg =>
@@ -200,7 +215,9 @@ object SnapshotLake {
       val blooms = if (cols.length < 4 || cols(3).isEmpty) Nil
         else cols(3).split(',').toSeq
       val rows = if (cols.length < 5 || cols(4).isEmpty) -1L else cols(4).toLong
-      FileEntry(cols(0), cols(1).toLong, stats, blooms, rows)
+      val dels = if (cols.length < 6 || cols(5).isEmpty) Nil
+        else cols(5).split(',').toSeq
+      FileEntry(cols(0), cols(1).toLong, stats, blooms, rows, dels)
     }
     Manifest(version, parent, op, schema, files, props)
   }
@@ -395,23 +412,39 @@ object SnapshotLake {
   private[sinks] final class ConflictingRewriteException(
       val staged: Seq[FileEntry], msg: String) extends RuntimeException(msg)
 
+  /** The read-set fingerprint of the entries a rewrite op read: rel →
+    * position-delete list AT READ TIME. Both components matter — a
+    * vanished rel means a rival replaced the file, and a CHANGED delete
+    * list means a rival's merge-on-read DML removed rows this op already
+    * read (republishing the rewrite would resurrect them).
+    */
+  private[sinks] def readSetOf(entries: Seq[FileEntry]): Map[String, Seq[String]] =
+    entries.map(e => e.rel -> e.deletes.sorted).toMap
+
   /** Build-callback guard for every rewrite op: the files this op read
     * (and is about to supersede) must ALL still be present in the frozen
-    * head — concurrent appends ride through, but a concurrent rewrite of
-    * any read file aborts the commit. The lock-merge alone only protects
-    * against appends; without this check a compact racing a merge would
-    * publish the merged-away rows back into the lake (silent duplication).
-    * Returns the head file list for the caller's merge arithmetic.
+    * head WITH THE SAME position-delete sets — concurrent appends ride
+    * through, but a concurrent rewrite of any read file (or a delta DML
+    * stacking new deletes onto one) aborts the commit. The lock-merge
+    * alone only protects against appends; without this check a compact
+    * racing a merge would publish the merged-away rows back into the
+    * lake (silent duplication), and a compact racing a delta DELETE
+    * would resurrect the deleted rows. Returns the head file list for
+    * the caller's merge arithmetic.
     */
-  private[sinks] def requireReadSetIntact(readSet: Set[String],
+  private[sinks] def requireReadSetIntact(readSet: Map[String, Seq[String]],
       head: Option[Manifest], staged: Seq[FileEntry], op: String,
       root: String): Seq[FileEntry] = {
     val files = head.map(_.files).getOrElse(Nil)
-    val gone = readSet.diff(files.map(_.rel).toSet)
+    val headByRel = files.map(f => f.rel -> f.deletes.sorted).toMap
+    val gone = readSet.collect {
+      case (rel, dels) if !headByRel.get(rel).contains(dels) => rel
+    }
     if (gone.nonEmpty) throw new ConflictingRewriteException(staged,
       s"$op under $root: ${gone.size} of ${readSet.size} base file(s) " +
-        s"were rewritten concurrently (e.g. ${gone.head}); aborting this " +
-        "commit and recomputing from the new head")
+        s"were rewritten (or delta-deleted from) concurrently (e.g. " +
+        s"${gone.head}); aborting this commit and recomputing from the " +
+        "new head")
     files
   }
 
@@ -445,6 +478,110 @@ object SnapshotLake {
   private def schemasCompatible(a: StructType, b: StructType): Boolean =
     a.fields.map(f => (f.name, f.dataType)).sameElements(
       b.fields.map(f => (f.name, f.dataType)))
+
+  // ------------------------------------------------- field identity (r14)
+
+  /** The metadata key Spark's parquet writer persists as the parquet
+    * field id (`spark.sql.parquet.fieldId.write.enabled`) and its reader
+    * resolves columns by (`spark.sql.parquet.fieldId.read.enabled`) —
+    * the Iceberg column-identity design on Spark's own machinery. Ids
+    * make RENAME/DROP COLUMN metadata-only: a renamed column keeps its
+    * id, so old files resolve by id under the new name; a re-added name
+    * gets a FRESH id, so dropped data can never resurrect.
+    */
+  private[sinks] val FieldIdKey = "parquet.field.id"
+
+  /** Highest field id ever assigned — ids are NEVER reused (a reused id
+    * would resurrect dropped data), so this only grows.
+    */
+  private[sinks] val MaxFieldIdProp = "maxFieldId"
+
+  /** Present (value `birth`) iff the lake was CREATED with field ids —
+    * the precondition for RENAME/DROP COLUMN: only then does every data
+    * file carry parquet field ids, making id-resolution total. Lakes
+    * born before round 14 (or via a bare first `replace`) lack it and
+    * refuse rename/drop with a migration hint.
+    */
+  private[sinks] val FieldIdsBirthProp = "fieldIds"
+
+  /** Set to `true` by the first RENAME/DROP COLUMN: from then on, read
+    * correctness REQUIRES `spark.sql.parquet.fieldId.read.enabled` (name
+    * matching would silently read NULL for a renamed column from old
+    * files), so every read path refuses loudly when the conf is off.
+    */
+  private[sinks] val ColumnMappedProp = "columnMapped"
+
+  /** Names RETIRED by RENAME/DROP while files physically carrying them
+    * may still be referenced. Re-binding such a name to a NEW field id
+    * would be unsound even under id-resolution: parquet ROW-GROUP
+    * pruning of pushed filters matches columns BY NAME against each
+    * file's footer, so a filter on the re-bound name would prune against
+    * the OLD column's statistics and silently drop rows. Re-use is
+    * therefore refused until a full rewrite (compact / zorder — every
+    * current file rewritten under current names) clears the list.
+    */
+  private[sinks] val RetiredColsProp = "retiredCols"
+
+  private def retiredCols(props: Map[String, String]): Set[String] =
+    props.get(RetiredColsProp).toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty).toSet
+
+  private def requireNotRetired(props: Map[String, String],
+      names: Seq[String], verb: String): Unit = {
+    val hit = names.filter(retiredCols(props).contains)
+    require(hit.isEmpty,
+      s"$verb cannot re-use column name(s) ${hit.mkString(", ")}: the " +
+        "name was renamed away or dropped and current files may still " +
+        "carry it physically — parquet's by-name filter pruning would " +
+        "silently drop rows. compact() (or CALL graft.system.optimize) " +
+        "rewrites every file and frees the name")
+  }
+
+  private def withFieldId(f: org.apache.spark.sql.types.StructField,
+      id: Long): org.apache.spark.sql.types.StructField =
+    f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+      .withMetadata(f.metadata).putLong(FieldIdKey, id).build())
+
+  private[sinks] def schemaHasFieldIds(s: StructType): Boolean =
+    s.fields.nonEmpty && s.fields.forall(_.metadata.contains(FieldIdKey))
+
+  private def assignFieldIds(schema: StructType, from: Long): StructType =
+    StructType(schema.fields.zipWithIndex.map { case (f, i) =>
+      withFieldId(f, from + i)
+    })
+
+  /** Re-attach the lake schema's field-id metadata to a frame about to
+    * be staged (user frames never carry it), so the parquet writer
+    * persists the ids. No-op for id-less schemas. Loud when the session
+    * disabled id writing — an id-schema lake with id-less files would
+    * make a later RENAME silently corrupting.
+    */
+  private[sinks] def attachFieldIds(df: DataFrame, idSchema: StructType): DataFrame =
+    if (!schemaHasFieldIds(idSchema)) df
+    else {
+      require(df.sparkSession.sessionState.conf.parquetFieldIdWriteEnabled,
+        "this lake tracks parquet field ids, but " +
+          "spark.sql.parquet.fieldId.write.enabled is false — id-less " +
+          "files would break RENAME/DROP COLUMN resolution; re-enable it")
+      val byName = idSchema.fields.map(f => f.name -> f.metadata).toMap
+      df.select(df.schema.fields.map { f =>
+        byName.get(f.name) match {
+          case Some(md) => col(s"`${f.name}`").as(f.name, md)
+          case None => col(s"`${f.name}`")
+        }
+      }.toIndexedSeq: _*)
+    }
+
+  /** Loud read-side guard for column-mapped lakes (see
+    * [[ColumnMappedProp]]). A no-op for every other lake.
+    */
+  private[sinks] def requireFieldIdReads(spark: SparkSession, m: Manifest): Unit =
+    if (m.props.get(ColumnMappedProp).contains("true"))
+      require(spark.sessionState.conf.parquetFieldIdReadEnabled,
+        "this lake renamed or dropped columns (column-mapped): reading " +
+          "it needs spark.sql.parquet.fieldId.read.enabled=true, or name " +
+          "matching would silently return NULL for renamed columns from " +
+          "pre-rename files")
 
   // ----------------------------------------------------------------- write
 
@@ -736,10 +873,16 @@ object SnapshotLake {
       s"a snapshot lake already exists under $root")
     partitionCols.foreach(c => require(schema.fieldNames.contains(c),
       s"partition column $c not in schema ${schema.simpleString}"))
+    // lakes are BORN with field ids (round 14): every file they will
+    // ever hold carries parquet ids, which is what makes RENAME/DROP
+    // COLUMN total — see FieldIdsBirthProp
+    val idSchema = assignFieldIds(schema, 1L)
     val props = tableProps ++
       (if (partitionCols.isEmpty) Map.empty[String, String]
-       else Map("partitionCols" -> partitionCols.mkString(",")))
-    commit(spark, root, "create", schema, build = _ => Nil, lockExpiryMs,
+       else Map("partitionCols" -> partitionCols.mkString(","))) ++
+      Map(MaxFieldIdProp -> schema.fields.length.toString,
+        FieldIdsBirthProp -> "birth")
+    commit(spark, root, "create", idSchema, build = _ => Nil, lockExpiryMs,
       props = Some(props))
   }
 
@@ -751,13 +894,108 @@ object SnapshotLake {
   def addColumns(spark: SparkSession, root: String, cols: StructType,
       lockExpiryMs: Long = DefaultLockExpiryMs): Long = {
     require(cols.fields.nonEmpty, "addColumns needs at least one column")
-    val cur = manifest(spark, root, None).schema
+    val head = manifest(spark, root, None)
+    val cur = head.schema
     val dup = cols.fieldNames.filter(cur.fieldNames.contains)
     require(dup.isEmpty,
       s"addColumns: column(s) already exist: ${dup.mkString(", ")}")
-    val widened = StructType(cur.fields ++ cols.fields)
+    requireNotRetired(head.props, cols.fieldNames.toSeq, "ADD COLUMNS")
+    val (widened, propsOverride) =
+      widenedWithIds(head, StructType(cur.fields ++ cols.fields))
     commit(spark, root, "evolve", widened,
-      build = head => head.map(_.files).getOrElse(Nil), lockExpiryMs)
+      build = h => h.map(_.files).getOrElse(Nil), lockExpiryMs,
+      props = propsOverride.map(head.props ++ _))
+  }
+
+  /** Preconditions shared by RENAME/DROP COLUMN: total id-resolution
+    * (lake born with field ids ⇒ every file carries them) and a column
+    * that is safe to touch.
+    */
+  private def requireColumnMappable(head: Manifest, colName: String,
+      verb: String): Unit = {
+    require(head.props.get(FieldIdsBirthProp).contains("birth"),
+      s"$verb COLUMN needs total field-id resolution, and this lake " +
+        "predates field ids (or was born through a bare replace) — " +
+        "files written without parquet ids cannot be re-mapped. " +
+        "Migrate: recreate the lake (CREATE TABLE + INSERT) and retry")
+    require(head.schema.fieldNames.contains(colName),
+      s"column $colName not in snapshot schema ${head.schema.simpleString}")
+    val parts = head.props.get("partitionCols").toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    require(!parts.contains(colName),
+      s"$verb COLUMN cannot touch partition column $colName — its name " +
+        "is baked into every data directory; that is a rewrite migration")
+  }
+
+  /** METADATA-ONLY column rename: the field keeps its id, so every
+    * existing file resolves it BY ID under the new name (readers of
+    * column-mapped lakes must run with
+    * `spark.sql.parquet.fieldId.read.enabled=true` — enforced loudly on
+    * every read path). Manifest-side state follows the name: per-file
+    * min/max envelope keys are rewritten in place (same values), and the
+    * column's bloom sidecar references are DROPPED (sidecar files are
+    * named by column; point-lookup pruning for this column resumes with
+    * the next rewrite). Refuses partition columns and collisions with
+    * live columns or the `_file`/`_pos` metadata names.
+    */
+  def renameColumn(spark: SparkSession, root: String, from: String,
+      to: String, lockExpiryMs: Long = DefaultLockExpiryMs): Long = {
+    val head = manifest(spark, root, None)
+    requireColumnMappable(head, from, "RENAME")
+    require(!head.schema.fieldNames.contains(to),
+      s"rename target $to already exists in ${head.schema.simpleString}")
+    require(to != SnapshotTable.FileMetaCol && to != SnapshotTable.PosMetaCol,
+      s"rename target $to collides with a metadata column name")
+    requireNotRetired(head.props, Seq(to), "RENAME COLUMN")
+    val renamed = StructType(head.schema.fields.map(f =>
+      if (f.name == from) f.copy(name = to) else f))
+    def renameList(v: String): String = v.split(',').map(_.trim)
+      .filter(_.nonEmpty).map(c => if (c == from) to else c).mkString(",")
+    val props = head.props ++
+      head.props.get("statsCols").map(v => "statsCols" -> renameList(v)) ++
+      head.props.get("bloomCols").map(v => "bloomCols" ->
+        v.split(',').map(_.trim).filter(c => c.nonEmpty && c != from)
+          .mkString(",")) +
+      (ColumnMappedProp -> "true") +
+      (RetiredColsProp -> (retiredCols(head.props) + from).toSeq.sorted
+        .mkString(","))
+    commit(spark, root, s"rename:$from>$to", renamed,
+      build = h => h.map(_.files).getOrElse(Nil).map { f =>
+        f.copy(
+          stats = f.stats.map { case (c, mm) =>
+            (if (c == from) to else c) -> mm },
+          bloomCols = f.bloomCols.filterNot(_ == from))
+      }, lockExpiryMs, props = Some(props))
+  }
+
+  /** METADATA-ONLY column drop: the schema loses the field, its id is
+    * RETIRED (never reused — `maxFieldId` only grows), and existing
+    * files keep the physical column invisibly. A later re-add of the
+    * same name gets a FRESH id, so with id-resolution on (enforced via
+    * [[ColumnMappedProp]]) the old data can never resurrect — the
+    * Iceberg drop contract. Envelope/bloom references follow the column
+    * out of the manifest.
+    */
+  def dropColumn(spark: SparkSession, root: String, colName: String,
+      lockExpiryMs: Long = DefaultLockExpiryMs): Long = {
+    val head = manifest(spark, root, None)
+    requireColumnMappable(head, colName, "DROP")
+    require(head.schema.fields.length > 1,
+      s"cannot drop the last column of ${head.schema.simpleString}")
+    def dropList(v: String): String = v.split(',').map(_.trim)
+      .filter(c => c.nonEmpty && c != colName).mkString(",")
+    val props = head.props ++
+      head.props.get("statsCols").map(v => "statsCols" -> dropList(v)) ++
+      head.props.get("bloomCols").map(v => "bloomCols" -> dropList(v)) +
+      (ColumnMappedProp -> "true") +
+      (RetiredColsProp -> (retiredCols(head.props) + colName).toSeq.sorted
+        .mkString(","))
+    commit(spark, root, s"dropcol:$colName",
+      StructType(head.schema.fields.filterNot(_.name == colName)),
+      build = h => h.map(_.files).getOrElse(Nil).map { f =>
+        f.copy(stats = f.stats - colName,
+          bloomCols = f.bloomCols.filterNot(_ == colName))
+      }, lockExpiryMs, props = Some(props))
   }
 
   /** The per-commit epoch-micros stamp every round-13+ commit writes into
@@ -799,22 +1037,52 @@ object SnapshotLake {
   private def appendOp(spark: SparkSession, root: String, df: DataFrame,
       partitionCols: Seq[String], statsCols: Seq[String], evolve: Boolean,
       op: String, lockExpiryMs: Long, bloomCols: Seq[String] = Nil): Long = {
-    val schema = latestVersion(spark, root) match {
-      case None => df.schema
+    val (schema, propsOverride) = latestVersion(spark, root) match {
+      case None =>
+        // lake born here: assign field ids (see FieldIdsBirthProp)
+        (assignFieldIds(df.schema, 1L), Some(Map(
+          MaxFieldIdProp -> df.schema.fields.length.toString,
+          FieldIdsBirthProp -> "birth")))
       case Some(_) =>
-        val cur = manifest(spark, root, None).schema
-        if (schemasCompatible(cur, df.schema)) cur
-        else if (evolve) unionSchema(cur, df.schema)
+        val head = manifest(spark, root, None)
+        val cur = head.schema
+        if (schemasCompatible(cur, df.schema)) (cur, None)
+        else if (evolve) {
+          val (widened, o) = widenedWithIds(head, unionSchema(cur, df.schema))
+          // preserve the head's other props under the explicit override
+          (widened, o.map(head.props ++ _))
+        }
         else throw new IllegalArgumentException(
           s"append schema drift: lake has ${cur.simpleString}, " +
             s"append has ${df.schema.simpleString} — pass evolve=true to " +
             "widen (add columns), or migrate explicitly")
     }
-    val added = stageFiles(spark, root, df, partitionCols, statsCols.toSet,
-      bloomCols)
+    val added = stageFiles(spark, root, attachFieldIds(df, schema),
+      partitionCols, statsCols.toSet, bloomCols)
     commit(spark, root, op, schema,
       build = head => head.map(_.files).getOrElse(Nil) ++ added,
-      lockExpiryMs)
+      lockExpiryMs, props = propsOverride)
+  }
+
+  /** Stamp fresh ids onto the NEW fields of a widened schema (the
+    * existing fields keep theirs through [[unionSchema]]'s field copy).
+    * Returns (schema, props override carrying the bumped max id) — both
+    * pass-through when the lake does not track ids.
+    */
+  private def widenedWithIds(head: Manifest,
+      widened: StructType): (StructType, Option[Map[String, String]]) = {
+    if (!schemaHasFieldIds(head.schema)) (widened, None)
+    else {
+      val maxId = head.props.get(MaxFieldIdProp).map(_.toLong)
+        .getOrElse(head.schema.fields.length.toLong)
+      var next = maxId
+      val fields = widened.fields.map { f =>
+        if (f.metadata.contains(FieldIdKey)) f
+        else { next += 1; withFieldId(f, next) }
+      }
+      (StructType(fields),
+        Some(Map(MaxFieldIdProp -> next.toString)))
+    }
   }
 
   /** Schema evolution = widening only: every existing field keeps its
@@ -841,22 +1109,60 @@ object SnapshotLake {
 
   // ------------------------------------------------------------------ read
 
+  /** Read exactly `files` (with `schema`), applying their position
+    * deletes — the ONE library read primitive every path that opens
+    * manifest entries goes through, so merge-on-read deletes can never
+    * be silently resurrected by a rewrite, a diff side, or a maintenance
+    * job. Delete-free entries take the raw vectorized path untouched
+    * (byte-identical plan to round 13); delete-carrying entries are
+    * anti-joined against their delete files on (file, position) using
+    * Spark's V1 parquet `_metadata.file_path` / `_metadata.row_index`
+    * hidden columns — fully distributed (no driver materialization; AQE
+    * broadcasts small delete sets), exact by construction (row_index is
+    * the reader's own per-file ordinal, the same number the delta DML
+    * writer recorded). The file-path → manifest-rel mapping is an
+    * explicit broadcast lookup built from the very paths this plan
+    * reads — no string surgery on URIs.
+    */
+  private[sinks] def readEntries(spark: SparkSession, root: String,
+      schema: StructType, files: Seq[FileEntry]): DataFrame = {
+    if (files.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    val base = dataDir(root).toString
+    val raw = spark.read
+      .option("basePath", base)
+      .schema(schema)
+      .parquet(files.map(f => s"$base/${f.rel}"): _*)
+    val delRels = files.flatMap(_.deletes).distinct
+    if (delRels.isEmpty) return raw
+    val fns = org.apache.spark.sql.functions
+    import spark.implicits._
+    val qd = SnapshotPartitioningIndex.qualifiedDataDir(spark, root).toString
+    val lookup = files.map(f => (s"$qd/${f.rel}", f.rel))
+      .toDF("__abs", "__rel")
+    val dd = deletesDir(root).toString
+    val dels = spark.read.parquet(delRels.map(r => s"$dd/$r"): _*)
+      .select(col("file").as("__dfile"), col("pos").as("__dpos"))
+    val tagged = raw
+      .withColumn("__abs", col("_metadata.file_path"))
+      .withColumn("__pos", col("_metadata.row_index"))
+      .join(fns.broadcast(lookup), Seq("__abs"), "inner")
+    tagged.join(dels,
+        tagged("__rel") === dels("__dfile") && tagged("__pos") === dels("__dpos"),
+        "left_anti")
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
   /** Read a pinned snapshot (latest when `version` is None). The plan
     * embeds the manifest's exact file list and stored schema: no directory
-    * listing, no footer sniffing, immune to concurrent commits.
+    * listing, no footer sniffing, immune to concurrent commits. Position
+    * deletes (merge-on-read DML) are applied via [[readEntries]].
     */
   def read(spark: SparkSession, root: String,
       version: Option[Long] = None): DataFrame = {
     val m = manifest(spark, root, version)
-    if (m.files.isEmpty) {
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], m.schema)
-    } else {
-      val base = dataDir(root).toString
-      spark.read
-        .option("basePath", base)
-        .schema(m.schema)
-        .parquet(m.files.map(f => s"$base/${f.rel}"): _*)
-    }
+    requireFieldIdReads(spark, m)
+    readEntries(spark, root, m.schema, m.files)
   }
 
   /** A column expression in the same numeric domain as its parquet footer
@@ -899,6 +1205,7 @@ object SnapshotLake {
       box: Map[String, (Double, Double)],
       version: Option[Long] = None): DataFrame = {
     val m = manifest(spark, root, version)
+    requireFieldIdReads(spark, m)
     val survivors = candidateEntries(spark, root, box, version)
     val residual = box.map { case (c, (lo, hi)) =>
       val d = statsDomain(m.schema, c)
@@ -907,10 +1214,7 @@ object SnapshotLake {
     if (survivors.isEmpty) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], m.schema)
     } else {
-      val base = dataDir(root).toString
-      spark.read.option("basePath", base).schema(m.schema)
-        .parquet(survivors.map(f => s"$base/${f.rel}"): _*)
-        .filter(residual)
+      readEntries(spark, root, m.schema, survivors).filter(residual)
     }
   }
 
@@ -968,6 +1272,7 @@ object SnapshotLake {
   def readPoint(spark: SparkSession, root: String, point: Map[String, Any],
       version: Option[Long] = None): DataFrame = {
     val m = manifest(spark, root, version)
+    requireFieldIdReads(spark, m)
     point.keys.foreach(c => require(m.schema.fieldNames.contains(c),
       s"point column $c not in snapshot schema ${m.schema.simpleString}"))
     val survivors = pointCandidates(spark, root, point, version)
@@ -977,10 +1282,7 @@ object SnapshotLake {
     if (survivors.isEmpty) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], m.schema)
     } else {
-      val base = dataDir(root).toString
-      spark.read.option("basePath", base).schema(m.schema)
-        .parquet(survivors.map(f => s"$base/${f.rel}"): _*)
-        .filter(residual)
+      readEntries(spark, root, m.schema, survivors).filter(residual)
     }
   }
 
@@ -1013,6 +1315,15 @@ object SnapshotLake {
       s"metadata-only summary needs per-file row counts; ${legacy.size} " +
         s"file(s) predate them (e.g. ${legacy.take(3).map(_.rel).mkString(", ")})" +
         " — one compact() rewrite backfills the counts")
+    // position deletes make the physical row counts an OVERCOUNT and the
+    // envelopes a superset; a metadata answer that might be wrong is
+    // worse than no answer — compaction absorbs the deletes and restores
+    // the metadata path
+    val deleted = m.files.filter(_.deletes.nonEmpty)
+    require(deleted.isEmpty,
+      s"metadata-only summary is unavailable while ${deleted.size} file(s) " +
+        s"carry position deletes (e.g. ${deleted.take(3).map(_.rel).mkString(", ")})" +
+        " — one compact() rewrite absorbs them")
     cols.foreach(c => require(m.schema.fieldNames.contains(c),
       s"summary column $c not in snapshot schema ${m.schema.simpleString}"))
     val nonEmpty = m.files.filter(_.rows > 0)
@@ -1077,18 +1388,26 @@ object SnapshotLake {
       // columns and bloom sidecars the base manifest tracked
       val statsCols = base.files.flatMap(_.stats.keys).toSet
       val bloomCols = base.files.flatMap(_.bloomCols).distinct
-      val newFiles = stageFiles(spark, root, rewritten, partitionCols,
+      val newFiles = stageFiles(spark, root,
+        attachFieldIds(rewritten, base.schema), partitionCols,
         statsCols, bloomCols)
-      val baseSet = base.files.map(_.rel).toSet
+      val baseSet = readSetOf(base.files)
+      // a full rewrite re-lands every current file under CURRENT column
+      // names: retired names become re-usable (see RetiredColsProp)
+      val compactProps =
+        if (base.props.contains(RetiredColsProp))
+          Some(base.props - RetiredColsProp)
+        else None
       val v = commit(spark, root, "compact", base.schema,
         // lock-merge: files that appeared after our base (concurrent
         // appends) ride along; only the files we actually rewrote drop
-        // out — and every rewritten file must still be in head, else a
-        // rival rewrite intervened and we abort + retry.
+        // out — and every rewritten file must still be in head (same
+        // delete sets), else a rival rewrite intervened and we abort +
+        // retry.
         build = head => newFiles ++
           requireReadSetIntact(baseSet, head, newFiles, "compact", root)
             .filterNot(f => baseSet.contains(f.rel)),
-        lockExpiryMs)
+        lockExpiryMs, props = compactProps)
       (v, base.files.size, newFiles.size)
     }
   }
@@ -1117,8 +1436,8 @@ object SnapshotLake {
             s"replacement has ${df.schema.simpleString}")
         cur
     }
-    val newFiles = stageFiles(spark, root, df, partitionCols, statsCols.toSet,
-      bloomCols)
+    val newFiles = stageFiles(spark, root, attachFieldIds(df, schema),
+      partitionCols, statsCols.toSet, bloomCols)
     commit(spark, root, "replace", schema, build = _ => newFiles,
       lockExpiryMs)
   }
@@ -1200,13 +1519,18 @@ object SnapshotLake {
         zCols, nOut, bits)
       val statsCols = base.files.flatMap(_.stats.keys).toSet ++ zCols
       val bloomCols = base.files.flatMap(_.bloomCols).distinct
-      val newFiles = stageFiles(spark, root, shaped, Nil, statsCols, bloomCols)
-      val baseSet = base.files.map(_.rel).toSet
+      val newFiles = stageFiles(spark, root,
+        attachFieldIds(shaped, base.schema), Nil, statsCols, bloomCols)
+      val baseSet = readSetOf(base.files)
+      val zProps =
+        if (base.props.contains(RetiredColsProp))
+          Some(base.props - RetiredColsProp)
+        else None
       val v = commit(spark, root, "zorder", base.schema,
         build = head => newFiles ++
           requireReadSetIntact(baseSet, head, newFiles, "zorder", root)
             .filterNot(f => baseSet.contains(f.rel)),
-        lockExpiryMs)
+        lockExpiryMs, props = zProps)
       (v, base.files.size, newFiles.size)
     }
   }
@@ -1260,14 +1584,7 @@ object SnapshotLake {
             fHi >= lo && fLo <= hi })
         val cols = base.schema.fields.map(f => col(f.name))
         val fns = org.apache.spark.sql.functions
-        val existing =
-          if (rewrite.isEmpty)
-            spark.createDataFrame(spark.sparkContext.emptyRDD[Row], base.schema)
-          else {
-            val dd = dataDir(root).toString
-            spark.read.option("basePath", dd).schema(base.schema)
-              .parquet(rewrite.map(f => s"$dd/${f.rel}"): _*)
-          }
+        val existing = readEntries(spark, root, base.schema, rewrite)
         // keep-latest-wins with the deterministic tie-break (version desc,
         // updates beat lake at equal version, full-row hash stabilizes
         // equal-version update pairs) — Lake.mergeArchive's contract
@@ -1282,9 +1599,10 @@ object SnapshotLake {
           .filter(col("__rn") === 1)
           .select(cols.toIndexedSeq: _*)
         val statsCols = base.files.flatMap(_.stats.keys).toSet + pruneKey
-        val newFiles = stageFiles(spark, root, winners, partitionCols,
+        val newFiles = stageFiles(spark, root,
+          attachFieldIds(winners, base.schema), partitionCols,
           statsCols, base.files.flatMap(_.bloomCols).distinct)
-        val rewriteSet = rewrite.map(_.rel).toSet
+        val rewriteSet = readSetOf(rewrite)
         val v = commit(spark, root, op, base.schema,
           build = head => newFiles ++
             requireReadSetIntact(rewriteSet, head, newFiles, op, root)
@@ -1325,19 +1643,18 @@ object SnapshotLake {
         })
       if (rewrite.isEmpty) (base.version, 0L, 0, untouched.size)
       else {
-        val dd = dataDir(root).toString
         val fns = org.apache.spark.sql.functions
-        val touched = spark.read.option("basePath", dd).schema(base.schema)
-          .parquet(rewrite.map(f => s"$dd/${f.rel}"): _*)
+        val touched = readEntries(spark, root, base.schema, rewrite)
         val hit = fns.coalesce(predicate, fns.lit(false)) // NULL pred = keep
         val deleted = touched.filter(hit).count()
         val keep = touched.filter(!hit)
         val statsCols = base.files.flatMap(_.stats.keys).toSet
         val newFiles =
           if (deleted == 0) rewrite // nothing matched: keep files as-is
-          else stageFiles(spark, root, keep, partitionCols, statsCols,
+          else stageFiles(spark, root, attachFieldIds(keep, base.schema),
+            partitionCols, statsCols,
             base.files.flatMap(_.bloomCols).distinct)
-        val rewriteSet = rewrite.map(_.rel).toSet
+        val rewriteSet = readSetOf(rewrite)
         val v =
           if (deleted == 0) base.version // no-op: no empty diff published
           else commit(spark, root, "delete", base.schema,
@@ -1413,20 +1730,20 @@ object SnapshotLake {
           }
         }
       }
-      val dd = dataDir(root).toString
       val (keep, deleted) =
         if (rewrite.isEmpty)
           (spark.createDataFrame(spark.sparkContext.emptyRDD[Row], base.schema), 0L)
         else {
-          val touched = spark.read.option("basePath", dd).schema(base.schema)
-            .parquet(rewrite.map(f => s"$dd/${f.rel}"): _*)
+          val touched = readEntries(spark, root, base.schema, rewrite)
           (touched.filter(!hit), touched.filter(hit).count())
         }
       val allStats = base.files.flatMap(_.stats.keys).toSet ++ statsCols
       val newFiles = stageFiles(spark, root,
-        keep.unionByName(df.select(base.schema.fieldNames.map(col): _*)),
+        attachFieldIds(
+          keep.unionByName(df.select(base.schema.fieldNames.map(col): _*)),
+          base.schema),
         partitionCols, allStats, base.files.flatMap(_.bloomCols).distinct)
-      val rewriteSet = rewrite.map(_.rel).toSet
+      val rewriteSet = readSetOf(rewrite)
       val v = commit(spark, root, "replacewhere", base.schema,
         build = head => newFiles ++
           requireReadSetIntact(rewriteSet, head, newFiles, "replacewhere", root)
@@ -1500,6 +1817,26 @@ object SnapshotLake {
       empty
     }
     if (fs.exists(bd)) sweepBlooms(bd, "")
+    // position-delete sidecars live exactly as long as some retained
+    // manifest entry references them; a compact/rewrite that absorbed
+    // them leaves them unreferenced — swept here with their manifests
+    val liveDeletes = keep.flatMap(v =>
+      manifest(spark, root, Some(v)).files.flatMap(_.deletes)).toSet
+    val deld = deletesDir(root)
+    def sweepDeletes(dir: Path, rel: String): Boolean = {
+      var empty = true
+      fs.listStatus(dir).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory) {
+          if (sweepDeletes(st.getPath, s"$rel$name/")) fs.delete(st.getPath, false)
+          else empty = false
+        } else if (!liveDeletes.contains(s"$rel$name")) {
+          fs.delete(st.getPath, false)
+        } else empty = false
+      }
+      empty
+    }
+    if (fs.exists(deld)) sweepDeletes(deld, "")
     drop.foreach(v =>
       fs.delete(new Path(manifestDir(root), manifestName(v)), false))
     // cached parses of the dropped versions must go with them so pinned
@@ -1544,13 +1881,30 @@ object SnapshotLake {
     */
   def appendsSince(spark: SparkSession, root: String,
       sinceVersion: Long, toVersion: Option[Long] = None): DataFrame = {
+    val w = appendWindow(spark, root, sinceVersion, toVersion)
+    readEntries(spark, root, w.schema, w.files)
+  }
+
+  /** The manifest-shaped window behind [[appendsSince]] and the SQL
+    * `startingVersion`/`endingVersion` read options: a SYNTHETIC
+    * manifest whose file list is exactly the files appended in
+    * (sinceVersion, toVersion], with the window's newest schema and the
+    * TO manifest's props (partition columns, column-mapping flags).
+    * Validation is the changelog contract: the window must contain only
+    * append / metadata-only versions — anything that rewrites or removes
+    * rows breaks file-provenance-equals-row-provenance and refuses
+    * loudly, exactly like the library call.
+    */
+  private[graft] def appendWindow(spark: SparkSession, root: String,
+      sinceVersion: Long, toVersion: Option[Long] = None): Manifest = {
     val head = latestVersion(spark, root).getOrElse(
       throw new IllegalArgumentException(s"no committed snapshot under $root"))
     val hi = toVersion.getOrElse(head)
     require(hi <= head,
       s"toVersion $hi is ahead of the lake (latest $head)")
-    require(sinceVersion <= hi,
-      s"sinceVersion $sinceVersion is ahead of toVersion $hi")
+    require(sinceVersion >= 0 && sinceVersion <= hi,
+      s"sinceVersion $sinceVersion must be in [0, $hi] (0 = genesis: " +
+        "every version from the first commit)")
     val newer = versions(spark, root).filter(v => v > sinceVersion && v <= hi)
       .map(v => manifest(spark, root, Some(v)))
     // restat/evolve are metadata-only (identical file set; enriched
@@ -1564,19 +1918,18 @@ object SnapshotLake {
         s"${nonAppend.map(m => s"v${m.version}=${m.op}").mkString(", ")} — " +
         "file provenance no longer equals row provenance; read a pinned " +
         "version instead")
-    val base = manifest(spark, root, Some(sinceVersion))
-    val since = base.files.map(_.rel).toSet
+    // sinceVersion 0 = genesis: the base file set is empty by definition
+    // (version numbers start at 1), so every file of every append in the
+    // window is "added" — the SQL startingVersion=1 read lands here
+    val baseFiles =
+      if (sinceVersion == 0L) Nil
+      else manifest(spark, root, Some(sinceVersion)).files
+    val since = baseFiles.map(_.rel).toSet
     val added = newer.flatMap(_.files).filterNot(f => since(f.rel))
       .distinctBy(_.rel)
-    if (added.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-        newer.lastOption.map(_.schema).getOrElse(base.schema))
-    else {
-      val dd = dataDir(root).toString
-      spark.read.option("basePath", dd)
-        .schema(newer.last.schema)
-        .parquet(added.map(f => s"$dd/${f.rel}"): _*)
-    }
+    val last = newer.lastOption.getOrElse(manifest(spark, root,
+      Some(sinceVersion)))
+    Manifest(hi, sinceVersion, "changes", last.schema, added, last.props)
   }
 
   /** Row-level change feed between two pinned versions — CDC from the
@@ -1610,6 +1963,7 @@ object SnapshotLake {
       s"diff wants fromVersion <= toVersion, got $fromVersion > $toVersion")
     val mF = manifest(spark, root, Some(fromVersion))
     val mT = manifest(spark, root, Some(toVersion))
+    requireFieldIdReads(spark, mT)
     val fTypes = mF.schema.fields.map(f => f.name -> f.dataType).toMap
     val tTypes = mT.schema.fields.map(f => f.name -> f.dataType).toMap
     fTypes.foreach { case (n, t) =>
@@ -1619,15 +1973,17 @@ object SnapshotLake {
     }
     keyCols.foreach(k => require(tTypes.contains(k),
       s"key column $k not in snapshot schema ${mT.schema.simpleString}"))
-    val common = mF.files.map(_.rel).toSet intersect mT.files.map(_.rel).toSet
-    val dd = dataDir(root).toString
+    // a file is "common" (identical on both sides, no CDC rows possible)
+    // only when its rel AND its position-delete set match: a delta DML
+    // that added deletes to a shared file changes its VISIBLE rows while
+    // the rel stays put — such a file must be read on both sides, each
+    // with its own delete set, so the removed rows classify as deletes
+    def key(f: FileEntry): (String, Seq[String]) = (f.rel, f.deletes.sorted)
+    val common = mF.files.map(key).toSet intersect mT.files.map(key).toSet
     def side(files: Seq[FileEntry]): DataFrame =
-      if (files.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], mT.schema)
-      else spark.read.option("basePath", dd).schema(mT.schema)
-        .parquet(files.map(f => s"$dd/${f.rel}"): _*)
-    val oldSide = side(mF.files.filterNot(f => common(f.rel)))
-    val newSide = side(mT.files.filterNot(f => common(f.rel)))
+      readEntries(spark, root, mT.schema, files)
+    val oldSide = side(mF.files.filterNot(f => common(key(f))))
+    val newSide = side(mT.files.filterNot(f => common(key(f))))
     val dataCols = mT.schema.fieldNames.filterNot(keyCols.contains).toSeq
     val fns = org.apache.spark.sql.functions
     val oldR = oldSide.select(keyCols.map(col) ++

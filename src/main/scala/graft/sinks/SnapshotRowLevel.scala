@@ -349,7 +349,7 @@ final class SnapshotReplaceDataWrite(
         statsCols, bloomCols)
       // the REPLACED set: exactly the candidate files the statement's
       // scan was narrowed to — every other file survives by identity
-      val replaced = op.candidates.map(_.rel).toSet
+      val replaced = SnapshotLake.readSetOf(op.candidates)
       if (replaced.isEmpty && newFiles.isEmpty) return // touched nothing
       try {
         SnapshotLake.commit(spark, root, s"$opName:sql", base.schema,
@@ -514,6 +514,104 @@ object SnapshotDynamicOverwriteWrite {
   @volatile private[graft] var beforeCommit: () => Unit = () => ()
 }
 
+/** The executor-side hive-routing parquet writer every SQL write path
+  * shares: routes each TABLE-SCHEMA row to its partition directory
+  * (partition values rendered via Spark's own Cast-to-string in the
+  * session time zone + hive escaping — byte-compatible with library
+  * appends), strips the partition columns from the written file, opens
+  * per-partition writers lazily, and reports (rel, bytes, rows) per
+  * staged file at commit.
+  */
+private[sinks] final class HiveRoutingWriter(
+    factory: OutputWriterFactory,
+    conf: SerializableConfiguration,
+    stageDir: String,
+    schema: StructType,
+    partCols: Seq[String],
+    timeZoneId: String,
+    partitionId: Int,
+    taskId: Long,
+    namePrefix: String = "part") {
+
+  /** Loud ceiling on concurrently open per-partition files per task — a
+    * rewrite routing into thousands of partitions from one task should
+    * repartition by the partition columns, not OOM an executor.
+    */
+  private val MaxOpenWriters = 256
+
+  private[sinks] val context = new TaskAttemptContextImpl(conf.value,
+    new TaskAttemptID("graft", 0, TaskType.MAP, partitionId,
+      (taskId % Int.MaxValue).toInt))
+  private val ext = factory.getFileExtension(context)
+  private val baseName = f"$namePrefix-$partitionId%05d-$taskId$ext"
+  private val dataSchema = StructType(
+    schema.fields.filterNot(f => partCols.contains(f.name)))
+  private val dataIdx = schema.fields.zipWithIndex.collect {
+    case (f, i) if !partCols.contains(f.name) => i
+  }.toIndexedSeq
+  private val partIdx = partCols.map(schema.fieldIndex)
+  // hive-partition value rendering: Spark's own Cast-to-string in the
+  // session time zone, escaped the way the library writer escapes
+  private val partStrings = UnsafeProjection.create(partIdx.map(i =>
+    Cast(BoundReference(i, schema(i).dataType, schema(i).nullable),
+      StringType, Some(timeZoneId))
+      : org.apache.spark.sql.catalyst.expressions.Expression).toIndexedSeq)
+  private val dataProj = org.apache.spark.sql.catalyst.ProjectingInternalRow(
+    dataSchema, dataIdx)
+
+  // dir-relative rel -> (writer, rows written)
+  private val open = scala.collection.mutable.LinkedHashMap
+    .empty[String, (org.apache.spark.sql.execution.datasources.OutputWriter, Long)]
+
+  private def dirOf(row: InternalRow): String = {
+    val strings = partStrings(row)
+    partCols.indices.map { k =>
+      require(!strings.isNullAt(k),
+        s"row-level DML cannot route a NULL ${partCols(k)} partition " +
+          "value — clean the frame or use the library merge")
+      ExternalCatalogUtils.getPartitionPathString(partCols(k),
+        strings.getUTF8String(k).toString)
+    }.mkString("/")
+  }
+
+  /** Route one row in the FULL table schema. */
+  def write(full: InternalRow): Unit = {
+    val rel =
+      if (partCols.isEmpty) baseName
+      else s"${dirOf(full)}/$baseName"
+    val (writer, n) = open.getOrElseUpdate(rel, {
+      require(open.size < MaxOpenWriters,
+        s"row-level DML opened $MaxOpenWriters per-partition files " +
+          "in one task — repartition the statement's input by " +
+          s"(${partCols.mkString(", ")}) or use the library merge")
+      (factory.newInstance(s"$stageDir/$rel", dataSchema, context), 0L)
+    })
+    if (partCols.isEmpty) writer.write(full)
+    else {
+      dataProj.project(full)
+      writer.write(dataProj)
+    }
+    open.update(rel, (writer, n + 1))
+  }
+
+  def commitFiles(): Seq[StagedFileInfo] = {
+    val fs = new Path(stageDir).getFileSystem(conf.value)
+    open.toSeq.map { case (rel, (writer, rows)) =>
+      writer.close()
+      StagedFileInfo(rel,
+        fs.getFileStatus(new Path(s"$stageDir/$rel")).getLen, rows)
+    }
+  }
+
+  def abort(): Unit = {
+    val fs = new Path(stageDir).getFileSystem(conf.value)
+    open.foreach { case (rel, (writer, _)) =>
+      try writer.close() catch { case _: Throwable => () }
+      fs.delete(new Path(s"$stageDir/$rel"), false)
+    }
+  }
+}
+
 final class SnapshotDataWriterFactory(
     factory: OutputWriterFactory,
     conf: SerializableConfiguration,
@@ -522,49 +620,11 @@ final class SnapshotDataWriterFactory(
     partCols: Seq[String],
     timeZoneId: String) extends DataWriterFactory {
 
-  /** Loud ceiling on concurrently open per-partition files per task — a
-    * rewrite routing into thousands of partitions from one task should
-    * repartition by the partition columns, not OOM an executor.
-    */
-  private val MaxOpenWriters = 256
-
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
-    val context = new TaskAttemptContextImpl(conf.value,
-      new TaskAttemptID("graft", 0, TaskType.MAP, partitionId,
-        (taskId % Int.MaxValue).toInt))
-    val ext = factory.getFileExtension(context)
-    val baseName = f"part-$partitionId%05d-$taskId$ext"
-    val dataSchema = StructType(
-      schema.fields.filterNot(f => partCols.contains(f.name)))
-    val dataIdx = schema.fields.zipWithIndex.collect {
-      case (f, i) if !partCols.contains(f.name) => i
-    }.toIndexedSeq
-    val partIdx = partCols.map(schema.fieldIndex)
-    // hive-partition value rendering: Spark's own Cast-to-string in the
-    // session time zone, escaped the way the library writer escapes
-    val partStrings = UnsafeProjection.create(partIdx.map(i =>
-      Cast(BoundReference(i, schema(i).dataType, schema(i).nullable),
-        StringType, Some(timeZoneId))
-        : org.apache.spark.sql.catalyst.expressions.Expression))
-    val dataProj = org.apache.spark.sql.catalyst.ProjectingInternalRow(
-      dataSchema, dataIdx)
+    val routing = new HiveRoutingWriter(factory, conf, stageDir, schema,
+      partCols, timeZoneId, partitionId, taskId)
 
     new DataWriter[InternalRow] {
-      // dir-relative rel -> (writer, rows written)
-      private val open = scala.collection.mutable.LinkedHashMap
-        .empty[String, (org.apache.spark.sql.execution.datasources.OutputWriter, Long)]
-
-      private def dirOf(row: InternalRow): String = {
-        val strings = partStrings(row)
-        partCols.indices.map { k =>
-          require(!strings.isNullAt(k),
-            s"row-level DML cannot route a NULL ${partCols(k)} partition " +
-              "value — clean the frame or use the library merge")
-          ExternalCatalogUtils.getPartitionPathString(partCols(k),
-            strings.getUTF8String(k).toString)
-        }.mkString("/")
-      }
-
       // ReplaceData's plan tags every row with a LEADING __row_operation
       // int; when the plan carries projections (it does whenever the
       // operation declares metadata attributes) Spark's writing task
@@ -596,41 +656,13 @@ final class SnapshotDataWriterFactory(
             tagProj.project(row)
             tagProj
           }
-        val rel =
-          if (partCols.isEmpty) baseName
-          else s"${dirOf(full)}/$baseName"
-        val (writer, n) = open.getOrElseUpdate(rel, {
-          require(open.size < MaxOpenWriters,
-            s"row-level DML opened $MaxOpenWriters per-partition files " +
-              "in one task — repartition the statement's input by " +
-              s"(${partCols.mkString(", ")}) or use the library merge")
-          (factory.newInstance(s"$stageDir/$rel", dataSchema, context), 0L)
-        })
-        if (partCols.isEmpty) writer.write(full)
-        else {
-          dataProj.project(full)
-          writer.write(dataProj)
-        }
-        open.update(rel, (writer, n + 1))
+        routing.write(full)
       }
 
-      override def commit(): WriterCommitMessage = {
-        val fs = new Path(stageDir).getFileSystem(conf.value)
-        val files = open.toSeq.map { case (rel, (writer, rows)) =>
-          writer.close()
-          StagedFileInfo(rel,
-            fs.getFileStatus(new Path(s"$stageDir/$rel")).getLen, rows)
-        }
-        StagedFilesMessage(files)
-      }
+      override def commit(): WriterCommitMessage =
+        StagedFilesMessage(routing.commitFiles())
 
-      override def abort(): Unit = {
-        val fs = new Path(stageDir).getFileSystem(conf.value)
-        open.foreach { case (rel, (writer, _)) =>
-          try writer.close() catch { case _: Throwable => () }
-          fs.delete(new Path(s"$stageDir/$rel"), false)
-        }
-      }
+      override def abort(): Unit = routing.abort()
 
       override def close(): Unit = ()
     }

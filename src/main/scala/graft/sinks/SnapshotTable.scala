@@ -75,7 +75,9 @@ final class SnapshotTable(
     declaredSchema: Option[StructType],
     declaredPartitioning: Seq[String],
     tableOptions: CaseInsensitiveStringMap,
-    catalogManaged: Boolean = false) extends Table
+    catalogManaged: Boolean = false,
+    explicitManifest: Option[() => SnapshotLake.Manifest] = None)
+    extends Table
     with SupportsRead with SupportsWrite with SupportsDelete
     with SupportsRowLevelOperations with SupportsMetadataColumns {
 
@@ -85,14 +87,17 @@ final class SnapshotTable(
     * table resolution (i.e. per statement), None when the lake does not
     * exist yet (a `CREATE TABLE`-declared lake awaiting its first
     * INSERT). Readers of this instance see exactly this snapshot; the
-    * NEXT statement re-resolves and sees new commits.
+    * NEXT statement re-resolves and sees new commits. `explicitManifest`
+    * (the `startingVersion`/`endingVersion` changes window) overrides —
+    * LAZILY, so a streaming-probe construction of this table never pays
+    * (or fails) the window validation.
     */
   private lazy val pinned: Option[Manifest] =
-    version match {
+    explicitManifest.map(f => Some(f())).getOrElse(version match {
       case Some(v) => Some(SnapshotLake.manifest(spark, root, Some(v)))
       case None => SnapshotLake.latestVersion(spark, root)
         .map(v => SnapshotLake.manifest(spark, root, Some(v)))
-    }
+    })
 
   /** Catalog/user schema must be a name+type subset of the manifest's —
     * equality for fresh catalogs, strict subset after a widen-only
@@ -138,15 +143,34 @@ final class SnapshotTable(
     * lake has a real `_file` data column — that column wins, and DML
     * falls back to static pruning only.
     */
-  override def metadataColumns(): Array[MetadataColumn] =
-    if (schema().fieldNames.contains(SnapshotTable.FileMetaCol)) Array.empty
-    else Array(new MetadataColumn {
-      override def name(): String = SnapshotTable.FileMetaCol
-      override def dataType(): DataType = StringType
-      override def isNullable: Boolean = false
-      override def comment(): String =
-        "data/-relative path of the snapshot file this row came from"
-    })
+  override def metadataColumns(): Array[MetadataColumn] = {
+    val fields = schema().fieldNames
+    val file: Array[MetadataColumn] =
+      if (fields.contains(SnapshotTable.FileMetaCol)) Array.empty
+      else Array(new MetadataColumn {
+        override def name(): String = SnapshotTable.FileMetaCol
+        override def dataType(): DataType = StringType
+        override def isNullable: Boolean = false
+        override def comment(): String =
+          "data/-relative path of the snapshot file this row came from"
+      })
+    // `_pos` (the per-file row position) is served only where the scan
+    // can actually produce it: merge-on-read lakes, whose reads go
+    // through the position-aware SnapshotMorScan
+    val pos: Array[MetadataColumn] =
+      if (fields.contains(SnapshotTable.PosMetaCol) ||
+          !pinned.exists(m => SnapshotTable.morLake(m) ||
+            SnapshotTable.hasDeletes(m))) Array.empty
+      else Array(new MetadataColumn {
+        override def name(): String = SnapshotTable.PosMetaCol
+        override def dataType(): DataType =
+          org.apache.spark.sql.types.LongType
+        override def isNullable: Boolean = false
+        override def comment(): String =
+          "0-based row position within the snapshot file this row came from"
+      })
+    file ++ pos
+  }
 
   /** Provider-path tables declare NO BATCH_WRITE: `df.write.format(...)`
     * then falls back to the V1 `CreatableRelationProvider` (all four
@@ -180,6 +204,14 @@ final class SnapshotTable(
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val m = pinned.getOrElse(Manifest(0L, 0L, "empty", schema(), Nil))
     validateDeclared(m)
+    SnapshotLake.requireFieldIdReads(spark, m)
+    // merge-on-read lakes (or any manifest carrying position deletes)
+    // read through the position-aware builder: it applies the delete
+    // sidecars and serves `_pos`, and falls back to this exact
+    // vectorized scan when no deletes are pending and `_pos` is unused
+    if (SnapshotTable.morLake(m) || SnapshotTable.hasDeletes(m))
+      return new SnapshotMorScanBuilder(None, spark, root, m, partCols,
+        options)
     val index = new SnapshotPartitioningIndex(spark, root, m)
     val dataSchema = StructType(
       m.schema.fields.filterNot(f => partCols.contains(f.name)))
@@ -198,6 +230,10 @@ final class SnapshotTable(
     */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     version.isEmpty &&
+      // mor lakes route every DELETE to the delta row-level path: cost
+      // proportional to deleted ROWS (position sidecars), where this
+      // metadata path would rewrite every envelope-overlapping file
+      !pinned.exists(SnapshotTable.morLake) &&
       filters.forall(f => SnapshotTable.toPredicate(f).isDefined)
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
@@ -243,7 +279,15 @@ final class SnapshotTable(
         s"(versionAsOf=${version.get})")
     val m = pinned.getOrElse(throw new IllegalArgumentException(
       s"no committed snapshot under $root — nothing to modify"))
-    new SnapshotRowLevelOperationBuilder(spark, root, m, info)
+    if (SnapshotTable.morLake(m)) {
+      // merge-on-read: the SupportsDelta path, keyed on (_file, _pos) —
+      // both must be free for the metadata columns to serve
+      Seq(SnapshotTable.FileMetaCol, SnapshotTable.PosMetaCol).foreach(c =>
+        require(!m.schema.fieldNames.contains(c),
+          s"dmlMode=mor needs the `$c` metadata column, but the lake has " +
+            s"a real `$c` data column — rename it or use dmlMode=cow"))
+      new SnapshotDeltaRowLevelOperationBuilder(spark, root, m, info)
+    } else new SnapshotRowLevelOperationBuilder(spark, root, m, info)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -306,6 +350,22 @@ object SnapshotTable {
 
   /** Name of the file-provenance metadata column (Iceberg's `_file`). */
   val FileMetaCol = "_file"
+
+  /** Name of the per-file row-position metadata column (Iceberg's
+    * `_pos`) — served on merge-on-read lakes, where (`_file`, `_pos`)
+    * is the delta DML row id.
+    */
+  val PosMetaCol = "_pos"
+
+  /** Whether the lake declared merge-on-read DML (`dmlMode = 'mor'` at
+    * CREATE). Default (absent/`cow`) is copy-on-write, byte-identical
+    * to round 13.
+    */
+  private[sinks] def morLake(m: SnapshotLake.Manifest): Boolean =
+    m.props.get("dmlMode").contains("mor")
+
+  private[sinks] def hasDeletes(m: SnapshotLake.Manifest): Boolean =
+    m.files.exists(_.deletes.nonEmpty)
 
   /** Render one filter literal EXACTLY the way the partition-directory
     * writer rendered it: Spark's own Cast-to-string in the session time

@@ -159,11 +159,50 @@ class SnapshotSourceProvider extends StreamSourceProvider with DataSourceRegiste
     v.orElse(t)
   }
 
+  /** Batch CDC read options (round 14): `startingVersion` /
+    * `endingVersion` select the rows APPENDED in versions
+    * [startingVersion, endingVersion] — the SQL twin of
+    * [[SnapshotLake.appendsSince]], sharing its changelog contract: a
+    * rewrite (compact/merge/delete) inside the window refuses loudly,
+    * because file provenance no longer equals row provenance there.
+    * `startingVersion = 1` reads every append since genesis. The window
+    * resolves LAZILY (a streaming probe constructs the table without
+    * paying or failing the validation — the V1 streaming source owns
+    * the `startingVersion = latest` personality).
+    */
+  private def changesWindow(spark: SparkSession, root: String,
+      opts: CaseInsensitiveStringMap): Option[(Long, Option[Long])] = {
+    val startStr = Option(opts.get("startingVersion"))
+    val endStr = Option(opts.get("endingVersion"))
+    val start = startStr.flatMap(s => scala.util.Try(s.toLong).toOption)
+    if (start.isEmpty) {
+      // "latest" (the streaming personality) or absent: not a batch window
+      require(endStr.isEmpty,
+        "endingVersion needs a numeric startingVersion")
+      return None
+    }
+    require(Option(opts.get("versionAsOf")).isEmpty &&
+      Option(opts.get("timestampAsOf")).isEmpty,
+      "startingVersion/endingVersion and versionAsOf/timestampAsOf are " +
+        "mutually exclusive")
+    require(start.get >= 1,
+      s"startingVersion must be >= 1, got ${start.get}")
+    val end = endStr.map(_.toLong)
+    Some((start.get, end))
+  }
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val spark = SparkSession.active
     val root = rootOpt(options)
-    SnapshotLake.manifest(spark, root,
-      pinnedVersion(spark, root, options)).schema
+    changesWindow(spark, root, options) match {
+      case Some((_, end)) =>
+        // the window's output schema IS the newest in-window manifest's —
+        // resolvable without the (lazy) window validation
+        SnapshotLake.manifest(spark, root, end).schema
+      case None =>
+        SnapshotLake.manifest(spark, root,
+          pinnedVersion(spark, root, options)).schema
+    }
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -176,8 +215,17 @@ class SnapshotSourceProvider extends StreamSourceProvider with DataSourceRegiste
         s"graft-snapshot supports identity partitioning only, got $t")
       t.references()(0).fieldNames().mkString(".")
     } ++ csvOpt(opts, "partitionCols")).distinct
-    new SnapshotTable(spark, root, pinnedVersion(spark, root, opts),
-      Option(schema).filter(_.nonEmpty), declaredParts, opts)
+    changesWindow(spark, root, opts) match {
+      case Some((start, end)) =>
+        val hi = end.orElse(SnapshotLake.latestVersion(spark, root))
+        new SnapshotTable(spark, root, hi,
+          Option(schema).filter(_.nonEmpty), declaredParts, opts,
+          explicitManifest = Some(() =>
+            SnapshotLake.appendWindow(spark, root, start - 1, end)))
+      case None =>
+        new SnapshotTable(spark, root, pinnedVersion(spark, root, opts),
+          Option(schema).filter(_.nonEmpty), declaredParts, opts)
+    }
   }
 
   private def cols(parameters: Map[String, String], k: String): Seq[String] =

@@ -1316,6 +1316,93 @@ object ScaleSmoke {
         f"(full-rewrite would be ~10x; rewritten files " +
         f"${results(0)._3} -> ${results(1)._3})")
     }
+    // ---- morbench: scattered-key MERGE, copy-on-write vs merge-on-read --
+    // The COW worst case: ~1000 matched keys SCATTERED uniformly across
+    // the key range, so every range-clustered file holds matches and the
+    // runtime group filter cannot save COW — it must rewrite the lake.
+    // The same statement on a dmlMode=mor lake writes position-delete
+    // sidecars + re-inserts and rewrites NOTHING: cost proportional to
+    // matched ROWS, not files. A second mor lake at 10x rows shows the
+    // statement cost is also size-invariant.
+    if (on("morbench")) {
+      import graft.sinks.SnapshotLake
+      val results = Seq(("cow", 10L), ("mor", 10L), ("mor", 1L)).map {
+        case (mode, frac) =>
+          // a DETERMINISTIC slice per size (the seeded generator is
+          // parallelism-invariant) — `bars.limit(k)` is NOT stable
+          // across plan evaluations, so seed and source could disagree
+          val nPer = math.max(n / frac, 1000L)
+          val slice = Generator.ohlcv(spark, symbols, nPer, intervalSec = 60)
+          val rows = nPer * symbols.size
+          // catalog plugins cache their FIRST conf per session: one
+          // warehouse for the whole block, one table per (mode, size)
+          spark.conf.set("spark.sql.catalog.morbench",
+            "graft.sinks.GraftCatalog")
+          if (spark.conf
+              .getOption("spark.sql.catalog.morbench.warehouse").isEmpty)
+            spark.conf.set("spark.sql.catalog.morbench.warehouse",
+              graft.TempDirs.create("smoke-mor-wh"))
+          val wh = spark.conf.get("spark.sql.catalog.morbench.warehouse")
+          val tbl = s"morbench.b.t_${mode}_$frac"
+          spark.sql("CREATE NAMESPACE IF NOT EXISTS morbench.b")
+          spark.sql(s"DROP TABLE IF EXISTS $tbl")
+          spark.sql(s"CREATE TABLE $tbl (event_id BIGINT, " +
+            "symbol STRING, ts TIMESTAMP_NTZ, close DOUBLE) " +
+            "USING `graft-snapshot` TBLPROPERTIES " +
+            s"('dmlMode' '$mode', 'statsCols' 'event_id')")
+          val keyed = slice
+            .withColumn("event_id",
+              unix_timestamp(col("ts")) * 8 +
+                array_position(array(symbols.map(lit): _*), col("symbol")))
+            .select("event_id", "symbol", "ts", "close")
+          keyed.repartitionByRange(32, col("event_id"))
+            .sortWithinPartitions("event_id")
+            .createOrReplaceTempView("morbench_seed")
+          spark.sql(s"INSERT INTO $tbl SELECT * FROM morbench_seed")
+          val root = s"$wh/b/t_${mode}_$frac"
+          val before = SnapshotLake.manifest(spark, root)
+          // one key per stride-th BAR (ts steps by intervalSec) =
+          // uniform scatter across every range-clustered file
+          val stride = math.max(1L, rows / symbols.size / 1000L)
+          keyed.filter((unix_timestamp(col("ts")) / 60) % stride === 0 &&
+              col("symbol") === symbols.head)
+            .createOrReplaceTempView("morbench_src")
+          val nKeys = spark.table("morbench_src").count()
+          // expected BEFORE the merge (exact under any generator shape)
+          val expected = spark.sql(s"SELECT count(*) FROM $tbl t JOIN " +
+            "morbench_src s ON t.event_id = s.event_id").head.getLong(0)
+          val sentinel = -1234567890.5 // impossible for the random walk
+          val t0 = System.nanoTime()
+          spark.sql(s"""MERGE INTO $tbl t USING morbench_src s
+                       ON t.event_id = s.event_id
+                       WHEN MATCHED THEN UPDATE SET close = $sentinel""")
+          val sec = (System.nanoTime() - t0) / 1e9
+          val after = SnapshotLake.manifest(spark, root)
+          val beforeRels = before.files.map(_.rel).toSet
+          val carried = beforeRels.intersect(after.files.map(_.rel).toSet).size
+          val rewritten = before.files.size - carried
+          val sidecars = after.files.map(_.deletes.size).sum
+          val hits = spark.sql(s"SELECT count(*) FROM $tbl " +
+            s"WHERE close = $sentinel").head.getLong(0)
+          require(hits == expected,
+            s"$mode: $hits of $expected updates visible")
+          require(spark.sql(s"SELECT count(*) FROM $tbl")
+            .head.getLong(0) == rows, s"$mode: row count drifted")
+          if (mode == "mor") require(rewritten == 0,
+            s"mor must rewrite nothing, rewrote $rewritten")
+          println(f"[scale] morbench $mode%-4s lake=$rows%-9d " +
+            f"files=${before.files.size}%3d keys=$nKeys%5d " +
+            f"rewritten=$rewritten%3d sidecars=$sidecars%3d ${sec}%6.1f s")
+          (mode, rows, sec, rewritten)
+      }
+      val cowSec = results(0)._3
+      val morSec = results(1)._3
+      val morBig = results(2)._3
+      println(f"[scale] morbench scattered-key verdict: cow=${cowSec}%.1f s " +
+        f"(${results(0)._4} files rewritten) vs mor=${morSec}%.1f s " +
+        f"(0 rewritten) = ${cowSec / morSec}%.2f x; mor at 10x rows " +
+        f"${morBig / morSec}%.2f x (rows-proportional would be ~1x)")
+    }
     spark.stop()
   }
 }

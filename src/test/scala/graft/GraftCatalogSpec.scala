@@ -124,8 +124,10 @@ class GraftCatalogSpec extends SparkSpec {
       "event_id, 'nyse' FROM gc_ddl_src LIMIT 2")
     assert(spark.sql(
       "SELECT * FROM graft.ddl.ctas WHERE venue = 'nyse'").count() == 2)
+    // retypes stay refused (narrowing is an explicit migration; DROP and
+    // RENAME are supported since round 14 as field-id commits)
     intercept[Exception] {
-      spark.sql("ALTER TABLE graft.ddl.ctas DROP COLUMN venue")
+      spark.sql("ALTER TABLE graft.ddl.ctas ALTER COLUMN close TYPE STRING")
     }
     // rename: directory move; old name gone, data + history intact
     // (the target name is CATALOG-RELATIVE — `ddl.ctas2`, not
@@ -369,6 +371,108 @@ class GraftCatalogSpec extends SparkSpec {
       graft.sinks.SnapshotDynamicOverwriteWrite.beforeCommit = () => ()
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
       spark.sql("DROP TABLE graft.dynrace.t")
+    }
+  }
+
+  test("RENAME/DROP COLUMN are metadata-only field-id commits: renamed " +
+      "columns read old files by id, re-added names never resurrect " +
+      "dropped data, and id-less lakes refuse") {
+    // every new lake is born with parquet field ids; Spark's writer
+    // persists them by default (hard precondition of the design)
+    assert(spark.conf.get("spark.sql.parquet.fieldId.write.enabled")
+      .toBoolean, "field-id writing must be on by default")
+    val prevRead = spark.conf
+      .getOption("spark.sql.parquet.fieldId.read.enabled")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.fid")
+    spark.sql("DROP TABLE IF EXISTS graft.fid.t")
+    spark.sql("CREATE TABLE graft.fid.t (symbol STRING, close DOUBLE, " +
+      "event_id BIGINT) USING `graft-snapshot`")
+    val root = s"$warehouse/fid/t"
+    try {
+      Seq(("a", 1.5, 1L), ("b", 2.5, 2L), ("c", 3.5, 3L))
+        .toDF("symbol", "close", "event_id")
+        .createOrReplaceTempView("fid_src")
+      spark.sql("INSERT INTO graft.fid.t SELECT * FROM fid_src")
+      val filesBefore = SnapshotLake.manifest(spark, root).files.map(_.rel)
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+      // RENAME: metadata-only; OLD files resolve the column BY ID
+      spark.sql("ALTER TABLE graft.fid.t RENAME COLUMN close TO px")
+      val m = SnapshotLake.manifest(spark, root)
+      assert(m.op == "rename:close>px" &&
+        m.files.map(_.rel) == filesBefore,
+        "RENAME COLUMN must be metadata-only")
+      assert(m.props("columnMapped") == "true")
+      assert(spark.sql("SELECT px FROM graft.fid.t WHERE event_id = 2")
+        .head().getDouble(0) == 2.5,
+        "pre-rename files must read the renamed column by field id")
+      // post-rename INSERT lands under the new name, same id
+      spark.sql("INSERT INTO graft.fid.t SELECT 'd', 4.5, 4")
+      assert(spark.sql("SELECT sum(px) FROM graft.fid.t").head().getDouble(0)
+        == 12.0)
+      // DROP then re-ADD the same name: refused while files physically
+      // carrying the old column are still referenced (parquet's BY-NAME
+      // row-group pruning would evaluate pushed filters against the OLD
+      // column's statistics and silently drop rows); a compact rewrites
+      // every file under current names and frees the name, and the
+      // re-added column then reads NULL everywhere — fresh id, the
+      // Iceberg drop contract
+      spark.sql("ALTER TABLE graft.fid.t DROP COLUMN px")
+      assert(!spark.table("graft.fid.t").schema.fieldNames.contains("px"))
+      assert(spark.sql("SELECT * FROM graft.fid.t").count() == 4)
+      val eReuse = intercept[Exception] {
+        spark.sql("ALTER TABLE graft.fid.t ADD COLUMNS (px DOUBLE)")
+      }
+      def chain0(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => x.getMessage +: chain0(x.getCause))
+      assert(chain0(eReuse).exists(msg => msg != null &&
+        msg.contains("re-use")), s"got ${chain0(eReuse)}")
+      SnapshotLake.compact(spark, root)
+      spark.sql("ALTER TABLE graft.fid.t ADD COLUMNS (px DOUBLE)")
+      // the filter form matters: a pushed `px IS NULL` must not prune
+      // row groups against any old physical column
+      assert(spark.sql("SELECT * FROM graft.fid.t WHERE px IS NULL")
+        .count() == 4,
+        "a re-added column name must read NULL, never the dropped data")
+      // library reads honor the mapping identically
+      assert(SnapshotLake.read(spark, root).filter(col("px").isNotNull)
+        .count() == 0)
+      // reads of a column-mapped lake REFUSE when id-resolution is off
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "false")
+      val e = intercept[Exception] {
+        spark.sql("SELECT * FROM graft.fid.t").count()
+      }
+      def chain(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => x.getMessage +: chain(x.getCause))
+      assert(chain(e).exists(msg => msg != null &&
+        msg.contains("fieldId.read.enabled")), s"got ${chain(e)}")
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+      // partition columns refuse (their name is baked into directories)
+      spark.sql("DROP TABLE IF EXISTS graft.fid.p")
+      spark.sql("CREATE TABLE graft.fid.p (symbol STRING, close DOUBLE) " +
+        "USING `graft-snapshot` PARTITIONED BY (symbol)")
+      val e2 = intercept[Exception] {
+        spark.sql("ALTER TABLE graft.fid.p RENAME COLUMN symbol TO sym")
+      }
+      assert(chain(e2).exists(msg => msg != null &&
+        msg.contains("partition column")))
+      spark.sql("DROP TABLE graft.fid.p")
+      // a lake born WITHOUT ids (bare replace) refuses with the
+      // migration hint instead of silently mis-reading
+      val legacy = TempDirs.create("graft-fid-legacy") + "/lake"
+      SnapshotLake.replace(spark, legacy,
+        Seq(("a", 1.0)).toDF("symbol", "close"))
+      val e3 = intercept[IllegalArgumentException] {
+        SnapshotLake.renameColumn(spark, legacy, "close", "px")
+      }
+      assert(e3.getMessage.contains("predates field ids"))
+    } finally {
+      prevRead match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.parquet.fieldId.read.enabled", v)
+        case None =>
+          spark.conf.unset("spark.sql.parquet.fieldId.read.enabled")
+      }
+      spark.sql("DROP TABLE IF EXISTS graft.fid.t")
     }
   }
 

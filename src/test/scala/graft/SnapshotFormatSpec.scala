@@ -452,4 +452,61 @@ class SnapshotFormatSpec extends SparkSpec {
       assert(SnapshotLake.manifest(spark, root).version == 2)
     } finally spark.sql("DROP TABLE snapfmt_pin")
   }
+
+  test("startingVersion/endingVersion batch reads: exactly the appended " +
+      "window, genesis from 1, loud refusals across rewrites and on " +
+      "option conflicts, and streaming 'latest' untouched") {
+    val root = freshRoot()
+    SnapshotLake.append(spark, root, bars(1, 4, 0.0))   // v1
+    SnapshotLake.append(spark, root, bars(2, 3, 100.0)) // v2
+    SnapshotLake.append(spark, root, bars(3, 2, 200.0)) // v3
+    def changes(start: String, end: Option[String]) = {
+      val r = spark.read.format("graft-snapshot")
+        .option("startingVersion", start)
+      end.foreach(e => r.option("endingVersion", e))
+      r.load(root)
+    }
+    // the window [2,3] is appends 2+3; [1,*] is genesis = everything
+    assert(changes("2", Some("3")).count() == 5)
+    assert(changes("2", Some("2")).count() == 3)
+    assert(changes("1", None).count() == 9)
+    assert(changes("3", None).select("close").collect()
+      .map(_.getDouble(0)).forall(_ >= 200.0))
+    // a post-window rewrite is invisible to a bounded window...
+    SnapshotLake.compact(spark, root) // v4
+    assert(changes("2", Some("3")).count() == 5)
+    // ...but a window CROSSING the rewrite refuses loudly (file
+    // provenance no longer equals row provenance)
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: chain(x.getCause))
+    val e1 = intercept[Exception] { changes("2", None).count() }
+    assert(chain(e1).exists(m => m != null && m.contains("non-append")))
+    // option conflicts refuse at once
+    val e2 = intercept[Exception] {
+      spark.read.format("graft-snapshot").option("startingVersion", "2")
+        .option("versionAsOf", "3").load(root).count()
+    }
+    assert(chain(e2).exists(m => m != null && m.contains("mutually")))
+    intercept[Exception] {
+      spark.read.format("graft-snapshot").option("endingVersion", "2")
+        .load(root).count()
+    }
+    // the changes table refuses writes (it is a pinned window)
+    changes("2", Some("3")).createOrReplaceTempView("snapfmt_chg")
+    intercept[Exception] {
+      spark.sql("INSERT INTO snapfmt_chg SELECT * FROM snapfmt_chg")
+    }
+    // the streaming personality's startingVersion=latest still works
+    val q = spark.readStream.format("graft-snapshot")
+      .option("startingVersion", "latest").load(root)
+      .writeStream.format("memory").queryName("snapfmt_chg_stream")
+      .option("checkpointLocation", TempDirs.create("snapfmt-chg-ckpt"))
+      .start()
+    try {
+      q.processAllAvailable()
+      SnapshotLake.append(spark, root, bars(4, 2, 400.0)) // v5
+      q.processAllAvailable()
+      assert(spark.table("snapfmt_chg_stream").count() == 2)
+    } finally q.stop()
+  }
 }

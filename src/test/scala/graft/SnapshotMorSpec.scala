@@ -1,0 +1,204 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sinks.SnapshotLake
+
+/** Merge-on-read row-level DML (round 14): `dmlMode = 'mor'` routes
+  * MERGE/UPDATE/DELETE through Spark's SupportsDelta seam — matched rows
+  * land as position-delete sidecars stacked onto the manifest entries
+  * they cover, new row versions as ordinary appends, and NO data file is
+  * rewritten. Readers (SQL scan + every library path) apply the deletes;
+  * compaction absorbs them; vacuum sweeps the sidecars.
+  */
+class SnapshotMorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val warehouse =
+    spark.conf.getOption("spark.sql.catalog.graft.warehouse").getOrElse {
+      val wh = TempDirs.create("graft-mor-wh")
+      spark.conf.set("spark.sql.catalog.graft", "graft.sinks.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      wh
+    }
+
+  private def bars(n: Int, tag: Double): DataFrame =
+    (0 until n).map { i =>
+      (s"sym${i % 3}",
+        Timestamp.valueOf(f"2024-01-10 00:${i % 60}%02d:00"), tag + i,
+        i.toLong)
+    }.toDF("symbol", "ts", "close", "event_id")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+
+  test("MERGE INTO a mor lake: matched rows become position-delete " +
+      "sidecars + re-inserts, EVERY data file survives by identity, and " +
+      "reads apply the deletes everywhere") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mor")
+    spark.sql("DROP TABLE IF EXISTS graft.mor.t")
+    spark.sql("CREATE TABLE graft.mor.t (symbol STRING, ts TIMESTAMP_NTZ, " +
+      "close DOUBLE, event_id BIGINT) USING `graft-snapshot` " +
+      "TBLPROPERTIES ('dmlMode' 'mor', 'statsCols' 'event_id')")
+    val root = s"$warehouse/mor/t"
+    bars(12, 0.0).repartition(4).createOrReplaceTempView("mor_seed")
+    spark.sql("INSERT INTO graft.mor.t SELECT * FROM mor_seed")
+    val before = SnapshotLake.manifest(spark, root)
+    assert(before.props("dmlMode") == "mor")
+    val dataRels = before.files.map(_.rel).toSet
+    assert(dataRels.size >= 2, s"fixture wants several files: $dataRels")
+    // every third key updates (spread across files), two new keys insert
+    bars(12, 500.0).filter(col("event_id") % 3 === 0)
+      .unionByName(bars(14, 500.0).filter(col("event_id") >= 12))
+      .createOrReplaceTempView("mor_src")
+    spark.sql("""MERGE INTO graft.mor.t t USING mor_src s
+                 ON t.event_id = s.event_id
+                 WHEN MATCHED THEN UPDATE SET close = s.close
+                 WHEN NOT MATCHED THEN INSERT *""")
+    val after = SnapshotLake.manifest(spark, root)
+    assert(after.op == "merge:sql-mor", s"got ${after.op}")
+    // the headline: every pre-merge data file is still in the manifest
+    // BY IDENTITY — nothing was rewritten
+    assert(dataRels.subsetOf(after.files.map(_.rel).toSet),
+      "merge-on-read must not rewrite any data file")
+    // matched rows are recorded as sidecars on the entries they cover
+    val withDeletes = after.files.filter(_.deletes.nonEmpty)
+    assert(withDeletes.nonEmpty, "matched files must carry delete sidecars")
+    assert(withDeletes.forall(f => dataRels.contains(f.rel)))
+    // SQL reads apply the deletes: updated values, inserted keys, no
+    // resurrected pre-update rows
+    assert(spark.sql("SELECT * FROM graft.mor.t").count() == 14)
+    assert(spark.sql("SELECT * FROM graft.mor.t WHERE close >= 500")
+      .count() == 4 + 2) // ids 0,3,6,9 updated + ids 12,13 inserted
+    assert(spark.sql("SELECT * FROM graft.mor.t " +
+      "WHERE event_id = 3 AND close < 500").count() == 0)
+    assert(spark.sql(
+      "SELECT count(DISTINCT event_id) AS n FROM graft.mor.t")
+      .head().getLong(0) == 14)
+    // time travel: the pre-merge version still reads the old rows
+    assert(spark.sql(
+      s"SELECT * FROM graft.mor.t VERSION AS OF ${before.version} " +
+        "WHERE close >= 500").count() == 0)
+    // the library read applies deletes identically
+    assert(SnapshotLake.read(spark, root).filter(col("event_id") === 3)
+      .head().getDouble(2) == 503.0)
+    // metadata columns: _file and _pos are queryable on a mor lake
+    val prov = spark.sql(
+      "SELECT _file, _pos FROM graft.mor.t WHERE event_id <= 1").collect()
+    assert(prov.forall(r => dataRels.contains(r.getString(0)) ||
+      after.files.map(_.rel).contains(r.getString(0))))
+    assert(prov.forall(_.getLong(1) >= 0))
+    // metadata-only answers refuse while deletes are pending
+    intercept[IllegalArgumentException] {
+      SnapshotLake.summary(spark, root, Seq("event_id"))
+    }
+    intercept[IllegalArgumentException] {
+      graft.sinks.ManifestFileIndex.readPruned(spark, root)
+    }
+    // compaction absorbs the sidecars: same rows, no deletes, summary back
+    SnapshotLake.compact(spark, root)
+    val compacted = SnapshotLake.manifest(spark, root)
+    assert(compacted.files.forall(_.deletes.isEmpty))
+    assert(spark.sql("SELECT * FROM graft.mor.t").count() == 14)
+    assert(spark.sql("SELECT * FROM graft.mor.t WHERE close >= 500")
+      .count() == 6)
+    assert(SnapshotLake.summary(spark, root, Seq("event_id"))
+      .head().getLong(0) == 14L)
+    // vacuum sweeps the now-unreferenced sidecar files
+    SnapshotLake.vacuum(spark, root, retainLast = 1)
+    val delDir = new java.io.File(s"$root/_deletes")
+    assert(!delDir.exists() || delDir.listFiles().isEmpty,
+      "vacuum must sweep unreferenced delete sidecars")
+    spark.sql("DROP TABLE graft.mor.t")
+  }
+
+  test("DELETE and UPDATE on a mor lake write positions, not files; " +
+      "no-match statements publish nothing") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mor")
+    spark.sql("DROP TABLE IF EXISTS graft.mor.d")
+    spark.sql("CREATE TABLE graft.mor.d (symbol STRING, ts TIMESTAMP_NTZ, " +
+      "close DOUBLE, event_id BIGINT) USING `graft-snapshot` " +
+      "TBLPROPERTIES ('dmlMode' 'mor')")
+    val root = s"$warehouse/mor/d"
+    bars(12, 0.0).repartition(3).createOrReplaceTempView("mor_d_seed")
+    spark.sql("INSERT INTO graft.mor.d SELECT * FROM mor_d_seed")
+    val before = SnapshotLake.manifest(spark, root)
+    // DELETE routes to the delta path on mor lakes (even translatable
+    // predicates): positions recorded, no file rewritten
+    spark.sql("DELETE FROM graft.mor.d WHERE event_id % 4 = 1")
+    val afterDel = SnapshotLake.manifest(spark, root)
+    assert(afterDel.op == "delete:sql-mor", s"got ${afterDel.op}")
+    assert(before.files.map(_.rel).toSet ==
+      afterDel.files.map(_.rel).toSet,
+      "mor DELETE must not add or rewrite data files")
+    assert(spark.sql("SELECT * FROM graft.mor.d").count() == 9)
+    assert(spark.sql(
+      "SELECT * FROM graft.mor.d WHERE event_id % 4 = 1").count() == 0)
+    // UPDATE = delete + re-insert through the same seam
+    spark.sql("UPDATE graft.mor.d SET close = close + 1000 " +
+      "WHERE event_id = 2")
+    val afterUpd = SnapshotLake.manifest(spark, root)
+    assert(afterUpd.op == "update:sql-mor", s"got ${afterUpd.op}")
+    assert(before.files.map(_.rel).toSet
+      .subsetOf(afterUpd.files.map(_.rel).toSet))
+    assert(spark.sql("SELECT close FROM graft.mor.d WHERE event_id = 2")
+      .head().getDouble(0) == 1002.0)
+    assert(spark.sql("SELECT * FROM graft.mor.d").count() == 9)
+    // a no-match statement is a version no-op
+    val v = SnapshotLake.latestVersion(spark, root).get
+    spark.sql("UPDATE graft.mor.d SET close = 0 WHERE event_id = 999999")
+    assert(SnapshotLake.latestVersion(spark, root).get == v,
+      "no-match mor DML must publish no version")
+    // CDC diff across the mor statements classifies from the delete sets
+    val diff = SnapshotLake.diff(spark, root, before.version, v,
+      keyCols = Seq("event_id"))
+    val byChange = diff.groupBy("change").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byChange.getOrElse("delete", 0L) == 3L, s"got $byChange")
+    assert(byChange.getOrElse("update", 0L) == 1L, s"got $byChange")
+    spark.sql("DROP TABLE graft.mor.d")
+  }
+
+  test("partitioned mor lake: MERGE inserts route hive-partitioned; " +
+      "partition-scoped statements prune candidates statically") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mor")
+    spark.sql("DROP TABLE IF EXISTS graft.mor.p")
+    spark.sql("CREATE TABLE graft.mor.p (symbol STRING, ts TIMESTAMP_NTZ, " +
+      "close DOUBLE, event_id BIGINT) USING `graft-snapshot` " +
+      "PARTITIONED BY (symbol) TBLPROPERTIES ('dmlMode' 'mor')")
+    val root = s"$warehouse/mor/p"
+    bars(12, 0.0).createOrReplaceTempView("mor_p_seed")
+    spark.sql("INSERT INTO graft.mor.p SELECT symbol, ts, close, event_id " +
+      "FROM mor_p_seed")
+    val before = SnapshotLake.manifest(spark, root)
+    bars(15, 700.0).filter(col("event_id") >= 12)
+      .createOrReplaceTempView("mor_p_src")
+    spark.sql("""MERGE INTO graft.mor.p t USING mor_p_src s
+                 ON t.event_id = s.event_id
+                 WHEN MATCHED THEN UPDATE SET close = s.close
+                 WHEN NOT MATCHED THEN INSERT (symbol, ts, close, event_id)
+                   VALUES (s.symbol, s.ts, s.close, s.event_id)""")
+    val after = SnapshotLake.manifest(spark, root)
+    assert(after.files.forall(_.rel.startsWith("symbol=")),
+      s"mor inserts must land hive-routed: ${after.files.map(_.rel)}")
+    assert(spark.sql("SELECT * FROM graft.mor.p").count() == 15)
+    assert(spark.sql(
+      "SELECT * FROM graft.mor.p WHERE symbol = 'sym0'").count() == 5)
+    // partition-scoped UPDATE: only that partition's files can carry new
+    // sidecars (static pruning through the hive partition values)
+    spark.sql("UPDATE graft.mor.p SET close = close + 1000 " +
+      "WHERE symbol = 'sym1' AND event_id < 12")
+    val upd = SnapshotLake.manifest(spark, root)
+    val sidecarred = upd.files.filter(f =>
+      f.deletes.diff(after.files.find(_.rel == f.rel)
+        .map(_.deletes).getOrElse(Nil)).nonEmpty)
+    assert(sidecarred.nonEmpty &&
+      sidecarred.forall(_.rel.startsWith("symbol=sym1/")),
+      s"only sym1 files may gain sidecars, got ${sidecarred.map(_.rel)}")
+    assert(spark.sql("SELECT * FROM graft.mor.p " +
+      "WHERE symbol = 'sym1' AND close >= 1000 AND close < 1700")
+      .count() == 4)
+    spark.sql("DROP TABLE graft.mor.p")
+  }
+}
