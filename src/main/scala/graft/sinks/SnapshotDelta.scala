@@ -389,6 +389,7 @@ final class SnapshotDeltaWrite(
   override def toBatch: DeltaBatchWrite = this
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
+    SnapshotLake.requireFieldIdWrites(spark, base.schema)
     val fs = stageDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(stageDir)
     fs.mkdirs(new Path(stageDir, "deletes"))

@@ -572,6 +572,19 @@ object SnapshotLake {
       }.toIndexedSeq: _*)
     }
 
+  /** Loud write-side guard shared by the executor-writing SQL DML paths
+    * (the library paths go through [[attachFieldIds]]): an id-schema
+    * lake must never gain id-less files, or a later RENAME would
+    * silently mis-resolve them.
+    */
+  private[sinks] def requireFieldIdWrites(spark: SparkSession,
+      schema: StructType): Unit =
+    if (schemaHasFieldIds(schema))
+      require(spark.sessionState.conf.parquetFieldIdWriteEnabled,
+        "this lake tracks parquet field ids, but " +
+          "spark.sql.parquet.fieldId.write.enabled is false — id-less " +
+          "files would break RENAME/DROP COLUMN resolution; re-enable it")
+
   /** Loud read-side guard for column-mapped lakes (see
     * [[ColumnMappedProp]]). A no-op for every other lake.
     */

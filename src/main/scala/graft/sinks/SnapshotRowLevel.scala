@@ -126,8 +126,16 @@ final class SnapshotRowLevelOperation(
 final class SnapshotRowLevelOperationBuilder(
     spark: SparkSession, root: String, base: SnapshotLake.Manifest,
     info: RowLevelOperationInfo) extends RowLevelOperationBuilder {
-  override def build(): RowLevelOperation =
+  override def build(): RowLevelOperation = {
+    // tripwire: deletes exist only on dmlMode=mor lakes, which route to
+    // the delta builder — a COW rewrite over delete-carrying files would
+    // rebuild groups from its own (delete-aware) scan but the invariant
+    // is load-bearing enough to fail loudly on rather than reason about
+    require(base.files.forall(_.deletes.isEmpty),
+      s"copy-on-write row-level DML over position-delete-carrying files " +
+        s"under $root — this lake should be dmlMode=mor; compact() first")
     new SnapshotRowLevelOperation(spark, root, base, info.command)
+  }
 }
 
 /** The operation's scan builder. Pushed filters (the target-only
@@ -313,6 +321,7 @@ final class SnapshotReplaceDataWrite(
     writeSchema.fields.filterNot(f => op.partCols.contains(f.name)))
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    SnapshotLake.requireFieldIdWrites(spark, base.schema)
     val fs = stageDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(stageDir)
     val job = Job.getInstance(spark.sparkContext.hadoopConfiguration)
@@ -425,6 +434,7 @@ final class SnapshotDynamicOverwriteWrite(
     tableSchema.fields.filterNot(f => partCols.contains(f.name)))
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    SnapshotLake.requireFieldIdWrites(spark, tableSchema)
     val fs = stageDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(stageDir)
     val job = Job.getInstance(spark.sparkContext.hadoopConfiguration)

@@ -197,6 +197,13 @@ final class SnapshotTable(
     if (catalogManaged) {
       base.add(TableCapability.BATCH_WRITE)
       base.add(TableCapability.OVERWRITE_DYNAMIC)
+      // MERGE WITH SCHEMA EVOLUTION: the analyzer lands the source's new
+      // columns as our ONE metadata-only evolve commit (alterTable ADD
+      // COLUMNS) before planning the merge — widen-only; retypes and
+      // retired-name re-bindings refuse loudly through the same ALTER
+      // contract as a hand-written ALTER TABLE. Catalog tables only (the
+      // rule resolves the ALTER through the relation's catalog).
+      base.add(TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
     }
     base
   }
@@ -281,8 +288,11 @@ final class SnapshotTable(
       s"no committed snapshot under $root — nothing to modify"))
     if (SnapshotTable.morLake(m)) {
       // merge-on-read: the SupportsDelta path, keyed on (_file, _pos) —
-      // both must be free for the metadata columns to serve
-      Seq(SnapshotTable.FileMetaCol, SnapshotTable.PosMetaCol).foreach(c =>
+      // both must be free for the metadata columns to serve, and
+      // `_metadata` must be free for the library read's hidden-column
+      // anti-join (a real data column of that name would shadow it)
+      Seq(SnapshotTable.FileMetaCol, SnapshotTable.PosMetaCol,
+        "_metadata").foreach(c =>
         require(!m.schema.fieldNames.contains(c),
           s"dmlMode=mor needs the `$c` metadata column, but the lake has " +
             s"a real `$c` data column — rename it or use dmlMode=cow"))

@@ -160,6 +160,65 @@ class SnapshotMorSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.mor.d")
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION: the source's new columns land as " +
+      "ONE metadata-only evolve commit before the merge — widen-only, " +
+      "on both copy-on-write and merge-on-read lakes") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.evo")
+    Seq("cow", "mor").foreach { mode =>
+      val tbl = s"graft.evo.t_$mode"
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.sql(s"CREATE TABLE $tbl (event_id BIGINT, close DOUBLE) " +
+        "USING `graft-snapshot` TBLPROPERTIES " +
+        s"('dmlMode' '$mode', 'statsCols' 'event_id')")
+      val root = s"$warehouse/evo/t_$mode"
+      Seq((1L, 1.0), (2L, 2.0)).toDF("event_id", "close")
+        .createOrReplaceTempView("evo_seed")
+      spark.sql(s"INSERT INTO $tbl SELECT * FROM evo_seed")
+      Seq((2L, 20.0, "b"), (3L, 30.0, "c"))
+        .toDF("event_id", "close", "venue")
+        .createOrReplaceTempView("evo_src")
+      // WITHOUT the clause, the extra source column is simply not
+      // inserted (stock INSERT-* binding) and the schema stays put
+      // (Spark plans an insert-only MERGE as an Append; with no
+      // qualifying rows that is an empty append commit)
+      spark.sql(s"""MERGE INTO $tbl t USING evo_src s
+                    ON t.event_id = s.event_id AND t.event_id < 0
+                    WHEN NOT MATCHED BY TARGET AND s.event_id < 0
+                    THEN INSERT (event_id, close)
+                    VALUES (s.event_id, s.close)""")
+      assert(SnapshotLake.manifest(spark, root).schema.fieldNames.toSeq ==
+        Seq("event_id", "close"))
+      val before = SnapshotLake.manifest(spark, root)
+      spark.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO $tbl t
+                    USING evo_src s ON t.event_id = s.event_id
+                    WHEN MATCHED THEN UPDATE SET *
+                    WHEN NOT MATCHED THEN INSERT *""")
+      val after = SnapshotLake.manifest(spark, root)
+      assert(after.schema.fieldNames.toSeq ==
+        Seq("event_id", "close", "venue"), s"$mode: schema must widen")
+      // the widen was ONE metadata-only evolve commit before the merge
+      val evolve = SnapshotLake.versions(spark, root)
+        .map(v => SnapshotLake.manifest(spark, root, Some(v)))
+        .find(_.op == "evolve").get
+      assert(evolve.files.map(_.rel) == before.files.map(_.rel),
+        s"$mode: evolve must be metadata-only")
+      val rows = spark.sql(
+        s"SELECT event_id, close, venue FROM $tbl ORDER BY event_id")
+        .collect()
+      assert(rows.map(r => (r.getLong(0), r.getDouble(1),
+        Option(r.getString(2)).getOrElse("-"))).toSeq ==
+        Seq((1L, 1.0, "-"), (2L, 20.0, "b"), (3L, 30.0, "c")),
+        s"$mode: got ${rows.mkString(",")}")
+      if (mode == "mor") {
+        // the mor merge stacked sidecars instead of rewriting the seed
+        assert(before.files.map(_.rel).toSet
+          .subsetOf(after.files.map(_.rel).toSet))
+        assert(after.op == "merge:sql-mor")
+      }
+      spark.sql(s"DROP TABLE $tbl")
+    }
+  }
+
   test("partitioned mor lake: MERGE inserts route hive-partitioned; " +
       "partition-scoped statements prune candidates statically") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mor")
