@@ -152,6 +152,7 @@ private[sinks] object GraftProcedures {
           StructField("op", StringType),
           StructField("n_files", LongType),
           StructField("bytes", LongType),
+          StructField("n_delete_files", LongType),
           StructField("commit_time_us", LongType)))) {
         // multi-row result: one line per committed version, straight off
         // the manifests (no data I/O) — the SQL twin of SnapshotLake.history
@@ -164,6 +165,7 @@ private[sinks] object GraftProcedures {
               new GenericInternalRow(Array[Any](m.version, m.parent,
                 org.apache.spark.unsafe.types.UTF8String.fromString(m.op),
                 m.files.size.toLong, m.bytes,
+                m.files.flatMap(_.deletes).distinct.size.toLong,
                 m.props.get("commitTimeUs")
                   .flatMap(s => scala.util.Try(s.toLong).toOption)
                   .map(Long.box).orNull)): InternalRow
@@ -171,6 +173,7 @@ private[sinks] object GraftProcedures {
           val schema = StructType(Seq(StructField("version", LongType),
             StructField("parent", LongType), StructField("op", StringType),
             StructField("n_files", LongType), StructField("bytes", LongType),
+            StructField("n_delete_files", LongType),
             StructField("commit_time_us", LongType)))
           java.util.Collections.singletonList[Scan](new LocalScan {
             override def rows(): Array[InternalRow] = out

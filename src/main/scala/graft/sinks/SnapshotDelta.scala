@@ -446,6 +446,7 @@ final class SnapshotDeltaWrite(
         .flatMap { case (rel, covered) => covered.map(_ -> rel) }
         .groupBy(_._1).map { case (dataRel, ps) => dataRel -> ps.map(_._2) }
       val readSet = SnapshotLake.readSetOf(op.candidates)
+      SnapshotDeltaWrite.beforeCommit()
       def cleanup(): Unit = {
         newFiles.foreach { f =>
           fs.delete(new Path(root, s"data/${f.rel}"), false)
@@ -486,6 +487,16 @@ final class SnapshotDeltaWrite(
     val fs = stageDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(stageDir, true)
   }
+}
+
+object SnapshotDeltaWrite {
+  /** Test seam: runs after the statement's files are staged and its
+    * delete sidecars moved, immediately before the manifest commit —
+    * the deterministic replay point for the extended read-set guard (a
+    * spec injects a rival rewrite or delta DML here; production value
+    * is a no-op).
+    */
+  @volatile private[graft] var beforeCommit: () => Unit = () => ()
 }
 
 final class SnapshotDeltaWriterFactory(

@@ -1359,13 +1359,18 @@ object SnapshotLake {
       java.util.Collections.singletonList(row), schema)
   }
 
-  /** Version history — (version, parent, op, n_files, bytes). */
+  /** Version history — (version, parent, op, n_files, bytes,
+    * n_delete_files): the last column is the distinct position-delete
+    * sidecars the version references (0 = no pending merge-on-read
+    * deletes; a rewrite absorbing them shows the count dropping).
+    */
   def history(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._
     versions(spark, root)
       .map(v => manifest(spark, root, Some(v)))
-      .map(m => (m.version, m.parent, m.op, m.files.size.toLong, m.bytes))
-      .toDF("version", "parent", "op", "n_files", "bytes")
+      .map(m => (m.version, m.parent, m.op, m.files.size.toLong, m.bytes,
+        m.files.flatMap(_.deletes).distinct.size.toLong))
+      .toDF("version", "parent", "op", "n_files", "bytes", "n_delete_files")
   }
 
   // ----------------------------------------------------------- maintenance

@@ -1402,6 +1402,21 @@ object ScaleSmoke {
         f"(${results(0)._4} files rewritten) vs mor=${morSec}%.1f s " +
         f"(0 rewritten) = ${cowSec / morSec}%.2f x; mor at 10x rows " +
         f"${morBig / morSec}%.2f x (rows-proportional would be ~1x)")
+      // ---- the read-side tax mor trades for its O(rows) writes: a full
+      // scan while sidecars pend (row-based position filter) vs after a
+      // compact absorbs them (vectorized fast path restored)
+      val taxTbl = "morbench.b.t_mor_1"
+      def scanSec(): Double = (0 until 3).map { _ =>
+        val t0 = System.nanoTime()
+        spark.sql(s"SELECT sum(close), count(*) FROM $taxTbl").collect()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      val taxed = scanSec()
+      spark.sql(s"CALL morbench.system.optimize(`table` => 'b.t_mor_1')")
+      val clean = scanSec()
+      println(f"[scale] morbench read tax: full scan with pending " +
+        f"sidecars ${taxed}%.2f s vs post-compact ${clean}%.2f s = " +
+        f"${taxed / clean}%.2f x (the mor trade until compaction)")
     }
     spark.stop()
   }

@@ -160,6 +160,55 @@ class SnapshotMorSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.mor.d")
   }
 
+  test("mor statements abort loudly when a rival rewrote (or stacked new " +
+      "deletes onto) a candidate file between scan and commit — " +
+      "deterministic race replay") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mor")
+    spark.sql("DROP TABLE IF EXISTS graft.mor.race")
+    spark.sql("CREATE TABLE graft.mor.race (symbol STRING, " +
+      "ts TIMESTAMP_NTZ, close DOUBLE, event_id BIGINT) " +
+      "USING `graft-snapshot` TBLPROPERTIES ('dmlMode' 'mor')")
+    val root = s"$warehouse/mor/race"
+    bars(12, 0.0).repartition(3).createOrReplaceTempView("mor_race_seed")
+    spark.sql("INSERT INTO graft.mor.race SELECT * FROM mor_race_seed")
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: chain(x.getCause))
+    // rival = a compact replacing every candidate between the statement's
+    // staging and its commit: the recorded positions reference files that
+    // no longer exist in the head — publishing would lose the deletes
+    graft.sinks.SnapshotDeltaWrite.beforeCommit = () =>
+      SnapshotLake.compact(spark, root)
+    try {
+      val before = SnapshotLake.manifest(spark, root).version
+      val e = intercept[Exception] {
+        spark.sql("DELETE FROM graft.mor.race WHERE event_id % 4 = 1")
+      }
+      assert(chain(e).exists(m => m != null && m.contains("concurrent")),
+        s"expected the loud statement abort, got ${chain(e)}")
+      graft.sinks.SnapshotDeltaWrite.beforeCommit = () => ()
+      // the rival's compact won; the lake is consistent, nothing deleted,
+      // no orphaned sidecars referenced
+      val m = SnapshotLake.manifest(spark, root)
+      assert(m.op == "compact" && m.version == before + 1)
+      assert(m.files.forall(_.deletes.isEmpty))
+      assert(spark.sql("SELECT * FROM graft.mor.race").count() == 12)
+      // re-issued against the new head, the statement lands
+      spark.sql("DELETE FROM graft.mor.race WHERE event_id % 4 = 1")
+      assert(spark.sql("SELECT * FROM graft.mor.race").count() == 9)
+      // history exposes the pending sidecars per version (and their
+      // absorption by rewrites)
+      val hist = spark.sql(
+        "CALL graft.system.history(`table` => 'mor.race')").collect()
+      val byOp = hist.map(r => r.getString(2) -> r.getLong(5)).toMap
+      assert(byOp("delete:sql-mor") >= 1,
+        s"history must count pending sidecars, got ${hist.mkString(",")}")
+      assert(byOp("compact") == 0)
+    } finally {
+      graft.sinks.SnapshotDeltaWrite.beforeCommit = () => ()
+      spark.sql("DROP TABLE graft.mor.race")
+    }
+  }
+
   test("MERGE WITH SCHEMA EVOLUTION: the source's new columns land as " +
       "ONE metadata-only evolve commit before the merge — widen-only, " +
       "on both copy-on-write and merge-on-read lakes") {
