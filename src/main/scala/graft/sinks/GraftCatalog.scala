@@ -185,14 +185,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val adds = changes.collect { case a: TableChange.AddColumn => a }
     val renames = changes.collect { case r: TableChange.RenameColumn => r }
     val drops = changes.collect { case d: TableChange.DeleteColumn => d }
-    require(adds.size + renames.size + drops.size == changes.size,
-      s"graft catalog supports ALTER TABLE ADD/RENAME/DROP COLUMN only; " +
-        s"got " + changes.filterNot(c => c.isInstanceOf[TableChange.AddColumn]
+    val retypes = changes.collect { case t: TableChange.UpdateColumnType => t }
+    require(adds.size + renames.size + drops.size + retypes.size ==
+      changes.size,
+      s"graft catalog supports ALTER TABLE ADD/RENAME/DROP COLUMN and " +
+        s"widening ALTER COLUMN TYPE only; got " +
+        changes.filterNot(c => c.isInstanceOf[TableChange.AddColumn]
           || c.isInstanceOf[TableChange.RenameColumn]
-          || c.isInstanceOf[TableChange.DeleteColumn]).mkString(", "))
-    require(Seq(adds, renames, drops).count(_.nonEmpty) == 1,
+          || c.isInstanceOf[TableChange.DeleteColumn]
+          || c.isInstanceOf[TableChange.UpdateColumnType]).mkString(", "))
+    require(Seq(adds, renames, drops, retypes).count(_.nonEmpty) == 1,
       "ALTER TABLE: one change kind per statement")
-    if (renames.nonEmpty) {
+    if (retypes.nonEmpty) {
+      retypes.foreach { t =>
+        require(t.fieldNames.length == 1,
+          s"ALTER COLUMN TYPE supports top-level columns only, got " +
+            t.fieldNames.mkString("."))
+        SnapshotLake.widenColumn(spark, root, t.fieldNames.head, t.newDataType)
+      }
+    } else if (renames.nonEmpty) {
       renames.foreach { r =>
         require(r.fieldNames.length == 1,
           s"RENAME COLUMN supports top-level columns only, got " +

@@ -1011,6 +1011,56 @@ object SnapshotLake {
       }, lockExpiryMs, props = Some(props))
   }
 
+  /** Type WIDENINGS Spark's parquet readers resolve natively against the
+    * narrower physical type in old files (verified: vectorized reads,
+    * pushed filters, and the int→double promotion all upcast) — and that
+    * keep the manifest's data-skipping index sound: envelopes already
+    * live in the double domain, and bloom sidecars hash integrals
+    * through putLong, so a widened integral column probes identically.
+    * Everything else (narrowing, long→double which loses precision past
+    * 2^53, decimals, strings) refuses: that is a rewrite migration.
+    */
+  private val Widenings: Map[DataType, Set[DataType]] = {
+    import org.apache.spark.sql.types._
+    Map(
+      ByteType -> Set[DataType](ShortType, IntegerType, LongType, DoubleType),
+      ShortType -> Set[DataType](IntegerType, LongType, DoubleType),
+      IntegerType -> Set[DataType](LongType, DoubleType),
+      FloatType -> Set[DataType](DoubleType))
+  }
+
+  /** METADATA-ONLY type widening — the `ALTER TABLE ... ALTER COLUMN x
+    * TYPE <wider>` landing: the schema field changes type (same name,
+    * same field id), the file list is untouched, and old files' narrower
+    * physical values upcast in the reader. Partition columns refuse
+    * (their directory-string parsing and pruning are typed by the
+    * schema; retyping them is a rewrite migration).
+    */
+  def widenColumn(spark: SparkSession, root: String, colName: String,
+      newType: DataType, lockExpiryMs: Long = DefaultLockExpiryMs): Long = {
+    val head = manifest(spark, root, None)
+    val field = head.schema.fields.find(_.name == colName).getOrElse(
+      throw new IllegalArgumentException(
+        s"column $colName not in snapshot schema ${head.schema.simpleString}"))
+    val parts = head.props.get("partitionCols").toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    require(!parts.contains(colName),
+      s"ALTER COLUMN TYPE cannot touch partition column $colName — its " +
+        "directory values are typed by the schema; that is a rewrite " +
+        "migration")
+    require(Widenings.get(field.dataType).exists(_.contains(newType)),
+      s"cannot retype $colName: ${field.dataType.simpleString} -> " +
+        s"${newType.simpleString} is not a supported widening " +
+        s"(${Widenings.map { case (f, ts) =>
+          f.simpleString + "->" + ts.map(_.simpleString).mkString("/")
+        }.mkString("; ")}) — narrowing or lossy retypes are an explicit " +
+        "rewrite migration")
+    commit(spark, root, s"widen:$colName:${newType.simpleString}",
+      StructType(head.schema.fields.map(f =>
+        if (f.name == colName) f.copy(dataType = newType) else f)),
+      build = h => h.map(_.files).getOrElse(Nil), lockExpiryMs)
+  }
+
   /** The per-commit epoch-micros stamp every round-13+ commit writes into
     * its manifest props (monotonic within a lake). */
   private[sinks] val CommitTimeProp = "commitTimeUs"

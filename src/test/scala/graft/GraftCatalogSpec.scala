@@ -476,6 +476,63 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("ALTER COLUMN TYPE widening is a metadata-only commit: old files' " +
+      "narrower physical values upcast in the reader, pushed filters " +
+      "stay sound, narrowing refuses") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.widen")
+    spark.sql("DROP TABLE IF EXISTS graft.widen.t")
+    spark.sql("CREATE TABLE graft.widen.t (k INT, v FLOAT, sym STRING) " +
+      "USING `graft-snapshot` TBLPROPERTIES ('statsCols' 'k', " +
+      "'bloomCols' 'k')")
+    val root = s"$warehouse/widen/t"
+    Seq((1, 1.5f, "a"), (2, 2.5f, "b"), (3, 3.5f, "c"))
+      .toDF("k", "v", "sym").createOrReplaceTempView("widen_src")
+    spark.sql("INSERT INTO graft.widen.t SELECT * FROM widen_src")
+    val before = SnapshotLake.manifest(spark, root)
+    spark.sql("ALTER TABLE graft.widen.t ALTER COLUMN k TYPE BIGINT")
+    spark.sql("ALTER TABLE graft.widen.t ALTER COLUMN v TYPE DOUBLE")
+    val after = SnapshotLake.manifest(spark, root)
+    assert(after.files.map(_.rel) == before.files.map(_.rel),
+      "widening must be metadata-only")
+    assert(after.schema("k").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(after.schema("v").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    // same field id (widening is not a re-bind)
+    assert(after.schema("k").metadata.getLong("parquet.field.id") ==
+      before.schema("k").metadata.getLong("parquet.field.id"))
+    // old INT32/FLOAT files read upcast, with filters pushed on the
+    // widened column (row-group stats stay sound)
+    assert(spark.sql("SELECT sum(k) FROM graft.widen.t").head().getLong(0)
+      == 6L)
+    assert(spark.sql(
+      "SELECT v FROM graft.widen.t WHERE k >= 2 AND v > 2.0 ORDER BY v")
+      .collect().map(_.getDouble(0)).toSeq == Seq(2.5, 3.5))
+    // post-widen inserts land wide; the mixed lake reads consistently
+    spark.sql("INSERT INTO graft.widen.t SELECT CAST(4000000000000 AS " +
+      "BIGINT), CAST(4.5 AS DOUBLE), 'd'")
+    assert(spark.sql("SELECT max(k) FROM graft.widen.t").head().getLong(0)
+      == 4000000000000L)
+    // the point-lookup bloom index survives widening: integrals hash
+    // through putLong on both sides
+    assert(SnapshotLake.readPoint(spark, root, Map("k" -> 2L))
+      .count() == 1)
+    // narrowing and lossy retypes refuse
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: chain(x.getCause))
+    // narrowing: Spark's own analyzer refuses it before the catalog
+    // (Cast.canUpCast gate) — loud either way
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.widen.t ALTER COLUMN k TYPE INT")
+    }
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.widen.t ALTER COLUMN k TYPE DOUBLE")
+    }
+    assert(chain(e2).exists(m => m != null && m.contains("widening")),
+      "long->double loses precision past 2^53 and must refuse")
+    spark.sql("DROP TABLE graft.widen.t")
+  }
+
   test("SHOW PROCEDURES hygiene: the system verbs are listed only under " +
       "the `system` namespace, and a bare table argument refuses") {
     val cat = spark.sessionState.catalogManager.catalog("graft")
