@@ -460,6 +460,8 @@ final class SnapshotDeltaWrite(
       try {
         SnapshotLake.commit(spark, root, s"$opName:sql-mor", base.schema,
           build = head => {
+            SnapshotLake.requireSchemaIntact(base.schema, head, newFiles,
+              s"$opName:sql-mor", root)
             val headFiles = SnapshotLake.requireReadSetIntact(readSet, head,
               newFiles, s"$opName:sql-mor", root)
             // defense: every covered file must be a statement candidate

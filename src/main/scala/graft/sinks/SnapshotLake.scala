@@ -311,7 +311,8 @@ object SnapshotLake {
   private[sinks] def commit(spark: SparkSession, root: String, op: String,
       schema: StructType, build: Option[Manifest] => Seq[FileEntry],
       lockExpiryMs: Long,
-      props: Option[Map[String, String]] = None): Long = {
+      props: Option[Map[String, String]] = None,
+      schemaOf: Option[Option[Manifest] => StructType] = None): Long = {
     val fs = fsOf(spark, root)
     fs.mkdirs(manifestDir(root))
     val deadline = System.nanoTime + java.util.concurrent.TimeUnit.MILLISECONDS
@@ -348,7 +349,12 @@ object SnapshotLake {
               headM.flatMap(_.props.get(CommitTimeProp))
                 .flatMap(s => scala.util.Try(s.toLong).toOption)
                 .map(_ + 1L).getOrElse(Long.MinValue))
-            val m = Manifest(next, head.getOrElse(0L), op, schema,
+            // schemaOf (when given) resolves the published schema FROM
+            // THE FROZEN HEAD — the seam appends/restats use to ride
+            // through a concurrent metadata-only schema commit instead
+            // of clobbering it
+            val outSchema = schemaOf.map(f => f(headM)).getOrElse(schema)
+            val m = Manifest(next, head.getOrElse(0L), op, outSchema,
               build(headM),
               inherited + (CommitTimeProp -> commitUs.toString))
             val tmp = new Path(manifestDir(root), s".tmp-${newToken()}")
@@ -446,6 +452,28 @@ object SnapshotLake {
         s"${gone.head}); aborting this commit and recomputing from the " +
         "new head")
     files
+  }
+
+  /** Companion guard for every rewrite that publishes ITS base's schema:
+    * a METADATA-ONLY schema commit (evolve / rename / widen / drop)
+    * landing between the rewrite's base read and its commit would be
+    * silently CLOBBERED — the rewrite would republish the stale schema
+    * (and, for rename/drop, stale column-keyed entries). The file-level
+    * read-set check cannot see it (metadata commits keep the file list),
+    * so schema identity is checked EXACTLY (names, types, and field-id
+    * metadata — a rename keeps types but rebinds names). On drift the
+    * commit aborts and [[retryOnConflict]] re-runs from the new head,
+    * which picks the evolved schema up.
+    */
+  private[sinks] def requireSchemaIntact(baseSchema: StructType,
+      head: Option[Manifest], staged: Seq[FileEntry], op: String,
+      root: String): Unit = {
+    val headSchema = head.map(_.schema).getOrElse(baseSchema)
+    if (headSchema != baseSchema) throw new ConflictingRewriteException(
+      staged,
+      s"$op under $root: the lake schema changed concurrently " +
+        s"(${baseSchema.simpleString} -> ${headSchema.simpleString}); " +
+        "aborting this commit and recomputing from the new head")
   }
 
   /** Run a whole rewrite attempt (read head → stage → commit); on a
@@ -1100,32 +1128,64 @@ object SnapshotLake {
   private def appendOp(spark: SparkSession, root: String, df: DataFrame,
       partitionCols: Seq[String], statsCols: Seq[String], evolve: Boolean,
       op: String, lockExpiryMs: Long, bloomCols: Seq[String] = Nil): Long = {
-    val (schema, propsOverride) = latestVersion(spark, root) match {
-      case None =>
-        // lake born here: assign field ids (see FieldIdsBirthProp)
-        (assignFieldIds(df.schema, 1L), Some(Map(
-          MaxFieldIdProp -> df.schema.fields.length.toString,
-          FieldIdsBirthProp -> "birth")))
-      case Some(_) =>
-        val head = manifest(spark, root, None)
-        val cur = head.schema
-        if (schemasCompatible(cur, df.schema)) (cur, None)
-        else if (evolve) {
-          val (widened, o) = widenedWithIds(head, unionSchema(cur, df.schema))
-          // preserve the head's other props under the explicit override
-          (widened, o.map(head.props ++ _))
-        }
-        else throw new IllegalArgumentException(
-          s"append schema drift: lake has ${cur.simpleString}, " +
-            s"append has ${df.schema.simpleString} — pass evolve=true to " +
-            "widen (add columns), or migrate explicitly")
+    retryOnConflict(spark, root, op) { () =>
+      // resolved INSIDE the retry: a conflicted attempt re-reads the head
+      // so the fresh compatibility check runs against the NEW schema
+      val (schema, propsOverride) = latestVersion(spark, root) match {
+        case None =>
+          // lake born here: assign field ids (see FieldIdsBirthProp)
+          (assignFieldIds(df.schema, 1L), Some(Map(
+            MaxFieldIdProp -> df.schema.fields.length.toString,
+            FieldIdsBirthProp -> "birth")))
+        case Some(_) =>
+          val head = manifest(spark, root, None)
+          val cur = head.schema
+          if (schemasCompatible(cur, df.schema)) (cur, None)
+          else if (evolve) {
+            val (widened, o) = widenedWithIds(head, unionSchema(cur, df.schema))
+            // preserve the head's other props under the explicit override
+            (widened, o.map(head.props ++ _))
+          }
+          else throw new IllegalArgumentException(
+            s"append schema drift: lake has ${cur.simpleString}, " +
+              s"append has ${df.schema.simpleString} — pass evolve=true to " +
+              "widen (add columns), or migrate explicitly")
+      }
+      val added = stageFiles(spark, root, attachFieldIds(df, schema),
+        partitionCols, statsCols.toSet, bloomCols)
+      beforeAppendCommit()
+      commit(spark, root, op, schema,
+        build = head => head.map(_.files).getOrElse(Nil) ++ added,
+        lockExpiryMs, props = propsOverride,
+        // a METADATA-ONLY schema commit racing this append must not be
+        // clobbered by republishing our pre-drift schema: when the head
+        // schema WIDENED past ours (name+type superset — the evolve
+        // race), our staged files are still valid under it (absent
+        // columns read NULL) and we publish the HEAD schema; any other
+        // drift (rename/retype raced the append) aborts + re-runs, where
+        // the fresh compatibility check speaks loudly
+        schemaOf = Some { headM =>
+          val h = headM.map(_.schema).getOrElse(schema)
+          def nt(st: StructType) = st.fields.map(f => (f.name, f.dataType)).toSet
+          if (h == schema) schema
+          // we are the widener (an evolve-append): ours supersedes
+          else if (nt(h).subsetOf(nt(schema))) schema
+          // a rival widened past us: our files are valid under theirs
+          else if (nt(schema).subsetOf(nt(h))) h
+          // true divergence (rename/retype raced the append): abort; the
+          // retry's fresh compatibility check speaks loudly
+          else throw new ConflictingRewriteException(added,
+            s"$op under $root lost to a concurrent schema change " +
+              s"(${schema.simpleString} vs head ${h.simpleString})")
+        })
     }
-    val added = stageFiles(spark, root, attachFieldIds(df, schema),
-      partitionCols, statsCols.toSet, bloomCols)
-    commit(spark, root, op, schema,
-      build = head => head.map(_.files).getOrElse(Nil) ++ added,
-      lockExpiryMs, props = propsOverride)
   }
+
+  /** Test seam: runs between an append's staging and its commit — the
+    * deterministic replay point for the schema-drift ride-through
+    * (production value is a no-op).
+    */
+  @volatile private[graft] var beforeAppendCommit: () => Unit = () => ()
 
   /** Stamp fresh ids onto the NEW fields of a widened schema (the
     * existing fields keep theirs through [[unionSchema]]'s field copy).
@@ -1472,9 +1532,12 @@ object SnapshotLake {
         // out — and every rewritten file must still be in head (same
         // delete sets), else a rival rewrite intervened and we abort +
         // retry.
-        build = head => newFiles ++
+        build = head => {
+          requireSchemaIntact(base.schema, head, newFiles, "compact", root)
+          newFiles ++
           requireReadSetIntact(baseSet, head, newFiles, "compact", root)
-            .filterNot(f => baseSet.contains(f.rel)),
+            .filterNot(f => baseSet.contains(f.rel))
+        },
         lockExpiryMs, props = compactProps)
       (v, base.files.size, newFiles.size)
     }
@@ -1504,10 +1567,14 @@ object SnapshotLake {
             s"replacement has ${df.schema.simpleString}")
         cur
     }
-    val newFiles = stageFiles(spark, root, attachFieldIds(df, schema),
-      partitionCols, statsCols.toSet, bloomCols)
-    commit(spark, root, "replace", schema, build = _ => newFiles,
-      lockExpiryMs)
+    retryOnConflict(spark, root, "replace") { () =>
+      val newFiles = stageFiles(spark, root, attachFieldIds(df, schema),
+        partitionCols, statsCols.toSet, bloomCols)
+      commit(spark, root, "replace", schema, build = head => {
+        requireSchemaIntact(schema, head, newFiles, "replace", root)
+        newFiles
+      }, lockExpiryMs)
+    }
   }
 
   /** METADATA-ONLY stats backfill: enrich the current snapshot's
@@ -1547,7 +1614,10 @@ object SnapshotLake {
       // rewrite won the lock first) stay removed
       build = head => head.map(_.files).getOrElse(Nil).map(f =>
         enriched.getOrElse(f.rel, f)),
-      lockExpiryMs)
+      lockExpiryMs,
+      // restat never changes the schema: publish the HEAD's, so a racing
+      // evolve/rename/widen is never clobbered by this metadata pass
+      schemaOf = Some(h => h.map(_.schema).getOrElse(base.schema)))
   }
 
   /** OPTIMIZE ZORDER for the snapshot lake: rewrite the current snapshot
@@ -1595,9 +1665,12 @@ object SnapshotLake {
           Some(base.props - RetiredColsProp)
         else None
       val v = commit(spark, root, "zorder", base.schema,
-        build = head => newFiles ++
+        build = head => {
+          requireSchemaIntact(base.schema, head, newFiles, "zorder", root)
+          newFiles ++
           requireReadSetIntact(baseSet, head, newFiles, "zorder", root)
-            .filterNot(f => baseSet.contains(f.rel)),
+            .filterNot(f => baseSet.contains(f.rel))
+        },
         lockExpiryMs, props = zProps)
       (v, base.files.size, newFiles.size)
     }
@@ -1672,10 +1745,13 @@ object SnapshotLake {
           statsCols, base.files.flatMap(_.bloomCols).distinct)
         val rewriteSet = readSetOf(rewrite)
         val v = commit(spark, root, op, base.schema,
-          build = head => newFiles ++
-            requireReadSetIntact(rewriteSet, head, newFiles, op, root)
-              .filterNot(f => rewriteSet.contains(f.rel) ||
-                newFiles.exists(_.rel == f.rel)),
+          build = head => {
+            requireSchemaIntact(base.schema, head, newFiles, op, root)
+            newFiles ++
+              requireReadSetIntact(rewriteSet, head, newFiles, op, root)
+                .filterNot(f => rewriteSet.contains(f.rel) ||
+                  newFiles.exists(_.rel == f.rel))
+          },
           lockExpiryMs)
         (v, rewrite.size, untouched.size)
       }
@@ -1726,13 +1802,16 @@ object SnapshotLake {
         val v =
           if (deleted == 0) base.version // no-op: no empty diff published
           else commit(spark, root, "delete", base.schema,
-            build = head => newFiles ++
-              requireReadSetIntact(rewriteSet, head,
-                // on conflict, drop only the freshly staged files — the
-                // deleted==0 branch never reaches commit, so newFiles
-                // here is always the staged list
-                newFiles, "delete", root)
-                .filterNot(f => rewriteSet.contains(f.rel)),
+            build = head => {
+              requireSchemaIntact(base.schema, head, newFiles, "delete", root)
+              newFiles ++
+                requireReadSetIntact(rewriteSet, head,
+                  // on conflict, drop only the freshly staged files — the
+                  // deleted==0 branch never reaches commit, so newFiles
+                  // here is always the staged list
+                  newFiles, "delete", root)
+                  .filterNot(f => rewriteSet.contains(f.rel))
+            },
             lockExpiryMs)
         (v, deleted, if (deleted == 0) 0 else rewrite.size, untouched.size)
       }
@@ -1813,9 +1892,14 @@ object SnapshotLake {
         partitionCols, allStats, base.files.flatMap(_.bloomCols).distinct)
       val rewriteSet = readSetOf(rewrite)
       val v = commit(spark, root, "replacewhere", base.schema,
-        build = head => newFiles ++
-          requireReadSetIntact(rewriteSet, head, newFiles, "replacewhere", root)
-            .filterNot(f => rewriteSet.contains(f.rel)),
+        build = head => {
+          requireSchemaIntact(base.schema, head, newFiles, "replacewhere",
+            root)
+          newFiles ++
+            requireReadSetIntact(rewriteSet, head, newFiles, "replacewhere",
+              root)
+              .filterNot(f => rewriteSet.contains(f.rel))
+        },
         lockExpiryMs)
       (v, deleted, rewrite.size, untouched.size)
     }

@@ -362,10 +362,14 @@ final class SnapshotReplaceDataWrite(
       if (replaced.isEmpty && newFiles.isEmpty) return // touched nothing
       try {
         SnapshotLake.commit(spark, root, s"$opName:sql", base.schema,
-          build = head => newFiles ++
-            SnapshotLake.requireReadSetIntact(replaced, head, newFiles,
+          build = head => {
+            SnapshotLake.requireSchemaIntact(base.schema, head, newFiles,
               s"$opName:sql", root)
-              .filterNot(f => replaced.contains(f.rel)),
+            newFiles ++
+              SnapshotLake.requireReadSetIntact(replaced, head, newFiles,
+                s"$opName:sql", root)
+                .filterNot(f => replaced.contains(f.rel))
+          },
           lockExpiryMs = 10L * 60 * 1000)
       } catch {
         case e: SnapshotLake.ConflictingRewriteException =>
@@ -476,6 +480,8 @@ final class SnapshotDynamicOverwriteWrite(
       try {
         SnapshotLake.commit(spark, root, "overwrite-dynamic", tableSchema,
           build = head => {
+            SnapshotLake.requireSchemaIntact(tableSchema, head, newFiles,
+              "overwrite-dynamic", root)
             val headFiles = head.map(_.files).getOrElse(Nil)
             val (dropped, carried) =
               if (partCols.isEmpty) (headFiles, Nil)

@@ -862,4 +862,74 @@ class SnapshotLakeSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("min/max envelopes"))
   }
+
+  test("metadata-only schema commits racing rewrites are never clobbered: " +
+      "compact retries onto the evolved schema, appends ride a widening " +
+      "through, and a rename racing an append refuses loudly") {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    // --- compact vs evolve (deterministic via the pinned-base seam) ---
+    val root = TempDirs.create("snaplake-schemarace") + "/lake"
+    val df = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("event_id", "close")
+    SnapshotLake.append(spark, root, df.repartition(2),
+      statsCols = Seq("event_id")) // v1
+    SnapshotLake.addColumns(spark, root,
+      StructType(Seq(StructField("venue", StringType)))) // v2, evolve
+    // first attempt reads the PRE-EVOLVE base: same file list (the
+    // read-set check alone cannot see the drift), stale schema — the
+    // schema guard must abort it and the retry publishes the evolved one
+    SnapshotLake.compactPinned(spark, root, Nil,
+      targetBytes = 256L * 1024 * 1024, lockExpiryMs = 60000,
+      pinFirstBase = Some(1L))
+    val m = SnapshotLake.manifest(spark, root)
+    assert(m.op == "compact" &&
+      m.schema.fieldNames.toSeq == Seq("event_id", "close", "venue"),
+      s"compact must not clobber the racing evolve: ${m.schema.simpleString}")
+    assert(SnapshotLake.read(spark, root).filter(col("venue").isNull)
+      .count() == 3)
+    // --- append vs evolve: the widening rides through (ONE-SHOT hook) ---
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    SnapshotLake.beforeAppendCommit = () =>
+      if (fired.compareAndSet(false, true))
+        SnapshotLake.addColumns(spark, root,
+          StructType(Seq(StructField("src", StringType))))
+    try {
+      SnapshotLake.append(spark, root,
+        Seq((4L, 4.0)).toDF("event_id", "close")
+          .withColumn("venue", lit("x")))
+    } finally SnapshotLake.beforeAppendCommit = () => ()
+    val m2 = SnapshotLake.manifest(spark, root)
+    assert(m2.op == "append" && m2.schema.fieldNames.toSeq ==
+      Seq("event_id", "close", "venue", "src"),
+      s"append must publish the concurrently-widened schema, got " +
+        m2.schema.simpleString)
+    assert(SnapshotLake.read(spark, root).count() == 4)
+    assert(SnapshotLake.read(spark, root)
+      .filter(col("event_id") === 4 && col("src").isNull).count() == 1)
+    // --- append vs rename: not a widening — refuses loudly on retry ---
+    val fired2 = new java.util.concurrent.atomic.AtomicBoolean(false)
+    SnapshotLake.beforeAppendCommit = () =>
+      if (fired2.compareAndSet(false, true))
+        SnapshotLake.renameColumn(spark, root, "close", "px")
+    val e = try intercept[IllegalArgumentException] {
+      SnapshotLake.append(spark, root,
+        Seq((5L, 5.0)).toDF("event_id", "close")
+          .withColumn("venue", lit("x")).withColumn("src", lit("y")))
+    } finally SnapshotLake.beforeAppendCommit = () => ()
+    assert(e.getMessage.contains("schema drift"), e.getMessage)
+    // the rename won; the lake is consistent under the new name
+    val prevRead = spark.conf
+      .getOption("spark.sql.parquet.fieldId.read.enabled")
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    try {
+      assert(SnapshotLake.manifest(spark, root).schema.fieldNames
+        .contains("px"))
+      assert(SnapshotLake.read(spark, root).filter(col("px") === 2.0)
+        .count() == 1)
+    } finally prevRead match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", v)
+      case None =>
+        spark.conf.unset("spark.sql.parquet.fieldId.read.enabled")
+    }
+  }
 }
