@@ -148,6 +148,10 @@ final class SnapshotMorScanBuilder(
     required = Some(requiredSchema)
 
   override def build(): Scan = {
+    // column-mapped lakes MUST resolve by field id here: a name-matched
+    // read of a renamed column returns NULL from pre-rename files, and
+    // when this scan feeds a delta DML those NULLs become after-images
+    SnapshotLake.requireFieldIdReads(spark, base)
     val box = SnapshotTable.pruneBoxOf(pushed)
     val partVals = SnapshotTable.partitionValuesFrom(pushed, partCols,
       spark.sessionState.conf.sessionLocalTimeZone)

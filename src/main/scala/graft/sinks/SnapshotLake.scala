@@ -1130,21 +1130,23 @@ object SnapshotLake {
       op: String, lockExpiryMs: Long, bloomCols: Seq[String] = Nil): Long = {
     retryOnConflict(spark, root, op) { () =>
       // resolved INSIDE the retry: a conflicted attempt re-reads the head
-      // so the fresh compatibility check runs against the NEW schema
-      val (schema, propsOverride) = latestVersion(spark, root) match {
+      // so the fresh compatibility check runs against the NEW schema.
+      // baseSchema = the head schema this statement resolved against —
+      // the ONLY anchor under which "ours supersedes" is sound at commit
+      val (schema, propsOverride, baseSchema) = latestVersion(spark, root) match {
         case None =>
           // lake born here: assign field ids (see FieldIdsBirthProp)
           (assignFieldIds(df.schema, 1L), Some(Map(
             MaxFieldIdProp -> df.schema.fields.length.toString,
-            FieldIdsBirthProp -> "birth")))
+            FieldIdsBirthProp -> "birth")), None)
         case Some(_) =>
           val head = manifest(spark, root, None)
           val cur = head.schema
-          if (schemasCompatible(cur, df.schema)) (cur, None)
+          if (schemasCompatible(cur, df.schema)) (cur, None, Some(cur))
           else if (evolve) {
             val (widened, o) = widenedWithIds(head, unionSchema(cur, df.schema))
             // preserve the head's other props under the explicit override
-            (widened, o.map(head.props ++ _))
+            (widened, o.map(head.props ++ _), Some(cur))
           }
           else throw new IllegalArgumentException(
             s"append schema drift: lake has ${cur.simpleString}, " +
@@ -1161,19 +1163,36 @@ object SnapshotLake {
         // clobbered by republishing our pre-drift schema: when the head
         // schema WIDENED past ours (name+type superset — the evolve
         // race), our staged files are still valid under it (absent
-        // columns read NULL) and we publish the HEAD schema; any other
-        // drift (rename/retype raced the append) aborts + re-runs, where
-        // the fresh compatibility check speaks loudly
+        // columns read NULL) and we publish the HEAD schema. "Ours
+        // supersedes" is claimed ONLY when the head is still exactly
+        // the base schema this statement resolved against (we are the
+        // sole widener) — a bare subset test would also match a rival
+        // DROP COLUMN, and republishing our schema there would revert
+        // the drop and resurrect the dropped data under its old field
+        // id. Any other drift (drop/rename/retype raced the append)
+        // aborts + re-runs, where the fresh compatibility check speaks
+        // loudly
         schemaOf = Some { headM =>
           val h = headM.map(_.schema).getOrElse(schema)
           def nt(st: StructType) = st.fields.map(f => (f.name, f.dataType)).toSet
           if (h == schema) schema
-          // we are the widener (an evolve-append): ours supersedes
-          else if (nt(h).subsetOf(nt(schema))) schema
-          // a rival widened past us: our files are valid under theirs
-          else if (nt(schema).subsetOf(nt(h))) h
-          // true divergence (rename/retype raced the append): abort; the
-          // retry's fresh compatibility check speaks loudly
+          // we are the widener (an evolve-append) and nobody else moved
+          // the schema since we resolved it: ours supersedes
+          else if (baseSchema.contains(h)) schema
+          // a rival widened past us: our files are valid under theirs —
+          // but only when every common column kept its FIELD ID (a
+          // drop + compact + re-add race re-binds a name to a fresh id;
+          // our staged files would carry the old id and read NULL there)
+          else if (nt(schema).subsetOf(nt(h)) && {
+            def ids(st: StructType) = st.fields.collect {
+              case f if f.metadata.contains(FieldIdKey) =>
+                f.name -> f.metadata.getLong(FieldIdKey)
+            }.toMap
+            val ours = ids(schema); val theirs = ids(h)
+            ours.forall { case (n, id) => theirs.get(n).forall(_ == id) }
+          }) h
+          // drop/rename/retype raced the append: abort; the retry's
+          // fresh compatibility check speaks loudly
           else throw new ConflictingRewriteException(added,
             s"$op under $root lost to a concurrent schema change " +
               s"(${schema.simpleString} vs head ${h.simpleString})")
@@ -1246,9 +1265,17 @@ object SnapshotLake {
     * writer recorded). The file-path → manifest-rel mapping is an
     * explicit broadcast lookup built from the very paths this plan
     * reads — no string surgery on URIs.
+    *
+    * Takes the MANIFEST (not a bare schema) so the column-mapped
+    * field-id read guard runs on EVERY path that opens manifest entries
+    * — merge/delete/replaceWhere rewrites included, where a name-matched
+    * read of a renamed column would return NULL from pre-rename files
+    * and the rewrite would commit those NULLs back permanently.
     */
   private[sinks] def readEntries(spark: SparkSession, root: String,
-      schema: StructType, files: Seq[FileEntry]): DataFrame = {
+      m: Manifest, files: Seq[FileEntry]): DataFrame = {
+    requireFieldIdReads(spark, m)
+    val schema = m.schema
     if (files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     val base = dataDir(root).toString
@@ -1285,7 +1312,7 @@ object SnapshotLake {
       version: Option[Long] = None): DataFrame = {
     val m = manifest(spark, root, version)
     requireFieldIdReads(spark, m)
-    readEntries(spark, root, m.schema, m.files)
+    readEntries(spark, root, m, m.files)
   }
 
   /** A column expression in the same numeric domain as its parquet footer
@@ -1337,7 +1364,7 @@ object SnapshotLake {
     if (survivors.isEmpty) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], m.schema)
     } else {
-      readEntries(spark, root, m.schema, survivors).filter(residual)
+      readEntries(spark, root, m, survivors).filter(residual)
     }
   }
 
@@ -1405,7 +1432,7 @@ object SnapshotLake {
     if (survivors.isEmpty) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], m.schema)
     } else {
-      readEntries(spark, root, m.schema, survivors).filter(residual)
+      readEntries(spark, root, m, survivors).filter(residual)
     }
   }
 
@@ -1725,7 +1752,7 @@ object SnapshotLake {
             fHi >= lo && fLo <= hi })
         val cols = base.schema.fields.map(f => col(f.name))
         val fns = org.apache.spark.sql.functions
-        val existing = readEntries(spark, root, base.schema, rewrite)
+        val existing = readEntries(spark, root, base, rewrite)
         // keep-latest-wins with the deterministic tie-break (version desc,
         // updates beat lake at equal version, full-row hash stabilizes
         // equal-version update pairs) — Lake.mergeArchive's contract
@@ -1788,7 +1815,7 @@ object SnapshotLake {
       if (rewrite.isEmpty) (base.version, 0L, 0, untouched.size)
       else {
         val fns = org.apache.spark.sql.functions
-        val touched = readEntries(spark, root, base.schema, rewrite)
+        val touched = readEntries(spark, root, base, rewrite)
         val hit = fns.coalesce(predicate, fns.lit(false)) // NULL pred = keep
         val deleted = touched.filter(hit).count()
         val keep = touched.filter(!hit)
@@ -1881,7 +1908,7 @@ object SnapshotLake {
         if (rewrite.isEmpty)
           (spark.createDataFrame(spark.sparkContext.emptyRDD[Row], base.schema), 0L)
         else {
-          val touched = readEntries(spark, root, base.schema, rewrite)
+          val touched = readEntries(spark, root, base, rewrite)
           (touched.filter(!hit), touched.filter(hit).count())
         }
       val allStats = base.files.flatMap(_.stats.keys).toSet ++ statsCols
@@ -1932,6 +1959,18 @@ object SnapshotLake {
     val (drop, keep) = all.splitAt(math.max(0, all.size - retainLast))
     val referenced = keep.flatMap(v =>
       manifest(spark, root, Some(v)).files.map(_.rel)).toSet
+    // files referenced by NO manifest at all (vs merely by a dropped
+    // one) may belong to an IN-FLIGHT commit: a racing writer moves its
+    // staged data / delete sidecars into place BEFORE publishing its
+    // manifest, so never-referenced-but-recent files get the same
+    // staleStageMs age grace as stage dirs — deleting them would make
+    // the racing commit publish references to missing files
+    val known = all.map(v => manifest(spark, root, Some(v)))
+    val knownData = known.flatMap(_.files.map(_.rel)).toSet
+    val now = System.currentTimeMillis
+    def sweepable(inSomeManifest: Boolean,
+        st: org.apache.hadoop.fs.FileStatus): Boolean =
+      inSomeManifest || now - st.getModificationTime > staleStageMs
     val dd = dataDir(root)
     var deleted = 0
     def sweep(dir: Path, rel: String): Boolean = { // returns "now empty"
@@ -1941,7 +1980,8 @@ object SnapshotLake {
         if (st.isDirectory) {
           if (sweep(st.getPath, s"$rel$name/")) fs.delete(st.getPath, false)
           else empty = false
-        } else if (!referenced.contains(s"$rel$name")) {
+        } else if (!referenced.contains(s"$rel$name") &&
+            sweepable(knownData.contains(s"$rel$name"), st)) {
           fs.delete(st.getPath, false); deleted += 1
         } else empty = false
       }
@@ -1954,6 +1994,8 @@ object SnapshotLake {
     val liveBlooms = keep.flatMap(v =>
       manifest(spark, root, Some(v)).files.flatMap(f =>
         f.bloomCols.map(c => s"${f.rel}.$c.bloom"))).toSet
+    val knownBlooms = known.flatMap(_.files.flatMap(f =>
+      f.bloomCols.map(c => s"${f.rel}.$c.bloom"))).toSet
     val bd = bloomsDir(root)
     def sweepBlooms(dir: Path, rel: String): Boolean = {
       var empty = true
@@ -1962,7 +2004,8 @@ object SnapshotLake {
         if (st.isDirectory) {
           if (sweepBlooms(st.getPath, s"$rel$name/")) fs.delete(st.getPath, false)
           else empty = false
-        } else if (!liveBlooms.contains(s"$rel$name")) {
+        } else if (!liveBlooms.contains(s"$rel$name") &&
+            sweepable(knownBlooms.contains(s"$rel$name"), st)) {
           fs.delete(st.getPath, false)
         } else empty = false
       }
@@ -1971,9 +2014,12 @@ object SnapshotLake {
     if (fs.exists(bd)) sweepBlooms(bd, "")
     // position-delete sidecars live exactly as long as some retained
     // manifest entry references them; a compact/rewrite that absorbed
-    // them leaves them unreferenced — swept here with their manifests
+    // them leaves them unreferenced — swept here with their manifests.
+    // Never-referenced sidecars get the age grace: a racing MOR commit
+    // moves its sidecars under _deletes/ BEFORE publishing its manifest
     val liveDeletes = keep.flatMap(v =>
       manifest(spark, root, Some(v)).files.flatMap(_.deletes)).toSet
+    val knownDeletes = known.flatMap(_.files.flatMap(_.deletes)).toSet
     val deld = deletesDir(root)
     def sweepDeletes(dir: Path, rel: String): Boolean = {
       var empty = true
@@ -1982,7 +2028,8 @@ object SnapshotLake {
         if (st.isDirectory) {
           if (sweepDeletes(st.getPath, s"$rel$name/")) fs.delete(st.getPath, false)
           else empty = false
-        } else if (!liveDeletes.contains(s"$rel$name")) {
+        } else if (!liveDeletes.contains(s"$rel$name") &&
+            sweepable(knownDeletes.contains(s"$rel$name"), st)) {
           fs.delete(st.getPath, false)
         } else empty = false
       }
@@ -2034,7 +2081,7 @@ object SnapshotLake {
   def appendsSince(spark: SparkSession, root: String,
       sinceVersion: Long, toVersion: Option[Long] = None): DataFrame = {
     val w = appendWindow(spark, root, sinceVersion, toVersion)
-    readEntries(spark, root, w.schema, w.files)
+    readEntries(spark, root, w, w.files)
   }
 
   /** The manifest-shaped window behind [[appendsSince]] and the SQL
@@ -2133,7 +2180,7 @@ object SnapshotLake {
     def key(f: FileEntry): (String, Seq[String]) = (f.rel, f.deletes.sorted)
     val common = mF.files.map(key).toSet intersect mT.files.map(key).toSet
     def side(files: Seq[FileEntry]): DataFrame =
-      readEntries(spark, root, mT.schema, files)
+      readEntries(spark, root, mT, files)
     val oldSide = side(mF.files.filterNot(f => common(key(f))))
     val newSide = side(mT.files.filterNot(f => common(key(f))))
     val dataCols = mT.schema.fieldNames.filterNot(keyCols.contains).toSeq

@@ -166,6 +166,10 @@ final class SnapshotRowLevelScanBuilder(
     required = Some(requiredSchema)
 
   override def build(): Scan = {
+    // column-mapped lakes MUST resolve by field id here: a name-matched
+    // read of a renamed column returns NULL from pre-rename files and
+    // this scan feeds a rewrite that would commit those NULLs back
+    SnapshotLake.requireFieldIdReads(spark, base)
     val box = SnapshotTable.pruneBoxOf(pushed)
     val partVals = SnapshotTable.partitionValuesFrom(pushed, op.partCols,
       spark.sessionState.conf.sessionLocalTimeZone)

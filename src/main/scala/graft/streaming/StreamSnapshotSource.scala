@@ -174,7 +174,19 @@ class SnapshotSourceProvider extends StreamSourceProvider with DataSourceRegiste
       opts: CaseInsensitiveStringMap): Option[(Long, Option[Long])] = {
     val startStr = Option(opts.get("startingVersion"))
     val endStr = Option(opts.get("endingVersion"))
-    val start = startStr.flatMap(s => scala.util.Try(s.toLong).toOption)
+    // strict parse: only the literal streaming sentinel or a number is
+    // accepted — a typo must not silently fall through to a FULL
+    // snapshot read where the caller asked for a CDC window
+    val start = startStr.map { s =>
+      val t = s.trim
+      if (t.equalsIgnoreCase("latest")) None // the streaming personality
+      else if (t.equalsIgnoreCase("earliest")) Some(1L) // genesis window
+      else Some(try t.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"startingVersion must be a version number, 'earliest' or " +
+            s"'latest', got '$s'")
+      })
+    }.flatten
     if (start.isEmpty) {
       // "latest" (the streaming personality) or absent: not a batch window
       require(endStr.isEmpty,

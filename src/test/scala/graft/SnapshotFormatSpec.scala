@@ -491,6 +491,17 @@ class SnapshotFormatSpec extends SparkSpec {
       spark.read.format("graft-snapshot").option("endingVersion", "2")
         .load(root).count()
     }
+    // a typo'd startingVersion must REFUSE, not silently fall through to
+    // a full snapshot read (it would over-deliver the whole lake to a
+    // CDC consumer); 'earliest' is the explicit genesis sentinel
+    val e3 = intercept[Exception] {
+      spark.read.format("graft-snapshot").option("startingVersion", "2x")
+        .load(root).count()
+    }
+    assert(chain(e3).exists(m => m != null &&
+      m.contains("startingVersion must be")), chain(e3).mkString("; "))
+    intercept[Exception] { changes("earliest", None).count() } // crosses v4
+    assert(changes("earliest", Some("3")).count() == 9)
     // the changes table refuses writes (it is a pinned window)
     changes("2", Some("3")).createOrReplaceTempView("snapfmt_chg")
     intercept[Exception] {

@@ -932,4 +932,74 @@ class SnapshotLakeSpec extends SparkSpec {
         spark.conf.unset("spark.sql.parquet.fieldId.read.enabled")
     }
   }
+
+  test("append racing a DROP COLUMN aborts instead of resurrecting the " +
+      "dropped column (head-subset-of-ours is NOT 'we are the widener')") {
+    val root = TempDirs.create("snaplake-droprace") + "/lake"
+    val df = Seq((1L, 1.0, "a"), (2L, 2.0, "b"))
+      .toDF("event_id", "close", "venue")
+    SnapshotLake.append(spark, root, df, statsCols = Seq("event_id")) // v1
+    // rival drops `venue` between this append's staging and its commit:
+    // the head schema is then a SUBSET of the append's — the exact shape
+    // an evolve-append's own widening also produces. The append must NOT
+    // claim "ours supersedes" (that would republish `venue` under its
+    // old field id and resurrect the dropped data); it aborts, and the
+    // retry's fresh compatibility check refuses loudly.
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    SnapshotLake.beforeAppendCommit = () =>
+      if (fired.compareAndSet(false, true))
+        SnapshotLake.dropColumn(spark, root, "venue")
+    val e = try intercept[IllegalArgumentException] {
+      SnapshotLake.append(spark, root,
+        Seq((3L, 3.0, "c")).toDF("event_id", "close", "venue"))
+    } finally SnapshotLake.beforeAppendCommit = () => ()
+    assert(e.getMessage.contains("schema drift"), e.getMessage)
+    // the drop won and stays won
+    val m = SnapshotLake.manifest(spark, root)
+    assert(m.schema.fieldNames.toSeq == Seq("event_id", "close"),
+      s"DROP COLUMN must survive the racing append: ${m.schema.simpleString}")
+    val prevRead = spark.conf
+      .getOption("spark.sql.parquet.fieldId.read.enabled")
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    try assert(SnapshotLake.read(spark, root).count() == 2)
+    finally prevRead match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", v)
+      case None =>
+        spark.conf.unset("spark.sql.parquet.fieldId.read.enabled")
+    }
+  }
+
+  test("vacuum gives never-referenced files the stage age grace: a " +
+      "racing commit's in-flight data file and delete sidecar survive") {
+    val root = TempDirs.create("snaplake-vacgrace") + "/lake"
+    SnapshotLake.append(spark, root, bars(1, 6, 0.0)) // v1
+    SnapshotLake.append(spark, root, bars(2, 6, 100.0)) // v2
+    SnapshotLake.compact(spark, root) // v3: v1/v2's files now known-dead
+    // simulate a racing MOR/append commit that has MOVED its files into
+    // place but not yet published its manifest: young files referenced
+    // by NO manifest
+    val inFlightData = new Path(root, "data/part-inflight.parquet")
+    val out1 = fs.create(inFlightData); out1.write("x".getBytes); out1.close()
+    val delDir = new Path(root, "_deletes")
+    fs.mkdirs(delDir)
+    val inFlightDel = new Path(delDir, "tok-delete-inflight.parquet")
+    val out2 = fs.create(inFlightDel); out2.write("y".getBytes); out2.close()
+    // default grace (24 h): both survive, while files referenced only by
+    // DROPPED manifests are swept as before
+    val (deleted, dropped) = SnapshotLake.vacuum(spark, root, retainLast = 1)
+    assert(dropped == 2)
+    assert(deleted > 0, "v1's files are known-dead and must be swept")
+    assert(fs.exists(inFlightData),
+      "a young never-referenced data file may belong to an in-flight " +
+        "commit — vacuum must not delete it")
+    assert(fs.exists(inFlightDel),
+      "a young never-referenced delete sidecar may belong to an " +
+        "in-flight MOR commit — vacuum must not delete it")
+    // past the grace window the litter goes (staleStageMs = 0)
+    Thread.sleep(20)
+    SnapshotLake.vacuum(spark, root, retainLast = 1, staleStageMs = 0)
+    assert(!fs.exists(inFlightData) && !fs.exists(inFlightDel),
+      "stale never-referenced files are crashed-writer litter")
+  }
 }
