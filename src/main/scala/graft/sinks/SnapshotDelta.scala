@@ -2,7 +2,6 @@ package graft.sinks
 
 import org.apache.hadoop.fs.Path
 import org.apache.hadoop.mapreduce.Job
-import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -71,41 +70,52 @@ object SnapshotMor {
     StructField("file", StringType, nullable = false),
     StructField("pos", LongType, nullable = false)))
 
-  /** Read-side ceiling on broadcast position deletes. The WRITE side is
-    * unbounded (sidecars are written distributed); only the scan-side
-    * broadcast materializes positions on the driver (~16 B each — the
-    * cap is ~320 MB of driver heap). A lake carrying more pending
-    * deletes than this should absorb them: one `compact()` (or
-    * `CALL graft.system.optimize`) rewrites the files and clears the
-    * sidecars. Loud, never silent.
+  /** Executor-side load of ONE data file's pending delete positions:
+    * each reader task opens only the sidecars ITS data file's manifest
+    * entry references (`FileEntry.deletes`), with a parquet filter on
+    * `file = <dataRel>` — row groups of other files skip via the
+    * sidecar's footer stats (sidecars are written sorted by (file, pos),
+    * so the stats are tight) and filter2's record filter makes the
+    * predicate exact. No driver materialization, no global ceiling: the
+    * position memory a task holds is bounded by the deletes of the files
+    * that task reads — the same scale contract as the data itself.
+    * (Iceberg v2 applies position deletes in the reader for exactly this
+    * reason.) Returns a SORTED deduplicated array.
     */
-  private[sinks] val MaxBroadcastDeletePositions = 20L * 1000 * 1000
-
-  /** Load the delete sidecars of `entries` into per-file SORTED position
-    * arrays (driver-side, for the scan broadcast). Positions are
-    * deduplicated; files without deletes are absent from the map.
-    */
-  private[sinks] def loadDeletePositions(spark: SparkSession, root: String,
-      entries: Seq[SnapshotLake.FileEntry]): Map[String, Array[Long]] = {
-    val rels = entries.flatMap(_.deletes).distinct
-    if (rels.isEmpty) return Map.empty
-    val dd = SnapshotLake.deletesDir(root).toString
-    val df = spark.read.schema(DeleteSchema).parquet(rels.map(r => s"$dd/$r"): _*)
-    val n = df.count()
-    require(n <= MaxBroadcastDeletePositions,
-      s"$n pending position deletes under $root exceed the scan-side " +
-        s"broadcast ceiling ($MaxBroadcastDeletePositions) — run compact()/" +
-        "CALL graft.system.optimize to absorb the delete sidecars first")
-    val rows = df.collect()
-    val acc = scala.collection.mutable.HashMap
-      .empty[String, scala.collection.mutable.ArrayBuffer[Long]]
-    rows.foreach { r =>
-      acc.getOrElseUpdate(r.getString(0),
-        scala.collection.mutable.ArrayBuffer.empty[Long]) += r.getLong(1)
+  private[sinks] def deletePositionsFor(
+      conf: org.apache.hadoop.conf.Configuration, deletesDir: String,
+      sidecars: Seq[String], dataRel: String): Array[Long] = {
+    import org.apache.parquet.filter2.compat.FilterCompat
+    import org.apache.parquet.filter2.predicate.FilterApi
+    import org.apache.parquet.hadoop.ParquetReader
+    import org.apache.parquet.hadoop.example.GroupReadSupport
+    import org.apache.parquet.io.api.Binary
+    val pred = FilterApi.eq(FilterApi.binaryColumn("file"),
+      Binary.fromString(dataRel))
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+    sidecars.foreach { rel =>
+      val reader = ParquetReader
+        .builder(new GroupReadSupport(), new Path(s"$deletesDir/$rel"))
+        .withConf(conf)
+        .withFilter(FilterCompat.get(pred))
+        .build()
+      try {
+        var g = reader.read()
+        while (g != null) {
+          buf += g.getLong("pos", 0)
+          g = reader.read()
+        }
+      } finally reader.close()
     }
-    acc.iterator.map { case (rel, buf) =>
-      rel -> buf.distinct.sorted.toArray
-    }.toMap
+    val arr = buf.toArray
+    java.util.Arrays.sort(arr)
+    // dedup in place (a row can be deleted twice by idempotent replays)
+    var w = 0; var i = 0
+    while (i < arr.length) {
+      if (w == 0 || arr(i) != arr(w - 1)) { arr(w) = arr(i); w += 1 }
+      i += 1
+    }
+    if (w == arr.length) arr else java.util.Arrays.copyOf(arr, w)
   }
 }
 
@@ -243,8 +253,31 @@ final class SnapshotMorScan(
       s"${base.files.size} candidate files, " +
       s"${candidates.count(_.deletes.nonEmpty)} with position deletes"
 
-  override def planInputPartitions(): Array[InputPartition] =
-    inner.toBatch.planInputPartitions()
+  /** Each inner (file-slice) partition is wrapped with exactly the
+    * sidecar refs of the candidate files IT reads — a task ships its own
+    * files' delete metadata (a few strings), never the lake's, and loads
+    * the positions itself executor-side ([[SnapshotMor.
+    * deletePositionsFor]]). No driver-side position materialization
+    * anywhere on this path.
+    */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val qd = SnapshotPartitioningIndex.qualifiedDataDir(spark, root).toString
+    val byAbs: Map[String, (String, Seq[String])] = candidates.map(f =>
+      s"$qd/${f.rel}" -> (f.rel, f.deletes)).toMap
+    inner.toBatch.planInputPartitions().map {
+      case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+        val sidecars = fp.files.toSeq
+          .flatMap(pf => byAbs.get(pf.filePath.toPath.toString))
+          .filter(_._2.nonEmpty).toMap
+        MorInputPartition(fp, sidecars)
+      case other =>
+        // unexpected partition shape: fall back to the full (still
+        // file→sidecar-name-only) map — sound, just less minimal
+        MorInputPartition(other,
+          candidates.filter(_.deletes.nonEmpty)
+            .map(f => f.rel -> f.deletes).toMap)
+    }
+  }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val innerSchema = inner.readSchema()
@@ -255,16 +288,28 @@ final class SnapshotMorScan(
       else if (f.name == FileMetaCol) fileIdx
       else innerSchema.fieldIndex(f.name)
     }.toIndexedSeq
-    val deletes = spark.sparkContext.broadcast(
-      SnapshotMor.loadDeletePositions(spark, root, candidates))
     new SnapshotMorReaderFactory(inner.toBatch.createReaderFactory(),
-      deletes, outSchema, outIdx, posIdx, fileIdx)
+      SnapshotLake.deletesDir(root).toString,
+      new SerializableConfiguration(spark.sparkContext.hadoopConfiguration),
+      outSchema, outIdx, posIdx, fileIdx)
   }
+}
+
+/** A file-slice partition plus the delete-sidecar refs (data rel →
+  * sidecar rels) of the candidate files it reads. Positions are NOT
+  * here — the reader task loads them from the sidecars itself.
+  */
+private final case class MorInputPartition(
+    inner: InputPartition,
+    sidecars: Map[String, Seq[String]]) extends InputPartition {
+  override def preferredLocations(): Array[String] =
+    inner.preferredLocations()
 }
 
 private final class SnapshotMorReaderFactory(
     inner: PartitionReaderFactory,
-    deletes: Broadcast[Map[String, Array[Long]]],
+    deletesDir: String,
+    conf: SerializableConfiguration,
     outSchema: StructType,
     outIdx: IndexedSeq[Int],
     posIdx: Int,
@@ -273,17 +318,27 @@ private final class SnapshotMorReaderFactory(
   override def supportColumnarReads(partition: InputPartition): Boolean = false
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val delegate = inner.createReader(partition)
+    val mp = partition.asInstanceOf[MorInputPartition]
+    val delegate = inner.createReader(mp.inner)
     val proj = org.apache.spark.sql.catalyst.ProjectingInternalRow(
       outSchema, outIdx)
+    // per-reader memo: one executor-side sidecar load per data file this
+    // task reads (rows of one file stream contiguously, but a slice
+    // boundary can interleave — a map, not a single slot)
+    val loaded = scala.collection.mutable.HashMap.empty[String, Array[Long]]
+    def positionsOf(rel: String): Array[Long] =
+      loaded.getOrElseUpdate(rel, mp.sidecars.get(rel) match {
+        case Some(side) => SnapshotMor.deletePositionsFor(conf.value,
+          deletesDir, side, rel)
+        case None => Array.emptyLongArray
+      })
     new PartitionReader[InternalRow] {
       private var current: InternalRow = _
       override def next(): Boolean = {
         while (delegate.next()) {
           val r = delegate.get()
-          val dels = deletes.value.getOrElse(
-            r.getUTF8String(fileIdx).toString, null)
-          if (dels == null ||
+          val dels = positionsOf(r.getUTF8String(fileIdx).toString)
+          if (dels.length == 0 ||
               java.util.Arrays.binarySearch(dels, r.getLong(posIdx)) < 0) {
             proj.project(r)
             current = proj

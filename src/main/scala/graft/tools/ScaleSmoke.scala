@@ -1418,6 +1418,78 @@ object ScaleSmoke {
         f"sidecars ${taxed}%.2f s vs post-compact ${clean}%.2f s = " +
         f"${taxed / clean}%.2f x (the mor trade until compaction)")
     }
+    // ---- morscale: pending-delete SCALING on the SQL read path. The
+    // round-14 scan collected every pending position onto the driver
+    // (broadcast, 20 M-position ceiling, loud refusal); round 15 loads
+    // positions executor-side per data file (each task reads only its
+    // own files' sidecars). Two claims to measure: (a) the read tax is
+    // FLAT in pending-delete count (per-task work is proportional to the
+    // task's own files' deletes, which partitioning spreads), and (b) a
+    // pending set far past the retired ceiling reads fine — no refusal,
+    // no driver materialization.
+    if (on("morscale")) {
+      import graft.sinks.SnapshotLake
+      spark.conf.set("spark.sql.catalog.morscale", "graft.sinks.GraftCatalog")
+      if (spark.conf.getOption("spark.sql.catalog.morscale.warehouse").isEmpty)
+        spark.conf.set("spark.sql.catalog.morscale.warehouse",
+          graft.TempDirs.create("smoke-morscale-wh"))
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS morscale.b")
+      def mkLake(tag: String, nPer: Long): (String, Long) = {
+        val tbl = s"morscale.b.t_$tag"
+        spark.sql(s"DROP TABLE IF EXISTS $tbl")
+        spark.sql(s"CREATE TABLE $tbl (event_id BIGINT, symbol STRING, " +
+          "ts TIMESTAMP_NTZ, close DOUBLE) USING `graft-snapshot` " +
+          "TBLPROPERTIES ('dmlMode' 'mor', 'statsCols' 'event_id')")
+        val slice = Generator.ohlcv(spark, symbols, nPer, intervalSec = 60)
+          .withColumn("event_id",
+            unix_timestamp(col("ts")) * 8 +
+              array_position(array(symbols.map(lit): _*), col("symbol")))
+          .select("event_id", "symbol", "ts", "close")
+        slice.repartitionByRange(32, col("event_id"))
+          .sortWithinPartitions("event_id")
+          .createOrReplaceTempView(s"morscale_seed_$tag")
+        spark.sql(s"INSERT INTO $tbl SELECT * FROM morscale_seed_$tag")
+        (tbl, nPer * symbols.size)
+      }
+      def scanSec(tbl: String): Double = (0 until 3).map { _ =>
+        val t0 = System.nanoTime()
+        spark.sql(s"SELECT sum(close), count(*) FROM $tbl").collect()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      // (a) same-size lakes, pending sets 50x apart: tax must stay flat
+      val flat = Seq(("p1", "event_id % 97 = 3"), ("p50", "event_id % 2 = 0"))
+        .map { case (tag, pred) =>
+          val (tbl, rows) = mkLake(tag, math.max(n / 10, 100000L))
+          val t0 = System.nanoTime()
+          spark.sql(s"DELETE FROM $tbl WHERE $pred")
+          val delSec = (System.nanoTime() - t0) / 1e9
+          val pending = spark.sql(s"SELECT count(*) FROM $tbl").head.getLong(0)
+          val deleted = rows - pending
+          val sec = scanSec(tbl)
+          println(f"[scale] morscale $tag%-4s lake=$rows%-9d pending_deletes=" +
+            f"$deleted%-9d delete=${delSec}%5.1f s scan=${sec}%5.2f s")
+          (deleted, sec)
+        }
+      println(f"[scale] morscale flat-tax verdict: ${flat(1)._1}%d vs " +
+        f"${flat(0)._1}%d pending (${flat(1)._1.toDouble / flat(0)._1}%.0f x) " +
+        f"-> scan ${flat(1)._2 / flat(0)._2}%.2f x (flat would be ~1x; " +
+        "the r14 driver broadcast grew linearly)")
+      // (b) far past the retired 20 M ceiling: must read, not refuse
+      val bigPer = math.max(n * 5 / 2, 5200000L) // >= 26 M rows total
+      val (bigTbl, bigRows) = mkLake("cap", bigPer)
+      val t0 = System.nanoTime()
+      spark.sql(s"DELETE FROM $bigTbl WHERE event_id % 26 != 0")
+      val delSec = (System.nanoTime() - t0) / 1e9
+      val surviving = spark.sql(s"SELECT count(*) FROM $bigTbl")
+        .head.getLong(0)
+      val pendingBig = bigRows - surviving
+      require(pendingBig > 20L * 1000 * 1000,
+        s"cap leg must pend >20M positions, got $pendingBig")
+      val bigSec = scanSec(bigTbl)
+      println(f"[scale] morscale cap  lake=$bigRows%-9d pending_deletes=" +
+        f"$pendingBig%-9d delete=${delSec}%5.1f s scan=${bigSec}%5.2f s " +
+        "(r14 REFUSED past 20M pending; now executor-side, no ceiling)")
+    }
     spark.stop()
   }
 }

@@ -309,4 +309,63 @@ class SnapshotMorSpec extends SparkSpec {
       .count() == 4)
     spark.sql("DROP TABLE graft.mor.p")
   }
+
+  test("pending deletes apply executor-side per data file: large " +
+      "scattered sets across many files and stacked sidecars read " +
+      "exactly, with no driver-side position materialization ceiling") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mor")
+    spark.sql("DROP TABLE IF EXISTS graft.mor.big")
+    spark.sql("CREATE TABLE graft.mor.big (event_id BIGINT, close DOUBLE) " +
+      "USING `graft-snapshot` TBLPROPERTIES " +
+      "('dmlMode' 'mor', 'statsCols' 'event_id')")
+    val root = s"$warehouse/mor/big"
+    val n = 120000L
+    spark.range(n).select(col("id").as("event_id"),
+        (col("id") % 1000).cast("double").as("close"))
+      .repartitionByRange(8, col("event_id"))
+      .createOrReplaceTempView("mor_big_seed")
+    spark.sql("INSERT INTO graft.mor.big SELECT * FROM mor_big_seed")
+    val before = SnapshotLake.manifest(spark, root)
+    assert(before.files.size >= 8)
+    // two scattered DELETEs -> every file gains sidecars, twice (stacked)
+    spark.sql("DELETE FROM graft.mor.big WHERE event_id % 3 = 1")
+    spark.sql("DELETE FROM graft.mor.big WHERE event_id % 5 = 2")
+    val m = SnapshotLake.manifest(spark, root)
+    assert(m.files.map(_.rel).toSet == before.files.map(_.rel).toSet,
+      "mor DELETE must rewrite nothing")
+    assert(m.files.forall(_.deletes.size >= 2),
+      s"every file should carry stacked sidecars: " +
+        m.files.map(_.deletes.size).mkString(","))
+    // exact survivors: id % 3 != 1 and id % 5 != 2 over [0, n)
+    val expected = (0L until n).count(i => i % 3 != 1 && i % 5 != 2)
+    assert(spark.sql("SELECT count(*) FROM graft.mor.big")
+      .head.getLong(0) == expected)
+    // aggregate over the position-filtered scan is exact too
+    val expSum = (0L until n).filter(i => i % 3 != 1 && i % 5 != 2)
+      .map(_ % 1000).map(_.toDouble).sum
+    assert(spark.sql("SELECT sum(close) FROM graft.mor.big")
+      .head.getDouble(0) == expSum)
+    // deleted rows are gone from point lookups and _pos still serves
+    assert(spark.sql(
+      "SELECT * FROM graft.mor.big WHERE event_id = 7").count() == 0)
+    val posRows = spark.sql("SELECT _file, _pos FROM graft.mor.big " +
+      "WHERE event_id < 10").collect()
+    assert(posRows.nonEmpty && posRows.forall(_.getLong(1) >= 0))
+    // a follow-up MERGE sees the delete-filtered row set as its target
+    spark.range(5).select(col("id").as("event_id"),
+        lit(-1.0).as("close"))
+      .createOrReplaceTempView("mor_big_src")
+    spark.sql("""MERGE INTO graft.mor.big t USING mor_big_src s
+                 ON t.event_id = s.event_id
+                 WHEN MATCHED THEN UPDATE SET close = s.close
+                 WHEN NOT MATCHED THEN INSERT *""")
+    // ids 0,3 survive as matches (1 killed by %3, 2 killed by %5, 4 killed
+    // by %3); 1,2,4 re-insert as new rows
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.mor.big WHERE close = -1.0")
+      .head.getLong(0) == 5)
+    assert(spark.sql("SELECT count(*) FROM graft.mor.big")
+      .head.getLong(0) == expected + 3)
+    spark.sql("DROP TABLE graft.mor.big")
+  }
 }
