@@ -1285,22 +1285,62 @@ object SnapshotLake {
       .parquet(files.map(f => s"$base/${f.rel}"): _*)
     val delRels = files.flatMap(_.deletes).distinct
     if (delRels.isEmpty) return raw
+    readTagged(spark, root, raw, files)
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
+  /** [[readEntries]] plus row provenance: the surviving rows of `files`
+    * (position deletes applied) WITH their `__rel` (manifest-relative
+    * data file) and `__pos` (row ordinal within it) — exactly the row
+    * ids a merge-on-read DML needs to record new position deletes
+    * against. Same distributed anti-join machinery as [[readEntries]].
+    */
+  private[sinks] def readEntriesTagged(spark: SparkSession, root: String,
+      m: Manifest, files: Seq[FileEntry]): DataFrame = {
+    requireFieldIdReads(spark, m)
+    val outCols = (m.schema.fieldNames.toSeq ++ Seq("__rel", "__pos")).map(col)
+    if (files.isEmpty) {
+      import org.apache.spark.sql.types.{LongType, StringType, StructField}
+      val taggedSchema = StructType(m.schema.fields ++ Seq(
+        StructField("__rel", StringType), StructField("__pos", LongType)))
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        taggedSchema)
+    }
+    val base = dataDir(root).toString
+    val raw = spark.read
+      .option("basePath", base)
+      .schema(m.schema)
+      .parquet(files.map(f => s"$base/${f.rel}"): _*)
+    readTagged(spark, root, raw, files).select(outCols: _*)
+  }
+
+  /** Shared tail of the tagged reads: attach `__rel`/`__pos` from the
+    * parquet `_metadata` hidden columns (the reader's own per-file
+    * ordinal — the same number the delta DML writer records) via an
+    * explicit broadcast abs-path → rel lookup built from the very paths
+    * this plan reads, then anti-join away the files' pending position
+    * deletes. Fully distributed; AQE broadcasts small delete sets.
+    */
+  private def readTagged(spark: SparkSession, root: String, raw: DataFrame,
+      files: Seq[FileEntry]): DataFrame = {
     val fns = org.apache.spark.sql.functions
     import spark.implicits._
     val qd = SnapshotPartitioningIndex.qualifiedDataDir(spark, root).toString
     val lookup = files.map(f => (s"$qd/${f.rel}", f.rel))
       .toDF("__abs", "__rel")
-    val dd = deletesDir(root).toString
-    val dels = spark.read.parquet(delRels.map(r => s"$dd/$r"): _*)
-      .select(col("file").as("__dfile"), col("pos").as("__dpos"))
     val tagged = raw
       .withColumn("__abs", col("_metadata.file_path"))
       .withColumn("__pos", col("_metadata.row_index"))
       .join(fns.broadcast(lookup), Seq("__abs"), "inner")
+      .drop("__abs")
+    val delRels = files.flatMap(_.deletes).distinct
+    if (delRels.isEmpty) return tagged
+    val dd = deletesDir(root).toString
+    val dels = spark.read.parquet(delRels.map(r => s"$dd/$r"): _*)
+      .select(col("file").as("__dfile"), col("pos").as("__dpos"))
     tagged.join(dels,
         tagged("__rel") === dels("__dfile") && tagged("__pos") === dels("__dpos"),
         "left_anti")
-      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
   }
 
   /** Read a pinned snapshot (latest when `version` is None). The plan
@@ -1740,9 +1780,9 @@ object SnapshotLake {
         s"merge schema drift: lake has ${base.schema.simpleString}, " +
           s"updates have ${updates.schema.simpleString}")
       val dom = statsDomain(base.schema, pruneKey)
-      val range = updates.agg(
-        org.apache.spark.sql.functions.min(dom),
-        org.apache.spark.sql.functions.max(dom)).head
+      val fns = org.apache.spark.sql.functions
+      val range = updates.agg(fns.min(dom), fns.max(dom),
+        fns.count(fns.lit(1))).head
       if (range.isNullAt(0)) { // no non-null update keys: nothing to do
         (base.version, 0, base.files.size)
       } else {
@@ -1750,6 +1790,30 @@ object SnapshotLake {
         val (rewrite, untouched) = base.files.partition(f =>
           f.stats.get(pruneKey).forall { case (fLo, fHi) =>
             fHi >= lo && fLo <= hi })
+        if (base.props.get("dmlMode").contains("mor")) {
+          // a dmlMode=mor lake merges through position-delete sidecars
+          // (cost ∝ matched rows, 0 files rewritten) — same route the
+          // SQL MERGE takes, so library and streaming merges stop
+          // paying the copy-on-write rewrite this lake opted out of
+          mergeMorAttempt(spark, root, base, updates, keyCols,
+            versionCol, partitionCols, lockExpiryMs, op,
+            rewrite, untouched, updCount = range.getLong(2))
+        } else mergeCowAttempt(spark, root, base, updates, keyCols,
+          versionCol, pruneKey, partitionCols, lockExpiryMs, op,
+          rewrite, untouched)
+      }
+    }
+  }
+
+  /** One copy-on-write merge attempt (the round-13 body of [[mergeOp]],
+    * unchanged): read the envelope-overlapping files, keep-latest-wins
+    * against the updates, rewrite them wholesale.
+    */
+  private def mergeCowAttempt(spark: SparkSession, root: String,
+      base: Manifest, updates: DataFrame, keyCols: Seq[String],
+      versionCol: String, pruneKey: String, partitionCols: Seq[String],
+      lockExpiryMs: Long, op: String,
+      rewrite: Seq[FileEntry], untouched: Seq[FileEntry]): (Long, Int, Int) = {
         val cols = base.schema.fields.map(f => col(f.name))
         val fns = org.apache.spark.sql.functions
         val existing = readEntries(spark, root, base, rewrite)
@@ -1781,8 +1845,140 @@ object SnapshotLake {
           },
           lockExpiryMs)
         (v, rewrite.size, untouched.size)
-      }
+  }
+
+  /** One MERGE-ON-READ merge attempt: the keep-latest semantics of
+    * [[merge]], landed as position-delete sidecars + insert files — NO
+    * data file rewritten (the library/streaming twin of the SQL MERGE's
+    * [[SnapshotDeltaWrite]] path; a lake opts in with
+    * `dmlMode = 'mor'`). One COLUMN-PRUNED pass over the candidate
+    * files fetches (key, version, __rel, __pos) with pending deletes
+    * already applied; a left join from the collapsed update winners
+    * classifies each winner as insert (no lake row) or update
+    * (delete the lake row's position + insert the new version); lake
+    * rows that beat their update (strictly newer `versionCol`) stay
+    * untouched and the update row is dropped — exactly [[merge]]'s
+    * keep-latest tie-break (updates win at equal version). Requires
+    * [[merge]]'s standing key discipline (keyCols unique per version).
+    *
+    * Commit shape mirrors the SQL delta write: sidecars move under
+    * `_deletes/`, the manifest stacks them onto the entries they cover,
+    * inserts append, and the extended read-set guard (rel + delete
+    * list) aborts loudly if a rival rewrote or delta-deleted a
+    * candidate. Returns (version, filesGainingDeletes, filesUntouched).
+    */
+  private def mergeMorAttempt(spark: SparkSession, root: String,
+      base: Manifest, updates: DataFrame, keyCols: Seq[String],
+      versionCol: String, partitionCols: Seq[String],
+      lockExpiryMs: Long, op: String,
+      candidates: Seq[FileEntry], untouched: Seq[FileEntry],
+      updCount: Long): (Long, Int, Int) = {
+    val fns = org.apache.spark.sql.functions
+    val fs = fsOf(spark, root)
+    val cols = base.schema.fields.map(f => col(f.name))
+    // collapse in-batch duplicate keys: keep-latest with the same
+    // deterministic tie-break as the cow path (version desc, full-row
+    // hash stabilizes equal-version pairs)
+    val wU = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col(versionCol).desc,
+        fns.xxhash64(cols.toIndexedSeq: _*).asc)
+    val winners = updates.select(cols.toIndexedSeq: _*)
+      .withColumn("__rn", fns.row_number().over(wU))
+      .filter(col("__rn") === 1).drop("__rn")
+    // ONE pass over the candidates, pruned to key + version + row id —
+    // parquet reads only those columns, pending deletes already applied
+    val lakeKeys = readEntriesTagged(spark, root, base, candidates)
+      .select(keyCols.map(col) ++ Seq(col(versionCol).as("__lv"),
+        col("__rel"), col("__pos")): _*)
+    // streaming/CDC-sized batches (the common shape) BROADCAST: one
+    // streamed pass over the candidate files, no lake-side shuffle; a
+    // bulk merge falls back to the shuffled join
+    val j = (if (updCount <= 4L * 1000 * 1000)
+        lakeKeys.join(fns.broadcast(winners), keyCols, "right_outer")
+      else winners.join(lakeKeys, keyCols, "left_outer"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val updateWins = col("__lv").isNotNull && col(versionCol) >= col("__lv")
+    val deletes = j.filter(updateWins)
+      .select(col("__rel").as("file"), col("__pos").as("pos"))
+    val inserts = j.filter(col("__lv").isNull || col(versionCol) >= col("__lv"))
+      .select(cols.toIndexedSeq: _*).dropDuplicates(keyCols)
+    // stage the delete sidecars: range-clustered by (file, pos) so each
+    // data file's positions land in few sidecars and arrive pre-sorted
+    // for the scan-side loads
+    val token = newToken()
+    val delStage = new Path(root, s".stage-$token")
+    val nParts = math.max(1, math.min(16, candidates.size / 4))
+    deletes.repartitionByRange(nParts, col("file"), col("pos"))
+      .sortWithinPartitions("file", "pos")
+      .write.option("compression", "zstd").parquet(delStage.toString)
+    // coverage (which data rels each sidecar holds) from the staged
+    // sidecars themselves — bounded by (#sidecars x #candidates) PAIRS,
+    // never positions
+    val covRows = spark.read.parquet(delStage.toString)
+      .select(col("_metadata.file_path").as("__side"), col("file"))
+      .distinct().collect()
+    val statsCols = (base.files.flatMap(_.stats.keys).toSet ++
+      base.props.get("statsCols").toSeq
+        .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))) --
+      partitionCols
+    val bloomCols = (base.files.flatMap(_.bloomCols) ++
+      base.props.get("bloomCols").toSeq
+        .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty)))
+      .distinct.filterNot(partitionCols.contains)
+    val stagedAll = stageFiles(spark, root,
+      attachFieldIds(inserts, base.schema), partitionCols, statsCols,
+      bloomCols)
+    val (newFiles, emptyStaged) = stagedAll.partition(_.rows > 0)
+    emptyStaged.foreach { f => // zero-row part files: reclaim, not publish
+      fs.delete(new Path(dataDir(root), f.rel), false)
+      f.bloomCols.foreach(c => fs.delete(bloomPath(root, f.rel, c), false))
     }
+    // move the non-empty sidecars under _deletes/ (invisible until the
+    // commit); empty part files stay in the stage dir and die with it
+    val moved: Seq[(String, Seq[String])] = covRows
+      .groupBy(_.getString(0)).toSeq.sortBy(_._1)
+      .map { case (abs, rows) =>
+        val finalRel = s"$token-${new Path(abs).getName}"
+        val target = new Path(deletesDir(root), finalRel)
+        fs.mkdirs(target.getParent)
+        require(fs.rename(new Path(abs), target),
+          s"delete sidecar move failed: $target")
+        (finalRel, rows.map(_.getString(1)).toSeq)
+      }
+    val coverMap: Map[String, Seq[String]] = moved
+      .flatMap { case (rel, covered) => covered.map(_ -> rel) }
+      .groupBy(_._1).map { case (dataRel, ps) => dataRel -> ps.map(_._2) }
+    val readSet = readSetOf(candidates)
+    val v =
+      try {
+        commit(spark, root, op, base.schema,
+          build = head => {
+            requireSchemaIntact(base.schema, head, newFiles, op, root)
+            val headFiles = requireReadSetIntact(readSet, head, newFiles,
+              op, root)
+            val stray = coverMap.keySet.diff(readSet.keySet)
+            require(stray.isEmpty,
+              s"delete sidecars cover non-candidate file(s): $stray")
+            headFiles.map { f =>
+              coverMap.get(f.rel).fold(f)(ds =>
+                f.copy(deletes = (f.deletes ++ ds).sorted))
+            } ++ newFiles
+          },
+          lockExpiryMs)
+      } catch {
+        case e: ConflictingRewriteException =>
+          // retryOnConflict reclaims e.staged (the data files); the
+          // already-moved sidecars are ours to reclaim here
+          moved.foreach { case (rel, _) =>
+            fs.delete(new Path(deletesDir(root), rel), false)
+          }
+          throw e
+      } finally {
+        fs.delete(delStage, true)
+        j.unpersist(blocking = false)
+      }
+    (v, coverMap.size, untouched.size)
   }
 
   private[sinks] def toDoubleStat(v: Any): Double = v match {

@@ -1490,6 +1490,59 @@ object ScaleSmoke {
         f"$pendingBig%-9d delete=${delSec}%5.1f s scan=${bigSec}%5.2f s " +
         "(r14 REFUSED past 20M pending; now executor-side, no ceiling)")
     }
+    // ---- morstream: a streaming CDC consumer (mergeStream) against cow
+    // vs mor targets. Every micro-batch carries ~200 keys scattered
+    // across the whole key range — the cow handler must rewrite every
+    // envelope-overlapping file PER TRIGGER, the mor handler stacks
+    // position-delete sidecars and rewrites nothing. The per-batch cost
+    // contrast is the round-15 claim: streaming MERGE now honors
+    // dmlMode=mor end-to-end.
+    if (on("morstream")) {
+      import graft.sinks.SnapshotLake
+      import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+      val rows = math.max(n, 1000000L)
+      val schema = StructType(Seq(StructField("event_id", LongType),
+        StructField("close", DoubleType), StructField("ver", LongType)))
+      val seed = spark.range(rows).select(col("id").as("event_id"),
+          (col("id") % 1000).cast("double").as("close"),
+          lit(0L).as("ver"))
+        .repartitionByRange(32, col("event_id"))
+      val nBatches = 5
+      val results = Seq("cow", "mor").map { mode =>
+        val root = graft.TempDirs.create(s"smoke-morstream-$mode") + "/lake"
+        if (mode == "mor")
+          SnapshotLake.create(spark, root, schema,
+            tableProps = Map("dmlMode" -> "mor", "statsCols" -> "event_id"))
+        SnapshotLake.append(spark, root, seed, statsCols = Seq("event_id"))
+        val baseRels = SnapshotLake.manifest(spark, root).files.map(_.rel).toSet
+        val handler = SnapshotLake.mergeStream(root,
+          keyCols = Seq("event_id"), versionCol = "ver",
+          pruneKey = "event_id", streamId = "cdc")
+        val stride = math.max(1L, rows / 200)
+        val t0 = System.nanoTime()
+        (0 until nBatches).foreach { b =>
+          val batch = spark.range(rows).filter(col("id") % stride === b)
+            .select(col("id").as("event_id"), lit(-1.0 - b).as("close"),
+              lit(b + 1L).as("ver"))
+          handler(batch, b.toLong)
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        val after = SnapshotLake.manifest(spark, root)
+        val rewritten = baseRels.diff(after.files.map(_.rel).toSet).size
+        val updated = SnapshotLake.read(spark, root)
+          .filter(col("ver") > 0).count()
+        require(SnapshotLake.read(spark, root).count() == rows,
+          s"$mode: row count drifted")
+        println(f"[scale] morstream $mode%-4s lake=$rows%-9d batches=$nBatches " +
+          f"keys/batch~200 rewritten_base_files=$rewritten%3d " +
+          f"updated_rows=$updated%5d ${sec}%6.1f s (${sec / nBatches}%.2f s/batch)")
+        (mode, sec, rewritten)
+      }
+      println(f"[scale] morstream verdict: cow=${results(0)._2}%.1f s " +
+        f"(${results(0)._3} base files rewritten) vs mor=${results(1)._2}%.1f s " +
+        f"(${results(1)._3} rewritten) = ${results(0)._2 / results(1)._2}%.2f x " +
+        "per-stream cost")
+    }
     spark.stop()
   }
 }

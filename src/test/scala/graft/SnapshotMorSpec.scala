@@ -368,4 +368,73 @@ class SnapshotMorSpec extends SparkSpec {
       .head.getLong(0) == expected + 3)
     spark.sql("DROP TABLE graft.mor.big")
   }
+
+  test("library merge and streaming mergeStream on a dmlMode=mor lake " +
+      "land as position deletes: zero data files rewritten across " +
+      "micro-batches, exactly-once replays, final state identical to " +
+      "the copy-on-write mirror") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    def kv(rows: (Long, String, Long)*) = rows.toSeq.toDF("id", "v", "ver")
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", StringType), StructField("ver", LongType)))
+    val dir = TempDirs.create("mor-stream")
+    val morRoot = s"$dir/mor"; val cowRoot = s"$dir/cow"
+    SnapshotLake.create(spark, morRoot, schema,
+      tableProps = Map("dmlMode" -> "mor", "statsCols" -> "id"))
+    val seed = kv((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L), (4L, "d", 1L))
+      .repartition(4)
+    SnapshotLake.append(spark, morRoot, seed, statsCols = Seq("id"))
+    SnapshotLake.append(spark, cowRoot, seed, statsCols = Seq("id"))
+    val baseRels = SnapshotLake.manifest(spark, morRoot).files.map(_.rel).toSet
+    assert(baseRels.size >= 2)
+    val morH = SnapshotLake.mergeStream(morRoot, keyCols = Seq("id"),
+      versionCol = "ver", pruneKey = "id", streamId = "m")
+    val cowH = SnapshotLake.mergeStream(cowRoot, keyCols = Seq("id"),
+      versionCol = "ver", pruneKey = "id", streamId = "m")
+    val batches = Seq(
+      // update key 1, insert key 5, STALE row for key 2 (must lose)
+      0L -> kv((1L, "a2", 2L), (5L, "e", 1L), (2L, "b0", 0L)),
+      // in-batch duplicate key 3 collapses to ver 3; update key 5
+      1L -> kv((3L, "c2", 2L), (3L, "c3", 3L), (5L, "e2", 2L)))
+    batches.foreach { case (bid, df) => morH(df, bid); cowH(df, bid) }
+    // crash-replay of batch 1: skipped whole on both
+    morH(batches(1)._2, 1L); cowH(batches(1)._2, 1L)
+    def state(root: String): Map[Long, (String, Long)] =
+      SnapshotLake.read(spark, root).collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val expected = Map(1L -> ("a2", 2L), 2L -> ("b", 1L), 3L -> ("c3", 3L),
+      4L -> ("d", 1L), 5L -> ("e2", 2L))
+    assert(state(cowRoot) == expected, "cow mirror drifted")
+    assert(state(morRoot) == expected, "mor mirror must equal the cow one")
+    // the headline: across ALL micro-batches, not one seed data file of
+    // the mor lake was rewritten — matched rows became sidecars
+    val morM = SnapshotLake.manifest(spark, morRoot)
+    assert(baseRels.subsetOf(morM.files.map(_.rel).toSet),
+      s"mor mergeStream must rewrite nothing: lost ${
+        baseRels.diff(morM.files.map(_.rel).toSet)}")
+    assert(morM.files.exists(_.deletes.nonEmpty),
+      "matched rows must be recorded as position-delete sidecars")
+    assert(morM.op.startsWith("merge:stream=m,batch="),
+      s"exactly-once marker missing: ${morM.op}")
+    assert(SnapshotLake.lastCommittedBatch(spark, morRoot, "m")
+      .contains(1L))
+    // the cow mirror DID rewrite (the contrast that prices the trade)
+    val cowM = SnapshotLake.manifest(spark, cowRoot)
+    assert(cowM.files.forall(_.deletes.isEmpty))
+    // a later library merge on the mor lake takes the same delta route
+    val (v, sidecarred, _) = SnapshotLake.merge(spark, morRoot,
+      kv((4L, "d2", 2L), (6L, "f", 1L)), keyCols = Seq("id"),
+      versionCol = "ver", pruneKey = "id")
+    assert(v == morM.version + 1 && sidecarred >= 1)
+    assert(state(morRoot) == expected ++ Map(4L -> ("d2", 2L),
+      6L -> ("f", 1L)))
+    assert(baseRels.subsetOf(
+      SnapshotLake.manifest(spark, morRoot).files.map(_.rel).toSet))
+    // compaction absorbs the stream's sidecars; state intact
+    SnapshotLake.compact(spark, morRoot)
+    assert(SnapshotLake.manifest(spark, morRoot).files
+      .forall(_.deletes.isEmpty))
+    assert(state(morRoot) == expected ++ Map(4L -> ("d2", 2L),
+      6L -> ("f", 1L)))
+  }
 }
