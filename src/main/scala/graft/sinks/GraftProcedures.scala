@@ -138,6 +138,20 @@ private[sinks] object GraftProcedures {
           Seq(files.toLong, manifests.toLong)
         }
       }
+      case "upgrade_field_ids" => new GraftProcedure("upgrade_field_ids",
+        Seq(param("table", StringType)),
+        StructType(Seq(StructField("version", LongType),
+          StructField("files_name_mapped", LongType)))) {
+        // metadata-only field-id migration for legacy (pre-round-14)
+        // lakes: unlocks RENAME/DROP/ALTER TYPE; existing files read on
+        // via the recorded name mapping until a compact rewrites them
+        override def run(a: InternalRow): Seq[Any] = {
+          val root = rootOf(catalog, str(a, 0))
+          val v = SnapshotLake.upgradeFieldIds(spark, root)
+          Seq(v, SnapshotLake.manifest(spark, root, Some(v))
+            .files.count(_.idless).toLong)
+        }
+      }
       case "restore" => new GraftProcedure("restore",
         Seq(param("table", StringType), param("version", LongType)),
         StructType(Seq(StructField("version", LongType)))) {
@@ -188,5 +202,6 @@ private[sinks] object GraftProcedures {
   }
 
   val names: Seq[String] =
-    Seq("optimize", "zorder", "add_stats", "vacuum", "restore", "history")
+    Seq("optimize", "zorder", "add_stats", "vacuum", "restore", "history",
+      "upgrade_field_ids")
 }

@@ -186,6 +186,12 @@ object ManifestFileIndex {
       "the V1 snapshot relation cannot apply merge-on-read position " +
         "deletes; read through SnapshotLake.read / the V2 table, or " +
         "compact() to absorb the deletes")
+    // ditto pre-migration (id-less) files: a bare relation reads ONE
+    // schema, and these files need the name-mapped one
+    require(m.files.forall(!_.idless),
+      "the V1 snapshot relation cannot name-map pre-migration files; " +
+        "read through SnapshotLake.read / the V2 table, or compact() " +
+        "to materialize field ids")
     SnapshotLake.requireFieldIdReads(spark, m)
     val dd = new Path(root, "data")
     val index = new ManifestFileIndex(spark, dd, m.files, m.schema)

@@ -102,9 +102,16 @@ object SnapshotLake {
     * sidecars remain sound SUPERSETS (deletes only remove rows), so all
     * file-level pruning keeps working unchanged.
     */
+  /** `idless`: the file physically predates this lake's field ids (it
+    * was committed before [[upgradeFieldIds]]) — readers must resolve
+    * its columns BY NAME through the migration's name mapping, never by
+    * id. Cleared naturally: every rewrite stages fresh id-carrying
+    * files. Only ever true on `fieldIds=migrated` lakes.
+    */
   final case class FileEntry(rel: String, bytes: Long,
       stats: Map[String, (Double, Double)], bloomCols: Seq[String] = Nil,
-      rows: Long = -1L, deletes: Seq[String] = Nil)
+      rows: Long = -1L, deletes: Seq[String] = Nil,
+      idless: Boolean = false)
 
   /** `props`: lake-level metadata that PERSISTS across commits (every
     * commit inherits its parent's unless it explicitly overrides) —
@@ -168,8 +175,12 @@ object SnapshotLake {
       }.mkString(";"))
       sb.append('\t').append(f.bloomCols.sorted.mkString(","))
       sb.append('\t').append(f.rows)
-      if (f.deletes.nonEmpty)
+      // both optional columns render only when carried (the idless flag
+      // forces the delete slot so positions stay fixed): flag-free lakes
+      // keep rendering byte-identically to round 13/14
+      if (f.deletes.nonEmpty || f.idless)
         sb.append('\t').append(f.deletes.sorted.mkString(","))
+      if (f.idless) sb.append('\t').append('1')
       sb.append('\n')
     }
     sb.toString.getBytes(StandardCharsets.UTF_8)
@@ -202,7 +213,7 @@ object SnapshotLake {
     val n = field(5 + off, "files").toInt
     val files = (0 until n).map { i =>
       val cols = lines(6 + off + i).split('\t')
-      require(cols.length >= 2 && cols.length <= 6,
+      require(cols.length >= 2 && cols.length <= 7,
         s"manifest file line ${6 + off + i} malformed")
       val stats = if (cols.length < 3 || cols(2).isEmpty) Map.empty[String, (Double, Double)]
       else cols(2).split(';').map { seg =>
@@ -217,7 +228,8 @@ object SnapshotLake {
       val rows = if (cols.length < 5 || cols(4).isEmpty) -1L else cols(4).toLong
       val dels = if (cols.length < 6 || cols(5).isEmpty) Nil
         else cols(5).split(',').toSeq
-      FileEntry(cols(0), cols(1).toLong, stats, blooms, rows, dels)
+      val idless = cols.length >= 7 && cols(6) == "1"
+      FileEntry(cols(0), cols(1).toLong, stats, blooms, rows, dels, idless)
     }
     Manifest(version, parent, op, schema, files, props)
   }
@@ -524,13 +536,23 @@ object SnapshotLake {
     */
   private[sinks] val MaxFieldIdProp = "maxFieldId"
 
-  /** Present (value `birth`) iff the lake was CREATED with field ids —
-    * the precondition for RENAME/DROP COLUMN: only then does every data
-    * file carry parquet field ids, making id-resolution total. Lakes
-    * born before round 14 (or via a bare first `replace`) lack it and
-    * refuse rename/drop with a migration hint.
+  /** `birth` iff the lake was CREATED with field ids (every data file
+    * carries parquet ids — id-resolution is total); `migrated` iff
+    * [[upgradeFieldIds]] assigned them later (files from before the
+    * migration are flagged [[FileEntry.idless]] and resolve BY NAME
+    * through [[NameMappingProp]]). Either value unlocks RENAME/DROP
+    * COLUMN; id-less lakes refuse with the migration hint.
     */
   private[sinks] val FieldIdsBirthProp = "fieldIds"
+
+  /** Written once by [[upgradeFieldIds]]: `id=name` pairs (comma-joined)
+    * recording what each field was CALLED at migration time — exactly
+    * the name every pre-migration (idless) file uses for that field,
+    * because pre-migration lakes could only ever widen (rename/drop
+    * refused without ids). Iceberg's name-mapping design: idless files
+    * read with these names, id-carrying files by id.
+    */
+  private[sinks] val NameMappingProp = "nameMapping"
 
   /** Set to `true` by the first RENAME/DROP COLUMN: from then on, read
     * correctness REQUIRES `spark.sql.parquet.fieldId.read.enabled` (name
@@ -954,11 +976,13 @@ object SnapshotLake {
     */
   private def requireColumnMappable(head: Manifest, colName: String,
       verb: String): Unit = {
-    require(head.props.get(FieldIdsBirthProp).contains("birth"),
-      s"$verb COLUMN needs total field-id resolution, and this lake " +
+    require(head.props.get(FieldIdsBirthProp)
+        .exists(v => v == "birth" || v == "migrated"),
+      s"$verb COLUMN needs field-id resolution, and this lake " +
         "predates field ids (or was born through a bare replace) — " +
-        "files written without parquet ids cannot be re-mapped. " +
-        "Migrate: recreate the lake (CREATE TABLE + INSERT) and retry")
+        "run SnapshotLake.upgradeFieldIds (CALL graft.system." +
+        "upgrade_field_ids) first: one metadata-only commit assigns " +
+        "ids and a name mapping for the existing files")
     require(head.schema.fieldNames.contains(colName),
       s"column $colName not in snapshot schema ${head.schema.simpleString}")
     val parts = head.props.get("partitionCols").toSeq
@@ -1089,6 +1113,71 @@ object SnapshotLake {
       build = h => h.map(_.files).getOrElse(Nil), lockExpiryMs)
   }
 
+  /** METADATA-ONLY field-id migration for lakes born WITHOUT ids (pre
+    * round 14, or through a bare first `replace`): one commit that (a)
+    * assigns fresh parquet field ids to the current schema, (b) records
+    * the id → current-name mapping ([[NameMappingProp]] — the name every
+    * EXISTING file uses for that field, total because id-less lakes can
+    * only ever have widened), and (c) flags every current file
+    * [[FileEntry.idless]] so readers resolve it by mapped name while
+    * id-carrying files resolve by id. Unlocks RENAME/DROP COLUMN /
+    * ALTER TYPE on legacy lakes with zero data rewritten — Iceberg's
+    * migration design. Files written from now on carry ids; any rewrite
+    * (compact / zorder / merge) sheds the idless flags it absorbs, and a
+    * full `compact()` retires the name mapping's last user. Idempotent
+    * refusal on already-id'd lakes.
+    */
+  def upgradeFieldIds(spark: SparkSession, root: String,
+      lockExpiryMs: Long = DefaultLockExpiryMs): Long = {
+    val head = manifest(spark, root, None)
+    require(!schemaHasFieldIds(head.schema) &&
+      !head.props.get(FieldIdsBirthProp).exists(_.nonEmpty),
+      s"this lake already tracks field ids (${head.props.getOrElse(
+        FieldIdsBirthProp, "per-field metadata")})")
+    val idSchema = assignFieldIds(head.schema, 1L)
+    val mapping = idSchema.fields.map(f =>
+      s"${f.metadata.getLong(FieldIdKey)}=${f.name}").mkString(",")
+    val props = head.props ++ Map(
+      MaxFieldIdProp -> idSchema.fields.length.toString,
+      FieldIdsBirthProp -> "migrated",
+      NameMappingProp -> mapping)
+    commit(spark, root, "upgradefieldids", idSchema,
+      build = h => h.map(_.files).getOrElse(Nil).map(_.copy(idless = true)),
+      lockExpiryMs, props = Some(props))
+  }
+
+  /** The id → name-at-migration map of a `fieldIds=migrated` lake (empty
+    * for everything else).
+    */
+  private[sinks] def nameMapping(props: Map[String, String]): Map[Long, String] =
+    props.get(NameMappingProp).toSeq.flatMap(_.split(','))
+      .map(_.trim).filter(_.nonEmpty).map { seg =>
+        val eq = seg.indexOf('=')
+        require(eq > 0, s"malformed name mapping segment: $seg")
+        seg.take(eq).toLong -> seg.drop(eq + 1)
+      }.toMap
+
+  /** The read schema for IDLESS (pre-migration) files: every field
+    * renamed to what it was called at migration time and the field-id
+    * metadata STRIPPED, so Spark's parquet reader matches by name —
+    * fields added after the migration keep their current name and read
+    * as NULL (they are absent from old files), exactly the widening
+    * contract. Positionally and type-identical to the current schema,
+    * so rows from both file generations union without projection.
+    */
+  private[sinks] def nameMappedSchema(m: Manifest): StructType = {
+    val mapping = nameMapping(m.props)
+    StructType(m.schema.fields.map { f =>
+      val nm =
+        if (f.metadata.contains(FieldIdKey))
+          mapping.getOrElse(f.metadata.getLong(FieldIdKey), f.name)
+        else f.name
+      val md = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata).remove(FieldIdKey).build()
+      f.copy(name = nm, metadata = md)
+    })
+  }
+
   /** The per-commit epoch-micros stamp every round-13+ commit writes into
     * its manifest props (monotonic within a lake). */
   private[sinks] val CommitTimeProp = "commitTimeUs"
@@ -1180,16 +1269,18 @@ object SnapshotLake {
           // the schema since we resolved it: ours supersedes
           else if (baseSchema.contains(h)) schema
           // a rival widened past us: our files are valid under theirs —
-          // but only when every common column kept its FIELD ID (a
-          // drop + compact + re-add race re-binds a name to a fresh id;
-          // our staged files would carry the old id and read NULL there)
+          // but only when every common column kept EXACTLY its field id
+          // (a drop + compact + re-add race re-binds a name to a fresh
+          // id, and an upgradeFieldIds racing an id-LESS append stamps
+          // ids our staged files do not carry; either way id-resolution
+          // against our files would be wrong)
           else if (nt(schema).subsetOf(nt(h)) && {
             def ids(st: StructType) = st.fields.collect {
               case f if f.metadata.contains(FieldIdKey) =>
                 f.name -> f.metadata.getLong(FieldIdKey)
             }.toMap
             val ours = ids(schema); val theirs = ids(h)
-            ours.forall { case (n, id) => theirs.get(n).forall(_ == id) }
+            schema.fields.forall(f => ours.get(f.name) == theirs.get(f.name))
           }) h
           // drop/rename/retype raced the append: abort; the retry's
           // fresh compatibility check speaks loudly
@@ -1278,15 +1369,42 @@ object SnapshotLake {
     val schema = m.schema
     if (files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    val base = dataDir(root).toString
-    val raw = spark.read
-      .option("basePath", base)
-      .schema(schema)
-      .parquet(files.map(f => s"$base/${f.rel}"): _*)
     val delRels = files.flatMap(_.deletes).distinct
-    if (delRels.isEmpty) return raw
-    readTagged(spark, root, raw, files)
+    if (delRels.isEmpty) return rawFor(spark, root, m, files, tag = false)
+    readTagged(spark, root, rawFor(spark, root, m, files, tag = true), files)
       .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
+  /** The raw (pre-delete-filter) scan of `files`: id-carrying files read
+    * with the current schema (field-id resolution where the session asks
+    * for it), [[FileEntry.idless]] pre-migration files read with the
+    * [[nameMappedSchema]] and renamed back — positionally identical, so
+    * the two generations union without projection. Lakes with no idless
+    * files keep the single-scan plan byte-identical to round 14. With
+    * `tag = true` each generation carries `__abs`/`__pos` from its OWN
+    * `_metadata` columns (they cannot be resolved through a union).
+    */
+  private def rawFor(spark: SparkSession, root: String, m: Manifest,
+      files: Seq[FileEntry], tag: Boolean): DataFrame = {
+    val base = dataDir(root).toString
+    def readGen(schema: StructType, fs: Seq[FileEntry]): DataFrame = {
+      val df = spark.read
+        .option("basePath", base)
+        .schema(schema)
+        .parquet(fs.map(f => s"$base/${f.rel}"): _*)
+      if (!tag) df
+      else df.withColumn("__abs", col("_metadata.file_path"))
+        .withColumn("__pos", col("_metadata.row_index"))
+    }
+    val (idless, idful) = files.partition(_.idless)
+    if (idless.isEmpty) readGen(m.schema, files)
+    else {
+      val names = (m.schema.fieldNames.toSeq ++
+        (if (tag) Seq("__abs", "__pos") else Nil))
+      val legacy = readGen(nameMappedSchema(m), idless).toDF(names: _*)
+      if (idful.isEmpty) legacy
+      else readGen(m.schema, idful).toDF(names: _*).union(legacy)
+    }
   }
 
   /** [[readEntries]] plus row provenance: the surviving rows of `files`
@@ -1306,20 +1424,17 @@ object SnapshotLake {
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         taggedSchema)
     }
-    val base = dataDir(root).toString
-    val raw = spark.read
-      .option("basePath", base)
-      .schema(m.schema)
-      .parquet(files.map(f => s"$base/${f.rel}"): _*)
-    readTagged(spark, root, raw, files).select(outCols: _*)
+    readTagged(spark, root, rawFor(spark, root, m, files, tag = true), files)
+      .select(outCols: _*)
   }
 
-  /** Shared tail of the tagged reads: attach `__rel`/`__pos` from the
-    * parquet `_metadata` hidden columns (the reader's own per-file
-    * ordinal — the same number the delta DML writer records) via an
-    * explicit broadcast abs-path → rel lookup built from the very paths
-    * this plan reads, then anti-join away the files' pending position
-    * deletes. Fully distributed; AQE broadcasts small delete sets.
+  /** Shared tail of the tagged reads: `raw` arrives carrying `__abs`/
+    * `__pos` from the parquet `_metadata` hidden columns (the reader's
+    * own per-file ordinal — the same number the delta DML writer
+    * records); resolve `__abs` to the manifest rel via an explicit
+    * broadcast lookup built from the very paths this plan reads, then
+    * anti-join away the files' pending position deletes. Fully
+    * distributed; AQE broadcasts small delete sets.
     */
   private def readTagged(spark: SparkSession, root: String, raw: DataFrame,
       files: Seq[FileEntry]): DataFrame = {
@@ -1329,8 +1444,6 @@ object SnapshotLake {
     val lookup = files.map(f => (s"$qd/${f.rel}", f.rel))
       .toDF("__abs", "__rel")
     val tagged = raw
-      .withColumn("__abs", col("_metadata.file_path"))
-      .withColumn("__pos", col("_metadata.row_index"))
       .join(fns.broadcast(lookup), Seq("__abs"), "inner")
       .drop("__abs")
     val delRels = files.flatMap(_.deletes).distinct

@@ -212,6 +212,18 @@ final class SnapshotTable(
     val m = pinned.getOrElse(Manifest(0L, 0L, "empty", schema(), Nil))
     validateDeclared(m)
     SnapshotLake.requireFieldIdReads(spark, m)
+    // a field-id-MIGRATED lake still holding pre-migration (id-less)
+    // files splits the scan: id-carrying files by id, old files by the
+    // migration's name mapping — both sides stock vectorized parquet.
+    // The position-aware (mor) machinery does not compose with the
+    // split; that combination refuses until a compact materializes ids
+    if (m.files.exists(_.idless)) {
+      require(!SnapshotTable.morLake(m) && !SnapshotTable.hasDeletes(m),
+        s"merge-on-read reads over pre-migration (id-less) files under " +
+          s"$root are not supported — CALL graft.system.optimize " +
+          "(compact) first to materialize field ids")
+      return new SnapshotSplitScanBuilder(spark, root, m, partCols, options)
+    }
     // merge-on-read lakes (or any manifest carrying position deletes)
     // read through the position-aware builder: it applies the delete
     // sidecars and serves `_pos`, and falls back to this exact
@@ -286,6 +298,14 @@ final class SnapshotTable(
         s"(versionAsOf=${version.get})")
     val m = pinned.getOrElse(throw new IllegalArgumentException(
       s"no committed snapshot under $root — nothing to modify"))
+    // SQL row-level scans read ONE schema; pre-migration (id-less) files
+    // need the name-mapped one — refuse rather than reason about the
+    // cross-product (library delete/merge handle migrated lakes; one
+    // compact materializes ids and clears this)
+    require(m.files.forall(!_.idless),
+      s"SQL row-level DML over pre-migration (id-less) files under " +
+        s"$root — CALL graft.system.optimize (compact) first to " +
+        "materialize field ids, or use the library delete/merge")
     if (SnapshotTable.morLake(m)) {
       // merge-on-read: the SupportsDelta path, keyed on (_file, _pos) —
       // both must be free for the metadata columns to serve, and

@@ -625,4 +625,94 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT * FROM graft.dml.t").count() == 3)
     spark.sql("DROP TABLE graft.dml.t")
   }
+
+  test("legacy lake field-id migration: upgrade_field_ids is metadata-" +
+      "only, RENAME then works, pre-migration files read by NAME MAPPING " +
+      "(both generations, SQL and library), and compact retires the " +
+      "mapping") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mig")
+    val root = s"$warehouse/mig/legacy"
+    // a LEGACY (pre-round-14) lake: born through a bare replace, so no
+    // field ids anywhere — exactly the fixture rename/drop refuse on
+    val seed = Seq(("a", 1.5, 1L), ("b", 2.5, 2L), ("c", 3.5, 3L))
+      .toDF("symbol", "close", "event_id")
+    SnapshotLake.replace(spark, root, seed.repartition(2),
+      statsCols = Seq("event_id"))
+    val legacy = SnapshotLake.manifest(spark, root)
+    assert(legacy.schema.fields.forall(
+      !_.metadata.contains("parquet.field.id")))
+    val refusal = intercept[IllegalArgumentException] {
+      SnapshotLake.renameColumn(spark, root, "close", "px")
+    }
+    assert(refusal.getMessage.contains("upgradeFieldIds"), refusal.getMessage)
+    // the migration: ONE metadata-only commit
+    val up = spark.sql("CALL graft.system.upgrade_field_ids(" +
+      "`table` => 'mig.legacy')").collect().head
+    val m = SnapshotLake.manifest(spark, root)
+    assert(up.getLong(0) == m.version && up.getLong(1) == legacy.files.size)
+    assert(m.op == "upgradefieldids" &&
+      m.files.map(_.rel) == legacy.files.map(_.rel),
+      "migration must be metadata-only")
+    assert(m.files.forall(_.idless) &&
+      m.props("fieldIds") == "migrated" &&
+      m.props("nameMapping").nonEmpty)
+    assert(m.schema.fields.forall(_.metadata.contains("parquet.field.id")))
+    intercept[IllegalArgumentException] { // idempotence guard
+      SnapshotLake.upgradeFieldIds(spark, root)
+    }
+    val prevRead = spark.conf
+      .getOption("spark.sql.parquet.fieldId.read.enabled")
+    try {
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+      // RENAME now works; old files must read the renamed column BY the
+      // name mapping (they carry no ids to resolve by)
+      spark.sql("ALTER TABLE graft.mig.legacy RENAME COLUMN close TO px")
+      assert(spark.sql(
+        "SELECT px FROM graft.mig.legacy WHERE event_id = 2")
+        .head().getDouble(0) == 2.5,
+        "pre-migration files must serve the renamed column via the " +
+          "name mapping")
+      // post-rename files carry ids; BOTH generations read in one scan,
+      // filters on untouched columns still prune, library read agrees
+      spark.sql("INSERT INTO graft.mig.legacy SELECT 'd', 4.5, 4")
+      assert(spark.sql("SELECT sum(px) FROM graft.mig.legacy")
+        .head().getDouble(0) == 12.0)
+      assert(spark.sql(
+        "SELECT symbol FROM graft.mig.legacy WHERE px > 4").collect()
+        .map(_.getString(0)).toSeq == Seq("d"))
+      assert(SnapshotLake.read(spark, root)
+        .agg(sum("px")).head().getDouble(0) == 12.0)
+      assert(SnapshotLake.read(spark, root)
+        .filter(col("event_id") <= 2).count() == 2)
+      // library merge/delete handle the migrated lake (mapped rewrite
+      // absorbs the touched files; survivors keep the idless flag)
+      val (_, deleted, _, _) = SnapshotLake.delete(spark, root,
+        col("event_id") === 1L,
+        pruneBox = Map("event_id" -> (1.0, 1.0)))
+      assert(deleted == 1)
+      assert(spark.sql("SELECT count(*) FROM graft.mig.legacy")
+        .head().getLong(0) == 3)
+      // SQL row-level DML refuses while id-less files remain
+      val dml = intercept[Exception] {
+        spark.sql("UPDATE graft.mig.legacy SET px = 0 WHERE event_id = 2")
+      }
+      def chain(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x =>
+          Option(x.getMessage).toSeq ++ chain(x.getCause))
+      assert(chain(dml).exists(_.contains("pre-migration")),
+        chain(dml).mkString("; "))
+      // compact materializes ids everywhere: flags clear, DML unlocks
+      spark.sql("CALL graft.system.optimize(`table` => 'mig.legacy')")
+      val compacted = SnapshotLake.manifest(spark, root)
+      assert(compacted.files.forall(f => !f.idless))
+      spark.sql("UPDATE graft.mig.legacy SET px = 0 WHERE event_id = 2")
+      assert(spark.sql("SELECT sum(px) FROM graft.mig.legacy")
+        .head().getDouble(0) == 8.0)
+    } finally prevRead match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", v)
+      case None =>
+        spark.conf.unset("spark.sql.parquet.fieldId.read.enabled")
+    }
+  }
 }
