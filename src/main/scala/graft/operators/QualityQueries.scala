@@ -43,6 +43,42 @@ object QualityQueries {
       routed.filter(size(col("_violations")) > 0)
         .select(col("event_id"),
           array_join(col("_violations"), ",").as("viol"))
+    }),
+
+    // Constraint DDL (round 15): CHECK / NOT NULL declared as table
+    // properties are enforced by EVERY write path at commit time — a
+    // violating statement refuses whole and nothing lands (Delta's
+    // invariant contract; the check rides the write job via observe, so
+    // N constraints cost zero extra passes). The query proves the gate
+    // from both sides: a clean load lands, two dirty loads refuse with
+    // the version unchanged, and the surviving table equals the clean
+    // slice — which is exactly what the oracle recomputes.
+    "dq3_constraint_gate" -> ((s, dir) => {
+      import graft.sinks.SnapshotLake
+      val b = Tables.bars(s, dir).select(col("event_id"), col("symbol"),
+        col("ts"), col("close"), col("volume"))
+      val root = graft.TempDirs.create("graft-dq3") + "/lake"
+      SnapshotLake.create(s, root, b.schema, tableProps = Map(
+        "constraint.nonneg_volume" -> "volume >= 0", // NULL passes (SQL CHECK)
+        "notNullCols" -> "symbol",
+        "statsCols" -> "event_id"))
+      val clean = b.filter(col("symbol").isNotNull &&
+        coalesce(col("volume") >= 0, lit(true)))
+      SnapshotLake.append(s, root, clean.repartition(2),
+        statsCols = Seq("event_id"))
+      val v = SnapshotLake.latestVersion(s, root).get
+      def refuses(df: DataFrame, what: String): Unit = {
+        val e = try { SnapshotLake.append(s, root, df); null }
+          catch { case t: IllegalArgumentException => t }
+        require(e != null && e.getMessage.contains("constraint violation"),
+          s"$what must refuse, got $e")
+      }
+      refuses(b.withColumn("volume",
+        lit(-5).cast(b.schema("volume").dataType)), "negative volume")
+      refuses(b.withColumn("symbol", lit(null).cast("string")), "null symbol")
+      require(SnapshotLake.latestVersion(s, root).contains(v),
+        "a refused write must not commit a version")
+      SnapshotLake.read(s, root)
     })
   )
 
@@ -78,6 +114,12 @@ object QualityQueries {
          |UNION ALL SELECT 'min_rows', '*', CAST(n AS DOUBLE), 100.0, n >= 100 FROM agg
          |UNION ALL SELECT 'referential_integrity', 'l_orderkey->o_orderkey',
          |       CAST(orphans AS DOUBLE), 0.0, orphans = 0 FROM ri""".stripMargin),
+
+    "dq3_constraint_gate" -> (Tables.barsSql +
+      s"""
+         |SELECT event_id, symbol, ts, close, volume
+         |FROM bars
+         |WHERE symbol IS NOT NULL AND (volume >= 0 OR volume IS NULL)""".stripMargin),
 
     "dq2_quarantine" -> (Tables.barsSql +
       s"""

@@ -536,6 +536,38 @@ object ScaleQueries {
         .select("event_id", "symbol", "ts", "close")
     }),
 
+    // Row-level CDC as SQL (round 15): the `graft-changes` format
+    // replays the FULL diff classification — insert/update/delete
+    // across merges and deletes, not just appended windows — through
+    // plain spark.read, with `_change_type` tagging each row (Delta's
+    // table_changes personality). Same fixture as cdc1, consumed
+    // without one library import.
+    "cdc3_sql_diff" -> ((s, dir) => {
+      import graft.sinks.SnapshotLake
+      val b = Tables.bars(s, dir)
+        .select(col("event_id"), col("symbol"), col("ts"), col("close"))
+        .withColumn("ver", lit(1L))
+      val root = graft.TempDirs.create("graft-cdc3") + "/lake"
+      val mid = 500000000L
+      SnapshotLake.append(s, root, b.filter(col("event_id") < mid)
+        .repartition(2), statsCols = Seq("event_id"))
+      val vFrom = SnapshotLake.append(s, root, b.filter(col("event_id") >= mid)
+        .repartition(2), statsCols = Seq("event_id"))
+      val updates = b.filter(col("event_id") % 10 === 0)
+        .withColumn("close", col("close") + lit(1.0))
+        .withColumn("ver", lit(2L))
+        .unionByName(b.filter(col("event_id") % 1000 === 7)
+          .withColumn("event_id", col("event_id") + lit(1000000000000L))
+          .withColumn("ver", lit(2L)))
+      SnapshotLake.merge(s, root, updates, keyCols = Seq("event_id"),
+        versionCol = "ver", pruneKey = "event_id")
+      SnapshotLake.delete(s, root, col("event_id") % 97 === 3)
+      s.read.format("graft-changes")
+        .option("fromVersion", vFrom.toString)
+        .option("keyCols", "event_id") // toVersion defaults to the head
+        .load(root)
+    }),
+
     // Bloom-sidecar point lookup: documents land in three HASH-sliced
     // appends (every file's doc_id min/max spans ~the whole domain, so
     // envelope pruning cannot skip anything — the regime the per-file
@@ -876,6 +908,20 @@ object ScaleQueries {
     "cdc1_snapshot_diff" -> (Tables.barsSql +
       s"""
          |SELECT 'update' AS change, event_id, symbol, ts,
+         |       close + 1.0 AS close, CAST(2 AS BIGINT) AS ver
+         |FROM bars WHERE event_id % 10 = 0 AND event_id % 97 <> 3
+         |UNION ALL
+         |SELECT 'delete', event_id, symbol, ts, close, CAST(1 AS BIGINT)
+         |FROM bars WHERE event_id % 97 = 3
+         |UNION ALL
+         |SELECT 'insert', event_id + 1000000000000, symbol, ts, close,
+         |       CAST(2 AS BIGINT)
+         |FROM bars
+         |WHERE event_id % 1000 = 7 AND (event_id + 1000000000000) % 97 <> 3""".stripMargin),
+
+    "cdc3_sql_diff" -> (Tables.barsSql +
+      s"""
+         |SELECT 'update' AS _change_type, event_id, symbol, ts,
          |       close + 1.0 AS close, CAST(2 AS BIGINT) AS ver
          |FROM bars WHERE event_id % 10 = 0 AND event_id % 97 <> 3
          |UNION ALL

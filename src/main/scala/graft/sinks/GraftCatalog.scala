@@ -165,8 +165,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val dmlMode = declared.get("dmlMode").orElse(declared.get("option.dmlMode"))
     dmlMode.foreach(v => require(v == "cow" || v == "mor",
       s"dmlMode must be 'cow' or 'mor', got '$v'"))
+    // write constraints: `constraint.<name>` = SQL CHECK expression,
+    // `notNullCols` = CSV of NOT NULL columns — enforced by every write
+    // path at commit time (a violating statement refuses, nothing lands)
+    val constraintProps = declared.toMap.collect {
+      case (k, v) if k.startsWith("constraint.") => k -> v
+      case (k, v) if k.startsWith("option.constraint.") =>
+        k.stripPrefix("option.") -> v
+    } ++ declared.get("notNullCols").orElse(declared.get("option.notNullCols"))
+      .map("notNullCols" -> _)
+    constraintProps.get("notNullCols").foreach(
+      _.split(',').map(_.trim).filter(_.nonEmpty).foreach(c =>
+        require(schema.fieldNames.contains(c),
+          s"notNullCols column $c not in schema ${schema.simpleString}")))
+    // a malformed CHECK expression must refuse at CREATE, not at the
+    // first write: compile each against the declared schema now
+    if (constraintProps.exists(_._1.startsWith("constraint.")))
+      SnapshotLake.boundConstraints(spark, schema,
+        constraintProps.filter(_._1.startsWith("constraint.")))
     SnapshotLake.create(spark, rootOf(ident).toString, schema, partCols,
-      tableProps = indexProps ++ dmlMode.map("dmlMode" -> _))
+      tableProps = indexProps ++ dmlMode.map("dmlMode" -> _) ++
+        constraintProps)
     table(ident, None)
   }
 

@@ -469,7 +469,8 @@ final class SnapshotDeltaWrite(
       new SerializableConfiguration(dataJob.getConfiguration),
       delFactory, new SerializableConfiguration(delJob.getConfiguration),
       stageDir.toString, rowSchema, op.partCols,
-      spark.sessionState.conf.sessionLocalTimeZone)
+      spark.sessionState.conf.sessionLocalTimeZone,
+      SnapshotLake.boundConstraints(spark, rowSchema, base.props))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -568,11 +569,17 @@ final class SnapshotDeltaWriterFactory(
     stageDir: String,
     schema: StructType,
     partCols: Seq[String],
-    timeZoneId: String) extends DeltaWriterFactory {
+    timeZoneId: String,
+    constraints: Seq[(String,
+      org.apache.spark.sql.catalyst.expressions.Expression)] = Nil)
+    extends DeltaWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] = {
+    // constraints guard INSERTED row versions only (deletes remove rows,
+    // which cannot create a violation)
     val inserts = new HiveRoutingWriter(dataFactory, dataConf, stageDir,
-      schema, partCols, timeZoneId, partitionId, taskId)
+      schema, partCols, timeZoneId, partitionId, taskId,
+      constraints = constraints)
 
     new DeltaWriter[InternalRow] {
       // data rel -> positions deleted by this task

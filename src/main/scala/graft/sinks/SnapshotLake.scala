@@ -821,9 +821,83 @@ object SnapshotLake {
     }
   }
 
+  // ----------------------------------------------------------- constraints
+
+  /** Declared write constraints of a lake, from its table properties:
+    * `constraint.<name>` = a SQL CHECK expression (a row violates when
+    * it evaluates FALSE; NULL passes, the SQL standard), and
+    * `notNullCols` = CSV of columns that refuse NULLs. Set at CREATE
+    * (TBLPROPERTIES / `create(tableProps)`); every path that stages new
+    * rows enforces them and a violating statement refuses BEFORE any
+    * manifest commit — Delta's invariant contract. Returns
+    * (name, violation condition) pairs.
+    */
+  private[sinks] def constraintColumns(spark: SparkSession,
+      props: Map[String, String]): Seq[(String, org.apache.spark.sql.Column)] = {
+    val fns = org.apache.spark.sql.functions
+    val checks = props.toSeq.collect {
+      case (k, sql) if k.startsWith("constraint.") =>
+        k.stripPrefix("constraint.") ->
+          !fns.coalesce(fns.expr(sql), fns.lit(true))
+    }
+    val notNulls = props.get("notNullCols").toSeq
+      .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+      .map(c => s"$c IS NOT NULL" -> col(c).isNull)
+    (checks ++ notNulls).sortBy(_._1)
+  }
+
+  /** The lake-head constraint set for a write under `root` (empty before
+    * the first commit — constraints are declared at CREATE, so a bare
+    * first append has none).
+    */
+  private def headConstraints(spark: SparkSession,
+      root: String): Seq[(String, org.apache.spark.sql.Column)] =
+    latestVersion(spark, root) match {
+      case None => Nil
+      case Some(_) => constraintColumns(spark, manifest(spark, root, None).props)
+    }
+
+  /** The same constraints as BOUND catalyst violation expressions
+    * against `schema` (rows in exactly the table schema — the shape the
+    * executor-writing SQL DML paths hand their writers), resolved
+    * through the analyzer on the driver and shipped serialized; each
+    * writer compiles them to codegen'd predicates once per task. Empty
+    * for constraint-free lakes, so those paths stay byte-identical.
+    */
+  private[sinks] def boundConstraints(spark: SparkSession,
+      schema: StructType, props: Map[String, String])
+      : Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, BoundReference}
+    val conds = constraintColumns(spark, props)
+    if (conds.isEmpty) return Nil
+    val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    conds.map { case (name, viol) =>
+      val analyzed = empty.filter(viol).queryExecution.analyzed
+      val cond = analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition
+      }.getOrElse(throw new IllegalStateException(
+        s"constraint $name did not analyze to a filter"))
+      val bound = cond.transform {
+        case a: AttributeReference =>
+          val i = schema.fieldIndex(a.name)
+          BoundReference(i, schema(i).dataType, schema(i).nullable)
+      }
+      require(bound.references.isEmpty,
+        s"constraint $name references columns outside the table schema")
+      (name, bound)
+    }
+  }
+
   /** Stage-write `df` and move its files (hive partition subdirs
     * preserved) under data/ with a unique token prefix; returns a
     * [[FileEntry]] (with footer stats for `statsCols`) per data file.
+    *
+    * Declared constraints are measured DURING the write itself via
+    * `observe` (one `sum(CASE WHEN violated)` per constraint riding the
+    * write job — N constraints cost zero extra passes at 100 TB); a
+    * violation deletes the invisible stage and refuses before anything
+    * could commit.
     */
   private[sinks] def stageFiles(spark: SparkSession, root: String, df: DataFrame,
       partitionCols: Seq[String], statsCols: Set[String],
@@ -834,9 +908,32 @@ object SnapshotLake {
     val fs = fsOf(spark, root)
     val token = newToken()
     val stage = new Path(root, s".stage-$token")
-    val w = df.write.mode("overwrite").option("compression", "zstd")
+    val fns = org.apache.spark.sql.functions
+    val constraints = headConstraints(spark, root)
+    val (toWrite, obs) =
+      if (constraints.isEmpty) (df, None)
+      else {
+        val o = org.apache.spark.sql.Observation(s"graft-constraints-$token")
+        val metrics = constraints.map { case (n, viol) =>
+          fns.sum(fns.when(viol, 1L).otherwise(0L)).as(n)
+        }
+        (df.observe(o, metrics.head, metrics.tail: _*), Some(o))
+      }
+    val w = toWrite.write.mode("overwrite").option("compression", "zstd")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(stage.toString)
+    obs.foreach { o =>
+      val bad = o.get.toSeq.collect {
+        case (n, v: Long) if v > 0 => s"$n ($v row(s))"
+      }.sorted
+      if (bad.nonEmpty) {
+        fs.delete(stage, true)
+        throw new IllegalArgumentException(
+          s"write refused: constraint violation under $root — " +
+            bad.mkString("; ") + " (declared via constraint.<name> / " +
+            "notNullCols table properties; nothing was committed)")
+      }
+    }
     val sortedBlooms = bloomCols.distinct.sorted
     // pass 1: collect the staged part files (walk order = deterministic)
     val parts = scala.collection.mutable.ArrayBuffer

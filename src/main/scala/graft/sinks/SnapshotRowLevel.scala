@@ -334,7 +334,8 @@ final class SnapshotReplaceDataWrite(
     new SnapshotDataWriterFactory(factory,
       new SerializableConfiguration(job.getConfiguration),
       stageDir.toString, writeSchema, op.partCols,
-      spark.sessionState.conf.sessionLocalTimeZone)
+      spark.sessionState.conf.sessionLocalTimeZone,
+      SnapshotLake.boundConstraints(spark, writeSchema, base.props))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -451,7 +452,9 @@ final class SnapshotDynamicOverwriteWrite(
     new SnapshotDataWriterFactory(factory,
       new SerializableConfiguration(job.getConfiguration),
       stageDir.toString, tableSchema, partCols,
-      spark.sessionState.conf.sessionLocalTimeZone)
+      spark.sessionState.conf.sessionLocalTimeZone,
+      SnapshotLake.boundConstraints(spark, tableSchema,
+        base.map(_.props).getOrElse(Map.empty)))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -551,7 +554,17 @@ private[sinks] final class HiveRoutingWriter(
     timeZoneId: String,
     partitionId: Int,
     taskId: Long,
-    namePrefix: String = "part") {
+    namePrefix: String = "part",
+    constraints: Seq[(String,
+      org.apache.spark.sql.catalyst.expressions.Expression)] = Nil) {
+
+  // declared table constraints, compiled ONCE per task to codegen'd
+  // predicates over the full-schema row (violation conditions pre-bound
+  // on the driver); a violating row fails the statement before its task
+  // commits anything
+  private val constraintPreds = constraints.map { case (n, e) =>
+    (n, org.apache.spark.sql.catalyst.expressions.Predicate.create(e))
+  }
 
   /** Loud ceiling on concurrently open per-partition files per task — a
     * rewrite routing into thousands of partitions from one task should
@@ -596,6 +609,12 @@ private[sinks] final class HiveRoutingWriter(
 
   /** Route one row in the FULL table schema. */
   def write(full: InternalRow): Unit = {
+    constraintPreds.foreach { case (n, p) =>
+      if (p.eval(full)) throw new IllegalArgumentException(
+        s"write refused: constraint violation `$n` (declared via " +
+          "constraint.<name> / notNullCols table properties; nothing " +
+          "was committed)")
+    }
     val rel =
       if (partCols.isEmpty) baseName
       else s"${dirOf(full)}/$baseName"
@@ -638,11 +657,15 @@ final class SnapshotDataWriterFactory(
     stageDir: String,
     schema: StructType,
     partCols: Seq[String],
-    timeZoneId: String) extends DataWriterFactory {
+    timeZoneId: String,
+    constraints: Seq[(String,
+      org.apache.spark.sql.catalyst.expressions.Expression)] = Nil)
+    extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     val routing = new HiveRoutingWriter(factory, conf, stageDir, schema,
-      partCols, timeZoneId, partitionId, taskId)
+      partCols, timeZoneId, partitionId, taskId,
+      constraints = constraints)
 
     new DataWriter[InternalRow] {
       // ReplaceData's plan tags every row with a LEADING __row_operation

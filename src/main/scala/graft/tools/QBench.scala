@@ -21,13 +21,17 @@ object QBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(50000000L).selectExpr("count(xxhash64(id))").collect() // warm
-    // Bench's CPU canary, verbatim, so qbench numbers normalize the same
-    // way the committed artifacts do (min of before/after)
+    // Bench's CPU canary, VERBATIM (hash-agg over a fixed range), so
+    // qbench numbers normalize exactly like the committed artifacts (min
+    // of before/after). Round-14 lesson: this block used to run the
+    // MEMORY canary's rpad-shuffle body at the CPU canary's 50 M rows —
+    // ~12x the intended work — printing 5-6 s against ref 0.487 and
+    // forcing every solo adjudication onto a co-run anchor query.
     def canary(): Double = {
       val t0 = System.nanoTime()
       spark.range(0, 50000000L, 1, 32)
-        .selectExpr("id", "rpad(cast(id AS string), 128, 'x') AS payload")
-        .repartition(32, org.apache.spark.sql.functions.col("id"))
+        .selectExpr("xxhash64(id) % 97 AS k", "id")
+        .groupBy("k").agg(org.apache.spark.sql.functions.sum("id"))
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }

@@ -626,6 +626,60 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.dml.t")
   }
 
+  test("constraint DDL: CHECK and NOT NULL table properties gate every " +
+      "write path — INSERT, UPDATE, MERGE (cow and mor) refuse violating " +
+      "statements whole with no version committed") {
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ chain(x.getCause))
+    def refusal(sql: String): Unit = {
+      val e = intercept[Exception] { spark.sql(sql) }
+      assert(chain(e).exists(_.contains("constraint violation")),
+        s"expected a constraint refusal for [$sql], got ${chain(e).take(3)}")
+    }
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ct")
+    for ((tbl, mode) <- Seq(("graft.ct.c", "cow"), ("graft.ct.m", "mor"))) {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.sql(s"CREATE TABLE $tbl (symbol STRING, close DOUBLE, " +
+        "event_id BIGINT) USING `graft-snapshot` TBLPROPERTIES (" +
+        "'constraint.positive_close' 'close > 0', " +
+        "'notNullCols' 'symbol', " +
+        s"'dmlMode' '$mode', 'statsCols' 'event_id')")
+      val root = s"$warehouse/ct/${tbl.split('.').last}"
+      spark.sql(s"INSERT INTO $tbl VALUES ('a', 1.5, 1), ('b', 2.5, 2)")
+      val v = SnapshotLake.latestVersion(spark, root).get
+      // INSERT: CHECK and NOT NULL each refuse the whole statement
+      refusal(s"INSERT INTO $tbl VALUES ('c', -3.5, 3)")
+      refusal(s"INSERT INTO $tbl VALUES (NULL, 3.5, 3)")
+      // NULL passes a CHECK (SQL three-valued logic) but not notNullCols
+      spark.sql(s"INSERT INTO $tbl VALUES ('c', NULL, 3)")
+      // UPDATE: the rewritten row versions are checked (cow rewrite /
+      // mor delta insert both route through the same writer seam)
+      refusal(s"UPDATE $tbl SET close = -1.0 WHERE event_id = 1")
+      // MERGE: inserted rows are checked on both dml modes
+      Seq(("d", -9.0, 9L)).toDF("symbol", "close", "event_id")
+        .createOrReplaceTempView("ct_bad_src")
+      refusal(s"""MERGE INTO $tbl t USING ct_bad_src s
+                  ON t.event_id = s.event_id
+                  WHEN NOT MATCHED THEN INSERT *""")
+      // nothing violating ever landed; the one valid insert did
+      assert(SnapshotLake.latestVersion(spark, root).contains(v + 1),
+        "refused statements must not commit versions")
+      assert(spark.sql(s"SELECT count(*) FROM $tbl WHERE close <= 0")
+        .head.getLong(0) == 0)
+      assert(spark.sql(s"SELECT count(*) FROM $tbl").head.getLong(0) == 3)
+      // a malformed CHECK refuses at CREATE, not at first write
+      val bad = intercept[Exception] {
+        spark.sql("CREATE TABLE graft.ct.bad (x INT) USING " +
+          "`graft-snapshot` TBLPROPERTIES " +
+          "('constraint.broken' 'no_such_col > 0')")
+      }
+      assert(chain(bad).exists(m => m.contains("no_such_col") ||
+        m.contains("UNRESOLVED")), chain(bad).take(3).mkString("; "))
+      spark.sql(s"DROP TABLE $tbl")
+    }
+  }
+
   test("legacy lake field-id migration: upgrade_field_ids is metadata-" +
       "only, RENAME then works, pre-migration files read by NAME MAPPING " +
       "(both generations, SQL and library), and compact retires the " +
