@@ -2512,12 +2512,12 @@ object SnapshotLake {
         "every version from the first commit)")
     val newer = versions(spark, root).filter(v => v > sinceVersion && v <= hi)
       .map(v => manifest(spark, root, Some(v)))
-    // restat/evolve are metadata-only (identical file set; enriched
-    // entries / widened schema) and create adds no files: file
-    // provenance still equals row provenance across all three
+    // restat/evolve/upgradefieldids are metadata-only (identical file
+    // set; enriched entries / widened or id-stamped schema) and create
+    // adds no files: file provenance still equals row provenance
     val nonAppend = newer.filterNot(m =>
       m.op.startsWith("append") || m.op == "restat" || m.op == "evolve" ||
-        m.op == "create")
+        m.op == "create" || m.op == "upgradefieldids")
     require(nonAppend.isEmpty,
       s"appendsSince($sinceVersion) crosses non-append versions " +
         s"${nonAppend.map(m => s"v${m.version}=${m.op}").mkString(", ")} — " +
@@ -2530,10 +2530,15 @@ object SnapshotLake {
       if (sinceVersion == 0L) Nil
       else manifest(spark, root, Some(sinceVersion)).files
     val since = baseFiles.map(_.rel).toSet
-    val added = newer.flatMap(_.files).filterNot(f => since(f.rel))
-      .distinctBy(_.rel)
+    val addedRels = newer.flatMap(_.files.map(_.rel)).toSet -- since
     val last = newer.lastOption.getOrElse(manifest(spark, root,
       Some(sinceVersion)))
+    // entries come from the WINDOW-NEWEST manifest (append-only windows
+    // accumulate, so every added file is in it): they carry the current
+    // metadata — in particular the idless flag a mid-window
+    // upgradeFieldIds stamped, without which pre-migration files would
+    // be read by ids they do not carry
+    val added = last.files.filter(f => addedRels(f.rel))
     Manifest(hi, sinceVersion, "changes", last.schema, added, last.props)
   }
 
@@ -2587,7 +2592,15 @@ object SnapshotLake {
     val common = mF.files.map(key).toSet intersect mT.files.map(key).toSet
     def side(files: Seq[FileEntry]): DataFrame =
       readEntries(spark, root, mT, files)
-    val oldSide = side(mF.files.filterNot(f => common(key(f))))
+    // a window CROSSING upgradeFieldIds: the FROM manifest predates the
+    // idless flags, but an id-less mF.schema proves every old-side file
+    // predates the migration — stamp the flag so the read resolves them
+    // by the name mapping instead of ids they do not carry
+    val crossesMigration =
+      !schemaHasFieldIds(mF.schema) && schemaHasFieldIds(mT.schema)
+    def flagged(files: Seq[FileEntry]): Seq[FileEntry] =
+      if (!crossesMigration) files else files.map(_.copy(idless = true))
+    val oldSide = side(flagged(mF.files.filterNot(f => common(key(f)))))
     val newSide = side(mT.files.filterNot(f => common(key(f))))
     val dataCols = mT.schema.fieldNames.filterNot(keyCols.contains).toSeq
     val fns = org.apache.spark.sql.functions

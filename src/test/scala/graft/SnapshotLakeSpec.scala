@@ -1002,4 +1002,41 @@ class SnapshotLakeSpec extends SparkSpec {
     assert(!fs.exists(inFlightData) && !fs.exists(inFlightDel),
       "stale never-referenced files are crashed-writer litter")
   }
+
+  test("CDC windows crossing a field-id migration: appendsSince and diff " +
+      "read pre-migration files by the name mapping (id-resolution reads " +
+      "enabled), never by ids those files do not carry") {
+    val root = TempDirs.create("snaplake-migwin") + "/lake"
+    def kv(rows: (Long, Double)*) = rows.toSeq.toDF("id", "v")
+    // legacy (id-less) lake: v1 replace, v2 append
+    SnapshotLake.replace(spark, root, kv((1L, 1.0), (2L, 2.0), (3L, 3.0)),
+      statsCols = Seq("id"))
+    SnapshotLake.append(spark, root, kv((4L, 4.0), (5L, 5.0)))
+    SnapshotLake.upgradeFieldIds(spark, root) // v3, metadata-only
+    SnapshotLake.append(spark, root, kv((6L, 6.0))) // v4, id-carrying files
+    val prevRead = spark.conf
+      .getOption("spark.sql.parquet.fieldId.read.enabled")
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    try {
+      // the incremental window [v1, v4] spans the migration: both file
+      // generations must read (B idless via the window-newest entries)
+      val inc = SnapshotLake.appendsSince(spark, root, 1L, Some(4L))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(inc == Map(4L -> 4.0, 5L -> 5.0, 6L -> 6.0), inc)
+      // row-level diff whose FROM side predates the migration: the merge
+      // rewrites pre-migration files, so the old side is read through
+      // the name mapping — classification must still be exact
+      SnapshotLake.merge(spark, root, kv((1L, 100.0)), keyCols = Seq("id"),
+        versionCol = "v", pruneKey = "id") // v5
+      val d = SnapshotLake.diff(spark, root, 2L, 5L, keyCols = Seq("id"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      assert(d.toSet == Set(("update", 1L, 100.0), ("insert", 6L, 6.0)),
+        d.mkString(", "))
+    } finally prevRead match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", v)
+      case None =>
+        spark.conf.unset("spark.sql.parquet.fieldId.read.enabled")
+    }
+  }
 }
