@@ -1997,9 +1997,11 @@ object SnapshotLake {
         (base.version, 0, base.files.size)
       } else {
         val (lo, hi) = (toDoubleStat(range.get(0)), toDoubleStat(range.get(1)))
-        val (rewrite, untouched) = base.files.partition(f =>
+        val (envKept, envSkipped) = base.files.partition(f =>
           f.stats.get(pruneKey).forall { case (fLo, fHi) =>
             fHi >= lo && fLo <= hi })
+        val (rewrite, untouched) = bloomPrunedMergeCandidates(spark, root,
+          updates, pruneKey, range.getLong(2), envKept, envSkipped)
         if (base.props.get("dmlMode").contains("mor")) {
           // a dmlMode=mor lake merges through position-delete sidecars
           // (cost ∝ matched rows, 0 files rewritten) — same route the
@@ -2189,6 +2191,53 @@ object SnapshotLake {
         j.unpersist(blocking = false)
       }
     (v, coverMap.size, untouched.size)
+  }
+
+  /** Bloom refinement of a merge's candidate set, applied after envelope
+    * pruning: when the update-key set is SMALL (a CDC micro-batch, a
+    * keyed backfill) and candidate files carry bloom sidecars for the
+    * prune key, probe each file — a bloom miss proves the file holds NO
+    * update key, so it survives by identity, unread and unwritten. The
+    * regime this exists for is sn3's: hash-scattered keys in
+    * ingest-ordered files, where every file's min/max spans the whole
+    * domain and envelope pruning keeps everything — a 10-key MERGE
+    * against 1000 such files then opens ~the files that actually hold
+    * those keys instead of the lake. Sound (blooms have no false
+    * negatives); skipped entirely for large batches (collecting the key
+    * set must stay trivial), files without sidecars are conservatively
+    * kept, and any NULL or non-primitive key disables the refinement
+    * (NULL-key semantics stay exactly the unpruned path's). Probes are
+    * bounded driver reads, overlapped like [[pointCandidates]]'.
+    */
+  private val MaxMergeProbeKeys = 100000L
+
+  private def bloomPrunedMergeCandidates(spark: SparkSession, root: String,
+      updates: DataFrame, pruneKey: String, updCount: Long,
+      envKept: Seq[FileEntry], envSkipped: Seq[FileEntry])
+      : (Seq[FileEntry], Seq[FileEntry]) = {
+    if (updCount > MaxMergeProbeKeys ||
+        !envKept.exists(_.bloomCols.contains(pruneKey)))
+      return (envKept, envSkipped)
+    val keys = updates.select(col(pruneKey)).distinct().collect()
+      .map(_.get(0))
+    if (keys.exists(k => k == null ||
+        !(k.isInstanceOf[String] || k.isInstanceOf[java.lang.Number])))
+      return (envKept, envSkipped)
+    val fs = fsOf(spark, root)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val checks = envKept.map { f =>
+      Future {
+        val keep = !f.bloomCols.contains(pruneKey) ||
+          loadBloom(fs, root, f.rel, pruneKey)
+            .forall(bf => keys.exists(bloomHit(bf, _)))
+        (f, keep)
+      }
+    }
+    val probed = Await.result(Future.sequence(checks), Duration.Inf)
+    val (kept, skipped) = probed.partition(_._2)
+    (kept.map(_._1), envSkipped ++ skipped.map(_._1))
   }
 
   private[sinks] def toDoubleStat(v: Any): Double = v match {

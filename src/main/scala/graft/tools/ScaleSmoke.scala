@@ -1490,6 +1490,55 @@ object ScaleSmoke {
         f"$pendingBig%-9d delete=${delSec}%5.1f s scan=${bigSec}%5.2f s " +
         "(r14 REFUSED past 20M pending; now executor-side, no ceiling)")
     }
+    // ---- mergeprune: bloom-refined merge candidates. Hash-scattered
+    // layout (every file's key min/max spans the whole domain, envelope
+    // pruning keeps everything — the sn3 regime) + a 20-key MERGE: with
+    // bloom sidecars on the key the statement opens/rewrites ~the files
+    // that actually hold those keys; without them it rewrites the lake.
+    if (on("mergeprune")) {
+      import graft.sinks.SnapshotLake
+      val rows = math.max(n, 1000000L)
+      val nKeys = 4 // sparse: most files hold NO update key
+      val results = Seq(false, true).map { blooms =>
+        val root = graft.TempDirs.create(
+          s"smoke-mergeprune-$blooms") + "/lake"
+        val seed = spark.range(rows).select(col("id").as("event_id"),
+            (col("id") % 1000).cast("double").as("close"),
+            lit(0L).as("ver"))
+          .repartition(32, xxhash64(col("event_id")))
+        SnapshotLake.append(spark, root, seed, statsCols = Seq("event_id"),
+          bloomCols = if (blooms) Seq("event_id") else Nil)
+        val before = SnapshotLake.manifest(spark, root)
+        val stride = rows / nKeys
+        // min-of-2 statements (successive versions) so JVM/page-cache
+        // warmth cannot masquerade as the pruning effect
+        var rewritten = 0; var untouched = 0
+        val secs = (1 to 2).map { rep =>
+          val updates = spark.range(nKeys).select(
+            (col("id") * stride + 7).as("event_id"),
+            lit(-1.0 - rep).as("close"), lit(rep.toLong).as("ver"))
+          val t0 = System.nanoTime()
+          val (_, r, u) = SnapshotLake.merge(spark, root,
+            updates, keyCols = Seq("event_id"), versionCol = "ver",
+            pruneKey = "event_id")
+          rewritten = r; untouched = u
+          (System.nanoTime() - t0) / 1e9
+        }
+        val sec = secs.min
+        require(SnapshotLake.read(spark, root)
+          .filter(col("close") === -3.0).count() == nKeys,
+          s"blooms=$blooms: updates lost")
+        println(f"[scale] mergeprune blooms=$blooms%-5s lake=$rows%-9d " +
+          f"files=${before.files.size}%3d keys=$nKeys rewritten=$rewritten%3d " +
+          f"untouched=$untouched%3d min=${sec}%5.1f s " +
+          f"(runs ${secs.map(t => f"$t%.1f").mkString(",")})")
+        (blooms, sec, rewritten)
+      }
+      println(f"[scale] mergeprune verdict: bloom-pruned " +
+        f"${results(1)._3} files rewritten in ${results(1)._2}%.1f s vs " +
+        f"envelope-only ${results(0)._3} in ${results(0)._2}%.1f s = " +
+        f"${results(0)._2 / results(1)._2}%.2f x statement cost")
+    }
     // ---- morstream: a streaming CDC consumer (mergeStream) against cow
     // vs mor targets. Every micro-batch carries ~200 keys scattered
     // across the whole key range — the cow handler must rewrite every

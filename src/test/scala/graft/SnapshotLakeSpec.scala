@@ -1003,6 +1003,43 @@ class SnapshotLakeSpec extends SparkSpec {
       "stale never-referenced files are crashed-writer litter")
   }
 
+  test("bloom-pruned merge candidates: a small keyed merge against " +
+      "hash-scattered files (envelopes useless) touches only files whose " +
+      "bloom might contain an update key; results identical") {
+    val root = TempDirs.create("snaplake-mergeprune") + "/lake"
+    // hash-scattered layout: every file's id min/max spans ~the whole
+    // domain, so envelope pruning keeps everything — the bloom regime
+    val seed = spark.range(4000).select(col("id"),
+        (col("id") % 100).cast("double").as("v"))
+      .repartition(8, org.apache.spark.sql.functions.xxhash64(col("id")))
+    SnapshotLake.append(spark, root, seed, statsCols = Seq("id"),
+      bloomCols = Seq("id"))
+    val before = SnapshotLake.manifest(spark, root)
+    assert(before.files.size == 8 &&
+      before.files.forall(_.bloomCols.contains("id")))
+    // 2 update keys -> at most the 2 files holding them rewrite (plus
+    // bloom false positives at fpp 0.03 — allow 1)
+    val updates = Seq((7L, 999.0), (3888L, 888.0)).toDF("id", "v")
+    val (v, rewritten, untouched) = SnapshotLake.merge(spark, root,
+      updates, keyCols = Seq("id"), versionCol = "v", pruneKey = "id")
+    assert(rewritten <= 3,
+      s"bloom pruning must narrow 8 scattered files to ~2, got $rewritten")
+    assert(rewritten + untouched == 8)
+    val got = SnapshotLake.read(spark, root)
+      .filter(col("id").isin(7L, 3888L)).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(7L -> 999.0, 3888L -> 888.0))
+    assert(SnapshotLake.read(spark, root).count() == 4000)
+    // a large batch skips the refinement (collect must stay trivial):
+    // all-lose updates (version below every lake row's) change nothing
+    val big = spark.range(4000).select(col("id"), lit(-1.0).as("v"))
+    SnapshotLake.merge(spark, root, big,
+      keyCols = Seq("id"), versionCol = "v", pruneKey = "id")
+    assert(SnapshotLake.read(spark, root).filter(col("v") === -1.0)
+      .count() == 0, "all-lose batch must change nothing")
+    assert(SnapshotLake.read(spark, root).count() == 4000)
+  }
+
   test("CDC windows crossing a field-id migration: appendsSince and diff " +
       "read pre-migration files by the name mapping (id-resolution reads " +
       "enabled), never by ids those files do not carry") {
