@@ -592,7 +592,7 @@ object SnapshotLake {
     f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
       .withMetadata(f.metadata).putLong(FieldIdKey, id).build())
 
-  private[sinks] def schemaHasFieldIds(s: StructType): Boolean =
+  private[graft] def schemaHasFieldIds(s: StructType): Boolean =
     s.fields.nonEmpty && s.fields.forall(_.metadata.contains(FieldIdKey))
 
   private def assignFieldIds(schema: StructType, from: Long): StructType =
@@ -638,7 +638,7 @@ object SnapshotLake {
   /** Loud read-side guard for column-mapped lakes (see
     * [[ColumnMappedProp]]). A no-op for every other lake.
     */
-  private[sinks] def requireFieldIdReads(spark: SparkSession, m: Manifest): Unit =
+  private[graft] def requireFieldIdReads(spark: SparkSession, m: Manifest): Unit =
     if (m.props.get(ColumnMappedProp).contains("true"))
       require(spark.sessionState.conf.parquetFieldIdReadEnabled,
         "this lake renamed or dropped columns (column-mapped): reading " +
@@ -1460,7 +1460,7 @@ object SnapshotLake {
     * read of a renamed column would return NULL from pre-rename files
     * and the rewrite would commit those NULLs back permanently.
     */
-  private[sinks] def readEntries(spark: SparkSession, root: String,
+  private[graft] def readEntries(spark: SparkSession, root: String,
       m: Manifest, files: Seq[FileEntry]): DataFrame = {
     requireFieldIdReads(spark, m)
     val schema = m.schema

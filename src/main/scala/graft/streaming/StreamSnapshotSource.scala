@@ -420,18 +420,30 @@ class SnapshotSource(spark: SparkSession, root: String,
       .filter(v => v > lo && v <= hi)
       .map(v => SnapshotLake.manifest(spark, root, Some(v)))
     val appends = ms.filter(_.op.startsWith("append"))
+    val last = ms.lastOption
+    val outSchema = last.map(_.schema).getOrElse(schema)
+    // entries appended BEFORE a mid-window field-id migration carry no
+    // idless flag in their source manifests — stamp it so the read
+    // resolves them by the name mapping, not by ids they do not carry
+    val outHasIds = SnapshotLake.schemaHasFieldIds(outSchema)
     val added = appends.flatMap { m =>
       val parent = SnapshotLake.manifest(spark, root, Some(m.parent))
         .files.map(_.rel).toSet
+      val idless = outHasIds && !SnapshotLake.schemaHasFieldIds(m.schema)
       m.files.filterNot(f => parent(f.rel))
+        .map(f => if (idless && !f.idless) f.copy(idless = true) else f)
     }.distinctBy(_.rel)
-    val outSchema = ms.lastOption.map(_.schema).getOrElse(schema)
     if (added.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema)
     else {
-      val dd = new Path(root, "data").toString
-      spark.read.option("basePath", dd).schema(outSchema)
-        .parquet(added.map(f => s"$dd/${f.rel}"): _*)
+      // read through the ONE library primitive: the column-mapped
+      // field-id guard, the name-mapping split, and the (vacuously
+      // empty here — appends carry no deletes) position-delete
+      // application all ride along instead of being re-derived
+      val outM = last.getOrElse(
+        SnapshotLake.manifest(spark, root, Some(hi)))
+      SnapshotLake.readEntries(spark, root,
+        outM.copy(schema = outSchema, files = added), added)
     }
   }
 

@@ -109,6 +109,42 @@ class SnapshotSourceSpec extends SparkSpec {
     } finally skip.stop()
   }
 
+  test("skipRewrites window crossing a field-id migration: pre-migration " +
+      "appends read via the name mapping (id-resolution reads on), " +
+      "post-migration appends by id — one emitted batch, both correct") {
+    val work = TempDirs.create("snapsrc-mig")
+    val root = s"$work/lake"
+    // legacy (id-less) lake: replace-born
+    SnapshotLake.replace(spark, root, rows(1, 2), statsCols = Seq("id"))
+    val prevRead = spark.conf
+      .getOption("spark.sql.parquet.fieldId.read.enabled")
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    val q = spark.readStream.format(Fmt)
+      .option("startingVersion", "latest").option("skipRewrites", "true")
+      .load(root)
+      .writeStream.format("memory").queryName("snap_mig_out")
+      .option("checkpointLocation", s"$work/ckpt").start()
+    try {
+      q.processAllAvailable()
+      SnapshotLake.append(spark, root, rows(3, 4)) // v2: id-less files
+      SnapshotLake.upgradeFieldIds(spark, root) // v3: metadata-only
+      SnapshotLake.append(spark, root, rows(5, 6)) // v4: id-carrying
+      q.processAllAvailable() // ONE window (v1, v4] spanning the migration
+      assert(spark.table("snap_mig_out").select("id", "s").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap ==
+        Map(3L -> "d-3", 4L -> "d-4", 5L -> "d-5", 6L -> "d-6"),
+        "both file generations must read correctly across the migration")
+    } finally {
+      q.stop()
+      prevRead match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.parquet.fieldId.read.enabled", v)
+        case None =>
+          spark.conf.unset("spark.sql.parquet.fieldId.read.enabled")
+      }
+    }
+  }
+
   test("lake-to-lake pipeline: source tail + appendStream sink compose " +
       "into an exactly-once mirror with a transform in between") {
     val work = TempDirs.create("snapsrc4")
