@@ -1225,23 +1225,34 @@ object SnapshotLake {
     * refusal on already-id'd lakes.
     */
   def upgradeFieldIds(spark: SparkSession, root: String,
-      lockExpiryMs: Long = DefaultLockExpiryMs): Long = {
-    val head = manifest(spark, root, None)
-    require(!schemaHasFieldIds(head.schema) &&
-      !head.props.get(FieldIdsBirthProp).exists(_.nonEmpty),
-      s"this lake already tracks field ids (${head.props.getOrElse(
-        FieldIdsBirthProp, "per-field metadata")})")
-    val idSchema = assignFieldIds(head.schema, 1L)
-    val mapping = idSchema.fields.map(f =>
-      s"${f.metadata.getLong(FieldIdKey)}=${f.name}").mkString(",")
-    val props = head.props ++ Map(
-      MaxFieldIdProp -> idSchema.fields.length.toString,
-      FieldIdsBirthProp -> "migrated",
-      NameMappingProp -> mapping)
-    commit(spark, root, "upgradefieldids", idSchema,
-      build = h => h.map(_.files).getOrElse(Nil).map(_.copy(idless = true)),
-      lockExpiryMs, props = Some(props))
-  }
+      lockExpiryMs: Long = DefaultLockExpiryMs): Long =
+    retryOnConflict(spark, root, "upgradefieldids") { () =>
+      val head = manifest(spark, root, None)
+      require(!schemaHasFieldIds(head.schema) &&
+        !head.props.get(FieldIdsBirthProp).exists(_.nonEmpty),
+        s"this lake already tracks field ids (${head.props.getOrElse(
+          FieldIdsBirthProp, "per-field metadata")})")
+      val idSchema = assignFieldIds(head.schema, 1L)
+      val mapping = idSchema.fields.map(f =>
+        s"${f.metadata.getLong(FieldIdKey)}=${f.name}").mkString(",")
+      val props = head.props ++ Map(
+        MaxFieldIdProp -> idSchema.fields.length.toString,
+        FieldIdsBirthProp -> "migrated",
+        NameMappingProp -> mapping)
+      commit(spark, root, "upgradefieldids", idSchema,
+        // idSchema/mapping/props were computed from a head read taken
+        // BEFORE the lock: an evolve-append (widen) landing in between
+        // would get its new column silently reverted by publishing the
+        // stale schema — and its id-carrying file wrongly flagged
+        // idless. Guard like every rewrite does: abort under the lock
+        // when the schema the migration was computed from is no longer
+        // the head's, and recompute from the fresh head on retry.
+        build = h => {
+          requireSchemaIntact(head.schema, h, Nil, "upgradefieldids", root)
+          h.map(_.files).getOrElse(Nil).map(_.copy(idless = true))
+        },
+        lockExpiryMs, props = Some(props))
+    }
 
   /** The id → name-at-migration map of a `fieldIds=migrated` lake (empty
     * for everything else).
@@ -1264,7 +1275,7 @@ object SnapshotLake {
     */
   private[sinks] def nameMappedSchema(m: Manifest): StructType = {
     val mapping = nameMapping(m.props)
-    StructType(m.schema.fields.map { f =>
+    val mapped = StructType(m.schema.fields.map { f =>
       val nm =
         if (f.metadata.contains(FieldIdKey))
           mapping.getOrElse(f.metadata.getLong(FieldIdKey), f.name)
@@ -1273,6 +1284,23 @@ object SnapshotLake {
         .withMetadata(f.metadata).remove(FieldIdKey).build()
       f.copy(name = nm, metadata = md)
     })
+    // Collision guard: a rename a->b plus a later re-add of `a` would
+    // give this schema two fields named `a` (the mapped pre-migration
+    // name of b, plus the new column) — parquet's by-name resolution
+    // over the remaining idless files would then bind ambiguously. The
+    // RetiredColsProp discipline refuses that DDL while idless files
+    // can exist (compact frees names only by rewriting every file), so
+    // this is a belt-and-braces invariant check, not a reachable user
+    // error — fail loudly rather than mis-resolve.
+    val dup = mapped.fieldNames.groupBy(identity).collect {
+      case (n, hits) if hits.length > 1 => n
+    }
+    require(dup.isEmpty,
+      s"name-mapped read schema has colliding column name(s) " +
+        s"${dup.mkString(", ")} — a post-migration DDL re-used a name " +
+        "still live in the legacy name mapping; compact() retires the " +
+        "mapping and frees the name")
+    mapped
   }
 
   /** The per-commit epoch-micros stamp every round-13+ commit writes into
@@ -1510,7 +1538,7 @@ object SnapshotLake {
     * ids a merge-on-read DML needs to record new position deletes
     * against. Same distributed anti-join machinery as [[readEntries]].
     */
-  private[sinks] def readEntriesTagged(spark: SparkSession, root: String,
+  private[graft] def readEntriesTagged(spark: SparkSession, root: String,
       m: Manifest, files: Seq[FileEntry]): DataFrame = {
     requireFieldIdReads(spark, m)
     val outCols = (m.schema.fieldNames.toSeq ++ Seq("__rel", "__pos")).map(col)
@@ -2065,13 +2093,22 @@ object SnapshotLake {
     * [[SnapshotDeltaWrite]] path; a lake opts in with
     * `dmlMode = 'mor'`). One COLUMN-PRUNED pass over the candidate
     * files fetches (key, version, __rel, __pos) with pending deletes
-    * already applied; a left join from the collapsed update winners
-    * classifies each winner as insert (no lake row) or update
-    * (delete the lake row's position + insert the new version); lake
-    * rows that beat their update (strictly newer `versionCol`) stay
-    * untouched and the update row is dropped — exactly [[merge]]'s
-    * keep-latest tie-break (updates win at equal version). Requires
-    * [[merge]]'s standing key discipline (keyCols unique per version).
+    * already applied; [[morClassify]] then decides each collapsed
+    * update winner PER KEY against the newest lake version of that key:
+    * a winner at `versionCol >= max(lake versions)` deletes EVERY lake
+    * position of the key and inserts (updates win ties — cow's `__src`
+    * tie-break); a winner strictly below the key's newest lake row is
+    * dropped whole and the lake rows stay untouched; keys with no lake
+    * row insert. Classifying against the per-key MAX (not per lake row,
+    * the round-15 shape) keeps the cow keep-latest contract even when
+    * plain appends stacked several versions of one key in the lake —
+    * the old per-row rule would position-delete the stale row, keep the
+    * newer one, AND insert a mid-version winner beside it. (A losing
+    * winner leaves pre-existing duplicate lake versions of its key in
+    * place — the merge touches nothing it does not win against; cow's
+    * wholesale rewrite incidentally collapses such rows. [[merge]]'s
+    * standing key discipline — keyCols unique per version — makes the
+    * case vacuous on contract-observing lakes.)
     *
     * Commit shape mirrors the SQL delta write: sidecars move under
     * `_deletes/`, the manifest stacks them onto the entries they cover,
@@ -2098,23 +2135,16 @@ object SnapshotLake {
     val winners = updates.select(cols.toIndexedSeq: _*)
       .withColumn("__rn", fns.row_number().over(wU))
       .filter(col("__rn") === 1).drop("__rn")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // ONE pass over the candidates, pruned to key + version + row id —
     // parquet reads only those columns, pending deletes already applied
     val lakeKeys = readEntriesTagged(spark, root, base, candidates)
       .select(keyCols.map(col) ++ Seq(col(versionCol).as("__lv"),
         col("__rel"), col("__pos")): _*)
-    // streaming/CDC-sized batches (the common shape) BROADCAST: one
-    // streamed pass over the candidate files, no lake-side shuffle; a
-    // bulk merge falls back to the shuffled join
-    val j = (if (updCount <= 4L * 1000 * 1000)
-        lakeKeys.join(fns.broadcast(winners), keyCols, "right_outer")
-      else winners.join(lakeKeys, keyCols, "left_outer"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val updateWins = col("__lv").isNotNull && col(versionCol) >= col("__lv")
-    val deletes = j.filter(updateWins)
-      .select(col("__rel").as("file"), col("__pos").as("pos"))
-    val inserts = j.filter(col("__lv").isNull || col(versionCol) >= col("__lv"))
-      .select(cols.toIndexedSeq: _*).dropDuplicates(keyCols)
+    val (classified, deletes, inserts) = morClassify(winners, lakeKeys,
+      keyCols, versionCol,
+      broadcastWinners = updCount <= 4L * 1000 * 1000)
+    classified.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // stage the delete sidecars: range-clustered by (file, pos) so each
     // data file's positions land in few sidecars and arrive pre-sorted
     // for the scan-side loads
@@ -2188,9 +2218,62 @@ object SnapshotLake {
           throw e
       } finally {
         fs.delete(delStage, true)
-        j.unpersist(blocking = false)
+        classified.unpersist(blocking = false)
+        winners.unpersist(blocking = false)
       }
     (v, coverMap.size, untouched.size)
+  }
+
+  /** The MOR merge's classification plan — the seam WritePlanSpec pins.
+    * Given the collapsed update `winners` (unique per key, full lake
+    * schema) and the candidates' column-pruned `lakeKeys`
+    * (key..., __lv = lake version, __rel, __pos):
+    *
+    *   - `matched` = lakeKeys INNER-joined to the winners' KEY-ONLY
+    *     projection (key..., __uv). With `broadcastWinners` the slim
+    *     side carries an explicit broadcast hint — legal for an inner
+    *     join (BuildRight), so the plan is a BroadcastHashJoin that
+    *     STREAMS the candidate files once with no lake-side shuffle.
+    *     (Round 15 hinted the preserved side of a right_outer, which
+    *     Spark cannot build — the hint was silently dropped and every
+    *     merge/micro-batch sort-merge-shuffled the candidate key set.)
+    *   - `classified` = matched + `__lvmax` = max(__lv) per key (the
+    *     window's exchange is over MATCHED rows only — O(lake rows of
+    *     updated keys), never the candidate scan).
+    *   - `deletes` = every (__rel, __pos) of keys the winner beats
+    *     (__uv >= __lvmax: updates win ties).
+    *   - `inserts` = winners anti-joined against the LOSING matched
+    *     keys (__uv < __lvmax) — unmatched new keys and winning updates
+    *     in one pass; the anti side is <= |winners| key-only rows, so
+    *     it broadcasts under the same gate.
+    *
+    * Returns (classified, deletes, inserts); the caller persists
+    * `classified` (deletes and the anti side both read it — one
+    * candidate-scan materialization instead of two). NULL join keys
+    * never match (standard SQL equality), so a NULL-keyed winner
+    * inserts — same as every round since 14; cow's window groups NULLs,
+    * the documented divergence for lakes violating key discipline.
+    */
+  private[graft] def morClassify(winners: DataFrame, lakeKeys: DataFrame,
+      keyCols: Seq[String], versionCol: String, broadcastWinners: Boolean)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val fns = org.apache.spark.sql.functions
+    val slim = winners.select(keyCols.map(col) :+
+      col(versionCol).as("__uv"): _*)
+    val matched = lakeKeys.join(
+      if (broadcastWinners) fns.broadcast(slim) else slim, keyCols, "inner")
+    val wK = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+    val classified = matched
+      .withColumn("__lvmax", fns.max(col("__lv")).over(wK))
+    val deletes = classified.filter(col("__uv") >= col("__lvmax"))
+      .select(col("__rel").as("file"), col("__pos").as("pos"))
+    val losing = classified.filter(col("__uv") < col("__lvmax"))
+      .select(keyCols.map(col): _*).distinct()
+    val inserts = winners.join(
+      if (broadcastWinners) fns.broadcast(losing) else losing,
+      keyCols, "left_anti")
+    (classified, deletes, inserts)
   }
 
   /** Bloom refinement of a merge's candidate set, applied after envelope

@@ -437,4 +437,46 @@ class SnapshotMorSpec extends SparkSpec {
     assert(state(morRoot) == expected ++ Map(4L -> ("d2", 2L),
       6L -> ("f", 1L)))
   }
+
+  test("mor merge classifies per KEY against the newest lake version: " +
+      "a mid-version update against stacked lake versions (key-" +
+      "discipline-violating appends) is dropped whole — no stale insert " +
+      "beside a newer lake row — and a winning update deletes EVERY " +
+      "stacked position") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    def kv(rows: (Long, String, Long)*) = rows.toSeq.toDF("id", "v", "ver")
+    val root = s"${TempDirs.create("mor-stack")}/lake"
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", StringType), StructField("ver", LongType)))
+    SnapshotLake.create(spark, root, schema,
+      tableProps = Map("dmlMode" -> "mor", "statsCols" -> "id"))
+    // plain appends stack TWO versions of key 1 (v1 and v5) — appends
+    // do not enforce the merge key discipline
+    SnapshotLake.append(spark, root,
+      kv((1L, "old", 1L), (2L, "b", 1L)), statsCols = Seq("id"))
+    SnapshotLake.append(spark, root,
+      kv((1L, "new", 5L), (3L, "c", 1L)), statsCols = Seq("id"))
+    // an update at ver 3 sits BETWEEN the stacked versions: the key's
+    // newest lake row (ver 5) beats it, so the merge must change
+    // NOTHING for key 1 — the r15 per-row rule deleted the v1 position,
+    // kept v5, and inserted v3 (a duplicate key)
+    val (_, gained, _) = SnapshotLake.merge(spark, root,
+      kv((1L, "mid", 3L), (4L, "d", 1L)), keyCols = Seq("id"),
+      versionCol = "ver", pruneKey = "id")
+    val after = SnapshotLake.read(spark, root).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(after == Set((1L, "old", 1L), (1L, "new", 5L), (2L, "b", 1L),
+      (3L, "c", 1L), (4L, "d", 1L)),
+      s"losing update must leave the lake untouched, got $after")
+    assert(gained == 0,
+      s"no file may gain deletes from a losing update, got $gained")
+    // an update at ver 6 beats the key's newest lake row: EVERY stacked
+    // position of key 1 is deleted and exactly one row remains
+    SnapshotLake.merge(spark, root, kv((1L, "final", 6L)),
+      keyCols = Seq("id"), versionCol = "ver", pruneKey = "id")
+    val rows1 = SnapshotLake.read(spark, root).filter(col("id") === 1)
+      .collect().map(r => (r.getString(1), r.getLong(2))).toSeq
+    assert(rows1 == Seq(("final", 6L)),
+      s"winning update must collapse every stacked version, got $rows1")
+  }
 }
