@@ -5,10 +5,11 @@ import org.apache.spark.sql.functions.col
 
 /** Dev tool: run the bench harness's host canaries standalone —
   * `runMain graft.tools.CanaryProbe [n]`. Prints the CPU canary (fixed
-  * 50 M-row hash-agg) and the memory-bandwidth canary (fixed ~512 MB
-  * full-shuffle materialization) n times each, for adjudicating a host
-  * window without paying for a suite sweep. Must stay byte-identical to
-  * the probes in [[graft.Bench]].
+  * 50 M-row hash-agg), the memory-bandwidth canary (fixed ~512 MB
+  * full-shuffle materialization), and the disk-I/O canary (fixed 512 MB
+  * O_DIRECT read — round 16, see Bench) n times each, for adjudicating
+  * a host window without paying for a suite sweep. Must stay
+  * byte-identical to the probes in [[graft.Bench]].
   */
 object CanaryProbe {
   def main(args: Array[String]): Unit = {
@@ -23,6 +24,23 @@ object CanaryProbe {
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
+    val ioProbeFile = {
+      val p = java.nio.file.Files.createTempFile("graft-io-canary", ".bin")
+      p.toFile.deleteOnExit()
+      val w = new ProcessBuilder("dd", "if=/dev/zero", s"of=$p",
+        "bs=1M", "count=512", "conv=fsync")
+        .redirectErrorStream(true).start()
+      w.getInputStream.readAllBytes()
+      if (w.waitFor() == 0) Some(p) else None
+    }
+    def canaryIo(): Double = ioProbeFile.map { p =>
+      time {
+        val r = new ProcessBuilder("dd", s"if=$p", "of=/dev/null",
+          "bs=1M", "iflag=direct").redirectErrorStream(true).start()
+        r.getInputStream.readAllBytes()
+        require(r.waitFor() == 0, "dd direct read failed")
+      }
+    }.getOrElse(-1.0)
     for (i <- 1 to n) {
       val c = time {
         spark.range(0, 50000000L, 1, 32)
@@ -36,7 +54,8 @@ object CanaryProbe {
           .repartition(32, col("id"))
           .write.format("noop").mode("overwrite").save()
       }
-      println(f"[canary] run$i cpu=$c%.3f s mem=$m%.3f s")
+      val io = canaryIo()
+      println(f"[canary] run$i cpu=$c%.3f s mem=$m%.3f s io=$io%.3f s")
     }
     spark.stop()
   }
