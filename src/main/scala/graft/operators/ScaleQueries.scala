@@ -568,6 +568,53 @@ object ScaleQueries {
         .load(root)
     }),
 
+    // STREAMING row-level CDC (round 16): the `readChangeFeed`
+    // personality of the graft-snapshot streaming source — per-trigger
+    // PAIRWISE version diffs, each row `_change_type`-tagged and
+    // `_commit_version`-stamped (Delta's readChangeFeed on readStream,
+    // derived from the manifest diff). Same lake shape as cdc3 (two
+    // appends, a merge, a delete), consumed LIVE: the stream starts
+    // before the DML, sees the initial snapshot as inserts at the
+    // then-head, then each commit's classified rows as they land. The
+    // oracle replays the whole feed in closed form — including the
+    // updated-then-deleted keys, whose delete rows carry the UPDATED
+    // values (per-version history, not the window's net effect).
+    "cdc4_stream_changes" -> ((s, dir) => {
+      import graft.sinks.SnapshotLake
+      val b = Tables.bars(s, dir)
+        .select(col("event_id"), col("symbol"), col("ts"), col("close"))
+        .withColumn("ver", lit(1L))
+      val work = graft.TempDirs.create("graft-cdc4")
+      val root = s"$work/lake"
+      val mid = 500000000L
+      SnapshotLake.append(s, root, b.filter(col("event_id") < mid)
+        .repartition(2), statsCols = Seq("event_id"))
+      SnapshotLake.append(s, root, b.filter(col("event_id") >= mid)
+        .repartition(2), statsCols = Seq("event_id"))
+      val sinkName = "cdc4_feed_" + java.lang.Long.toHexString(
+        java.util.concurrent.ThreadLocalRandom.current().nextLong())
+      val q = s.readStream.format("graft-snapshot")
+        .option("readChangeFeed", "true").option("keyCols", "event_id")
+        .load(root)
+        .writeStream.format("memory").queryName(sinkName)
+        .option("checkpointLocation", s"$work/ckpt").start()
+      try {
+        q.processAllAvailable() // initial snapshot: inserts @ v2
+        val updates = b.filter(col("event_id") % 10 === 0)
+          .withColumn("close", col("close") + lit(1.0))
+          .withColumn("ver", lit(2L))
+          .unionByName(b.filter(col("event_id") % 1000 === 7)
+            .withColumn("event_id", col("event_id") + lit(1000000000000L))
+            .withColumn("ver", lit(2L)))
+        SnapshotLake.merge(s, root, updates, keyCols = Seq("event_id"),
+          versionCol = "ver", pruneKey = "event_id")
+        q.processAllAvailable() // update/insert rows @ v3
+        SnapshotLake.delete(s, root, col("event_id") % 97 === 3)
+        q.processAllAvailable() // delete rows @ v4, last values
+      } finally q.stop()
+      s.table(sinkName)
+    }),
+
     // Bloom-sidecar point lookup: documents land in three HASH-sliced
     // appends (every file's doc_id min/max spans ~the whole domain, so
     // envelope pruning cannot skip anything — the regime the per-file
@@ -932,6 +979,31 @@ object ScaleQueries {
          |       CAST(2 AS BIGINT)
          |FROM bars
          |WHERE event_id % 1000 = 7 AND (event_id + 1000000000000) % 97 <> 3""".stripMargin),
+
+    "cdc4_stream_changes" -> (Tables.barsSql +
+      s"""
+         |SELECT 'insert' AS _change_type, event_id, symbol, ts, close,
+         |       CAST(1 AS BIGINT) AS ver, CAST(2 AS BIGINT) AS _commit_version
+         |FROM bars
+         |UNION ALL
+         |SELECT 'update', event_id, symbol, ts, close + 1.0,
+         |       CAST(2 AS BIGINT), CAST(3 AS BIGINT)
+         |FROM bars WHERE event_id % 10 = 0
+         |UNION ALL
+         |SELECT 'insert', event_id + 1000000000000, symbol, ts, close,
+         |       CAST(2 AS BIGINT), CAST(3 AS BIGINT)
+         |FROM bars WHERE event_id % 1000 = 7
+         |UNION ALL
+         |SELECT 'delete', event_id, symbol, ts,
+         |       CASE WHEN event_id % 10 = 0 THEN close + 1.0 ELSE close END,
+         |       CAST(CASE WHEN event_id % 10 = 0 THEN 2 ELSE 1 END AS BIGINT),
+         |       CAST(4 AS BIGINT)
+         |FROM bars WHERE event_id % 97 = 3
+         |UNION ALL
+         |SELECT 'delete', event_id + 1000000000000, symbol, ts, close,
+         |       CAST(2 AS BIGINT), CAST(4 AS BIGINT)
+         |FROM bars
+         |WHERE event_id % 1000 = 7 AND (event_id + 1000000000000) % 97 = 3""".stripMargin),
 
     "cdc2_sql_changes" -> (Tables.barsSql +
       s"""

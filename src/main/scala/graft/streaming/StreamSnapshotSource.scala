@@ -306,21 +306,38 @@ class SnapshotSourceProvider extends StreamSourceProvider with DataSourceRegiste
     }
   }
 
+  private def cdcRequested(parameters: Map[String, String]): Boolean =
+    parameters.get("readChangeFeed").exists(_.toBoolean)
+
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
     val root = rootOf(parameters)
     val m = SnapshotLake.manifest(sqlContext.sparkSession, root, None)
-    schema.foreach(s => require(s == m.schema,
-      s"graft-snapshot source schema is the manifest's: ${m.schema.simpleString}; " +
+    val out =
+      if (cdcRequested(parameters)) SnapshotCdcSource.cdcSchema(m.schema)
+      else m.schema
+    schema.foreach(s => require(s == out,
+      s"graft-snapshot source schema is derived: ${out.simpleString}; " +
         "drop the .schema(...) call"))
-    (shortName(), m.schema)
+    (shortName(), out)
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
-    new SnapshotSource(sqlContext.sparkSession, rootOf(parameters),
+    if (cdcRequested(parameters)) {
+      require(!parameters.get("skipRewrites").exists(_.toBoolean),
+        "readChangeFeed and skipRewrites are mutually exclusive: the " +
+          "change feed CLASSIFIES rewrite commits (that is its point), " +
+          "skipRewrites passes over them")
+      val keyCols = cols(parameters, "keyCols")
+      require(keyCols.nonEmpty,
+        "readChangeFeed needs keyCols (the columns diff classifies by — " +
+          "must be unique per version, the merge/delete key discipline)")
+      new SnapshotCdcSource(sqlContext.sparkSession, rootOf(parameters),
+        parameters.getOrElse("startingVersion", "earliest"), keyCols)
+    } else new SnapshotSource(sqlContext.sparkSession, rootOf(parameters),
       parameters.getOrElse("startingVersion", "earliest"),
       parameters.get("skipRewrites").exists(_.toBoolean))
 
@@ -467,4 +484,134 @@ class SnapshotSource(spark: SparkSession, root: String,
   override def stop(): Unit = ()
 
   override def toString: String = s"SnapshotSource[$root]"
+}
+
+/** Streaming ROW-LEVEL CDC (round 16) — the `readChangeFeed` personality
+  * of `graft-snapshot`, closing the cdc1→cdc3 ladder: where
+  * [[SnapshotSource]] either fails on rewrite commits (strict) or passes
+  * over them (`skipRewrites` — updates and deletes silently never reach
+  * the stream), this source CLASSIFIES every commit: each trigger emits
+  * [[SnapshotLake.diff]]'s full insert/update/delete rows for every
+  * version in its offset range, `_change_type`-tagged and
+  * `_commit_version`-stamped — Delta's `readChangeFeed` on
+  * `readStream`, derived from the manifest diff instead of write-time
+  * CDC files:
+  *
+  * {{{
+  *   spark.readStream.format("graft-snapshot")
+  *     .option("readChangeFeed", "true")
+  *     .option("keyCols", "event_id")       // diff's key discipline
+  *     .option("startingVersion", "latest") // or earliest (default)
+  *     .load(root)
+  *   // -> <data cols...>, _change_type, _commit_version
+  * }}}
+  *
+  * Contract notes:
+  *   - versions diff PAIRWISE (v-1, v), so a key updated twice inside
+  *     one trigger's range emits TWO update rows with distinct
+  *     `_commit_version`s — the full change history, not the window's
+  *     net effect;
+  *   - a compact/restat/evolve (rewrites to the same rows, metadata
+  *     commits) diffs as ZERO change rows by reading only the rewritten
+  *     slice — maintenance never floods or stops the feed;
+  *   - `startingVersion=earliest` seeds with the full initial snapshot
+  *     as `insert` rows (Delta's initial-snapshot semantics);
+  *     `latest` emits only post-start changes;
+  *   - exactly-once across restarts for free: offsets are manifest
+  *     versions in the query checkpoint, and a diff between two PINNED
+  *     versions is deterministic;
+  *   - retention: every version in a pending range (and each one's
+  *     parent) must still be retained — an over-aggressive vacuum fails
+  *     the pinned diff loudly, the standing changelog-retention rule;
+  *   - the output schema is fixed at stream start; columns added by a
+  *     later evolve are dropped from the feed (rows stay correct under
+  *     the narrower schema — widen-only evolution) until the consumer
+  *     restarts with a fresh source.
+  */
+class SnapshotCdcSource(spark: SparkSession, root: String,
+    startingVersion: String, keyCols: Seq[String]) extends Source {
+
+  require(startingVersion == "earliest" || startingVersion == "latest",
+    s"startingVersion must be earliest|latest, got $startingVersion")
+
+  private val initialHead: Long =
+    SnapshotLake.latestVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed snapshot under $root — create the lake (one " +
+          "append) before streaming changes from it"))
+
+  private val tableSchema: StructType =
+    SnapshotLake.manifest(spark, root, Some(initialHead)).schema
+
+  keyCols.foreach(k => require(tableSchema.fieldNames.contains(k),
+    s"key column $k not in snapshot schema ${tableSchema.simpleString}"))
+
+  override val schema: StructType = SnapshotCdcSource.cdcSchema(tableSchema)
+
+  private def ver(o: Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case SerializedOffset(json) => json.trim.toLong
+    case other => other.json.trim.toLong
+  }
+
+  override def getOffset: Option[Offset] =
+    SnapshotLake.latestVersion(spark, root).map(LongOffset(_))
+
+  private val fns = org.apache.spark.sql.functions
+  private def outCols = tableSchema.fieldNames.toSeq
+    .map(org.apache.spark.sql.functions.col)
+
+  private def empty(hi: Long): DataFrame =
+    SnapshotLake.read(spark, root, Some(hi)).limit(0)
+      .select(outCols: _*)
+      .withColumn("_change_type", fns.lit("insert"))
+      .withColumn("_commit_version", fns.lit(hi))
+
+  /** The classified change rows of versions (lo, hi], one pairwise diff
+    * per committed version — unioned lazily (one Spark job per trigger,
+    * each diff reading only the files its commit touched).
+    */
+  private def changes(lo: Long, hi: Long): DataFrame = {
+    val vs = SnapshotLake.versions(spark, root).filter(v => v > lo && v <= hi)
+    val per = vs.map { v =>
+      SnapshotLake.diff(spark, root, v - 1, v, keyCols)
+        .select(outCols :+ fns.col("change").as("_change_type"): _*)
+        .withColumn("_commit_version", fns.lit(v))
+    }
+    per.reduceOption(_.unionByName(_)).getOrElse(empty(hi))
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val hi = ver(end)
+    val batch = start match {
+      case Some(s) => changes(ver(s), hi)
+      case None if startingVersion == "latest" => changes(initialHead, hi)
+      case None =>
+        // initial snapshot: every live row at hi as an insert, then the
+        // stream continues incrementally from hi
+        SnapshotLake.read(spark, root, Some(hi))
+          .select(outCols: _*)
+          .withColumn("_change_type", fns.lit("insert"))
+          .withColumn("_commit_version", fns.lit(hi))
+    }
+    StreamBridge.asStreamingBatch(batch)
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"SnapshotCdcSource[$root]"
+}
+
+object SnapshotCdcSource {
+  /** The change-feed schema: the table's columns followed by
+    * `_change_type` ('insert'|'update'|'delete') and `_commit_version`.
+    */
+  def cdcSchema(table: StructType): StructType = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField}
+    // nullable like the diff's when-chain output, so the declared source
+    // schema and every batch's plan agree
+    StructType(table.fields ++ Seq(
+      StructField("_change_type", StringType),
+      StructField("_commit_version", LongType)))
+  }
 }

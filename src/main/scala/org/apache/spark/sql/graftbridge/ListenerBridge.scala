@@ -17,3 +17,4 @@ object ListenerBridge {
   def drain(spark: SparkSession): Unit =
     spark.sparkContext.listenerBus.waitUntilEmpty()
 }
+

@@ -183,4 +183,134 @@ class SnapshotSourceSpec extends SparkSpec {
     assert(e.getMessage.contains("no committed snapshot") ||
       Option(e.getCause).exists(_.getMessage.contains("no committed snapshot")))
   }
+
+  private def kvv(rows: (Long, String, Long)*) =
+    rows.toSeq.toDF("id", "s", "ver")
+
+  test("readChangeFeed: merges classify as updates/inserts, deletes as " +
+      "deletes with their last values, a compact emits ZERO change rows, " +
+      "and a multi-commit trigger range replays the FULL per-version " +
+      "history") {
+    val work = TempDirs.create("snapcdc")
+    val root = s"$work/lake"
+    SnapshotLake.append(spark, root,
+      kvv((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L)),
+      statsCols = Seq("id"))
+    val q = spark.readStream.format(Fmt)
+      .option("readChangeFeed", "true").option("keyCols", "id")
+      .load(root)
+      .writeStream.format("memory").queryName("cdc_feed")
+      .option("checkpointLocation", s"$work/ckpt").start()
+    try {
+      q.processAllAvailable()
+      def feed() = spark.table("cdc_feed")
+        .select("_change_type", "id", "s", "ver", "_commit_version")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+          r.getLong(3), r.getLong(4))).toSet
+      // initial snapshot: every live row as an insert at the head version
+      assert(feed() == Set(("insert", 1L, "a", 1L, 1L),
+        ("insert", 2L, "b", 1L, 1L), ("insert", 3L, "c", 1L, 1L)))
+      // TWO merges land before the next trigger: the range replays the
+      // full history — two update rows for key 2, distinct versions
+      SnapshotLake.merge(spark, root, kvv((2L, "b2", 2L), (4L, "d", 2L)),
+        keyCols = Seq("id"), versionCol = "ver", pruneKey = "id")
+      SnapshotLake.merge(spark, root, kvv((2L, "b3", 3L)),
+        keyCols = Seq("id"), versionCol = "ver", pruneKey = "id")
+      q.processAllAvailable()
+      assert(feed() == Set(("insert", 1L, "a", 1L, 1L),
+        ("insert", 2L, "b", 1L, 1L), ("insert", 3L, "c", 1L, 1L),
+        ("update", 2L, "b2", 2L, 2L), ("insert", 4L, "d", 2L, 2L),
+        ("update", 2L, "b3", 3L, 3L)))
+      // a delete emits the row's LAST values
+      SnapshotLake.delete(spark, root, col("id") === 3L,
+        pruneBox = Map("id" -> (3.0, 3.0)))
+      q.processAllAvailable()
+      assert(feed().contains(("delete", 3L, "c", 1L, 4L)))
+      val before = feed()
+      // maintenance is invisible: compaction rewrites every file into
+      // the same rows — zero change rows
+      SnapshotLake.compact(spark, root)
+      q.processAllAvailable()
+      assert(feed() == before, "a compact must emit no change rows")
+    } finally q.stop()
+    // skipRewrites + readChangeFeed refuse together
+    val e = intercept[Exception] {
+      spark.readStream.format(Fmt)
+        .option("readChangeFeed", "true").option("keyCols", "id")
+        .option("skipRewrites", "true").load(root)
+        .writeStream.format("memory").queryName("cdc_bad")
+        .option("checkpointLocation", s"$work/ckpt2").start()
+        .processAllAvailable()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++
+        msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("mutually exclusive")))
+  }
+
+  test("readChangeFeed mirror: a keyed lake maintained from the change " +
+      "feed (merge upserts on _commit_version, delete deletes) matches " +
+      "the source bit-exactly, across restart replay") {
+    val work = TempDirs.create("snapcdc2")
+    val root = s"$work/lake"; val dst = s"$work/mirror"
+    val ckpt = s"$work/ckpt"
+    SnapshotLake.append(spark, root,
+      kvv((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L)),
+      statsCols = Seq("id"))
+    // the CDC-consumer shape: upserts via merge keyed on _commit_version
+    // (idempotent under foreachBatch's at-least-once replays — a
+    // re-merge at the same version is keep-latest no-op), deletes via a
+    // key-set delete (idempotent by construction)
+    def applyChanges(df: org.apache.spark.sql.DataFrame, batchId: Long): Unit = {
+      val s = df.sparkSession
+      val dels = df.filter(col("_change_type") === "delete")
+        .select("id").collect().map(_.getLong(0))
+      val ups = df.filter(col("_change_type") =!= "delete")
+        .select(col("id"), col("s"), col("_commit_version").as("ver"))
+      if (SnapshotLake.latestVersion(s, dst).isEmpty)
+        SnapshotLake.append(s, dst, ups.limit(0), statsCols = Seq("id"))
+      if (!ups.isEmpty)
+        SnapshotLake.merge(s, dst, ups, keyCols = Seq("id"),
+          versionCol = "ver", pruneKey = "id")
+      if (dels.nonEmpty)
+        SnapshotLake.delete(s, dst, col("id").isin(dels.toIndexedSeq: _*),
+          pruneBox = Map("id" -> (dels.min.toDouble, dels.max.toDouble)))
+    }
+    def start() = spark.readStream.format(Fmt)
+      .option("readChangeFeed", "true").option("keyCols", "id")
+      .load(root)
+      .writeStream.foreachBatch(applyChanges _)
+      .option("checkpointLocation", ckpt).start()
+    def srcState() = SnapshotLake.read(spark, root)
+      .select("id", "s").collect().map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    def dstState() = SnapshotLake.read(spark, dst)
+      .select("id", "s").collect().map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    val q = start()
+    try {
+      q.processAllAvailable()
+      assert(dstState() == srcState())
+      SnapshotLake.merge(spark, root, kvv((2L, "b2", 2L), (4L, "d", 2L)),
+        keyCols = Seq("id"), versionCol = "ver", pruneKey = "id")
+      q.processAllAvailable()
+      assert(dstState() == srcState())
+      SnapshotLake.delete(spark, root, col("id") === 1L,
+        pruneBox = Map("id" -> (1.0, 1.0)))
+      q.processAllAvailable()
+      assert(dstState() == srcState())
+      assert(!dstState().contains(1L))
+    } finally q.stop()
+    // offline changes + restart from checkpoint: only the new versions
+    // replay — the mirror converges with no initial-snapshot re-delivery
+    SnapshotLake.merge(spark, root, kvv((4L, "d2", 3L), (5L, "e", 3L)),
+      keyCols = Seq("id"), versionCol = "ver", pruneKey = "id")
+    SnapshotLake.compact(spark, root)
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(dstState() == srcState())
+      assert(dstState()(4L) == "d2" && dstState()(5L) == "e")
+    } finally q2.stop()
+  }
 }

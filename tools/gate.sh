@@ -98,6 +98,8 @@ rec = (f"\n## Gate record — {sys.argv[1]}\n\n"
        f"{len(d['queries'])} queries**, canary {d['canary_sec']:.3f} s"
        f" (ref {d['canary_ref']}), canary_mem "
        f"{d.get('canary_mem_sec', 0):.3f} s (ref {d.get('canary_mem_ref')}), "
+       f"canary_io {d.get('canary_io_sec', -1):.3f} s"
+       f" (ref {d.get('canary_io_ref')}), "
        f"normalized {d['normalized_total']:.1f} s, "
        f"failed: {len(d['failed'])}.\n")
 open("BASELINE.md", "a").write(rec)
