@@ -2002,21 +2002,56 @@ object SnapshotLake {
   def merge(spark: SparkSession, root: String, updates: DataFrame,
       keyCols: Seq[String], versionCol: String, pruneKey: String,
       partitionCols: Seq[String] = Nil,
-      lockExpiryMs: Long = DefaultLockExpiryMs): (Long, Int, Int) =
+      lockExpiryMs: Long = DefaultLockExpiryMs,
+      evolve: Boolean = false): (Long, Int, Int) =
     mergeOp(spark, root, updates, keyCols, versionCol, pruneKey,
-      partitionCols, lockExpiryMs, op = "merge")
+      partitionCols, lockExpiryMs, op = "merge", evolve = evolve)
 
-  private def mergeOp(spark: SparkSession, root: String, updates: DataFrame,
+  private def mergeOp(spark: SparkSession, root: String, rawUpdates: DataFrame,
       keyCols: Seq[String], versionCol: String, pruneKey: String,
       partitionCols: Seq[String], lockExpiryMs: Long,
-      op: String): (Long, Int, Int) = {
+      op: String, evolve: Boolean = false): (Long, Int, Int) = {
     require(keyCols.contains(pruneKey),
       s"pruneKey $pruneKey must be one of keyCols ${keyCols.mkString(",")}")
     retryOnConflict(spark, root, op) { () =>
-      val base = manifest(spark, root, None)
-      require(schemasCompatible(base.schema, updates.schema),
-        s"merge schema drift: lake has ${base.schema.simpleString}, " +
-          s"updates have ${updates.schema.simpleString}")
+      val head0 = manifest(spark, root, None)
+      // MERGE schema evolution (round 16, library/streaming twin of the
+      // SQL MERGE's AUTOMATIC_SCHEMA_EVOLUTION): with evolve=true a
+      // widen-only drift (updates carry every lake column plus new
+      // ones) lands as ONE metadata-only evolve commit — appendOp's
+      // exact machinery — and the merge proceeds under the widened
+      // head; old files read NULL for the new columns, mor sidecars
+      // unaffected. A streaming CDC mirror whose upstream widened rides
+      // through instead of stopping for a hand-evolve.
+      val base =
+        if (schemasCompatible(head0.schema, rawUpdates.schema) || !evolve)
+          head0
+        else {
+          val (widened, o) =
+            widenedWithIds(head0, unionSchema(head0.schema, rawUpdates.schema))
+          if (widened == head0.schema) head0
+          else {
+            commit(spark, root, "evolve", widened,
+              build = h => {
+                requireSchemaIntact(head0.schema, h, Nil, op, root)
+                h.map(_.files).getOrElse(Nil)
+              },
+              lockExpiryMs, props = o.map(head0.props ++ _))
+            manifest(spark, root, None)
+          }
+        }
+      // order-align the updates to the (possibly widened) lake schema;
+      // a missing or retyped column refuses via unionSchema/the check
+      val updates =
+        if (schemasCompatible(base.schema, rawUpdates.schema)) rawUpdates
+        else {
+          require(evolve,
+            s"merge schema drift: lake has ${base.schema.simpleString}, " +
+              s"updates have ${rawUpdates.schema.simpleString} — pass " +
+              "evolve=true to widen (add columns), or migrate explicitly")
+          unionSchema(base.schema, rawUpdates.schema) // loud drop/retype check
+          rawUpdates.select(base.schema.fieldNames.map(col).toIndexedSeq: _*)
+        }
       val dom = statsDomain(base.schema, pruneKey)
       val fns = org.apache.spark.sql.functions
       val range = updates.agg(fns.min(dom), fns.max(dom),
@@ -2814,7 +2849,8 @@ object SnapshotLake {
   def mergeStream(root: String, keyCols: Seq[String], versionCol: String,
       pruneKey: String, partitionCols: Seq[String] = Nil,
       streamId: String = "s0",
-      lockExpiryMs: Long = DefaultLockExpiryMs)
+      lockExpiryMs: Long = DefaultLockExpiryMs,
+      evolve: Boolean = false)
       : (DataFrame, Long) => Unit = { (df, batchId) =>
     val spark = df.sparkSession
     val replay = lastCommittedBatch(spark, root, streamId).exists(_ >= batchId)
@@ -2830,7 +2866,8 @@ object SnapshotLake {
           lockExpiryMs)
       }
       mergeOp(spark, root, df, keyCols, versionCol, pruneKey, partitionCols,
-        lockExpiryMs, op = s"merge:stream=$streamId,batch=$batchId")
+        lockExpiryMs, op = s"merge:stream=$streamId,batch=$batchId",
+        evolve = evolve)
     }
   }
 }

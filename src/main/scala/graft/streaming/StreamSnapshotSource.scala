@@ -377,7 +377,8 @@ class SnapshotSourceProvider extends StreamSourceProvider with DataSourceRegiste
           throw new IllegalArgumentException(
             "graft-snapshot merge sink needs pruneKey (one of mergeKeys)"))
         SnapshotLake.mergeStream(root, mergeKeys, versionCol, pruneKey,
-          parts, streamId)
+          parts, streamId,
+          evolve = parameters.get("evolve").exists(_.toBoolean))
       } else {
         SnapshotLake.appendStream(root, parts, cols(parameters, "statsCols"),
           streamId, bloomCols = cols(parameters, "bloomCols"))

@@ -438,6 +438,63 @@ class SnapshotMorSpec extends SparkSpec {
       6L -> ("f", 1L)))
   }
 
+  test("library merge evolve=true: a widened update batch lands as ONE " +
+      "metadata-only evolve commit + the merge, on BOTH dml modes — old " +
+      "files read NULL for the new column, the streaming twin rides " +
+      "through, and drift without evolve still refuses") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    def kv(rows: (Long, String, Long)*) = rows.toSeq.toDF("id", "v", "ver")
+    def kvw(rows: (Long, String, Long, String)*) =
+      rows.toSeq.toDF("id", "v", "ver", "w")
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", StringType), StructField("ver", LongType)))
+    for (mode <- Seq("cow", "mor")) {
+      val root = s"${TempDirs.create(s"evomerge-$mode")}/lake"
+      SnapshotLake.create(spark, root, schema,
+        tableProps = if (mode == "mor") Map("dmlMode" -> "mor",
+          "statsCols" -> "id") else Map("statsCols" -> "id"))
+      SnapshotLake.append(spark, root,
+        kv((1L, "a", 1L), (2L, "b", 1L)), statsCols = Seq("id"))
+      // drift without evolve refuses loudly, nothing commits
+      val vBefore = SnapshotLake.manifest(spark, root).version
+      val e = intercept[IllegalArgumentException] {
+        SnapshotLake.merge(spark, root, kvw((1L, "a2", 2L, "x")),
+          keyCols = Seq("id"), versionCol = "ver", pruneKey = "id")
+      }
+      assert(e.getMessage.contains("schema drift"))
+      assert(SnapshotLake.manifest(spark, root).version == vBefore)
+      // evolve=true: one evolve commit + the merge commit
+      SnapshotLake.merge(spark, root,
+        kvw((1L, "a2", 2L, "x"), (3L, "c", 1L, "y")),
+        keyCols = Seq("id"), versionCol = "ver", pruneKey = "id",
+        evolve = true)
+      val m = SnapshotLake.manifest(spark, root)
+      assert(m.schema.fieldNames.toSeq == Seq("id", "v", "ver", "w"))
+      val got = SnapshotLake.read(spark, root).collect()
+        .map(r => r.getLong(0) -> (r.getString(1), Option(r.getString(3))))
+        .toMap
+      assert(got == Map(1L -> ("a2", Some("x")), 2L -> ("b", None),
+        3L -> ("c", Some("y"))), s"got $got")
+      // mor landed it as sidecars (no data file rewritten)
+      if (mode == "mor") {
+        val hist = SnapshotLake.versions(spark, root)
+          .map(v => SnapshotLake.manifest(spark, root, Some(v)).op)
+        assert(hist.contains("evolve"), hist.mkString(","))
+        assert(m.files.exists(_.deletes.nonEmpty))
+      }
+      // the streaming twin rides through the widening on a later batch
+      val h = SnapshotLake.mergeStream(root, keyCols = Seq("id"),
+        versionCol = "ver", pruneKey = "id", streamId = "evo",
+        evolve = true)
+      h(kvw((2L, "b2", 3L, "z")).withColumn("w2", col("w")), 0L)
+      val m2 = SnapshotLake.manifest(spark, root)
+      assert(m2.schema.fieldNames.toSeq == Seq("id", "v", "ver", "w", "w2"))
+      val r2 = SnapshotLake.read(spark, root)
+        .filter(col("id") === 2L).collect().head
+      assert(r2.getString(1) == "b2" && r2.getString(4) == "z")
+    }
+  }
+
   test("mor merge classifies per KEY against the newest lake version: " +
       "a mid-version update against stacked lake versions (key-" +
       "discipline-violating appends) is dropped whole — no stale insert " +
