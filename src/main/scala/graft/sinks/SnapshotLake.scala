@@ -2004,15 +2004,36 @@ object SnapshotLake {
       partitionCols: Seq[String] = Nil,
       lockExpiryMs: Long = DefaultLockExpiryMs,
       evolve: Boolean = false): (Long, Int, Int) =
-    mergeOp(spark, root, updates, keyCols, versionCol, pruneKey,
+    mergeOp(spark, root, updates, keyCols, versionCol, Seq(pruneKey),
+      partitionCols, lockExpiryMs, op = "merge", evolve = evolve)
+
+  /** [[merge]] with COMPOSITE file-level pruning (round 16): every
+    * column in `pruneKeys` (each one of `keyCols`) contributes an
+    * independent envelope intersection AND an independent bloom-sidecar
+    * probe — a file survives by identity when ANY prune column proves
+    * it holds no matching key (its envelope misses the updates' range,
+    * or its bloom contains none of the updates' values for that
+    * column). Sound because a matching key TUPLE needs every component
+    * present in the file. A (symbol, ts)-keyed CDC feed thus prunes on
+    * BOTH dimensions instead of ts alone — strictly fewer files opened
+    * than either single-column prune, z-order's multi-dimension idea
+    * applied to merge pruning.
+    */
+  def mergeComposite(spark: SparkSession, root: String, updates: DataFrame,
+      keyCols: Seq[String], versionCol: String, pruneKeys: Seq[String],
+      partitionCols: Seq[String] = Nil,
+      lockExpiryMs: Long = DefaultLockExpiryMs,
+      evolve: Boolean = false): (Long, Int, Int) =
+    mergeOp(spark, root, updates, keyCols, versionCol, pruneKeys,
       partitionCols, lockExpiryMs, op = "merge", evolve = evolve)
 
   private def mergeOp(spark: SparkSession, root: String, rawUpdates: DataFrame,
-      keyCols: Seq[String], versionCol: String, pruneKey: String,
+      keyCols: Seq[String], versionCol: String, pruneKeys: Seq[String],
       partitionCols: Seq[String], lockExpiryMs: Long,
       op: String, evolve: Boolean = false): (Long, Int, Int) = {
-    require(keyCols.contains(pruneKey),
-      s"pruneKey $pruneKey must be one of keyCols ${keyCols.mkString(",")}")
+    require(pruneKeys.nonEmpty && pruneKeys.forall(keyCols.contains),
+      s"pruneKeys ${pruneKeys.mkString(",")} must be non-empty and each " +
+        s"one of keyCols ${keyCols.mkString(",")}")
     retryOnConflict(spark, root, op) { () =>
       val head0 = manifest(spark, root, None)
       // MERGE schema evolution (round 16, library/streaming twin of the
@@ -2052,19 +2073,33 @@ object SnapshotLake {
           unionSchema(base.schema, rawUpdates.schema) // loud drop/retype check
           rawUpdates.select(base.schema.fieldNames.map(col).toIndexedSeq: _*)
         }
-      val dom = statsDomain(base.schema, pruneKey)
       val fns = org.apache.spark.sql.functions
-      val range = updates.agg(fns.min(dom), fns.max(dom),
-        fns.count(fns.lit(1))).head
-      if (range.isNullAt(0)) { // no non-null update keys: nothing to do
+      // one pass computes every prune column's [min, max] + the count
+      val doms = pruneKeys.map(statsDomain(base.schema, _))
+      val aggs = doms.flatMap(d => Seq(fns.min(d), fns.max(d))) :+
+        fns.count(fns.lit(1))
+      val range = updates.agg(aggs.head, aggs.tail: _*).head
+      val updCount = range.getLong(2 * pruneKeys.length)
+      // per-column envelope; a column whose update values are ALL NULL
+      // contributes no constraint (and with a single prune key, the
+      // standing no-non-null-keys no-op below)
+      val boxes: Seq[(String, Option[(Double, Double)])] =
+        pruneKeys.zipWithIndex.map { case (pk, i) =>
+          pk -> (if (range.isNullAt(2 * i)) None
+                 else Some((toDoubleStat(range.get(2 * i)),
+                   toDoubleStat(range.get(2 * i + 1)))))
+        }
+      if (boxes.forall(_._2.isEmpty)) { // no non-null update keys
         (base.version, 0, base.files.size)
       } else {
-        val (lo, hi) = (toDoubleStat(range.get(0)), toDoubleStat(range.get(1)))
+        // a file is a candidate only when EVERY boxed prune column's
+        // envelope overlaps (missing stats are conservatively kept)
         val (envKept, envSkipped) = base.files.partition(f =>
-          f.stats.get(pruneKey).forall { case (fLo, fHi) =>
-            fHi >= lo && fLo <= hi })
+          boxes.forall { case (pk, box) => box.forall { case (lo, hi) =>
+            f.stats.get(pk).forall { case (fLo, fHi) =>
+              fHi >= lo && fLo <= hi } } })
         val (rewrite, untouched) = bloomPrunedMergeCandidates(spark, root,
-          updates, pruneKey, range.getLong(2), envKept, envSkipped)
+          updates, pruneKeys, updCount, envKept, envSkipped)
         if (base.props.get("dmlMode").contains("mor")) {
           // a dmlMode=mor lake merges through position-delete sidecars
           // (cost ∝ matched rows, 0 files rewritten) — same route the
@@ -2072,9 +2107,9 @@ object SnapshotLake {
           // paying the copy-on-write rewrite this lake opted out of
           mergeMorAttempt(spark, root, base, updates, keyCols,
             versionCol, partitionCols, lockExpiryMs, op,
-            rewrite, untouched, updCount = range.getLong(2))
+            rewrite, untouched, updCount = updCount)
         } else mergeCowAttempt(spark, root, base, updates, keyCols,
-          versionCol, pruneKey, partitionCols, lockExpiryMs, op,
+          versionCol, pruneKeys, partitionCols, lockExpiryMs, op,
           rewrite, untouched)
       }
     }
@@ -2086,7 +2121,7 @@ object SnapshotLake {
     */
   private def mergeCowAttempt(spark: SparkSession, root: String,
       base: Manifest, updates: DataFrame, keyCols: Seq[String],
-      versionCol: String, pruneKey: String, partitionCols: Seq[String],
+      versionCol: String, pruneKeys: Seq[String], partitionCols: Seq[String],
       lockExpiryMs: Long, op: String,
       rewrite: Seq[FileEntry], untouched: Seq[FileEntry]): (Long, Int, Int) = {
         val cols = base.schema.fields.map(f => col(f.name))
@@ -2105,7 +2140,7 @@ object SnapshotLake {
           .withColumn("__rn", fns.row_number().over(w))
           .filter(col("__rn") === 1)
           .select(cols.toIndexedSeq: _*)
-        val statsCols = base.files.flatMap(_.stats.keys).toSet + pruneKey
+        val statsCols = base.files.flatMap(_.stats.keys).toSet ++ pruneKeys
         val newFiles = stageFiles(spark, root,
           attachFieldIds(winners, base.schema), partitionCols,
           statsCols, base.files.flatMap(_.bloomCols).distinct)
@@ -2330,26 +2365,37 @@ object SnapshotLake {
   private val MaxMergeProbeKeys = 100000L
 
   private def bloomPrunedMergeCandidates(spark: SparkSession, root: String,
-      updates: DataFrame, pruneKey: String, updCount: Long,
+      updates: DataFrame, pruneKeys: Seq[String], updCount: Long,
       envKept: Seq[FileEntry], envSkipped: Seq[FileEntry])
       : (Seq[FileEntry], Seq[FileEntry]) = {
     if (updCount > MaxMergeProbeKeys ||
-        !envKept.exists(_.bloomCols.contains(pruneKey)))
+        !envKept.exists(f => pruneKeys.exists(f.bloomCols.contains)))
       return (envKept, envSkipped)
-    val keys = updates.select(col(pruneKey)).distinct().collect()
-      .map(_.get(0))
-    if (keys.exists(k => k == null ||
-        !(k.isInstanceOf[String] || k.isInstanceOf[java.lang.Number])))
-      return (envKept, envSkipped)
+    // per-column distinct update values, ONE collect per probed column;
+    // a column carrying NULL or non-primitive values cannot refine (its
+    // probe is skipped — null-key semantics stay the unpruned path's),
+    // the others still do: with composite keys every column's probe
+    // must might-contain, because a matching TUPLE needs every
+    // component present in the file
+    val keysByCol: Seq[(String, Array[Any])] = pruneKeys.flatMap { pk =>
+      val ks = updates.select(col(pk)).distinct().collect().map(_.get(0))
+      if (ks.exists(k => k == null ||
+          !(k.isInstanceOf[String] || k.isInstanceOf[java.lang.Number])))
+        None
+      else Some(pk -> ks)
+    }
+    if (keysByCol.isEmpty) return (envKept, envSkipped)
     val fs = fsOf(spark, root)
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.global
     val checks = envKept.map { f =>
       Future {
-        val keep = !f.bloomCols.contains(pruneKey) ||
-          loadBloom(fs, root, f.rel, pruneKey)
-            .forall(bf => keys.exists(bloomHit(bf, _)))
+        val keep = keysByCol.forall { case (pk, keys) =>
+          !f.bloomCols.contains(pk) ||
+            loadBloom(fs, root, f.rel, pk)
+              .forall(bf => keys.exists(bloomHit(bf, _)))
+        }
         (f, keep)
       }
     }
@@ -2851,6 +2897,19 @@ object SnapshotLake {
       streamId: String = "s0",
       lockExpiryMs: Long = DefaultLockExpiryMs,
       evolve: Boolean = false)
+      : (DataFrame, Long) => Unit =
+    mergeStreamComposite(root, keyCols, versionCol, Seq(pruneKey),
+      partitionCols, streamId, lockExpiryMs, evolve)
+
+  /** [[mergeStream]] with [[mergeComposite]]'s multi-column pruning —
+    * the (symbol, ts)-keyed CDC-feed shape.
+    */
+  def mergeStreamComposite(root: String, keyCols: Seq[String],
+      versionCol: String, pruneKeys: Seq[String],
+      partitionCols: Seq[String] = Nil,
+      streamId: String = "s0",
+      lockExpiryMs: Long = DefaultLockExpiryMs,
+      evolve: Boolean = false)
       : (DataFrame, Long) => Unit = { (df, batchId) =>
     val spark = df.sparkSession
     val replay = lastCommittedBatch(spark, root, streamId).exists(_ >= batchId)
@@ -2862,10 +2921,10 @@ object SnapshotLake {
       // version; only the merge commit carries the batch marker.
       if (latestVersion(spark, root).isEmpty) {
         appendOp(spark, root, df.limit(0), partitionCols,
-          statsCols = Seq(pruneKey), evolve = false, op = "append",
+          statsCols = pruneKeys, evolve = false, op = "append",
           lockExpiryMs)
       }
-      mergeOp(spark, root, df, keyCols, versionCol, pruneKey, partitionCols,
+      mergeOp(spark, root, df, keyCols, versionCol, pruneKeys, partitionCols,
         lockExpiryMs, op = s"merge:stream=$streamId,batch=$batchId",
         evolve = evolve)
     }

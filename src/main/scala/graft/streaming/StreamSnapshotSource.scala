@@ -373,11 +373,12 @@ class SnapshotSourceProvider extends StreamSourceProvider with DataSourceRegiste
         val versionCol = parameters.getOrElse("versionCol",
           throw new IllegalArgumentException(
             "graft-snapshot merge sink needs versionCol (keep-latest order)"))
-        val pruneKey = parameters.getOrElse("pruneKey",
-          throw new IllegalArgumentException(
-            "graft-snapshot merge sink needs pruneKey (one of mergeKeys)"))
-        SnapshotLake.mergeStream(root, mergeKeys, versionCol, pruneKey,
-          parts, streamId,
+        val pruneKeys = cols(parameters, "pruneKey")
+        require(pruneKeys.nonEmpty, // CSV: composite pruning (round 16)
+          "graft-snapshot merge sink needs pruneKey (one or more of " +
+            "mergeKeys, comma-separated)")
+        SnapshotLake.mergeStreamComposite(root, mergeKeys, versionCol,
+          pruneKeys, parts, streamId,
           evolve = parameters.get("evolve").exists(_.toBoolean))
       } else {
         SnapshotLake.appendStream(root, parts, cols(parameters, "statsCols"),

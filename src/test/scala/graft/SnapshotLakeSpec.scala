@@ -1040,6 +1040,70 @@ class SnapshotLakeSpec extends SparkSpec {
     assert(SnapshotLake.read(spark, root).count() == 4000)
   }
 
+  test("composite merge prune keys: a (g, ts)-keyed merge intersects " +
+      "per-column envelopes — fewer files opened than EITHER " +
+      "single-column prune — and per-column bloom probes compose the " +
+      "same way; results identical on every path") {
+    // grid layout: 2 g-ranges x 2 ts-ranges = 4 files; an update at one
+    // (g, ts) cell envelope-overlaps 2 files per single column but only
+    // 1 under the intersection
+    def cell(g0: Long, t0: Long) =
+      (0 until 50).map(i => (g0 + i % 2, t0 + i % 10, 1L, s"v$g0-$t0"))
+        .toDF("g", "ts", "ver", "v").coalesce(1)
+    def mkLake(name: String): String = {
+      val root = TempDirs.create(name) + "/lake"
+      Seq((0L, 0L), (0L, 100L), (100L, 0L), (100L, 100L)).foreach {
+        case (g0, t0) => SnapshotLake.append(spark, root, cell(g0, t0),
+          statsCols = Seq("g", "ts"))
+      }
+      assert(SnapshotLake.manifest(spark, root).files.size == 4)
+      root
+    }
+    val upd = Seq((0L, 5L, 2L, "upd")).toDF("g", "ts", "ver", "v")
+    def state(root: String) = SnapshotLake.read(spark, root).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    val rootG = mkLake("comp-g"); val rootT = mkLake("comp-t")
+    val rootC = mkLake("comp-c")
+    val (_, rewG, _) = SnapshotLake.merge(spark, rootG, upd,
+      keyCols = Seq("g", "ts"), versionCol = "ver", pruneKey = "g")
+    val (_, rewT, _) = SnapshotLake.merge(spark, rootT, upd,
+      keyCols = Seq("g", "ts"), versionCol = "ver", pruneKey = "ts")
+    val (_, rewC, _) = SnapshotLake.mergeComposite(spark, rootC, upd,
+      keyCols = Seq("g", "ts"), versionCol = "ver",
+      pruneKeys = Seq("g", "ts"))
+    assert(rewG == 2 && rewT == 2,
+      s"single-column prunes should each keep 2 files, got $rewG/$rewT")
+    assert(rewC == 1,
+      s"the composite prune must intersect down to 1 file, got $rewC")
+    assert(state(rootG) == state(rootC) && state(rootT) == state(rootC),
+      "pruning must never change answers")
+    assert(state(rootC).contains((0L, 5L, 2L, "upd")))
+    // bloom probes compose per column the same way: hash-scattered on
+    // BOTH columns (envelopes useless), blooms declared on both — a
+    // one-tuple update opens ~the files that might hold BOTH components
+    val rootB = TempDirs.create("comp-bloom") + "/lake"
+    val seed = spark.range(4000).select(
+        (col("id") * 37 % 1000).as("g"), (col("id") * 91 % 1000).as("ts"),
+        lit(1L).as("ver"), col("id").cast("string").as("v"))
+      .repartition(8, org.apache.spark.sql.functions.xxhash64(col("g"),
+        col("ts")))
+    SnapshotLake.append(spark, rootB, seed, statsCols = Seq("g", "ts"),
+      bloomCols = Seq("g", "ts"))
+    val one = SnapshotLake.read(spark, rootB).limit(1).collect().head
+    val updB = Seq((one.getLong(0), one.getLong(1), 2L, "upd"))
+      .toDF("g", "ts", "ver", "v")
+    val (_, rewB, untB) = SnapshotLake.mergeComposite(spark, rootB, updB,
+      keyCols = Seq("g", "ts"), versionCol = "ver",
+      pruneKeys = Seq("g", "ts"))
+    assert(rewB + untB == 8)
+    assert(rewB <= 4,
+      s"two bloom probes must narrow 8 scattered files sharply, got $rewB")
+    assert(SnapshotLake.read(spark, rootB)
+      .filter(col("g") === one.getLong(0) && col("ts") === one.getLong(1))
+      .collect().map(_.getString(3)).toSeq == Seq("upd"))
+  }
+
   test("CDC windows crossing a field-id migration: appendsSince and diff " +
       "read pre-migration files by the name mapping (id-resolution reads " +
       "enabled), never by ids those files do not carry") {
