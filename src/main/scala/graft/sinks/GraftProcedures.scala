@@ -195,6 +195,38 @@ private[sinks] object GraftProcedures {
           }).iterator()
         }
       }
+      case "advise" => new GraftProcedure("advise",
+        Seq(param("table", StringType)),
+        StructType(Seq(StructField("kind", StringType),
+          StructField("severity", StringType),
+          StructField("metric", StringType),
+          StructField("action", StringType)))) {
+        // multi-row result: one recommendation per degraded dimension
+        // (pending-delete tax, small files, clustering drift, bloom
+        // holes, retention tail, legacy files) — manifest arithmetic
+        // only, zero data I/O; empty = healthy
+        override def run(a: InternalRow): Seq[Any] = Seq.empty
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val root = rootOf(catalog, str(input, 0))
+          import org.apache.spark.unsafe.types.UTF8String
+          val out: Array[InternalRow] =
+            SnapshotLake.advise(spark, root).map { ad =>
+              new GenericInternalRow(Array[Any](
+                UTF8String.fromString(ad.kind),
+                UTF8String.fromString(ad.severity),
+                UTF8String.fromString(ad.metric),
+                UTF8String.fromString(ad.action))): InternalRow
+            }.toArray
+          val schema = StructType(Seq(StructField("kind", StringType),
+            StructField("severity", StringType),
+            StructField("metric", StringType),
+            StructField("action", StringType)))
+          java.util.Collections.singletonList[Scan](new LocalScan {
+            override def rows(): Array[InternalRow] = out
+            override def readSchema(): StructType = schema
+          }).iterator()
+        }
+      }
       case other => throw new IllegalArgumentException(
         s"unknown graft procedure `$other` — available: " +
           GraftProcedures.names.mkString(", "))
@@ -203,5 +235,5 @@ private[sinks] object GraftProcedures {
 
   val names: Seq[String] =
     Seq("optimize", "zorder", "add_stats", "vacuum", "restore", "history",
-      "upgrade_field_ids")
+      "upgrade_field_ids", "advise")
 }

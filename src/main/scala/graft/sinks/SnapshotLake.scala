@@ -572,6 +572,12 @@ object SnapshotLake {
     */
   private[sinks] val RetiredColsProp = "retiredCols"
 
+  /** The clustering zorder() last applied (CSV of its columns) — stamped
+    * by zorder, dropped by compact (whose hash repartition destroys the
+    * layout); [[advise]] reads it to price clustering drift.
+    */
+  private[sinks] val ZorderColsProp = "zorderCols"
+
   private def retiredCols(props: Map[String, String]): Set[String] =
     props.get(RetiredColsProp).toSeq
       .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty).toSet
@@ -1790,6 +1796,129 @@ object SnapshotLake {
 
   // ----------------------------------------------------------- maintenance
 
+  /** One maintenance recommendation from [[advise]]: what degraded
+    * (`kind`), how much (`metric`, human-readable numbers), how urgent
+    * (`severity`: info | recommend | urgent), and the CALL that fixes it
+    * (`action`).
+    */
+  final case class LakeAdvice(kind: String, severity: String,
+      metric: String, action: String)
+
+  /** Read the manifest and recommend maintenance — the policy brain the
+    * reference automates with TimescaleDB compression/refresh policies
+    * (timescaledb_schema.sql:32-40,63-66), re-expressed for the lake:
+    * ZERO data I/O (manifest arithmetic only), returns the actions a
+    * 100 TB operator would otherwise discover from a slow dashboard:
+    *
+    *   - `pending-deletes`: merge-on-read sidecars stack a read tax
+    *     (measured 1.84x at 32 stacked sidecars) — compact absorbs;
+    *     recommend at >10% of files carrying deletes or a stack >= 4
+    *     deep, urgent at >25% / >= 8;
+    *   - `small-files`: many files far under the target size grow
+    *     planning and open() cost linearly — compact coalesces;
+    *     recommend at > 16 files under a quarter of the 128 MB target,
+    *     urgent at > 64;
+    *   - `clustering-drift`: appends after a zorder() land unclustered,
+    *     eroding the multi-column skip (the layout the
+    *     [[ZorderColsProp]] stamp records) — re-zorder; recommend once
+    *     unclustered files pass 25% of the lake;
+    *   - `bloom-coverage`: declared bloom columns whose sidecars some
+    *     files lack (appended before the declaration) — point-lookup
+    *     pruning silently degrades to envelope-only on those files;
+    *     compact restores;
+    *   - `retention`: a long manifest tail slows version listing and
+    *     pins dead files — vacuum;
+    *   - `legacy-files`: idless (pre-field-id-migration) files keep the
+    *     name-mapping read split and the DML refusals alive — compact
+    *     retires the mapping.
+    *
+    * An empty result means the lake is healthy. `CALL
+    * graft.system.advise('ns.table')` is the SQL doorway.
+    */
+  def advise(spark: SparkSession, root: String): Seq[LakeAdvice] = {
+    val m = manifest(spark, root, None)
+    val out = scala.collection.mutable.ArrayBuffer.empty[LakeAdvice]
+    val n = m.files.size
+    if (n > 0) {
+      // pending-delete read tax
+      val withDel = m.files.count(_.deletes.nonEmpty)
+      val maxStack = (0 +: m.files.map(_.deletes.size)).max
+      if (withDel > 0) {
+        val frac = withDel.toDouble / n
+        val sev =
+          if (frac > 0.25 || maxStack >= 8) "urgent"
+          else if (frac > 0.10 || maxStack >= 4) "recommend"
+          else "info"
+        out += LakeAdvice("pending-deletes", sev,
+          s"$withDel/$n files carry position-delete sidecars " +
+            s"(deepest stack $maxStack); the scan pays the sidecar " +
+            "anti-join on every read of those files",
+          "CALL graft.system.optimize('<table>') — compaction absorbs " +
+            "the deletes and retires the sidecars")
+      }
+      // small-file pressure (against the optimize default of 128 MB)
+      val target = 128L * 1024 * 1024
+      val small = m.files.count(_.bytes < target / 4)
+      if (small > 16)
+        out += LakeAdvice("small-files",
+          if (small > 64) "urgent" else "recommend",
+          s"$small/$n files are under ${target / 4 / 1024 / 1024} MB " +
+            s"(target ${target / 1024 / 1024} MB); planning and file-open " +
+            "cost grow with the count, not the bytes",
+          "CALL graft.system.optimize('<table>', target_mb => 128)")
+      // clustering drift after a zorder
+      m.props.get(ZorderColsProp).filter(_.nonEmpty).foreach { zc =>
+        val vs = versions(spark, root)
+        val lastZ = vs.reverseIterator.find(v =>
+          manifest(spark, root, Some(v)).op == "zorder")
+        lastZ.foreach { zv =>
+          val clustered = manifest(spark, root, Some(zv)).files
+            .map(_.rel).toSet
+          val drifted = m.files.count(f => !clustered.contains(f.rel))
+          if (drifted.toDouble / n > 0.25)
+            out += LakeAdvice("clustering-drift", "recommend",
+              s"$drifted/$n files landed after the last zorder($zc) at " +
+                s"v$zv and are unclustered — multi-column skipping " +
+                "degrades toward full scans on those files",
+              s"CALL graft.system.zorder('<table>', '$zc')")
+        }
+      }
+      // bloom coverage holes
+      val declared = (m.files.flatMap(_.bloomCols) ++
+        m.props.get("bloomCols").toSeq.flatMap(_.split(',').map(_.trim)
+          .filter(_.nonEmpty))).distinct
+      declared.foreach { c =>
+        val missing = m.files.count(f => !f.bloomCols.contains(c))
+        if (missing > 0)
+          out += LakeAdvice("bloom-coverage",
+            if (missing.toDouble / n > 0.5) "recommend" else "info",
+            s"$missing/$n files lack the `$c` bloom sidecar — point " +
+              "lookups and keyed-merge pruning fall back to envelopes " +
+              "on them",
+            "CALL graft.system.optimize('<table>') rewrites every file " +
+              "with the declared sidecars")
+      }
+    }
+    // retention tail
+    val nVersions = versions(spark, root).size
+    if (nVersions > 64)
+      out += LakeAdvice("retention",
+        if (nVersions > 256) "urgent" else "recommend",
+        s"$nVersions manifest versions retained; listing and time-travel " +
+          "resolution walk the tail, and dead files stay pinned",
+        "CALL graft.system.vacuum('<table>', retain_last => 8)")
+    // legacy (pre-migration) files
+    val idless = m.files.count(_.idless)
+    if (idless > 0)
+      out += LakeAdvice("legacy-files", "info",
+        s"$idless/${m.files.size} files predate the field-id migration " +
+          "and read via the name mapping; SQL row-level DML refuses " +
+          "while they remain",
+        "CALL graft.system.optimize('<table>') rewrites them with ids " +
+          "and retires the mapping")
+    out.toSeq
+  }
+
   /** Rewrite the current snapshot into ~targetBytes files and commit the
     * result as a new version. NON-BLOCKING for readers: old files stay on
     * disk (pinned readers keep working) until `vacuum`; a concurrent
@@ -1826,10 +1955,13 @@ object SnapshotLake {
         statsCols, bloomCols)
       val baseSet = readSetOf(base.files)
       // a full rewrite re-lands every current file under CURRENT column
-      // names: retired names become re-usable (see RetiredColsProp)
+      // names: retired names become re-usable (see RetiredColsProp).
+      // The hash repartition also destroys any z-order clustering, so
+      // the recorded layout drops with it (round 16 — advise() honesty)
       val compactProps =
-        if (base.props.contains(RetiredColsProp))
-          Some(base.props - RetiredColsProp)
+        if (base.props.contains(RetiredColsProp) ||
+            base.props.contains(ZorderColsProp))
+          Some(base.props - RetiredColsProp - ZorderColsProp)
         else None
       val v = commit(spark, root, "compact", base.schema,
         // lock-merge: files that appeared after our base (concurrent
@@ -1965,10 +2097,10 @@ object SnapshotLake {
       val newFiles = stageFiles(spark, root,
         attachFieldIds(shaped, base.schema), Nil, statsCols, bloomCols)
       val baseSet = readSetOf(base.files)
-      val zProps =
-        if (base.props.contains(RetiredColsProp))
-          Some(base.props - RetiredColsProp)
-        else None
+      // record the clustering (round 16): advise() reads it to detect
+      // appends drifting an ordered lake out of its layout
+      val zProps = Some((base.props - RetiredColsProp) +
+        (ZorderColsProp -> zCols.mkString(",")))
       val v = commit(spark, root, "zorder", base.schema,
         build = head => {
           requireSchemaIntact(base.schema, head, newFiles, "zorder", root)
@@ -2902,14 +3034,24 @@ object SnapshotLake {
       partitionCols, streamId, lockExpiryMs, evolve)
 
   /** [[mergeStream]] with [[mergeComposite]]'s multi-column pruning —
-    * the (symbol, ts)-keyed CDC-feed shape.
+    * the (symbol, ts)-keyed CDC-feed shape — and an optional
+    * MAINTENANCE POLICY (round 16, the streaming analog of the
+    * reference's TimescaleDB compression policy): with
+    * `autoCompactSidecars = N > 0`, a merge-on-read lake compacts
+    * itself right after any batch that leaves a file with >= N stacked
+    * delete sidecars, bounding the read tax a long-running mirror
+    * accrues without an operator in the loop. The compact is its own
+    * commit AFTER the batch-marked merge, so exactly-once is untouched:
+    * a replayed batch skips both; a crash between merge and compact
+    * just defers the compaction to the next threshold crossing.
     */
   def mergeStreamComposite(root: String, keyCols: Seq[String],
       versionCol: String, pruneKeys: Seq[String],
       partitionCols: Seq[String] = Nil,
       streamId: String = "s0",
       lockExpiryMs: Long = DefaultLockExpiryMs,
-      evolve: Boolean = false)
+      evolve: Boolean = false,
+      autoCompactSidecars: Int = 0)
       : (DataFrame, Long) => Unit = { (df, batchId) =>
     val spark = df.sparkSession
     val replay = lastCommittedBatch(spark, root, streamId).exists(_ >= batchId)
@@ -2927,6 +3069,11 @@ object SnapshotLake {
       mergeOp(spark, root, df, keyCols, versionCol, pruneKeys, partitionCols,
         lockExpiryMs, op = s"merge:stream=$streamId,batch=$batchId",
         evolve = evolve)
+      if (autoCompactSidecars > 0 &&
+          manifest(spark, root, None).files
+            .exists(_.deletes.size >= autoCompactSidecars)) {
+        compact(spark, root, partitionCols, lockExpiryMs = lockExpiryMs)
+      }
     }
   }
 }

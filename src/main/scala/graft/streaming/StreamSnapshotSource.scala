@@ -379,7 +379,9 @@ class SnapshotSourceProvider extends StreamSourceProvider with DataSourceRegiste
             "mergeKeys, comma-separated)")
         SnapshotLake.mergeStreamComposite(root, mergeKeys, versionCol,
           pruneKeys, parts, streamId,
-          evolve = parameters.get("evolve").exists(_.toBoolean))
+          evolve = parameters.get("evolve").exists(_.toBoolean),
+          autoCompactSidecars = parameters.get("autoCompactSidecars")
+            .map(_.toInt).getOrElse(0))
       } else {
         SnapshotLake.appendStream(root, parts, cols(parameters, "statsCols"),
           streamId, bloomCols = cols(parameters, "bloomCols"))
