@@ -265,6 +265,36 @@ object ScaleQueries {
         "WHERE symbol = (SELECT min(symbol) FROM sn7_lake)")
     }),
 
+    // SN14 — PARTITION-SPEC EVOLUTION (round 16): bars land partitioned
+    // by symbol, one metadata-only `repartitionSpec` re-grains the lake
+    // to (symbol, y) — derived from the timestamp — and the second half
+    // lands under the NEW layout: two dir generations in one lake, read
+    // back through one SQL scan (the generalized split scan plans one
+    // vectorized parquet scan per generation and permutes onto a
+    // canonical column order). The oracle is the plain declarative
+    // slice: a hash match proves the cross-generation read — partition
+    // values from dirs where a generation encodes them, from data
+    // everywhere else — row-exact.
+    "sn14_partition_evolution" -> ((s, dir) => {
+      import graft.sinks.SnapshotLake
+      val b = Tables.bars(s, dir).select(col("event_id"), col("symbol"),
+          col("ts"), col("close"))
+        .withColumn("y", year(col("ts")).cast("long"))
+      val root = graft.TempDirs.create("graft-sn14") + "/lake"
+      val r = b.agg(min("event_id"), max("event_id")).head
+      val mid = (r.getLong(0) + r.getLong(1)) / 2
+      SnapshotLake.append(s, root, b.filter(col("event_id") < mid)
+        .repartition(2), partitionCols = Seq("symbol"),
+        statsCols = Seq("event_id"))
+      SnapshotLake.repartitionSpec(s, root, Seq("symbol", "y"))
+      SnapshotLake.append(s, root, b.filter(col("event_id") >= mid)
+        .repartition(2), partitionCols = Seq("symbol", "y"),
+        statsCols = Seq("event_id"))
+      s.read.format("graft-snapshot").load(root)
+        .filter(col("symbol") >= "sym")
+        .select("event_id", "symbol", "ts", "close", "y")
+    }),
+
     // SN8 — SQL `DELETE FROM` through the DSv2 doorway: bars land as two
     // id-ranged format appends (disjoint event_id envelopes), then a
     // ranged+keyed DELETE runs as ONE atomic delete commit whose prune
@@ -884,6 +914,12 @@ object ScaleQueries {
          |FROM bars
          |WHERE event_id <
          |  (SELECT (min(event_id) + max(event_id)) // 2 FROM bars)""".stripMargin),
+
+    "sn14_partition_evolution" -> (Tables.barsSql +
+      s"""
+         |SELECT event_id, symbol, ts, close,
+         |       CAST(year(ts) AS BIGINT) AS y
+         |FROM bars WHERE symbol >= 'sym'""".stripMargin),
 
     "sn7_sql_insert_partitioned" -> (Tables.barsSql +
       s"""

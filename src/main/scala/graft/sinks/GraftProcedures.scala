@@ -195,6 +195,17 @@ private[sinks] object GraftProcedures {
           }).iterator()
         }
       }
+      case "repartition_spec" => new GraftProcedure("repartition_spec",
+        Seq(param("table", StringType), param("cols", StringType)),
+        StructType(Seq(StructField("version", LongType)))) {
+        // metadata-only partition-spec evolution: future files land
+        // under the new hive layout, existing files keep theirs; reads
+        // span both generations; optimize (compact) migrates. Empty
+        // cols ('') un-partitions future files.
+        override def run(a: InternalRow): Seq[Any] =
+          Seq(SnapshotLake.repartitionSpec(spark,
+            rootOf(catalog, str(a, 0)), csvCols(str(a, 1))))
+      }
       case "advise" => new GraftProcedure("advise",
         Seq(param("table", StringType)),
         StructType(Seq(StructField("kind", StringType),
@@ -235,5 +246,5 @@ private[sinks] object GraftProcedures {
 
   val names: Seq[String] =
     Seq("optimize", "zorder", "add_stats", "vacuum", "restore", "history",
-      "upgrade_field_ids", "advise")
+      "upgrade_field_ids", "advise", "repartition_spec")
 }

@@ -192,6 +192,11 @@ object ManifestFileIndex {
       "the V1 snapshot relation cannot name-map pre-migration files; " +
         "read through SnapshotLake.read / the V2 table, or compact() " +
         "to materialize field ids")
+    require(m.files.iterator.map(f =>
+        SnapshotLake.layoutOf(f.rel)).toSet.size <= 1,
+      "the V1 snapshot relation cannot span partition-layout " +
+        "generations; read through SnapshotLake.read / the V2 table, " +
+        "or compact() to migrate files to the current spec")
     SnapshotLake.requireFieldIdReads(spark, m)
     val dd = new Path(root, "data")
     val index = new ManifestFileIndex(spark, dd, m.files, m.schema)

@@ -578,6 +578,17 @@ object SnapshotLake {
     */
   private[sinks] val ZorderColsProp = "zorderCols"
 
+  /** The hive partition columns a file's rel path dir-encodes, parsed
+    * from the path itself (`year=2024/month=2/part-x.parquet` → year,
+    * month; flat files → empty). The ground truth of each file's
+    * LAYOUT GENERATION after a partition-spec evolution: the lake prop
+    * names the CURRENT spec, the dirs name the spec each file was
+    * written under.
+    */
+  private[graft] def layoutOf(rel: String): Seq[String] =
+    rel.split('/').dropRight(1).toSeq.takeWhile(_.contains('='))
+      .map(seg => seg.substring(0, seg.indexOf('=')))
+
   private def retiredCols(props: Map[String, String]): Set[String] =
     props.get(RetiredColsProp).toSeq
       .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty).toSet
@@ -1093,6 +1104,16 @@ object SnapshotLake {
     require(!parts.contains(colName),
       s"$verb COLUMN cannot touch partition column $colName — its name " +
         "is baked into every data directory; that is a rewrite migration")
+    // after a partition-spec evolution, a column may have LEFT the
+    // current spec while older files still dir-encode it — those dirs
+    // are the only place its values live for those files, so the name
+    // stays pinned until a compact migrates them (round 16)
+    val historic = head.files.iterator.flatMap(f => layoutOf(f.rel)).toSet
+    require(!historic.contains(colName),
+      s"$verb COLUMN cannot touch $colName — files from an earlier " +
+        "partition spec still dir-encode it (their only copy of the " +
+        "values); CALL graft.system.optimize (compact) migrates them " +
+        "to the current layout first")
   }
 
   /** METADATA-ONLY column rename: the field keeps its id, so every
@@ -1203,6 +1224,10 @@ object SnapshotLake {
       s"ALTER COLUMN TYPE cannot touch partition column $colName — its " +
         "directory values are typed by the schema; that is a rewrite " +
         "migration")
+    require(!head.files.iterator.flatMap(f => layoutOf(f.rel)).toSet
+        .contains(colName),
+      s"ALTER COLUMN TYPE cannot touch $colName — files from an " +
+        "earlier partition spec still dir-encode it; compact first")
     require(Widenings.get(field.dataType).exists(_.contains(newType)),
       s"cannot retype $colName: ${field.dataType.simpleString} -> " +
         s"${newType.simpleString} is not a supported widening " +
@@ -1215,6 +1240,65 @@ object SnapshotLake {
         if (f.name == colName) f.copy(dataType = newType) else f)),
       build = h => h.map(_.files).getOrElse(Nil), lockExpiryMs)
   }
+
+  /** METADATA-ONLY partition-spec evolution (round 16 — Iceberg's
+    * partition evolution on the graft manifest): one commit changes the
+    * lake's `partitionCols` prop, so files written FROM NOW ON land
+    * under the new hive layout while every existing file keeps its own
+    * — zero data rewritten. Each file's layout generation is its rel
+    * path's own dir encoding ([[layoutOf]] — the dirs are ground
+    * truth), and reads resolve PER GENERATION: the library read groups
+    * files by layout and unions (partition values come from dirs where
+    * a generation dir-encodes them, from the data columns everywhere
+    * else), the SQL read plans one BatchScan over per-generation
+    * vectorized scans (the [[SnapshotSplitScan]] pattern generalized).
+    * A full `compact()` (or `CALL graft.system.optimize`) migrates
+    * everything to the current spec and the plain single-scan path
+    * resumes. The reference re-grains its own storage over time (7-day
+    * chunks, timescaledb_schema.sql:22; month/symbol archive dirs,
+    * data_storage_manager.py:113-120) — this is that verb without the
+    * rewrite.
+    *
+    * Constraints: every new partition column must exist in the schema
+    * and carry no bloom sidecar declaration (directory pruning already
+    * serves partition columns; stageFiles refuses the overlap), and —
+    * like partition columns have always been — columns live in ANY
+    * generation's dir layout stay rename/drop/retype-refused until a
+    * compact migrates the old dirs away.
+    */
+  def repartitionSpec(spark: SparkSession, root: String,
+      newPartitionCols: Seq[String],
+      lockExpiryMs: Long = DefaultLockExpiryMs): Long =
+    retryOnConflict(spark, root, "repartition") { () =>
+      val head = manifest(spark, root, None)
+      newPartitionCols.foreach(c =>
+        require(head.schema.fieldNames.contains(c),
+          s"partition column $c not in snapshot schema " +
+            head.schema.simpleString))
+      val declaredBlooms = (head.files.flatMap(_.bloomCols) ++
+        head.props.get("bloomCols").toSeq
+          .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))).distinct
+      val clash = newPartitionCols.intersect(declaredBlooms)
+      require(clash.isEmpty,
+        s"new partition column(s) ${clash.mkString(",")} carry bloom " +
+          "sidecar declarations — directory pruning already serves " +
+          "partition columns; drop the blooms first")
+      val cur = head.props.get("partitionCols").toSeq
+        .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+      require(cur != newPartitionCols,
+        s"lake is already partitioned by ${cur.mkString(",")}")
+      commit(spark, root,
+        s"repartition:${newPartitionCols.mkString(",")}", head.schema,
+        build = h => {
+          requireSchemaIntact(head.schema, h, Nil, "repartition", root)
+          h.map(_.files).getOrElse(Nil)
+        },
+        lockExpiryMs,
+        // an explicit EMPTY value un-partitions future files (the
+        // absent-key fallback would re-derive the spec from file dirs)
+        props = Some(head.props +
+          ("partitionCols" -> newPartitionCols.mkString(","))))
+    }
 
   /** METADATA-ONLY field-id migration for lakes born WITHOUT ids (pre
     * round 14, or through a bare first `replace`): one commit that (a)
@@ -1527,14 +1611,34 @@ object SnapshotLake {
       else df.withColumn("__abs", col("_metadata.file_path"))
         .withColumn("__pos", col("_metadata.row_index"))
     }
-    val (idless, idful) = files.partition(_.idless)
-    if (idless.isEmpty) readGen(m.schema, files)
+    // One read per FILE GENERATION: field-id generation (idless files
+    // read under the name-mapped schema) × partition-layout generation
+    // (a spec evolution leaves files whose dir encodings differ — mixed
+    // dirs would fail Spark's partition inference, and each group's
+    // dir-encoded columns come from ITS dirs, the rest from data).
+    // Spark's ACTUAL output order for a dir-partitioned read is data
+    // columns (user-schema order) then dir columns (DIR order),
+    // regardless of where the schema places them — so each group's
+    // columns are first NAMED by that actual order (current names),
+    // then reordered to the manifest schema before the positional union.
+    val groups = files.groupBy(f => (f.idless, layoutOf(f.rel))).toSeq
+      .sortBy { case ((idless, lay), _) => (idless, lay.mkString("/")) }
+    if (groups.size == 1 && !groups.head._1._1 &&
+        groups.head._1._2.isEmpty) readGen(m.schema, files)
     else {
-      val names = (m.schema.fieldNames.toSeq ++
-        (if (tag) Seq("__abs", "__pos") else Nil))
-      val legacy = readGen(nameMappedSchema(m), idless).toDF(names: _*)
-      if (idful.isEmpty) legacy
-      else readGen(m.schema, idful).toDF(names: _*).union(legacy)
+      val tagNames = if (tag) Seq("__abs", "__pos") else Nil
+      val outCols = (m.schema.fieldNames.toSeq ++ tagNames).map(col)
+      groups.map { case ((idless, lay), fs) =>
+        val schemaG = if (idless) nameMappedSchema(m) else m.schema
+        // legacy groups read (and dir-encode) OLD names: map them back
+        // to current names positionally via the schema zip
+        val toCurrent: Map[String, String] =
+          if (!idless) Map.empty
+          else schemaG.fieldNames.zip(m.schema.fieldNames).toMap
+        val actual = (schemaG.fieldNames.toSeq.filterNot(lay.contains) ++
+          lay).map(n => toCurrent.getOrElse(n, n)) ++ tagNames
+        readGen(schemaG, fs).toDF(actual: _*).select(outCols: _*)
+      }.reduce(_.union(_))
     }
   }
 

@@ -2,33 +2,39 @@ package graft.sinks
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression => CatalystExpression}
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection, Expression => CatalystExpression}
 import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
 import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DataType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
-import org.apache.spark.sql.vectorized.ColumnarBatch
+import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
 
-/** SQL scan for a field-id-MIGRATED lake that still holds pre-migration
-  * files ([[SnapshotLake.FileEntry.idless]]): two stock vectorized
-  * parquet scans planned side by side — id-carrying files read with the
-  * current (id-stamped) schema, id-less files with the migration's
-  * [[SnapshotLake.nameMappedSchema]] (old names, ids stripped, so
-  * Spark's reader matches by name; renamed columns resolve to what the
-  * old files actually call them, post-migration additions read NULL).
-  * The two read schemas are positionally and type-identical, so the
-  * partitions simply concatenate — one `BatchScan`, both sides
-  * vectorized, filters and column pruning forwarded to the id side in
-  * full and to the legacy side for columns whose NAME is unchanged
-  * (renamed-column filters are dropped there; Spark re-applies every
-  * data filter above the scan, so pruning changes which row groups
-  * open, never the answer). Iceberg reads migrated tables through
-  * exactly this name-mapping fallback.
+/** SQL scan for a lake whose files span GENERATIONS — field-id
+  * generations (a [[SnapshotLake.upgradeFieldIds]] migration leaves
+  * pre-migration [[SnapshotLake.FileEntry.idless]] files that read by
+  * the name-mapped schema) and/or partition-layout generations (a
+  * [[SnapshotLake.repartitionSpec]] evolution leaves files whose rel
+  * paths dir-encode DIFFERENT column sets — mixed dirs would fail
+  * Spark's partition inference outright). One stock vectorized parquet
+  * scan is planned PER GENERATION, each with its own partitioning index
+  * (its dirs supply its own layout's values; everything else reads from
+  * data), its own read schema (idless files under old names, ids
+  * stripped, so the reader matches by name), and the pushed filters it
+  * can soundly take (renamed-column filters are dropped on legacy
+  * sides; Spark re-applies every data filter above the scan, so pruning
+  * changes which row groups open, never the answer). The partitions
+  * concatenate into ONE `BatchScan`; because different generations emit
+  * different physical column orders (a parquet scan outputs data
+  * columns then partition columns), each generation's readers are
+  * wrapped with a zero-copy column PERMUTATION onto the canonical
+  * output order — identity (and skipped) when the orders already agree,
+  * which is every pre-evolution lake. Iceberg reads migrated tables
+  * through exactly this name-mapping + spec-evolution fallback.
   *
-  * A full `compact()` rewrites every file with ids and retires this
-  * scan — the plain single-scan path resumes.
+  * A full `compact()` rewrites every file under the current ids and
+  * layout and retires this scan — the plain single-scan path resumes.
   */
 final class SnapshotSplitScanBuilder(
     spark: SparkSession,
@@ -67,7 +73,6 @@ final class SnapshotSplitScan(
     partCols: Seq[String],
     options: CaseInsensitiveStringMap) extends Scan with Batch {
 
-  private val (idlessFiles, idfulFiles) = base.files.partition(_.idless)
   private val mappedSchema: StructType = SnapshotLake.nameMappedSchema(base)
 
   /** current name → name-at-migration, for fields a RENAME moved. */
@@ -84,85 +89,148 @@ final class SnapshotSplitScan(
       }
     })
 
-  private def buildInner(files: Seq[SnapshotLake.FileEntry],
-      schema: StructType, req: Option[StructType],
-      filters: Seq[CatalystExpression]): Scan = {
+  /** One file generation: same id-resolution mode AND same dir layout. */
+  private case class Gen(files: Seq[SnapshotLake.FileEntry],
+      legacy: Boolean, layout: Seq[String]) {
+    def schema: StructType = if (legacy) mappedSchema else base.schema
+  }
+
+  private val gens: Seq[Gen] = base.files
+    .groupBy(f => (f.idless, SnapshotLake.layoutOf(f.rel))).toSeq
+    .sortBy { case ((l, lay), _) => (l, lay.mkString("/")) }
+    .map { case ((idless, lay), fs) => Gen(fs, idless, lay) }
+
+  private def buildInner(g: Gen): Scan = {
     val index = new SnapshotPartitioningIndex(spark, root,
-      base.copy(files = files, schema = schema))
+      base.copy(files = g.files, schema = g.schema))
     val dataSchema = StructType(
-      schema.fields.filterNot(f => partCols.contains(f.name)))
-    val sb = ParquetScanBuilder(spark, index, schema, dataSchema, options)
-    sb.pushFilters(filters)
-    req.foreach(sb.pruneColumns)
+      g.schema.fields.filterNot(f => g.layout.contains(f.name)))
+    val sb = ParquetScanBuilder(spark, index, g.schema, dataSchema, options)
+    sb.pushFilters(
+      // only filters untouched by renames are sound against old names
+      if (g.legacy)
+        pushedExprs.filter(_.references.forall(a => !nameMap.contains(a.name)))
+      else pushedExprs)
+    required.map(r => if (g.legacy) mapRequired(r) else r)
+      .foreach(sb.pruneColumns)
     sb.build()
   }
 
-  private val innerCurrent: Option[Scan] =
-    if (idfulFiles.isEmpty) None
-    else Some(buildInner(idfulFiles, base.schema, required, pushedExprs))
+  private val inners: Seq[(Gen, Scan)] = gens.map(g => g -> buildInner(g))
 
-  private val innerLegacy: Option[Scan] =
-    if (idlessFiles.isEmpty) None
-    else Some(buildInner(idlessFiles, mappedSchema,
-      required.map(mapRequired),
-      // only filters untouched by renames are sound against old names
-      pushedExprs.filter(_.references.forall(a => !nameMap.contains(a.name)))))
-
-  /** Output schema under CURRENT names. Both inners emit the same
-    * positional layout (the legacy one under old names), so when only
-    * legacy files exist the schema is its read schema renamed back.
+  /** A generation's scan output under CURRENT names (legacy fields
+    * renamed back through the migration mapping).
     */
-  override def readSchema(): StructType = innerCurrent match {
-    case Some(s) => s.readSchema()
-    case None =>
+  private def currentNames(s: StructType, legacy: Boolean): StructType =
+    if (!legacy) s
+    else {
       val back = mappedSchema.fields.zip(base.schema.fields)
         .map { case (o, c) => o.name -> c.name }.toMap
-      StructType(innerLegacy.get.readSchema().fields.map(f =>
+      StructType(s.fields.map(f =>
         f.copy(name = back.getOrElse(f.name, f.name))))
-  }
+    }
+
+  /** Canonical output = the FIRST generation's physical order (identity
+    * for that generation, so the single-generation case — every
+    * pre-evolution lake — is wrapper-free); every generation serves the
+    * same column SET (parquet scans prune to the required columns,
+    * partition or data alike), so the others permute onto it.
+    */
+  override def readSchema(): StructType =
+    currentNames(inners.head._2.readSchema(), inners.head._1.legacy)
 
   override def toBatch: Batch = this
 
   override def description(): String =
-    s"graft-split-scan `$root`@v${base.version} ${idfulFiles.size} " +
-      s"id-carrying + ${idlessFiles.size} name-mapped pre-migration files"
+    s"graft-split-scan `$root`@v${base.version}: " +
+      gens.map(g => s"${g.files.size} file(s) " +
+        s"[${if (g.legacy) "name-mapped" else "id"}|" +
+        s"${if (g.layout.isEmpty) "flat" else g.layout.mkString("/")}]")
+        .mkString(" + ")
 
   override def planInputPartitions(): Array[InputPartition] =
-    innerCurrent.toArray.flatMap(_.toBatch.planInputPartitions()
-      .map(SplitInputPartition(_, legacy = false))) ++
-      innerLegacy.toArray.flatMap(_.toBatch.planInputPartitions()
-        .map(SplitInputPartition(_, legacy = true)))
+    inners.zipWithIndex.flatMap { case ((_, s), i) =>
+      s.toBatch.planInputPartitions().map(SplitInputPartition(_, i))
+    }.toArray
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new SplitReaderFactory(
-      innerCurrent.map(_.toBatch.createReaderFactory()),
-      innerLegacy.map(_.toBatch.createReaderFactory()))
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val out = readSchema()
+    val perGen = inners.map { case (g, s) =>
+      val mine = currentNames(s.readSchema(), g.legacy)
+      require(mine.fieldNames.sorted.sameElements(out.fieldNames.sorted),
+        s"split-scan generation column sets diverged: ${mine.simpleString}" +
+          s" vs ${out.simpleString}")
+      val perm = out.fieldNames.map(n => mine.fieldIndex(n))
+      SplitGenReaders(s.toBatch.createReaderFactory(), perm,
+        mine.fields.map(_.dataType))
+    }
+    new SplitReaderFactory(perGen)
+  }
 }
 
 private final case class SplitInputPartition(inner: InputPartition,
-    legacy: Boolean) extends InputPartition {
+    gen: Int) extends InputPartition {
   override def preferredLocations(): Array[String] =
     inner.preferredLocations()
 }
 
-private final class SplitReaderFactory(
-    current: Option[PartitionReaderFactory],
-    legacy: Option[PartitionReaderFactory]) extends PartitionReaderFactory {
+/** One generation's reader factory + the permutation from ITS physical
+  * column order onto the scan's canonical output order (`perm(i)` = the
+  * generation-local index serving canonical column i; `dataTypes` are
+  * generation-local, indexed by ITS order).
+  */
+private final case class SplitGenReaders(
+    factory: PartitionReaderFactory,
+    perm: Array[Int],
+    dataTypes: Array[DataType]) {
+  def identity: Boolean = perm.zipWithIndex.forall { case (p, i) => p == i }
+}
 
-  private def pick(p: InputPartition): (PartitionReaderFactory, InputPartition) = {
+private final class SplitReaderFactory(gens: Seq[SplitGenReaders])
+    extends PartitionReaderFactory {
+
+  private def pick(p: InputPartition): (SplitGenReaders, InputPartition) = {
     val sp = p.asInstanceOf[SplitInputPartition]
-    ((if (sp.legacy) legacy else current).get, sp.inner)
+    (gens(sp.gen), sp.inner)
   }
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val (f, ip) = pick(p); f.createReader(ip)
+    val (g, ip) = pick(p)
+    val r = g.factory.createReader(ip)
+    if (g.identity) r
+    else new PartitionReader[InternalRow] {
+      // executor-side, built lazily: project the generation's row order
+      // onto the canonical one (types are generation-local, permuted)
+      private val proj = UnsafeProjection.create(
+        g.perm.map(i => BoundReference(i, g.dataTypes(i), nullable = true)
+          : CatalystExpression))
+      override def next(): Boolean = r.next()
+      override def get(): InternalRow = proj(r.get())
+      override def close(): Unit = r.close()
+    }
   }
 
   override def createColumnarReader(p: InputPartition): PartitionReader[ColumnarBatch] = {
-    val (f, ip) = pick(p); f.createColumnarReader(ip)
+    val (g, ip) = pick(p)
+    val r = g.factory.createColumnarReader(ip)
+    if (g.identity) r
+    else new PartitionReader[ColumnarBatch] {
+      // zero-copy: re-order the batch's column VECTORS; the inner
+      // reader keeps ownership (and close()) of the vectors themselves
+      override def next(): Boolean = r.next()
+      override def get(): ColumnarBatch = {
+        val b = r.get()
+        val cols = new Array[ColumnVector](g.perm.length)
+        var i = 0
+        while (i < g.perm.length) { cols(i) = b.column(g.perm(i)); i += 1 }
+        new ColumnarBatch(cols, b.numRows())
+      }
+      override def close(): Unit = r.close()
+    }
   }
 
   override def supportColumnarReads(p: InputPartition): Boolean = {
-    val (f, ip) = pick(p); f.supportColumnarReads(ip)
+    val (g, ip) = pick(p)
+    g.factory.supportColumnarReads(ip)
   }
 }

@@ -212,16 +212,22 @@ final class SnapshotTable(
     val m = pinned.getOrElse(Manifest(0L, 0L, "empty", schema(), Nil))
     validateDeclared(m)
     SnapshotLake.requireFieldIdReads(spark, m)
-    // a field-id-MIGRATED lake still holding pre-migration (id-less)
-    // files splits the scan: id-carrying files by id, old files by the
-    // migration's name mapping — both sides stock vectorized parquet.
-    // The position-aware (mor) machinery does not compose with the
-    // split; that combination refuses until a compact materializes ids
-    if (m.files.exists(_.idless)) {
+    // a lake whose files span GENERATIONS splits the scan — field-id
+    // generations (a migration left id-less files that read by the
+    // name mapping) and/or partition-layout generations (a
+    // repartitionSpec evolution left files dir-encoding different
+    // column sets, which stock partition inference refuses outright):
+    // one stock vectorized parquet scan per generation, partitions
+    // concatenated. The position-aware (mor) machinery does not compose
+    // with the split; that combination refuses until a compact unifies
+    if (m.files.exists(_.idless) ||
+        m.files.iterator.map(f => SnapshotLake.layoutOf(f.rel))
+          .toSet.size > 1) {
       require(!SnapshotTable.morLake(m) && !SnapshotTable.hasDeletes(m),
-        s"merge-on-read reads over pre-migration (id-less) files under " +
-          s"$root are not supported — CALL graft.system.optimize " +
-          "(compact) first to materialize field ids")
+        s"merge-on-read reads over multi-generation files (pre-migration" +
+          s" ids or pre-evolution partition layouts) under $root are " +
+          "not supported — CALL graft.system.optimize (compact) first " +
+          "to unify the generations")
       return new SnapshotSplitScanBuilder(spark, root, m, partCols, options)
     }
     // merge-on-read lakes (or any manifest carrying position deletes)
@@ -306,6 +312,13 @@ final class SnapshotTable(
       s"SQL row-level DML over pre-migration (id-less) files under " +
         s"$root — CALL graft.system.optimize (compact) first to " +
         "materialize field ids, or use the library delete/merge")
+    // ditto partition-layout generations (repartitionSpec evolution):
+    // the row-level scan machinery plans one layout
+    require(m.files.iterator.map(f => SnapshotLake.layoutOf(f.rel))
+        .toSet.size <= 1,
+      s"SQL row-level DML over mixed partition layouts under $root — " +
+        "CALL graft.system.optimize (compact) first to migrate files " +
+        "to the current spec, or use the library delete/merge")
     if (SnapshotTable.morLake(m)) {
       // merge-on-read: the SupportsDelta path, keyed on (_file, _pos) —
       // both must be free for the metadata columns to serve, and

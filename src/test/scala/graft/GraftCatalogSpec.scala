@@ -769,4 +769,105 @@ class GraftCatalogSpec extends SparkSpec {
         spark.conf.unset("spark.sql.parquet.fieldId.read.enabled")
     }
   }
+
+  test("partition-spec evolution: CALL graft.system.repartition_spec " +
+      "redirects FUTURE files to the new layout metadata-only; reads " +
+      "span both generations (SQL split scan + library union), pruning " +
+      "stays correct, DML refuses until optimize migrates, and a column " +
+      "left behind in old dirs stays rename-pinned") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.pev")
+    spark.sql("DROP TABLE IF EXISTS graft.pev.t")
+    spark.sql("CREATE TABLE graft.pev.t (y BIGINT, sym STRING, " +
+      "close DOUBLE, event_id BIGINT) USING `graft-snapshot` " +
+      "PARTITIONED BY (y) TBLPROPERTIES ('statsCols' 'event_id')")
+    val root = s"$warehouse/pev/t"
+    def rows(n: Int, y0: Long, tag: Double) =
+      (0 until n).map(i => (y0 + i % 2, s"s${i % 3}", tag + i, i.toLong))
+        .toDF("y", "sym", "close", "event_id")
+    rows(12, 2023L, 0.0).createOrReplaceTempView("pev_a")
+    spark.sql("INSERT INTO graft.pev.t SELECT * FROM pev_a")
+    val genA = SnapshotLake.manifest(spark, root)
+    assert(genA.files.forall(_.rel.startsWith("y=")))
+    assert(genA.files.forall(f =>
+      !f.rel.split('/').exists(_.startsWith("sym="))))
+    // evolve the spec: future files land under y=/sym=
+    val evolved = spark.sql(
+      "CALL graft.system.repartition_spec('pev.t', 'y,sym')").collect()
+    assert(evolved.head.getLong(0) == genA.version + 1)
+    val mEv = SnapshotLake.manifest(spark, root)
+    assert(mEv.op.startsWith("repartition:") &&
+      mEv.props("partitionCols") == "y,sym")
+    assert(mEv.files.map(_.rel).toSet == genA.files.map(_.rel).toSet,
+      "the evolution commit must be metadata-only")
+    rows(12, 2025L, 100.0).createOrReplaceTempView("pev_b")
+    spark.sql("INSERT INTO graft.pev.t SELECT * FROM pev_b")
+    val mixed = SnapshotLake.manifest(spark, root)
+    val newFiles = mixed.files.filterNot(f =>
+      genA.files.exists(_.rel == f.rel))
+    assert(newFiles.nonEmpty && newFiles.forall(f =>
+      f.rel.matches("y=\\d+/sym=[^/]+/.*")),
+      s"post-evolution files must dir-encode the new spec: ${
+        newFiles.map(_.rel)}")
+    // SQL reads span both generations through ONE split BatchScan
+    val all = spark.sql("SELECT * FROM graft.pev.t")
+    assert(all.queryExecution.executedPlan.toString
+      .contains("graft-split-scan"))
+    assert(all.count() == 24)
+    // per-generation values and cross-layout pruning answers: sym is a
+    // DATA column in generation A and a DIR column in generation B —
+    // the same predicate must see both
+    assert(spark.sql("SELECT * FROM graft.pev.t WHERE sym = 's1'")
+      .count() == 8)
+    assert(spark.sql(
+      "SELECT sum(close) FROM graft.pev.t WHERE y >= 2025").head.getDouble(0)
+      == rows(12, 2025L, 100.0).filter(col("y") >= 2025)
+        .agg(org.apache.spark.sql.functions.sum("close")).head.getDouble(0))
+    // library read agrees
+    assert(SnapshotLake.read(spark, root).count() == 24)
+    assert(SnapshotLake.read(spark, root)
+      .filter(col("sym") === "s1").count() == 8)
+    // time travel to the pre-evolution pin still reads generation A
+    assert(spark.sql(
+      s"SELECT * FROM graft.pev.t VERSION AS OF ${genA.version}")
+      .count() == 12)
+    // SQL row-level DML refuses across generations, names the fix
+    val eDml = intercept[Exception] {
+      spark.sql("UPDATE graft.pev.t SET close = 0 WHERE event_id = 1")
+    }
+    assert(eDml.getMessage.contains("optimize") ||
+      Option(eDml.getCause).exists(_.getMessage.contains("optimize")))
+    // a column that LEFT the spec but lives in old dirs stays pinned
+    spark.sql("CALL graft.system.repartition_spec('pev.t', 'sym')")
+    val eRen = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.pev.t RENAME COLUMN y TO yy")
+    }
+    assert(eRen.getMessage.contains("earlier partition spec") ||
+      Option(eRen.getCause).exists(
+        _.getMessage.contains("earlier partition spec")))
+    // optimize migrates everything to the CURRENT spec; plain scan and
+    // DML resume; the freed column renames
+    spark.sql("CALL graft.system.optimize('pev.t')")
+    val mDone = SnapshotLake.manifest(spark, root)
+    assert(mDone.files.forall(f => f.rel.startsWith("sym=") &&
+      !f.rel.contains("y=")), s"optimize must migrate: ${
+        mDone.files.map(_.rel)}")
+    assert(!spark.sql("SELECT * FROM graft.pev.t")
+      .queryExecution.executedPlan.toString.contains("graft-split-scan"))
+    assert(spark.sql("SELECT * FROM graft.pev.t").count() == 24)
+    spark.sql("UPDATE graft.pev.t SET close = -1 WHERE event_id = 1")
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.pev.t WHERE close = -1").head.getLong(0)
+      == 2)
+    spark.sql("ALTER TABLE graft.pev.t RENAME COLUMN y TO yy")
+    val saved = spark.conf.getOption("spark.sql.parquet.fieldId.read.enabled")
+    try {
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+      assert(spark.sql("SELECT sum(yy) FROM graft.pev.t").head.getLong(0) > 0)
+    } finally saved match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", v)
+      case None =>
+        spark.conf.unset("spark.sql.parquet.fieldId.read.enabled")
+    }
+  }
 }
