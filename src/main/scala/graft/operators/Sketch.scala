@@ -379,31 +379,45 @@ object Sketch {
       groupCols: Seq[String], valueA: Column, valueB: Column,
       k: Int = 4096): DataFrame = {
     val g = groupCols.map(col)
+    // One union-tagged (group, hash) GRAIN instead of the former
+    // join-of-aggregates DAG: the old shape consumed each side's sketch
+    // pipeline (scan → distinct → two trim windows) in the theta join,
+    // both trims, and four count aggregates — Catalyst re-evaluated the
+    // subtree per consumer (measured: 40 parquet scans / 152 Exchanges in
+    // ts2's physical plan). Each side is distinct in (group, h) by
+    // construction, so presence flags at the grain reproduce every count
+    // exactly; the grain is bounded (≤ 2k rows per group) and checkpointed
+    // once, so the sketch pipelines run exactly once each.
     val ska = kmvSketchByGroup(a, groupCols, valueA, k)
+      .select(g ++ Seq(col("h"), lit(1L).as("__a"), lit(0L).as("__b")): _*)
     val skb = kmvSketchByGroup(b, groupCols, valueB, k)
-    def thetaSide(sk: DataFrame, name: String) =
-      sk.groupBy(g: _*).agg(
-        when(count(lit(1)) < k, lit(HashSpace)).otherwise(max(col("h")))
-          .as(name))
-    val thetas = thetaSide(ska, "__ta").join(thetaSide(skb, "__tb"),
-        groupCols, "full_outer")
-      .select(g :+ least(coalesce(col("__ta"), lit(HashSpace)),
-        coalesce(col("__tb"), lit(HashSpace))).as("__t"): _*)
-    def trimmed(sk: DataFrame) =
-      sk.join(thetas, groupCols).filter(col("h") < col("__t"))
-    val aP = trimmed(ska)
-    val bP = trimmed(skb)
-    val cnts = Seq(
-      aP.groupBy(g: _*).agg(count(lit(1)).as("__ca")),
-      bP.groupBy(g: _*).agg(count(lit(1)).as("__cb")),
-      aP.select(g :+ col("h"): _*).unionByName(bP.select(g :+ col("h"): _*))
-        .distinct().groupBy(g: _*).agg(count(lit(1)).as("__cu")),
-      aP.join(bP.select(g :+ col("h"): _*), groupCols :+ "h")
-        .groupBy(g: _*).agg(count(lit(1)).as("__ci")))
-      .reduce((x, y) => x.join(y, groupCols, "full_outer"))
-    val filled = Seq("__ca", "__cb", "__cu", "__ci").foldLeft(cnts) {
-      (df, c) => df.withColumn(c, coalesce(col(c), lit(0L)))
-    }.join(thetas, groupCols)
+      .select(g ++ Seq(col("h"), lit(0L).as("__a"), lit(1L).as("__b")): _*)
+    val grain = ska.unionByName(skb)
+      .groupBy(g :+ col("h"): _*)
+      .agg(max(col("__a")).as("__a"), max(col("__b")).as("__b"))
+      .localCheckpoint()
+    // per-side theta from the grain: side count < k ⇒ the sketch holds the
+    // side's whole distinct set ⇒ θ_side = M; else the side's max sketch
+    // hash — identical to the former per-side count/max aggregates
+    val thetas = grain.groupBy(g: _*).agg(
+      least(
+        when(sum(col("__a")) < k, lit(HashSpace))
+          .otherwise(max(when(col("__a") === 1L, col("h")))),
+        when(sum(col("__b")) < k, lit(HashSpace))
+          .otherwise(max(when(col("__b") === 1L, col("h")))))
+        .as("__t"))
+    // trim at θ and fold all four counts in ONE aggregate; __t is constant
+    // per group so first() is deterministic. Every group present in either
+    // side keeps ≥ 1 trimmed row (θ = M keeps all; θ = a side's k-th hash
+    // keeps that side's k-1 smaller ones), so no group drops out — the
+    // same totality the former full-outer chain provided.
+    val filled = grain.join(broadcast(thetas), groupCols)
+      .filter(col("h") < col("__t"))
+      .groupBy(g: _*).agg(
+        sum(col("__a")).as("__ca"), sum(col("__b")).as("__cb"),
+        count(lit(1)).as("__cu"),
+        sum(col("__a") * col("__b")).as("__ci"),
+        first(col("__t")).as("__t"))
     val scale = lit(HashSpace.toDouble) / col("__t").cast("double")
     filled.select(g ++ Seq(
       (col("__ca").cast("double") * scale).as("n_a"),
