@@ -215,7 +215,10 @@ object Dedup {
   def dropListAtScale(sig: DataFrame, bands: Int, rowsPerBand: Int,
       minAgree: Int): DataFrame = {
     val mhCols = sig.columns.filter(_.startsWith("mh")).map(col).toSeq
-    val classes = sigClasses(sig, mhCols)
+    // the class table feeds the band join's two sides and the final member
+    // expansion; materialize once instead of re-running the signature
+    // collapse per consumer (same round-16 finding as classJaccardOn)
+    val classes = sigClasses(sig, mhCols).localCheckpoint()
     val edges = classEdges(classes, mhCols, bands, rowsPerBand, minAgree)
       // candidate-density telemetry (VERDICT r6): edge count is the
       // banding's selectivity — a monitoring hook reads it per run via
@@ -648,6 +651,15 @@ object Dedup {
     val (classes, classJ) =
       classJaccard(df, text, id, minJaccard, n, bands, rowsPerBand,
         broadcastClasses)
+    expandClassPairs(classes, classJ, minJaccard)
+  }
+
+  /** Doc-pair expansion of the class-level Jaccard relation — shared by
+    * [[jaccardPairsAtScale]] and the guarded entry (which supplies its own
+    * checkpointed class table).
+    */
+  private def expandClassPairs(classes: DataFrame, classJ: DataFrame,
+      minJaccard: Double): DataFrame = {
     val cross = classJ
       .select(explode(col("__ma")).as("__a"), col("__mb"),
         col("n_inter"), col("n_union"), col("jaccard"))
@@ -709,18 +721,25 @@ object Dedup {
     */
   private def classJaccard(df: DataFrame, text: Column, id: Column,
       minJaccard: Double, n: Int, bands: Int, rowsPerBand: Int,
+      broadcastClasses: Boolean): (DataFrame, DataFrame) =
+    classJaccardOn(tokenSetClasses(df, text, id).localCheckpoint(),
+      minJaccard, n, bands, rowsPerBand, broadcastClasses)
+
+  /** [[classJaccard]] over an already-materialized class table. The class
+    * table feeds FIVE consumers (the band join's stream and broadcast
+    * sides, both enrichment lookups, the intra-class branch); broadcast
+    * subtrees get no exchange reuse, so an un-materialized class table is
+    * re-evaluated — scan, tokenize, shuffle, collect_list — once per
+    * consumer (measured in round 16: 5 parquet scans of the corpus in
+    * d4's physical plan, ~0.7 s per evaluation at sf0.1). Callers
+    * localCheckpoint the classes ONCE; the round-6 adjudication that
+    * checkpointing nets out slower predates the broadcast-class lookup,
+    * which made the aggregation's output partitioning irrelevant (every
+    * downstream join is map-side now, so nothing re-shuffles either way).
+    */
+  private def classJaccardOn(classes: DataFrame,
+      minJaccard: Double, n: Int, bands: Int, rowsPerBand: Int,
       broadcastClasses: Boolean): (DataFrame, DataFrame) = {
-    // 1. collapse to token-set classes; the smallest member id is the class
-    //    key (unique, numeric — no hash-collision risk on the join key).
-    //    The class table feeds four consumers (banding, both join sides,
-    //    intra pairs); Catalyst re-evaluates it per branch. Measured on
-    //    sf0.1: recomputation ≈ 2 s of the ~5 s total, but materializing
-    //    instead (localCheckpoint) costs MORE — the checkpoint write plus
-    //    losing the aggregation's partitioning (every downstream join
-    //    re-shuffles) nets out slower. Callers that reuse the classes
-    //    across MANY queries should persist the signature/class table
-    //    themselves; a single-query evaluation keeps the lazy plan.
-    val classes = tokenSetClasses(df, text, id)
     val classPairs = classBandPairs(classes, n, bands, rowsPerBand)
       // candidate-density telemetry (VERDICT r6): this count / the class
       // count is the banding's selectivity — readable per run via
@@ -855,7 +874,14 @@ object Dedup {
       minJaccard: Double, n: Int = 16, bands: Int = 4, rowsPerBand: Int = 4,
       maxSelectivity: Double = 0.05,
       maxBroadcastClasses: Long = 5000000L): DataFrame = {
-    val (nClasses, nPairs) = bandCandidateDensity(df, text, id, n, bands, rowsPerBand)
+    // The guard and the real run SHARE one materialized class table
+    // (round 16): the old shape ran bandCandidateDensity — which rebuilt
+    // the class collapse twice for its two counts — and then the full
+    // pipeline rebuilt it five more times. Checkpoint once; the guard's
+    // counts are cheap jobs over the cached partitions.
+    val classes = tokenSetClasses(df, text, id).localCheckpoint()
+    val nClasses = classes.count()
+    val nPairs = classBandPairs(classes, n, bands, rowsPerBand).count()
     val allPairs = nClasses.toDouble * (nClasses - 1).toDouble / 2.0
     val sel = if (allPairs == 0) 0.0 else nPairs.toDouble / allPairs
     if (sel > maxSelectivity)
@@ -866,8 +892,9 @@ object Dedup {
           "for LSH banding to prune (near-all-pairs work ahead). Raise " +
           "rowsPerBand / lower bands to sharpen buckets, pre-shard the " +
           "corpus, or raise maxSelectivity to accept the cost explicitly.")
-    jaccardPairsAtScale(df, text, id, minJaccard, n, bands, rowsPerBand,
-      broadcastClasses = nClasses <= maxBroadcastClasses)
+    val (cls, classJ) = classJaccardOn(classes, minJaccard, n, bands,
+      rowsPerBand, broadcastClasses = nClasses <= maxBroadcastClasses)
+    expandClassPairs(cls, classJ, minJaccard)
   }
 
   /** D8 — duplicated-span census: word n-gram spans that occur in ≥

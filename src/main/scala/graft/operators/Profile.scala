@@ -523,7 +523,14 @@ object Profile {
     val sample = Sketch.sampleBottomK(base, groupCols, col(keyCol), k)
     val eAggs = (1 until buckets).map(j =>
       percentile(col(valueCol), lit(j.toDouble / buckets)).as(s"__e_$j"))
+    // edges is one (buckets-1)-double row per group and feeds BOTH sides'
+    // counts joins — without materialization Catalyst re-evaluates the
+    // whole sample pipeline (scan + two trim windows + percentile
+    // aggregate) once per side. Checkpointing the tiny edges row runs it
+    // exactly once, and AQE sees the true (small) size so the counts
+    // joins broadcast it instead of shuffling each side.
     val edges = sample.groupBy(g: _*).agg(eAggs.head, eAggs.tail: _*)
+      .localCheckpoint()
 
     def counts(df: DataFrame, side: String): DataFrame = {
       val v = col(valueCol)
