@@ -110,10 +110,14 @@ object PrepQueries {
         dbars(s, dir).filter(col("symbol") === "click"),
         Seq(col("symbol")), Seq(col("ts"), col("event_id")),
         col("close"), window = 8, target = 2, stride = 4)
-      def part(name: String) =
-        w.select(col("event_id"), col("window_start_rn").cast("long").as("window_start_rn"),
-          lit(name).as("part"), posexplode(col(name)))
-      part("x").unionByName(part("y"))
+      // one evaluation, not one per part-arm (same shape as p5b below)
+      val arms = Seq("x", "y").map(p =>
+        struct(lit(p).as("part"), col(p).as("arr")))
+      w.select(col("event_id"),
+          col("window_start_rn").cast("long").as("window_start_rn"),
+          explode(array(arms: _*)).as("e"))
+        .select(col("event_id"), col("window_start_rn"),
+          col("e.part").as("part"), posexplode(col("e.arr")))
         .select(col("event_id"), col("window_start_rn"), col("part"),
           col("pos").cast("long").as("idx"), col("col").as("value"))
     }),
@@ -125,12 +129,19 @@ object PrepQueries {
         dbars(s, dir).filter(col("symbol") === "click"),
         Seq(col("symbol")), Seq(col("ts"), col("event_id")),
         feats, window = 8, target = 2, stride = 4)
-      def part(p: String, f: String) =
-        w.select(col("event_id"),
+      // single pass: a six-way unionByName of per-(part, feature) selects
+      // re-evaluated the whole window pipeline once per arm (6 scans /
+      // 116 operators); exploding a built (part, feature, array) struct
+      // array flattens the same multiset of rows from ONE evaluation
+      val arms = for (p <- Seq("x", "y"); f <- feats) yield
+        struct(lit(p).as("part"), lit(f).as("feature"),
+          col(s"${p}_$f").as("arr"))
+      w.select(col("event_id"),
           col("window_start_rn").cast("long").as("window_start_rn"),
-          lit(p).as("part"), lit(f).as("feature"), posexplode(col(s"${p}_$f")))
-      feats.map(f => part("x", f).unionByName(part("y", f)))
-        .reduce(_ unionByName _)
+          explode(array(arms: _*)).as("e"))
+        .select(col("event_id"), col("window_start_rn"),
+          col("e.part").as("part"), col("e.feature").as("feature"),
+          posexplode(col("e.arr")))
         .select(col("event_id"), col("window_start_rn"), col("part"),
           col("feature"), col("pos").cast("long").as("idx"),
           col("col").as("value"))

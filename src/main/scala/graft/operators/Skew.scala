@@ -97,7 +97,15 @@ object Skew {
       .repartition(keys :+ col("__chunk"): _*)
     val fromEnd = org.apache.spark.sql.expressions.Window
       .partitionBy(keys :+ col("__chunk"): _*).orderBy(order.map(_.desc): _*)
+    // marked feeds FOUR plan consumers (the census twice via its self-join,
+    // the main union arm, and the halo-replay arm) and Catalyst re-evaluates
+    // the whole upstream pipeline — source scan, any caller windows, the
+    // repartition and the tail-rank window — once per consumer (measured on
+    // w12: 4 parquet scans, 26 exchanges). Materialize it once; every
+    // consumer then reads the checkpointed partitions instead of recomputing
+    // the corpus pipeline.
     val marked = base.withColumn("__from_end", row_number().over(fromEnd))
+      .localCheckpoint()
 
     // A chunk's warm-up context is the last `halo` rows BEFORE its first
     // row in series order — which span SEVERAL preceding chunks when those
@@ -110,9 +118,13 @@ object Skew {
     // `halo - between` rows (capped at its size) into c.
     val cumW = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__k")).orderBy(col("__chunk"))
+    // the census is dimension-sized (keys × chunks rows) and consumed by
+    // BOTH sides of the replay-plan self-join: checkpoint the tiny frame so
+    // the aggregate runs once and AQE sees its true (small) size
     val census = marked.groupBy(col("__k"), col("__chunk"))
       .agg(count(lit(1)).as("__n"))
       .withColumn("__cum_incl", sum(col("__n")).over(cumW))
+      .localCheckpoint()
     val src = census.select(col("__k"), col("__chunk"),
       col("__n").as("__sn"), col("__cum_incl").as("__scum"))
     val tgt = census.select(col("__k").as("__tk"), col("__chunk").as("__tgt"),
