@@ -23,12 +23,30 @@ object IndicatorQueries {
 
   private val order = Seq(col("ts"), col("event_id"))
 
-  /** bars with close ffill+bfill per symbol — the indicator input series. */
+  /** bars with close ffill+bfill per symbol — the indicator input series.
+    *
+    * The bfill AFTER an ffill only ever fills a symbol's LEADING nulls
+    * (interior/trailing ones are already forward-filled), and their fill
+    * value is the symbol's FIRST non-null close in series order — a
+    * scalar per symbol. Computing it as an aggregate + broadcast join
+    * replaces [[Cleaning.bfill]]'s full DESC re-sort + window pass, so
+    * the whole w-family chain runs on ONE sort (ffill's, which the
+    * indicator windows then reuse): Sort ASC → Window(ffill) → BHJ →
+    * Window(indicators), instead of three sorts. min(struct(order...,
+    * close)) is associative (order-independent — the exactness
+    * discipline) and picks close by the same (ts, event_id) total order
+    * as the window; ties are impossible (event_id is unique).
+    */
   private def cbars(s: SparkSession, dir: String): DataFrame = {
     val b = Tables.bars(s, dir)
-    Cleaning.bfill(
-      Cleaning.ffill(b, Seq("close"), Seq("symbol"), order),
-      Seq("close"), Seq("symbol"), order)
+    val filled = Cleaning.ffill(b, Seq("close"), Seq("symbol"), order)
+    val firsts = b.filter(col("close").isNotNull)
+      .groupBy("symbol")
+      .agg(min(struct(col("ts"), col("event_id"), col("close")))
+        .getField("close").as("__first_close"))
+    filled.join(broadcast(firsts), Seq("symbol"), "left")
+      .withColumn("close", coalesce(col("close"), col("__first_close")))
+      .drop("__first_close")
   }
 
   private val S = Indicators.Series(Seq(col("symbol")), order)
