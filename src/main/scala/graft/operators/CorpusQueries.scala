@@ -39,6 +39,10 @@ object CorpusQueries {
                 i => array_join(
                   slice(col("__tk"), i * lit(8) + lit(1), lit(8)), " ")),
               "\n")).as("mtext"))
+        // lineDedup consumes its input three times (line census, keep
+        // join, final doc join) and Catalyst re-evaluates this tokenize +
+        // re-line projection once per consumer — materialize it once
+        .localCheckpoint()
       Dedup.lineDedup(lined, col("mtext"), col("doc_id"), minDocs = 2)
     }),
     // C3 — incremental exact-dedup ingest against a persisted corpus
