@@ -358,19 +358,28 @@ object Multimodal {
   /** The generated-media tables as DataFrames (map-only fixture
     * generation — bytes are born on executors, never shuffled).
     */
-  def syntheticImages(ids: DataFrame): DataFrame = {
-    val ds = ids.select(col("media_id")).as(Encoders.scalaLong)
-    ds.map { id =>
+  /** Spread the id rows over the cluster BEFORE generating payloads: ids
+    * are a handful of bytes each (shuffling them is ~free at any scale),
+    * while the per-id encode work is heavy — generating after the spread
+    * is the "move small rows, create heavy bytes once, in place" shape.
+    * Without it the parallelism is whatever the id SOURCE's partitioning
+    * happens to be (a single-row-group parquet file = ONE task encoding
+    * and decoding the entire set; measured: m4 ran 1-way at local[32],
+    * wall flat from 32 cores down to 8).
+    */
+  private def spread(ids: DataFrame): Dataset[Long] =
+    ids.select(col("media_id")).as(Encoders.scalaLong)
+      .repartition(ids.sparkSession.sparkContext.defaultParallelism)
+
+  def syntheticImages(ids: DataFrame): DataFrame =
+    spread(ids).map { id =>
       val (mime, bytes) = MediaGen.pngOrBmp(id)
       MediaRow(id, bytes, MediaMeta(mime, MediaGen.dims(id)._1, MediaGen.dims(id)._2))
     }(Encoders.product[MediaRow]).toDF()
-  }
 
-  def syntheticWavs(ids: DataFrame): DataFrame = {
-    val ds = ids.select(col("media_id")).as(Encoders.scalaLong)
-    ds.map { id =>
+  def syntheticWavs(ids: DataFrame): DataFrame =
+    spread(ids).map { id =>
       val (mime, bytes) = MediaGen.wav(id)
       MediaRow(id, bytes, MediaMeta(mime, 0, 0))
     }(Encoders.product[MediaRow]).toDF()
-  }
 }
