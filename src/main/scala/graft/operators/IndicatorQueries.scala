@@ -190,8 +190,14 @@ object IndicatorQueries {
       // the hot-symbol skew path: (symbol, week)-chunked windows with a
       // 201-row replayed halo — bit-identical to the plain per-symbol
       // window, so the oracle is the PLAIN window SQL (the equivalence IS
-      // the assertion)
-      Skew.chunkedFiniteIndicators(cbars(s, dir), Seq(col("symbol")), order,
+      // the assertion). Project the dead columns (open, volume) away
+      // BEFORE the chunked pipeline: chunkedSeries materializes its
+      // marked frame, and Catalyst cannot prune columns through that
+      // checkpoint.
+      Skew.chunkedFiniteIndicators(
+        cbars(s, dir).select(col("event_id"), col("symbol"), col("ts"),
+          col("high"), col("low"), col("close")),
+        Seq(col("symbol")), order,
           floor(unix_micros(col("ts").cast("timestamp")) / lit(7L * 86400 * 1000000L)))
         .select(col("event_id"), col("symbol"),
           col("sma_20"), col("sma_50"), col("sma_200"),
