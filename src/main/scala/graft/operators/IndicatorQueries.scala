@@ -28,25 +28,29 @@ object IndicatorQueries {
     * The bfill AFTER an ffill only ever fills a symbol's LEADING nulls
     * (interior/trailing ones are already forward-filled), and their fill
     * value is the symbol's FIRST non-null close in series order — a
-    * scalar per symbol. Computing it as an aggregate + broadcast join
-    * replaces [[Cleaning.bfill]]'s full DESC re-sort + window pass, so
-    * the whole w-family chain runs on ONE sort (ffill's, which the
-    * indicator windows then reuse): Sort ASC → Window(ffill) → BHJ →
-    * Window(indicators), instead of three sorts. min(struct(order...,
-    * close)) is associative (order-independent — the exactness
-    * discipline) and picks close by the same (ts, event_id) total order
-    * as the window; ties are impossible (event_id is unique).
+    * scalar per symbol. Computing it as a whole-partition window aggregate
+    * ON THE FFILL OUTPUT replaces both [[Cleaning.bfill]]'s full DESC
+    * re-sort + window pass AND round 16's separate aggregate + broadcast
+    * join (which re-scanned bars and regressed the cheap w-queries): a
+    * window with partitionBy(symbol) and NO order/frame is an
+    * UnboundedWindowFunctionFrame — evaluated ONCE per partition, O(n),
+    * on the partitioning ffill already established, so the whole w-family
+    * chain is ONE scan, ONE exchange, ONE sort:
+    * Sort ASC → Window(ffill) → Window(first-close) → Window(indicators).
+    * min(struct(order..., close)) picks close by the same (ts, event_id)
+    * total order as the series (ties impossible — event_id is unique),
+    * and computing it over the FILLED close is sound: ffill only
+    * propagates values FORWARD, so the earliest non-null filled close is
+    * the earliest non-null raw close, with the same value.
     */
   private def cbars(s: SparkSession, dir: String): DataFrame = {
     val b = Tables.bars(s, dir)
     val filled = Cleaning.ffill(b, Seq("close"), Seq("symbol"), order)
-    val firsts = b.filter(col("close").isNotNull)
-      .groupBy("symbol")
-      .agg(min(struct(col("ts"), col("event_id"), col("close")))
-        .getField("close").as("__first_close"))
-    filled.join(broadcast(firsts), Seq("symbol"), "left")
-      .withColumn("close", coalesce(col("close"), col("__first_close")))
-      .drop("__first_close")
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("symbol"))
+    val firstClose = min(when(col("close").isNotNull,
+        struct(col("ts"), col("event_id"), col("close"))))
+      .over(wAll).getField("close")
+    filled.withColumn("close", coalesce(col("close"), firstClose))
   }
 
   private val S = Indicators.Series(Seq(col("symbol")), order)

@@ -355,9 +355,6 @@ object Multimodal {
     }
   }
 
-  /** The generated-media tables as DataFrames (map-only fixture
-    * generation — bytes are born on executors, never shuffled).
-    */
   /** Spread the id rows over the cluster BEFORE generating payloads: ids
     * are a handful of bytes each (shuffling them is ~free at any scale),
     * while the per-id encode work is heavy — generating after the spread
@@ -371,6 +368,9 @@ object Multimodal {
     ids.select(col("media_id")).as(Encoders.scalaLong)
       .repartition(ids.sparkSession.sparkContext.defaultParallelism)
 
+  /** The generated-media tables as DataFrames (map-only fixture
+    * generation — bytes are born on executors, never shuffled).
+    */
   def syntheticImages(ids: DataFrame): DataFrame =
     spread(ids).map { id =>
       val (mime, bytes) = MediaGen.pngOrBmp(id)

@@ -283,6 +283,38 @@ object MaterializedRollup {
     } finally regs.unpersist()
   }
 
+  /** Run `distinctWork` (register replace/fold) on a side thread while
+    * `stage` (the rollup file staging) runs on the caller's — both are
+    * joined before returning, so the caller's anchor-advancing commit
+    * still happens strictly after the register work (the crash-safety
+    * ordering). With no distinct columns the side thread is skipped
+    * entirely. Spark handles concurrent jobs from driver threads natively
+    * (guide §2.6); the two sides touch different lakes.
+    */
+  private def overlapWithDistinct[A](spark: SparkSession,
+      distinctWork: () => Unit, spec: Spec)(stage: => A): A = {
+    if (spec.distinctCols.isEmpty) return stage
+    val pool = java.util.concurrent.Executors.newSingleThreadExecutor()
+    val f = pool.submit(new java.util.concurrent.Callable[Unit] {
+      override def call(): Unit = distinctWork()
+    })
+    try {
+      val staged = stage
+      try f.get()
+      catch {
+        case e: java.util.concurrent.ExecutionException =>
+          throw Option(e.getCause).getOrElse(e)
+      }
+      staged
+    } finally {
+      // a staging failure must not leave the register commit running past
+      // this call — join it (its own failure already surfaced above when
+      // staging succeeded; when staging threw, staging's exception wins)
+      try f.get() catch { case _: Throwable => () }
+      pool.shutdown()
+    }
+  }
+
   private val AnchorRe = raw"mv:base=(\d+).*".r
 
   /** Base version the MV head reflects (None before [[init]]). */
@@ -315,12 +347,18 @@ object MaterializedRollup {
     checkDistinctCols(baseRead, spec)
     val state = lift(baseRead, spec).cache()
     try {
-      // distinct registers first (atomic replace per column); the rollup
-      // commit below is what advances the anchor, so a crash in between
-      // just re-replaces on retry
-      replaceDistinct(spark, mvRoot, baseRead, spec)
-      val files = SnapshotLake.stageFiles(spark, mvRoot,
-        cluster(state, spec, state.count()), Nil, Set(spec.pruneKey))
+      // distinct registers BEFORE the anchor-advancing rollup commit
+      // (atomic replace; a crash in between just re-replaces on retry) —
+      // but the register build and the rollup staging are INDEPENDENT
+      // jobs over different lakes, so run them concurrently (guide §2.6)
+      // and join before the commit: ordering guarantee intact, wall =
+      // max(register replace, rollup stage) instead of the sum.
+      val files = overlapWithDistinct(spark,
+        () => replaceDistinct(spark, mvRoot, baseRead, spec),
+        spec) {
+        SnapshotLake.stageFiles(spark, mvRoot,
+          cluster(state, spec, state.count()), Nil, Set(spec.pruneKey))
+      }
       val v = SnapshotLake.commit(spark, mvRoot, s"mv:base=$baseHead,init",
         state.schema, build = _ => files, lockExpiryMs)
       Refresh(v, baseHead, -1L, files.size, 0)
@@ -411,17 +449,24 @@ object MaterializedRollup {
       // consumes it, so without a persist the union+combine aggregate runs
       // twice per refresh — the same double-compute foldDistinct persists
       // `folded` to avoid (its comment cites +16 s measured at sf10).
+      // distinct registers BEFORE the anchor-advancing commit (idempotent
+      // max-merge: a crash in between re-folds the same delta on retry).
+      // The register fold and the rollup staging are independent jobs over
+      // different lakes reading the same persisted delta — run them
+      // concurrently (guide §2.6) and join before the commit; an abort
+      // after the fold leaves registers LEADING the anchor, which the
+      // lead-window contract above already allows.
+      checkDistinctCols(delta, spec)
       val combinedP = combined.persist()
       val newFiles = try {
-        SnapshotLake.stageFiles(spark, mvRoot,
-          cluster(combinedP, spec, boundRows), Nil, Set(spec.pruneKey))
+        overlapWithDistinct(spark,
+          () => foldDistinct(spark, mvRoot, delta, spec, lo, hi), spec) {
+          SnapshotLake.stageFiles(spark, mvRoot,
+            cluster(combinedP, spec, boundRows), Nil, Set(spec.pruneKey))
+        }
       } finally combinedP.unpersist()
       val overlapSet = overlap.map(_.rel).toSet
       val nDelta = range.getLong(2)
-      // distinct registers BEFORE the anchor-advancing commit (idempotent
-      // max-merge: a crash in between re-folds the same delta on retry)
-      checkDistinctCols(delta, spec)
-      foldDistinct(spark, mvRoot, delta, spec, lo, hi)
       val v = SnapshotLake.commit(spark, mvRoot, s"mv:base=$baseHead",
         mvHead.schema, build = head => {
           guardAnchor(head, anchor, mvRoot)
