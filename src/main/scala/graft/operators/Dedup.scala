@@ -127,9 +127,9 @@ object Dedup {
       .join(exploded.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
+      .filter(firstCollision(col("x.__bks"), col("y.__bks"), col("x.band"), bands))
       .select(col("x.doc_id").as("doc_id1"), col("y.doc_id").as("doc_id2"),
         eq.as("n_equal"))
-      .distinct()
   }
 
   /** (doc_id, sig array, band, bkey) — one row per (doc, band), the LSH
@@ -139,17 +139,50 @@ object Dedup {
     */
   private def bandExplode(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
     val mhCols = sig.columns.filter(_.startsWith("mh")).map(col).toSeq
-    val bandCols = (0 until bands).map { b =>
+    val bkeyCols = (0 until bands).map { b =>
       val ks = (0 until rowsPerBand).map(r => col(f"mh${b * rowsPerBand + r}%02d"))
-      struct(lit(b).as("band"),
-        TextHash.tokenHash(concat_ws(",", ks: _*)).as("bkey"))
+      TextHash.tokenHash(concat_ws(",", ks: _*))
     }
+    // the FULL band-key array rides along (bands × 8 bytes/row, trivial
+    // next to the join shuffle) so joins can dedupe multi-band collisions
+    // with [[firstCollision]] instead of a full distinct shuffle.
+    // NOT `posexplode(col("__bks"))`: InferFiltersFromGenerate infers
+    // `size(__bks) > 0`, which is non-foldable on a column REFERENCE and
+    // gets pushed below the projections — inlining the whole minhash
+    // kernel once per band key per row at the scan (measured: d2b
+    // 0.7 → 32 s). Exploding an array-of-structs literal keeps the
+    // inferred filter foldable (static size) so it disappears, while the
+    // bkey values are element_at references to the aliased-once array.
     sig
       .select(col("doc_id"), array(mhCols: _*).as("sig"),
-        explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("sig"),
+        array(bkeyCols: _*).as("__bks"))
+      .select(col("doc_id"), col("sig"), col("__bks"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            element_at(col("__bks"), b + 1).as("bkey"))): _*)).as("bk"))
+      .select(col("doc_id"), col("sig"), col("__bks"),
         col("bk.band").as("band"), col("bk.bkey").as("bkey"))
   }
+
+  /** A banded self/cross join emits one row per SHARED band, so a pair
+    * colliding in k bands appears k times; the classic dedup is a
+    * `.distinct()` — a full shuffle of the (near-quadratic) candidate
+    * stream. This predicate keeps a joined row ONLY at the pair's FIRST
+    * colliding band (no earlier position has equal band keys), which is
+    * exactly one row per distinct pair — same result set, evaluated
+    * map-side on the already-joined row with zero extra exchange.
+    *
+    * Statically expanded over `bands` (a handful), NOT
+    * `exists(zip_with(slice(...)))`: higher-order functions are
+    * CodegenFallback, and one in a join CONDITION interprets per matched
+    * row with per-row array materialization — measured 12 s on d4's
+    * ~20 M key-matched rows vs plain compiled comparisons.
+    */
+  private def firstCollision(xBks: Column, yBks: Column, band: Column,
+      bands: Int): Column =
+    (0 until bands - 1).map(b =>
+        (band > lit(b)) && (element_at(xBks, b + 1) === element_at(yBks, b + 1)))
+      .reduceOption(_ || _).map(c => !c).getOrElse(lit(true))
 
   /** D9 — INCREMENTAL dedup: the drop list for a NEW batch of documents
     * against the EXISTING corpus' signature store, without ever banding
@@ -184,10 +217,11 @@ object Dedup {
     nb.as("n")
       .join(eb.as("e"),
         col("n.band") === col("e.band") && col("n.bkey") === col("e.bkey"))
+      // a pair can share several bands: keep its first colliding band only
+      .filter(firstCollision(col("n.__bks"), col("e.__bks"), col("n.band"), bands))
       .select(col("n.doc_id").as("drop_id"), col("e.doc_id").as("match_id"),
         eq.as("n_equal"))
       .filter(col("n_equal") >= minAgree)
-      .distinct() // a pair can share several bands
       .groupBy("drop_id")
       .agg(count(lit(1)).as("n_matches"), min("match_id").as("match_id"))
   }
@@ -264,15 +298,21 @@ object Dedup {
     */
   private def classEdges(classes: DataFrame, mhCols: Seq[Column],
       bands: Int, rowsPerBand: Int, minAgree: Int): DataFrame = {
-    val bandCols = (0 until bands).map { b =>
+    val bkeyCols = (0 until bands).map { b =>
       val ks = (0 until rowsPerBand).map(r => col(f"mh${b * rowsPerBand + r}%02d"))
-      struct(lit(b).as("band"),
-        TextHash.tokenHash(concat_ws(",", ks: _*)).as("bkey"))
+      TextHash.tokenHash(concat_ws(",", ks: _*))
     }
     val exploded = classes
       .select(col("cid"), array(mhCols: _*).as("sig"),
-        explode(array(bandCols: _*)).as("bk"))
-      .select(col("cid"), col("sig"),
+        array(bkeyCols: _*).as("__bks"))
+      // explode an array-of-structs literal, NOT the __bks reference — see
+      // bandExplode's note on InferFiltersFromGenerate inlining the hash
+      // kernel below the projections otherwise
+      .select(col("cid"), col("sig"), col("__bks"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            element_at(col("__bks"), b + 1).as("bkey"))): _*)).as("bk"))
+      .select(col("cid"), col("sig"), col("__bks"),
         col("bk.band").as("band"), col("bk.bkey").as("bkey"))
     val eq = aggregate(
       zip_with(col("x.sig"), col("y.sig"),
@@ -282,9 +322,11 @@ object Dedup {
       .join(exploded.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.cid") < col("y.cid"))
+      // multi-band collisions dedupe map-side, not via a distinct shuffle
+      .filter(firstCollision(col("x.__bks"), col("y.__bks"), col("x.band"), bands))
       .select(col("x.cid").as("cid1"), col("y.cid").as("cid2"), eq.as("n_equal"))
       .filter(col("n_equal") >= minAgree)
-      .select("cid1", "cid2").distinct()
+      .select("cid1", "cid2")
   }
 
   /** D6, chain-aware variant — drops resolve against KEPT SURVIVORS only.
@@ -741,6 +783,15 @@ object Dedup {
       minJaccard: Double, n: Int, bands: Int, rowsPerBand: Int,
       broadcastClasses: Boolean): (DataFrame, DataFrame) = {
     val classPairs = classBandPairs(classes, n, bands, rowsPerBand)
+      // REBALANCE the candidate stream before the per-pair merge walks:
+      // the band join's output is skewed by construction (hot buckets
+      // produce most matches, concentrated in whichever probe tasks hold
+      // the hot classes), and the downstream enrichment + intersection is
+      // the expensive per-row stage. The old `.distinct()` paid this
+      // exchange implicitly on the RAW multi-band stream; with the
+      // map-side firstCollision dedupe the exchange moves AFTER the
+      // dedupe, shuffling ~bands× fewer rows of two longs each (§2.5).
+      .repartition(col("cid1"), col("cid2"))
       // candidate-density telemetry (VERDICT r6): this count / the class
       // count is the banding's selectivity — readable per run via
       // observedMetrics; [[bandCandidateDensity]] is the pre-flight form
@@ -813,20 +864,30 @@ object Dedup {
         TextNative.hashModP(col("__ts")), n).as("__sig"))
     val csig = hashed.select(col("cid") +: (0 until n).map(i =>
       element_at(col("__sig"), i + 1).as(f"mh$i%02d")): _*)
-    val bandCols = (0 until bands).map { b =>
+    val bkeyCols = (0 until bands).map { b =>
       val ks = (0 until rowsPerBand).map(r => col(f"mh${b * rowsPerBand + r}%02d"))
-      struct(lit(b).as("band"),
-        TextHash.tokenHash(concat_ws(",", ks: _*)).as("bkey"))
+      TextHash.tokenHash(concat_ws(",", ks: _*))
     }
     val exploded = csig
-      .select(col("cid"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("cid"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+      .select(col("cid"), array(bkeyCols: _*).as("__bks"))
+      // explode an array-of-structs literal, NOT the __bks reference — see
+      // bandExplode's note on InferFiltersFromGenerate inlining the hash
+      // kernel below the projections otherwise
+      .select(col("cid"), col("__bks"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            element_at(col("__bks"), b + 1).as("bkey"))): _*)).as("bk"))
+      .select(col("cid"), col("__bks"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
     exploded.as("x")
       .join(exploded.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.cid") < col("y.cid"))
+      // multi-band collisions dedupe map-side ([[firstCollision]]) — the
+      // old `.distinct()` shuffled the whole near-quadratic candidate
+      // stream (the second-largest stage in D4Prof16's decomposition)
+      .filter(firstCollision(col("x.__bks"), col("y.__bks"), col("x.band"), bands))
       .select(col("x.cid").as("cid1"), col("y.cid").as("cid2"))
-      .distinct()
   }
 
   /** Pre-flight admission check for banded dedup on an UNKNOWN corpus:

@@ -324,7 +324,7 @@ object SnapshotLake {
       schema: StructType, build: Option[Manifest] => Seq[FileEntry],
       lockExpiryMs: Long,
       props: Option[Map[String, String]] = None,
-      schemaOf: Option[Option[Manifest] => StructType] = None): Long = {
+      schemaOf: Option[Option[Manifest] => StructType] = None): Long = prof("commit") {
     val fs = fsOf(spark, root)
     fs.mkdirs(manifestDir(root))
     val deadline = System.nanoTime + java.util.concurrent.TimeUnit.MILLISECONDS
@@ -916,6 +916,19 @@ object SnapshotLake {
     * violation deletes the invisible stage and refuses before anything
     * could commit.
     */
+  /** Env-gated phase timing (`SPARK_GRAFT_LAKE_PROF=1`) for the commit
+    * constant's composition — stage write vs footer probe vs publish vs
+    * manifest commit. Pure observability; a no-op in normal runs.
+    */
+  private val lakeProf = sys.env.get("SPARK_GRAFT_LAKE_PROF").contains("1")
+  private def prof[A](name: String)(f: => A): A =
+    if (!lakeProf) f
+    else {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[lakeprof] $name%-16s ${(System.nanoTime() - t0) / 1e9}%6.3f s")
+      r
+    }
+
   private[sinks] def stageFiles(spark: SparkSession, root: String, df: DataFrame,
       partitionCols: Seq[String], statsCols: Set[String],
       bloomCols: Seq[String] = Nil): Seq[FileEntry] = {
@@ -937,8 +950,9 @@ object SnapshotLake {
         (df.observe(o, metrics.head, metrics.tail: _*), Some(o))
       }
     val w = toWrite.write.mode("overwrite").option("compression", "zstd")
-    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-      .parquet(stage.toString)
+    prof("stage-write")(
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+        .parquet(stage.toString))
     obs.foreach { o =>
       val bad = o.get.toSeq.collect {
         case (n, v: Long) if v > 0 => s"$n ($v row(s))"
@@ -984,7 +998,7 @@ object SnapshotLake {
     // on a bounded pool instead of serially (a refresh that stages N
     // files pays one footer open each; serial probes were the dominant
     // commit constant in the incremental-rollup loop)
-    val probed: Map[String, (Map[String, (Double, Double)], Long)] =
+    val probed: Map[String, (Map[String, (Double, Double)], Long)] = prof("footer-probe")(
       if (parts.size <= 1)
         parts.map { case (p, rel, _) =>
           rel -> footerProbe(spark, p, statsCols) }.toMap
@@ -1014,15 +1028,15 @@ object SnapshotLake {
             }
           }.toMap
         } finally pool.shutdown()
-      }
+      })
     // pass 3: publish moves in walk order
-    val staged = parts.map { case (p, relOut, len) =>
+    val staged = prof("publish-moves")(parts.map { case (p, relOut, len) =>
       val target = new Path(dataDir(root), relOut)
       fs.mkdirs(target.getParent)
       val (stats, nRows) = probed(relOut)
       require(fs.rename(p, target), s"stage move failed: $target")
       FileEntry(relOut, len, stats, sortedBlooms, nRows)
-    }
+    })
     // sidecars land BEFORE the manifest commit that makes the files
     // visible; a crash in between leaves unreferenced files + sidecars
     // (invisible garbage, swept by vacuum), never a committed file whose

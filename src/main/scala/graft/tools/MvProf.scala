@@ -26,9 +26,14 @@ object MvProf {
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000000).selectExpr("sum(id)").collect()
     val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val verbose = sys.env.get("SPARK_GRAFT_MVPROF_VERBOSE").contains("1")
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit =
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
         jobs.incrementAndGet()
+        if (verbose) println(s"[mvprof]   job ${j.jobId} " +
+          s"stages=${j.stageInfos.size} " +
+          j.stageInfos.map(s => s"${s.name}(${s.numTasks})").mkString(" | "))
+      }
     })
     def phase[A](name: String)(f: => A): A = {
       val j0 = jobs.get(); val t0 = System.nanoTime()
