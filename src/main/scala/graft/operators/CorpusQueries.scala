@@ -41,8 +41,12 @@ object CorpusQueries {
               "\n")).as("mtext"))
         // lineDedup consumes its input three times (line census, keep
         // join, final doc join) and Catalyst re-evaluates this tokenize +
-        // re-line projection once per consumer — materialize it once
-        .localCheckpoint()
+        // re-line projection once per consumer — materialize it once.
+        // persist, not localCheckpoint: the frame is corpus-sized, and a
+        // local checkpoint's executor-pinned, lineage-truncated blocks
+        // make executor loss fatal at cluster scale (same trade-off note
+        // as Skew.chunkedSeries' marked frame).
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       Dedup.lineDedup(lined, col("mtext"), col("doc_id"), minDocs = 2)
     }),
     // C3 — incremental exact-dedup ingest against a persisted corpus
