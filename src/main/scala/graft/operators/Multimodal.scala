@@ -184,6 +184,13 @@ object Multimodal {
     */
   object JvmMediaCodec extends MediaCodec {
 
+    // ImageIO's default ImageInputStream cache is FILE-backed: every
+    // decode/encode writes a temp cache file, so N concurrent codec tasks
+    // contend on the disk instead of scaling (measured: m4 at local[8]
+    // beat local[32]). The payloads here are in-memory byte arrays — the
+    // memory-backed cache is strictly better and bit-identical.
+    javax.imageio.ImageIO.setUseCache(false)
+
     private def decodeImage(bytes: Array[Byte]): DecodedMedia = {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       require(img != null, "imageio could not decode payload")
@@ -309,6 +316,12 @@ object Multimodal {
       }
       img
     }
+
+    // same file-backed-cache trap as JvmMediaCodec (see its note): the
+    // encode side writes to in-memory streams, so disable the temp-file
+    // ImageOutputStream cache here too — MediaGen can load on an executor
+    // before JvmMediaCodec does
+    javax.imageio.ImageIO.setUseCache(false)
 
     private def encode(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
       val bos = new java.io.ByteArrayOutputStream()
