@@ -1080,18 +1080,27 @@ object Dedup {
     import graft.sinks.SnapshotLake
     val first = sliceFirst(batch, idCol, textCol)
     val survivors =
-      (if (SnapshotLake.latestVersion(spark, root).isEmpty) first
-       // re-select in `first`'s order: the join hoists its key column to
-       // the front, and lake appends are schema-ORDER strict
-       else first.join(SnapshotLake.read(spark, root).select(col("fp")),
-         Seq("fp"), "left_anti").select(first.columns.map(col): _*))
-        .persist()
-    try {
-      val kept = survivors.count()
-      val v = SnapshotLake.append(spark, root, survivors,
-        statsCols = Seq(idCol))
-      (v, kept)
-    } finally survivors.unpersist()
+      if (SnapshotLake.latestVersion(spark, root).isEmpty) first
+      // re-select in `first`'s order: the join hoists its key column to
+      // the front, and lake appends are schema-ORDER strict
+      else first.join(SnapshotLake.read(spark, root).select(col("fp")),
+        Seq("fp"), "left_anti").select(first.columns.map(col): _*)
+    appendCounted(spark, root, survivors, idCol)
+  }
+
+  /** Append `survivors` and return (version, rows kept) with the kept
+    * count OBSERVED on the append's own write — the old shape persisted
+    * the frame and ran a separate count job before the append, doubling
+    * the per-slice job constant for a number the write computes anyway.
+    */
+  private def appendCounted(spark: org.apache.spark.sql.SparkSession,
+      root: String, survivors: DataFrame, idCol: String): (Long, Long) = {
+    val obs = org.apache.spark.sql.Observation(
+      s"ingest-kept-${obsId.incrementAndGet()}")
+    val v = graft.sinks.SnapshotLake.append(spark, root,
+      survivors.observe(obs, count(lit(1)).as("kept")),
+      statsCols = Seq(idCol))
+    (v, obs.get("kept").asInstanceOf[Long])
   }
 
   /** Fingerprint a slice and keep the first arrival per fingerprint
@@ -1146,18 +1155,12 @@ object Dedup {
       }
       .getOrElse(0L)
     val survivors =
-      (if (histRows == 0L) first
-       else pruneDuplicatesBloom(first, col("fp"),
-         SnapshotLake.read(spark, root).select(col("fp").as("drop_id")),
-         expectedDrops = histRows, fpp = fpp)
-         .select(first.columns.map(col): _*))
-        .persist()
-    try {
-      val kept = survivors.count()
-      val v = SnapshotLake.append(spark, root, survivors,
-        statsCols = Seq(idCol))
-      (v, kept)
-    } finally survivors.unpersist()
+      if (histRows == 0L) first
+      else pruneDuplicatesBloom(first, col("fp"),
+        SnapshotLake.read(spark, root).select(col("fp").as("drop_id")),
+        expectedDrops = histRows, fpp = fpp)
+        .select(first.columns.map(col): _*)
+    appendCounted(spark, root, survivors, idCol)
   }
 
   /** Streaming form of [[ingestDedup]]: a `foreachBatch` handler with
