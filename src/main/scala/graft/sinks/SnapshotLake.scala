@@ -2686,30 +2686,42 @@ object SnapshotLake {
         val fns = org.apache.spark.sql.functions
         val touched = readEntries(spark, root, base, rewrite)
         val hit = fns.coalesce(predicate, fns.lit(false)) // NULL pred = keep
-        val deleted = touched.filter(hit).count()
-        val keep = touched.filter(!hit)
+        // the matched-row count is OBSERVED on the rewrite's own stage
+        // write instead of a separate count pass over the touched files
+        // (one job per delete instead of two). A no-op delete (nothing
+        // matched) is only known after staging — its identical staged
+        // files are swept here and no version is published, preserving
+        // the no-empty-diff contract at the price of one wasted write on
+        // the rare no-op, in exchange for halving every real delete.
+        val obs = org.apache.spark.sql.Observation(s"delete-${newToken()}")
+        val keep = touched
+          .observe(obs, fns.count(fns.when(hit, fns.lit(1))).as("deleted"))
+          .filter(!hit)
         val statsCols = base.files.flatMap(_.stats.keys).toSet
-        val newFiles =
-          if (deleted == 0) rewrite // nothing matched: keep files as-is
-          else stageFiles(spark, root, attachFieldIds(keep, base.schema),
-            partitionCols, statsCols,
-            base.files.flatMap(_.bloomCols).distinct)
-        val rewriteSet = readSetOf(rewrite)
-        val v =
-          if (deleted == 0) base.version // no-op: no empty diff published
-          else commit(spark, root, "delete", base.schema,
+        val newFiles = stageFiles(spark, root,
+          attachFieldIds(keep, base.schema), partitionCols, statsCols,
+          base.files.flatMap(_.bloomCols).distinct)
+        val deleted = obs.get("deleted").asInstanceOf[Long]
+        if (deleted == 0) {
+          val fs = fsOf(spark, root)
+          newFiles.foreach { f =>
+            fs.delete(new Path(dataDir(root), f.rel), false)
+            f.bloomCols.foreach(c => fs.delete(bloomPath(root, f.rel, c), false))
+          }
+          (base.version, 0L, 0, untouched.size)
+        } else {
+          val rewriteSet = readSetOf(rewrite)
+          val v = commit(spark, root, "delete", base.schema,
             build = head => {
               requireSchemaIntact(base.schema, head, newFiles, "delete", root)
               newFiles ++
-                requireReadSetIntact(rewriteSet, head,
-                  // on conflict, drop only the freshly staged files — the
-                  // deleted==0 branch never reaches commit, so newFiles
-                  // here is always the staged list
-                  newFiles, "delete", root)
+                requireReadSetIntact(rewriteSet, head, newFiles, "delete",
+                  root)
                   .filterNot(f => rewriteSet.contains(f.rel))
             },
             lockExpiryMs)
-        (v, deleted, if (deleted == 0) 0 else rewrite.size, untouched.size)
+          (v, deleted, rewrite.size, untouched.size)
+        }
       }
     }
 
