@@ -211,9 +211,15 @@ object MaterializedRollup {
     * harmonic sum). Idempotent: re-folding the same rows is a no-op
     * state change.
     */
-  private def foldDistinct(spark: SparkSession, mvRoot: String,
-      rows: DataFrame, spec: Spec, lo: Double, hi: Double): Unit = {
-    if (spec.distinctCols.isEmpty) return
+  /** Phase 1 of the fold, independent of the delta's key range: check
+    * the register lake exists (loud legacy-layout message) and
+    * materialize the delta's registers + their count. Split out so the
+    * refresh can run it CONCURRENTLY with its own range aggregate — both
+    * read only the persisted delta (guide §2.6). Caller owns the
+    * returned frame's unpersist.
+    */
+  private def prepareDistinct(spark: SparkSession, mvRoot: String,
+      rows: DataFrame, spec: Spec): (DataFrame, Long) = {
     val root = hllRegsRoot(mvRoot)
     if (SnapshotLake.latestVersion(spark, root).isEmpty) {
       spec.distinctCols.find(c =>
@@ -226,9 +232,18 @@ object MaterializedRollup {
         s"no register lake under $mvRoot — init/fullRefresh creates it")
     }
     val delta = registersAll(rows, spec).persist()
-    try {
-      val nDelta = delta.count()
-      if (nDelta == 0) return // all distinct values null in this delta
+    (delta, delta.count())
+  }
+
+  /** Phase 2: fold prepared delta registers into the register lake once
+    * the delta's [lo, hi] key range is known.
+    */
+  private def foldDistinctPrepared(spark: SparkSession, mvRoot: String,
+      delta: DataFrame, nDelta: Long, spec: Spec, lo: Double,
+      hi: Double): Unit = {
+    if (nDelta == 0) return // all distinct values null in this delta
+    val root = hllRegsRoot(mvRoot)
+    locally {
       SnapshotLake.retryOnConflict(spark, root, "hll-fold") { () =>
         val m = SnapshotLake.manifest(spark, root, None)
         val (overlap, untouched) = m.files.partition(f =>
@@ -264,7 +279,7 @@ object MaterializedRollup {
           lockExpiryMs = 10L * 60 * 1000)
         untouched.size // for the compiler; callers don't consume it
       }
-    } finally delta.unpersist()
+    }
   }
 
   /** REPLACE the combined register lake from a full base read
@@ -407,6 +422,25 @@ object MaterializedRollup {
     val delta =
       if (spec.distinctCols.nonEmpty) delta0.persist() else delta0
     val deltaState = lift(delta, spec).cache()
+    // kick off the register-delta materialization NOW, concurrent with
+    // the range aggregate below — phase 1 of the fold reads only the
+    // persisted delta, not the delta's key range (guide §2.6); its frame
+    // is unpersisted in the outer finally
+    checkDistinctCols(delta, spec)
+    val regPool =
+      if (spec.distinctCols.isEmpty) None
+      else Some(java.util.concurrent.Executors.newSingleThreadExecutor())
+    val regPrep = regPool.map(_.submit(
+      new java.util.concurrent.Callable[(DataFrame, Long)] {
+        override def call(): (DataFrame, Long) =
+          prepareDistinct(spark, mvRoot, delta, spec)
+      }))
+    def regJoin(): (DataFrame, Long) =
+      try regPrep.get.get()
+      catch {
+        case e: java.util.concurrent.ExecutionException =>
+          throw Option(e.getCause).getOrElse(e)
+      }
     try {
       val dom = SnapshotLake.statsDomain(deltaState.schema, spec.pruneKey)
       // one aggregate serves the prune range, the delta row count AND the
@@ -456,11 +490,13 @@ object MaterializedRollup {
       // concurrently (guide §2.6) and join before the commit; an abort
       // after the fold leaves registers LEADING the anchor, which the
       // lead-window contract above already allows.
-      checkDistinctCols(delta, spec)
       val combinedP = combined.persist()
       val newFiles = try {
         overlapWithDistinct(spark,
-          () => foldDistinct(spark, mvRoot, delta, spec, lo, hi), spec) {
+          () => {
+            val (regDelta, nRegs) = regJoin()
+            foldDistinctPrepared(spark, mvRoot, regDelta, nRegs, spec, lo, hi)
+          }, spec) {
           SnapshotLake.stageFiles(spark, mvRoot,
             cluster(combinedP, spec, boundRows), Nil, Set(spec.pruneKey))
         }
@@ -475,6 +511,13 @@ object MaterializedRollup {
         }, lockExpiryMs)
       Refresh(v, baseHead, nDelta, overlap.size, untouched.size)
     } finally {
+      // join + release the register-delta prep on every exit path (the
+      // zero-append early return and failures included); its own failure
+      // already surfaced through regJoin on the fold path, so it is
+      // swallowed here
+      regPrep.foreach(f =>
+        try f.get()._1.unpersist() catch { case _: Throwable => () })
+      regPool.foreach(_.shutdown())
       deltaState.unpersist()
       if (spec.distinctCols.nonEmpty) delta.unpersist()
     }
